@@ -1,13 +1,23 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * One `queries` entry per implemented operator from SURVEY.md §2; the
+  * implementations live under `graft.ops`, grouped by operator family.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ops.Aggregates.d1AggGroup(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ops.Aggregates.defs
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * Convention (SURVEY.md §7.5#8): every table reference is spelled as a
+    * relative parquet path `'<name>.parquet'`.
+    */
+  def oracleSql: Map[String, String] =
+    ops.Aggregates.oracle
 }
