@@ -11,7 +11,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Aggregates.defs
+    ops.Sources.defs ++ ops.Relational.defs ++ ops.Aggregates.defs ++
+      ops.Windows.defs ++ ops.Scalars.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -19,5 +20,6 @@ object SparkEntry {
     * relative parquet path `'<name>.parquet'`.
     */
   def oracleSql: Map[String, String] =
-    ops.Aggregates.oracle
+    ops.Sources.oracle ++ ops.Relational.oracle ++ ops.Aggregates.oracle ++
+      ops.Windows.oracle ++ ops.Scalars.oracle
 }

@@ -25,27 +25,211 @@ object Aggregates {
       .agg(
         round(sum($"l_quantity"), 2).as("sum_qty"),
         round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+        Parity.money(sum(Parity.dec2($"l_extendedprice") * (lit(1) - Parity.dec2($"l_discount")))).as("sum_disc_price"),
         round(avg($"l_quantity"), 6).as("avg_qty"),
         round(avg($"l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** d2_agg_count_distinct — exact distinct per group. */
+  def d2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  /** d3_agg_approx_distinct — HLL sketch; deliberately NOT oracled (sketches
+    * differ across engines). Deterministic for a fixed input. */
+  def d3(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id").as("approx_users"))
+      .orderBy($"event_type")
+  }
+
+  /** d4_agg_rollup — ROLLUP with grouping() disambiguation. */
+  def d4(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        round(sum($"o_totalprice"), 2).as("total"),
+        count(lit(1)).as("n"),
+        grouping($"o_orderstatus").cast("int").as("g_status"),
+        grouping($"o_orderpriority").cast("int").as("g_prio"))
+      .orderBy($"g_status", $"g_prio", $"o_orderstatus", $"o_orderpriority")
+  }
+
+  /** d5_agg_having — post-aggregation filter. */
+  def d5(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+      .filter($"n_orders" >= 15)
+      .orderBy($"o_custkey")
+  }
+
+  /** d6_agg_global — no-key aggregate. */
+  def d6(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      round(sum($"l_extendedprice"), 2).as("sum_price"),
+      round(avg($"l_quantity"), 6).as("avg_qty"),
+      min($"l_shipdate").as("min_ship"),
+      max($"l_shipdate").as("max_ship"))
+  }
+
+  /** d7_agg_stats — stddev/variance/corr/covar. */
+  def d7(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(stddev_samp($"l_quantity"), 6).as("sd_qty"),
+        round(var_samp($"l_quantity"), 6).as("var_qty"),
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
+        round(covar_samp($"l_quantity", $"l_discount"), 6).as("covar_qty_disc"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** d8_agg_argmax — LWW as an aggregate: value at the latest timestamp.
+    * (user_id, µs-ts) is verified unique at every SF, so no tiebreak needed.
+    */
+  def d8(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(
+        max_by($"event_type", $"ts").as("last_type"),
+        max($"ts").as("last_ts"))
+      .orderBy($"user_id")
+  }
+
+  /** d9_agg_collect_sorted — ordered list-of-values per group. */
+  def d9(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list($"event_id")).as("event_ids"))
+      .orderBy($"user_id")
+  }
+
+  /** d10_agg_conditional — filtered/conditional aggregates. */
+  def d10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(
+        count_if($"value" > 250).as("n_high"),
+        round(sum(when($"user_id" % 2 === 0, $"value").otherwise(0d)), 2).as("even_user_value"))
+      .orderBy($"event_type")
+  }
+
+  /** d11_agg_distinct_mixed — distinct + plain aggregates in one pass
+    * (Catalyst's expand rewrite). */
+  def d11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(
+        round(sum($"value"), 2).as("sum_value"),
+        countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
+  /** d12_agg_percentile — exact percentiles (not approx). */
+  def d12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"))
+      .orderBy($"l_returnflag")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d1_agg_group" -> d1AggGroup)
+    "d1_agg_group" -> d1AggGroup, "d2_agg_count_distinct" -> d2,
+    "d3_agg_approx_distinct" -> d3, "d4_agg_rollup" -> d4,
+    "d5_agg_having" -> d5, "d6_agg_global" -> d6, "d7_agg_stats" -> d7,
+    "d8_agg_argmax" -> d8, "d9_agg_collect_sorted" -> d9,
+    "d10_agg_conditional" -> d10, "d11_agg_distinct_mixed" -> d11,
+    "d12_agg_percentile" -> d12)
 
   val oracle: Map[String, String] = Map(
     "d1_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
         |round(sum(l_quantity), 2) AS sum_qty,
         |round(sum(l_extendedprice), 2) AS sum_base_price,
-        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
         |round(avg(l_quantity), 6) AS avg_qty,
         |round(avg(l_discount), 6) AS avg_disc,
         |count(*) AS count_order
         |FROM 'lineitem.parquet'
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "d2_agg_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM 'events.parquet' GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "d4_agg_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |round(sum(o_totalprice), 2) AS total,
+        |count(*) AS n,
+        |CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
+        |FROM 'orders.parquet'
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio,
+        |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "d5_agg_having" ->
+      """SELECT o_custkey, count(*) AS n_orders FROM 'orders.parquet'
+        |GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY o_custkey""".stripMargin,
+    "d6_agg_global" ->
+      """SELECT count(*) AS n_rows,
+        |round(sum(l_extendedprice), 2) AS sum_price,
+        |round(avg(l_quantity), 6) AS avg_qty,
+        |min(l_shipdate) AS min_ship,
+        |max(l_shipdate) AS max_ship
+        |FROM 'lineitem.parquet'""".stripMargin,
+    "d7_agg_stats" ->
+      """SELECT l_returnflag,
+        |round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |round(var_samp(l_quantity), 6) AS var_qty,
+        |round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+        |FROM 'lineitem.parquet' GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "d8_agg_argmax" ->
+      """SELECT user_id,
+        |arg_max(event_type, CAST(ts AS TIMESTAMP)) AS last_type,
+        |max(CAST(ts AS TIMESTAMP)) AS last_ts
+        |FROM 'events.parquet' GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "d9_agg_collect_sorted" ->
+      """SELECT user_id, list_sort(array_agg(event_id)) AS event_ids
+        |FROM 'events.parquet' GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "d10_agg_conditional" ->
+      """SELECT event_type,
+        |count(*) FILTER (WHERE value > 250) AS n_high,
+        |round(sum(CASE WHEN user_id % 2 = 0 THEN value ELSE 0 END), 2) AS even_user_value
+        |FROM 'events.parquet' GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "d11_agg_distinct_mixed" ->
+      """SELECT event_type,
+        |round(sum(value), 2) AS sum_value,
+        |count(DISTINCT user_id) AS n_users,
+        |count(*) AS n_events
+        |FROM 'events.parquet' GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "d12_agg_percentile" ->
+      """SELECT l_returnflag,
+        |round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 6) AS p50_qty,
+        |round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 6) AS p90_qty,
+        |round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p25_price
+        |FROM 'lineitem.parquet' GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

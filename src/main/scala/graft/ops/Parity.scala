@@ -1,0 +1,25 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Cross-engine hash-stability helpers (SURVEY.md §7.5#3-4).
+  *
+  * Money trap: `round(double, 2)` disagrees between engines on boundary
+  * values — Spark rounds the shortest-decimal representation (via
+  * BigDecimal.valueOf) while DuckDB rounds the true binary value, so a
+  * computed 90591.694999…97 renders as 90591.70 in Spark and 90591.69 in
+  * DuckDB. All monetary columns in the test data are verified 2dp-clean, so
+  * the fix is exact DECIMAL(18,2) arithmetic on both sides: cast before
+  * multiplying/summing, round the exact decimal result, cast back to
+  * DOUBLE. Decimal→double conversion is uniquely defined, so the outputs
+  * are bit-identical.
+  */
+object Parity {
+  /** Exact 2dp decimal view of a stored-as-double money column. */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Canonical money output: round the exact decimal to 2dp, emit DOUBLE. */
+  def money(c: Column): Column = round(c, 2).cast("double")
+}
