@@ -12,7 +12,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Sources.defs ++ ops.Relational.defs ++ ops.Aggregates.defs ++
-      ops.Windows.defs ++ ops.Scalars.defs
+      ops.Windows.defs ++ ops.Scalars.defs ++ ops.VectorOps.defs ++
+      ops.TextOps.defs ++ ops.SyncOps.defs ++ ops.StreamingOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -21,5 +22,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     ops.Sources.oracle ++ ops.Relational.oracle ++ ops.Aggregates.oracle ++
-      ops.Windows.oracle ++ ops.Scalars.oracle
+      ops.Windows.oracle ++ ops.Scalars.oracle ++ ops.VectorOps.oracle ++
+      ops.TextOps.oracle ++ ops.SyncOps.oracle ++ ops.StreamingOps.oracle
 }

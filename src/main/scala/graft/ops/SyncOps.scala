@@ -1,0 +1,121 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** The reference's sync semantics as relational operators: as-of lookup
+  * (apply newest state), incremental LWW merge (the main sync loop), and
+  * the typed-Aggregator form of last-write-wins.
+  *
+  * c10 deliberately avoids the pair-join emulation of ASOF: the union-tag +
+  * running-last window does ONE shuffle on user_id and carries O(1) state
+  * per row, so it scales to arbitrarily long histories — the pair-join
+  * form is quadratic in events-per-user.
+  */
+object SyncOps {
+
+  /** c10_join_asof — each purchase matched to the latest same-user view
+    * at-or-before it (inner as-of; ties impossible: (user, µs-ts) unique). */
+  def c10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val v = ev.filter($"event_type" === "view").select(
+      $"user_id", $"ts",
+      $"event_id".as("v_id"), $"ts".as("v_ts_src"),
+      lit(null).cast("long").as("p_id"), lit(0).as("tag"))
+    val p = ev.filter($"event_type" === "purchase").select(
+      $"user_id", $"ts",
+      lit(null).cast("long").as("v_id"), lit(null).cast("timestamp_ntz").as("v_ts_src"),
+      $"event_id".as("p_id"), lit(1).as("tag"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"tag".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v.unionByName(p)
+      .withColumn("view_id", last($"v_id", ignoreNulls = true).over(w))
+      .withColumn("v_ts", last($"v_ts_src", ignoreNulls = true).over(w))
+      .filter($"tag" === 1 && $"view_id".isNotNull)
+      .select($"p_id".as("purchase_id"), $"ts".as("p_ts"), $"view_id", $"v_ts")
+      .orderBy($"purchase_id")
+  }
+
+  /** i6_incremental_lww_merge — the reference's main loop as one operator:
+    * base snapshot (LWW state at the watermark) + change batch → merged
+    * snapshot, newest per key wins. Batch form of the foreachBatch upsert
+    * in streaming.Sync. */
+  def i6(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cutoff = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    val ev = Tables.events(s, d)
+    val keep = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    // base: LWW state as of the watermark (one row per key)
+    val base = ev.filter($"ts" <= cutoff)
+      .withColumn("rn", row_number().over(keep)).filter($"rn" === 1).drop("rn")
+    // delta: the change feed since the watermark (many rows per key)
+    val delta = ev.filter($"ts" > cutoff)
+    base.unionByName(delta)
+      .withColumn("rn", row_number().over(keep)).filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"ts", $"event_type",
+        when($"ts" <= cutoff, "base").otherwise("delta").as("src"))
+      .orderBy($"user_id")
+  }
+
+  /** Input/buffer row for the LWW aggregator: a (timestamp, value) pair. */
+  case class TsVal(ts_us: Long, v: String)
+
+  /** k2 — last-write-wins as a typed Aggregator[IN, BUF, OUT]: returns the
+    * value carried by the max-timestamp row. Commutative + associative
+    * merge, so Spark can partial-aggregate map-side — the property that
+    * makes LWW safe to distribute. */
+  object LwwAggregator extends Aggregator[TsVal, TsVal, String] {
+    def zero: TsVal = TsVal(Long.MinValue, null)
+    def reduce(b: TsVal, a: TsVal): TsVal = if (a.ts_us > b.ts_us) a else b
+    def merge(x: TsVal, y: TsVal): TsVal = if (x.ts_us >= y.ts_us) x else y
+    def finish(b: TsVal): String = b.v
+    def bufferEncoder: Encoder[TsVal] = Encoders.product[TsVal]
+    def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  /** k2_typed_aggregator — LWW via the typed-UDAF codepath (= d8 semantics
+    * through a custom Aggregator instead of the built-in max_by). */
+  def k2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lww = udaf(LwwAggregator)
+    s.udf.register("lww_last", lww)
+    Tables.eventsRaw(s, d)
+      .select($"user_id", expr("ts div 1000").as("ts_us"), $"event_type")
+      .groupBy($"user_id")
+      .agg(lww($"ts_us", $"event_type").as("last_type"))
+      .orderBy($"user_id")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c10_join_asof" -> c10, "i6_incremental_lww_merge" -> i6,
+    "k2_typed_aggregator" -> k2)
+
+  val oracle: Map[String, String] = Map(
+    "c10_join_asof" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM 'events.parquet' WHERE event_type = 'purchase'),
+        |     v AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM 'events.parquet' WHERE event_type = 'view')
+        |SELECT p.event_id AS purchase_id, p.ts AS p_ts,
+        |       v.event_id AS view_id, v.ts AS v_ts
+        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY purchase_id""".stripMargin,
+    "i6_incremental_lww_merge" ->
+      """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |            FROM 'events.parquet'),
+        |base AS (SELECT * FROM ev WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+        |         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+        |delta AS (SELECT * FROM ev WHERE ts > TIMESTAMP '2024-01-15 00:00:00'),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+        |SELECT user_id, event_id, ts, event_type,
+        |CASE WHEN ts <= TIMESTAMP '2024-01-15 00:00:00' THEN 'base' ELSE 'delta' END AS src
+        |FROM u
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "k2_typed_aggregator" ->
+      """SELECT user_id, arg_max(event_type, CAST(ts AS TIMESTAMP)) AS last_type
+        |FROM 'events.parquet' GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

@@ -1,0 +1,170 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2-J text-analysis / dedup operators + the k1 UDF surface.
+  *
+  * j2 is the scale-critical one: near-dup detection never materializes the
+  * doc×doc cross product. Docs are shingled (3-token), shingles form an
+  * inverted index, candidate pairs come from the index self-join, and the
+  * exact Jaccard is computed from per-pair intersection counts — the
+  * standard shingle-index shape that LSH banding slots into at 100 TB
+  * (band the shingle MinHashes instead of joining raw shingles; the
+  * pair-generation and verify stages stay identical).
+  */
+object TextOps {
+
+  /** j1_dedup_exact — exact dedup by content hash; deterministic keeper =
+    * min doc_id per hash. */
+  def j1(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"content_hash").orderBy($"doc_id".asc)
+    Tables.documents(s, d)
+      .withColumn("content_hash", md5($"text"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"content_hash", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  /** 3-token shingle set per doc (distinct), as (doc_id, sh) rows. */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        """array_distinct(transform(sequence(1, size(toks) - 2),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))""".stripMargin))
+        .as("sh"))
+  }
+
+  /** j2_dedup_near_jaccard — near-dup pairs with exact shingle-set Jaccard
+    * ≥ 0.5, candidates via the shingle inverted index (no cross join). */
+  def j2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, d)
+    val ns = sh.groupBy($"doc_id").agg(count(lit(1)).as("ns"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(ns.select($"doc_id".as("d1"), $"ns".as("n1")), "d1")
+      .join(ns.select($"doc_id".as("d2"), $"ns".as("n2")), "d2")
+      .withColumn("jac", $"inter" / ($"n1" + $"n2" - $"inter"))
+      .filter($"jac" >= 0.5)
+      .select($"d1", $"d2", round($"jac", 6).as("jaccard"))
+      .orderBy($"d1", $"d2")
+  }
+
+  /** j6_wordcount — token frequency over the corpus. */
+  def j6(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"token")
+  }
+
+  /** j7_tfidf — tf·ln(N/df) per (doc, term); top-3 terms per doc. */
+  def j7(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
+    val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = toks.distinct().groupBy($"token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token".asc)
+    tf.join(df, "token")
+      .crossJoin(n)
+      .withColumn("tfidf", round($"tf" * log($"n_docs" / $"df"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"doc_id", $"token", $"tfidf", $"rn")
+      .orderBy($"doc_id", $"rn")
+  }
+
+  /** j8_pivot_stats — docs-per-source pivoted by language (explicit value
+    * list for deterministic columns). */
+  def j8(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val p = Tables.documents(s, d)
+      .groupBy($"source")
+      .pivot("lang", langs)
+      .count()
+    langs.foldLeft(p)((df, l) => df.withColumn(l, coalesce(col(l), lit(0L))))
+      .orderBy($"source")
+  }
+
+  /** k1_scala_udf — registered Scala UDF in a query (lower + strip
+    * non-alphanumerics), oracled by the equivalent SQL expression. */
+  def k1(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tokenClean = udf((x: String) =>
+      if (x == null) null else x.toLowerCase.replaceAll("[^a-z0-9 ]", ""))
+    s.udf.register("token_clean", tokenClean)
+    Tables.customer(s, d)
+      .select($"c_custkey", tokenClean($"c_name").as("clean_name"))
+      .orderBy($"c_custkey")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j1_dedup_exact" -> j1, "j2_dedup_near_jaccard" -> j2,
+    "j6_wordcount" -> j6, "j7_tfidf" -> j7, "j8_pivot_stats" -> j8,
+    "k1_scala_udf" -> k1)
+
+  val oracle: Map[String, String] = Map(
+    "j1_dedup_exact" ->
+      """SELECT doc_id, md5(text) AS content_hash, lang
+        |FROM 'documents.parquet'
+        |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) = 1
+        |ORDER BY doc_id""".stripMargin,
+    "j2_dedup_near_jaccard" ->
+      """WITH s AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
+        |  FROM 'documents.parquet' WHERE len(string_split(text, ' ')) >= 3),
+        |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT d1, d2, round(inter / (na.ns + nb.ns - inter), 6) AS jaccard
+        |FROM p JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
+        |WHERE inter / (na.ns + nb.ns - inter) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+    "j6_wordcount" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM 'documents.parquet')
+        |GROUP BY token ORDER BY token""".stripMargin,
+    "j7_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM 'documents.parquet'),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM 'documents.parquet')
+        |SELECT doc_id, token,
+        |round(tf * ln(n_docs / df), 6) AS tfidf,
+        |row_number() OVER (PARTITION BY doc_id ORDER BY round(tf * ln(n_docs / df), 6) DESC, token ASC) AS rn
+        |FROM tf JOIN df USING (token) CROSS JOIN n
+        |QUALIFY rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
+    "j8_pivot_stats" ->
+      """SELECT source,
+        |count(*) FILTER (WHERE lang = 'de') AS de,
+        |count(*) FILTER (WHERE lang = 'en') AS en,
+        |count(*) FILTER (WHERE lang = 'es') AS es,
+        |count(*) FILTER (WHERE lang = 'fr') AS fr,
+        |count(*) FILTER (WHERE lang = 'zh') AS zh
+        |FROM 'documents.parquet' GROUP BY source ORDER BY source""".stripMargin,
+    "k1_scala_udf" ->
+      """SELECT c_custkey,
+        |regexp_replace(lower(c_name), '[^a-z0-9 ]', '', 'g') AS clean_name
+        |FROM 'customer.parquet' ORDER BY c_custkey""".stripMargin)
+}

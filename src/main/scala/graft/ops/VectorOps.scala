@@ -1,0 +1,149 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2-J embedding/similarity operators — the ANN/near-dup side of the
+  * LLM-data-pipeline charter.
+  *
+  * All vector math is pure SQL higher-order functions (`aggregate`,
+  * `transform`) over `array<float>` — no UDFs, no driver-side loops, so
+  * every operator is embarrassingly parallel over partitions. Both engines
+  * evaluate the identical explicit double-precision formula left-to-right,
+  * which is what makes cosine scores hash-comparable after round(…, 6).
+  *
+  * Scale path (100 TB): j4's brute-force top-k is the correctness baseline;
+  * at cluster scale the same score expression drops behind an LSH/IVF
+  * bucket-join (bucket id = coarse quantizer key) so each partition scores
+  * only its bucket — the TakeOrderedAndProject top-k then merges per
+  * partition, never collecting scores to the driver.
+  */
+object VectorOps {
+
+  /** Σ aᵢ·aᵢ in double, left-to-right — identical in DuckDB list_sum form. */
+  private val dotSelf =
+    "aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+  private val sumAll =
+    "aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"
+
+  /** Cosine similarity vs the fixed all-ones query vector: sum(v)/(‖v‖·8).
+    * (‖ones₆₄‖ = 8; dimension is verified 64 everywhere.) */
+  private def cosCol = round(
+    expr(sumAll) / (sqrt(expr(dotSelf)) * lit(8.0d)), 6)
+
+  private val cosSql =
+    """round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+      | / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 8.0), 6)""".stripMargin.replace("\n", "")
+
+  /** j3_cosine_score — cosine of every embedding vs a fixed query vector. */
+  def j3(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"vec_id", $"label", cosCol.as("cos_q"))
+      .orderBy($"vec_id")
+  }
+
+  /** j4_topk_nn — brute-force k-NN: top-10 by cosine (tiebreak vec_id). */
+  def j4(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"vec_id", cosCol.as("cos_q"))
+      .orderBy($"cos_q".desc, $"vec_id".asc)
+      .limit(10)
+  }
+
+  /** j5_knn_per_label — top-3 most-similar per label group. */
+  def j5(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"label").orderBy($"cos_q".desc, $"vec_id".asc)
+    Tables.embeddings(s, d)
+      .select($"label", $"vec_id", cosCol.as("cos_q"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"label", $"vec_id", $"cos_q", $"rn")
+      .orderBy($"label", $"vec_id")
+  }
+
+  /** j9_embedding_norm — L2 norm + first element of the normalized vector. */
+  def j9(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select(
+        $"vec_id",
+        round(sqrt(expr(dotSelf)), 6).as("l2_norm"),
+        round(expr("CAST(element_at(embedding, 1) AS DOUBLE)") / sqrt(expr(dotSelf)), 6).as("e0_normed"))
+      .orderBy($"vec_id")
+  }
+
+  /** j10_label_centroid — element-wise mean vector per label: posexplode →
+    * per-(label, pos) avg → ordered array_agg reassembly. One shuffle on
+    * (label, pos) — at 100 TB this stays balanced because position fans
+    * every vector into 64 independent keys. */
+  def j10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg(round(avg($"v"), 6).as("m"))
+      .groupBy($"label")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)").as("centroid"))
+      .orderBy($"label")
+  }
+
+  /** j11_multimodal_cols — one row joining both modalities (text +
+    * vector) with derived stats from each. */
+  def j11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .join(Tables.embeddings(s, d), $"doc_id" === $"vec_id")
+      .select(
+        $"doc_id", $"lang", $"label",
+        $"n_chars",
+        size(split($"text", " ")).as("n_tokens"),
+        round(sqrt(expr(dotSelf)), 6).as("l2_norm"))
+      .orderBy($"doc_id")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j3_cosine_score" -> j3, "j4_topk_nn" -> j4, "j5_knn_per_label" -> j5,
+    "j9_embedding_norm" -> j9, "j10_label_centroid" -> j10,
+    "j11_multimodal_cols" -> j11)
+
+  private val dotSelfSql =
+    "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  val oracle: Map[String, String] = Map(
+    "j3_cosine_score" ->
+      s"""SELECT vec_id, label, $cosSql AS cos_q
+         |FROM 'embeddings.parquet' ORDER BY vec_id""".stripMargin,
+    "j4_topk_nn" ->
+      s"""SELECT vec_id, $cosSql AS cos_q
+         |FROM 'embeddings.parquet'
+         |ORDER BY cos_q DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "j5_knn_per_label" ->
+      s"""SELECT label, vec_id, $cosSql AS cos_q,
+         |row_number() OVER (PARTITION BY label ORDER BY $cosSql DESC, vec_id ASC) AS rn
+         |FROM 'embeddings.parquet'
+         |QUALIFY rn <= 3
+         |ORDER BY label, vec_id""".stripMargin,
+    "j9_embedding_norm" ->
+      s"""SELECT vec_id,
+         |round(sqrt($dotSelfSql), 6) AS l2_norm,
+         |round(CAST(embedding[1] AS DOUBLE) / sqrt($dotSelfSql), 6) AS e0_normed
+         |FROM 'embeddings.parquet' ORDER BY vec_id""".stripMargin,
+    "j10_label_centroid" ->
+      """WITH x AS (
+        |  SELECT label, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+        |  FROM 'embeddings.parquet', generate_series(1, 64) AS t(i)
+        |  GROUP BY label, i)
+        |SELECT label, array_agg(m ORDER BY pos) AS centroid
+        |FROM x GROUP BY label ORDER BY label""".stripMargin,
+    "j11_multimodal_cols" ->
+      s"""SELECT doc_id, lang, label, n_chars,
+         |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         |round(sqrt($dotSelfSql), 6) AS l2_norm
+         |FROM 'documents.parquet' JOIN 'embeddings.parquet' ON doc_id = vec_id
+         |ORDER BY doc_id""".stripMargin)
+}
