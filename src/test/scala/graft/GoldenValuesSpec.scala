@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.time.LocalDateTime
+
+/** Targeted cell-value assertions for the parity-sensitive operators,
+  * against values computed independently in DuckDB 1.0 (sf0.001).
+  */
+class GoldenValuesSpec extends AnyFunSuite {
+  private def q(name: String) =
+    SparkEntry.queries(name)(TestSpark.spark, TestSpark.sf0001)
+
+  test("d1_agg_group first group matches DuckDB") {
+    val r = q("d1_agg_group").head()
+    assert(r.getString(0) === "A")
+    assert(r.getString(1) === "F")
+    assert(r.getDouble(r.fieldIndex("sum_qty")) === 13096.0)
+    assert(r.getLong(r.fieldIndex("count_order")) === 510L)
+  }
+
+  test("a2_scan_events_ns reconstructs DuckDB's ns→µs truncation exactly") {
+    val r = q("a2_scan_events_ns").head()
+    assert(r.getLong(0) === 0L)
+    assert(r.getAs[LocalDateTime]("ts") ===
+      LocalDateTime.of(2024, 1, 1, 0, 9, 58, 778549000))
+  }
+
+  test("j3_cosine_score vec 0 matches DuckDB to 6dp") {
+    val r = q("j3_cosine_score").head()
+    assert(r.getLong(0) === 0L)
+    assert(r.getDouble(r.fieldIndex("cos_q")) === -0.05054)
+  }
+
+  test("c10_join_asof matches DuckDB ASOF JOIN semantics") {
+    val r = q("c10_join_asof").head()
+    assert(r.getLong(r.fieldIndex("purchase_id")) === 37L)
+    assert(r.getLong(r.fieldIndex("view_id")) === 32L)
+  }
+
+  test("j6_wordcount matches DuckDB token frequencies") {
+    val rows = q("j6_wordcount").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("a") === 931L)
+    assert(rows("agg") === 953L)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that make these operators hold
+  * at 100 TB are visible in the plan, so pin them. A regression that turns
+  * a broadcast join into a shuffle join, or loses parquet pushdown, fails
+  * here long before it shows up as a bench number.
+  */
+class PlanSpec extends AnyFunSuite {
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(TestSpark.spark, TestSpark.sf0001)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("a1: filter and projection are pushed down to the parquet scan") {
+    val p = plan("a1_scan_parquet")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("LessThan(l_quantity,5.0)"), p)
+    // pruned read schema: only the 4 selected columns reach the scan
+    assert(!p.contains("l_extendedprice"), "scan reads columns the query never uses")
+  }
+
+  test("c1: small dimension is broadcast — no shuffle of the fact side") {
+    val p = plan("c1_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("c11: star join broadcasts every dim it can") {
+    val p = plan("c11_join_star")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("f2: ORDER BY + LIMIT plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("f2_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("c9: range join stays keyed on user_id — never a cartesian product") {
+    val p = plan("c9_join_range")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d1: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("d1_agg_group")
+    assert(p.contains("partial_"), p) // partial_sum / partial_count markers
+  }
+
+  test("whole-stage codegen covers the flagship plan") {
+    // AQE finalizes stages lazily — execute first, then inspect
+    val df = SparkEntry.queries("d1_agg_group")(TestSpark.spark, TestSpark.sf0001)
+    df.collect() // finalize THIS df's adaptive plan (count() would plan anew)
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd stages render as "*(n) Operator" in the plan string
+    assert(p.contains("*(1)"), p)
+  }
+}

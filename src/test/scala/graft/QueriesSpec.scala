@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.io.Source
+
+/** Every declared query runs at sf0.001 and matches its golden row count
+  * (goldens generated from the DuckDB-verified outputs). Guards against
+  * vacuous 0-row passes (SURVEY.md §7.5#15) and accidental semantic drift
+  * between driver rounds.
+  */
+class QueriesSpec extends AnyFunSuite {
+
+  private val golden: Map[String, Long] = {
+    val src = Source.fromInputStream(
+      getClass.getResourceAsStream("/golden/rowcounts_sf0.001.json"))
+    val text = try src.mkString finally src.close()
+    """"([a-z0-9_]+)":\s*(\d+)""".r.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+  }
+
+  test("every declared query has a golden row count and vice versa") {
+    assert(SparkEntry.queries.keySet === golden.keySet)
+  }
+
+  test("every oracle key has a query implementation") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name matches golden row count at sf0.001") {
+      val n = fn(TestSpark.spark, TestSpark.sf0001).count()
+      assert(n > 0, s"$name returned 0 rows — vacuous")
+      assert(n === golden(name))
+    }
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(TestSpark.spark).count() > 0)
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import graft.streaming.Sync
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+case class Change(key: Long, ts: Timestamp, uid: Long, payload: String)
+
+/** Streaming semantics the oracle can't see: watermark late-drop (i4),
+  * within-watermark dedup (i5), the foreachBatch LWW sink (i6 streaming
+  * form), and the file-stream source (a5).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("i4: windowed agg drops events later than the watermark") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Change]
+    val q = Sync.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("i4_out").outputMode("append").start()
+    try {
+      // window [10:00, 11:00) gets 2 rows; the 12:10 row pushes the
+      // watermark to 12:00 so that window finalizes and is emitted.
+      mem.addData(
+        Change(1, ts("2024-01-01 10:05:00"), 1, "a"),
+        Change(1, ts("2024-01-01 10:10:00"), 2, "b"),
+        Change(1, ts("2024-01-01 12:10:00"), 3, "c"))
+      q.processAllAvailable()
+      // late arrival inside the already-finalized window: must be dropped
+      mem.addData(Change(1, ts("2024-01-01 10:20:00"), 4, "late"))
+      q.processAllAvailable()
+      // advance watermark past [12:00, 13:00) to flush the remaining window
+      mem.addData(Change(1, ts("2024-01-01 14:00:00"), 5, "d"))
+      q.processAllAvailable()
+      val rows = spark.table("i4_out")
+        .select($"win_start".cast("string"), $"n").as[(String, Long)].collect().toMap
+      assert(rows("2024-01-01 10:00:00") === 2L) // late row NOT counted
+      assert(rows("2024-01-01 12:00:00") === 1L)
+    } finally q.stop()
+  }
+
+  test("i5: duplicate uids within the watermark are dropped") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Change]
+    val q = Sync.dedupWithinWatermark(mem.toDF())
+      .writeStream.format("memory").queryName("i5_out").outputMode("append").start()
+    try {
+      mem.addData(
+        Change(1, ts("2024-01-01 10:00:00"), 100, "a"),
+        Change(1, ts("2024-01-01 10:00:30"), 100, "a-dup"),
+        Change(2, ts("2024-01-01 10:01:00"), 200, "b"))
+      q.processAllAvailable()
+      mem.addData(Change(3, ts("2024-01-01 10:02:00"), 100, "a-again"))
+      q.processAllAvailable()
+      val uids = spark.table("i5_out").select($"uid").as[Long].collect().sorted
+      assert(uids === Array(100L, 200L)) // each uid exactly once
+    } finally q.stop()
+  }
+
+  test("i6 streaming: foreachBatch LWW sink converges to newest-per-key") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val target = tmp("lww-target") + "/snap"
+    val mem = MemoryStream[Change]
+    mem.addData(
+      Change(1, ts("2024-01-01 10:00:00"), 1, "v1"),
+      Change(1, ts("2024-01-01 11:00:00"), 2, "v2"), // newer — wins
+      Change(2, ts("2024-01-01 10:30:00"), 3, "w1"))
+    val q = Sync.lwwSink(mem.toDF(), target, tmp("lww-ckpt"),
+      Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      val snap1 = spark.read.parquet(target)
+        .select($"key", $"payload").as[(Long, String)].collect().toMap
+      assert(snap1 === Map(1L -> "v2", 2L -> "w1"))
+      // an OLDER change for key 1 arrives late: LWW must ignore it
+      mem.addData(Change(1, ts("2024-01-01 09:00:00"), 4, "stale"))
+      q.processAllAvailable()
+      val snap2 = spark.read.parquet(target)
+        .select($"key", $"payload").as[(Long, String)].collect().toMap
+      assert(snap2 === Map(1L -> "v2", 2L -> "w1"))
+    } finally q.stop()
+  }
+
+  test("a5: parquet directory consumed as an unbounded stream") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = tmp("stream-src")
+    Seq(Change(1, ts("2024-01-01 10:00:00"), 1, "a"))
+      .toDF().write.mode("append").parquet(dir)
+    val q = Sync.changeStream(spark, dir)
+      .writeStream.format("memory").queryName("a5_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("a5_out").count() === 1L)
+      Seq(Change(2, ts("2024-01-01 10:05:00"), 2, "b"))
+        .toDF().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(spark.table("a5_out").count() === 2L)
+    } finally q.stop()
+  }
+}
