@@ -1,0 +1,411 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Charter extensions beyond SURVEY §2's original table: the operators a
+  * large-scale training-data pipeline needs, each with an exact DuckDB
+  * oracle (j12–j20 in SURVEY §2-J).
+  *
+  * Portability device used throughout: both engines share ONLY md5 as a
+  * deterministic hash, so every hash-derived quantity (MinHash signatures,
+  * SimHash bits, rolling-hash fingerprints) is built from md5 hex strings —
+  * string-lexicographic minima for MinHash, nibble arithmetic via
+  * strpos/instr for integer hashes — which makes the approximate pipelines
+  * bit-identical across engines.
+  *
+  * Scale notes: j12 is the 100 TB dedup path (LSH banding: candidate
+  * generation touches only banded signature collisions, never the doc×doc
+  * product); j20 is the ANN scale path (prune to the top cells by centroid
+  * score, brute-force only inside them).
+  */
+object PipelineOps {
+
+  // ---------- shared fragments ----------
+
+  /** 3-token shingle set per doc — same shape as TextOps.shingles. */
+  private def shingleDf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        """array_distinct(transform(sequence(1, size(toks) - 2),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))""".stripMargin))
+        .as("sh"))
+  }
+
+  private val shingleSql =
+    """SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(string_split(text, ' ')) - 2),
+      |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
+      |  FROM 'documents.parquet' WHERE len(string_split(text, ' ')) >= 3""".stripMargin
+
+  /** j12_minhash_lsh — MinHash (8 string-min hashes) banded 4×2; candidate
+    * pairs from band collisions, then exact Jaccard verification ≥ 0.5. */
+  def j12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingleDf(s, d)
+    val hashed = sh
+      .select($"doc_id", $"sh", explode(expr("sequence(0, 7)")).as("i"))
+      .withColumn("hv", md5(concat($"i".cast("string"), lit(":"), $"sh")))
+    val minh = hashed.groupBy($"doc_id", $"i").agg(min($"hv").as("mh"))
+    val bands = minh
+      .withColumn("band", expr("i div 2"))
+      .groupBy($"doc_id", $"band")
+      .agg(concat_ws("|",
+        min(when($"i" % 2 === 0, $"mh")),
+        min(when($"i" % 2 === 1, $"mh"))).as("sig"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val ns = sh.groupBy($"doc_id").agg(count(lit(1)).as("ns"))
+    val inter = cand
+      .join(sh.select($"doc_id".as("d1"), $"sh".as("sh1")), "d1")
+      .join(sh.select($"doc_id".as("d2"), $"sh".as("sh2")), "d2")
+      .filter($"sh1" === $"sh2")
+      .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(ns.select($"doc_id".as("d1"), $"ns".as("n1")), "d1")
+      .join(ns.select($"doc_id".as("d2"), $"ns".as("n2")), "d2")
+      .withColumn("jac", $"inter" / ($"n1" + $"n2" - $"inter"))
+      .filter($"jac" >= 0.5)
+      .select($"d1", $"d2", round($"jac", 6).as("jaccard"))
+      .orderBy($"d1", $"d2")
+  }
+
+  // ---------- j13 simhash ----------
+
+  /** 16-bit SimHash terms, generated once and rendered per dialect:
+    * bit b lives in hex nibble (b div 4) of md5(token); vote = Σ tf·(±1). */
+  private def simhashExpr(shiftOp: (String, Int) => String): String = {
+    val terms = (0 until 16).map { b =>
+      val nib = s"nib${b / 4 + 1}"
+      val bit = shiftOp(nib, b % 4)
+      s"(CASE WHEN sum(tf * (2 * ($bit & 1) - 1)) > 0 THEN ${1 << b} ELSE 0 END)"
+    }
+    terms.mkString(" + ")
+  }
+
+  /** j13_simhash — 16-bit tf-weighted SimHash fingerprint per document. */
+  def j13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, d)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val nibs = tf
+      .withColumn("h", md5($"token"))
+      .withColumn("nib1", expr("instr('0123456789abcdef', substr(h, 1, 1)) - 1"))
+      .withColumn("nib2", expr("instr('0123456789abcdef', substr(h, 2, 1)) - 1"))
+      .withColumn("nib3", expr("instr('0123456789abcdef', substr(h, 3, 1)) - 1"))
+      .withColumn("nib4", expr("instr('0123456789abcdef', substr(h, 4, 1)) - 1"))
+    nibs.groupBy($"doc_id")
+      .agg(expr(simhashExpr((n, k) => s"shiftright($n, $k)")).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------- j14 embedding near-dup ----------
+
+  /** j14_embed_neardup — cosine ≥ 0.35 pairs, label-blocked (IVF-style:
+    * the coarse cell doubles as the candidate block, so the pair join is
+    * per-cell, never global). */
+  def j14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d).select($"vec_id", $"label",
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val a = e.select($"label", $"vec_id".as("v1"), $"v".as("va"))
+    val b = e.select($"label", $"vec_id".as("v2"), $"v".as("vb"))
+    a.join(b, Seq("label")).filter($"v1" < $"v2")
+      .withColumn("dot", expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, z) -> acc + z)"))
+      .withColumn("na", expr(
+        "sqrt(aggregate(va, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+      .withColumn("nb", expr(
+        "sqrt(aggregate(vb, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+      .withColumn("cos", $"dot" / ($"na" * $"nb"))
+      .filter($"cos" >= 0.35)
+      .select($"label", $"v1", $"v2", round($"cos", 6).as("cos_sim"))
+      .orderBy($"v1", $"v2")
+  }
+
+  // ---------- j15 language id ----------
+
+  /** j15_langid — naive-Bayes n-gram language ID, self-supervised: per-lang
+    * token profiles from the corpus itself, each doc classified by
+    * add-one-smoothed log-likelihood; reports predicted vs actual. */
+  def j15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val tok = docs.select($"doc_id", $"lang", explode(split($"text", " ")).as("token"))
+    val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val ltf = tok.groupBy($"lang", $"token").agg(count(lit(1)).as("cnt_lt"))
+    val lcnt = tok.groupBy($"lang").agg(count(lit(1)).as("cnt_l"))
+    val vocab = tok.agg(countDistinct($"token").as("v"))
+    val langs = docs.select($"lang".as("cand_lang")).distinct()
+    val scored = tf.crossJoin(langs)
+      .join(ltf.withColumnRenamed("lang", "cand_lang"), Seq("cand_lang", "token"), "left")
+      .join(lcnt.withColumnRenamed("lang", "cand_lang"), Seq("cand_lang"))
+      .crossJoin(vocab)
+      .withColumn("ll", $"tf" * log((coalesce($"cnt_lt", lit(0L)) + 1) / ($"cnt_l" + $"v")))
+      .groupBy($"doc_id", $"cand_lang")
+      .agg(round(sum($"ll"), 6).as("score"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"cand_lang".asc)
+    scored
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .join(docs.select($"doc_id", $"lang".as("actual")), "doc_id")
+      .select($"doc_id", $"actual", $"cand_lang".as("predicted"), $"score",
+        ($"cand_lang" === $"actual").as("correct"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------- j16 quality score ----------
+
+  /** j16_quality_score — heuristic doc quality: length band, lexical
+    * diversity (type/token ratio), mean token length. */
+  def j16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("toks", split($"text", " "))
+      .select(
+        $"doc_id",
+        size($"toks").as("n_tokens"),
+        round(expr("size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE)"), 6).as("ttr"),
+        round(($"n_chars" - size($"toks") + 1) / size($"toks").cast("double"), 6).as("mean_tok_len"),
+        when(size($"toks") < 20, "short")
+          .when(size($"toks") <= 80, "good")
+          .otherwise("long").as("len_band"))
+      .withColumn("quality",
+        round(when($"len_band" === "good", 1.0).otherwise(0.5) * $"ttr", 6))
+      .orderBy($"doc_id")
+  }
+
+  // ---------- j17 token stats ----------
+
+  /** j17_token_stats — whitespace tokens + BPE-ish consonant/vowel-run
+    * subword units via regex; chars-per-token ratios. */
+  def j17(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(
+        $"doc_id",
+        size(split($"text", " ")).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[aeiou]+|[b-df-hj-np-tv-z]+', 0)")).as("n_subwords"),
+        round($"n_chars" / size(split($"text", " ")).cast("double"), 6).as("chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------- j18 rolling-hash fingerprint ----------
+
+  /** j18_rolling_fingerprint — positional polynomial fingerprint:
+    * Σ md5int16(tokenᵢ) · 31^(i mod 8)  (mod 2³¹−1). The md5-nibble
+    * integerization keeps both engines bit-identical. */
+  def j18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "token")))
+      .withColumn("h", md5($"token"))
+      .withColumn("hv",
+        expr("""(instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+               |(instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+               |(instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+               |(instr('0123456789abcdef', substr(h, 4, 1)) - 1)""".stripMargin))
+      .withColumn("term", $"hv".cast("long") * pow(lit(31.0), ($"pos" % 8)).cast("long"))
+      .groupBy($"doc_id")
+      .agg((sum($"term") % 2147483647L).as("fingerprint"), count(lit(1)).as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------- j19 multimodal binary ----------
+
+  /** j19_multimodal_binary — multimodal record plumbing: opaque binary
+    * column + typed metadata + deterministic stub "decode" (real decoders
+    * are not available in this container — see graft.ops.Multimodal for
+    * the partition-wise decode harness; the fake here keeps schema,
+    * partitioning, and batch shape real and oracle-checkable). */
+  def j19(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("img", $"text".cast("binary"))
+      .select(
+        $"doc_id",
+        length($"img").as("byte_len"),
+        (lit(1) + pmod($"n_chars", lit(640))).as("width"),
+        (lit(1) + pmod($"doc_id", lit(480))).cast("int").as("height"),
+        (lit(1) + pmod($"doc_id", lit(10))).cast("int").as("n_frames"),
+        expr("filter(sequence(0, CAST(pmod(doc_id, 10) AS INT)), x -> x % 2 = 0)").as("sampled_frames"),
+        md5($"img").as("content_hash"),
+        expr("transform(sequence(1, 4), i -> ascii(substr(text, i, 1)))").as("first_pixels"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------- j20 IVF ANN ----------
+
+  /** j20_ivf_topk — IVF-pruned ANN: label cells ranked by centroid score
+    * vs the query vector (all-ones), brute-force cosine only inside the
+    * top-2 cells, global top-10. */
+  def j20(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val cent = e
+      .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos").agg(avg($"x").as("m"))
+      .groupBy($"label")
+      .agg(round(sum($"m"), 6).as("cent_sum"),
+        round(sqrt(sum($"m" * $"m")), 6).as("cent_norm"))
+      .withColumn("cell_score", round($"cent_sum" / ($"cent_norm" * 8.0), 6))
+    val wCell = Window.orderBy($"cell_score".desc, $"label".asc)
+    val topCells = cent.withColumn("cr", row_number().over(wCell))
+      .filter($"cr" <= 2).select($"label", $"cell_score")
+    e.join(topCells, "label")
+      .withColumn("cos_q", round(
+        expr("aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))") /
+          (sqrt(expr("aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")) * lit(8.0)), 6))
+      .select($"vec_id", $"label", $"cell_score", $"cos_q")
+      .orderBy($"cos_q".desc, $"vec_id".asc)
+      .limit(10)
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j12_minhash_lsh" -> j12, "j13_simhash" -> j13,
+    "j14_embed_neardup" -> j14, "j15_langid" -> j15,
+    "j16_quality_score" -> j16, "j17_token_stats" -> j17,
+    "j18_rolling_fingerprint" -> j18, "j19_multimodal_binary" -> j19,
+    "j20_ivf_topk" -> j20)
+
+  val oracle: Map[String, String] = Map(
+    "j12_minhash_lsh" ->
+      s"""WITH s AS ($shingleSql),
+         |h AS (SELECT doc_id, sh, i, md5(CAST(i AS VARCHAR) || ':' || sh) AS hv
+         |      FROM s, generate_series(0, 7) t(i)),
+         |m AS (SELECT doc_id, i, min(hv) AS mh FROM h GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 2 AS band,
+         |          concat_ws('|', min(CASE WHEN i % 2 = 0 THEN mh END),
+         |                         min(CASE WHEN i % 2 = 1 THEN mh END)) AS sig
+         |          FROM m GROUP BY doc_id, i // 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
+         |i2 AS (SELECT d1, d2, count(*) AS inter
+         |       FROM cand JOIN s sa ON sa.doc_id = d1
+         |                 JOIN s sb ON sb.doc_id = d2 AND sa.sh = sb.sh
+         |       GROUP BY d1, d2)
+         |SELECT d1, d2, round(inter / (na.ns + nb.ns - inter), 6) AS jaccard
+         |FROM i2 JOIN n na ON d1 = na.doc_id JOIN n nb ON d2 = nb.doc_id
+         |WHERE inter / (na.ns + nb.ns - inter) >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
+    "j13_simhash" ->
+      s"""WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM 'documents.parquet')
+         |  GROUP BY doc_id, token),
+         |nibs AS (SELECT doc_id, tf,
+         |  strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1 AS nib1,
+         |  strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1 AS nib2,
+         |  strpos('0123456789abcdef', substr(md5(token), 3, 1)) - 1 AS nib3,
+         |  strpos('0123456789abcdef', substr(md5(token), 4, 1)) - 1 AS nib4
+         |  FROM tf)
+         |SELECT doc_id, ${simhashExpr((n, k) => s"($n >> $k)")} AS simhash
+         |FROM nibs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "j14_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, label,
+        |           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM 'embeddings.parquet')
+        |SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
+        |round(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) /
+        |  (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+        |   sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos_sim
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) /
+        |  (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+        |   sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.35
+        |ORDER BY v1, v2""".stripMargin,
+    "j15_langid" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |             FROM 'documents.parquet'),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |ltf AS (SELECT lang AS cand_lang, token, count(*) AS cnt_lt FROM tok GROUP BY 1, 2),
+        |lcnt AS (SELECT lang AS cand_lang, count(*) AS cnt_l FROM tok GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT token) AS v FROM tok),
+        |langs AS (SELECT DISTINCT lang AS cand_lang FROM 'documents.parquet'),
+        |scored AS (
+        |  SELECT tf.doc_id, langs.cand_lang,
+        |         round(sum(tf.tf * ln((coalesce(ltf.cnt_lt, 0) + 1) / (lcnt.cnt_l + vocab.v))), 6) AS score
+        |  FROM tf CROSS JOIN langs
+        |  LEFT JOIN ltf ON ltf.cand_lang = langs.cand_lang AND ltf.token = tf.token
+        |  JOIN lcnt ON lcnt.cand_lang = langs.cand_lang
+        |  CROSS JOIN vocab
+        |  GROUP BY tf.doc_id, langs.cand_lang),
+        |best AS (SELECT doc_id, cand_lang, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang ASC) AS rn
+        |         FROM scored)
+        |SELECT d.doc_id, d.lang AS actual, b.cand_lang AS predicted, b.score,
+        |       b.cand_lang = d.lang AS correct
+        |FROM best b JOIN 'documents.parquet' d ON b.doc_id = d.doc_id
+        |WHERE b.rn = 1 ORDER BY d.doc_id""".stripMargin,
+    "j16_quality_score" ->
+      """WITH x AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+        |           FROM 'documents.parquet')
+        |SELECT doc_id,
+        |CAST(len(toks) AS INTEGER) AS n_tokens,
+        |round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS ttr,
+        |round((n_chars - len(toks) + 1) / CAST(len(toks) AS DOUBLE), 6) AS mean_tok_len,
+        |CASE WHEN len(toks) < 20 THEN 'short'
+        |     WHEN len(toks) <= 80 THEN 'good' ELSE 'long' END AS len_band,
+        |round(CASE WHEN len(toks) >= 20 AND len(toks) <= 80 THEN 1.0 ELSE 0.5 END *
+        |      round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6), 6) AS quality
+        |FROM x ORDER BY doc_id""".stripMargin,
+    "j17_token_stats" ->
+      """SELECT doc_id,
+        |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[aeiou]+|[b-df-hj-np-tv-z]+', 0)) AS INTEGER) AS n_subwords,
+        |round(n_chars / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS chars_per_token
+        |FROM 'documents.parquet' ORDER BY doc_id""".stripMargin,
+    "j18_rolling_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, i - 1 AS pos, string_split(text, ' ')[i] AS token
+        |  FROM 'documents.parquet', generate_series(1, 100) g(i)
+        |  WHERE i <= len(string_split(text, ' '))),
+        |h AS (SELECT doc_id, pos,
+        |  (strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 4096 +
+        |  (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1) * 256 +
+        |  (strpos('0123456789abcdef', substr(md5(token), 3, 1)) - 1) * 16 +
+        |  (strpos('0123456789abcdef', substr(md5(token), 4, 1)) - 1) AS hv
+        |  FROM t)
+        |SELECT doc_id,
+        |CAST(sum(CAST(hv AS BIGINT) * CAST(power(31, pos % 8) AS BIGINT)) % 2147483647 AS BIGINT) AS fingerprint,
+        |count(*) AS n_tokens
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "j19_multimodal_binary" ->
+      """SELECT doc_id,
+        |CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |CAST(1 + n_chars % 640 AS BIGINT) AS width,
+        |CAST(1 + doc_id % 480 AS INTEGER) AS height,
+        |CAST(1 + doc_id % 10 AS INTEGER) AS n_frames,
+        |list_filter(generate_series(0, CAST(doc_id % 10 AS INTEGER)), x -> x % 2 = 0) AS sampled_frames,
+        |md5(text) AS content_hash,
+        |list_transform(generate_series(1, 4), i -> ascii(substr(text, i, 1))) AS first_pixels
+        |FROM 'documents.parquet' ORDER BY doc_id""".stripMargin,
+    "j20_ivf_topk" ->
+      """WITH cent0 AS (
+        |  SELECT label, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
+        |  FROM 'embeddings.parquet', generate_series(1, 64) t(i)
+        |  GROUP BY label, i),
+        |cent AS (
+        |  SELECT label, round(sum(m), 6) AS cent_sum,
+        |         round(sqrt(sum(m * m)), 6) AS cent_norm
+        |  FROM cent0 GROUP BY label),
+        |cells AS (
+        |  SELECT label, round(cent_sum / (cent_norm * 8.0), 6) AS cell_score,
+        |         row_number() OVER (ORDER BY round(cent_sum / (cent_norm * 8.0), 6) DESC, label ASC) AS cr
+        |  FROM cent)
+        |SELECT e.vec_id, e.label, c.cell_score,
+        |round(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 8.0), 6) AS cos_q
+        |FROM 'embeddings.parquet' e JOIN cells c ON e.label = c.label AND c.cr <= 2
+        |ORDER BY cos_q DESC, vec_id ASC LIMIT 10""".stripMargin)
+}
