@@ -47,17 +47,21 @@ object PipelineOps {
     * pairs from band collisions, then exact Jaccard verification ≥ 0.5. */
   def j12(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = shingleDf(s, d)
-    val hashed = sh
-      .select($"doc_id", $"sh", explode(expr("sequence(0, 7)")).as("i"))
-      .withColumn("hv", md5(concat($"i".cast("string"), lit(":"), $"sh")))
-    val minh = hashed.groupBy($"doc_id", $"i").agg(min($"hv").as("mh"))
-    val bands = minh
-      .withColumn("band", expr("i div 2"))
-      .groupBy($"doc_id", $"band")
-      .agg(concat_ws("|",
-        min(when($"i" % 2 === 0, $"mh")),
-        min(when($"i" % 2 === 1, $"mh"))).as("sig"))
+    // reused by hashing, sizes, and the verify join — explode once
+    val sh = shingleDf(s, d).persist()
+    // all 8 minhashes in ONE map-side-combined aggregation (no 8× row
+    // explosion): each is a min over md5 strings, so column-wise mins in a
+    // single groupBy produce the identical signature
+    val minCols = (0 to 7).map(i =>
+      min(md5(concat(lit(s"$i:"), $"sh"))).as(s"m$i"))
+    val minh = sh.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+    val bands = minh.select($"doc_id", explode(expr(
+      """array(
+        |  named_struct('band', 0, 'sig', concat(m0, '|', m1)),
+        |  named_struct('band', 1, 'sig', concat(m2, '|', m3)),
+        |  named_struct('band', 2, 'sig', concat(m4, '|', m5)),
+        |  named_struct('band', 3, 'sig', concat(m6, '|', m7)))""".stripMargin)).as("b"))
+      .select($"doc_id", $"b.band".as("band"), $"b.sig".as("sig"))
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
@@ -116,17 +120,17 @@ object PipelineOps {
     * per-cell, never global). */
   def j14(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // norms are per-vector: compute them ONCE before the pair join so each
+    // of the O(pairs) rows evaluates only the dot product
     val e = Tables.embeddings(s, d).select($"vec_id", $"label",
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    val a = e.select($"label", $"vec_id".as("v1"), $"v".as("va"))
-    val b = e.select($"label", $"vec_id".as("v2"), $"v".as("vb"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+    val a = e.select($"label", $"vec_id".as("v1"), $"v".as("va"), $"nrm".as("na"))
+    val b = e.select($"label", $"vec_id".as("v2"), $"v".as("vb"), $"nrm".as("nb"))
     a.join(b, Seq("label")).filter($"v1" < $"v2")
       .withColumn("dot", expr(
         "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, z) -> acc + z)"))
-      .withColumn("na", expr(
-        "sqrt(aggregate(va, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
-      .withColumn("nb", expr(
-        "sqrt(aggregate(vb, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
       .withColumn("cos", $"dot" / ($"na" * $"nb"))
       .filter($"cos" >= 0.35)
       .select($"label", $"v1", $"v2", round($"cos", 6).as("cos_sim"))

@@ -46,7 +46,9 @@ object TextOps {
     * ≥ 0.5, candidates via the shingle inverted index (no cross join). */
   def j2(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, d)
+    // the shingle relation feeds the self-join twice plus the size agg —
+    // persist so the corpus is exploded once, not four times
+    val sh = shingles(s, d).persist()
     val ns = sh.groupBy($"doc_id").agg(count(lit(1)).as("ns"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -75,7 +77,7 @@ object TextOps {
   def j7(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
+    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("token")).persist()
     val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
     val df = toks.distinct().groupBy($"token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
