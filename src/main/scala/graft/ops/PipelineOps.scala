@@ -121,17 +121,16 @@ object PipelineOps {
   def j14(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // norms are per-vector: compute them ONCE before the pair join so each
-    // of the O(pairs) rows evaluates only the dot product
-    val e = Tables.embeddings(s, d).select($"vec_id", $"label",
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr(
-        "sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
-    val a = e.select($"label", $"vec_id".as("v1"), $"v".as("va"), $"nrm".as("na"))
-    val b = e.select($"label", $"vec_id".as("v2"), $"v".as("vb"), $"nrm".as("nb"))
+    // of the O(pairs) rows evaluates only the dot product — and the dot is
+    // the native codegen'd vec_dot Expression (bit-identical to the HOF
+    // form: same left-to-right double accumulation over float elements)
+    graft.functions.VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d).select($"vec_id", $"label", $"embedding")
+      .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
+    val a = e.select($"label", $"vec_id".as("v1"), $"embedding".as("va"), $"nrm".as("na"))
+    val b = e.select($"label", $"vec_id".as("v2"), $"embedding".as("vb"), $"nrm".as("nb"))
     a.join(b, Seq("label")).filter($"v1" < $"v2")
-      .withColumn("dot", expr(
-        "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, z) -> acc + z)"))
-      .withColumn("cos", $"dot" / ($"na" * $"nb"))
+      .withColumn("cos", expr("vec_dot(va, vb)") / ($"na" * $"nb"))
       .filter($"cos" >= 0.35)
       .select($"label", $"v1", $"v2", round($"cos", 6).as("cos_sim"))
       .orderBy($"v1", $"v2")
