@@ -53,4 +53,23 @@ object Tables {
     eventsRaw(s, d).withColumn(
       "ts",
       expr("cast(timestamp_micros(cast(ts div 1000 as long)) as timestamp_ntz)"))
+
+  /** The events table as an unbounded stream (same ns shim, same canonical
+    * µs shape) — the change-log side of the sync read as Structured
+    * Streaming. Any event-time operator defined on [[events]] runs on this
+    * unchanged; StreamingSpec asserts the batch/stream equivalence. */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file source wants a directory: point at sfDir, glob the one file
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts",
+        expr("cast(timestamp_micros(cast(ts div 1000 as long)) as timestamp_ntz)"))
+  }
 }

@@ -179,6 +179,8 @@ object PipelineOps {
         size($"toks").as("n_tokens"),
         round(expr("size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE)"), 6).as("ttr"),
         round(($"n_chars" - size($"toks") + 1) / size($"toks").cast("double"), 6).as("mean_tok_len"),
+        round(size(expr("filter(toks, t -> t IN ('a', 'the'))")) / size($"toks").cast("double"), 6)
+          .as("stop_ratio"),
         when(size($"toks") < 20, "short")
           .when(size($"toks") <= 80, "good")
           .otherwise("long").as("len_band"))
@@ -357,6 +359,7 @@ object PipelineOps {
         |CAST(len(toks) AS INTEGER) AS n_tokens,
         |round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS ttr,
         |round((n_chars - len(toks) + 1) / CAST(len(toks) AS DOUBLE), 6) AS mean_tok_len,
+        |round(len(list_filter(toks, t -> t IN ('a', 'the'))) / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
         |CASE WHEN len(toks) < 20 THEN 'short'
         |     WHEN len(toks) <= 80 THEN 'good' ELSE 'long' END AS len_band,
         |round(CASE WHEN len(toks) >= 20 AND len(toks) <= 80 THEN 1.0 ELSE 0.5 END *

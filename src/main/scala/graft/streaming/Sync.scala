@@ -52,6 +52,31 @@ object Sync {
       .drop("rn")
   }
 
+  /** LWW merge with delete propagation: a NULL payload is a tombstone.
+    * Newest row per key wins as in [[mergeLww]]; if the winner is a
+    * tombstone the key disappears from the snapshot. This is the extension
+    * the reference lacks (SURVEY §1.1 — deletes were believed unhandled):
+    * tombstones participate in the same total order, so late-arriving
+    * updates older than the delete stay deleted, and the merge keeps the
+    * idempotence/batch-split properties of [[mergeLww]].
+    *
+    * Note: the snapshot must RETAIN winning tombstones for the reference's
+    * retention window (or forever, absent compaction) — dropping them
+    * immediately would resurrect a key if an older update replays later.
+    * [[compactTombstones]] is the explicit retention step.
+    */
+  def mergeLwwWithDeletes(base: DataFrame, delta: DataFrame): DataFrame =
+    mergeLww(base, delta)
+
+  /** Drop tombstones older than the given watermark — safe because the
+    * stream can no longer deliver rows with ts below it. */
+  def compactTombstones(snapshot: DataFrame, watermark: java.sql.Timestamp): DataFrame =
+    snapshot.filter(col("payload").isNotNull || col("ts") > lit(watermark))
+
+  /** The user-facing view of a snapshot with tombstones: live keys only. */
+  def liveView(snapshot: DataFrame): DataFrame =
+    snapshot.filter(col("payload").isNotNull)
+
   /** i4 — event-time windowed count that drops late data past the
     * watermark (append mode emits only finalized windows). */
   def windowedCounts(changes: DataFrame, gap: String = "10 minutes"): DataFrame =
