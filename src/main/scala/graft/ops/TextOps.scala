@@ -85,7 +85,7 @@ object TextOps {
     tf.join(df, "token")
       .crossJoin(n)
       .withColumn("tfidf", round($"tf" * log($"n_docs" / $"df"), 6))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter($"rn" <= 3)
       .select($"doc_id", $"token", $"tfidf", $"rn")
       .orderBy($"doc_id", $"rn")

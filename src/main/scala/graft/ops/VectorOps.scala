@@ -60,7 +60,7 @@ object VectorOps {
     val w = Window.partitionBy($"label").orderBy($"cos_q".desc, $"vec_id".asc)
     Tables.embeddings(s, d)
       .select($"label", $"vec_id", cosCol.as("cos_q"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter($"rn" <= 3)
       .select($"label", $"vec_id", $"cos_q", $"rn")
       .orderBy($"label", $"vec_id")

@@ -23,9 +23,9 @@ object Windows {
     val byBalOnly = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc)
     Tables.customer(s, d).select(
       $"c_custkey", $"c_nationkey",
-      row_number().over(byBal).as("rn"),
-      rank().over(byBalOnly).as("rnk"),
-      dense_rank().over(byBalOnly).as("drnk"))
+      row_number().over(byBal).cast("long").as("rn"),
+      rank().over(byBalOnly).cast("long").as("rnk"),
+      dense_rank().over(byBalOnly).cast("long").as("drnk"))
       .orderBy($"c_custkey")
   }
 
@@ -35,7 +35,7 @@ object Windows {
     val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice".asc, $"o_orderkey".asc)
     Tables.orders(s, d).select(
       $"o_orderkey", $"o_orderstatus",
-      ntile(4).over(w).as("tile"))
+      ntile(4).over(w).cast("long").as("tile"))
       .orderBy($"o_orderkey")
   }
 
@@ -94,7 +94,7 @@ object Windows {
     import s.implicits._
     val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey".asc)
     Tables.customer(s, d)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter($"rn" <= 3)
       .select($"c_nationkey", $"c_custkey", $"c_acctbal", $"rn")
       .orderBy($"c_nationkey", $"c_custkey")

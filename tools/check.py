@@ -85,6 +85,25 @@ def main():
             print(f"SCHEMA   {name}: spark={s_names} duck={d_names}")
             n_bad += 1
             continue
+        # arrow-level type comparison (normalize timestamp tz/unit noise)
+        def tnorm(t):
+            import re as _re
+            s = str(t)
+            if s.startswith("timestamp"):
+                return "timestamp"
+            if s in ("large_string", "string"):
+                return "string"
+            # strip arrow list child field names ("item:", "l:", "element:")
+            # and nullability — only the element type is semantic
+            s = _re.sub(r"list<[a-zA-Z_]+: ", "list<", s).replace(" not null", "")
+            return s
+        s_types = {f.name: tnorm(f.type) for f in spark_tbl.schema}
+        d_types = {f.name: tnorm(f.type) for f in duck_tbl.schema}
+        mism = {k: (s_types[k], d_types[k]) for k in s_types if s_types[k] != d_types[k]}
+        if mism:
+            print(f"TYPES    {name}: {mism}")
+            n_bad += 1
+            continue
         if len(s_rows) != len(d_rows):
             print(f"ROWCOUNT {name}: spark={len(s_rows)} duck={len(d_rows)}")
             n_bad += 1
