@@ -92,6 +92,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("i6 streaming: checkpoint resume — a restarted query continues from stored offsets") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // file source (not MemoryStream: its offsets die with the process —
+    // the file source's checkpoint is what survives a restart)
+    val src = tmp("ckpt-src")
+    val target = tmp("ckpt-target") + "/snap"
+    val ckpt = tmp("ckpt-dir")
+    Seq(Change(1, ts("2024-01-01 10:00:00"), 1, "v1")).toDF().write.mode("append").parquet(src)
+    val q1 = Sync.lwwSink(Sync.changeStream(spark, src), target, ckpt,
+      Trigger.ProcessingTime(0))
+    try { q1.processAllAvailable() } finally q1.stop()
+    // "process restart": a NEW query on the SAME checkpoint; new data arrives
+    Seq(Change(1, ts("2024-01-01 11:00:00"), 2, "v2"),
+        Change(3, ts("2024-01-01 10:30:00"), 3, "x1")).toDF().write.mode("append").parquet(src)
+    val q2 = Sync.lwwSink(Sync.changeStream(spark, src), target, ckpt,
+      Trigger.ProcessingTime(0))
+    try {
+      q2.processAllAvailable()
+      val snap = spark.read.parquet(target)
+        .select($"key", $"payload").as[(Long, String)].collect().toMap
+      assert(snap === Map(1L -> "v2", 3L -> "x1")) // old batch NOT replayed, new merged
+    } finally q2.stop()
+  }
+
   test("a5: parquet directory consumed as an unbounded stream") {
     val spark = TestSpark.spark
     import spark.implicits._
