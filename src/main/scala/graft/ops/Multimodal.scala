@@ -99,6 +99,21 @@ object Multimodal {
     }
   }
 
+  /** Resize: metadata scales exactly; bytes go through the stub resampler
+    * (every k-th byte — a real codec would interpolate pixels). Pure
+    * map-side work: at 100 TB this pipelines with decode in one stage. */
+  def resize(media: Dataset[MediaRecord], maxDim: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val scale = math.max(1, math.max(r.width, r.height) / maxDim)
+      if (scale == 1) r
+      else r.copy(
+        width = math.max(1, r.width / scale),
+        height = math.max(1, r.height / scale),
+        bytes = r.bytes.grouped(scale).map(_.head).toArray)
+    }
+  }
+
   /** End-to-end: records → features, as a DataFrame for SQL consumers. */
   def features(spark: SparkSession, sfDir: String): DataFrame =
     decodeFeatures(mediaFromDocuments(spark, sfDir)).toDF()

@@ -41,6 +41,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r0.getInt(r0.fieldIndex("byte_len")) > 0)
   }
 
+  test("resize scales metadata exactly and resamples bytes deterministically") {
+    val m = Multimodal.mediaFromDocuments(spark, TestSpark.sf0001)
+    val resized = Multimodal.resize(m, maxDim = 64).collect().toSeq
+    val orig = m.collect().toSeq.sortBy(_.media_id)
+    val rs = resized.sortBy(_.media_id)
+    orig.zip(rs).foreach { case (o, r) =>
+      val scale = math.max(1, math.max(o.width, o.height) / 64)
+      assert(r.width === math.max(1, o.width / scale))
+      assert(r.bytes.length === (o.bytes.length + scale - 1) / scale)
+    }
+    // deterministic
+    val again = Multimodal.resize(m, maxDim = 64).collect().toSeq.sortBy(_.media_id)
+    assert(again.map(_.bytes.toSeq) === rs.map(_.bytes.toSeq))
+  }
+
   test("frame sampling: stride covers the clip, includes frame 0, caps at 4") {
     assert(Multimodal.sampleFrames(1) === Seq(0))
     assert(Multimodal.sampleFrames(4) === Seq(0, 1, 2, 3))
