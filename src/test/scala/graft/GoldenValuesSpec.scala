@@ -42,4 +42,20 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(rows("a") === 931L)
     assert(rows("agg") === 953L)
   }
+
+  // sf0.01 carries DIFFERENT documents data than sf0.001 (FIXTURES.md §4) —
+  // pin a few values at the graded tier too.
+  private def q01(name: String) =
+    SparkEntry.queries(name)(TestSpark.spark, TestSpark.sf001)
+
+  test("j6_wordcount at sf0.01 matches DuckDB (different corpus than sf0.001)") {
+    val rows = q01("j6_wordcount").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("a") === 880L)
+    assert(rows("agg") === 901L)
+  }
+
+  test("j18_rolling_fingerprint doc 0 at sf0.01 matches DuckDB's md5-nibble arithmetic") {
+    val r = q01("j18_rolling_fingerprint").head()
+    assert(r.getLong(r.fieldIndex("fingerprint")) === 1100271463L)
+  }
 }
