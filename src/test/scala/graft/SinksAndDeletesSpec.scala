@@ -49,6 +49,33 @@ class SinksAndDeletesSpec extends AnyFunSuite {
       Tables.documents(spark, TestSpark.sf0001).filter($"lang" === "en").count())
   }
 
+  test("bucketed sink: co-bucketed join plans with NO shuffle exchange") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    Sinks.writeBucketed(
+      Tables.orders(spark, TestSpark.sf0001).select($"o_orderkey", $"o_custkey", $"o_totalprice"),
+      "orders_bucketed", "o_custkey", 4)
+    Sinks.writeBucketed(
+      Tables.customer(spark, TestSpark.sf0001).select($"c_custkey", $"c_mktsegment"),
+      "customer_bucketed", "c_custkey", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val j = spark.table("orders_bucketed")
+        .join(spark.table("customer_bucketed"), $"o_custkey" === $"c_custkey")
+      assert(j.count() === 1500L) // FK join is lossless
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      // the layout payoff: both sides read pre-bucketed, no Exchange at all
+      assert(!p.contains("Exchange hashpartitioning"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+      spark.sql("DROP TABLE IF EXISTS customer_bucketed")
+    }
+  }
+
   test("jsonl sink round-trips the dynamic-document export") {
     val spark = TestSpark.spark
     val out = tmp("sink-json") + "/docs"

@@ -5,12 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** One shared session for the whole suite — mirrors Verify's config. */
 object TestSpark {
   lazy val spark: SparkSession = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", wh) // keep saveAsTable out of the repo
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
