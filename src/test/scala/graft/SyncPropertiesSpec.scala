@@ -94,6 +94,34 @@ class SyncPropertiesSpec extends AnyFunSuite {
     assert(self.nonEmpty && self.forall(_ === 1.0))
   }
 
+  test("j12 LSH near-dup results are a subset of j2's exact inverted-index results") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def pairs(name: String) =
+      SparkEntry.queries(name)(spark, TestSpark.sf0001)
+        .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val exact = pairs("j2_dedup_near_jaccard")
+    val lsh = pairs("j12_minhash_lsh")
+    assert(lsh.nonEmpty)
+    assert(lsh.subsetOf(exact),
+      s"LSH produced pairs the exact method rejects: ${lsh -- exact}")
+    // on this corpus all near-dups share long prefixes → recall is high
+    assert(lsh.size >= exact.size / 2, s"LSH recall collapsed: ${lsh.size}/${exact.size}")
+  }
+
+  test("j20 IVF top-k agrees with brute-force j4 on vectors inside the probed cells") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ivf = SparkEntry.queries("j20_ivf_topk")(spark, TestSpark.sf0001)
+      .select($"vec_id").as[Long].collect().toSet
+    val brute = SparkEntry.queries("j4_topk_nn")(spark, TestSpark.sf0001)
+      .select($"vec_id").as[Long].collect().toSet
+    // IVF searches 2 of 10 cells: its winners that sit in probed cells must
+    // also be global brute-force winners' neighbors; sanity: overlap exists
+    assert(ivf.nonEmpty && brute.nonEmpty)
+    assert((ivf & brute).nonEmpty, s"IVF top-k shares nothing with brute force: $ivf vs $brute")
+  }
+
   test("j1 exact dedup is a fixed point: no duplicate content hash survives") {
     val spark = TestSpark.spark
     val once = SparkEntry.queries("j1_dedup_exact")(spark, TestSpark.sf0001)
