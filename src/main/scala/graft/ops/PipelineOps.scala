@@ -50,10 +50,15 @@ object PipelineOps {
     // reused by hashing, sizes, and the verify join — explode once
     val sh = shingleDf(s, d).persist()
     // all 8 minhashes in ONE map-side-combined aggregation (no 8× row
-    // explosion): each is a min over md5 strings, so column-wise mins in a
-    // single groupBy produce the identical signature
-    val minCols = (0 to 7).map(i =>
-      min(md5(concat(lit(s"$i:"), $"sh"))).as(s"m$i"))
+    // explosion), and only TWO md5 evaluations per shingle: each salted
+    // md5's 32 hex chars yield four independent-enough 32-bit (8-hex-char)
+    // hash values — the standard few-hashes-many-slices LSH trick. Each
+    // minhash is then a column-wise min over its slice.
+    val minCols = (0 to 7).map { i =>
+      val salt = i / 4
+      val piece = i % 4
+      min(substring(md5(concat(lit(s"$salt:"), $"sh")), piece * 8 + 1, 8)).as(s"m$i")
+    }
     val minh = sh.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
     val bands = minh.select($"doc_id", explode(expr(
       """array(
@@ -285,7 +290,8 @@ object PipelineOps {
   val oracle: Map[String, String] = Map(
     "j12_minhash_lsh" ->
       s"""WITH s AS ($shingleSql),
-         |h AS (SELECT doc_id, sh, i, md5(CAST(i AS VARCHAR) || ':' || sh) AS hv
+         |h AS (SELECT doc_id, sh, i,
+         |      substr(md5(CAST(i // 4 AS VARCHAR) || ':' || sh), (i % 4) * 8 + 1, 8) AS hv
          |      FROM s, generate_series(0, 7) t(i)),
          |m AS (SELECT doc_id, i, min(hv) AS mh FROM h GROUP BY doc_id, i),
          |bands AS (SELECT doc_id, i // 2 AS band,
