@@ -1,0 +1,44 @@
+package graft
+
+import graft.ops.Skew
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Source-format independence and skew-salting equivalence: the operator
+  * layer only sees DataFrames, so the same logic must produce identical
+  * results from parquet and from a jsonl export of the same table.
+  */
+class SourcesFormatsSpec extends AnyFunSuite {
+
+  test("same aggregation, parquet vs jsonl source: identical results") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val pq = Tables.lineitem(spark, TestSpark.sf0001)
+    val dir = Files.createTempDirectory("fmt").toString + "/lineitem_json"
+    Sinks.writeJsonl(pq, dir)
+    // jsonl re-read with the parquet schema (schema-on-read, ES-style)
+    val js = spark.read.schema(pq.schema).json(dir)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"l_returnflag").agg(
+        count(lit(1)).as("n"),
+        ops.Parity.money(sum(ops.Parity.dec2($"l_extendedprice"))).as("total"))
+        .orderBy($"l_returnflag")
+        .collect().toSeq
+    assert(agg(js) === agg(pq))
+  }
+
+  test("salted two-level aggregation equals the direct aggregation") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val direct = ev.groupBy($"user_id".as("k"))
+      .agg(sum($"value").as("sum_value"), count(lit(1)).as("n"))
+      .select($"k", round($"sum_value", 6).as("s"), $"n")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = Skew.saltedSumCount(ev, $"user_id", $"value", $"event_id", salts = 8)
+      .select($"k", round($"sum_value", 6).as("s"), $"n")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted === direct)
+  }
+}
