@@ -122,6 +122,21 @@ class SyncPropertiesSpec extends AnyFunSuite {
     assert((ivf & brute).nonEmpty, s"IVF top-k shares nothing with brute force: $ivf vs $brute")
   }
 
+  test("j13 simhash is a working fingerprint: near-dup pairs are Hamming-close") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val sim = SparkEntry.queries("j13_simhash")(spark, TestSpark.sf0001)
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
+    val pairs = SparkEntry.queries("j2_dedup_near_jaccard")(spark, TestSpark.sf0001)
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val dists = pairs.map { case (a, b) => ham(sim(a), sim(b)) }
+    assert(dists.nonEmpty)
+    assert(dists.forall(_ <= 4), s"a near-dup pair has distant simhashes: ${dists.max}")
+    // random pairs average ~5.5 bits apart on this corpus; near-dups ≈ 0-1
+    assert(dists.sum.toDouble / dists.length < 1.5)
+  }
+
   test("j1 exact dedup is a fixed point: no duplicate content hash survives") {
     val spark = TestSpark.spark
     val once = SparkEntry.queries("j1_dedup_exact")(spark, TestSpark.sf0001)
