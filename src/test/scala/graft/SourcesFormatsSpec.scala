@@ -28,6 +28,21 @@ class SourcesFormatsSpec extends AnyFunSuite {
     assert(agg(js) === agg(pq))
   }
 
+  test("k3: typed flatMap generator produces exactly explode's rows") {
+    // §2-k3 (non-declared): the custom-UDTF path. Spark's idiomatic form
+    // is Dataset.flatMap — same Generator machinery as explode underneath.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val viaExplode = Tables.documents(spark, TestSpark.sf0001)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .as[(Long, String)].collect().sorted.toSeq
+    val viaFlatMap = Tables.documents(spark, TestSpark.sf0001)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) => text.split(" ").toSeq.map(id -> _) }
+      .collect().sorted.toSeq
+    assert(viaFlatMap === viaExplode)
+  }
+
   test("salted two-level aggregation equals the direct aggregation") {
     val spark = TestSpark.spark
     import spark.implicits._
