@@ -47,6 +47,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p) // partial_sum / partial_count markers
   }
 
+  test("NO query plans an accidental cartesian/nested-loop join") {
+    // c8 is an intentional cartesian; j7/j15 crossJoin a ONE-ROW count
+    // aggregate (corpus size / vocab size) into the stream — that plans as
+    // BroadcastNestedLoopJoin but moves O(1) rows, the correct scalar-
+    // broadcast idiom at any scale.
+    val scalarBroadcast = Set("j7_tfidf", "j15_langid")
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
+      .flatMap { case (name, fn) =>
+        val p = fn(TestSpark.spark, TestSpark.sf0001)
+          .queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"quadratic join shapes in: ${offenders.mkString(", ")}")
+  }
+
   test("whole-stage codegen covers the flagship plan") {
     // AQE finalizes stages lazily — execute first, then inspect
     val df = SparkEntry.queries("d1_agg_group")(TestSpark.spark, TestSpark.sf0001)
