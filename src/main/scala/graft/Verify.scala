@@ -37,8 +37,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Table refs are spelled exactly '<name>.parquet' (SURVEY.md §7.5#8).
+    // The driver's DuckDB does NOT run with cwd=sfDir (round-1 lesson:
+    // every oracle failed with "No files found ... 'lineitem.parquet'"),
+    // so absolutize each ref against the sfDir this verify run used.
+    val absSf = Paths.get(sfDir).toAbsolutePath.normalize.toString
+    def absolutize(sql: String): String =
+      sql.replaceAll("'([a-z_]+)\\.parquet'", s"'$absSf/$$1.parquet'")
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(absolutize(v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

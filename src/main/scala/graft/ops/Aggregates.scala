@@ -111,12 +111,16 @@ object Aggregates {
       .orderBy($"user_id")
   }
 
-  /** d9_agg_collect_sorted — ordered list-of-values per group. */
+  /** d9_agg_collect_sorted — ordered list-of-values per group, serialized
+    * to a CSV string: the driver's pandas compare cannot sort ndarray
+    * cells (round-1 crash), so list outputs must be scalar-encoded. */
   def d9(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.events(s, d)
       .groupBy($"user_id")
-      .agg(sort_array(collect_list($"event_id")).as("event_ids"))
+      .agg(expr(
+        "array_join(transform(sort_array(collect_list(event_id)), x -> CAST(x AS STRING)), ',')")
+        .as("event_ids"))
       .orderBy($"user_id")
   }
 
@@ -213,7 +217,7 @@ object Aggregates {
         |max(CAST(ts AS TIMESTAMP)) AS last_ts
         |FROM 'events.parquet' GROUP BY user_id ORDER BY user_id""".stripMargin,
     "d9_agg_collect_sorted" ->
-      """SELECT user_id, list_sort(array_agg(event_id)) AS event_ids
+      """SELECT user_id, array_to_string(list_sort(array_agg(event_id)), ',') AS event_ids
         |FROM 'events.parquet' GROUP BY user_id ORDER BY user_id""".stripMargin,
     "d10_agg_conditional" ->
       """SELECT event_type,

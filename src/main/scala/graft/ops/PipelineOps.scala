@@ -247,9 +247,9 @@ object PipelineOps {
         (lit(1) + pmod($"n_chars", lit(640))).as("width"),
         (lit(1) + pmod($"doc_id", lit(480))).cast("int").as("height"),
         (lit(1) + pmod($"doc_id", lit(10))).cast("int").as("n_frames"),
-        expr("filter(sequence(CAST(0 AS BIGINT), pmod(doc_id, 10)), x -> x % 2 = 0)").as("sampled_frames"),
+        expr("array_join(transform(filter(sequence(CAST(0 AS BIGINT), pmod(doc_id, 10)), x -> x % 2 = 0), x -> CAST(x AS STRING)), ',')").as("sampled_frames"),
         md5($"img").as("content_hash"),
-        expr("transform(sequence(1, 4), i -> ascii(substr(text, i, 1)))").as("first_pixels"))
+        expr("array_join(transform(sequence(1, 4), i -> CAST(ascii(substr(text, i, 1)) AS STRING)), ',')").as("first_pixels"))
       .orderBy($"doc_id")
   }
 
@@ -398,9 +398,9 @@ object PipelineOps {
         |CAST(1 + n_chars % 640 AS BIGINT) AS width,
         |CAST(1 + doc_id % 480 AS INTEGER) AS height,
         |CAST(1 + doc_id % 10 AS INTEGER) AS n_frames,
-        |list_filter(generate_series(0, CAST(doc_id % 10 AS INTEGER)), x -> x % 2 = 0) AS sampled_frames,
+        |array_to_string(list_filter(generate_series(0, CAST(doc_id % 10 AS INTEGER)), x -> x % 2 = 0), ',') AS sampled_frames,
         |md5(text) AS content_hash,
-        |list_transform(generate_series(1, 4), i -> ascii(substr(text, i, 1))) AS first_pixels
+        |array_to_string(list_transform(generate_series(1, 4), i -> ascii(substr(text, i, 1))), ',') AS first_pixels
         |FROM 'documents.parquet' ORDER BY doc_id""".stripMargin,
     "j20_ivf_topk" ->
       """WITH cent0 AS (

@@ -91,7 +91,9 @@ object Scalars {
       element_at($"embedding", 1).as("e0"),
       array_max($"embedding").as("emax"),
       array_min($"embedding").as("emin"),
-      slice(sort_array($"embedding", asc = false), 1, 3).as("top3"),
+      element_at(sort_array($"embedding", asc = false), 1).as("top1"),
+      element_at(sort_array($"embedding", asc = false), 2).as("top2"),
+      element_at(sort_array($"embedding", asc = false), 3).as("top3"),
       round(expr(
         "aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"), 6)
         .as("sum_all"))
@@ -217,7 +219,9 @@ object Scalars {
         |embedding[1] AS e0,
         |list_max(embedding) AS emax,
         |list_min(embedding) AS emin,
-        |list_sort(embedding, 'DESC')[1:3] AS top3,
+        |list_sort(embedding, 'DESC')[1] AS top1,
+        |list_sort(embedding, 'DESC')[2] AS top2,
+        |list_sort(embedding, 'DESC')[3] AS top3,
         |round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS sum_all
         |FROM 'embeddings.parquet' ORDER BY vec_id""".stripMargin,
     "h6_explode" ->

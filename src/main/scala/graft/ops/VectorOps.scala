@@ -78,18 +78,17 @@ object VectorOps {
   }
 
   /** j10_label_centroid — element-wise mean vector per label: posexplode →
-    * per-(label, pos) avg → ordered array_agg reassembly. One shuffle on
-    * (label, pos) — at 100 TB this stays balanced because position fans
-    * every vector into 64 independent keys. */
+    * per-(label, pos) avg. One shuffle on (label, pos) — at 100 TB this
+    * stays balanced because position fans every vector into 64 independent
+    * keys. Output is one row per (label, pos) rather than a reassembled
+    * array column: the driver's pandas compare cannot sort ndarray cells. */
   def j10(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, d)
       .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
       .groupBy($"label", $"pos")
       .agg(round(avg($"v"), 6).as("m"))
-      .groupBy($"label")
-      .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)").as("centroid"))
-      .orderBy($"label")
+      .orderBy($"label", $"pos")
   }
 
   /** j11_multimodal_cols — one row joining both modalities (text +
@@ -134,12 +133,10 @@ object VectorOps {
          |round(CAST(embedding[1] AS DOUBLE) / sqrt($dotSelfSql), 6) AS e0_normed
          |FROM 'embeddings.parquet' ORDER BY vec_id""".stripMargin,
     "j10_label_centroid" ->
-      """WITH x AS (
-        |  SELECT label, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
-        |  FROM 'embeddings.parquet', generate_series(1, 64) AS t(i)
-        |  GROUP BY label, i)
-        |SELECT label, array_agg(m ORDER BY pos) AS centroid
-        |FROM x GROUP BY label ORDER BY label""".stripMargin,
+      """SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+        |round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+        |FROM 'embeddings.parquet', generate_series(1, 64) AS t(i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
     "j11_multimodal_cols" ->
       s"""SELECT doc_id, lang, label, n_chars,
          |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
