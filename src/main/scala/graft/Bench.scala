@@ -22,10 +22,14 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Keep the line SHORT (3-decimal timings): the driver captures a
+    // bounded tail of the output, and round-1's full-precision line was
+    // long enough to fall outside it (BENCH_r01 parsed=null).
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
