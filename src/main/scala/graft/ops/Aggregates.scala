@@ -41,13 +41,24 @@ object Aggregates {
       .orderBy($"event_type")
   }
 
-  /** d3_agg_approx_distinct — HLL sketch; deliberately NOT oracled (sketches
-    * differ across engines). Deterministic for a fixed input. */
+  /** d3_agg_approx_distinct — HLL sketch. Sketch estimates differ across
+    * engines, so the oracle compares the exact count plus a tolerance
+    * boolean both engines agree on, keeping the approx path exercised AND
+    * hash-checkable. */
   def d3(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.events(s, d)
       .groupBy($"event_type")
-      .agg(approx_count_distinct($"user_id").as("approx_users"))
+      .agg(
+        count_distinct($"user_id").as("exact_users"),
+        approx_count_distinct($"user_id").as("approx_users"))
+      // HLL estimates differ between engines, so only the exact count and
+      // a generous 10%-relative-error bound (HLL default rsd is ~2.3%) are
+      // emitted for the oracle compare; the sketch itself stays exercised.
+      .select(
+        $"event_type", $"exact_users",
+        (abs($"approx_users" - $"exact_users") <=
+          $"exact_users" * 0.1).as("approx_within_10pct"))
       .orderBy($"event_type")
   }
 
@@ -183,6 +194,12 @@ object Aggregates {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "d2_agg_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM 'events.parquet' GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "d3_agg_approx_distinct" ->
+      """SELECT event_type,
+        |count(DISTINCT user_id) AS exact_users,
+        |abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+        |  <= count(DISTINCT user_id) * 0.1 AS approx_within_10pct
         |FROM 'events.parquet' GROUP BY event_type ORDER BY event_type""".stripMargin,
     "d4_agg_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
