@@ -39,6 +39,22 @@ object SyncOps {
       .orderBy($"purchase_id")
   }
 
+  /** c12_join_asof_native — the same as-of semantics as c10, but through
+    * the engine's first-class operator (graft.plans.AsOfJoinExec: custom
+    * LogicalPlan + Strategy + merge-join physical node) instead of the
+    * union+window composition. Same oracle as c10. */
+  def c12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("p_ts"))
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("v_ts"))
+    graft.plans.AsOf.join(p, v, Seq("user_id"), "p_ts", "v_ts")
+      .select($"purchase_id", $"p_ts", $"view_id", $"v_ts")
+      .orderBy($"purchase_id")
+  }
+
   /** i6_incremental_lww_merge — the reference's main loop as one operator:
     * base snapshot (LWW state at the watermark) + change batch → merged
     * snapshot, newest per key wins. Batch form of the foreachBatch upsert
@@ -90,11 +106,20 @@ object SyncOps {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c10_join_asof" -> c10, "i6_incremental_lww_merge" -> i6,
-    "k2_typed_aggregator" -> k2)
+    "c10_join_asof" -> c10, "c12_join_asof_native" -> c12,
+    "i6_incremental_lww_merge" -> i6, "k2_typed_aggregator" -> k2)
 
   val oracle: Map[String, String] = Map(
     "c10_join_asof" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM 'events.parquet' WHERE event_type = 'purchase'),
+        |     v AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM 'events.parquet' WHERE event_type = 'view')
+        |SELECT p.event_id AS purchase_id, p.ts AS p_ts,
+        |       v.event_id AS view_id, v.ts AS v_ts
+        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY purchase_id""".stripMargin,
+    "c12_join_asof_native" ->
       """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
         |           FROM 'events.parquet' WHERE event_type = 'purchase'),
         |     v AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts

@@ -1,0 +1,185 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftshim.GraftShim
+
+/** Native as-of join — the whole-operator extension path (SURVEY §2-C/c10):
+  * a custom LogicalPlan + Strategy + SparkPlan registered through
+  * SparkSessionExtensions / experimental.extraStrategies.
+  *
+  * Spark has no built-in ASOF JOIN (the reference sync loop's "apply the
+  * newest state at-or-before each change" lookup; DuckDB spells it
+  * ASOF JOIN). It CAN be composed from union+window (ops.SyncOps.c10), but
+  * as a first-class operator the engine plans it like a sort-merge join:
+  * both sides hash-clustered on the equi-keys and sorted by (keys, ts), then
+  * a single forward merge per partition emits, for every left row, the
+  * latest right row with right.ts <= left.ts. One shuffle per side, O(1)
+  * state per key, no candidate-pair blow-up — the shape that survives
+  * 1000 executors, and the plan shows it (AsOfJoinExec over two sorted
+  * exchanges, no BNLJ).
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTs: Attribute,
+    rightTs: Attribute) extends BinaryNode {
+  require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty)
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Physical inner as-of join: merge of two (keys, ts)-sorted streams. */
+case class AsOfJoinExec(
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTs: Attribute,
+    rightTs: Attribute,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  // Same contract as SortMergeJoin: co-clustered children, each sorted by
+  // (equi-keys, ts) — EnsureRequirements inserts compatible hash exchanges.
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, Ascending))
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val tsType = leftTs.dataType
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
+      val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
+      val lTsProj = UnsafeProjection.create(Seq(leftTs), left.output)
+      val rTsProj = UnsafeProjection.create(Seq(rightTs), right.output)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(tsType))
+      val resultProj = UnsafeProjection.create(output, output)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        private val rBuf = rIter.buffered
+        private var curKey: UnsafeRow = _   // copy of the current left key
+        private var cand: InternalRow = _   // latest right row with ts <= left ts
+        private var pending: InternalRow = _
+
+        private def advance(): Unit = {
+          pending = null
+          while (pending == null && lIter.hasNext) {
+            val l = lIter.next()
+            val lk = lKeyProj(l)
+            if (curKey == null || keyOrd.compare(lk, curKey) != 0) {
+              curKey = lk.copy()
+              cand = null
+            }
+            // left rows arrive ts-ascending within a key, so the right
+            // cursor only ever moves forward: consume right rows that are
+            // behind the current key, or at the key with ts <= left ts
+            // (each one supersedes the previous candidate).
+            val lt = lTsProj(l).copy()
+            var stop = false
+            while (!stop && rBuf.hasNext) {
+              val r = rBuf.head
+              val c = keyOrd.compare(rKeyProj(r), curKey)
+              if (c < 0) rBuf.next()
+              else if (c == 0 && tsOrd.compare(rTsProj(r), lt) <= 0)
+                cand = rBuf.next().copy()
+              else stop = true
+            }
+            if (cand != null) pending = resultProj(joined(l, cand))
+          }
+        }
+
+        // Lazy advance: resultProj reuses its output buffer, so the next
+        // row may only be computed AFTER the consumer is done with the
+        // previous one (volcano contract: a row is valid until the next
+        // hasNext/next call). Advancing eagerly inside next() would
+        // overwrite the row being returned.
+        private var exhausted = false
+        override def hasNext: Boolean = {
+          if (pending == null && !exhausted) {
+            advance()
+            if (pending == null) exhausted = true
+          }
+          pending != null
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          val out = pending
+          pending = null
+          out
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Registration: `spark.sql.extensions=graft.plans.GraftExtensions` at
+  * session build, or [[GraftPlans.install]] on an existing session. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+}
+
+object GraftPlans {
+  /** Idempotently add the graft strategies to an already-built session. */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+  }
+}
+
+/** User-facing API: `AsOf.join(purchases, views, Seq("user_id"), "p_ts",
+  * "v_ts")` → every left row paired with the latest right row at-or-before
+  * it (inner). Key/ts columns are resolved by name against each side. */
+object AsOf {
+  def join(left: DataFrame, right: DataFrame, on: Seq[String],
+           leftTsCol: String, rightTsCol: String): DataFrame = {
+    val spark = left.sparkSession
+    GraftPlans.install(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rAnalyzed = right.queryExecution.analyzed
+    // Fresh exprIds on the right so self-joins (both sides reading the same
+    // source) carry no ambiguous attributes — the analyzer normally does
+    // this dedup for Join nodes; a hand-built plan must do it itself.
+    val aliases = rAnalyzed.output.map(a => Alias(a, a.name)())
+    val rPlan = Project(aliases, rAnalyzed)
+    val rOut = aliases.map(_.toAttribute)
+    def resolve(out: Seq[Attribute], n: String): Attribute =
+      out.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"asof column '$n' not in [${out.map(_.name).mkString(", ")}]"))
+    GraftShim.ofRows(spark, AsOfJoinPlan(
+      lPlan, rPlan,
+      on.map(resolve(lPlan.output, _)), on.map(resolve(rOut, _)),
+      resolve(lPlan.output, leftTsCol), resolve(rOut, rightTsCol)))
+  }
+}
