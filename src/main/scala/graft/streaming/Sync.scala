@@ -3,8 +3,9 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
+import java.sql.Timestamp
 
 /** The reference's bidirectional sync loop, made declarative on Structured
   * Streaming.
@@ -76,6 +77,73 @@ object Sync {
   /** The user-facing view of a snapshot with tombstones: live keys only. */
   def liveView(snapshot: DataFrame): DataFrame =
     snapshot.filter(col("payload").isNotNull)
+
+  /** Typed change row for the custom-state operators (same shape as
+    * [[changeSchema]]). */
+  case class ChangeRow(key: Long, ts: Timestamp, uid: Long, payload: String)
+
+  /** Open-session state carried between microbatches (epoch millis). */
+  case class SessionState(start: Long, end: Long, n: Long)
+
+  /** A finalized session, emitted once its gap has passed the watermark. */
+  case class ClosedSession(key: Long, session_start: Timestamp,
+      session_end: Timestamp, n: Long)
+
+  /** i8 — arbitrary-state sessionization via flatMapGroupsWithState: per-key
+    * gap sessions that close either when a newer event arrives past the gap
+    * or when the event-time watermark passes the open session's deadline
+    * (EventTimeTimeout). This is the custom-state codepath session_window
+    * (i3) compiles to internally — exposed here for state machines the
+    * built-in can't express (the reference's per-key sync cursor).
+    *
+    * Scale: state is ONE fixed-size row per open key, partitioned by key in
+    * the state store; no shuffle beyond the groupBy. Closed output matches
+    * i3's (start = first event, end = last event + gap).
+    */
+  def sessionize(changes: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    def close(key: Long, s: SessionState) =
+      ClosedSession(key, new Timestamp(s.start), new Timestamp(s.end + gapMs), s.n)
+    changes
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .as[ChangeRow]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[ChangeRow], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open session's deadline: finalize it
+            val out = close(key, state.get)
+            state.remove()
+            Iterator.single(out)
+          } else {
+            // fold this batch's rows (ts-ascending) into gap sessions,
+            // seeded with any open session from previous batches
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { r =>
+              val t = r.ts.getTime
+              open = open match {
+                case Some(s) if t - s.end <= gapMs =>
+                  Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+                case Some(s) =>
+                  closed += close(key, s)
+                  Some(SessionState(t, t, 1))
+                case None => Some(SessionState(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+      .toDF()
+  }
 
   /** i4 — event-time windowed count that drops late data past the
     * watermark (append mode emits only finalized windows). */

@@ -117,6 +117,75 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("i8: flatMapGroupsWithState sessionizer closes sessions by gap and by timeout") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Change]
+    val q = Sync.sessionize(mem.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("i8_out").outputMode("append").start()
+    try {
+      // key 1: two events 10 min apart (one session), then an event 2h later
+      // — the jump closes the first session in-batch AND carries a new one.
+      mem.addData(
+        Change(1, ts("2024-01-01 10:00:00"), 1, "a"),
+        Change(1, ts("2024-01-01 10:10:00"), 2, "b"),
+        Change(1, ts("2024-01-01 12:30:00"), 3, "c"))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("i8_out")
+        .select($"key", $"session_start".cast("string"), $"session_end".cast("string"), $"n")
+        .as[(Long, String, String, Long)].collect().toSet
+      assert(afterBatch1 === Set(
+        (1L, "2024-01-01 10:00:00", "2024-01-01 10:40:00", 2L)))
+      // advance the watermark far past 12:30 + 30min via another key:
+      // the still-open session must close by EventTimeTimeout.
+      mem.addData(Change(2, ts("2024-01-01 15:00:00"), 4, "d"))
+      q.processAllAvailable()
+      mem.addData(Change(2, ts("2024-01-01 18:00:00"), 5, "e"))
+      q.processAllAvailable()
+      val all = spark.table("i8_out")
+        .select($"key", $"session_start".cast("string"), $"session_end".cast("string"), $"n")
+        .as[(Long, String, String, Long)].collect().toSet
+      assert(all.contains((1L, "2024-01-01 12:30:00", "2024-01-01 13:00:00", 1L)),
+        s"timeout-closed session missing: $all")
+    } finally q.stop()
+  }
+
+  test("i8 agrees with the built-in session_window on a replayed batch") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic multi-key event set with gaps around the 30-min edge
+    val data = for {
+      k <- 1L to 5L; i <- 0L until 20L
+    } yield Change(k, new java.sql.Timestamp(
+      ts("2024-01-01 00:00:00").getTime + k * 97000 + i * i * 137000), i, "p")
+    val mem = MemoryStream[Change]
+    val q = Sync.sessionize(mem.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("i8_cmp").outputMode("append").start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      // flush everything still open past the watermark
+      mem.addData(Change(99, ts("2024-03-01 00:00:00"), 0, "flush"))
+      q.processAllAvailable()
+      mem.addData(Change(99, ts("2024-04-01 00:00:00"), 1, "flush2"))
+      q.processAllAvailable()
+      val custom = spark.table("i8_cmp")
+        .filter($"key" =!= 99)
+        .select($"key", $"session_start".cast("string"), $"session_end".cast("string"), $"n")
+        .as[(Long, String, String, Long)].collect().toSet
+      val builtin = data.toDF()
+        .groupBy(session_window($"ts", "30 minutes"), $"key")
+        .agg(count(lit(1)).as("n"))
+        .select($"key", $"session_window.start".cast("string"),
+          $"session_window.end".cast("string"), $"n")
+        .as[(Long, String, String, Long)].collect().toSet
+      assert(custom === builtin)
+      assert(custom.nonEmpty)
+    } finally q.stop()
+  }
+
   test("a5: parquet directory consumed as an unbounded stream") {
     val spark = TestSpark.spark
     import spark.implicits._
