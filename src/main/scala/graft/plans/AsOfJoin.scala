@@ -3,8 +3,9 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeSet, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftshim.GraftShim
@@ -142,19 +143,44 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Column pruning through [[AsOfJoinPlan]]: Catalyst's own pruning stops at
+  * nodes it doesn't know, so `AsOf.join(wide, wide, …).select(few)` would
+  * read every column off disk. This rule pushes a Project onto each child
+  * keeping only the columns the parent references plus the join keys/ts —
+  * at 100 TB the difference between scanning 2 columns and scanning 40. */
+object AsOfJoinPruning extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(projList, aj: AsOfJoinPlan) =>
+      val needed = AttributeSet(projList.flatMap(_.references)) ++
+        AttributeSet(aj.leftKeys ++ aj.rightKeys :+ aj.leftTs :+ aj.rightTs)
+      val lKeep = aj.left.output.filter(needed.contains)
+      val rKeep = aj.right.output.filter(needed.contains)
+      if (lKeep.length < aj.left.output.length ||
+          rKeep.length < aj.right.output.length)
+        Project(projList, aj.copy(
+          left = Project(lKeep, aj.left), right = Project(rKeep, aj.right)))
+      else p
+  }
+}
+
 /** Registration: `spark.sql.extensions=graft.plans.GraftExtensions` at
   * session build, or [[GraftPlans.install]] on an existing session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => AsOfJoinPruning)
+  }
 }
 
 object GraftPlans {
-  /** Idempotently add the graft strategies to an already-built session. */
+  /** Idempotently add the graft strategies + rules to a built session. */
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(AsOfJoinPruning))
+      spark.experimental.extraOptimizations = opts :+ AsOfJoinPruning
   }
 }
 

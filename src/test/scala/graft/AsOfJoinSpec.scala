@@ -60,6 +60,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
   }
 
+  test("pruning rule: a narrow select over the wide as-of join prunes the parquet scan") {
+    // join documents to itself as-of on doc_id/n_chars, select 2 columns:
+    // without AsOfJoinPruning the scan reads `text` (the heavy column) on
+    // both sides; with it, only the referenced + key/ts columns survive.
+    val docs = s.read.parquet(TestSpark.sf0001 + "/documents.parquet")
+    val left = docs.select($"doc_id", $"n_chars", $"text", $"lang")
+    val right = docs.select($"doc_id", $"n_chars", $"text", $"lang")
+    val joined = AsOf.join(left, right, Seq("lang"), "n_chars", "n_chars")
+      .select(left("doc_id"))
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(!physical.contains("text"),
+      s"heavy column not pruned from the scan:\n$physical")
+  }
+
   test("extensions class registers the strategy at session build time") {
     // A throwaway session built WITH the extensions plans the node natively.
     val ext = new plans.GraftExtensions()
