@@ -58,4 +58,17 @@ class GoldenValuesSpec extends AnyFunSuite {
     val r = q01("j18_rolling_fingerprint").head()
     assert(r.getLong(r.fieldIndex("fingerprint")) === 1100271463L)
   }
+
+  test("c12_join_asof_native first purchase at sf0.01 matches DuckDB ASOF JOIN") {
+    val r = q01("c12_join_asof_native").head()
+    assert(r.getLong(r.fieldIndex("purchase_id")) === 43L)
+    assert(r.getLong(r.fieldIndex("view_id")) === 36L)
+  }
+
+  test("d3_agg_approx_distinct at sf0.01: exact counts match and sketch is in-bound") {
+    val rows = q01("d3_agg_approx_distinct").collect()
+    val click = rows.find(_.getString(0) == "click").get
+    assert(click.getLong(click.fieldIndex("exact_users")) === 150L)
+    assert(rows.forall(_.getBoolean(rows.head.fieldIndex("approx_within_10pct"))))
+  }
 }
