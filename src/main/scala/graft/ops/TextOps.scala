@@ -77,9 +77,12 @@ object TextOps {
   def j7(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("token")).persist()
-    val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-    val df = toks.distinct().groupBy($"token").agg(count(lit(1)).as("df"))
+    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
+    // df falls out of tf (one tf row per distinct (doc, token)): persist the
+    // small aggregate, not the exploded tokens, and skip the second
+    // explode+distinct shuffle entirely
+    val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf")).persist()
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token".asc)
     tf.join(df, "token")
