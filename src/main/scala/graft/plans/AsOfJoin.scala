@@ -165,10 +165,14 @@ object AsOfJoinPruning extends Rule[LogicalPlan] {
 
 /** Registration: `spark.sql.extensions=graft.plans.GraftExtensions` at
   * session build, or [[GraftPlans.install]] on an existing session. */
+/** The engine's single entry point for `spark.sql.extensions`: planner
+  * strategy + optimizer rule (as-of join) and the codegen'd SQL functions
+  * (vec_dot). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => AsOfJoinPruning)
+    new graft.functions.VectorExpressions.GraftExtensions()(ext)
   }
 }
 
