@@ -53,6 +53,35 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(expected.nonEmpty)
   }
 
+  test("AQE partition coalescing keeps both sides aligned (forced via tiny advisory size)") {
+    // With a 1KB advisory size AQE definitely coalesces the shuffle reads;
+    // both children of the binary node must be coalesced IDENTICALLY or
+    // keys land in misaligned partitions (silent wrong results) / the
+    // partition counts diverge (zipPartitions throws).
+    val conf = s.conf
+    val prevAdvisory = conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864")
+    val prevParts = conf.get("spark.sql.shuffle.partitions")
+    try {
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      conf.set("spark.sql.shuffle.partitions", "32")
+      val base = (0L until 3000L).map(i => (i % 41, i, s"L$i")).toDF("k", "t", "lv")
+      val probe = (0L until 3000L by 2).map(i => (i % 41, i, s"R$i")).toDF("k", "t", "rv")
+      val got = AsOf.join(base, probe, Seq("k"), "t", "t")
+        .select($"lv", $"rv").as[(String, String)].collect().sorted.toSeq
+      // reference: single-partition run (no AQE effects possible)
+      conf.set("spark.sql.shuffle.partitions", "1")
+      val want = AsOf.join(base.coalesce(1), probe.coalesce(1), Seq("k"), "t", "t")
+        .select($"lv", $"rv").as[(String, String)].collect().sorted.toSeq
+      assert(got === want)
+      // 3000 left rows minus the 20 odd residues whose first row precedes
+      // every right row of its key (inner as-of drops them)
+      assert(got.size === 2980)
+    } finally {
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prevAdvisory)
+      conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   test("plan: AsOfJoin node over two hash exchanges — no BNLJ, no cartesian") {
     val p = ops.SyncOps.c12(s, TestSpark.sf0001).queryExecution.executedPlan.toString
     assert(p.contains("AsOfJoin"), p)
