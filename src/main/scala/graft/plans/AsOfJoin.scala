@@ -194,10 +194,17 @@ object GraftPlans {
 object AsOf {
   def join(left: DataFrame, right: DataFrame, on: Seq[String],
            leftTsCol: String, rightTsCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val spark = left.sparkSession
     GraftPlans.install(spark)
-    val lPlan = left.queryExecution.analyzed
-    val rAnalyzed = right.queryExecution.analyzed
+    // SQL comparison semantics: a NULL key never equals anything and a
+    // NULL ts never satisfies <=, but the merge's natural row ordering
+    // would happily compare NULLs — drop them at the boundary (same rows
+    // an equi-join + ts predicate would drop).
+    def dropNulls(df: DataFrame, cols: Seq[String]) =
+      cols.foldLeft(df)((d, c) => d.filter(col(c).isNotNull))
+    val lPlan = dropNulls(left, on :+ leftTsCol).queryExecution.analyzed
+    val rAnalyzed = dropNulls(right, on :+ rightTsCol).queryExecution.analyzed
     // Fresh exprIds on the right so self-joins (both sides reading the same
     // source) carry no ambiguous attributes — the analyzer normally does
     // this dedup for Join nodes; a hand-built plan must do it itself.

@@ -82,6 +82,22 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL keys and NULL ts never match — SQL join semantics") {
+    val left = Seq(
+      (Option(1L), Option(10L), "l-ok"),
+      (None, Option(10L), "l-nullkey"),
+      (Option(1L), None, "l-nullts")
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (Option(1L), Option(5L), "r-ok"),
+      (None, Option(1L), "r-nullkey"),
+      (Option(1L), None, "r-nullts")
+    ).toDF("k", "t", "rv")
+    val out = AsOf.join(left, right, Seq("k"), "t", "t")
+      .select($"lv", $"rv").as[(String, String)].collect().toSet
+    assert(out === Set("l-ok" -> "r-ok"))
+  }
+
   test("plan: AsOfJoin node over two hash exchanges — no BNLJ, no cartesian") {
     val p = ops.SyncOps.c12(s, TestSpark.sf0001).queryExecution.executedPlan.toString
     assert(p.contains("AsOfJoin"), p)
