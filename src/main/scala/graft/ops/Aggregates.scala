@@ -171,13 +171,28 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** d13_agg_salted_skew — the hot-key mitigation as a graded operator:
+    * two-level salted aggregation (scatter each key over 16 deterministic
+    * sub-keys, partial-agg, combine). The oracle is the PLAIN group-by —
+    * exact DECIMAL arithmetic makes the salted result bit-identical
+    * regardless of combination order, which is precisely the property
+    * that makes salting safe to deploy (Skew.saltedSumCount; SURVEY §6). */
+  def d13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Skew.saltedSumCount(Tables.events(s, d),
+      $"user_id", Parity.dec2($"value"), $"event_id", salts = 16)
+      .select($"k".as("user_id"),
+        Parity.money($"sum_value").as("sum_value"), $"n")
+      .orderBy($"user_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_agg_group" -> d1AggGroup, "d2_agg_count_distinct" -> d2,
     "d3_agg_approx_distinct" -> d3, "d4_agg_rollup" -> d4,
     "d5_agg_having" -> d5, "d6_agg_global" -> d6, "d7_agg_stats" -> d7,
     "d8_agg_argmax" -> d8, "d9_agg_collect_sorted" -> d9,
     "d10_agg_conditional" -> d10, "d11_agg_distinct_mixed" -> d11,
-    "d12_agg_percentile" -> d12)
+    "d12_agg_percentile" -> d12, "d13_agg_salted_skew" -> d13)
 
   val oracle: Map[String, String] = Map(
     "d1_agg_group" ->
@@ -252,5 +267,10 @@ object Aggregates {
         |round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 6) AS p50_qty,
         |round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 6) AS p90_qty,
         |round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p25_price
-        |FROM 'lineitem.parquet' GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM 'lineitem.parquet' GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "d13_agg_salted_skew" ->
+      """SELECT user_id,
+        |CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+        |count(*) AS n
+        |FROM 'events.parquet' GROUP BY user_id ORDER BY user_id""".stripMargin)
 }
