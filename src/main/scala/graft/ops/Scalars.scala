@@ -163,11 +163,27 @@ object Scalars {
       .orderBy($"l_orderkey", $"l_linenumber")
   }
 
+  /** h11_unpivot — wide→long reshaping via the native unpivot operator
+    * (Spark's Unpivot logical node / stack generator): one row per
+    * (line, metric). The inverse of j8's pivot. */
+  def h11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_orderkey" < 200)
+      .select($"l_orderkey", $"l_linenumber",
+        $"l_quantity".as("qty"), $"l_discount".as("disc"), $"l_tax".as("tax"))
+      .unpivot(
+        ids = Array($"l_orderkey", $"l_linenumber"),
+        values = Array($"qty", $"disc", $"tax"),
+        variableColumnName = "metric", valueColumnName = "val")
+      .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h1_str_basic" -> h1, "h2_str_regex" -> h2, "h3_datetime" -> h3,
     "h4_math" -> h4, "h5_array_ops" -> h5, "h6_explode" -> h6,
     "h7_map_ops" -> h7, "h8_json_path" -> h8, "h9_row_checksum" -> h9,
-    "h10_casts" -> h10)
+    "h10_casts" -> h10, "h11_unpivot" -> h11)
 
   val oracle: Map[String, String] = Map(
     "h1_str_basic" ->
@@ -252,5 +268,12 @@ object Scalars {
         |CAST(l_linenumber AS DOUBLE) AS line_dbl,
         |'id-' || lpad(CAST(l_orderkey AS VARCHAR), 6, '0') AS synth_id
         |FROM 'lineitem.parquet' WHERE l_orderkey < 500
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "h11_unpivot" ->
+      """WITH w AS (SELECT l_orderkey, l_linenumber,
+        |  l_quantity AS qty, l_discount AS disc, l_tax AS tax
+        |  FROM 'lineitem.parquet' WHERE l_orderkey < 200)
+        |SELECT l_orderkey, l_linenumber, metric, val
+        |FROM w UNPIVOT (val FOR metric IN (qty, disc, tax))
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)
 }
