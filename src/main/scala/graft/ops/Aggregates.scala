@@ -75,6 +75,21 @@ object Aggregates {
       .orderBy($"g_status", $"g_prio", $"o_orderstatus", $"o_orderpriority")
   }
 
+  /** d14_agg_cube — full grouping-sets lattice (CUBE): all 4 combinations
+    * of (status, priority) including both totals, disambiguated by
+    * grouping(). Completes the ROLLUP family (d4). */
+  def d14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        round(sum($"o_totalprice"), 2).as("total"),
+        count(lit(1)).as("n"),
+        grouping($"o_orderstatus").cast("int").as("g_status"),
+        grouping($"o_orderpriority").cast("int").as("g_prio"))
+      .orderBy($"g_status", $"g_prio", $"o_orderstatus", $"o_orderpriority")
+  }
+
   /** d5_agg_having — post-aggregation filter. */
   def d5(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -192,7 +207,8 @@ object Aggregates {
     "d5_agg_having" -> d5, "d6_agg_global" -> d6, "d7_agg_stats" -> d7,
     "d8_agg_argmax" -> d8, "d9_agg_collect_sorted" -> d9,
     "d10_agg_conditional" -> d10, "d11_agg_distinct_mixed" -> d11,
-    "d12_agg_percentile" -> d12, "d13_agg_salted_skew" -> d13)
+    "d12_agg_percentile" -> d12, "d13_agg_salted_skew" -> d13,
+    "d14_agg_cube" -> d14)
 
   val oracle: Map[String, String] = Map(
     "d1_agg_group" ->
@@ -272,5 +288,14 @@ object Aggregates {
       """SELECT user_id,
         |CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
         |count(*) AS n
-        |FROM 'events.parquet' GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM 'events.parquet' GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "d14_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |round(sum(o_totalprice), 2) AS total,
+        |count(*) AS n,
+        |CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
+        |FROM 'orders.parquet'
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin)
 }

@@ -189,6 +189,22 @@ object Relational {
       .orderBy($"n_name")
   }
 
+  /** c13_subquery_decorrelated — correlated scalar subquery through the
+    * SQL surface: customers above their own nation's average balance.
+    * Catalyst decorrelates this into an aggregate + equi-join (no
+    * per-row re-execution) — the rewrite that makes correlated SQL viable
+    * at 100 TB. Exact DECIMAL avg keeps the > comparison cross-engine
+    * stable at representation boundaries. */
+  def c13(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT c_custkey, c_name, c_acctbal FROM customer_v c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
+        |  (SELECT avg(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+        |   FROM customer_v c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   // ---------- F ----------
 
   /** f1_sort_multikey — global sort, mixed direction, explicit null placement
@@ -267,7 +283,7 @@ object Relational {
     "c3_join_left_outer" -> c3, "c5_join_full_outer" -> c5,
     "c6_join_semi" -> c6, "c7_join_anti" -> c7,
     "c8_join_cross" -> c8, "c9_join_range" -> c9,
-    "c11_join_star" -> c11,
+    "c11_join_star" -> c11, "c13_subquery_decorrelated" -> c13,
     "f1_sort_multikey" -> f1, "f2_topk" -> f2, "f3_distinct" -> f3,
     "g1_union_all" -> g1, "g2_union_distinct" -> g2,
     "g3_intersect" -> g3, "g4_except" -> g4)
@@ -363,6 +379,12 @@ object Relational {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "c13_subquery_decorrelated" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM 'customer.parquet' c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
+        |  (SELECT avg(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+        |   FROM 'customer.parquet' c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
     "f1_sort_multikey" ->
       """SELECT doc_id, lang, label
         |FROM 'documents.parquet' LEFT JOIN 'embeddings.parquet' ON doc_id = vec_id
