@@ -11,7 +11,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT/codegen/classloading otherwise land on whichever
-    // query happens to iterate first and distort its number.
+    // query happens to iterate first and distort its number. (Tried and
+    // rejected: warming the FULL suite at sf0.001 first — the accumulated
+    // broadcasts/codegen classes put the 8g heap under GC pressure and the
+    // shuffle-heavy queries got 2-5x SLOWER, not faster.)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
