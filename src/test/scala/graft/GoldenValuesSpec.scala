@@ -65,6 +65,27 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("view_id")) === 36L)
   }
 
+  test("c13_subquery_decorrelated first row at sf0.01 matches DuckDB") {
+    val r = q01("c13_subquery_decorrelated").head()
+    assert(r.getLong(r.fieldIndex("c_custkey")) === 4L)
+    assert(r.getDouble(r.fieldIndex("c_acctbal")) === 6515.84)
+  }
+
+  test("d13_agg_salted_skew user 0 at sf0.01 equals the unsalted DuckDB aggregate") {
+    val r = q01("d13_agg_salted_skew").head()
+    assert(r.getLong(r.fieldIndex("user_id")) === 0L)
+    assert(r.getDouble(r.fieldIndex("sum_value")) === 2480.77)
+    assert(r.getLong(r.fieldIndex("n")) === 57L)
+  }
+
+  test("d14_agg_cube grand-total row at sf0.01 matches DuckDB") {
+    import org.apache.spark.sql.functions.col
+    val r = q01("d14_agg_cube")
+      .filter(col("g_status") === 1 && col("g_prio") === 1).head()
+    assert(r.getDouble(r.fieldIndex("total")) === 3758439620.06)
+    assert(r.getLong(r.fieldIndex("n")) === 15000L)
+  }
+
   test("d3_agg_approx_distinct at sf0.01: exact counts match and sketch is in-bound") {
     val rows = q01("d3_agg_approx_distinct").collect()
     val click = rows.find(_.getString(0) == "click").get
