@@ -82,6 +82,32 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized model check: native as-of equals an in-memory reference (seeded)") {
+    val rnd = new scala.util.Random(1207)
+    (1 to 5).foreach { round =>
+      val left = List.fill(200 + rnd.nextInt(200))(
+        (rnd.nextInt(12).toLong, rnd.nextInt(500).toLong, rnd.nextLong()))
+      // unique (k, t) on the right so "latest right at-or-before" is a
+      // well-defined model (ties among equal right ts are impl-defined)
+      val right = List.fill(200 + rnd.nextInt(200))(
+        (rnd.nextInt(12).toLong, rnd.nextInt(500).toLong, rnd.nextLong()))
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val lDf = left.toDF("k", "t", "lid")
+      val rDf = right.toDF("k", "t", "rid")
+      val got = plans.AsOf.join(lDf, rDf, Seq("k"), "t", "t")
+        .select($"lid", $"rid").as[(Long, Long)].collect().sorted.toSeq
+      val byKey = right.groupBy(_._1)
+      val want = left.flatMap { case (k, t, lid) =>
+        byKey.getOrElse(k, Nil).filter(_._2 <= t) match {
+          case Nil => None
+          case ms  => Some(lid -> ms.maxBy(_._2)._3)
+        }
+      }.sorted
+      assert(got === want, s"round $round: ${got.size} vs model ${want.size}")
+      assert(want.nonEmpty)
+    }
+  }
+
   test("NULL keys and NULL ts never match — SQL join semantics") {
     val left = Seq(
       (Option(1L), Option(10L), "l-ok"),
