@@ -190,7 +190,13 @@ object GraftPlans {
 
 /** User-facing API: `AsOf.join(purchases, views, Seq("user_id"), "p_ts",
   * "v_ts")` → every left row paired with the latest right row at-or-before
-  * it (inner). Key/ts columns are resolved by name against each side. */
+  * it (inner). Key/ts columns are resolved by name against each side.
+  *
+  * Note: the right side's attributes are re-aliased internally (fresh
+  * exprIds, required for self-joins), so refer to right-side columns of
+  * the result BY NAME (`col("rv")`), not via the input frame
+  * (`rightDf("rv")` won't resolve) — the same rule as after a plain
+  * self-join dedup. */
 object AsOf {
   def join(left: DataFrame, right: DataFrame, on: Seq[String],
            leftTsCol: String, rightTsCol: String): DataFrame = {
