@@ -42,8 +42,11 @@ object Verify {
     // every oracle failed with "No files found ... 'lineitem.parquet'"),
     // so absolutize each ref against the sfDir this verify run used.
     val absSf = Paths.get(sfDir).toAbsolutePath.normalize.toString
+    // quoteReplacement: a '$' or '\' in the path would otherwise be a
+    // regex-replacement group reference and crash (or corrupt) the dump
+    val absQ = java.util.regex.Matcher.quoteReplacement(absSf)
     def absolutize(sql: String): String =
-      sql.replaceAll("'([a-z_]+)\\.parquet'", s"'$absSf/$$1.parquet'")
+      sql.replaceAll("'([a-z_]+)\\.parquet'", s"'$absQ/$$1.parquet'")
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(absolutize(v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

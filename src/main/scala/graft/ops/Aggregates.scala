@@ -144,9 +144,7 @@ object Aggregates {
     import s.implicits._
     Tables.events(s, d)
       .groupBy($"user_id")
-      .agg(expr(
-        "array_join(transform(sort_array(collect_list(event_id)), x -> CAST(x AS STRING)), ',')")
-        .as("event_ids"))
+      .agg(Parity.csv(sort_array(collect_list($"event_id"))).as("event_ids"))
       .orderBy($"user_id")
   }
 

@@ -22,4 +22,11 @@ object Parity {
 
   /** Canonical money output: round the exact decimal to 2dp, emit DOUBLE. */
   def money(c: Column): Column = round(c, 2).cast("double")
+
+  /** CSV-encode a list column. The driver's pandas compare cannot sort
+    * array cells (round-1 crash), so NO query may output an array column —
+    * every list is serialized through this one helper (DuckDB mirror:
+    * `array_to_string(list, ',')`). */
+  def csv(arr: Column): Column =
+    array_join(transform(arr, x => x.cast("string")), ",")
 }

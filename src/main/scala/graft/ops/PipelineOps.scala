@@ -247,9 +247,9 @@ object PipelineOps {
         (lit(1) + pmod($"n_chars", lit(640))).as("width"),
         (lit(1) + pmod($"doc_id", lit(480))).cast("int").as("height"),
         (lit(1) + pmod($"doc_id", lit(10))).cast("int").as("n_frames"),
-        expr("array_join(transform(filter(sequence(CAST(0 AS BIGINT), pmod(doc_id, 10)), x -> x % 2 = 0), x -> CAST(x AS STRING)), ',')").as("sampled_frames"),
+        Parity.csv(expr("filter(sequence(CAST(0 AS BIGINT), pmod(doc_id, 10)), x -> x % 2 = 0)")).as("sampled_frames"),
         md5($"img").as("content_hash"),
-        expr("array_join(transform(sequence(1, 4), i -> CAST(ascii(substr(text, i, 1)) AS STRING)), ',')").as("first_pixels"))
+        Parity.csv(expr("transform(sequence(1, 4), i -> ascii(substr(text, i, 1)))")).as("first_pixels"))
       .orderBy($"doc_id")
   }
 

@@ -85,18 +85,23 @@ object Scalars {
     * the embedding vector. */
   def h5(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.embeddings(s, d).select(
-      $"vec_id",
-      size($"embedding").as("dim"),
-      element_at($"embedding", 1).as("e0"),
-      array_max($"embedding").as("emax"),
-      array_min($"embedding").as("emin"),
-      element_at(sort_array($"embedding", asc = false), 1).as("top1"),
-      element_at(sort_array($"embedding", asc = false), 2).as("top2"),
-      element_at(sort_array($"embedding", asc = false), 3).as("top3"),
-      round(expr(
-        "aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"), 6)
-        .as("sum_all"))
+    Tables.embeddings(s, d)
+      // sort once, project three elements — the interpreted projection
+      // path has no common-subexpression elimination, so inlining the
+      // sort three times would re-sort the 64-element array per column
+      .withColumn("sorted_desc", sort_array($"embedding", asc = false))
+      .select(
+        $"vec_id",
+        size($"embedding").as("dim"),
+        element_at($"embedding", 1).as("e0"),
+        array_max($"embedding").as("emax"),
+        array_min($"embedding").as("emin"),
+        element_at($"sorted_desc", 1).as("top1"),
+        element_at($"sorted_desc", 2).as("top2"),
+        element_at($"sorted_desc", 3).as("top3"),
+        round(expr(
+          "aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"), 6)
+          .as("sum_all"))
       .orderBy($"vec_id")
   }
 

@@ -109,25 +109,21 @@ object SyncOps {
     "c10_join_asof" -> c10, "c12_join_asof_native" -> c12,
     "i6_incremental_lww_merge" -> i6, "k2_typed_aggregator" -> k2)
 
+  /** c10 and c12 implement the SAME semantics (composed vs native) and are
+    * graded against one oracle text — edit here, both keys follow. */
+  private val asofOracle: String =
+    """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM 'events.parquet' WHERE event_type = 'purchase'),
+      |     v AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM 'events.parquet' WHERE event_type = 'view')
+      |SELECT p.event_id AS purchase_id, p.ts AS p_ts,
+      |       v.event_id AS view_id, v.ts AS v_ts
+      |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY purchase_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "c10_join_asof" ->
-      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
-        |           FROM 'events.parquet' WHERE event_type = 'purchase'),
-        |     v AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
-        |           FROM 'events.parquet' WHERE event_type = 'view')
-        |SELECT p.event_id AS purchase_id, p.ts AS p_ts,
-        |       v.event_id AS view_id, v.ts AS v_ts
-        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
-        |ORDER BY purchase_id""".stripMargin,
-    "c12_join_asof_native" ->
-      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
-        |           FROM 'events.parquet' WHERE event_type = 'purchase'),
-        |     v AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
-        |           FROM 'events.parquet' WHERE event_type = 'view')
-        |SELECT p.event_id AS purchase_id, p.ts AS p_ts,
-        |       v.event_id AS view_id, v.ts AS v_ts
-        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
-        |ORDER BY purchase_id""".stripMargin,
+    "c10_join_asof" -> asofOracle,
+    "c12_join_asof_native" -> asofOracle,
     "i6_incremental_lww_merge" ->
       """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
         |            FROM 'events.parquet'),

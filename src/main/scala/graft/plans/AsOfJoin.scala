@@ -220,9 +220,18 @@ object AsOf {
     def resolve(out: Seq[Attribute], n: String): Attribute =
       out.find(_.name == n).getOrElse(throw new IllegalArgumentException(
         s"asof column '$n' not in [${out.map(_.name).mkString(", ")}]"))
-    GraftShim.ofRows(spark, AsOfJoinPlan(
-      lPlan, rPlan,
-      on.map(resolve(lPlan.output, _)), on.map(resolve(rOut, _)),
-      resolve(lPlan.output, leftTsCol), resolve(rOut, rightTsCol)))
+    val (lk, rk) = (on.map(resolve(lPlan.output, _)), on.map(resolve(rOut, _)))
+    val (lt, rt) = (resolve(lPlan.output, leftTsCol), resolve(rOut, rightTsCol))
+    // The exec compares raw UnsafeRows through orderings built from the
+    // LEFT types — a type mismatch would read the wrong bytes and return
+    // silently wrong rows (the analyzer inserts casts for Join nodes; a
+    // hand-built plan must enforce this itself).
+    (lk.zip(rk) :+ (lt, rt)).foreach { case (a, b) =>
+      require(org.apache.spark.sql.types.DataType.equalsStructurally(
+        a.dataType, b.dataType, ignoreNullability = true),
+        s"asof column type mismatch: ${a.name}: ${a.dataType.simpleString} " +
+          s"vs ${b.name}: ${b.dataType.simpleString} — cast the inputs first")
+    }
+    GraftShim.ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt))
   }
 }

@@ -82,23 +82,35 @@ object Sync {
     * [[changeSchema]]). */
   case class ChangeRow(key: Long, ts: Timestamp, uid: Long, payload: String)
 
-  /** Open-session state carried between microbatches (epoch millis). */
+  /** One gap-session interval (epoch millis). */
   case class SessionState(start: Long, end: Long, n: Long)
+
+  /** Per-key state: ALL sessions not yet finalized by the watermark. */
+  case class SessionSet(sessions: Seq[SessionState])
 
   /** A finalized session, emitted once its gap has passed the watermark. */
   case class ClosedSession(key: Long, session_start: Timestamp,
       session_end: Timestamp, n: Long)
 
   /** i8 — arbitrary-state sessionization via flatMapGroupsWithState: per-key
-    * gap sessions that close either when a newer event arrives past the gap
-    * or when the event-time watermark passes the open session's deadline
-    * (EventTimeTimeout). This is the custom-state codepath session_window
-    * (i3) compiles to internally — exposed here for state machines the
-    * built-in can't express (the reference's per-key sync cursor).
+    * gap sessions, finalized ONLY when the event-time watermark passes a
+    * session's end + gap (EventTimeTimeout). This is the custom-state
+    * codepath session_window (i3) compiles to internally — exposed here for
+    * state machines the built-in can't express (the reference's per-key
+    * sync cursor).
     *
-    * Scale: state is ONE fixed-size row per open key, partitioned by key in
-    * the state store; no shuffle beyond the groupBy. Closed output matches
-    * i3's (start = first event, end = last event + gap).
+    * A session must never be emitted merely because a later event jumped
+    * past the gap in the same batch: an out-of-order event still above the
+    * watermark may arrive in a LATER microbatch and bridge (or extend) it —
+    * so the state holds the full set of open sessions, late events merge by
+    * standard interval merging, and only watermark-expired sessions are
+    * emitted. Output therefore matches i3's batch `session_window`
+    * (start = first event, end = last event + gap) even for out-of-order
+    * multi-batch feeds.
+    *
+    * Scale: state per key is one row per open session within the watermark
+    * horizon (bounded by gap + lateness), partitioned by key in the state
+    * store; no shuffle beyond the groupBy.
     */
   def sessionize(changes: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val spark = changes.sparkSession
@@ -106,41 +118,35 @@ object Sync {
     val gapMs = gapMinutes * 60L * 1000L
     def close(key: Long, s: SessionState) =
       ClosedSession(key, new Timestamp(s.start), new Timestamp(s.end + gapMs), s.n)
+    /** Merge intervals whose gap overlaps (input need not be sorted). */
+    def mergeSessions(ss: Seq[SessionState]): Seq[SessionState] =
+      ss.sortBy(_.start).foldLeft(Vector.empty[SessionState]) { (acc, s) =>
+        acc.lastOption match {
+          case Some(p) if s.start - p.end <= gapMs =>
+            acc.init :+ SessionState(p.start, math.max(p.end, s.end), p.n + s.n)
+          case _ => acc :+ s
+        }
+      }
     changes
       .withWatermark("ts", s"$gapMinutes minutes")
       .as[ChangeRow]
       .groupByKey(_.key)
-      .flatMapGroupsWithState[SessionState, ClosedSession](
+      .flatMapGroupsWithState[SessionSet, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key: Long, rows: Iterator[ChangeRow], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            // watermark passed the open session's deadline: finalize it
-            val out = close(key, state.get)
-            state.remove()
-            Iterator.single(out)
-          } else {
-            // fold this batch's rows (ts-ascending) into gap sessions,
-            // seeded with any open session from previous batches
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var open = state.getOption
-            val closed = Seq.newBuilder[ClosedSession]
-            sorted.foreach { r =>
-              val t = r.ts.getTime
-              open = open match {
-                case Some(s) if t - s.end <= gapMs =>
-                  Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
-                case Some(s) =>
-                  closed += close(key, s)
-                  Some(SessionState(t, t, 1))
-                case None => Some(SessionState(t, t, 1))
-              }
-            }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
-            }
-            closed.result().iterator
+        (key: Long, rows: Iterator[ChangeRow], state: GroupState[SessionSet]) =>
+          val prev = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val fresh = rows.map(r => SessionState(r.ts.getTime, r.ts.getTime, 1)).toSeq
+          val merged = mergeSessions(prev ++ fresh)
+          val wm = state.getCurrentWatermarkMs()
+          val (expired, open) = merged.partition(_.end + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionSet(open))
+            // fire when the earliest open session can be finalized; the
+            // timeout timestamp must sit strictly beyond the watermark
+            state.setTimeoutTimestamp(math.max(open.map(_.end).min + gapMs, wm + 1))
           }
+          expired.sortBy(_.start).map(close(key, _)).iterator
       }
       .toDF()
   }

@@ -108,6 +108,15 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("mismatched key/ts types are rejected, not silently miscompared") {
+    val left = Seq((1, 10L, "a")).toDF("k", "t", "lv")       // k: int
+    val right = Seq((1L, 5L, "b")).toDF("k", "t", "rv")      // k: long
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(left, right, Seq("k"), "t", "t")
+    }
+    assert(e.getMessage.contains("type mismatch"))
+  }
+
   test("NULL keys and NULL ts never match — SQL join semantics") {
     val left = Seq(
       (Option(1L), Option(10L), "l-ok"),

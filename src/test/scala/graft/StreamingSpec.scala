@@ -117,7 +117,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
-  test("i8: flatMapGroupsWithState sessionizer closes sessions by gap and by timeout") {
+  test("i8: sessionizer finalizes sessions only once the watermark passes their gap") {
     val spark = TestSpark.spark
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -125,8 +125,9 @@ class StreamingSpec extends AnyFunSuite {
     val q = Sync.sessionize(mem.toDF(), gapMinutes = 30)
       .writeStream.format("memory").queryName("i8_out").outputMode("append").start()
     try {
-      // key 1: two events 10 min apart (one session), then an event 2h later
-      // — the jump closes the first session in-batch AND carries a new one.
+      // key 1: two events 10 min apart (one session), then an event 2h
+      // later. The jump does NOT emit the first session by itself — the
+      // watermark (12:30 - 30m = 12:00) passing 10:40 does.
       mem.addData(
         Change(1, ts("2024-01-01 10:00:00"), 1, "a"),
         Change(1, ts("2024-01-01 10:10:00"), 2, "b"),
@@ -148,6 +149,60 @@ class StreamingSpec extends AnyFunSuite {
         .as[(Long, String, String, Long)].collect().toSet
       assert(all.contains((1L, "2024-01-01 12:30:00", "2024-01-01 13:00:00", 1L)),
         s"timeout-closed session missing: $all")
+    } finally q.stop()
+  }
+
+  test("i8: a late in-watermark event in a later batch bridges two open sessions") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Change]
+    val q = Sync.sessionize(mem.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("i8_bridge").outputMode("append").start()
+    try {
+      // batch 1: 10:10 and 10:45 — two separate open sessions (gap 35m);
+      // watermark after batch 1 = 10:15, so neither can be finalized yet.
+      mem.addData(
+        Change(1, ts("2024-01-01 10:10:00"), 1, "a"),
+        Change(1, ts("2024-01-01 10:45:00"), 2, "b"))
+      q.processAllAvailable()
+      // batch 2: out-of-order 10:30 (>= watermark) BRIDGES them into one.
+      mem.addData(Change(1, ts("2024-01-01 10:30:00"), 3, "c"))
+      q.processAllAvailable()
+      // flush via another key pushing the watermark past 11:15
+      mem.addData(Change(2, ts("2024-01-01 13:00:00"), 4, "d"))
+      q.processAllAvailable()
+      mem.addData(Change(2, ts("2024-01-01 16:00:00"), 5, "e"))
+      q.processAllAvailable()
+      val got = spark.table("i8_bridge").filter($"key" === 1)
+        .select($"session_start".cast("string"), $"session_end".cast("string"), $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(got === Set(("2024-01-01 10:10:00", "2024-01-01 11:15:00", 3L)),
+        s"late bridge broken: $got")
+    } finally q.stop()
+  }
+
+  test("i8: an out-of-order event before the open session's start lowers session_start") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Change]
+    val q = Sync.sessionize(mem.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("i8_ooo").outputMode("append").start()
+    try {
+      mem.addData(Change(1, ts("2024-01-01 12:00:00"), 1, "a"))
+      q.processAllAvailable() // watermark 11:30
+      mem.addData(Change(1, ts("2024-01-01 11:35:00"), 2, "b")) // above wm
+      q.processAllAvailable()
+      mem.addData(Change(2, ts("2024-01-01 15:00:00"), 3, "c"))
+      q.processAllAvailable()
+      mem.addData(Change(2, ts("2024-01-01 18:00:00"), 4, "d"))
+      q.processAllAvailable()
+      val got = spark.table("i8_ooo").filter($"key" === 1)
+        .select($"session_start".cast("string"), $"session_end".cast("string"), $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(got === Set(("2024-01-01 11:35:00", "2024-01-01 12:30:00", 2L)),
+        s"out-of-order start not lowered: $got")
     } finally q.stop()
   }
 
