@@ -92,6 +92,26 @@ object Sync {
   case class ClosedSession(key: Long, session_start: Timestamp,
       session_end: Timestamp, n: Long)
 
+  /** i9 — stream-stream interval join: each left change paired with right
+    * changes for the same key within [left.ts - window, left.ts]. Both
+    * sides carry watermarks and the join condition bounds event time in
+    * both directions, so Spark can expire buffered state — the ONLY shape
+    * under which an unbounded stream-stream join runs with finite memory.
+    * This is the streaming form of the c9 range join (enrich a change with
+    * its recent counterpart on the other store). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      windowMinutes: Int = 60, lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", lateness)
+      .select(col("key"), col("ts").as("l_ts"), col("uid").as("l_uid"))
+    val r = right.withWatermark("ts", lateness)
+      .select(col("key").as("r_key"), col("ts").as("r_ts"), col("uid").as("r_uid"))
+    l.join(r,
+      col("key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("r_ts") <= col("l_ts"))
+      .select(col("key"), col("l_ts"), col("l_uid"), col("r_ts"), col("r_uid"))
+  }
+
   /** i8 — arbitrary-state sessionization via flatMapGroupsWithState: per-key
     * gap sessions, finalized ONLY when the event-time watermark passes a
     * session's end + gap (EventTimeTimeout). This is the custom-state

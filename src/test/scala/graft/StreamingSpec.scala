@@ -241,6 +241,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("i9: stream-stream interval join pairs same-key changes within the window") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[Change]
+    val memR = MemoryStream[Change]
+    val q = Sync.intervalJoin(memL.toDF(), memR.toDF(), windowMinutes = 60)
+      .writeStream.format("memory").queryName("i9_out").outputMode("append").start()
+    try {
+      memL.addData(
+        Change(1, ts("2024-01-01 12:00:00"), 10, "l1"),
+        Change(2, ts("2024-01-01 12:00:00"), 11, "l2"))
+      memR.addData(
+        Change(1, ts("2024-01-01 11:30:00"), 20, "in-window"),
+        Change(1, ts("2024-01-01 10:30:00"), 21, "too-old"),
+        Change(1, ts("2024-01-01 12:30:00"), 22, "after-left"),
+        Change(3, ts("2024-01-01 11:45:00"), 23, "other-key"))
+      q.processAllAvailable()
+      val got = spark.table("i9_out")
+        .select($"key", $"l_uid", $"r_uid").as[(Long, Long, Long)].collect().toSet
+      // only key 1's 11:30 row is within [11:00, 12:00] of l1
+      assert(got === Set((1L, 10L, 20L)))
+    } finally q.stop()
+  }
+
   test("a5: parquet directory consumed as an unbounded stream") {
     val spark = TestSpark.spark
     import spark.implicits._
