@@ -42,9 +42,9 @@ object TextOps {
         .as("sh"))
   }
 
-  /** j2_dedup_near_jaccard — near-dup pairs with exact shingle-set Jaccard
-    * ≥ 0.5, candidates via the shingle inverted index (no cross join). */
-  def j2(s: SparkSession, d: String): DataFrame = {
+  /** Near-dup pairs (d1 < d2, exact Jaccard ≥ 0.5) with the raw jac column
+    * — shared by j2 (pair listing) and j21 (cluster assignment). */
+  private[ops] def nearDupPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // the shingle relation feeds the self-join twice plus the size agg —
     // persist so the corpus is exploded once, not four times
@@ -59,8 +59,55 @@ object TextOps {
       .join(ns.select($"doc_id".as("d2"), $"ns".as("n2")), "d2")
       .withColumn("jac", $"inter" / ($"n1" + $"n2" - $"inter"))
       .filter($"jac" >= 0.5)
+  }
+
+  /** j2_dedup_near_jaccard — near-dup pairs with exact shingle-set Jaccard
+    * ≥ 0.5, candidates via the shingle inverted index (no cross join). */
+  def j2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    nearDupPairs(s, d)
       .select($"d1", $"d2", round($"jac", 6).as("jaccard"))
       .orderBy($"d1", $"d2")
+  }
+
+  /** j21_dedup_clusters — near-dup pairs → connected components → one
+    * cluster id per document (the min doc_id in its component): the step
+    * that turns pairwise similarity into an actionable keep/drop decision
+    * (keep cluster_id == doc_id, drop the rest).
+    *
+    * Distributed min-label propagation: every node starts as its own
+    * label; each round every node takes the min of its neighbours' labels;
+    * converges in graph-diameter rounds (near-dup components are ~cliques,
+    * so 2–3). The driver-side loop aggregates ONE scalar per round (the
+    * change count) — the standard iterative-fixpoint pattern (GraphX/
+    * Pregel do exactly this); per-round work is a join + groupBy, fully
+    * distributed. At 100 TB scale the same loop runs with large-star/
+    * small-star optimizations; the fixpoint structure is identical. */
+  def j21(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = nearDupPairs(s, d).select($"d1", $"d2")
+    val edges = pairs.union(pairs.select($"d2", $"d1")).toDF("src", "dst").persist()
+    var labels = edges.select($"src".as("node")).distinct()
+      .withColumn("label", $"node").persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val prop = edges
+        .join(labels.select($"node".as("dst"), $"label".as("nbr_label")), "dst")
+        .groupBy($"src").agg(min($"nbr_label").as("nbr"))
+      val next = labels
+        .join(prop.select($"src".as("node"), $"nbr"), Seq("node"), "left")
+        .select($"node", least($"label", coalesce($"nbr", $"label")).as("label"))
+        .persist()
+      changed = next
+        .join(labels.select($"node", $"label".as("old")), "node")
+        .filter($"label" < $"old").count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
+      .orderBy($"doc_id")
   }
 
   /** j6_wordcount — token frequency over the corpus. */
@@ -121,6 +168,7 @@ object TextOps {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_dedup_exact" -> j1, "j2_dedup_near_jaccard" -> j2,
+    "j21_dedup_clusters" -> j21,
     "j6_wordcount" -> j6, "j7_tfidf" -> j7, "j8_pivot_stats" -> j8,
     "k1_scala_udf" -> k1)
 
@@ -144,6 +192,26 @@ object TextOps {
         |FROM p JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
         |WHERE inter / (na.ns + nb.ns - inter) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
+    "j21_dedup_clusters" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
+        |  FROM 'documents.parquet' WHERE len(string_split(text, ' ')) >= 3),
+        |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pr AS (SELECT d1, d2 FROM p JOIN n na ON p.d1 = na.doc_id
+        |       JOIN n nb ON p.d2 = nb.doc_id
+        |       WHERE inter / (na.ns + nb.ns - inter) >= 0.5),
+        |e AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "j6_wordcount" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM 'documents.parquet')
