@@ -85,7 +85,10 @@ object TextOps {
     * small-star optimizations; the fixpoint structure is identical. */
   def j21(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pairs = nearDupPairs(s, d).select($"d1", $"d2")
+    // persist the pair list BEFORE the union: its two branches (forward +
+    // reversed edges) would otherwise each evaluate the full shingle
+    // pipeline — the expensive part of the whole query
+    val pairs = nearDupPairs(s, d).select($"d1", $"d2").persist()
     val edges = pairs.union(pairs.select($"d2", $"d1")).toDF("src", "dst").persist()
     var labels = edges.select($"src".as("node")).distinct()
       .withColumn("label", $"node").persist()
@@ -95,15 +98,17 @@ object TextOps {
       val prop = edges
         .join(labels.select($"node".as("dst"), $"label".as("nbr_label")), "dst")
         .groupBy($"src").agg(min($"nbr_label").as("nbr"))
-      val next = labels
+      val prev = labels
+      // carry the old label alongside so convergence needs no second join:
+      // ONE action per round materializes next AND the change count
+      val next = prev
         .join(prop.select($"src".as("node"), $"nbr"), Seq("node"), "left")
-        .select($"node", least($"label", coalesce($"nbr", $"label")).as("label"))
+        .select($"node", least($"label", coalesce($"nbr", $"label")).as("label"),
+          $"label".as("old"))
         .persist()
-      changed = next
-        .join(labels.select($"node", $"label".as("old")), "node")
-        .filter($"label" < $"old").count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter($"label" < $"old").count()
+      prev.unpersist()
+      labels = next.select($"node", $"label")
       rounds += 1
     }
     labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
