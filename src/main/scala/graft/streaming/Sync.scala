@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig}
 import org.apache.spark.sql.types._
 import java.sql.Timestamp
 
@@ -132,21 +132,23 @@ object Sync {
     * horizon (bounded by gap + lateness), partitioned by key in the state
     * store; no shuffle beyond the groupBy.
     */
+  private def closeSession(key: Long, s: SessionState, gapMs: Long) =
+    ClosedSession(key, new Timestamp(s.start), new Timestamp(s.end + gapMs), s.n)
+
+  /** Merge intervals whose gap overlaps (input need not be sorted). */
+  private def mergeSessions(ss: Seq[SessionState], gapMs: Long): Seq[SessionState] =
+    ss.sortBy(_.start).foldLeft(Vector.empty[SessionState]) { (acc, s) =>
+      acc.lastOption match {
+        case Some(p) if s.start - p.end <= gapMs =>
+          acc.init :+ SessionState(p.start, math.max(p.end, s.end), p.n + s.n)
+        case _ => acc :+ s
+      }
+    }
+
   def sessionize(changes: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val spark = changes.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60L * 1000L
-    def close(key: Long, s: SessionState) =
-      ClosedSession(key, new Timestamp(s.start), new Timestamp(s.end + gapMs), s.n)
-    /** Merge intervals whose gap overlaps (input need not be sorted). */
-    def mergeSessions(ss: Seq[SessionState]): Seq[SessionState] =
-      ss.sortBy(_.start).foldLeft(Vector.empty[SessionState]) { (acc, s) =>
-        acc.lastOption match {
-          case Some(p) if s.start - p.end <= gapMs =>
-            acc.init :+ SessionState(p.start, math.max(p.end, s.end), p.n + s.n)
-          case _ => acc :+ s
-        }
-      }
     changes
       .withWatermark("ts", s"$gapMinutes minutes")
       .as[ChangeRow]
@@ -156,7 +158,7 @@ object Sync {
         (key: Long, rows: Iterator[ChangeRow], state: GroupState[SessionSet]) =>
           val prev = state.getOption.map(_.sessions).getOrElse(Seq.empty)
           val fresh = rows.map(r => SessionState(r.ts.getTime, r.ts.getTime, 1)).toSeq
-          val merged = mergeSessions(prev ++ fresh)
+          val merged = mergeSessions(prev ++ fresh, gapMs)
           val wm = state.getCurrentWatermarkMs()
           val (expired, open) = merged.partition(_.end + gapMs <= wm)
           if (open.isEmpty) state.remove()
@@ -166,8 +168,61 @@ object Sync {
             // timeout timestamp must sit strictly beyond the watermark
             state.setTimeoutTimestamp(math.max(open.map(_.end).min + gapMs, wm + 1))
           }
-          expired.sortBy(_.start).map(close(key, _)).iterator
+          expired.sortBy(_.start).map(closeSession(key, _, gapMs)).iterator
       }
+      .toDF()
+  }
+
+  /** i10 — the same watermark-correct sessionization on Spark 4's
+    * transformWithState (StatefulProcessor + ListState + event-time
+    * timers), the successor API to flatMapGroupsWithState: typed state
+    * variables instead of one opaque blob, explicit timers instead of a
+    * single timeout slot, and the RocksDB state store. Output is pinned
+    * equal to [[sessionize]] by test.
+    *
+    * Requires `spark.sql.streaming.stateStore.providerClass =
+    * ...RocksDBStateStoreProvider` on the session running the stream. */
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, ChangeRow, ClosedSession] {
+    @transient private var sessions: ListState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sessions = getHandle.getListState[SessionState](
+        "sessions", org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    /** Expire what the watermark allows; re-arm one timer for the rest. */
+    private def sweep(key: Long, incoming: Seq[SessionState],
+        timers: TimerValues): Iterator[ClosedSession] = {
+      val merged = mergeSessions(sessions.get().toSeq ++ incoming, gapMs)
+      val wm = timers.getCurrentWatermarkInMs()
+      val (expired, open) = merged.partition(_.end + gapMs <= wm)
+      sessions.clear()
+      if (open.nonEmpty) {
+        sessions.put(open.toArray)
+        getHandle.registerTimer(math.max(open.map(_.end).min + gapMs, wm + 1))
+      }
+      expired.sortBy(_.start).map(closeSession(key, _, gapMs)).iterator
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[ChangeRow],
+        timers: TimerValues): Iterator[ClosedSession] =
+      sweep(key, rows.map(r => SessionState(r.ts.getTime, r.ts.getTime, 1)).toSeq, timers)
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[ClosedSession] =
+      sweep(key, Seq.empty, timers)
+  }
+
+  def sessionizeTws(changes: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    changes
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .as[ChangeRow]
+      .groupByKey(_.key)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
       .toDF()
   }
 

@@ -266,6 +266,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("i10: transformWithState sessionizer (RocksDB state store) matches i8 semantics") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Change]
+    val q = Sync.sessionizeTws(mem.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("i10_out").outputMode("append").start()
+    try {
+      // same scenario as the i8 bridge test: out-of-order 10:30 in batch 2
+      // must merge the two open sessions from batch 1 into one
+      mem.addData(
+        Change(1, ts("2024-01-01 10:10:00"), 1, "a"),
+        Change(1, ts("2024-01-01 10:45:00"), 2, "b"))
+      q.processAllAvailable()
+      mem.addData(Change(1, ts("2024-01-01 10:30:00"), 3, "c"))
+      q.processAllAvailable()
+      mem.addData(Change(2, ts("2024-01-01 13:00:00"), 4, "d"))
+      q.processAllAvailable()
+      mem.addData(Change(2, ts("2024-01-01 16:00:00"), 5, "e"))
+      q.processAllAvailable()
+      val got = spark.table("i10_out").filter($"key" === 1)
+        .select($"session_start".cast("string"), $"session_end".cast("string"), $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(got === Set(("2024-01-01 10:10:00", "2024-01-01 11:15:00", 3L)),
+        s"tws sessionizer diverged: $got")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("a5: parquet directory consumed as an unbounded stream") {
     val spark = TestSpark.spark
     import spark.implicits._
