@@ -37,4 +37,17 @@ class QueriesSpec extends AnyFunSuite {
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(TestSpark.spark).count() > 0)
   }
+
+  test("NO query outputs an array/map column (driver's pandas compare can't sort them)") {
+    // round-1 lesson: the harness sorts result cells with pandas, which
+    // crashes on ndarray cells — lists must be CSV-encoded (Parity.csv)
+    // or exploded to rows. Self-enforce instead of relying on convention.
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val bad = fn(TestSpark.spark, TestSpark.sf0001).schema.fields
+        .filter(f => f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType])
+      if (bad.nonEmpty) Some(s"$name: ${bad.map(_.name).mkString(",")}") else None
+    }
+    assert(offenders.isEmpty, s"array/map output columns in: $offenders")
+  }
 }
