@@ -66,6 +66,15 @@ class PlanSpec extends AnyFunSuite {
       s"quadratic join shapes in: ${offenders.mkString(", ")}")
   }
 
+  test("d13: salted aggregation keeps its two-level shuffle structure") {
+    val p = plan("d13_agg_salted_skew")
+    // scatter on (key, salt), then combine on (key): exactly two hash
+    // exchanges — if an optimizer pass ever collapsed them the skew
+    // mitigation would silently vanish while results stayed correct
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
+    assert(p.contains("partial_"), p) // both levels still map-side combine
+  }
+
   test("whole-stage codegen covers the flagship plan") {
     // AQE finalizes stages lazily — execute first, then inspect
     val df = SparkEntry.queries("d1_agg_group")(TestSpark.spark, TestSpark.sf0001)
