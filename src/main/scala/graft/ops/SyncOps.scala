@@ -76,6 +76,28 @@ object SyncOps {
       .orderBy($"user_id")
   }
 
+  /** i11_sync_stats — the sync loop's observability: classify every key
+    * touched by a batch round as insert (new key), update (existing key,
+    * newer change) or untouched (no change since the watermark), with
+    * counts — what the reference logs after each round. */
+  def i11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // orders as the change log (dates 1995–2001; events are too dense —
+    // every user straddles any cutoff, collapsing the classes to 'update')
+    val cutoff = lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    val o = Tables.orders(s, d)
+    val baseKeys = o.filter($"o_orderdate" <= cutoff).select($"o_custkey").distinct()
+    val deltaKeys = o.filter($"o_orderdate" > cutoff).select($"o_custkey").distinct()
+    baseKeys.withColumn("in_base", lit(1))
+      .join(deltaKeys.withColumn("in_delta", lit(1)), Seq("o_custkey"), "full_outer")
+      .select(
+        when($"in_base".isNull, "insert")
+          .when($"in_delta".isNull, "untouched")
+          .otherwise("update").as("op"))
+      .groupBy($"op").agg(count(lit(1)).as("n_keys"))
+      .orderBy($"op")
+  }
+
   /** Input/buffer row for the LWW aggregator: a (timestamp, value) pair. */
   case class TsVal(ts_us: Long, v: String)
 
@@ -107,7 +129,8 @@ object SyncOps {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c10_join_asof" -> c10, "c12_join_asof_native" -> c12,
-    "i6_incremental_lww_merge" -> i6, "k2_typed_aggregator" -> k2)
+    "i6_incremental_lww_merge" -> i6, "i11_sync_stats" -> i11,
+    "k2_typed_aggregator" -> k2)
 
   /** c10 and c12 implement the SAME semantics (composed vs native) and are
     * graded against one oracle text — edit here, both keys follow. */
@@ -136,6 +159,17 @@ object SyncOps {
         |FROM u
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
+    "i11_sync_stats" ->
+      """WITH b AS (SELECT DISTINCT o_custkey FROM 'orders.parquet'
+        |           WHERE o_orderdate <= TIMESTAMP '1998-01-01 00:00:00'),
+        |     d AS (SELECT DISTINCT o_custkey FROM 'orders.parquet'
+        |           WHERE o_orderdate > TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT CASE WHEN b.o_custkey IS NULL THEN 'insert'
+        |            WHEN d.o_custkey IS NULL THEN 'untouched'
+        |            ELSE 'update' END AS op,
+        |       count(*) AS n_keys
+        |FROM b FULL OUTER JOIN d ON b.o_custkey = d.o_custkey
+        |GROUP BY op ORDER BY op""".stripMargin,
     "k2_typed_aggregator" ->
       """SELECT user_id, arg_max(event_type, CAST(ts AS TIMESTAMP)) AS last_type
         |FROM 'events.parquet' GROUP BY user_id ORDER BY user_id""".stripMargin)
