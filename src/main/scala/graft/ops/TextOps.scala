@@ -90,8 +90,11 @@ object TextOps {
     // pipeline — the expensive part of the whole query
     val pairs = nearDupPairs(s, d).select($"d1", $"d2").persist()
     val edges = pairs.union(pairs.select($"d2", $"d1")).toDF("src", "dst").persist()
+    // the loop variable is ALWAYS the persisted Dataset itself — wrapping
+    // it in a Project would make the per-round unpersist() a silent no-op
+    // (uncache matches on plan identity) and leak every round's cache
     var labels = edges.select($"src".as("node")).distinct()
-      .withColumn("label", $"node").persist()
+      .select($"node", $"node".as("label"), $"node".as("old")).persist()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 25) {
@@ -101,14 +104,14 @@ object TextOps {
       val prev = labels
       // carry the old label alongside so convergence needs no second join:
       // ONE action per round materializes next AND the change count
-      val next = prev
+      val next = prev.select($"node", $"label")
         .join(prop.select($"src".as("node"), $"nbr"), Seq("node"), "left")
         .select($"node", least($"label", coalesce($"nbr", $"label")).as("label"),
           $"label".as("old"))
         .persist()
       changed = next.filter($"label" < $"old").count()
       prev.unpersist()
-      labels = next.select($"node", $"label")
+      labels = next
       rounds += 1
     }
     labels.select($"node".as("doc_id"), $"label".as("cluster_id"))

@@ -163,11 +163,10 @@ object AsOfJoinPruning extends Rule[LogicalPlan] {
   }
 }
 
-/** Registration: `spark.sql.extensions=graft.plans.GraftExtensions` at
-  * session build, or [[GraftPlans.install]] on an existing session. */
 /** The engine's single entry point for `spark.sql.extensions`: planner
   * strategy + optimizer rule (as-of join) and the codegen'd SQL functions
-  * (vec_dot). */
+  * (vec_dot). Set at session build, or use [[GraftPlans.install]] on an
+  * existing session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)

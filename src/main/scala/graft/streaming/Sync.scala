@@ -185,21 +185,34 @@ object Sync {
   class SessionProcessor(gapMs: Long)
       extends StatefulProcessor[Long, ChangeRow, ClosedSession] {
     @transient private var sessions: ListState[SessionState] = _
+    @transient private var armedTimer: org.apache.spark.sql.streaming.ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       sessions = getHandle.getListState[SessionState](
         "sessions", org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+      armedTimer = getHandle.getValueState[Long](
+        "armedTimer", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
 
-    /** Expire what the watermark allows; re-arm one timer for the rest. */
+    /** Expire what the watermark allows; re-arm ONE timer for the rest.
+      * The previously armed timer is deleted first — registerTimer alone
+      * would accumulate one timer per batch for a hot key, each firing a
+      * spurious (if idempotent) sweep later. */
     private def sweep(key: Long, incoming: Seq[SessionState],
         timers: TimerValues): Iterator[ClosedSession] = {
       val merged = mergeSessions(sessions.get().toSeq ++ incoming, gapMs)
       val wm = timers.getCurrentWatermarkInMs()
       val (expired, open) = merged.partition(_.end + gapMs <= wm)
       sessions.clear()
+      if (armedTimer.exists()) {
+        getHandle.deleteTimer(armedTimer.get())
+        armedTimer.clear()
+      }
       if (open.nonEmpty) {
         sessions.put(open.toArray)
-        getHandle.registerTimer(math.max(open.map(_.end).min + gapMs, wm + 1))
+        val at = math.max(open.map(_.end).min + gapMs, wm + 1)
+        getHandle.registerTimer(at)
+        armedTimer.update(at)
       }
       expired.sortBy(_.start).map(closeSession(key, _, gapMs)).iterator
     }
