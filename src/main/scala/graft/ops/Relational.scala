@@ -276,7 +276,25 @@ object Relational {
       .orderBy($"user_key")
   }
 
+  /** g5_union_schema_drift — union across batches whose schemas drifted
+    * (column order shuffled on one side, a column missing on the other):
+    * `unionByName(allowMissingColumns = true)` aligns by NAME and
+    * null-fills the gap — the sync loop's reality when one store gains a
+    * column mid-stream (positional UNION would silently mis-align). */
+  def g5(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    // "old" batch: no `value` column yet; columns in a different order
+    val oldBatch = ev.filter($"event_id" % 2 === 0)
+      .select($"event_type", $"user_id", $"event_id")
+    val newBatch = ev.filter($"event_id" % 2 =!= 0)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    oldBatch.unionByName(newBatch, allowMissingColumns = true)
+      .orderBy($"event_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g5_union_schema_drift" -> g5,
     "b1_project" -> b1, "b2_filter_predicates" -> b2,
     "b3_null_semantics" -> b3, "b4_case_when" -> b4,
     "c1_join_broadcast" -> c1, "c2_join_shuffle" -> c2,
@@ -416,5 +434,12 @@ object Relational {
       """SELECT c_custkey AS user_key FROM 'customer.parquet'
         |EXCEPT
         |SELECT user_id AS user_key FROM 'events.parquet'
-        |ORDER BY user_key""".stripMargin)
+        |ORDER BY user_key""".stripMargin,
+    "g5_union_schema_drift" ->
+      """SELECT event_type, user_id, event_id, NULL::DOUBLE AS value
+        |FROM 'events.parquet' WHERE event_id % 2 = 0
+        |UNION ALL BY NAME
+        |SELECT event_id, user_id, event_type, value
+        |FROM 'events.parquet' WHERE event_id % 2 <> 0
+        |ORDER BY event_id""".stripMargin)
 }

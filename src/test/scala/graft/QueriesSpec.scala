@@ -42,12 +42,13 @@ class QueriesSpec extends AnyFunSuite {
     // round-1 lesson: the harness sorts result cells with pandas, which
     // crashes on ndarray cells — lists must be CSV-encoded (Parity.csv)
     // or exploded to rows. Self-enforce instead of relying on convention.
-    import org.apache.spark.sql.types.{ArrayType, MapType}
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val bad = fn(TestSpark.spark, TestSpark.sf0001).schema.fields
-        .filter(f => f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType])
+        .filter(f => f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] || f.dataType.isInstanceOf[StructType])
       if (bad.nonEmpty) Some(s"$name: ${bad.map(_.name).mkString(",")}") else None
     }
-    assert(offenders.isEmpty, s"array/map output columns in: $offenders")
+    assert(offenders.isEmpty, s"array/map/struct output columns in: $offenders")
   }
 }
