@@ -25,14 +25,26 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    // Keep the line SHORT (3-decimal timings): the driver captures a
-    // bounded tail of the output, and round-1's full-precision line was
-    // long enough to fall outside it (BENCH_r01 parsed=null).
+    // The driver captures a bounded (~2000-char) tail of stdout and
+    // json.loads each line in it. The full per-query line is ~2.6 KB at 89
+    // queries — it gets truncated mid-token and failed to parse in BOTH
+    // round 1 and round 2 (BENCH_r0{1,2} parsed=null). So: per-query detail
+    // goes to a file AND the detailed line (for humans / a bigger buffer),
+    // then a short total-only summary line is printed LAST so it always
+    // lands inside the tail intact.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val detail =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val detailPath = java.nio.file.Paths.get("bench_detail.json")
+    java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
+    println(detail)
+    // top-3 slowest inline so the parsed record keeps a non-empty `queries`
+    val top3 = results.toSeq.sortBy(-_._2).take(3)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$top3,"n_queries":${results.size},"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

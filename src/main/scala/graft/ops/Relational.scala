@@ -193,14 +193,18 @@ object Relational {
     * SQL surface: customers above their own nation's average balance.
     * Catalyst decorrelates this into an aggregate + equi-join (no
     * per-row re-execution) — the rewrite that makes correlated SQL viable
-    * at 100 TB. Exact DECIMAL avg keeps the > comparison cross-engine
-    * stable at representation boundaries. */
+    * at 100 TB. The average comparison is phrased division-free
+    * (bal·count > sum) so both sides stay exact DECIMAL arithmetic in
+    * every engine — avg() would be DECIMAL(22,6) half-up in Spark but
+    * DOUBLE in DuckDB, and a balance within 1e-6 of its nation's average
+    * could classify differently across engines. */
   def c13(s: SparkSession, d: String): DataFrame = {
     Tables.customer(s, d).createOrReplaceTempView("customer_v")
     s.sql(
       """SELECT c_custkey, c_name, c_acctbal FROM customer_v c
-        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
-        |  (SELECT avg(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+        |  (SELECT count(*) FROM customer_v c2 WHERE c2.c_nationkey = c.c_nationkey) >
+        |  (SELECT sum(CAST(c2.c_acctbal AS DECIMAL(18,2)))
         |   FROM customer_v c2 WHERE c2.c_nationkey = c.c_nationkey)
         |ORDER BY c_custkey""".stripMargin)
   }
@@ -399,8 +403,9 @@ object Relational {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "c13_subquery_decorrelated" ->
       """SELECT c_custkey, c_name, c_acctbal FROM 'customer.parquet' c
-        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
-        |  (SELECT avg(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+        |  (SELECT count(*) FROM 'customer.parquet' c2 WHERE c2.c_nationkey = c.c_nationkey) >
+        |  (SELECT sum(CAST(c2.c_acctbal AS DECIMAL(18,2)))
         |   FROM 'customer.parquet' c2 WHERE c2.c_nationkey = c.c_nationkey)
         |ORDER BY c_custkey""".stripMargin,
     "f1_sort_multikey" ->

