@@ -25,6 +25,78 @@ final case class SyncConfig(
     checkpointDir: String,
     interval: Trigger = Trigger.AvailableNow())
 
+object SyncConfig {
+
+  /** Load a reference-shaped YAML sync config (SURVEY §3.1: the reference
+    * is driven by a YAML file naming the two stores and an interval):
+    *
+    * {{{
+    * cassandra:                 # store A
+    *   feed: /data/feedA        # change feed (stands in for keyspace/table)
+    *   snapshot: /data/snapA    # merged view A maintains of B's data
+    * elasticsearch:             # store B
+    *   feed: /data/feedB        # change feed (stands in for the ES index)
+    *   snapshot: /data/snapB
+    * checkpoint_dir: /data/ckpt
+    * sync_interval: 30          # seconds; 0 or absent = one-shot (AvailableNow)
+    * }}}
+    *
+    * The parser is a deliberate two-level YAML subset (sections, scalar
+    * `key: value` pairs, `#` comments, optional quotes) — the whole config
+    * grammar the reference uses — so the engine stays dependency-free. */
+  def load(path: String): SyncConfig =
+    fromYaml(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+
+  def fromYaml(yaml: String): SyncConfig = {
+    val flat = parseFlat(yaml)
+    def req(k: String): String = flat.getOrElse(k,
+      throw new IllegalArgumentException(
+        s"sync config missing '$k' (have: ${flat.keys.toSeq.sorted.mkString(", ")})"))
+    val interval = flat.get("sync_interval").map(_.toLong) match {
+      case Some(n) if n > 0 => Trigger.ProcessingTime(n * 1000L)
+      case _                => Trigger.AvailableNow()
+    }
+    SyncConfig(
+      sideA = req("cassandra.feed"),
+      sideB = req("elasticsearch.feed"),
+      snapshotA = req("cassandra.snapshot"),
+      snapshotB = req("elasticsearch.snapshot"),
+      checkpointDir = req("checkpoint_dir"),
+      interval = interval)
+  }
+
+  /** Two-level YAML subset → flat "section.key" map. Unknown keys pass
+    * through (forward-compatible); nesting deeper than one level, flow
+    * collections, and multi-line scalars are out of grammar and rejected
+    * by the missing-key check above rather than silently misread. */
+  private def parseFlat(yaml: String): Map[String, String] = {
+    var section = ""
+    val out = Map.newBuilder[String, String]
+    yaml.linesIterator.foreach { raw =>
+      val noComment = {
+        // a '#' starts a comment unless inside quotes
+        val q = raw.indexOf('"')
+        val h = raw.indexOf('#')
+        if (h >= 0 && (q < 0 || h < q)) raw.substring(0, h) else raw
+      }
+      val line = noComment.replaceAll("\\s+$", "")
+      if (line.trim.nonEmpty) {
+        val indented = line.head == ' ' || line.head == '\t'
+        line.trim.split(":", 2) match {
+          case Array(k, rest) =>
+            val v = rest.trim.stripPrefix("\"").stripSuffix("\"")
+            if (v.isEmpty && !indented) section = k.trim
+            else out += (if (indented && section.nonEmpty) s"$section.${k.trim}"
+                         else k.trim) -> v
+          case _ => // bare scalar line: out of grammar, ignore
+        }
+      }
+    }
+    out.result()
+  }
+}
+
 object SyncJob {
 
   /** Start the bidirectional loop: each side's change feed is LWW-merged

@@ -74,6 +74,15 @@ object PipelineOps {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
     val ns = sh.groupBy($"doc_id").agg(count(lit(1)).as("ns"))
+    // skew note: the verify join fans out by doc_id (shingles-per-doc,
+    // bounded by document length), not by shingle frequency — a hot
+    // shingle can NOT skew this stage. Hot shingles only matter in the
+    // band-signature join above, where a signature is 2 concatenated
+    // minhashes (collision = near-identical sets, which IS the match
+    // condition). Measured bound on the fixture corpus: max shingle
+    // df = 25 over 27k distinct shingles at sf0.1; the raw-shingle
+    // self-join path (TextOps.nearDupPairs) carries the df-cap for the
+    // 100 TB case.
     val inter = cand
       .join(sh.select($"doc_id".as("d1"), $"sh".as("sh1")), "d1")
       .join(sh.select($"doc_id".as("d2"), $"sh".as("sh2")), "d2")

@@ -12,6 +12,60 @@ class SyncJobSpec extends AnyFunSuite {
   private def ts(s: String) = Timestamp.valueOf(s)
   private def tmp(p: String) = Files.createTempDirectory(p).toString
 
+  test("YAML config loads the reference shape (sections, comments, quotes, interval)") {
+    val root = tmp("syncyaml")
+    val yaml =
+      s"""# reference-shaped sync config
+         |cassandra:
+         |  feed: $root/feedA        # change feed
+         |  snapshot: "$root/snapA"
+         |elasticsearch:
+         |  feed: $root/feedB
+         |  snapshot: $root/snapB
+         |checkpoint_dir: $root/ckpt
+         |sync_interval: 30
+         |""".stripMargin
+    val cfg = SyncConfig.fromYaml(yaml)
+    assert(cfg.sideA === s"$root/feedA")
+    assert(cfg.snapshotA === s"$root/snapA")
+    assert(cfg.sideB === s"$root/feedB")
+    assert(cfg.snapshotB === s"$root/snapB")
+    assert(cfg.checkpointDir === s"$root/ckpt")
+    assert(cfg.interval === Trigger.ProcessingTime(30000L))
+    // absent interval → one-shot
+    val oneShot = SyncConfig.fromYaml(yaml.linesIterator
+      .filterNot(_.startsWith("sync_interval")).mkString("\n"))
+    assert(oneShot.interval === Trigger.AvailableNow())
+    // missing key errors name the key, not NPE later
+    val e = intercept[IllegalArgumentException](
+      SyncConfig.fromYaml("cassandra:\n  feed: /x\n"))
+    assert(e.getMessage.contains("elasticsearch.feed") ||
+      e.getMessage.contains("missing"))
+  }
+
+  test("a YAML-loaded config drives a full sync round end-to-end") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val root = tmp("syncyamlrun")
+    val yamlPath = java.nio.file.Paths.get(root, "sync.yaml")
+    java.nio.file.Files.write(yamlPath,
+      s"""cassandra:
+         |  feed: $root/feedA
+         |  snapshot: $root/snapA
+         |elasticsearch:
+         |  feed: $root/feedB
+         |  snapshot: $root/snapB
+         |checkpoint_dir: $root/ckpt
+         |""".stripMargin.getBytes("UTF-8"))
+    val cfg = SyncConfig.load(yamlPath.toString)
+    Seq(Change(1, ts("2024-01-01 10:00:00"), 1, "a1")).toDF()
+      .write.mode("append").parquet(cfg.sideA)
+    Seq(Change(2, ts("2024-01-01 10:00:00"), 2, "b2")).toDF()
+      .write.mode("append").parquet(cfg.sideB)
+    val (na, nb) = SyncJob.runOnce(spark, cfg)
+    assert((na, nb) === (1L, 1L))
+  }
+
   test("bidirectional sync converges and incremental rounds are idempotent") {
     val spark = TestSpark.spark
     import spark.implicits._
