@@ -25,7 +25,14 @@ object PipelineOps {
 
   // ---------- shared fragments ----------
 
-  /** 3-token shingle set per doc — same shape as TextOps.shingles. */
+  /** 3-token shingle set per doc — same shape as TextOps.shingles, but the
+    * string form is kept (the MinHash signature must be md5-of-string to
+    * stay bit-identical with the DuckDB oracle) alongside a 64-bit
+    * xxhash64 (`shh`) used wherever only shingle EQUALITY matters (the ns
+    * size agg and the candidate verify join): those stages then shuffle
+    * 8-byte longs, not ~25-byte strings, with identical results absent a
+    * 64-bit collision (≈1e-10 at this cardinality — the hash gate would
+    * catch one). */
   private def shingleDf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
@@ -35,6 +42,7 @@ object PipelineOps {
         """array_distinct(transform(sequence(1, size(toks) - 2),
           |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))""".stripMargin))
         .as("sh"))
+      .withColumn("shh", xxhash64($"sh"))
   }
 
   private val shingleSql =
@@ -84,8 +92,8 @@ object PipelineOps {
     // self-join path (TextOps.nearDupPairs) carries the df-cap for the
     // 100 TB case.
     val inter = cand
-      .join(sh.select($"doc_id".as("d1"), $"sh".as("sh1")), "d1")
-      .join(sh.select($"doc_id".as("d2"), $"sh".as("sh2")), "d2")
+      .join(sh.select($"doc_id".as("d1"), $"shh".as("sh1")), "d1")
+      .join(sh.select($"doc_id".as("d2"), $"shh".as("sh2")), "d2")
       .filter($"sh1" === $"sh2")
       .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
     inter

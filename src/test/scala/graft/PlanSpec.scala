@@ -66,6 +66,15 @@ class PlanSpec extends AnyFunSuite {
       s"quadratic join shapes in: ${offenders.mkString(", ")}")
   }
 
+  test("j2: hot-shingle df-cap survives as a broadcast anti-join on hashed keys") {
+    val p = plan("j2_dedup_near_jaccard")
+    // the skew guard for the 100 TB inverted-index self-join: if an
+    // optimizer pass (or a refactor) dropped the anti-join, results would
+    // stay correct at fixture scale while the skew protection vanished
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("xxhash64"), "shingle keys must stay 64-bit hashed")
+  }
+
   test("d13: salted aggregation keeps its two-level shuffle structure") {
     val p = plan("d13_agg_salted_skew")
     // scatter on (key, salt), then combine on (key): exactly two hash
