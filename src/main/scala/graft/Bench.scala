@@ -38,10 +38,15 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val detail =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    val detailPath = java.nio.file.Paths.get("bench_detail.json")
-    java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
     println(detail)
-    // top-3 slowest inline so the parsed record keeps a non-empty `queries`
+    // best-effort file dump — an unwritable cwd must never take down the
+    // metric lines (that would recreate the parsed=null failure)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] bench_detail.json not written: $e") }
+    // top-3 slowest inline so the parsed record keeps a non-empty `queries`;
+    // this short line prints LAST so it always survives the bounded tail
     val top3 = results.toSeq.sortBy(-_._2).take(3)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$top3,"n_queries":${results.size},"detail":"bench_detail.json","sf":"$sfDir"}""")

@@ -53,7 +53,12 @@ object SyncConfig {
     def req(k: String): String = flat.getOrElse(k,
       throw new IllegalArgumentException(
         s"sync config missing '$k' (have: ${flat.keys.toSeq.sorted.mkString(", ")})"))
-    val interval = flat.get("sync_interval").map(_.toLong) match {
+    val interval = flat.get("sync_interval").map { v =>
+      try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"sync config 'sync_interval' must be whole seconds, got '$v'")
+      }
+    } match {
       case Some(n) if n > 0 => Trigger.ProcessingTime(n * 1000L)
       case _                => Trigger.AvailableNow()
     }
@@ -74,11 +79,21 @@ object SyncConfig {
     var section = ""
     val out = Map.newBuilder[String, String]
     yaml.linesIterator.foreach { raw =>
+      // a '#' starts a comment unless inside double quotes — scan with a
+      // quote-state flag so `key: "v"  # note` strips cleanly
       val noComment = {
-        // a '#' starts a comment unless inside quotes
-        val q = raw.indexOf('"')
-        val h = raw.indexOf('#')
-        if (h >= 0 && (q < 0 || h < q)) raw.substring(0, h) else raw
+        var inQ = false
+        var cut = raw.length
+        var i = 0
+        while (i < raw.length && cut == raw.length) {
+          raw.charAt(i) match {
+            case '"'          => inQ = !inQ
+            case '#' if !inQ  => cut = i
+            case _            => ()
+          }
+          i += 1
+        }
+        raw.substring(0, cut)
       }
       val line = noComment.replaceAll("\\s+$", "")
       if (line.trim.nonEmpty) {
@@ -87,8 +102,12 @@ object SyncConfig {
           case Array(k, rest) =>
             val v = rest.trim.stripPrefix("\"").stripSuffix("\"")
             if (v.isEmpty && !indented) section = k.trim
-            else out += (if (indented && section.nonEmpty) s"$section.${k.trim}"
-                         else k.trim) -> v
+            // an indented key with an empty value is the start of a
+            // deeper-nested block — out of grammar; store NOTHING so the
+            // missing-key check reports it instead of silently reading ""
+            else if (v.nonEmpty)
+              out += (if (indented && section.nonEmpty) s"$section.${k.trim}"
+                      else k.trim) -> v
           case _ => // bare scalar line: out of grammar, ignore
         }
       }

@@ -197,7 +197,15 @@ object Relational {
     * (bal·count > sum) so both sides stay exact DECIMAL arithmetic in
     * every engine — avg() would be DECIMAL(22,6) half-up in Spark but
     * DOUBLE in DuckDB, and a balance within 1e-6 of its nation's average
-    * could classify differently across engines. */
+    * could classify differently across engines.
+    *
+    * Plan note: the two subqueries decorrelate into two separate per-nation
+    * aggregates (Catalyst's MergeScalarSubqueries does not merge them —
+    * the count side needs LeftOuter count-bug handling, the sum side
+    * doesn't), i.e. two map-combined scans of customer each collapsing to
+    * a ~25-row broadcast. Acceptable for a dimension-side aggregate; a
+    * handwritten `JOIN (SELECT c_nationkey, count(*), sum(...) GROUP BY 1)`
+    * halves the scans if customer ever becomes the fact side. */
   def c13(s: SparkSession, d: String): DataFrame = {
     Tables.customer(s, d).createOrReplaceTempView("customer_v")
     s.sql(

@@ -125,13 +125,22 @@ object TextOps {
     * cluster.
     *
     * Two lineage disciplines keep the constant factor down (measured: these
-    * took sf0.1 from 60.8 s to low single digits): `edges` is
+    * took sf0.1 from 60.8 s to low single digits): the pair list is
     * localCheckpoint-ed so no round's plan re-nests the whole shingle
-    * pipeline, and each round's `labels` is localCheckpoint-ed so round k
-    * plans O(1) work, not O(k). persist() alone does NOT do this — it
-    * caches data but the optimizer still walks (and grows) the full plan
-    * tree every round. Checkpoint RDDs are freed by Spark's ContextCleaner
-    * once the returned frame is no longer referenced. */
+    * pipeline (`edges` stays a lazy projection over it), and each round's
+    * `labels` is localCheckpoint-ed so round k plans O(1) work, not O(k).
+    * persist() alone does NOT do this — it caches data but the optimizer
+    * still walks (and grows) the full plan tree every round. Superseded
+    * checkpoint blocks are unpersisted explicitly each round (RDD-level
+    * caches are invisible to spark.catalog.clearCache); only the final
+    * labels checkpoint stays pinned by the returned frame and is freed by
+    * the ContextCleaner when that frame is dropped.
+    *
+    * Cluster caveat: localCheckpoint trades fault-tolerance for speed — its
+    * blocks live in executor storage, so an executor lost mid-loop (e.g.
+    * dynamic allocation) makes the truncated lineage unrecoverable. On a
+    * long-running 1000-executor job, swap in reliable `checkpoint()` with a
+    * checkpoint dir; the loop structure is unchanged. */
   def j21(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     def trace(msg: => String): Unit =
@@ -151,11 +160,11 @@ object TextOps {
     // checkpoints costs a scheduler round-trip each and buys nothing
     val edges = pairs.union(pairs.select($"d2", $"d1")).toDF("src", "dst")
     // fold the first neighbour-min step into the init: label(v) =
-    // min(v, min N(v)) — cliques (the common near-dup shape) converge here
+    // min(v, min N(v)) — cliques (the common near-dup shape) converge here.
+    // (The loop always runs at least once, so init needs no `old` column.)
     var labels = edges.groupBy($"src")
       .agg(min($"dst").as("m"))
-      .select($"src".as("node"), least($"src", $"m").as("label"),
-        $"src".as("old"))
+      .select($"src".as("node"), least($"src", $"m").as("label"))
       .localCheckpoint(false)
     var changed = 1L
     var rounds = 0
@@ -178,10 +187,12 @@ object TextOps {
         // and truncates its lineage — one job per round, no extra action
         .localCheckpoint(false)
       changed = next.filter($"label" < $"old").count()
+      releaseCheckpoint(labels) // superseded round — free its blocks now
       labels = next
       rounds += 1
       trace(s"round $rounds changed=$changed")
     }
+    releaseCheckpoint(pairs) // the final labels plan no longer reads pairs
     // 25 pointer-jumping rounds cover components of diameter ~2^25; if we
     // ever exit non-converged the result would silently diverge from the
     // transitive-closure oracle, so fail loudly instead
@@ -191,6 +202,16 @@ object TextOps {
     labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
       .orderBy($"doc_id")
   }
+
+  /** Unpersist the RDD behind a localCheckpoint-ed frame. Dataset.unpersist
+    * only clears CacheManager entries; checkpoint blocks are RDD-level and
+    * would otherwise stay pinned until a driver GC lets the ContextCleaner
+    * find them. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** j6_wordcount — token frequency over the corpus. */
   def j6(s: SparkSession, d: String): DataFrame = {

@@ -58,11 +58,13 @@ case class AsOfJoinExec(
     // Right side gets a secondary sort over its remaining orderable columns:
     // among several right rows sharing the max qualifying (key, ts) the merge
     // keeps the LAST one, and without a total order that pick would be
-    // whatever the shuffle happened to deliver — nondeterministic output and
-    // a possible mismatch vs the window-composed form (c10) or a DuckDB
-    // ASOF oracle. With the tiebreak the winner is the row maximal in that
-    // column order. (Non-orderable columns — maps — can't participate; rows
-    // differing only there remain tied, documented on AsOf.join.)
+    // whatever the shuffle happened to deliver — nondeterministic across
+    // runs/partitionings. The tiebreak makes THIS engine's pick stable (the
+    // row maximal in that column order); other engines' ASOF tie rules
+    // remain implementation-defined, so an oracle comparison with duplicate
+    // right (key, ts) rows still requires deduping the right side first.
+    // (Non-orderable columns — maps — can't participate; rows differing
+    // only there remain tied, documented on AsOf.join.)
     val keyAndTs = AttributeSet(rightKeys :+ rightTs)
     val tiebreak = right.output
       .filterNot(keyAndTs.contains)

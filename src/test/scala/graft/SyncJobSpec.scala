@@ -41,6 +41,18 @@ class SyncJobSpec extends AnyFunSuite {
       SyncConfig.fromYaml("cassandra:\n  feed: /x\n"))
     assert(e.getMessage.contains("elasticsearch.feed") ||
       e.getMessage.contains("missing"))
+    // quoted value with a trailing comment strips the comment, keeps the value
+    val q = SyncConfig.fromYaml(yaml.replace(
+      s"""snapshot: "$root/snapA"""", s"""snapshot: "$root/snapA"   # quoted + comment"""))
+    assert(q.snapshotA === s"$root/snapA")
+    // deeper nesting is out of grammar → missing-key error, not a silent ""
+    val deep = intercept[IllegalArgumentException](SyncConfig.fromYaml(
+      "cassandra:\n  feed:\n    url: /x\nelasticsearch:\n  feed: /y\n  snapshot: /z\ncheckpoint_dir: /c\n"))
+    assert(deep.getMessage.contains("cassandra."))
+    // non-integer interval names the key instead of a bare NumberFormatException
+    val bad = intercept[IllegalArgumentException](
+      SyncConfig.fromYaml(yaml.replace("sync_interval: 30", "sync_interval: 30s")))
+    assert(bad.getMessage.contains("sync_interval"))
   }
 
   test("a YAML-loaded config drives a full sync round end-to-end") {

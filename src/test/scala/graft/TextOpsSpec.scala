@@ -26,17 +26,21 @@ class TextOpsSpec extends AnyFunSuite {
   }
 
   test("df-cap off (default): hot-shingle pair and rare-shingle pair both found") {
-    val got = ops.TextOps.nearDupPairs(s, capDir)
-      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
-    assert(got === Set((1L, 2L), (6L, 7L)))
+    val (pairs, release) = ops.TextOps.nearDupPairsReleasable(s, capDir)
+    try {
+      val got = pairs.select($"d1", $"d2").as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 2L), (6L, 7L)))
+    } finally release() // don't pin the shingle cache in the shared session
   }
 
   test("df-cap binding: shingles in more than `cap` docs stop generating pairs") {
     // cap=4 < df("x y z")=5 → docs 1,2 lose their only shingle, so the
     // (1,2) pair disappears; the rare-shingle pair (6,7) is unaffected
-    val got = ops.TextOps.nearDupPairs(s, capDir, dfCap = 4L)
-      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
-    assert(got === Set((6L, 7L)))
+    val (pairs, release) = ops.TextOps.nearDupPairsReleasable(s, capDir, dfCap = 4L)
+    try {
+      val got = pairs.select($"d1", $"d2").as[(Long, Long)].collect().toSet
+      assert(got === Set((6L, 7L)))
+    } finally release()
   }
 
   test("j21 clusters transitively and picks the component-min id") {
