@@ -76,6 +76,24 @@ object SyncOps {
       .orderBy($"user_id")
   }
 
+  /** i12_lww_delete_merge — delete propagation in the batch surface: the
+    * LWW merge where the winning change can be a tombstone. Keep each
+    * key's newest change; a key whose newest change is a tombstone is
+    * REMOVED from the merged view (not just deduped). `event_type =
+    * 'error'` stands in for the payload-NULL tombstone of the streaming
+    * layer (Sync.mergeLwwWithDeletes) — same semantics, oracled here.
+    * One window shuffle on the key; the tombstone filter rides after the
+    * rank, so a key deleted-then-rewritten correctly survives. */
+  def i12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"event_type" =!= "error")
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .orderBy($"user_id")
+  }
+
   /** i11_sync_stats — the sync loop's observability: classify every key
     * touched by a batch round as insert (new key), update (existing key,
     * newer change) or untouched (no change since the watermark), with
@@ -130,7 +148,7 @@ object SyncOps {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c10_join_asof" -> c10, "c12_join_asof_native" -> c12,
     "i6_incremental_lww_merge" -> i6, "i11_sync_stats" -> i11,
-    "k2_typed_aggregator" -> k2)
+    "i12_lww_delete_merge" -> i12, "k2_typed_aggregator" -> k2)
 
   /** c10 and c12 implement the SAME semantics (composed vs native) and are
     * graded against one oracle text — edit here, both keys follow. */
@@ -170,6 +188,13 @@ object SyncOps {
         |       count(*) AS n_keys
         |FROM b FULL OUTER JOIN d ON b.o_custkey = d.o_custkey
         |GROUP BY op ORDER BY op""".stripMargin,
+    "i12_lww_delete_merge" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |FROM 'events.parquet'
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) = 1
+        |  AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
     "k2_typed_aggregator" ->
       """SELECT user_id, arg_max(event_type, CAST(ts AS TIMESTAMP)) AS last_type
         |FROM 'events.parquet' GROUP BY user_id ORDER BY user_id""".stripMargin)
