@@ -285,9 +285,14 @@ object PipelineOps {
       .agg(round(sum($"m"), 6).as("cent_sum"),
         round(sqrt(sum($"m" * $"m")), 6).as("cent_norm"))
       .withColumn("cell_score", round($"cent_sum" / ($"cent_norm" * 8.0), 6))
-    val wCell = Window.orderBy($"cell_score".desc, $"label".asc)
-    val topCells = cent.withColumn("cr", row_number().over(wCell))
-      .filter($"cr" <= 2).select($"label", $"cell_score")
+    // top-2 cells via orderBy+limit (TakeOrderedAndProject: per-partition
+    // top-k + driver merge over the CELL table, one row per IVF cell —
+    // small at any corpus scale). A global row_number window computes the
+    // same thing but funnels the cell table through a single-partition
+    // WindowExec; the limit form never does. (score, label) is a total
+    // order, so the pick is deterministic either way.
+    val topCells = cent.orderBy($"cell_score".desc, $"label".asc)
+      .limit(2).select($"label", $"cell_score")
     e.join(topCells, "label")
       .withColumn("cos_q", round(
         expr("aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))") /
