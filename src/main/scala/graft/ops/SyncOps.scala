@@ -77,11 +77,14 @@ object SyncOps {
   }
 
   /** i12_lww_delete_merge — delete propagation in the batch surface: the
-    * LWW merge where the winning change can be a tombstone. Keep each
-    * key's newest change; a key whose newest change is a tombstone is
-    * REMOVED from the merged view (not just deduped). `event_type =
-    * 'error'` stands in for the payload-NULL tombstone of the streaming
-    * layer (Sync.mergeLwwWithDeletes) — same semantics, oracled here.
+    * LIVE VIEW after an LWW merge where the winning change can be a
+    * tombstone. Keep each key's newest change; a key whose newest change
+    * is a tombstone is absent from the view. `event_type = 'error'`
+    * stands in for the payload-NULL tombstone of the streaming layer.
+    * Batch twin of `Sync.liveView(Sync.mergeLwwWithDeletes(...))` — NOT
+    * of the merge alone: the merge must RETAIN winning tombstones (or a
+    * replayed older update would resurrect the key, see Sync.scala); only
+    * the read-side view drops them, which is what this query computes.
     * One window shuffle on the key; the tombstone filter rides after the
     * rank, so a key deleted-then-rewritten correctly survives. */
   def i12(s: SparkSession, d: String): DataFrame = {
