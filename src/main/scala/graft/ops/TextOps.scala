@@ -143,22 +143,40 @@ object TextOps {
     * checkpoint dir; the loop structure is unchanged. */
   def j21(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    def trace(msg: => String): Unit =
-      if (sys.env.contains("GRAFT_J21_TRACE"))
-        System.err.println(s"[j21] $msg @${System.nanoTime() / 1000000}ms")
-    trace("start")
     // eager checkpoint: materializes the pair list once and truncates
-    // lineage, so the union's two branches read the cached RDD instead of
-    // each re-running the shingle pipeline; the shingle cache backing the
+    // lineage, so downstream edge projections read the cached RDD instead
+    // of re-running the shingle pipeline; the shingle cache backing the
     // pair computation is released right after
     val (rawPairs, releaseShingles) = nearDupPairsReleasable(s, d)
     val pairs = rawPairs.select($"d1", $"d2").localCheckpoint()
     releaseShingles()
-    trace("pairs checkpointed")
+    val comp = connectedComponents(pairs)
+    releaseCheckpoint(pairs) // the final labels plan no longer reads pairs
+    comp.select($"node".as("doc_id"), $"label".as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
+  /** Connected components over an undirected pair list `(d1, d2)` of Long
+    * node ids (the reusable core of j21): returns one `(node, label)` row
+    * per node appearing in any pair, where label = the component's minimum
+    * node id. Expects `pairs` to already be checkpointed/cached — the edge
+    * relation and every round's plan re-reads it. Property-tested against
+    * an in-memory union-find on random graphs including long chains (the
+    * O(log diameter) pointer-jumping case the fixture corpus never
+    * exercises). */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    def trace(msg: => String): Unit =
+      if (sys.env.contains("GRAFT_J21_TRACE"))
+        System.err.println(s"[j21] $msg @${System.nanoTime() / 1000000}ms")
+    trace("start")
+    val Seq(c1, c2) = pairs.columns.toSeq.map(col)
     // edges / init labels stay LAZY plans over the checkpointed pair RDD —
     // they are two cheap projections; materializing them as their own
     // checkpoints costs a scheduler round-trip each and buys nothing
-    val edges = pairs.union(pairs.select($"d2", $"d1")).toDF("src", "dst")
+    val edges = pairs.select(c1.as("src"), c2.as("dst"))
+      .union(pairs.select(c2.as("src"), c1.as("dst")))
     // fold the first neighbour-min step into the init: label(v) =
     // min(v, min N(v)) — cliques (the common near-dup shape) converge here.
     // (The loop always runs at least once, so init needs no `old` column.)
@@ -192,15 +210,13 @@ object TextOps {
       rounds += 1
       trace(s"round $rounds changed=$changed")
     }
-    releaseCheckpoint(pairs) // the final labels plan no longer reads pairs
     // 25 pointer-jumping rounds cover components of diameter ~2^25; if we
     // ever exit non-converged the result would silently diverge from the
     // transitive-closure oracle, so fail loudly instead
     if (changed > 0)
       throw new IllegalStateException(
-        s"j21 label propagation did not converge after $rounds rounds ($changed labels still changing)")
-    labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
-      .orderBy($"doc_id")
+        s"label propagation did not converge after $rounds rounds ($changed labels still changing)")
+    labels.select($"node", $"label")
   }
 
   /** Unpersist the RDD behind a localCheckpoint-ed frame. Dataset.unpersist

@@ -43,6 +43,43 @@ class TextOpsSpec extends AnyFunSuite {
     } finally release()
   }
 
+  test("connectedComponents matches union-find on random graphs incl. long chains") {
+    // the fixture corpus only produces clique-ish components; chains are
+    // the O(log diameter) pointer-jumping case, so pin them explicitly
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct.map(v => v -> find(v)).toMap
+    }
+    val rnd = new scala.util.Random(42)
+    val cases: Seq[Seq[(Long, Long)]] = Seq(
+      // one chain of length 120 (diameter 120 → needs pointer jumping)
+      (0L until 120L).map(i => (i, i + 1)),
+      // chain built backwards (worst case for min-propagation direction)
+      (120L until 240L).map(i => (i + 1, i)).reverse,
+      // random sparse graph: 300 nodes, 150 edges → many small components
+      Seq.fill(150)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+        .filter(e => e._1 != e._2),
+      // two cliques bridged by one edge + isolated pairs
+      (for (a <- 0L to 5L; b <- (a + 1) to 5L) yield (a, b)) ++
+        (for (a <- 10L to 15L; b <- (a + 1) to 15L) yield (a, b)) ++
+        Seq((5L, 10L), (100L, 101L), (200L, 201L)))
+    cases.zipWithIndex.foreach { case (edges, i) =>
+      val pairs = edges.toDF("d1", "d2").repartition(7).localCheckpoint()
+      val got = ops.TextOps.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      val want = unionFind(edges.size, edges)
+      assert(got === want, s"case $i: distributed components != union-find")
+    }
+  }
+
   test("j21 clusters transitively and picks the component-min id") {
     // 1-2 via identical text; 6-7 via overlap; singletons 3,4,5 appear only
     // if they pair with something (they don't) — matches the oracle's
