@@ -1,0 +1,28 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev scaling probe — times the near-dup trio on scaled corpora to
+  * measure the growth slope (tools/ docs how the inputs are generated).
+  * Usage: runMain graft.tools.ScaleProbe <dir1> [dir2 ...] */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warmup: run the pipeline once on the smallest dir so JIT/codegen
+    // costs don't land on the first measured point
+    graft.ops.TextOps.j2(spark, args.head).count()
+    spark.catalog.clearCache()
+    for (d <- args; q <- Seq("j2_dedup_near_jaccard", "j12_minhash_lsh", "j21_dedup_clusters")) {
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(q)(spark, d).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $d $q%-24s ${dt}%6.2f s  rows=$n")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

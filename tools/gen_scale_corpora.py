@@ -1,0 +1,36 @@
+#!/usr/bin/env python3
+"""Generate 1x/2x/4x scaled copies of the sf0.1 documents table for the
+near-dup scaling probe (DESIGN.md "Measured scaling slope").
+
+Each extra copy token-suffixes its text (`tok` -> `tok_cN`) so copies
+share NO shingles with each other: duplicate-group structure (and
+near-dup pair density) stays constant per copy instead of exploding
+quadratically, which would measure the workload change, not the engine.
+
+Usage: python3 tools/gen_scale_corpora.py [outdir=/tmp/scale]
+Then:  sbt "runMain graft.tools.ScaleProbe /tmp/scale/x1 /tmp/scale/x2 /tmp/scale/x4"
+
+Dev tool only — never shipped in the engine jar.
+"""
+import sys, os
+import duckdb
+
+out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale"
+src = "/root/testdata/sf0.1/documents.parquet"
+con = duckdb.connect()
+for name, copies in [("x1", 1), ("x2", 2), ("x4", 4)]:
+    d = os.path.join(out, name)
+    os.makedirs(d, exist_ok=True)
+    selects = []
+    for c in range(copies):
+        if c == 0:
+            selects.append(f"SELECT doc_id, text, lang, source, n_chars FROM '{src}'")
+        else:
+            selects.append(
+                f"SELECT doc_id + {c * 1000000}, "
+                f"regexp_replace(text, '(\\S+)', '\\1_c{c}', 'g') AS text, "
+                f"lang, source, n_chars FROM '{src}'")
+    q = " UNION ALL ".join(selects)
+    con.execute(f"COPY ({q}) TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    n = con.execute(f"SELECT count(*) FROM '{d}/documents.parquet'").fetchone()[0]
+    print(name, n, "docs")
