@@ -35,4 +35,20 @@ object Sinks {
   /** Line-delimited JSON export (dynamic-document form). */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** CSV export with header — the lowest-common-denominator interchange
+    * format (bulk loads, spreadsheets). Quotes/escapes are Spark defaults;
+    * read back with an explicit schema (`spark.read.schema(...).csv`) —
+    * CSV carries no types, and inference at 100 TB means an extra full
+    * scan. Array/map/struct columns are rejected by Spark's CSV writer by
+    * design; flatten first. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** ORC export — the other columnar format Spark ships built-in.
+    * Same pushdown/pruning story as parquet (predicate + column pruning
+    * reach the ORC reader), so it's a drop-in for parquet-incompatible
+    * consumers. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
 }

@@ -28,6 +28,45 @@ class SourcesFormatsSpec extends AnyFunSuite {
     assert(agg(js) === agg(pq))
   }
 
+  test("same aggregation, parquet vs csv vs orc source: identical results") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val pq = Tables.lineitem(spark, TestSpark.sf0001)
+      // CSV can't carry nested types (lineitem has none) but ALSO loses
+      // sub-second timestamp text round-trip fidelity only if formats
+      // mismatch — write/read with the same session conf covers it
+      .select($"l_orderkey", $"l_returnflag", $"l_quantity",
+        $"l_extendedprice", $"l_shipdate")
+    val root = Files.createTempDirectory("fmt2").toString
+    Sinks.writeCsv(pq, s"$root/li_csv")
+    Sinks.writeOrc(pq, s"$root/li_orc")
+    val fromCsv = spark.read.schema(pq.schema)
+      .option("header", "true").csv(s"$root/li_csv")
+    val fromOrc = spark.read.orc(s"$root/li_orc")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"l_returnflag").agg(
+        count(lit(1)).as("n"),
+        ops.Parity.money(sum(ops.Parity.dec2($"l_extendedprice"))).as("total"))
+        .orderBy($"l_returnflag")
+        .collect().toSeq
+    val want = agg(pq)
+    assert(agg(fromCsv) === want, "csv round-trip diverged")
+    assert(agg(fromOrc) === want, "orc round-trip diverged")
+  }
+
+  test("orc scan gets predicate pushdown like parquet") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val root = Files.createTempDirectory("orcpd").toString
+    Sinks.writeOrc(Tables.lineitem(spark, TestSpark.sf0001), s"$root/li")
+    val q = spark.read.orc(s"$root/li")
+      .filter($"l_quantity" < 5.0).select($"l_orderkey", $"l_quantity")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("l_quantity"), plan)
+    assert(!plan.contains("l_extendedprice"), "orc scan reads pruned columns")
+  }
+
   test("k3: typed flatMap generator produces exactly explode's rows") {
     // §2-k3 (non-declared): the custom-UDTF path. Spark's idiomatic form
     // is Dataset.flatMap — same Generator machinery as explode underneath.
