@@ -32,12 +32,7 @@ object Bench {
     // goes to a file AND the detailed line (for humans / a bigger buffer),
     // then a short total-only summary line is printed LAST so it always
     // lands inside the tail intact.
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val detail =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val (detail, summary) = metricLines(results, sfDir)
     println(detail)
     // best-effort file dump — an unwritable cwd must never take down the
     // metric lines (that would recreate the parsed=null failure)
@@ -45,11 +40,27 @@ object Bench {
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] bench_detail.json not written: $e") }
-    // top-3 slowest inline so the parsed record keeps a non-empty `queries`;
-    // this short line prints LAST so it always survives the bounded tail
+    println(summary)
+    spark.stop()
+  }
+
+  /** The two driver-facing metric lines: (full per-query detail, short
+    * total-only summary with the top-3 slowest inline). The SUMMARY is the
+    * graded contract — it must stay well under the driver's ~2000-char
+    * stdout tail (minus the trailing sbt `[success]` line) and parse as
+    * one JSON object; BenchContractSpec pins both properties. */
+  private[graft] def metricLines(
+      results: Map[String, Double], sfDir: String): (String, String) = {
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val detail =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val top3 = results.toSeq.sortBy(-_._2).take(3)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$top3,"n_queries":${results.size},"detail":"bench_detail.json","sf":"$sfDir"}""")
-    spark.stop()
+    val summary =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$top3,"n_queries":${results.size},"detail":"bench_detail.json","sf":"$sfDir"}"""
+    (detail, summary)
   }
 }
