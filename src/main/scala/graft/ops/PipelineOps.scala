@@ -302,12 +302,109 @@ object PipelineOps {
       .limit(10)
   }
 
+  // ---------- j22 decontamination ----------
+
+  /** j22_decontaminate — benchmark-overlap removal, the step every
+    * pre-training pipeline runs before the tokenizer: flag training
+    * documents sharing any 3-token shingle with the held-out eval set
+    * (here: doc_id % 10 == 0 stands in for the benchmark corpus; the
+    * modulus is a demo parameter — in production the eval side is an
+    * independent, SMALL corpus).
+    *
+    * Scale shape: the eval shingle set is tiny relative to a 100 TB
+    * training corpus (benchmarks are MBs), so it is explicitly
+    * `broadcast()` — the training-side shingle explode streams through a
+    * broadcast hash join with NO shuffle of the big side, and the
+    * aggregation that follows is per-training-doc (map-side combinable).
+    * Join keys are the 64-bit shingle hashes (8-byte probes); the exact
+    * shingle strings only feed the distinct-count, mirroring j2/j12's
+    * hash-for-equality discipline. */
+  def j22(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingleDf(s, d)
+    val eval = sh.filter($"doc_id" % 10 === 0)
+      .select($"doc_id".as("eval_id"), $"shh".as("eshh"))
+    val ns = sh.groupBy($"doc_id").agg(count(lit(1)).as("ns"))
+    sh.filter($"doc_id" % 10 =!= 0)
+      .join(broadcast(eval), $"shh" === $"eshh")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"sh").as("n_shared_shingles"),
+        countDistinct($"eval_id").as("n_eval_docs"))
+      .join(ns, "doc_id")
+      .select($"doc_id", $"n_shared_shingles", $"n_eval_docs",
+        round($"n_shared_shingles" / $"ns".cast("double"), 6).as("contamination"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------- j23 deterministic train/val/test split ----------
+
+  /** j23_hash_split — content-addressed dataset splitting: every document
+    * lands in train/validation/test by a hash of its id (md5 nibbles →
+    * bucket 0–99 → 80/10/10), so the assignment is reproducible across
+    * runs, engines, and cluster layouts — no RNG, no global sort, no
+    * driver state. The query reports per-split corpus statistics.
+    *
+    * Scale shape: one narrow projection + one 3-group aggregation —
+    * map-side partials, a 3-row shuffle. Embarrassingly parallel at any
+    * corpus size. */
+  def j23(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("h", md5($"doc_id".cast("string")))
+      .withColumn("bucket", expr(
+        """((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+          |(instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+          |(instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+          |(instr('0123456789abcdef', substr(h, 4, 1)) - 1)) % 100""".stripMargin))
+      .withColumn("split",
+        when($"bucket" < 80, "train")
+          .when($"bucket" < 90, "validation")
+          .otherwise("test"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        round(avg(size(split($"text", " "))), 6).as("avg_tokens"),
+        min($"doc_id").as("first_doc"))
+      .orderBy($"split")
+  }
+
+  // ---------- j24 bigram LM statistics ----------
+
+  /** j24_bigram_lm — corpus-level bigram language-model statistics:
+    * bigram counts and conditional probabilities P(w2|w1) =
+    * c(w1,w2) / Σ_w c(w1,w), reported for bigrams seen ≥ 5 times.
+    *
+    * Scale shape: the bigram explode is a narrow per-doc transform; both
+    * aggregations are map-side combinable groupBys keyed on (tiny) vocab
+    * terms; the prefix-count table is vocabulary-sized (≪ corpus at any
+    * scale), so it is `broadcast()` back onto the bigram counts — no
+    * second shuffle of the big side. */
+  def j24(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cb = Tables.documents(s, d)
+      .select(split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> named_struct('w1', element_at(toks, i), 'w2', element_at(toks, i + 1)))""".stripMargin))
+        .as("bg"))
+      .select($"bg.w1".as("w1"), $"bg.w2".as("w2"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c_bigram"))
+    val cp = cb.groupBy($"w1").agg(sum($"c_bigram").as("c_prefix"))
+    cb.join(broadcast(cp), "w1")
+      .filter($"c_bigram" >= 5)
+      .select($"w1", $"w2", $"c_bigram",
+        round($"c_bigram" / $"c_prefix".cast("double"), 6).as("p_cond"))
+      .orderBy($"w1", $"w2")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j12_minhash_lsh" -> j12, "j13_simhash" -> j13,
     "j14_embed_neardup" -> j14, "j15_langid" -> j15,
     "j16_quality_score" -> j16, "j17_token_stats" -> j17,
     "j18_rolling_fingerprint" -> j18, "j19_multimodal_binary" -> j19,
-    "j20_ivf_topk" -> j20)
+    "j20_ivf_topk" -> j20, "j22_decontaminate" -> j22,
+    "j23_hash_split" -> j23, "j24_bigram_lm" -> j24)
 
   val oracle: Map[String, String] = Map(
     "j12_minhash_lsh" ->
@@ -424,6 +521,45 @@ object PipelineOps {
         |md5(text) AS content_hash,
         |array_to_string(list_transform(generate_series(1, 4), i -> ascii(substr(text, i, 1))), ',') AS first_pixels
         |FROM 'documents.parquet' ORDER BY doc_id""".stripMargin,
+    "j22_decontaminate" ->
+      s"""WITH s AS ($shingleSql),
+         |e AS (SELECT doc_id AS eval_id, sh FROM s WHERE doc_id % 10 = 0),
+         |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
+         |hit AS (SELECT t.doc_id,
+         |        count(DISTINCT t.sh) AS n_shared_shingles,
+         |        count(DISTINCT e.eval_id) AS n_eval_docs
+         |        FROM s t JOIN e ON t.sh = e.sh
+         |        WHERE t.doc_id % 10 <> 0 GROUP BY t.doc_id)
+         |SELECT hit.doc_id, n_shared_shingles, n_eval_docs,
+         |       round(n_shared_shingles / CAST(n.ns AS DOUBLE), 6) AS contamination
+         |FROM hit JOIN n ON hit.doc_id = n.doc_id
+         |ORDER BY 1""".stripMargin,
+    "j23_hash_split" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+        |  len(string_split(text, ' ')) AS n_toks,
+        |  ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+        |   (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+        |   (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+        |   (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100 AS bucket
+        |  FROM 'documents.parquet')
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'validation' ELSE 'test' END AS split,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       round(avg(n_toks), 6) AS avg_tokens,
+        |       min(doc_id) AS first_doc
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j24_bigram_lm" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM 'documents.parquet'),
+        |bg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        |       FROM toks, generate_series(1, 200) g(i) WHERE i <= len(t) - 1),
+        |cb AS (SELECT w1, w2, count(*) AS c_bigram FROM bg GROUP BY 1, 2),
+        |cp AS (SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c_prefix FROM cb GROUP BY 1)
+        |SELECT cb.w1, cb.w2, cb.c_bigram,
+        |       round(cb.c_bigram / CAST(cp.c_prefix AS DOUBLE), 6) AS p_cond
+        |FROM cb JOIN cp ON cb.w1 = cp.w1
+        |WHERE cb.c_bigram >= 5
+        |ORDER BY cb.w1, cb.w2""".stripMargin,
     "j20_ivf_topk" ->
       """WITH cent0 AS (
         |  SELECT label, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m

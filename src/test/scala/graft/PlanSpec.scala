@@ -84,6 +84,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p) // both levels still map-side combine
   }
 
+  test("j22: eval shingle set is broadcast — the training side never shuffles for the join") {
+    val p = plan("j22_decontaminate")
+    // the decontamination join must probe a broadcast of the (small) eval
+    // side; a shuffle join here would repartition the full training-corpus
+    // shingle explode at 100 TB
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("j24: prefix-count table is broadcast back onto the bigram counts") {
+    val p = plan("j24_bigram_lm")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), "bigram count must map-side combine")
+  }
+
   test("whole-stage codegen covers the flagship plan") {
     // AQE finalizes stages lazily — execute first, then inspect
     val df = SparkEntry.queries("d1_agg_group")(TestSpark.spark, TestSpark.sf0001)
