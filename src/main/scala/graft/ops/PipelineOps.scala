@@ -166,11 +166,22 @@ object PipelineOps {
   def j15(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val tok = docs.select($"doc_id", $"lang", explode(split($"text", " ")).as("token"))
-    val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-    val ltf = tok.groupBy($"lang", $"token").agg(count(lit(1)).as("cnt_lt"))
-    val lcnt = tok.groupBy($"lang").agg(count(lit(1)).as("cnt_l"))
-    val vocab = tok.agg(countDistinct($"token").as("v"))
+    // ONE corpus pass: per-(doc, lang, token) frequencies, materialized
+    // (persist — same discipline as the shingle table in j2/j12; the
+    // bench/harness clearCache releases it), with every profile below
+    // derived from the aggregate. The previous shape ran four independent
+    // groupBys over the raw token explode, re-scanning and re-exploding
+    // the corpus four times — the difference between one pass and four at
+    // 100 TB. (ReuseExchange alone can't dedupe these branches: column
+    // pruning gives each a different aggregate subtree.)
+    val tf0 = docs
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("token"))
+      .groupBy($"doc_id", $"lang", $"token").agg(count(lit(1)).as("tf"))
+      .persist()
+    val tf = tf0.select($"doc_id", $"token", $"tf")
+    val ltf = tf0.groupBy($"lang", $"token").agg(sum($"tf").as("cnt_lt"))
+    val lcnt = tf0.groupBy($"lang").agg(sum($"tf").as("cnt_l"))
+    val vocab = tf0.agg(countDistinct($"token").as("v"))
     val langs = docs.select($"lang".as("cand_lang")).distinct()
     val scored = tf.crossJoin(langs)
       .join(ltf.withColumnRenamed("lang", "cand_lang"), Seq("cand_lang", "token"), "left")
