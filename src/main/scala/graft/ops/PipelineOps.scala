@@ -409,13 +409,43 @@ object PipelineOps {
       .orderBy($"w1", $"w2")
   }
 
+  // ---------- j25 sequence packing ----------
+
+  /** j25_sequence_pack — pretraining sequence packing, concat-then-chunk
+    * semantics: within each (lang, shard) stream, documents are laid
+    * end-to-end in doc_id order and cut into fixed 1024-token training
+    * sequences; each doc reports the sequence it starts in and its token
+    * offset inside it. This is the dataloader's "concatenate the corpus,
+    * chunk every context-length tokens" step, done declaratively.
+    *
+    * Scale shape: the running sum is a window over (lang, shard) — the
+    * deterministic shard key (doc_id % 8) bounds every partition to
+    * ~1/(8·|langs|) of the corpus, exactly how production packers shard
+    * per worker; no global sort, no single-partition window. (A
+    * whole-corpus pack would need a global range-partitioned prefix sum —
+    * deliberately avoided.) */
+  def j25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select($"lang", ($"doc_id" % 8).as("shard"), $"doc_id",
+        size(split($"text", " ")).as("n_toks"))
+      .withColumn("cum_before", coalesce(sum($"n_toks").over(w), lit(0L)))
+      .select($"lang", $"shard", $"doc_id", $"n_toks",
+        floor($"cum_before" / 1024).as("seq_id"),
+        ($"cum_before" % 1024).as("seq_offset"))
+      .orderBy($"lang", $"shard", $"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j12_minhash_lsh" -> j12, "j13_simhash" -> j13,
     "j14_embed_neardup" -> j14, "j15_langid" -> j15,
     "j16_quality_score" -> j16, "j17_token_stats" -> j17,
     "j18_rolling_fingerprint" -> j18, "j19_multimodal_binary" -> j19,
     "j20_ivf_topk" -> j20, "j22_decontaminate" -> j22,
-    "j23_hash_split" -> j23, "j24_bigram_lm" -> j24)
+    "j23_hash_split" -> j23, "j24_bigram_lm" -> j24,
+    "j25_sequence_pack" -> j25)
 
   val oracle: Map[String, String] = Map(
     "j12_minhash_lsh" ->
@@ -560,6 +590,16 @@ object PipelineOps {
         |       round(avg(n_toks), 6) AS avg_tokens,
         |       min(doc_id) AS first_doc
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j25_sequence_pack" ->
+      """WITH x AS (SELECT lang, doc_id % 8 AS shard, doc_id,
+        |  len(string_split(text, ' ')) AS n_toks FROM 'documents.parquet'),
+        |c AS (SELECT *, CAST(coalesce(sum(n_toks) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |      FROM x)
+        |SELECT lang, shard, doc_id, CAST(n_toks AS INTEGER) AS n_toks,
+        |       cum_before // 1024 AS seq_id,
+        |       cum_before % 1024 AS seq_offset
+        |FROM c ORDER BY lang, shard, doc_id""".stripMargin,
     "j24_bigram_lm" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS t FROM 'documents.parquet'),
         |bg AS (SELECT t[i] AS w1, t[i + 1] AS w2
