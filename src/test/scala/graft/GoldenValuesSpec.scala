@@ -59,6 +59,41 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("fingerprint")) === 1100271463L)
   }
 
+  test("j22_decontaminate first contaminated doc at sf0.01 matches DuckDB") {
+    val r = q01("j22_decontaminate").head()
+    assert(r.getLong(r.fieldIndex("doc_id")) === 1L)
+    assert(r.getLong(r.fieldIndex("n_shared_shingles")) === 7L)
+    assert(r.getLong(r.fieldIndex("n_eval_docs")) === 6L)
+    assert(r.getDouble(r.fieldIndex("contamination")) === 0.1)
+  }
+
+  test("j23_hash_split at sf0.01 matches DuckDB's md5-bucket assignment") {
+    val rows = q01("j23_hash_split").collect()
+      .map(r => r.getString(r.fieldIndex("split")) -> r).toMap
+    assert(rows.keySet === Set("train", "validation", "test"))
+    assert(rows("train").getLong(rows("train").fieldIndex("n_docs")) === 396L)
+    assert(rows("train").getLong(rows("train").fieldIndex("sum_chars")) === 120143L)
+    assert(rows("test").getLong(rows("test").fieldIndex("n_docs")) === 52L)
+    assert(rows("validation").getDouble(
+      rows("validation").fieldIndex("avg_tokens")) === 45.230769)
+  }
+
+  test("j24_bigram_lm first bigram at sf0.01 matches DuckDB") {
+    val r = q01("j24_bigram_lm").head()
+    assert(r.getString(r.fieldIndex("w1")) === "a")
+    assert(r.getString(r.fieldIndex("w2")) === "a")
+    assert(r.getLong(r.fieldIndex("c_bigram")) === 30L)
+    assert(r.getDouble(r.fieldIndex("p_cond")) === 0.034722)
+  }
+
+  test("j25_sequence_pack second doc in the (de, 0) shard starts at offset 25") {
+    val r = q01("j25_sequence_pack").collect()(1)
+    assert(r.getString(r.fieldIndex("lang")) === "de")
+    assert(r.getLong(r.fieldIndex("doc_id")) === 72L)
+    assert(r.getLong(r.fieldIndex("seq_id")) === 0L)
+    assert(r.getLong(r.fieldIndex("seq_offset")) === 25L)
+  }
+
   test("c12_join_asof_native first purchase at sf0.01 matches DuckDB ASOF JOIN") {
     val r = q01("c12_join_asof_native").head()
     assert(r.getLong(r.fieldIndex("purchase_id")) === 43L)
