@@ -16,7 +16,8 @@ object ScaleProbe {
     // costs don't land on the first measured point
     graft.ops.TextOps.j2(spark, args.head).count()
     spark.catalog.clearCache()
-    for (d <- args; q <- Seq("j2_dedup_near_jaccard", "j12_minhash_lsh", "j21_dedup_clusters")) {
+    for (d <- args; q <- Seq("j2_dedup_near_jaccard", "j12_minhash_lsh",
+        "j21_dedup_clusters", "j22_decontaminate")) {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(q)(spark, d).count()
       val dt = (System.nanoTime() - t0) / 1e9
