@@ -35,10 +35,20 @@ object Tables {
   private val resolved =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
 
-  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    resolved.computeIfAbsent(
-      (System.identityHashCode(spark), sfDir, name),
-      _ => spark.read.parquet(s"$sfDir/$name.parquet"))
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val key = (System.identityHashCode(spark), sfDir, name)
+    val cached = resolved.get(key)
+    // identity re-check: identityHashCode can be reused after a session is
+    // GC'd, so a hash hit alone could hand back a plan bound to a dead
+    // session — `eq` makes staleness impossible (worst case: recompute)
+    if (cached != null && (cached.sparkSession eq spark)) cached
+    else {
+      if (resolved.size > 256) resolved.clear() // bound stale-session pins
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      resolved.put(key, df)
+      df
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = read(s, d, "nation")
