@@ -255,6 +255,38 @@ object Sync {
       .withWatermark("ts", gap)
       .dropDuplicatesWithinWatermark("uid")
 
+  /** Streaming decontamination — the j22 batch operator on the change
+    * feed: each incoming document (doc_id, text, ts) is checked against a
+    * STATIC eval-benchmark shingle set; contaminated docs are emitted
+    * once. The eval side is tiny (benchmarks are MBs) and explicitly
+    * broadcast, so the stream side never shuffles for the probe — the
+    * same plan shape as batch j22 (PipelineOps.j22 / PLANS.md). Verdict
+    * dedup is watermark-bounded (dropDuplicatesWithinWatermark), so
+    * per-doc state is reclaimed once the doc's event time ages out. */
+  def decontaminateStream(docs: DataFrame, evalDocs: DataFrame,
+      gap: String = "10 minutes"): DataFrame = {
+    // 64-bit-hashed 3-token shingles, inline (same transform as
+    // PipelineOps.shingleDf, which is bound to the batch table reader)
+    val shingleHashes =
+      """array_distinct(transform(sequence(1, size(toks) - 2),
+        |  i -> xxhash64(concat(element_at(toks, i), ' ',
+        |                       element_at(toks, i + 1), ' ',
+        |                       element_at(toks, i + 2)))))""".stripMargin
+    val evalSh = evalDocs
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(expr(shingleHashes)).as("shh"))
+      .distinct()
+    docs
+      .withWatermark("ts", gap)
+      .select(col("doc_id"), col("ts"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("ts"), explode(expr(shingleHashes)).as("shh"))
+      .join(broadcast(evalSh), Seq("shh"), "left_semi")
+      .select(col("doc_id"), col("ts"))
+      .dropDuplicatesWithinWatermark("doc_id")
+  }
+
   /** i6 streaming form — the sync loop: each microbatch is LWW-merged into
     * the parquet snapshot at `targetDir` (read-modify-write per batch, the
     * foreachBatch upsert idiom; at scale this would be a MERGE INTO a

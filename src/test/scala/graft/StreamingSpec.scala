@@ -9,6 +9,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 case class Change(key: Long, ts: Timestamp, uid: Long, payload: String)
+case class Doc(doc_id: Long, text: String, ts: Timestamp)
 
 /** Streaming semantics the oracle can't see: watermark late-drop (i4),
   * within-watermark dedup (i5), the foreachBatch LWW sink (i6 streaming
@@ -63,6 +64,30 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val uids = spark.table("i5_out").select($"uid").as[Long].collect().sorted
       assert(uids === Array(100L, 200L)) // each uid exactly once
+    } finally q.stop()
+  }
+
+  test("streaming decontamination flags only eval-overlapping docs, once each") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val mem = MemoryStream[Doc]
+    val q = Sync.decontaminateStream(mem.toDF(), evalDocs)
+      .writeStream.format("memory").queryName("decon_out").outputMode("append").start()
+    try {
+      mem.addData(
+        // shares TWO shingles ("alpha beta gamma", "beta gamma delta") —
+        // must still be emitted exactly once
+        Doc(1, "alpha beta gamma delta epsilon", ts("2024-01-01 10:00:00")),
+        Doc(2, "zeta eta theta iota", ts("2024-01-01 10:00:10")))
+      q.processAllAvailable()
+      mem.addData( // in-watermark duplicate of doc 1: suppressed
+        Doc(1, "alpha beta gamma delta epsilon", ts("2024-01-01 10:01:00")),
+        Doc(3, "beta gamma delta kappa", ts("2024-01-01 10:01:30")))
+      q.processAllAvailable()
+      val flagged = spark.table("decon_out").select($"doc_id").as[Long].collect().sorted
+      assert(flagged === Array(1L, 3L)) // doc 2 clean, doc 1 once
     } finally q.stop()
   }
 
