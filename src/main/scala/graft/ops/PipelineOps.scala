@@ -438,6 +438,51 @@ object PipelineOps {
       .orderBy($"lang", $"shard", $"doc_id")
   }
 
+  // ---------- j26 embedding quantization ----------
+
+  /** j26_embed_quantize — int8 scalar quantization of the embedding
+    * column (the storage/serving compression step of an embedding
+    * pipeline): per-dimension min/max over the corpus, each element
+    * mapped to a 0–255 code, reporting the first code and the per-vector
+    * max/mean reconstruction error.
+    *
+    * Cross-engine determinism: codes use floor (never round — round's
+    * half-way rule differs between engines), and the mean error folds the
+    * error array SEQUENTIALLY (Spark `aggregate` HOF ≡ DuckDB list_sum,
+    * same left-to-right double accumulation as j9/j14) instead of an
+    * order-nondeterministic row aggregation.
+    *
+    * Scale shape: one posexplode + map-combined agg for the 64-row stats
+    * table, re-assembled into two ordered arrays and broadcast; the
+    * encode pass is a narrow per-row transform. Two corpus passes total,
+    * no big-side shuffle. */
+  def j26(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val stats = e.select(posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"pos")
+      .agg(min($"x".cast("double")).as("mn"), max($"x".cast("double")).as("mx"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(pos, mn))), t -> t.mn)").as("mns"),
+        expr("transform(array_sort(collect_list(struct(pos, mx))), t -> t.mx)").as("mxs"))
+    e.crossJoin(broadcast(stats))
+      .withColumn("codes", expr(
+        """transform(sequence(1, size(embedding)),
+          |  i -> CAST(least(255.0, floor((CAST(element_at(embedding, i) AS DOUBLE) - element_at(mns, i))
+          |       / (element_at(mxs, i) - element_at(mns, i)) * 256.0)) AS INT))""".stripMargin))
+      .withColumn("errs", expr(
+        """transform(sequence(1, size(embedding)),
+          |  i -> abs(CAST(element_at(embedding, i) AS DOUBLE) -
+          |       (element_at(mns, i) + (CAST(element_at(codes, i) AS DOUBLE) + 0.5) / 256.0
+          |        * (element_at(mxs, i) - element_at(mns, i)))))""".stripMargin))
+      .select($"vec_id", $"label",
+        expr("element_at(codes, 1)").as("code0"),
+        round(expr("array_max(errs)"), 6).as("max_abs_err"),
+        round(expr("aggregate(errs, CAST(0 AS DOUBLE), (a, e) -> a + e) / size(errs)"), 6)
+          .as("mean_abs_err"))
+      .orderBy($"vec_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j12_minhash_lsh" -> j12, "j13_simhash" -> j13,
     "j14_embed_neardup" -> j14, "j15_langid" -> j15,
@@ -445,7 +490,7 @@ object PipelineOps {
     "j18_rolling_fingerprint" -> j18, "j19_multimodal_binary" -> j19,
     "j20_ivf_topk" -> j20, "j22_decontaminate" -> j22,
     "j23_hash_split" -> j23, "j24_bigram_lm" -> j24,
-    "j25_sequence_pack" -> j25)
+    "j25_sequence_pack" -> j25, "j26_embed_quantize" -> j26)
 
   val oracle: Map[String, String] = Map(
     "j12_minhash_lsh" ->
@@ -590,6 +635,42 @@ object PipelineOps {
         |       round(avg(n_toks), 6) AS avg_tokens,
         |       min(doc_id) AS first_doc
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j26_embed_quantize" ->
+      """WITH px AS (
+        |  SELECT i AS pos, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+        |         max(CAST(embedding[i] AS DOUBLE)) AS mx
+        |  FROM 'embeddings.parquet', generate_series(1, 64) t(i) GROUP BY i),
+        |st AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM px),
+        |q AS (SELECT vec_id, label,
+        |  CAST(least(255.0, floor((CAST(embedding[1] AS DOUBLE) - mns[1])
+        |       / (mxs[1] - mns[1]) * 256.0)) AS INTEGER) AS code0,
+        |  list_transform(generate_series(1, 64), i ->
+        |    abs(CAST(embedding[i] AS DOUBLE) -
+        |        (mns[i] + (least(255.0, floor((CAST(embedding[i] AS DOUBLE) - mns[i])
+        |         / (mxs[i] - mns[i]) * 256.0)) + 0.5) / 256.0 * (mxs[i] - mns[i])))) AS errs
+        |  FROM 'embeddings.parquet' CROSS JOIN st)
+        |SELECT vec_id, label, code0,
+        |       round(list_max(errs), 6) AS max_abs_err,
+        |       round(list_sum(errs) / len(errs), 6) AS mean_abs_err
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "j26_embed_quantize" ->
+      """WITH px AS (
+        |  SELECT i AS pos, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+        |         max(CAST(embedding[i] AS DOUBLE)) AS mx
+        |  FROM 'embeddings.parquet', generate_series(1, 64) t(i) GROUP BY i),
+        |st AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM px),
+        |q AS (SELECT vec_id, label,
+        |  CAST(least(255.0, floor((CAST(embedding[1] AS DOUBLE) - mns[1])
+        |       / (mxs[1] - mns[1]) * 256.0)) AS INTEGER) AS code0,
+        |  list_transform(generate_series(1, 64), i ->
+        |    abs(CAST(embedding[i] AS DOUBLE) -
+        |        (mns[i] + (least(255.0, floor((CAST(embedding[i] AS DOUBLE) - mns[i])
+        |         / (mxs[i] - mns[i]) * 256.0)) + 0.5) / 256.0 * (mxs[i] - mns[i])))) AS errs
+        |  FROM 'embeddings.parquet' CROSS JOIN st)
+        |SELECT vec_id, label, code0,
+        |       round(list_max(errs), 6) AS max_abs_err,
+        |       round(list_sum(errs) / len(errs), 6) AS mean_abs_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     "j25_sequence_pack" ->
       """WITH x AS (SELECT lang, doc_id % 8 AS shard, doc_id,
         |  len(string_split(text, ' ')) AS n_toks FROM 'documents.parquet'),

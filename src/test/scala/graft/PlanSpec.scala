@@ -49,10 +49,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("NO query plans an accidental cartesian/nested-loop join") {
     // c8 is an intentional cartesian; j7/j15 crossJoin a ONE-ROW count
-    // aggregate (corpus size / vocab size) into the stream — that plans as
-    // BroadcastNestedLoopJoin but moves O(1) rows, the correct scalar-
+    // aggregate (corpus size / vocab size) into the stream, and j26 a
+    // ONE-ROW per-dimension min/max stats frame — those plan as
+    // BroadcastNestedLoopJoin but move O(1) rows, the correct scalar-
     // broadcast idiom at any scale.
-    val scalarBroadcast = Set("j7_tfidf", "j15_langid")
+    val scalarBroadcast = Set("j7_tfidf", "j15_langid", "j26_embed_quantize")
     val offenders = SparkEntry.queries.toSeq
       .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
       .flatMap { case (name, fn) =>
