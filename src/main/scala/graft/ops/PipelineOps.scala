@@ -51,6 +51,21 @@ object PipelineOps {
       |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
       |  FROM 'documents.parquet' WHERE len(string_split(text, ' ')) >= 3""".stripMargin
 
+  /** DuckDB form of the j13 SimHash fingerprint query (no final ORDER BY —
+    * also embedded as a CTE by the j27 banded Hamming join). */
+  private lazy val simhashFpSql =
+    s"""WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM 'documents.parquet')
+       |  GROUP BY doc_id, token),
+       |nibs AS (SELECT doc_id, tf,
+       |  strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1 AS nib1,
+       |  strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1 AS nib2,
+       |  strpos('0123456789abcdef', substr(md5(token), 3, 1)) - 1 AS nib3,
+       |  strpos('0123456789abcdef', substr(md5(token), 4, 1)) - 1 AS nib4
+       |  FROM tf)
+       |SELECT doc_id, ${simhashExpr((n, k) => s"($n >> $k)")} AS simhash
+       |FROM nibs GROUP BY doc_id""".stripMargin
+
   /** j12_minhash_lsh — MinHash (8 string-min hashes) banded 4×2; candidate
     * pairs from band collisions, then exact Jaccard verification ≥ 0.5. */
   def j12(s: SparkSession, d: String): DataFrame = {
@@ -438,6 +453,36 @@ object PipelineOps {
       .orderBy($"lang", $"shard", $"doc_id")
   }
 
+  // ---------- j27 simhash near-dup ----------
+
+  /** j27_simhash_neardup — the consumer of j13's fingerprints: Hamming-
+    * distance ≤ 1 near-dup pairs, candidates by LSH banding of the 16-bit
+    * SimHash into two bytes (pigeonhole: Hamming ≤ 1 implies at least one
+    * byte equal, so banding loses nothing at this radius). The same
+    * band→bucket→verify shape as j12, so candidate generation never
+    * touches the doc×doc product; the verify step is one codegen'd
+    * bit_count(xor) per candidate. */
+  def j27(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fp = j13(s, d).select($"doc_id", $"simhash")
+    val bands = fp.select($"doc_id", $"simhash", explode(expr(
+      """array(named_struct('band', 0, 'key', CAST(simhash % 256 AS BIGINT)),
+        |      named_struct('band', 1, 'key', CAST(simhash div 256 AS BIGINT)))""".stripMargin))
+      .as("b"))
+      .select($"doc_id", $"simhash", $"b.band".as("band"), $"b.key".as("key"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.simhash").as("s1"), col("y.simhash").as("s2"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
+      .filter($"hamming" <= 1)
+      .select($"d1", $"d2", $"hamming")
+      .orderBy($"d1", $"d2")
+  }
+
   // ---------- j26 embedding quantization ----------
 
   /** j26_embed_quantize — int8 scalar quantization of the embedding
@@ -490,7 +535,8 @@ object PipelineOps {
     "j18_rolling_fingerprint" -> j18, "j19_multimodal_binary" -> j19,
     "j20_ivf_topk" -> j20, "j22_decontaminate" -> j22,
     "j23_hash_split" -> j23, "j24_bigram_lm" -> j24,
-    "j25_sequence_pack" -> j25, "j26_embed_quantize" -> j26)
+    "j25_sequence_pack" -> j25, "j26_embed_quantize" -> j26,
+    "j27_simhash_neardup" -> j27)
 
   val oracle: Map[String, String] = Map(
     "j12_minhash_lsh" ->
@@ -515,18 +561,7 @@ object PipelineOps {
          |FROM i2 JOIN n na ON d1 = na.doc_id JOIN n nb ON d2 = nb.doc_id
          |WHERE inter / (na.ns + nb.ns - inter) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
-    "j13_simhash" ->
-      s"""WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM 'documents.parquet')
-         |  GROUP BY doc_id, token),
-         |nibs AS (SELECT doc_id, tf,
-         |  strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1 AS nib1,
-         |  strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1 AS nib2,
-         |  strpos('0123456789abcdef', substr(md5(token), 3, 1)) - 1 AS nib3,
-         |  strpos('0123456789abcdef', substr(md5(token), 4, 1)) - 1 AS nib4
-         |  FROM tf)
-         |SELECT doc_id, ${simhashExpr((n, k) => s"($n >> $k)")} AS simhash
-         |FROM nibs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "j13_simhash" -> s"$simhashFpSql ORDER BY doc_id",
     "j14_embed_neardup" ->
       """WITH e AS (SELECT vec_id, label,
         |           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -635,6 +670,18 @@ object PipelineOps {
         |       round(avg(n_toks), 6) AS avg_tokens,
         |       min(doc_id) AS first_doc
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j27_simhash_neardup" ->
+      s"""WITH fp AS ($simhashFpSql),
+         |bands AS (
+         |  SELECT doc_id, simhash, 0 AS band, CAST(simhash % 256 AS BIGINT) AS key FROM fp
+         |  UNION ALL
+         |  SELECT doc_id, simhash, 1 AS band, CAST(simhash // 256 AS BIGINT) AS key FROM fp),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+         |                x.simhash AS s1, y.simhash AS s2
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+         |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(s1, s2)) <= 1 ORDER BY d1, d2""".stripMargin,
     "j26_embed_quantize" ->
       """WITH px AS (
         |  SELECT i AS pos, min(CAST(embedding[i] AS DOUBLE)) AS mn,
@@ -653,6 +700,18 @@ object PipelineOps {
         |       round(list_max(errs), 6) AS max_abs_err,
         |       round(list_sum(errs) / len(errs), 6) AS mean_abs_err
         |FROM q ORDER BY vec_id""".stripMargin,
+    "j27_simhash_neardup" ->
+      s"""WITH fp AS ($simhashFpSql),
+         |bands AS (
+         |  SELECT doc_id, simhash, 0 AS band, CAST(simhash % 256 AS BIGINT) AS key FROM fp
+         |  UNION ALL
+         |  SELECT doc_id, simhash, 1 AS band, CAST(simhash // 256 AS BIGINT) AS key FROM fp),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+         |                x.simhash AS s1, y.simhash AS s2
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+         |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(s1, s2)) <= 1 ORDER BY d1, d2""".stripMargin,
     "j26_embed_quantize" ->
       """WITH px AS (
         |  SELECT i AS pos, min(CAST(embedding[i] AS DOUBLE)) AS mn,
