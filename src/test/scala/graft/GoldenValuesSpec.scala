@@ -94,6 +94,34 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("seq_offset")) === 25L)
   }
 
+  test("j28_domain_mix at sf0.01 balances languages to the min-lang size") {
+    val rows = q01("j28_domain_mix").collect()
+    assert(rows.length === 314)
+    val r = rows.head
+    assert(r.getLong(r.fieldIndex("doc_id")) === 0L)
+    assert(r.getString(r.fieldIndex("lang")) === "en")
+    assert(r.getDouble(r.fieldIndex("rate")) === 0.293578) // 64/218
+    val byLang = rows.groupBy(_.getString(r.fieldIndex("lang"))).view.mapValues(_.length)
+    // every lang lands near the min-lang count (64), en down from 218
+    assert(byLang("en") === 55)
+    assert(byLang("fr") === 64) // rate 1.0 keeps all
+  }
+
+  test("j29_repetition_filter first dropped doc at sf0.01 matches DuckDB") {
+    val r = q01("j29_repetition_filter")
+      .filter(org.apache.spark.sql.functions.col("keep") === 0).head()
+    assert(r.getLong(r.fieldIndex("doc_id")) === 45L)
+    assert(r.getLong(r.fieldIndex("n_toks")) === 80L)
+    assert(r.getDouble(r.fieldIndex("dup2_frac")) === 0.101266)
+    assert(r.getDouble(r.fieldIndex("dup3_frac")) === 0.012821)
+  }
+
+  test("j30_shuffle_shard first shard-0 positions at sf0.01 match DuckDB") {
+    val rows = q01("j30_shuffle_shard").collect().take(3)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0L, 1L, 271L), (0L, 2L, 285L), (0L, 3L, 410L)))
+  }
+
   test("c12_join_asof_native first purchase at sf0.01 matches DuckDB ASOF JOIN") {
     val r = q01("c12_join_asof_native").head()
     assert(r.getLong(r.fieldIndex("purchase_id")) === 43L)

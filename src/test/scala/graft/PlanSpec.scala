@@ -99,6 +99,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "bigram count must map-side combine")
   }
 
+  test("j28: rate table is broadcast onto the corpus — the big side never shuffles") {
+    val p = plan("j28_domain_mix")
+    // mixture sampling must filter the 100 TB side in place: the per-lang
+    // rate table (5-ish rows) reaches it via BroadcastHashJoin, and the
+    // only hash exchange in the plan is the one building that rate table
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("j29: repetition stats are pure per-row arithmetic — zero hash exchanges") {
+    val p = plan("j29_repetition_filter")
+    // the n-gram dup fractions compute inside the row (transform +
+    // array_distinct); any hash exchange means a join/agg crept in
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("whole-stage codegen covers the flagship plan") {
     // AQE finalizes stages lazily — execute first, then inspect
     val df = SparkEntry.queries("d1_agg_group")(TestSpark.spark, TestSpark.sf0001)
