@@ -287,6 +287,89 @@ object Sync {
       .dropDuplicatesWithinWatermark("doc_id")
   }
 
+  /** Per-row 3-token shingle array (distinct), from a `toks` column —
+    * the array-form twin of the exploded shingle relations in
+    * TextOps/PipelineOps, for places that must stay narrow (streaming). */
+  private val ShingleArr =
+    """array_distinct(transform(sequence(1, size(toks) - 2),
+      |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ',
+      |              element_at(toks, i + 2))))""".stripMargin
+
+  /** Add j12-identical MinHash columns m0..m7 to a frame holding a shingle
+    * ARRAY column — computed per row with array arithmetic, no aggregation
+    * (the streaming-safe form of j12's groupBy-min). Two md5 passes per
+    * row (salt 0/1), each 32-hex digest sliced into four 8-hex hashes. */
+  private def withRowMinhash(df: DataFrame, shCol: String): DataFrame = {
+    val hashed = df
+      .withColumn("mh0", expr(s"transform($shCol, x -> md5(concat('0:', x)))"))
+      .withColumn("mh1", expr(s"transform($shCol, x -> md5(concat('1:', x)))"))
+    (0 to 7).foldLeft(hashed) { (d, i) =>
+      d.withColumn(s"m$i", array_min(expr(
+        s"transform(mh${i / 4}, x -> substring(x, ${i % 4 * 8 + 1}, 8))")))
+    }.drop("mh0", "mh1")
+  }
+
+  /** j12's 4×2 banding over m0..m7 as (band, sig) rows. */
+  private val BandRows =
+    """explode(array(
+      |  named_struct('band', 0, 'sig', concat(m0, '|', m1)),
+      |  named_struct('band', 1, 'sig', concat(m2, '|', m3)),
+      |  named_struct('band', 2, 'sig', concat(m4, '|', m5)),
+      |  named_struct('band', 3, 'sig', concat(m6, '|', m7))))""".stripMargin
+
+  /** Incremental near-duplicate detection on the change feed — the
+    * streaming complement of the batch MinHash-LSH pass (PipelineOps.j12):
+    * every arriving document is checked against the EXISTING corpus
+    * without a doc×doc join and without re-scanning the corpus per batch.
+    * Emits one (doc_id, ts, cand_id, jaccard) verdict per detected pair,
+    * deduplicated within the watermark horizon.
+    *
+    * Static side, computed once per query (re)start from the corpus
+    * snapshot: the banded signature index (4 bands × 2 hashes, the exact
+    * j12 construction) and the per-doc shingle arrays for verification.
+    * Stream side: signatures are computed per ROW (array arithmetic — a
+    * narrow, aggregation-free transform, so the stream needs no shuffle
+    * before the probe), banded, and equi-joined against the index;
+    * band collisions are verified with an exact array-intersect Jaccard.
+    *
+    * Scale: both probe joins are stream-static equi-joins — the static
+    * side is planned once (broadcast while the index fits, shuffle-hash
+    * beyond), and per microbatch only the arriving rows move; there is no
+    * growing join state because the static side never changes mid-query.
+    * Corpus growth = restart against a refreshed snapshot (source offsets
+    * live in the checkpoint); at 100 TB the index and shingle sets become
+    * bucketed tables on their join keys so even the static shuffle is a
+    * one-time build. */
+  def lshDedupStream(docs: DataFrame, corpus: DataFrame,
+      gap: String = "10 minutes"): DataFrame = {
+    val corpusSh = corpus
+      .select(col("doc_id").as("cand_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("cand_id"), expr(ShingleArr).as("csh"))
+    val bandIndex = withRowMinhash(corpusSh, "csh")
+      .select(col("cand_id"), expr(BandRows).as("b"))
+      .select(col("cand_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+    val stream = withRowMinhash(
+      docs.withWatermark("ts", gap)
+        .select(col("doc_id"), col("ts"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("dsh", expr(ShingleArr)),
+      "dsh")
+      .select(col("doc_id"), col("ts"), col("dsh"), expr(BandRows).as("b"))
+      .select(col("doc_id"), col("ts"), col("dsh"),
+        col("b.band").as("band"), col("b.sig").as("sig"))
+    stream
+      .join(bandIndex, Seq("band", "sig"))
+      .filter(col("doc_id") =!= col("cand_id")) // a re-synced doc is not its own dup
+      .join(corpusSh, "cand_id")
+      .withColumn("inter", size(array_intersect(col("dsh"), col("csh"))))
+      .withColumn("jaccard", round(
+        col("inter") / (size(col("dsh")) + size(col("csh")) - col("inter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_id"), col("ts"), col("cand_id"), col("jaccard"))
+      .dropDuplicatesWithinWatermark("doc_id", "cand_id")
+  }
+
   /** i6 streaming form — the sync loop: each microbatch is LWW-merged into
     * the parquet snapshot at `targetDir` (read-modify-write per batch, the
     * foreachBatch upsert idiom; at scale this would be a MERGE INTO a

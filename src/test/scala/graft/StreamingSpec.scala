@@ -91,6 +91,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH dedup: arriving docs are matched against the corpus, once each") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (200L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val mem = MemoryStream[Doc]
+    val q = Sync.lshDedupStream(mem.toDF(), corpus)
+      .writeStream.format("memory").queryName("lsh_out").outputMode("append").start()
+    try {
+      mem.addData(
+        // exact copy of corpus doc 100 under a new id: Jaccard 1.0, every
+        // band collides — must be detected
+        Doc(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+          ts("2024-01-01 10:00:00")),
+        // unrelated vocabulary: no shingle overlap, no band collision
+        Doc(2, "red orange yellow green blue indigo violet", ts("2024-01-01 10:00:10")),
+        // last token changed vs corpus 100: 7 of 8 shingles shared,
+        // Jaccard 7/9 — high enough that the 4×2 banding collides (pinned:
+        // deterministic because the signatures are md5-derived)
+        Doc(3, "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+          ts("2024-01-01 10:00:20")))
+      q.processAllAvailable()
+      mem.addData( // in-watermark duplicate verdict: suppressed
+        Doc(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+          ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      val out = spark.table("lsh_out")
+        .select($"doc_id", $"cand_id", $"jaccard")
+        .as[(Long, Long, Double)].collect().sortBy(_._1)
+      assert(out.map(r => (r._1, r._2)).toSeq === Seq((1L, 100L), (3L, 100L)))
+      assert(out(0)._3 === 1.0)
+      assert(out(1)._3 === 0.777778) // 7 shared / 9 union, rounded to 6dp
+    } finally q.stop()
+  }
+
   test("i6 streaming: foreachBatch LWW sink converges to newest-per-key") {
     val spark = TestSpark.spark
     import spark.implicits._
