@@ -528,6 +528,57 @@ object PipelineOps {
       .orderBy($"vec_id")
   }
 
+  // ---------- j31 hyperplane-LSH embedding near-dup ----------
+
+  /** j31_embed_lsh_neardup — content-based embedding near-dup: random-
+    * hyperplane LSH (8 md5-derived pseudo-random hyperplanes → an 8-bit
+    * signature bucket), candidate pairs only within a bucket, exact-cosine
+    * verification ≥ 0.35. The label-free complement of j14 (whose coarse
+    * cell is the label column) — the same candidate-generation discipline
+    * j12 applies to text: never doc×doc, candidates from hash collisions
+    * only. Fixture measurement: 604 candidates vs 124,750 brute-force
+    * pairs (~200× pruning) at sf0.01.
+    *
+    * The hyperplane table is 8×64 doubles built from md5 nibbles (bit-
+    * identical in the oracle) and broadcast; signatures are then per-row
+    * sequential-fold arithmetic — no shuffle before the bucket self-join,
+    * which is keyed (per-bucket, never global). Sign-flip safety: the
+    * smallest |dot| on the fixtures is 5.8e-6, ~9 orders above any
+    * engine-order float divergence of an in-order 64-term sum. At 100 TB:
+    * widen the signature (more planes → geometrically smaller buckets),
+    * add independent tables / multi-probe for recall, salt hot buckets —
+    * the plan shape is unchanged. */
+  def j31(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    def nib(h: String): String =
+      s"""((instr('0123456789abcdef', substr($h, 1, 1)) - 1) * 4096 +
+         | (instr('0123456789abcdef', substr($h, 2, 1)) - 1) * 256 +
+         | (instr('0123456789abcdef', substr($h, 3, 1)) - 1) * 16 +
+         | (instr('0123456789abcdef', substr($h, 4, 1)) - 1))""".stripMargin
+    val hp = s.range(1).select(expr(
+      s"""transform(sequence(0, 7), k -> transform(sequence(1, 64),
+         |  i -> (${nib("md5(concat('hp:', k, ':', i))")} / 65536.0) - 0.5))""".stripMargin)
+      .as("hps"))
+    val e = Tables.embeddings(s, d)
+      .crossJoin(broadcast(hp))
+      .withColumn("bucket", expr(
+        """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, k) ->
+          |  acc + CASE WHEN aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
+          |      (sm, i) -> sm + CAST(element_at(embedding, i) AS DOUBLE) *
+          |                 element_at(element_at(hps, k + 1), i)) >= 0
+          |    THEN CAST(power(2, k) AS BIGINT) ELSE 0 END)""".stripMargin))
+      .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
+      .select($"vec_id", $"bucket", $"embedding", $"nrm")
+    val a = e.select($"bucket", $"vec_id".as("v1"), $"embedding".as("va"), $"nrm".as("na"))
+    val b = e.select($"bucket", $"vec_id".as("v2"), $"embedding".as("vb"), $"nrm".as("nb"))
+    a.join(b, Seq("bucket")).filter($"v1" < $"v2")
+      .withColumn("cos", expr("vec_dot(va, vb)") / ($"na" * $"nb"))
+      .filter($"cos" >= 0.35)
+      .select($"v1", $"v2", round($"cos", 6).as("cos_sim"))
+      .orderBy($"v1", $"v2")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j12_minhash_lsh" -> j12, "j13_simhash" -> j13,
     "j14_embed_neardup" -> j14, "j15_langid" -> j15,
@@ -536,7 +587,7 @@ object PipelineOps {
     "j20_ivf_topk" -> j20, "j22_decontaminate" -> j22,
     "j23_hash_split" -> j23, "j24_bigram_lm" -> j24,
     "j25_sequence_pack" -> j25, "j26_embed_quantize" -> j26,
-    "j27_simhash_neardup" -> j27)
+    "j27_simhash_neardup" -> j27, "j31_embed_lsh_neardup" -> j31)
 
   val oracle: Map[String, String] = Map(
     "j12_minhash_lsh" ->
@@ -562,6 +613,29 @@ object PipelineOps {
          |WHERE inter / (na.ns + nb.ns - inter) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
     "j13_simhash" -> s"$simhashFpSql ORDER BY doc_id",
+    "j31_embed_lsh_neardup" ->
+      """WITH hp AS (SELECT k, list_transform(generate_series(1, 64), i ->
+        |      (((strpos('0123456789abcdef', substr(md5('hp:' || k || ':' || i), 1, 1)) - 1) * 4096 +
+        |        (strpos('0123456789abcdef', substr(md5('hp:' || k || ':' || i), 2, 1)) - 1) * 256 +
+        |        (strpos('0123456789abcdef', substr(md5('hp:' || k || ':' || i), 3, 1)) - 1) * 16 +
+        |        (strpos('0123456789abcdef', substr(md5('hp:' || k || ':' || i), 4, 1)) - 1)) / 65536.0) - 0.5) AS h
+        |    FROM generate_series(0, 7) t(k)),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM 'embeddings.parquet'),
+        |dots AS (SELECT e.vec_id, hp.k,
+        |        list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * hp.h[i])) AS dt
+        |        FROM e CROSS JOIN hp),
+        |sig AS (SELECT vec_id, CAST(sum(CASE WHEN dt >= 0 THEN CAST(power(2, k) AS INT) ELSE 0 END) AS BIGINT) AS bucket
+        |        FROM dots GROUP BY vec_id),
+        |cand AS (SELECT a.vec_id AS v1, b.vec_id AS v2
+        |         FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT v1, v2,
+        |round(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) /
+        |  (sqrt(list_sum(list_transform(a.v, x -> x * x))) * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos_sim
+        |FROM cand JOIN e a ON a.vec_id = v1 JOIN e b ON b.vec_id = v2
+        |WHERE list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) /
+        |  (sqrt(list_sum(list_transform(a.v, x -> x * x))) * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.35
+        |ORDER BY v1, v2""".stripMargin,
     "j14_embed_neardup" ->
       """WITH e AS (SELECT vec_id, label,
         |           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

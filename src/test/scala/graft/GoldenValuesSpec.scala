@@ -122,6 +122,15 @@ class GoldenValuesSpec extends AnyFunSuite {
       Seq((0L, 1L, 271L), (0L, 2L, 285L), (0L, 3L, 410L)))
   }
 
+  test("j31_embed_lsh_neardup at sf0.01 matches DuckDB's hyperplane buckets") {
+    val rows = q01("j31_embed_lsh_neardup").collect()
+    assert(rows.length === 8)
+    val r = rows.head
+    assert(r.getLong(r.fieldIndex("v1")) === 48L)
+    assert(r.getLong(r.fieldIndex("v2")) === 60L)
+    assert(r.getDouble(r.fieldIndex("cos_sim")) === 0.384083)
+  }
+
   test("c12_join_asof_native first purchase at sf0.01 matches DuckDB ASOF JOIN") {
     val r = q01("c12_join_asof_native").head()
     assert(r.getLong(r.fieldIndex("purchase_id")) === 43L)

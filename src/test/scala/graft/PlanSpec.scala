@@ -49,11 +49,12 @@ class PlanSpec extends AnyFunSuite {
 
   test("NO query plans an accidental cartesian/nested-loop join") {
     // c8 is an intentional cartesian; j7/j15 crossJoin a ONE-ROW count
-    // aggregate (corpus size / vocab size) into the stream, and j26 a
-    // ONE-ROW per-dimension min/max stats frame — those plan as
-    // BroadcastNestedLoopJoin but move O(1) rows, the correct scalar-
-    // broadcast idiom at any scale.
-    val scalarBroadcast = Set("j7_tfidf", "j15_langid", "j26_embed_quantize")
+    // aggregate (corpus size / vocab size) into the stream, j26 a
+    // ONE-ROW per-dimension min/max stats frame, and j31 a ONE-ROW
+    // hyperplane table — those plan as BroadcastNestedLoopJoin but move
+    // O(1) rows, the correct scalar-broadcast idiom at any scale.
+    val scalarBroadcast =
+      Set("j7_tfidf", "j15_langid", "j26_embed_quantize", "j31_embed_lsh_neardup")
     val offenders = SparkEntry.queries.toSeq
       .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
       .flatMap { case (name, fn) =>
@@ -113,6 +114,15 @@ class PlanSpec extends AnyFunSuite {
     // the n-gram dup fractions compute inside the row (transform +
     // array_distinct); any hash exchange means a join/agg crept in
     assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("j31: pair candidates come from a keyed bucket join, never vec×vec") {
+    val p = plan("j31_embed_lsh_neardup")
+    // the only nested-loop join allowed is the 1-row hyperplane broadcast;
+    // the candidate join itself must be an equi-join on the LSH bucket
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      ("BroadcastHashJoin".r.findAllIn(p).nonEmpty), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("whole-stage codegen covers the flagship plan") {
