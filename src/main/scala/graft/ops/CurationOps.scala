@@ -19,15 +19,6 @@ import org.apache.spark.sql.functions._
   */
 object CurationOps {
 
-  /** First-4-hex-nibble integer of md5(salt || doc_id) in [0, 65536) —
-    * the shared uniform-hash device (same construction as j23's bucket,
-    * different salts keep the j23/j28/j30 decisions independent). */
-  private def nibbleInt(salted: String): String =
-    s"""((instr('0123456789abcdef', substr($salted, 1, 1)) - 1) * 4096 +
-       | (instr('0123456789abcdef', substr($salted, 2, 1)) - 1) * 256 +
-       | (instr('0123456789abcdef', substr($salted, 3, 1)) - 1) * 16 +
-       | (instr('0123456789abcdef', substr($salted, 4, 1)) - 1))""".stripMargin
-
   /** j28_domain_mix — mixture rebalancing: downsample every language to
     * the size of the smallest one (rate = min_cnt / cnt), keeping a doc
     * iff its salted-hash fraction < its language's rate. Deterministic —
@@ -50,7 +41,7 @@ object CurationOps {
       (min($"cnt").over(Window.partitionBy()) / $"cnt").as("rate"))
     docs
       .withColumn("h", md5(concat(lit("mix:"), $"doc_id".cast("string"))))
-      .withColumn("frac", expr(nibbleInt("h")) / lit(65536.0))
+      .withColumn("frac", expr(Hashing.nibbleInt("h")) / lit(65536.0))
       .join(broadcast(rates), "lang")
       .filter($"frac" < $"rate")
       .select($"doc_id", $"lang", $"source", round($"rate", 6).as("rate"))
@@ -74,14 +65,21 @@ object CurationOps {
       s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', $parts))"
     }
     def dupFrac(g: String): org.apache.spark.sql.Column =
-      lit(1.0) - size(array_distinct(expr(g))).cast("double") / size(expr(g))
+      lit(1.0) - size(array_distinct(col(g))).cast("double") / size(col(g))
+    // materialize each gram array (and the reused dup-2 fraction) as a
+    // named column in its own projection: HOFs are CodegenFallback, so
+    // codegen subexpression elimination can NOT merge repeated transform
+    // calls — without this, g2 would be built 3× and g3 2× per row
     Tables.documents(s, d)
       .select($"doc_id", split($"text", " ").as("toks"))
       .filter(size($"toks") >= 3)
       .select($"doc_id", size($"toks").cast("long").as("n_toks"),
-        round(dupFrac(grams(2)), 6).as("dup2_frac"),
-        round(dupFrac(grams(3)), 6).as("dup3_frac"),
-        when(dupFrac(grams(2)) <= 0.10, 1).otherwise(0).as("keep"))
+        expr(grams(2)).as("g2"), expr(grams(3)).as("g3"))
+      .select($"doc_id", $"n_toks", dupFrac("g2").as("d2"), dupFrac("g3").as("d3"))
+      .select($"doc_id", $"n_toks",
+        round($"d2", 6).as("dup2_frac"),
+        round($"d3", 6).as("dup3_frac"),
+        when($"d2" <= 0.10, 1).otherwise(0).as("keep"))
       .orderBy($"doc_id")
   }
 
@@ -91,21 +89,20 @@ object CurationOps {
     * pair IS the training order — reproducible across engines and runs,
     * no RNG, no driver-side state.
     *
-    * Scale shape: one hash projection + one rank per shard. The shard
+    * Scale shape: one hash projection + one rank per shard — a single
+    * hashpartitioning exchange does the real work (the trailing
+    * presentation sort adds an output-only range exchange; a production
+    * run writes partitionBy(shard) sorted files and skips it). The shard
     * count is the parallelism knob — the demo's 8 becomes ~10k at 100 TB
     * so each shard's window sort fits one task comfortably (the key is
     * uniform, so shards are balanced by construction); equivalently
-    * `repartitionByRange(shard, skey)` + a per-partition running index.
-    * Either way the data moves through exactly one exchange. */
+    * `repartitionByRange(shard, skey)` + a per-partition running index. */
   def j30(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"shard").orderBy($"skey", $"doc_id")
     Tables.documents(s, d)
       .withColumn("skey", md5(concat(lit("shuf:"), $"doc_id".cast("string"))))
-      .withColumn("shard", expr(
-        """((instr('0123456789abcdef', substr(skey, 1, 1)) - 1) * 16 +
-          | (instr('0123456789abcdef', substr(skey, 2, 1)) - 1)) % 8""".stripMargin)
-        .cast("long"))
+      .withColumn("shard", expr(s"${Hashing.nibbleInt("skey", 2)} % 8").cast("long"))
       .withColumn("pos", row_number().over(w).cast("long"))
       .select($"shard", $"pos", $"doc_id")
       .orderBy($"shard", $"pos")

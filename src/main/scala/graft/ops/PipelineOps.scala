@@ -377,11 +377,7 @@ object PipelineOps {
     import s.implicits._
     Tables.documents(s, d)
       .withColumn("h", md5($"doc_id".cast("string")))
-      .withColumn("bucket", expr(
-        """((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
-          |(instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
-          |(instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
-          |(instr('0123456789abcdef', substr(h, 4, 1)) - 1)) % 100""".stripMargin))
+      .withColumn("bucket", expr(s"${Hashing.nibbleInt("h")} % 100"))
       .withColumn("split",
         when($"bucket" < 80, "train")
           .when($"bucket" < 90, "validation")
@@ -551,14 +547,9 @@ object PipelineOps {
   def j31(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.functions.VectorExpressions.register(s)
-    def nib(h: String): String =
-      s"""((instr('0123456789abcdef', substr($h, 1, 1)) - 1) * 4096 +
-         | (instr('0123456789abcdef', substr($h, 2, 1)) - 1) * 256 +
-         | (instr('0123456789abcdef', substr($h, 3, 1)) - 1) * 16 +
-         | (instr('0123456789abcdef', substr($h, 4, 1)) - 1))""".stripMargin
     val hp = s.range(1).select(expr(
       s"""transform(sequence(0, 7), k -> transform(sequence(1, 64),
-         |  i -> (${nib("md5(concat('hp:', k, ':', i))")} / 65536.0) - 0.5))""".stripMargin)
+         |  i -> (${Hashing.nibbleInt("md5(concat('hp:', k, ':', i))")} / 65536.0) - 0.5))""".stripMargin)
       .as("hps"))
     val e = Tables.embeddings(s, d)
       .crossJoin(broadcast(hp))

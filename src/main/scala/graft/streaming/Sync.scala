@@ -265,13 +265,10 @@ object Sync {
     * per-doc state is reclaimed once the doc's event time ages out. */
   def decontaminateStream(docs: DataFrame, evalDocs: DataFrame,
       gap: String = "10 minutes"): DataFrame = {
-    // 64-bit-hashed 3-token shingles, inline (same transform as
-    // PipelineOps.shingleDf, which is bound to the batch table reader)
-    val shingleHashes =
-      """array_distinct(transform(sequence(1, size(toks) - 2),
-        |  i -> xxhash64(concat(element_at(toks, i), ' ',
-        |                       element_at(toks, i + 1), ' ',
-        |                       element_at(toks, i + 2)))))""".stripMargin
+    // 64-bit-hashed 3-token shingles: the shared per-row shingle array,
+    // hashed (same construction as PipelineOps.shingleDf's shh column,
+    // which is bound to the batch table reader)
+    val shingleHashes = s"transform($ShingleArr, x -> xxhash64(x))"
     val evalSh = evalDocs
       .select(split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -342,13 +339,21 @@ object Sync {
     * one-time build. */
   def lshDedupStream(docs: DataFrame, corpus: DataFrame,
       gap: String = "10 minutes"): DataFrame = {
+    // persist BOTH static frames: a stream-static join re-executes the
+    // static plan every microbatch, so without the cache each batch would
+    // re-scan and re-minhash the whole corpus twice (once per join) —
+    // per-batch cost must stay O(arriving rows). The caches live for the
+    // query's lifetime; release with spark.catalog.clearCache() after
+    // stopping (USAGE §3b).
     val corpusSh = corpus
       .select(col("doc_id").as("cand_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("cand_id"), expr(ShingleArr).as("csh"))
+      .persist()
     val bandIndex = withRowMinhash(corpusSh, "csh")
       .select(col("cand_id"), expr(BandRows).as("b"))
       .select(col("cand_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+      .persist()
     val stream = withRowMinhash(
       docs.withWatermark("ts", gap)
         .select(col("doc_id"), col("ts"), split(col("text"), " ").as("toks"))
@@ -363,10 +368,14 @@ object Sync {
       .filter(col("doc_id") =!= col("cand_id")) // a re-synced doc is not its own dup
       .join(corpusSh, "cand_id")
       .withColumn("inter", size(array_intersect(col("dsh"), col("csh"))))
-      .withColumn("jaccard", round(
-        col("inter") / (size(col("dsh")) + size(col("csh")) - col("inter")), 6))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_id"), col("ts"), col("cand_id"), col("jaccard"))
+      // filter on the UNROUNDED value (matching batch j12's gate exactly —
+      // rounding first would admit pairs in [0.4999995, 0.5)), round only
+      // for display
+      .withColumn("jac", col("inter") /
+        (size(col("dsh")) + size(col("csh")) - col("inter")))
+      .filter(col("jac") >= 0.5)
+      .select(col("doc_id"), col("ts"), col("cand_id"),
+        round(col("jac"), 6).as("jaccard"))
       .dropDuplicatesWithinWatermark("doc_id", "cand_id")
   }
 

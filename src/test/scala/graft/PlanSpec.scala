@@ -116,6 +116,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("j30: one hashpartitioning exchange (the shard window) moves the data") {
+    val p = plan("j30_shuffle_shard")
+    // the per-shard rank is the only hash exchange; the trailing orderBy
+    // is a range exchange (presentation only — a production run writes
+    // partitionBy(shard) sorted files instead)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
   test("j31: pair candidates come from a keyed bucket join, never vec×vec") {
     val p = plan("j31_embed_lsh_neardup")
     // the only nested-loop join allowed is the 1-row hyperplane broadcast;
