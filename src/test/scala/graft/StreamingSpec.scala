@@ -129,6 +129,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH dedup matches an independent in-memory model on random docs") {
+    // model: pure-Scala shingles → MessageDigest md5 minhashes → 4×2
+    // banding → exact-Jaccard verify. Independent of every Spark
+    // expression the operator uses, so it cross-checks the md5/substring/
+    // array-min semantics AND the band-collision candidate logic.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def shingles(text: String): Set[String] = {
+      val t = text.split(" ")
+      if (t.length < 3) Set.empty
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def minhash(sh: Set[String]): IndexedSeq[String] =
+      (0 to 7).map(i => sh.map(x =>
+        md5hex(s"${i / 4}:$x").substring(i % 4 * 8, i % 4 * 8 + 8)).min)
+    def modelVerdicts(stream: Map[Long, String], corpus: Map[Long, String])
+        : Set[(Long, Long, Double)] = {
+      val cm = corpus.map { case (id, t) => id -> (shingles(t), minhash(shingles(t))) }
+      for {
+        (sid, st) <- stream.toSet[(Long, String)]
+        ssh = shingles(st) if ssh.nonEmpty
+        sm = minhash(ssh)
+        (cid, (csh, cmh)) <- cm if cid != sid
+        if (0 to 3).exists(b => sm(2 * b) + "|" + sm(2 * b + 1) == cmh(2 * b) + "|" + cmh(2 * b + 1))
+        inter = (ssh intersect csh).size
+        jac = inter.toDouble / (ssh.size + csh.size - inter)
+        if jac >= 0.5
+      } yield (sid, cid, BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val vocab = ('a' to 't').map(_.toString)
+    def randDoc(): String =
+      Seq.fill(5 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    def mutate(t: String): String = { // change one token → a near-dup
+      val toks = t.split(" ")
+      toks.updated(rnd.nextInt(toks.length), "zz").mkString(" ")
+    }
+    val corpus = (100L until 130L).map(_ -> randDoc()).toMap
+    // 6 near-copies of corpus docs + 4 fresh randoms
+    val stream = ((1L to 6L).map(i => i -> mutate(corpus(99L + i * 5))) ++
+      (7L to 10L).map(_ -> randDoc())).toMap
+    val want = modelVerdicts(stream, corpus)
+    assert(want.nonEmpty, "model produced no verdicts — test would be vacuous")
+    val mem = MemoryStream[Doc]
+    val q = Sync.lshDedupStream(
+      mem.toDF(), corpus.toSeq.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("lsh_model_out").outputMode("append").start()
+    try {
+      mem.addData(stream.toSeq.map { case (id, t) =>
+        Doc(id, t, ts("2024-01-01 10:00:00")) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("lsh_model_out")
+        .select($"doc_id", $"cand_id", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("i6 streaming: foreachBatch LWW sink converges to newest-per-key") {
     val spark = TestSpark.spark
     import spark.implicits._
