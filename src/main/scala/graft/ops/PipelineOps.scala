@@ -547,9 +547,14 @@ object PipelineOps {
   def j31(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.functions.VectorExpressions.register(s)
+    // CAST to DOUBLE before dividing: a bare `/ 65536.0` parses as a
+    // DECIMAL literal in Spark SQL and decimal division would round the
+    // hyperplane components to ~7 fractional digits — silently eroding
+    // the sign-decision margin that the oracle (exact double division)
+    // and the scaladoc's 5.8e-6 min-|dot| claim depend on
     val hp = s.range(1).select(expr(
       s"""transform(sequence(0, 7), k -> transform(sequence(1, 64),
-         |  i -> (${Hashing.nibbleInt("md5(concat('hp:', k, ':', i))")} / 65536.0) - 0.5))""".stripMargin)
+         |  i -> (CAST(${Hashing.nibbleInt("md5(concat('hp:', k, ':', i))")} AS DOUBLE) / 65536.0) - 0.5))""".stripMargin)
       .as("hps"))
     val e = Tables.embeddings(s, d)
       .crossJoin(broadcast(hp))
