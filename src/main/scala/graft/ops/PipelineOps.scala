@@ -575,6 +575,44 @@ object PipelineOps {
       .orderBy($"v1", $"v2")
   }
 
+  // ---------- j32 count-min-sketch heavy hitters ----------
+
+  /** j32_heavy_hitters_sketch — top-k frequent tokens through a count-min
+    * sketch (4 md5-salted hash rows × 16 cells, deliberately undersized so
+    * collisions are real on the fixture vocabulary): est(token) = min over
+    * rows of its cell count, reported next to the exact count so the
+    * sketch's one-sided overestimate is visible. The technique class d3's
+    * built-in HLL doesn't cover: a custom sketch composed from plain
+    * groupBys (SURVEY's preference (a) — no UDAF needed), deterministic
+    * cross-engine because the hash rows are md5-nibble arithmetic.
+    *
+    * Scale shape: the sketch build is a 4× row generate into a 64-cell
+    * map-combined aggregation — bounded state regardless of vocabulary
+    * size, which is the whole point of CMS at 100 TB (the exact-count
+    * side exists here as the verification baseline; production keeps
+    * only the sketch + a candidate heap). The tiny sketch is broadcast
+    * back for estimation. */
+  def j32(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def cell(rCol: String): String =
+      Hashing.nibbleInt(s"md5(concat($rCol, ':', token))", 1)
+    val tok = Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("token"))
+    val sketch = tok
+      .select($"token", explode(expr("sequence(0, 3)")).as("r"))
+      .withColumn("cell", expr(cell("r")))
+      .groupBy($"r", $"cell").agg(count(lit(1)).as("cnt"))
+    val exact = tok.groupBy($"token").agg(count(lit(1)).as("exact_n"))
+    exact
+      .select($"token", $"exact_n", explode(expr("sequence(0, 3)")).as("r"))
+      .withColumn("cell", expr(cell("r")))
+      .join(broadcast(sketch), Seq("r", "cell"))
+      .groupBy($"token", $"exact_n").agg(min($"cnt").as("est_n"))
+      .select($"token", $"est_n", $"exact_n", ($"est_n" - $"exact_n").as("overcount"))
+      .orderBy($"est_n".desc, $"token".asc)
+      .limit(10)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j12_minhash_lsh" -> j12, "j13_simhash" -> j13,
     "j14_embed_neardup" -> j14, "j15_langid" -> j15,
@@ -583,7 +621,8 @@ object PipelineOps {
     "j20_ivf_topk" -> j20, "j22_decontaminate" -> j22,
     "j23_hash_split" -> j23, "j24_bigram_lm" -> j24,
     "j25_sequence_pack" -> j25, "j26_embed_quantize" -> j26,
-    "j27_simhash_neardup" -> j27, "j31_embed_lsh_neardup" -> j31)
+    "j27_simhash_neardup" -> j27, "j31_embed_lsh_neardup" -> j31,
+    "j32_heavy_hitters_sketch" -> j32)
 
   val oracle: Map[String, String] = Map(
     "j12_minhash_lsh" ->
@@ -609,6 +648,20 @@ object PipelineOps {
          |WHERE inter / (na.ns + nb.ns - inter) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
     "j13_simhash" -> s"$simhashFpSql ORDER BY doc_id",
+    "j32_heavy_hitters_sketch" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM 'documents.parquet'),
+        |cells AS (SELECT token, r,
+        |          (strpos('0123456789abcdef', substr(md5(r || ':' || token), 1, 1)) - 1) AS cell
+        |          FROM tok CROSS JOIN generate_series(0, 3) t(r)),
+        |sketch AS (SELECT r, cell, count(*) AS cnt FROM cells GROUP BY r, cell),
+        |exact AS (SELECT token, count(*) AS exact_n FROM tok GROUP BY token),
+        |est AS (SELECT e.token, e.exact_n, min(s.cnt) AS est_n
+        |        FROM exact e CROSS JOIN generate_series(0, 3) t(r)
+        |        JOIN sketch s ON s.r = t.r AND s.cell =
+        |          (strpos('0123456789abcdef', substr(md5(t.r || ':' || e.token), 1, 1)) - 1)
+        |        GROUP BY e.token, e.exact_n)
+        |SELECT token, est_n, exact_n, est_n - exact_n AS overcount
+        |FROM est ORDER BY est_n DESC, token ASC LIMIT 10""".stripMargin,
     "j31_embed_lsh_neardup" ->
       """WITH hp AS (SELECT k, list_transform(generate_series(1, 64), i ->
         |      (((strpos('0123456789abcdef', substr(md5('hp:' || k || ':' || i), 1, 1)) - 1) * 4096 +

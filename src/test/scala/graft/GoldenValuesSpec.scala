@@ -131,6 +131,14 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(r.getDouble(r.fieldIndex("cos_sim")) === 0.384083)
   }
 
+  test("j32_heavy_hitters_sketch top estimate at sf0.01 shows the CMS overcount") {
+    val r = q01("j32_heavy_hitters_sketch").head()
+    assert(r.getString(r.fieldIndex("token")) === "stream")
+    assert(r.getLong(r.fieldIndex("est_n")) === 2765L)   // colliding cells
+    assert(r.getLong(r.fieldIndex("exact_n")) === 888L)
+    assert(r.getLong(r.fieldIndex("overcount")) === 1877L)
+  }
+
   test("c12_join_asof_native first purchase at sf0.01 matches DuckDB ASOF JOIN") {
     val r = q01("c12_join_asof_native").head()
     assert(r.getLong(r.fieldIndex("purchase_id")) === 43L)
