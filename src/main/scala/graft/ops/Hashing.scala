@@ -4,7 +4,7 @@ package graft.ops
   * device: the first `nibbles` hex chars of an md5 value read as a
   * base-16 integer, generated as a SQL fragment for `expr(...)`. Used by
   * j23 (split bucket), j28 (sampling fraction), j30 (shard), j31
-  * (hyperplane components); every DuckDB oracle carries the strpos()
+  * (hyperplane components), j32 (sketch cells); every DuckDB oracle carries the strpos()
   * mirror of the identical arithmetic, so the pseudo-random choices are
   * bit-reproducible across engines, runs, and cluster layouts. */
 private[graft] object Hashing {
