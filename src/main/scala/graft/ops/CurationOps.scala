@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   * filtering (j29), and the deterministic global shuffle that fixes the
   * training order (j30).
   *
+  * Each pass exists in two forms: a reusable DataFrame transformer
+  * ([[domainMix]] / [[repetitionStats]] / [[shuffleShard]]) that a
+  * production pipeline composes over whatever survives its previous
+  * stages (see [[curate]] for the full chain), and the jNN query wrapper
+  * that binds it to the fixture table with deterministic presentation —
+  * the oracled surface.
+  *
   * Same portability discipline as PipelineOps: every pseudo-random choice
   * is md5-nibble arithmetic over a salted id, so the sample/shuffle is
   * bit-reproducible across engines, runs, and cluster layouts — the
@@ -19,92 +26,167 @@ import org.apache.spark.sql.functions._
   */
 object CurationOps {
 
-  /** j28_domain_mix — mixture rebalancing: downsample every language to
-    * the size of the smallest one (rate = min_cnt / cnt), keeping a doc
-    * iff its salted-hash fraction < its language's rate. Deterministic —
-    * no RNG state, so adding executors or re-running yields the same
-    * sample; the expected per-lang output size is min_cnt for every lang.
+  /** Mixture rebalancing over any frame with (lang, doc_id): downsample
+    * every language to the size of the smallest one (rate = min_cnt /
+    * cnt), keeping a row iff its salted-hash fraction < its language's
+    * rate. Deterministic — no RNG state, so adding executors or
+    * re-running yields the same sample; expected per-lang output size is
+    * min_cnt for every lang. Returns the kept rows with a `rate` column.
     *
-    * Scale shape: one map-combined count per lang (5-ish rows), a scalar
-    * min broadcast back onto it, and the rate table broadcast onto the
-    * corpus scan — the 100 TB side is filtered in place with NO shuffle.
-    * Swapping `min(cnt)` for an explicit target-weight table turns this
-    * into general mixture reweighting (DoReMi-style) with the same plan. */
-  def j28(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, d)
-    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("cnt"))
+    * Scale shape: one map-combined count per lang (5-ish rows) and the
+    * rate table broadcast onto the input — the 100 TB side is filtered
+    * in place with NO shuffle. Swapping `min(cnt)` for an explicit
+    * target-weight table turns this into general mixture reweighting
+    * (DoReMi-style) with the same plan. */
+  def domainMix(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
     // global-window min instead of a separate agg+crossJoin: keeps the
     // count subtree single (Catalyst won't reuse the exchange across two
     // branches) — the single-partition window moves ~5 rows, not data
-    val rates = counts.select($"lang",
-      (min($"cnt").over(Window.partitionBy()) / $"cnt").as("rate"))
+    val rates = counts.select(col("lang"),
+      (min(col("cnt")).over(Window.partitionBy()) / col("cnt")).as("rate"))
     docs
-      .withColumn("h", md5(concat(lit("mix:"), $"doc_id".cast("string"))))
+      .withColumn("h", md5(concat(lit("mix:"), col("doc_id").cast("string"))))
       .withColumn("frac", expr(Hashing.nibbleInt("h")) / lit(65536.0))
       .join(broadcast(rates), "lang")
-      .filter($"frac" < $"rate")
+      .filter(col("frac") < col("rate"))
+      .drop("h", "frac")
+  }
+
+  /** j28_domain_mix — [[domainMix]] bound to the documents table. */
+  def j28(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    domainMix(Tables.documents(s, d))
       .select($"doc_id", $"lang", $"source", round($"rate", 6).as("rate"))
       .orderBy($"doc_id")
   }
 
-  /** j29_repetition_filter — intra-document repetition signal (the
-    * MassiveText/Gopher "repetitious text" family): per doc, the fraction
-    * of duplicate 2-grams and 3-grams among its word n-grams, plus the
-    * keep decision (dup-2-gram fraction ≤ 0.10).
+  /** Intra-document repetition signal (the MassiveText/Gopher
+    * "repetitious text" family) over any frame with a `text` column: the
+    * fraction of duplicate 2-grams and 3-grams among each doc's word
+    * n-grams (columns d2/d3, unrounded) plus the keep decision
+    * (dup-2-gram fraction ≤ 0.10). Rows with <3 tokens are dropped.
     *
     * Scale shape: the whole computation is per-row array arithmetic
-    * (transform + array_distinct + size) inside whole-stage codegen —
-    * ZERO shuffles, no joins; the only exchange is the final presentation
-    * sort. The n-gram lists live only inside the row being processed, so
-    * memory is O(doc length) per row at any corpus size. */
-  def j29(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+    * (transform + array_distinct + size) — ZERO shuffles, no joins; the
+    * n-gram lists live only inside the row being processed, so memory is
+    * O(doc length) per row at any corpus size. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
     def grams(n: Int): String = {
-      val parts = (0 until n).map(k => s"element_at(toks, i + $k)").mkString(", ")
-      s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', $parts))"
+      val parts = (0 until n).map(k => s"element_at(__toks, i + $k)").mkString(", ")
+      s"transform(sequence(1, size(__toks) - ${n - 1}), i -> concat_ws(' ', $parts))"
     }
-    def dupFrac(g: String): org.apache.spark.sql.Column =
+    def dupFrac(g: String): Column =
       lit(1.0) - size(array_distinct(col(g))).cast("double") / size(col(g))
     // materialize each gram array (and the reused dup-2 fraction) as a
     // named column in its own projection: HOFs are CodegenFallback, so
     // codegen subexpression elimination can NOT merge repeated transform
     // calls — without this, g2 would be built 3× and g3 2× per row
-    Tables.documents(s, d)
-      .select($"doc_id", split($"text", " ").as("toks"))
-      .filter(size($"toks") >= 3)
-      .select($"doc_id", size($"toks").cast("long").as("n_toks"),
-        expr(grams(2)).as("g2"), expr(grams(3)).as("g3"))
-      .select($"doc_id", $"n_toks", dupFrac("g2").as("d2"), dupFrac("g3").as("d3"))
+    docs
+      .withColumn("__toks", split(col("text"), " "))
+      .filter(size(col("__toks")) >= 3)
+      .withColumn("n_toks", size(col("__toks")).cast("long"))
+      .withColumn("__g2", expr(grams(2)))
+      .withColumn("__g3", expr(grams(3)))
+      .withColumn("d2", dupFrac("__g2"))
+      .withColumn("d3", dupFrac("__g3"))
+      .withColumn("keep", when(col("d2") <= 0.10, 1).otherwise(0))
+      .drop("__toks", "__g2", "__g3")
+  }
+
+  /** j29_repetition_filter — [[repetitionStats]] bound to the documents
+    * table, fractions rounded for presentation. */
+  def j29(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    repetitionStats(Tables.documents(s, d))
       .select($"doc_id", $"n_toks",
         round($"d2", 6).as("dup2_frac"),
         round($"d3", 6).as("dup3_frac"),
-        when($"d2" <= 0.10, 1).otherwise(0).as("keep"))
+        $"keep")
       .orderBy($"doc_id")
   }
 
-  /** j30_shuffle_shard — deterministic global training-order shuffle:
-    * every doc gets a salted md5 shuffle key, a shard (top byte mod 8),
-    * and its position within the shard (rank by key). The (shard, pos)
-    * pair IS the training order — reproducible across engines and runs,
-    * no RNG, no driver-side state.
+  /** Deterministic global training-order shuffle over any frame with a
+    * `doc_id` column: every row gets a salted md5 shuffle key, a shard
+    * (top byte mod `shards`), and its position within the shard (rank by
+    * key). The (shard, pos) pair IS the training order — reproducible
+    * across engines and runs, no RNG, no driver-side state.
     *
     * Scale shape: one hash projection + one rank per shard — a single
-    * hashpartitioning exchange does the real work (the trailing
-    * presentation sort adds an output-only range exchange; a production
-    * run writes partitionBy(shard) sorted files and skips it). The shard
-    * count is the parallelism knob — the demo's 8 becomes ~10k at 100 TB
-    * so each shard's window sort fits one task comfortably (the key is
-    * uniform, so shards are balanced by construction); equivalently
+    * hashpartitioning exchange does the real work. The shard count is
+    * the parallelism knob — the demo's 8 becomes ~10k at 100 TB so each
+    * shard's window sort fits one task comfortably (the key is uniform,
+    * so shards are balanced by construction); equivalently
     * `repartitionByRange(shard, skey)` + a per-partition running index. */
+  def shuffleShard(docs: DataFrame, shards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    docs
+      .withColumn("skey", md5(concat(lit("shuf:"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        expr(s"${Hashing.nibbleInt("skey", 2)} % $shards").cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
+  /** j30_shuffle_shard — [[shuffleShard]] bound to the documents table
+    * (the trailing presentation sort adds an output-only range exchange;
+    * a production run writes partitionBy(shard) sorted files instead). */
   def j30(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"shard").orderBy($"skey", $"doc_id")
-    Tables.documents(s, d)
-      .withColumn("skey", md5(concat(lit("shuf:"), $"doc_id".cast("string"))))
-      .withColumn("shard", expr(s"${Hashing.nibbleInt("skey", 2)} % 8").cast("long"))
-      .withColumn("pos", row_number().over(w).cast("long"))
+    shuffleShard(Tables.documents(s, d))
       .select($"shard", $"pos", $"doc_id")
+      .orderBy($"shard", $"pos")
+  }
+
+  /** The full curation chain, composed the way a production pretraining
+    * pipeline runs it — each stage consumes what the previous one kept
+    * (so e.g. mixture rates are computed over the FILTERED corpus, not
+    * the raw one):
+    *
+    *   1. exact dedup — keep the min-doc_id copy per content hash (j1)
+    *   2. near-dup dedup — keep only cluster representatives
+    *      (cluster_id == doc_id) from the j2→j21 pair/component pass
+    *   3. repetition filter — drop docs with dup-2-gram fraction > 0.10
+    *      (j29's gate)
+    *   4. decontamination — drop the eval docs themselves (doc_id%10==0
+    *      stand-in) and every training doc whose j22 contamination ratio
+    *      (shared shingles / own shingles) reaches 0.30. The ratio gate,
+    *      not any-single-shingle: on a boilerplate-heavy corpus (this
+    *      fixture: 424 of 450 docs share ≥1 shingle with eval, median
+    *      ratio ≈0.1) the binary criterion would empty the corpus, while
+    *      verbatim eval copies sit at ratio 1.0 — the 0.30 cut drops
+    *      exactly the plagiarized tail
+    *   5. domain mix — rebalance languages over the survivors (j28)
+    *   6. deterministic shuffle — fix the training order (j30)
+    *
+    * Returns (shard, pos, doc_id, lang, source, text), ordered. Every
+    * stage's semantics are pinned by its operator's DuckDB oracle; the
+    * composition itself is pinned by CurateSpec's cross-checks against
+    * those operators' outputs. */
+  def curate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val exactW = Window.partitionBy($"content_hash").orderBy($"doc_id".asc)
+    val exactKept = docs
+      .withColumn("content_hash", md5($"text"))
+      .withColumn("rn", row_number().over(exactW))
+      .filter($"rn" === 1).drop("rn", "content_hash")
+    // non-representative members of near-dup clusters (j21's drop set)
+    val (rawPairs, releaseShingles) = TextOps.nearDupPairsReleasable(s, d)
+    val pairs = rawPairs.select($"d1", $"d2").localCheckpoint()
+    releaseShingles()
+    val dupDrop = TextOps.connectedComponents(pairs)
+      .filter($"node" =!= $"label").select($"node".as("doc_id"))
+    val nearKept = exactKept.join(dupDrop, Seq("doc_id"), "left_anti")
+    val repKept = repetitionStats(nearKept)
+      .filter($"keep" === 1).drop("n_toks", "d2", "d3", "keep")
+    val contaminated = PipelineOps.j22(s, d)
+      .filter($"contamination" >= 0.30).select($"doc_id")
+    val decon = repKept
+      .filter($"doc_id" % 10 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val mixed = domainMix(decon).drop("rate")
+    shuffleShard(mixed)
+      .select($"shard", $"pos", $"doc_id", $"lang", $"source", $"text")
       .orderBy($"shard", $"pos")
   }
 

@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.CurationOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The end-to-end curation chain (CurationOps.curate) cross-checked
+  * against the individually-oracled operators it composes: every
+  * exclusion the pipeline makes must agree with the operator that owns
+  * that decision.
+  */
+class CurateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val out =
+    CurationOps.curate(spark, TestSpark.sf0001).collect()
+  private lazy val ids =
+    out.map(r => r.getLong(r.fieldIndex("doc_id"))).toSet
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, TestSpark.sf0001)
+
+  test("curate returns a non-empty, duplicate-free training set") {
+    assert(out.nonEmpty)
+    assert(ids.size === out.length)
+    // exact + near dedup: no two surviving docs share a text
+    val texts = out.map(r => r.getString(r.fieldIndex("text")))
+    assert(texts.distinct.length === texts.length)
+  }
+
+  test("no surviving doc is in the eval split or over the contamination cut (j22's gate)") {
+    assert(ids.forall(_ % 10 != 0))
+    val contaminated = q("j22_decontaminate")
+      .filter(col("contamination") >= 0.30)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(contaminated.nonEmpty, "threshold dropped nothing — gate untested")
+    assert((ids intersect contaminated).isEmpty)
+  }
+
+  test("only near-dup cluster representatives survive (j21's gate)") {
+    val nonReps = q("j21_dedup_clusters")
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert((ids intersect nonReps).isEmpty)
+  }
+
+  test("every surviving doc passes the repetition filter (j29's gate)") {
+    val dropped = q("j29_repetition_filter")
+      .filter(col("keep") === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert((ids intersect dropped).isEmpty)
+  }
+
+  test("languages are balanced over the survivors and positions are contiguous") {
+    val byLang = out.groupBy(r => r.getString(r.fieldIndex("lang")))
+      .view.mapValues(_.length).toMap
+    assert(byLang.size === 5) // every language still represented
+    // the mix stage samples each lang toward the smallest one's size
+    assert(byLang.values.max <= byLang.values.min * 2,
+      s"mixture too skewed: $byLang")
+    // (shard, pos) is a valid training order: pos = 1..n within each shard
+    out.groupBy(r => r.getLong(r.fieldIndex("shard"))).foreach {
+      case (_, rows) =>
+        val ps = rows.map(r => r.getLong(r.fieldIndex("pos"))).sorted
+        assert(ps.toSeq === (1L to ps.length).toSeq)
+    }
+  }
+}
