@@ -49,6 +49,27 @@ class CurateSpec extends AnyFunSuite {
     assert((ids intersect dropped).isEmpty)
   }
 
+  test("domainMix and shuffleShard are invariant to the input partitioning") {
+    // the core layout-independence claim: the sample and the training
+    // order are pure functions of the data, so any repartitioning of the
+    // input (1 partition, or scattered across 13) yields identical output
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    def mixIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      CurationOps.domainMix(df).select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+    def order(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      CurationOps.shuffleShard(df)
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+    val base = (mixIds(docs), order(docs))
+    for (n <- Seq(1, 13)) {
+      val re = docs.repartition(n)
+      assert(mixIds(re) === base._1, s"domainMix differs at $n partitions")
+      assert(order(re) === base._2, s"shuffleShard differs at $n partitions")
+    }
+  }
+
   test("languages are balanced over the survivors and positions are contiguous") {
     val byLang = out.groupBy(r => r.getString(r.fieldIndex("lang")))
       .view.mapValues(_.length).toMap
