@@ -26,6 +26,18 @@ import org.apache.spark.sql.functions._
   */
 object CurationOps {
 
+  /** Exact dedup over any frame with (doc_id, text): keep the min-doc_id
+    * row per md5(text), adding the `content_hash` column. One shuffle on
+    * the hash; the window carries one row per duplicate group member.
+    * (j1's core — TextOps.j1 binds it to the table.) */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id").asc)
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Mixture rebalancing over any frame with (lang, doc_id): downsample
     * every language to the size of the smallest one (rate = min_cnt /
     * cnt), keeping a row iff its salted-hash fraction < its language's
@@ -65,7 +77,9 @@ object CurationOps {
     * "repetitious text" family) over any frame with a `text` column: the
     * fraction of duplicate 2-grams and 3-grams among each doc's word
     * n-grams (columns d2/d3, unrounded) plus the keep decision
-    * (dup-2-gram fraction ≤ 0.10). Rows with <3 tokens are dropped.
+    * (dup-2-gram fraction ≤ 0.10). Docs too short to form an n-gram
+    * cannot be repetitious: their fraction is 0 and they are KEPT — a
+    * filtering transformer must not silently eat short documents.
     *
     * Scale shape: the whole computation is per-row array arithmetic
     * (transform + array_distinct + size) — ZERO shuffles, no joins; the
@@ -77,17 +91,22 @@ object CurationOps {
       s"transform(sequence(1, size(__toks) - ${n - 1}), i -> concat_ws(' ', $parts))"
     }
     def dupFrac(g: String): Column =
-      lit(1.0) - size(array_distinct(col(g))).cast("double") / size(col(g))
+      when(size(col(g)) > 0,
+        lit(1.0) - size(array_distinct(col(g))).cast("double") / size(col(g)))
+        .otherwise(lit(0.0))
     // materialize each gram array (and the reused dup-2 fraction) as a
     // named column in its own projection: HOFs are CodegenFallback, so
     // codegen subexpression elimination can NOT merge repeated transform
-    // calls — without this, g2 would be built 3× and g3 2× per row
+    // calls — without this, g2 would be built 3× and g3 2× per row.
+    // The >= guards keep sequence() from ever running backwards on short
+    // docs (sequence(1, 0) would DESCEND, not return empty).
     docs
       .withColumn("__toks", split(col("text"), " "))
-      .filter(size(col("__toks")) >= 3)
       .withColumn("n_toks", size(col("__toks")).cast("long"))
-      .withColumn("__g2", expr(grams(2)))
-      .withColumn("__g3", expr(grams(3)))
+      .withColumn("__g2", when(col("n_toks") >= 2, expr(grams(2)))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+      .withColumn("__g3", when(col("n_toks") >= 3, expr(grams(3)))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
       .withColumn("d2", dupFrac("__g2"))
       .withColumn("d3", dupFrac("__g3"))
       .withColumn("keep", when(col("d2") <= 0.10, 1).otherwise(0))
@@ -95,10 +114,12 @@ object CurationOps {
   }
 
   /** j29_repetition_filter — [[repetitionStats]] bound to the documents
-    * table, fractions rounded for presentation. */
+    * table, fractions rounded for presentation. The oracled query keeps
+    * its historical ≥3-token scope (the fixture has no shorter docs). */
   def j29(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     repetitionStats(Tables.documents(s, d))
+      .filter($"n_toks" >= 3)
       .select($"doc_id", $"n_toks",
         round($"d2", 6).as("dup2_frac"),
         round($"d3", 6).as("dup3_frac"),
@@ -108,9 +129,12 @@ object CurationOps {
 
   /** Deterministic global training-order shuffle over any frame with a
     * `doc_id` column: every row gets a salted md5 shuffle key, a shard
-    * (top byte mod `shards`), and its position within the shard (rank by
-    * key). The (shard, pos) pair IS the training order — reproducible
-    * across engines and runs, no RNG, no driver-side state.
+    * (top TWO key bytes mod `shards` — 65536 hash values, so the knob
+    * genuinely supports the ~10k shards a 100 TB run wants and residual
+    * skew from non-divisors stays ≤ shards/65536), and its position
+    * within the shard (rank by key). The (shard, pos) pair IS the
+    * training order — reproducible across engines and runs, no RNG, no
+    * driver-side state.
     *
     * Scale shape: one hash projection + one rank per shard — a single
     * hashpartitioning exchange does the real work. The shard count is
@@ -119,11 +143,13 @@ object CurationOps {
     * so shards are balanced by construction); equivalently
     * `repartitionByRange(shard, skey)` + a per-partition running index. */
   def shuffleShard(docs: DataFrame, shards: Int = 8): DataFrame = {
+    require(shards > 0 && shards <= 65536,
+      s"shards must be in 1..65536 (two hash bytes), got $shards")
     val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
     docs
       .withColumn("skey", md5(concat(lit("shuf:"), col("doc_id").cast("string"))))
       .withColumn("shard",
-        expr(s"${Hashing.nibbleInt("skey", 2)} % $shards").cast("long"))
+        expr(s"${Hashing.nibbleInt("skey", 4)} % $shards").cast("long"))
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
@@ -165,25 +191,22 @@ object CurationOps {
   def curate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val exactW = Window.partitionBy($"content_hash").orderBy($"doc_id".asc)
-    val exactKept = docs
-      .withColumn("content_hash", md5($"text"))
-      .withColumn("rn", row_number().over(exactW))
-      .filter($"rn" === 1).drop("rn", "content_hash")
-    // non-representative members of near-dup clusters (j21's drop set)
-    val (rawPairs, releaseShingles) = TextOps.nearDupPairsReleasable(s, d)
-    val pairs = rawPairs.select($"d1", $"d2").localCheckpoint()
-    releaseShingles()
-    val dupDrop = TextOps.connectedComponents(pairs)
-      .filter($"node" =!= $"label").select($"node".as("doc_id"))
-    val nearKept = exactKept.join(dupDrop, Seq("doc_id"), "left_anti")
+    val exactKept = exactDedup(docs).drop("content_hash")
+    val nearKept = exactKept
+      .join(TextOps.nearDupDropSet(s, d), Seq("doc_id"), "left_anti")
     val repKept = repetitionStats(nearKept)
       .filter($"keep" === 1).drop("n_toks", "d2", "d3", "keep")
     val contaminated = PipelineOps.j22(s, d)
       .filter($"contamination" >= 0.30).select($"doc_id")
+    // localCheckpoint: domainMix reads the surviving corpus TWICE (the
+    // per-lang rate counts and the filtered output) — without truncation
+    // each branch would re-run the whole upstream filter chain. The
+    // checkpoint backs the returned frame and is freed by the
+    // ContextCleaner once the result is dropped.
     val decon = repKept
       .filter($"doc_id" % 10 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     val mixed = domainMix(decon).drop("rate")
     shuffleShard(mixed)
       .select($"shard", $"pos", $"doc_id", $"lang", $"source", $"text")
@@ -225,12 +248,11 @@ object CurationOps {
         |CAST((1.0 - len(list_distinct(g2)) / len(g2)) <= 0.10 AS INT) AS keep
         |FROM g ORDER BY doc_id""".stripMargin,
     "j30_shuffle_shard" ->
-      """WITH k AS (SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS skey
-        |           FROM 'documents.parquet'),
-        |s AS (SELECT doc_id, skey,
-        |        CAST(((strpos('0123456789abcdef', substr(skey, 1, 1)) - 1) * 16 +
-        |              (strpos('0123456789abcdef', substr(skey, 2, 1)) - 1)) % 8 AS BIGINT) AS shard
-        |      FROM k)
-        |SELECT shard, row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS pos, doc_id
-        |FROM s ORDER BY shard, pos""".stripMargin)
+      s"""WITH k AS (SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS skey
+         |           FROM 'documents.parquet'),
+         |s AS (SELECT doc_id, skey,
+         |        CAST(${NibbleSql.format("skey", "skey", "skey", "skey")} % 8 AS BIGINT) AS shard
+         |      FROM k)
+         |SELECT shard, row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS pos, doc_id
+         |FROM s ORDER BY shard, pos""".stripMargin)
 }

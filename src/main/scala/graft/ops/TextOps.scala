@@ -18,14 +18,10 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** j1_dedup_exact — exact dedup by content hash; deterministic keeper =
-    * min doc_id per hash. */
+    * min doc_id per hash (CurationOps.exactDedup bound to the table). */
   def j1(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"content_hash").orderBy($"doc_id".asc)
-    Tables.documents(s, d)
-      .withColumn("content_hash", md5($"text"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
+    CurationOps.exactDedup(Tables.documents(s, d))
       .select($"doc_id", $"content_hash", $"lang")
       .orderBy($"doc_id")
   }
@@ -217,6 +213,21 @@ object TextOps {
       throw new IllegalStateException(
         s"label propagation did not converge after $rounds rounds ($changed labels still changing)")
     labels.select($"node", $"label")
+  }
+
+  /** The near-dup documents that are NOT their cluster's representative —
+    * the drop set of the j2→j21 pass, with the same checkpoint lifecycle
+    * discipline as j21 (pair list checkpointed for the fixpoint, released
+    * once the final labels no longer read it). Reused by
+    * CurationOps.curate. */
+  private[graft] def nearDupDropSet(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (rawPairs, releaseShingles) = nearDupPairsReleasable(s, d)
+    val pairs = rawPairs.select($"d1", $"d2").localCheckpoint()
+    releaseShingles()
+    val comp = connectedComponents(pairs)
+    releaseCheckpoint(pairs)
+    comp.filter($"node" =!= $"label").select($"node".as("doc_id"))
   }
 
   /** Unpersist the RDD behind a localCheckpoint-ed frame. Dataset.unpersist

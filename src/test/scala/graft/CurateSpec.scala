@@ -49,6 +49,33 @@ class CurateSpec extends AnyFunSuite {
     assert((ids intersect dropped).isEmpty)
   }
 
+  test("every eligible doc that wins its mix draw survives (completeness)") {
+    // the reverse direction of the gate checks above: derive the eligible
+    // set from the ORACLED operators' outputs, apply the mix to it, and
+    // demand curate produced exactly that — catches over-dropping (an
+    // inverted anti-join, an over-broad filter) that the one-directional
+    // subset checks cannot see
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val keepers = q("j1_dedup_exact")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val nonReps = q("j21_dedup_clusters")
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val repDropped = q("j29_repetition_filter")
+      .filter(col("keep") === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val contaminated = q("j22_decontaminate")
+      .filter(col("contamination") >= 0.30)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val eligible = docs.filter(col("doc_id").isInCollection(
+      docs.select(col("doc_id")).collect().map(_.getLong(0)).filter(id =>
+        keepers(id) && !nonReps(id) && !repDropped(id) &&
+          id % 10 != 0 && !contaminated(id))))
+    val expected = CurationOps.domainMix(eligible)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids === expected)
+  }
+
   test("domainMix and shuffleShard are invariant to the input partitioning") {
     // the core layout-independence claim: the sample and the training
     // order are pure functions of the data, so any repartitioning of the
