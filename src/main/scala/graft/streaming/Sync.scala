@@ -379,6 +379,63 @@ object Sync {
       .dropDuplicatesWithinWatermark("doc_id", "cand_id")
   }
 
+  /** The curation gates in incremental form — the per-document filters of
+    * [[graft.ops.CurationOps.curate]] applied to the change feed, so a
+    * corpus kept continuously in sync (the reference's whole purpose)
+    * gets training-set hygiene on arrival instead of by periodic
+    * re-batch. A doc survives iff it passes ALL of:
+    *
+    *   - exact-dup gate: its md5(text) is not already in the corpus
+    *     snapshot (stream-static anti-join on the hash)
+    *   - repetition gate: dup-2-gram fraction ≤ 0.10
+    *     ([[graft.ops.CurationOps.repetitionStats]] — narrow ops, so the
+    *     same transformer runs unchanged on the stream)
+    *   - decontamination gate: shared-shingle ratio vs the eval set
+    *     < 0.30 (j22's ratio, computed per ROW against the collected
+    *     eval hash array — the eval set is MBs by assumption, so it
+    *     rides a one-row broadcast)
+    *
+    * Survivors are emitted once (watermark-bounded dedup) with their gate
+    * stats as provenance columns. Near-dup screening is deliberately NOT
+    * inline: it needs the collision join + verify of [[lshDedupStream]],
+    * whose verdicts arrive per PAIR — run it alongside and feed its
+    * verdicts to a quarantine/delete downstream, the usual asynchronous
+    * dedup shape. Domain mixing and shuffle-sharding stay batch concerns
+    * (corpus-level counts / a total order) and run at training-set
+    * export time. */
+  def curateStream(docs: DataFrame, corpus: DataFrame, evalDocs: DataFrame,
+      gap: String = "10 minutes"): DataFrame = {
+    // static sides: persist — stream-static joins re-execute the static
+    // plan each microbatch (same discipline as lshDedupStream)
+    val corpusHashes = corpus
+      .select(md5(col("text")).as("content_hash")).distinct().persist()
+    val evalArr = evalDocs
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(expr(s"transform($ShingleArr, x -> xxhash64(x))")).as("shh"))
+      .agg(sort_array(collect_set(col("shh"))).as("eval_shh"))
+      .persist()
+    val gated = graft.ops.CurationOps.repetitionStats(
+      docs.withWatermark("ts", gap))
+      .filter(col("keep") === 1).drop("keep", "d3")
+      .withColumn("content_hash", md5(col("text")))
+      .join(corpusHashes, Seq("content_hash"), "left_anti")
+      .withColumn("__toks", split(col("text"), " "))
+      .withColumn("__shh", when(size(col("__toks")) >= 3,
+        expr(s"transform(${ShingleArr.replace("toks", "__toks")}, x -> xxhash64(x))"))
+        .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .crossJoin(broadcast(evalArr))
+      .withColumn("contamination", when(size(col("__shh")) > 0,
+        size(array_intersect(col("__shh"), col("eval_shh"))).cast("double") /
+          size(col("__shh"))).otherwise(lit(0.0)))
+      .filter(col("contamination") < 0.30)
+    gated
+      .select(col("doc_id"), col("ts"), col("text"),
+        round(col("d2"), 6).as("dup2_frac"),
+        round(col("contamination"), 6).as("contamination"))
+      .dropDuplicatesWithinWatermark("doc_id")
+  }
+
   /** i6 streaming form — the sync loop: each microbatch is LWW-merged into
     * the parquet snapshot at `targetDir` (read-modify-write per batch, the
     * foreachBatch upsert idiom; at scale this would be a MERGE INTO a

@@ -191,6 +191,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curateStream gates docs on arrival: exact-dup, repetition, contamination") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val evalDocs = Seq((0L, "secret bench mark question answer key")).toDF("doc_id", "text")
+    val mem = MemoryStream[Doc]
+    val q = Sync.curateStream(mem.toDF(), corpus, evalDocs)
+      .writeStream.format("memory").queryName("curate_out").outputMode("append").start()
+    try {
+      mem.addData(
+        // exact copy of corpus doc 100 → dropped by the hash gate
+        Doc(1, "alpha beta gamma delta epsilon zeta", ts("2024-01-01 10:00:00")),
+        // clean doc → kept
+        Doc(2, "one two three four five six seven", ts("2024-01-01 10:00:05")),
+        // repetitious (dup-2-gram frac 6/8 > 0.10) → dropped
+        Doc(3, "x y x y x y x y x", ts("2024-01-01 10:00:10")),
+        // mostly eval shingles (ratio 3/4 ≥ 0.30) → dropped
+        Doc(4, "secret bench mark question answer here", ts("2024-01-01 10:00:15")),
+        // one shared eval shingle in a long doc (ratio 1/8 < 0.30) → kept
+        Doc(5, "secret bench mark aaa bbb ccc ddd eee fff ggg", ts("2024-01-01 10:00:20")))
+      q.processAllAvailable()
+      mem.addData( // re-send of kept doc 2 within the watermark → suppressed
+        Doc(2, "one two three four five six seven", ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      val out = spark.table("curate_out")
+        .select($"doc_id", $"contamination").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(out.keySet === Set(2L, 5L))
+      assert(out(2L) === 0.0)
+      assert(out(5L) === 0.125) // 1 shared shingle of 8
+    } finally q.stop()
+  }
+
   test("i6 streaming: foreachBatch LWW sink converges to newest-per-key") {
     val spark = TestSpark.spark
     import spark.implicits._
