@@ -85,7 +85,7 @@ object CurationOps {
     * (transform + array_distinct + size) — ZERO shuffles, no joins; the
     * n-gram lists live only inside the row being processed, so memory is
     * O(doc length) per row at any corpus size. */
-  def repetitionStats(docs: DataFrame): DataFrame = {
+  def repetitionStats(docs: DataFrame, keepTokens: Boolean = false): DataFrame = {
     def grams(n: Int): String = {
       val parts = (0 until n).map(k => s"element_at(__toks, i + $k)").mkString(", ")
       s"transform(sequence(1, size(__toks) - ${n - 1}), i -> concat_ws(' ', $parts))"
@@ -110,7 +110,9 @@ object CurationOps {
       .withColumn("d2", dupFrac("__g2"))
       .withColumn("d3", dupFrac("__g3"))
       .withColumn("keep", when(col("d2") <= 0.10, 1).otherwise(0))
-      .drop("__toks", "__g2", "__g3")
+      // keepTokens: a caller that needs the token array next (e.g.
+      // curateStream's shingle probe) avoids re-splitting the text
+      .drop(Seq("__g2", "__g3") ++ (if (keepTokens) Nil else Seq("__toks")): _*)
   }
 
   /** j29_repetition_filter — [[repetitionStats]] bound to the documents

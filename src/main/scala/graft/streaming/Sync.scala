@@ -265,32 +265,45 @@ object Sync {
     * per-doc state is reclaimed once the doc's event time ages out. */
   def decontaminateStream(docs: DataFrame, evalDocs: DataFrame,
       gap: String = "10 minutes"): DataFrame = {
-    // 64-bit-hashed 3-token shingles: the shared per-row shingle array,
-    // hashed (same construction as PipelineOps.shingleDf's shh column,
-    // which is bound to the batch table reader)
-    val shingleHashes = s"transform($ShingleArr, x -> xxhash64(x))"
-    val evalSh = evalDocs
-      .select(split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(explode(expr(shingleHashes)).as("shh"))
-      .distinct()
+    val evalSh = evalShingleHashes(evalDocs)
     docs
       .withWatermark("ts", gap)
       .select(col("doc_id"), col("ts"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), col("ts"), explode(expr(shingleHashes)).as("shh"))
+      .select(col("doc_id"), col("ts"), explode(expr(shingleHashArr("toks"))).as("shh"))
       .join(broadcast(evalSh), Seq("shh"), "left_semi")
       .select(col("doc_id"), col("ts"))
       .dropDuplicatesWithinWatermark("doc_id")
   }
 
-  /** Per-row 3-token shingle array (distinct), from a `toks` column —
+  /** Per-row 3-token shingle array (distinct), from a token-array column —
     * the array-form twin of the exploded shingle relations in
-    * TextOps/PipelineOps, for places that must stay narrow (streaming). */
-  private val ShingleArr =
-    """array_distinct(transform(sequence(1, size(toks) - 2),
-      |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ',
-      |              element_at(toks, i + 2))))""".stripMargin
+    * TextOps/PipelineOps, for places that must stay narrow (streaming).
+    * The ONE source of the shingle construction on the streaming side:
+    * every stream operator derives from this (and hashes via
+    * [[shingleHashArr]]), so an n-gram change cannot silently diverge
+    * between operators. */
+  private def shingleArr(toksCol: String): String =
+    s"""array_distinct(transform(sequence(1, size($toksCol) - 2),
+       |  i -> concat(element_at($toksCol, i), ' ', element_at($toksCol, i + 1), ' ',
+       |              element_at($toksCol, i + 2))))""".stripMargin
+
+  private val ShingleArr = shingleArr("toks")
+
+  /** 64-bit-hashed form of [[shingleArr]] — the probe-key shape shared by
+    * decontaminateStream / curateStream (and PipelineOps.shingleDf's shh
+    * column on the batch side). */
+  private def shingleHashArr(toksCol: String): String =
+    s"transform(${shingleArr(toksCol)}, x -> xxhash64(x))"
+
+  /** The eval/benchmark corpus as one distinct relation of 64-bit shingle
+    * hashes — the static side both decontamination operators probe. */
+  private def evalShingleHashes(evalDocs: DataFrame): DataFrame =
+    evalDocs
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(expr(shingleHashArr("toks"))).as("shh"))
+      .distinct()
 
   /** Add j12-identical MinHash columns m0..m7 to a frame holding a shingle
     * ARRAY column — computed per row with array arithmetic, no aggregation
@@ -386,7 +399,9 @@ object Sync {
     * re-batch. A doc survives iff it passes ALL of:
     *
     *   - exact-dup gate: its md5(text) is not already in the corpus
-    *     snapshot (stream-static anti-join on the hash)
+    *     snapshot (stream-static anti-join on the hash), and in-feed
+    *     copies of the same text collapse to one survivor — the emission
+    *     dedup keys on the content hash, not the doc id
     *   - repetition gate: dup-2-gram fraction ≤ 0.10
     *     ([[graft.ops.CurationOps.repetitionStats]] — narrow ops, so the
     *     same transformer runs unchanged on the stream)
@@ -409,31 +424,38 @@ object Sync {
     // plan each microbatch (same discipline as lshDedupStream)
     val corpusHashes = corpus
       .select(md5(col("text")).as("content_hash")).distinct().persist()
-    val evalArr = evalDocs
-      .select(split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(explode(expr(s"transform($ShingleArr, x -> xxhash64(x))")).as("shh"))
-      .agg(sort_array(collect_set(col("shh"))).as("eval_shh"))
+    // one-row broadcast of the eval hash set. Cost note: the per-row
+    // array_intersect below scans this array per surviving doc — right
+    // for benchmark-suite eval sets (10⁴–10⁵ shingles); for an unusually
+    // large eval corpus, use the binary decontaminateStream (explode +
+    // broadcast semi-join, O(doc shingles) per row) on the feed and the
+    // batch j22 ratio at export time instead.
+    val evalArr = evalShingleHashes(evalDocs)
+      .agg(collect_set(col("shh")).as("eval_shh"))
       .persist()
     val gated = graft.ops.CurationOps.repetitionStats(
-      docs.withWatermark("ts", gap))
+      docs.withWatermark("ts", gap), keepTokens = true)
       .filter(col("keep") === 1).drop("keep", "d3")
       .withColumn("content_hash", md5(col("text")))
       .join(corpusHashes, Seq("content_hash"), "left_anti")
-      .withColumn("__toks", split(col("text"), " "))
-      .withColumn("__shh", when(size(col("__toks")) >= 3,
-        expr(s"transform(${ShingleArr.replace("toks", "__toks")}, x -> xxhash64(x))"))
+      .withColumn("__shh", when(col("n_toks") >= 3,
+        expr(shingleHashArr("__toks")))
         .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .drop("__toks")
       .crossJoin(broadcast(evalArr))
       .withColumn("contamination", when(size(col("__shh")) > 0,
         size(array_intersect(col("__shh"), col("eval_shh"))).cast("double") /
           size(col("__shh"))).otherwise(lit(0.0)))
       .filter(col("contamination") < 0.30)
     gated
-      .select(col("doc_id"), col("ts"), col("text"),
+      .select(col("content_hash"), col("doc_id"), col("ts"), col("text"),
         round(col("d2"), 6).as("dup2_frac"),
         round(col("contamination"), 6).as("contamination"))
-      .dropDuplicatesWithinWatermark("doc_id")
+      // keyed on the CONTENT hash, not doc_id: in-feed exact duplicates
+      // (same text under a new id) must collapse to one survivor, exactly
+      // as batch exactDedup would — and a re-sent doc collapses with them
+      .dropDuplicatesWithinWatermark("content_hash")
+      .drop("content_hash")
   }
 
   /** i6 streaming form — the sync loop: each microbatch is LWW-merged into

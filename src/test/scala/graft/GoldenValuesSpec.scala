@@ -131,6 +131,17 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(r.getDouble(r.fieldIndex("cos_sim")) === 0.384083)
   }
 
+  test("j32 CMS estimates are one-sided: est >= exact for every reported token") {
+    // the defining count-min invariant — collisions can only ADD
+    for (sf <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      val rows = SparkEntry.queries("j32_heavy_hitters_sketch")(TestSpark.spark, sf).collect()
+      rows.foreach { r =>
+        assert(r.getLong(r.fieldIndex("est_n")) >= r.getLong(r.fieldIndex("exact_n")),
+          s"CMS underestimated ${r.getString(r.fieldIndex("token"))} at $sf")
+      }
+    }
+  }
+
   test("j32_heavy_hitters_sketch top estimate at sf0.01 shows the CMS overcount") {
     val r = q01("j32_heavy_hitters_sketch").head()
     assert(r.getString(r.fieldIndex("token")) === "stream")

@@ -213,8 +213,12 @@ class StreamingSpec extends AnyFunSuite {
         // one shared eval shingle in a long doc (ratio 1/8 < 0.30) → kept
         Doc(5, "secret bench mark aaa bbb ccc ddd eee fff ggg", ts("2024-01-01 10:00:20")))
       q.processAllAvailable()
-      mem.addData( // re-send of kept doc 2 within the watermark → suppressed
-        Doc(2, "one two three four five six seven", ts("2024-01-01 10:01:00")))
+      mem.addData(
+        // re-send of kept doc 2 within the watermark → suppressed
+        Doc(2, "one two three four five six seven", ts("2024-01-01 10:01:00")),
+        // in-feed exact dup: doc 2's text under a NEW id → also suppressed
+        // (emission dedup keys on the content hash, like batch exactDedup)
+        Doc(6, "one two three four five six seven", ts("2024-01-01 10:01:05")))
       q.processAllAvailable()
       val out = spark.table("curate_out")
         .select($"doc_id", $"contamination").collect()
