@@ -17,7 +17,9 @@ object ScaleProbe {
     graft.ops.TextOps.j2(spark, args.head).count()
     spark.catalog.clearCache()
     for (d <- args; q <- Seq("j2_dedup_near_jaccard", "j12_minhash_lsh",
-        "j21_dedup_clusters", "j22_decontaminate")) {
+        "j21_dedup_clusters", "j22_decontaminate", "j28_domain_mix",
+        "j29_repetition_filter", "j30_shuffle_shard",
+        "j32_heavy_hitters_sketch")) {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(q)(spark, d).count()
       val dt = (System.nanoTime() - t0) / 1e9
