@@ -39,7 +39,7 @@ object Bench {
       name -> dt
     }
     // The driver captures a bounded (~2000-char) tail of stdout and
-    // json.loads each line in it. The full per-query line is ~2.6 KB at 89
+    // json.loads each line in it. The full per-query line is KBs at ~100
     // queries — it gets truncated mid-token and failed to parse in BOTH
     // round 1 and round 2 (BENCH_r0{1,2} parsed=null). So: per-query detail
     // goes to a file AND the detailed line (for humans / a bigger buffer),

@@ -79,17 +79,21 @@ object SyncConfig {
     var section = ""
     val out = Map.newBuilder[String, String]
     yaml.linesIterator.foreach { raw =>
-      // a '#' starts a comment unless inside double quotes — scan with a
-      // quote-state flag so `key: "v"  # note` strips cleanly
+      // a '#' starts a comment only when preceded by whitespace (or at
+      // line start) and outside double quotes — YAML's actual rule, so a
+      // value like /data/snap#prod survives while `key: "v"  # note`
+      // strips cleanly
       val noComment = {
         var inQ = false
         var cut = raw.length
         var i = 0
         while (i < raw.length && cut == raw.length) {
           raw.charAt(i) match {
-            case '"'          => inQ = !inQ
-            case '#' if !inQ  => cut = i
-            case _            => ()
+            case '"' => inQ = !inQ
+            case '#' if !inQ &&
+                (i == 0 || raw.charAt(i - 1) == ' ' || raw.charAt(i - 1) == '\t') =>
+              cut = i
+            case _ => ()
           }
           i += 1
         }

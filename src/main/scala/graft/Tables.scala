@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
 object Tables {
 
   // One schema resolution per (session, dir, table): spark.read.parquet
-  // re-reads footers for schema inference on EVERY call, which at 93
+  // re-reads footers for schema inference on EVERY call, which at ~100
   // queries × ~2 tables each is pure per-query planning floor. The
   // returned DataFrame is an immutable logical plan, so sharing one
   // instance across queries is safe (self-joins deduplicate attribute ids

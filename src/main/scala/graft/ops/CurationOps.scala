@@ -198,8 +198,11 @@ object CurationOps {
       .join(TextOps.nearDupDropSet(s, d), Seq("doc_id"), "left_anti")
     val repKept = repetitionStats(nearKept)
       .filter($"keep" === 1).drop("n_toks", "d2", "d3", "keep")
-    val contaminated = PipelineOps.j22(s, d)
-      .filter($"contamination" >= 0.30).select($"doc_id")
+    // gate on the UNROUNDED ratio (same boundary as Sync.curateStream) —
+    // j22's presentation rounding could otherwise flip a doc whose true
+    // ratio sits within 5e-7 of the threshold
+    val contaminated = PipelineOps.contamination(s, d)
+      .filter($"raw_contamination" >= 0.30).select($"doc_id")
     // localCheckpoint: domainMix reads the surviving corpus TWICE (the
     // per-lang rate counts and the filtered output) — without truncation
     // each branch would re-run the whole upstream filter chain. The

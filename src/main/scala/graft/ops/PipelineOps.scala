@@ -39,8 +39,8 @@ object PipelineOps {
       .select($"doc_id", split($"text", " ").as("toks"))
       .filter(size($"toks") >= 3)
       .select($"doc_id", explode(expr(
-        """array_distinct(transform(sequence(1, size(toks) - 2),
-          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))""".stripMargin))
+        s"""array_distinct(transform(sequence(1, size(toks) - 2),
+           |  i -> ${TextOps.shingle3("toks")}))""".stripMargin))
         .as("sh"))
       .withColumn("shh", xxhash64($"sh"))
   }
@@ -347,6 +347,17 @@ object PipelineOps {
     * hash-for-equality discipline. */
   def j22(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    contamination(s, d)
+      .select($"doc_id", $"n_shared_shingles", $"n_eval_docs",
+        round($"raw_contamination", 6).as("contamination"))
+      .orderBy($"doc_id")
+  }
+
+  /** j22's per-doc contamination with the UNROUNDED ratio — gates
+    * (CurationOps.curate) filter on this so batch and stream agree at
+    * the threshold boundary; j22 rounds only for presentation. */
+  private[graft] def contamination(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val sh = shingleDf(s, d)
     val eval = sh.filter($"doc_id" % 10 === 0)
       .select($"doc_id".as("eval_id"), $"shh".as("eshh"))
@@ -357,9 +368,8 @@ object PipelineOps {
       .agg(countDistinct($"sh").as("n_shared_shingles"),
         countDistinct($"eval_id").as("n_eval_docs"))
       .join(ns, "doc_id")
-      .select($"doc_id", $"n_shared_shingles", $"n_eval_docs",
-        round($"n_shared_shingles" / $"ns".cast("double"), 6).as("contamination"))
-      .orderBy($"doc_id")
+      .withColumn("raw_contamination",
+        $"n_shared_shingles" / $"ns".cast("double"))
   }
 
   // ---------- j23 deterministic train/val/test split ----------
@@ -741,10 +751,12 @@ object PipelineOps {
         |round(n_chars / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS chars_per_token
         |FROM 'documents.parquet' ORDER BY doc_id""".stripMargin,
     "j18_rolling_fingerprint" ->
-      """WITH t AS (
-        |  SELECT doc_id, i - 1 AS pos, string_split(text, ' ')[i] AS token
-        |  FROM 'documents.parquet', generate_series(1, 100) g(i)
-        |  WHERE i <= len(string_split(text, ' '))),
+      """WITH t0 AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(string_split(text, ' '))),
+        |    i -> {'pos': i - 1, 'token': string_split(text, ' ')[i]})) AS p
+        |  FROM 'documents.parquet'),
+        |t AS (SELECT doc_id, p.pos AS pos, p.token AS token FROM t0),
         |h AS (SELECT doc_id, pos,
         |  (strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 4096 +
         |  (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1) * 256 +
@@ -823,36 +835,6 @@ object PipelineOps {
         |       round(list_max(errs), 6) AS max_abs_err,
         |       round(list_sum(errs) / len(errs), 6) AS mean_abs_err
         |FROM q ORDER BY vec_id""".stripMargin,
-    "j27_simhash_neardup" ->
-      s"""WITH fp AS ($simhashFpSql),
-         |bands AS (
-         |  SELECT doc_id, simhash, 0 AS band, CAST(simhash % 256 AS BIGINT) AS key FROM fp
-         |  UNION ALL
-         |  SELECT doc_id, simhash, 1 AS band, CAST(simhash // 256 AS BIGINT) AS key FROM fp),
-         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
-         |                x.simhash AS s1, y.simhash AS s2
-         |         FROM bands x JOIN bands y
-         |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
-         |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
-         |FROM cand WHERE bit_count(xor(s1, s2)) <= 1 ORDER BY d1, d2""".stripMargin,
-    "j26_embed_quantize" ->
-      """WITH px AS (
-        |  SELECT i AS pos, min(CAST(embedding[i] AS DOUBLE)) AS mn,
-        |         max(CAST(embedding[i] AS DOUBLE)) AS mx
-        |  FROM 'embeddings.parquet', generate_series(1, 64) t(i) GROUP BY i),
-        |st AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM px),
-        |q AS (SELECT vec_id, label,
-        |  CAST(least(255.0, floor((CAST(embedding[1] AS DOUBLE) - mns[1])
-        |       / (mxs[1] - mns[1]) * 256.0)) AS INTEGER) AS code0,
-        |  list_transform(generate_series(1, 64), i ->
-        |    abs(CAST(embedding[i] AS DOUBLE) -
-        |        (mns[i] + (least(255.0, floor((CAST(embedding[i] AS DOUBLE) - mns[i])
-        |         / (mxs[i] - mns[i]) * 256.0)) + 0.5) / 256.0 * (mxs[i] - mns[i])))) AS errs
-        |  FROM 'embeddings.parquet' CROSS JOIN st)
-        |SELECT vec_id, label, code0,
-        |       round(list_max(errs), 6) AS max_abs_err,
-        |       round(list_sum(errs) / len(errs), 6) AS mean_abs_err
-        |FROM q ORDER BY vec_id""".stripMargin,
     "j25_sequence_pack" ->
       """WITH x AS (SELECT lang, doc_id % 8 AS shard, doc_id,
         |  len(string_split(text, ' ')) AS n_toks FROM 'documents.parquet'),
@@ -865,8 +847,9 @@ object PipelineOps {
         |FROM c ORDER BY lang, shard, doc_id""".stripMargin,
     "j24_bigram_lm" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS t FROM 'documents.parquet'),
-        |bg AS (SELECT t[i] AS w1, t[i + 1] AS w2
-        |       FROM toks, generate_series(1, 200) g(i) WHERE i <= len(t) - 1),
+        |bg0 AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |          i -> {'w1': t[i], 'w2': t[i + 1]})) AS p FROM toks),
+        |bg AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM bg0),
         |cb AS (SELECT w1, w2, count(*) AS c_bigram FROM bg GROUP BY 1, 2),
         |cp AS (SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c_prefix FROM cb GROUP BY 1)
         |SELECT cb.w1, cb.w2, cb.c_bigram,

@@ -197,7 +197,10 @@ object Relational {
     * (bal·count > sum) so both sides stay exact DECIMAL arithmetic in
     * every engine — avg() would be DECIMAL(22,6) half-up in Spark but
     * DOUBLE in DuckDB, and a balance within 1e-6 of its nation's average
-    * could classify differently across engines.
+    * could classify differently across engines. The count is
+    * count(c_acctbal), not count(*), so the rewrite stays avg-faithful
+    * (NULL balances excluded from both sides) if nullable data ever
+    * replaces the NOT NULL TPC-H fixture.
     *
     * Plan note: the two subqueries decorrelate into two separate per-nation
     * aggregates (Catalyst's MergeScalarSubqueries does not merge them —
@@ -211,7 +214,7 @@ object Relational {
     s.sql(
       """SELECT c_custkey, c_name, c_acctbal FROM customer_v c
         |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
-        |  (SELECT count(*) FROM customer_v c2 WHERE c2.c_nationkey = c.c_nationkey) >
+        |  (SELECT count(c2.c_acctbal) FROM customer_v c2 WHERE c2.c_nationkey = c.c_nationkey) >
         |  (SELECT sum(CAST(c2.c_acctbal AS DECIMAL(18,2)))
         |   FROM customer_v c2 WHERE c2.c_nationkey = c.c_nationkey)
         |ORDER BY c_custkey""".stripMargin)
@@ -412,7 +415,7 @@ object Relational {
     "c13_subquery_decorrelated" ->
       """SELECT c_custkey, c_name, c_acctbal FROM 'customer.parquet' c
         |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
-        |  (SELECT count(*) FROM 'customer.parquet' c2 WHERE c2.c_nationkey = c.c_nationkey) >
+        |  (SELECT count(c2.c_acctbal) FROM 'customer.parquet' c2 WHERE c2.c_nationkey = c.c_nationkey) >
         |  (SELECT sum(CAST(c2.c_acctbal AS DECIMAL(18,2)))
         |   FROM 'customer.parquet' c2 WHERE c2.c_nationkey = c.c_nationkey)
         |ORDER BY c_custkey""".stripMargin,

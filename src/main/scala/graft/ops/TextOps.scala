@@ -35,14 +35,23 @@ object TextOps {
     * from string-shingle Jaccard (expected collisions ≈ n²/2⁶⁵ ≈ 1e-10 at
     * 10⁵ distinct shingles); the cross-engine oracle computes the
     * string-shingle form, so any consequential collision fails the gate. */
+  /** The 3-token shingle at transform position `i` — THE single source of
+    * the n-gram construction. Every shingle relation in the engine (batch
+    * TextOps/PipelineOps, streaming Sync) composes this fragment inside
+    * its own transform, so an n-gram change (width, separator) cannot
+    * silently diverge between the batch and streaming dedup paths. Only
+    * valid inside `transform(sequence(...), i -> ...)`. */
+  private[graft] def shingle3(toksCol: String): String =
+    s"concat(element_at($toksCol, i), ' ', element_at($toksCol, i + 1), ' ', element_at($toksCol, i + 2))"
+
   private def shingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id", split($"text", " ").as("toks"))
       .filter(size($"toks") >= 3)
       .select($"doc_id", explode(expr(
-        """array_distinct(transform(sequence(1, size(toks) - 2),
-          |  i -> xxhash64(concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))))""".stripMargin))
+        s"""array_distinct(transform(sequence(1, size(toks) - 2),
+           |  i -> xxhash64(${shingle3("toks")})))""".stripMargin))
         .as("sh"))
   }
 

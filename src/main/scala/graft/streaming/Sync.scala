@@ -279,14 +279,14 @@ object Sync {
   /** Per-row 3-token shingle array (distinct), from a token-array column —
     * the array-form twin of the exploded shingle relations in
     * TextOps/PipelineOps, for places that must stay narrow (streaming).
-    * The ONE source of the shingle construction on the streaming side:
-    * every stream operator derives from this (and hashes via
-    * [[shingleHashArr]]), so an n-gram change cannot silently diverge
-    * between operators. */
+    * Every stream operator derives from this (and hashes via
+    * [[shingleHashArr]]); the n-gram itself comes from
+    * TextOps.shingle3 — the engine-wide single source shared with the
+    * batch dedup relations, so an n-gram change cannot diverge between
+    * the batch and streaming paths. */
   private def shingleArr(toksCol: String): String =
     s"""array_distinct(transform(sequence(1, size($toksCol) - 2),
-       |  i -> concat(element_at($toksCol, i), ' ', element_at($toksCol, i + 1), ' ',
-       |              element_at($toksCol, i + 2))))""".stripMargin
+       |  i -> ${graft.ops.TextOps.shingle3(toksCol)}))""".stripMargin
 
   private val ShingleArr = shingleArr("toks")
 

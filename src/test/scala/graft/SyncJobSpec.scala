@@ -53,6 +53,10 @@ class SyncJobSpec extends AnyFunSuite {
     val bad = intercept[IllegalArgumentException](
       SyncConfig.fromYaml(yaml.replace("sync_interval: 30", "sync_interval: 30s")))
     assert(bad.getMessage.contains("sync_interval"))
+    // a '#' INSIDE a value is not a comment (YAML: only after whitespace)
+    val hash = SyncConfig.fromYaml(yaml.replace(
+      s"snapshot: $root/snapB", s"snapshot: $root/snap#prod"))
+    assert(hash.snapshotB === s"$root/snap#prod")
   }
 
   test("a YAML-loaded config drives a full sync round end-to-end") {
