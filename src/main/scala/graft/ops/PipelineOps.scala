@@ -623,6 +623,47 @@ object PipelineOps {
       .limit(10)
   }
 
+  // ---------- j33 LM-based quality scoring ----------
+
+  /** j33_lm_score — CCNet-style language-model quality filtering: each
+    * document's mean bigram log-likelihood (add-one smoothed) and
+    * perplexity under the corpus's own bigram LM (the statistics j24
+    * computes). Low-perplexity docs read like the corpus; high-perplexity
+    * outliers are the filter's drop candidates — the standard LM-quality
+    * pass between heuristic filtering (j16/j29) and the tokenizer.
+    *
+    * Scale shape: the bigram stream joins the bigram-count table on its
+    * natural (w1, w2) key — map-combined counts on both sides, keyed
+    * equi-joins that AQE sizes (vocab² is broadcastable for word-level
+    * LMs; the general case shuffles both sides once) — and the per-doc
+    * aggregation is map-combined. The vocab size rides a one-row
+    * broadcast. */
+  def j33(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val bg = docs.select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))""".stripMargin))
+        .as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val cb = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c_bigram"))
+    val cp = cb.groupBy($"w1").agg(sum($"c_bigram").as("c_prefix"))
+    val v = docs.select(explode(split($"text", " ")).as("t"))
+      .agg(countDistinct($"t").as("v"))
+    bg.join(cb, Seq("w1", "w2"))
+      .join(cp, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("ll", log(($"c_bigram" + 1) / ($"c_prefix" + $"v")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"ll").as("sll"))
+      .select($"doc_id", $"n_bigrams",
+        round($"sll" / $"n_bigrams", 6).as("avg_ll"),
+        round(exp(-($"sll" / $"n_bigrams")), 6).as("ppl"))
+      .orderBy($"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j12_minhash_lsh" -> j12, "j13_simhash" -> j13,
     "j14_embed_neardup" -> j14, "j15_langid" -> j15,
@@ -632,7 +673,7 @@ object PipelineOps {
     "j23_hash_split" -> j23, "j24_bigram_lm" -> j24,
     "j25_sequence_pack" -> j25, "j26_embed_quantize" -> j26,
     "j27_simhash_neardup" -> j27, "j31_embed_lsh_neardup" -> j31,
-    "j32_heavy_hitters_sketch" -> j32)
+    "j32_heavy_hitters_sketch" -> j32, "j33_lm_score" -> j33)
 
   val oracle: Map[String, String] = Map(
     "j12_minhash_lsh" ->
@@ -658,6 +699,22 @@ object PipelineOps {
          |WHERE inter / (na.ns + nb.ns - inter) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
     "j13_simhash" -> s"$simhashFpSql ORDER BY doc_id",
+    "j33_lm_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM 'documents.parquet'),
+        |bg0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |          i -> {'w1': t[i], 'w2': t[i + 1]})) AS p FROM toks WHERE len(t) >= 2),
+        |bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg0),
+        |cb AS (SELECT w1, w2, count(*) AS c_bigram FROM bg GROUP BY 1, 2),
+        |cp AS (SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c_prefix FROM cb GROUP BY 1),
+        |v AS (SELECT count(DISTINCT token) AS v FROM (
+        |        SELECT unnest(string_split(text, ' ')) AS token FROM 'documents.parquet')),
+        |sc AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+        |        sum(ln((cb.c_bigram + 1) / CAST(cp.c_prefix + v.v AS DOUBLE))) AS sll
+        |       FROM bg JOIN cb USING (w1, w2) JOIN cp USING (w1) CROSS JOIN v
+        |       GROUP BY bg.doc_id)
+        |SELECT doc_id, n_bigrams, round(sll / n_bigrams, 6) AS avg_ll,
+        |       round(exp(-(sll / n_bigrams)), 6) AS ppl
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "j32_heavy_hitters_sketch" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM 'documents.parquet'),
         |cells AS (SELECT token, r,

@@ -150,6 +150,14 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("overcount")) === 1877L)
   }
 
+  test("j33_lm_score doc 0 at sf0.01 matches DuckDB's smoothed bigram LM") {
+    val r = q01("j33_lm_score").head()
+    assert(r.getLong(r.fieldIndex("doc_id")) === 0L)
+    assert(r.getLong(r.fieldIndex("n_bigrams")) === 31L)
+    assert(r.getDouble(r.fieldIndex("avg_ll")) === -3.419703)
+    assert(r.getDouble(r.fieldIndex("ppl")) === 30.560329)
+  }
+
   test("c12_join_asof_native first purchase at sf0.01 matches DuckDB ASOF JOIN") {
     val r = q01("c12_join_asof_native").head()
     assert(r.getLong(r.fieldIndex("purchase_id")) === 43L)

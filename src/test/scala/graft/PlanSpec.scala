@@ -53,8 +53,8 @@ class PlanSpec extends AnyFunSuite {
     // ONE-ROW per-dimension min/max stats frame, and j31 a ONE-ROW
     // hyperplane table — those plan as BroadcastNestedLoopJoin but move
     // O(1) rows, the correct scalar-broadcast idiom at any scale.
-    val scalarBroadcast =
-      Set("j7_tfidf", "j15_langid", "j26_embed_quantize", "j31_embed_lsh_neardup")
+    val scalarBroadcast = Set("j7_tfidf", "j15_langid", "j26_embed_quantize",
+      "j31_embed_lsh_neardup", "j33_lm_score")
     val offenders = SparkEntry.queries.toSeq
       .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
       .flatMap { case (name, fn) =>
