@@ -411,15 +411,20 @@ object PipelineOps {
     * terms; the prefix-count table is vocabulary-sized (≪ corpus at any
     * scale), so it is `broadcast()` back onto the bigram counts — no
     * second shuffle of the big side. */
+  /** The per-row bigram array — the single source of the bigram
+    * construction, shared by the LM builder (j24) and the LM scorer
+    * (j33) so the scorer cannot silently diverge from the statistics it
+    * scores under (same discipline as TextOps.shingle3 for 3-grams). */
+  private def bigramArr(toksCol: String): String =
+    s"""transform(sequence(1, size($toksCol) - 1),
+       |  i -> named_struct('w1', element_at($toksCol, i), 'w2', element_at($toksCol, i + 1)))""".stripMargin
+
   def j24(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val cb = Tables.documents(s, d)
       .select(split($"text", " ").as("toks"))
       .filter(size($"toks") >= 2)
-      .select(explode(expr(
-        """transform(sequence(1, size(toks) - 1),
-          |  i -> named_struct('w1', element_at(toks, i), 'w2', element_at(toks, i + 1)))""".stripMargin))
-        .as("bg"))
+      .select(explode(expr(bigramArr("toks"))).as("bg"))
       .select($"bg.w1".as("w1"), $"bg.w2".as("w2"))
       .groupBy($"w1", $"w2").agg(count(lit(1)).as("c_bigram"))
     val cp = cb.groupBy($"w1").agg(sum($"c_bigram").as("c_prefix"))
@@ -643,21 +648,28 @@ object PipelineOps {
     val docs = Tables.documents(s, d)
     val bg = docs.select($"doc_id", split($"text", " ").as("toks"))
       .filter(size($"toks") >= 2)
-      .select($"doc_id", explode(expr(
-        """transform(sequence(1, size(toks) - 1),
-          |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))""".stripMargin))
-        .as("b"))
+      .select($"doc_id", explode(expr(bigramArr("toks"))).as("b"))
       .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
     val cb = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c_bigram"))
     val cp = cb.groupBy($"w1").agg(sum($"c_bigram").as("c_prefix"))
     val v = docs.select(explode(split($"text", " ")).as("t"))
       .agg(countDistinct($"t").as("v"))
-    bg.join(cb, Seq("w1", "w2"))
-      .join(cp, Seq("w1"))
+    // cb is vocab²-bounded and cp vocab-bounded at any corpus size —
+    // broadcast both so the corpus-sized bigram stream shuffles ZERO
+    // times between the explode and the per-doc aggregation (j24's
+    // discipline; AQE would broadcast at fixture scale anyway, but the
+    // 100 TB plan must not depend on runtime stats)
+    bg.join(broadcast(cb), Seq("w1", "w2"))
+      .join(broadcast(cp), Seq("w1"))
       .crossJoin(broadcast(v))
       .withColumn("ll", log(($"c_bigram" + 1) / ($"c_prefix" + $"v")))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum($"ll").as("sll"))
+      // sequential fold over the SORTED per-doc terms: a plain sum(ll)
+      // adds doubles in partition-completion order, which differs from
+      // DuckDB's — the j26 lesson; list_sort+list_sum mirrors exactly
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("aggregate(array_sort(collect_list(ll)), CAST(0 AS DOUBLE), (a, x) -> a + x)")
+          .as("sll"))
       .select($"doc_id", $"n_bigrams",
         round($"sll" / $"n_bigrams", 6).as("avg_ll"),
         round(exp(-($"sll" / $"n_bigrams")), 6).as("ppl"))
@@ -709,7 +721,7 @@ object PipelineOps {
         |v AS (SELECT count(DISTINCT token) AS v FROM (
         |        SELECT unnest(string_split(text, ' ')) AS token FROM 'documents.parquet')),
         |sc AS (SELECT bg.doc_id, count(*) AS n_bigrams,
-        |        sum(ln((cb.c_bigram + 1) / CAST(cp.c_prefix + v.v AS DOUBLE))) AS sll
+        |        list_sum(list_sort(list(ln((cb.c_bigram + 1) / CAST(cp.c_prefix + v.v AS DOUBLE))))) AS sll
         |       FROM bg JOIN cb USING (w1, w2) JOIN cp USING (w1) CROSS JOIN v
         |       GROUP BY bg.doc_id)
         |SELECT doc_id, n_bigrams, round(sll / n_bigrams, 6) AS avg_ll,

@@ -50,9 +50,11 @@ class PlanSpec extends AnyFunSuite {
   test("NO query plans an accidental cartesian/nested-loop join") {
     // c8 is an intentional cartesian; j7/j15 crossJoin a ONE-ROW count
     // aggregate (corpus size / vocab size) into the stream, j26 a
-    // ONE-ROW per-dimension min/max stats frame, and j31 a ONE-ROW
-    // hyperplane table — those plan as BroadcastNestedLoopJoin but move
-    // O(1) rows, the correct scalar-broadcast idiom at any scale.
+    // ONE-ROW per-dimension min/max stats frame, j31 a ONE-ROW
+    // hyperplane table, and j33 a ONE-ROW vocab size — those plan as
+    // BroadcastNestedLoopJoin but move O(1) rows, the correct scalar-
+    // broadcast idiom at any scale. (j31/j33 get their own targeted
+    // plan tests below, so the exemption doesn't hide a degraded join.)
     val scalarBroadcast = Set("j7_tfidf", "j15_langid", "j26_embed_quantize",
       "j31_embed_lsh_neardup", "j33_lm_score")
     val offenders = SparkEntry.queries.toSeq
@@ -131,6 +133,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       ("BroadcastHashJoin".r.findAllIn(p).nonEmpty), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j33: LM tables broadcast onto the bigram stream — no second big-side shuffle") {
+    val p = plan("j33_lm_score")
+    // the corpus-sized bigram stream must meet cb/cp as broadcasts; a
+    // shuffle join on (w1) would re-exchange the whole stream at 100 TB
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
 
   test("whole-stage codegen covers the flagship plan") {
