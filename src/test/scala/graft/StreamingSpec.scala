@@ -280,6 +280,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("curateStream: checkpoint resume restores the dedup state — no re-emission") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val src = tmp("curate-src")
+    val out = tmp("curate-out")
+    val ckpt = tmp("curate-ckpt")
+    val corpus = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val evalDocs = Seq((0L, "secret bench mark question answer key")).toDF("doc_id", "text")
+    val docSchema = org.apache.spark.sql.Encoders.product[Doc].schema
+    def run() = Sync.curateStream(
+      spark.readStream.schema(docSchema).parquet(src), corpus, evalDocs)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    Seq(Doc(1, "one two three four five six", ts("2024-01-01 10:00:00")))
+      .toDF().write.mode("append").parquet(src)
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+    // "process restart": same checkpoint, new files — the re-sent copy of
+    // doc 1 must be suppressed by the RESTORED watermark-dedup state, not
+    // re-emitted; the fresh doc 7 flows through
+    Seq(Doc(1, "one two three four five six", ts("2024-01-01 10:01:00")),
+        Doc(7, "seven eight nine ten eleven twelve", ts("2024-01-01 10:01:30")))
+      .toDF().write.mode("append").parquet(src)
+    val q2 = run()
+    try {
+      q2.processAllAvailable()
+      val ids = spark.read.parquet(out).select($"doc_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 7L)) // doc 1 exactly once, across the restart
+    } finally q2.stop()
+  }
+
   test("i8: sessionizer finalizes sessions only once the watermark passes their gap") {
     val spark = TestSpark.spark
     import spark.implicits._
