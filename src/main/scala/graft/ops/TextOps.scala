@@ -137,15 +137,17 @@ object TextOps {
     * persist() alone does NOT do this — it caches data but the optimizer
     * still walks (and grows) the full plan tree every round. Superseded
     * checkpoint blocks are unpersisted explicitly each round (RDD-level
-    * caches are invisible to spark.catalog.clearCache); only the final
-    * labels checkpoint stays pinned by the returned frame and is freed by
-    * the ContextCleaner when that frame is dropped.
+    * caches are invisible to spark.catalog.clearCache), and the CONVERGED
+    * labels are re-homed to a reliable (file-based) checkpoint before
+    * return, so a finished call pins zero block-manager storage — pinned
+    * in TextOpsSpec ("j21 leaves no cached relations behind").
     *
     * Cluster caveat: localCheckpoint trades fault-tolerance for speed — its
     * blocks live in executor storage, so an executor lost mid-loop (e.g.
     * dynamic allocation) makes the truncated lineage unrecoverable. On a
-    * long-running 1000-executor job, swap in reliable `checkpoint()` with a
-    * checkpoint dir; the loop structure is unchanged. */
+    * long-running 1000-executor job, swap the per-round localCheckpoints
+    * for reliable `checkpoint()` too (the exit already is one); the loop
+    * structure is unchanged. */
   def j21(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // eager checkpoint: materializes the pair list once and truncates
@@ -221,7 +223,22 @@ object TextOps {
     if (changed > 0)
       throw new IllegalStateException(
         s"label propagation did not converge after $rounds rounds ($changed labels still changing)")
-    labels.select($"node", $"label")
+    // Exit discipline (ADVICE r3 #1): reliable-checkpoint the converged
+    // labels (files, not block-manager memory) and release the last
+    // round's localCheckpoint blocks. The returned frame then pins NOTHING
+    // in executor storage — a j21/nearDupDropSet caller that drops the
+    // frame leaks nothing, and spark.catalog.clearCache is not needed.
+    // The checkpoint files themselves are removed by the ContextCleaner
+    // once the frame is GC'd (spark.cleaner.referenceTracking.cleanCheckpoints)
+    // or at session stop; the labels frame is component-sized (one row per
+    // near-dup doc), so the disk write is trivial next to the fixpoint.
+    val sc = s.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    val out = labels.select($"node", $"label").checkpoint() // eager + reliable
+    releaseCheckpoint(labels)
+    out
   }
 
   /** The near-dup documents that are NOT their cluster's representative —

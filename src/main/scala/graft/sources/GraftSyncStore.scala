@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.types._
+
+/** On-disk layout of the `graft-sync` store — the zero-egress stand-in for
+  * the external systems the reference syncs (a paged CQL table scan on the
+  * read side, the ES `_bulk` NDJSON endpoint on the write side; SURVEY
+  * §3.1). A store directory holds:
+  *
+  *   - `_schema.json` — the table schema as a Spark DDL string,
+  *   - data pages `*.jsonl` — one JSON object per row (exactly the NDJSON
+  *     row shape an ES bulk request carries),
+  *   - commit manifests `_manifest-*.json` — each lists the data pages one
+  *     committed job/epoch produced. Readers see ONLY manifested pages, so
+  *     a torn write (job died before driver commit) is invisible — the
+  *     same reader-side guarantee a transactional bulk endpoint gives.
+  *
+  * Everything in this object is driver/executor-agnostic plain-JDK I/O:
+  * executors touch only the page files their split names.
+  */
+private[sources] object GraftSyncStore {
+  val SchemaFile = "_schema.json"
+  val ManifestPrefix = "_manifest-"
+
+  private val mapper = new ObjectMapper()
+
+  def writeSchema(dir: String, schema: StructType): Unit = {
+    val p = Paths.get(dir)
+    Files.createDirectories(p)
+    atomicWrite(p.resolve(SchemaFile), schema.toDDL.getBytes(UTF_8))
+  }
+
+  def readSchema(dir: String): Option[StructType] = {
+    val f = Paths.get(dir, SchemaFile)
+    if (Files.isRegularFile(f))
+      Some(StructType.fromDDL(new String(Files.readAllBytes(f), UTF_8)))
+    else None
+  }
+
+  /** Atomically publish a manifest for one committed job/epoch. The name is
+    * caller-chosen (`_manifest-<queryId>.json` / `_manifest-epoch-N.json`):
+    * a REPLAYED streaming epoch rewrites the same manifest with the same
+    * page list, which is what makes the sink idempotent under retries. */
+  def writeManifest(dir: String, name: String, pages: Seq[String]): Unit = {
+    val node = mapper.createObjectNode()
+    val arr = node.putArray("pages")
+    pages.sorted.foreach(arr.add)
+    atomicWrite(Paths.get(dir, s"$ManifestPrefix$name.json"),
+      mapper.writeValueAsBytes(node))
+  }
+
+  def deleteManifests(dir: String): Unit =
+    listFiles(dir).filter(_.getFileName.toString.startsWith(ManifestPrefix))
+      .foreach(Files.deleteIfExists(_))
+
+  /** The committed page list: union of every manifest, deduplicated and
+    * sorted (the deterministic page order the micro-batch stream offsets
+    * index into). Falls back to "every *.jsonl in the directory" when no
+    * manifest exists, so hand-assembled fixture dirs still read. */
+  def committedPages(dir: String): Seq[String] = {
+    val manifests = listFiles(dir)
+      .filter(_.getFileName.toString.startsWith(ManifestPrefix))
+    val pages =
+      if (manifests.isEmpty)
+        listFiles(dir).map(_.getFileName.toString).filter(_.endsWith(".jsonl"))
+      else
+        manifests.flatMap { m =>
+          val node = mapper.readTree(Files.readAllBytes(m))
+          node.get("pages").elements().asScala.map(_.asText()).toSeq
+        }
+    pages.distinct.sorted.filter(p => Files.isRegularFile(Paths.get(dir, p)))
+  }
+
+  /** Overwrite semantics for `SaveMode.Overwrite`/`truncate()`: drop every
+    * manifest and every page file, keep the directory. */
+  def truncate(dir: String): Unit = {
+    deleteManifests(dir)
+    listFiles(dir).filter(_.getFileName.toString.endsWith(".jsonl"))
+      .foreach(Files.deleteIfExists(_))
+  }
+
+  private def listFiles(dir: String): Seq[Path] = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq.filter(Files.isRegularFile(_))
+      finally s.close()
+    }
+  }
+
+  def atomicWrite(target: Path, bytes: Array[Byte]): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ---------- row codec (shared by reader and writer) ----------
+
+  /** The store's value domain: the primitive + flat-array subset every
+    * engine in the sync pair can represent. Nested structs/maps are
+    * rejected at write time with a clear message instead of silently
+    * mangling. */
+  def checkSchema(schema: StructType): Unit = schema.fields.foreach { f =>
+    f.dataType match {
+      case IntegerType | LongType | FloatType | DoubleType | BooleanType |
+           StringType => ()
+      case ArrayType(IntegerType | LongType | FloatType | DoubleType |
+           StringType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"graft-sync: unsupported column type ${other.simpleString} for " +
+          s"field '${f.name}' (supported: int/long/float/double/boolean/" +
+          "string and flat arrays of them)")
+    }
+  }
+
+  /** Parse one JSONL line into column values for `fields` (null-safe;
+    * a field absent from the JSON object reads as SQL NULL — the dynamic-
+    * document semantics of the ES side). Returns raw JVM values; the
+    * caller converts to Catalyst form. */
+  def parseLine(mapper: ObjectMapper, line: String,
+      fields: Array[StructField]): Array[Any] = {
+    val node = mapper.readTree(line)
+    val out = new Array[Any](fields.length)
+    var i = 0
+    while (i < fields.length) {
+      val v = node.get(fields(i).name)
+      out(i) = if (v == null || v.isNull) null else fromJson(v, fields(i).dataType)
+      i += 1
+    }
+    out
+  }
+
+  private def fromJson(v: JsonNode, dt: DataType): Any = dt match {
+    case IntegerType => v.asInt()
+    case LongType => v.asLong()
+    case FloatType => v.asDouble().toFloat
+    case DoubleType => v.asDouble()
+    case BooleanType => v.asBoolean()
+    case StringType => v.asText()
+    case ArrayType(et, _) =>
+      v.elements().asScala.map(e => fromJson(e, et)).toArray[Any]
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+}

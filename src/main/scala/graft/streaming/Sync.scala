@@ -351,13 +351,21 @@ object Sync {
     * bucketed tables on their join keys so even the static shuffle is a
     * one-time build. */
   def lshDedupStream(docs: DataFrame, corpus: DataFrame,
-      gap: String = "10 minutes"): DataFrame = {
+      gap: String = "10 minutes"): DataFrame =
+    lshDedupStreamReleasable(docs, corpus, gap)._1
+
+  /** [[lshDedupStream]] plus a release thunk that unpersists the two
+    * static-side caches (shingle table + band index) — call it after
+    * stopping the query. The restart-against-refreshed-snapshot pattern
+    * otherwise accumulates one orphaned cache pair per restart unless the
+    * caller remembers a blanket `spark.catalog.clearCache()` (ADVICE r3). */
+  def lshDedupStreamReleasable(docs: DataFrame, corpus: DataFrame,
+      gap: String = "10 minutes"): (DataFrame, () => Unit) = {
     // persist BOTH static frames: a stream-static join re-executes the
     // static plan every microbatch, so without the cache each batch would
     // re-scan and re-minhash the whole corpus twice (once per join) —
     // per-batch cost must stay O(arriving rows). The caches live for the
-    // query's lifetime; release with spark.catalog.clearCache() after
-    // stopping (USAGE §3b).
+    // query's lifetime; release via the returned thunk (USAGE §3b).
     val corpusSh = corpus
       .select(col("doc_id").as("cand_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -376,9 +384,19 @@ object Sync {
       .select(col("doc_id"), col("ts"), col("dsh"), expr(BandRows).as("b"))
       .select(col("doc_id"), col("ts"), col("dsh"),
         col("b.band").as("band"), col("b.sig").as("sig"))
-    stream
+    val out = stream
       .join(bandIndex, Seq("band", "sig"))
       .filter(col("doc_id") =!= col("cand_id")) // a re-synced doc is not its own dup
+      // candidate-pair dedup BEFORE the verify join (batch j12's candidate
+      // discipline, ADVICE r3): an exact copy collides in all 4 bands and
+      // would otherwise run the corpusSh join + array_intersect 4× per
+      // pair. Watermark-bounded state on the same (doc_id, cand_id) keys
+      // the emission dedup used — moving it here subsumes that trailing
+      // dedup (the verify is a deterministic per-pair function, so unique
+      // pairs in ⇒ unique verdicts out). A plain dropDuplicates would be
+      // wrong here: its state never ages out on a stream.
+      .select(col("doc_id"), col("ts"), col("dsh"), col("cand_id"))
+      .dropDuplicatesWithinWatermark("doc_id", "cand_id")
       .join(corpusSh, "cand_id")
       .withColumn("inter", size(array_intersect(col("dsh"), col("csh"))))
       // filter on the UNROUNDED value (matching batch j12's gate exactly —
@@ -389,7 +407,7 @@ object Sync {
       .filter(col("jac") >= 0.5)
       .select(col("doc_id"), col("ts"), col("cand_id"),
         round(col("jac"), 6).as("jaccard"))
-      .dropDuplicatesWithinWatermark("doc_id", "cand_id")
+    (out, () => { corpusSh.unpersist(); bandIndex.unpersist(); () })
   }
 
   /** The curation gates in incremental form — the per-document filters of
@@ -419,7 +437,14 @@ object Sync {
     * (corpus-level counts / a total order) and run at training-set
     * export time. */
   def curateStream(docs: DataFrame, corpus: DataFrame, evalDocs: DataFrame,
-      gap: String = "10 minutes"): DataFrame = {
+      gap: String = "10 minutes"): DataFrame =
+    curateStreamReleasable(docs, corpus, evalDocs, gap)._1
+
+  /** [[curateStream]] plus a release thunk for its two static-side caches
+    * (corpus content-hash set + eval shingle array) — call after stopping
+    * the query; same contract as [[lshDedupStreamReleasable]]. */
+  def curateStreamReleasable(docs: DataFrame, corpus: DataFrame,
+      evalDocs: DataFrame, gap: String = "10 minutes"): (DataFrame, () => Unit) = {
     // static sides: persist — stream-static joins re-execute the static
     // plan each microbatch (same discipline as lshDedupStream)
     val corpusHashes = corpus
@@ -447,7 +472,7 @@ object Sync {
         size(array_intersect(col("__shh"), col("eval_shh"))).cast("double") /
           size(col("__shh"))).otherwise(lit(0.0)))
       .filter(col("contamination") < 0.30)
-    gated
+    val out = gated
       .select(col("content_hash"), col("doc_id"), col("ts"), col("text"),
         round(col("d2"), 6).as("dup2_frac"),
         round(col("contamination"), 6).as("contamination"))
@@ -456,6 +481,7 @@ object Sync {
       // as batch exactDedup would — and a re-sent doc collapses with them
       .dropDuplicatesWithinWatermark("content_hash")
       .drop("content_hash")
+    (out, () => { corpusHashes.unpersist(); evalArr.unpersist(); () })
   }
 
   /** i6 streaming form — the sync loop: each microbatch is LWW-merged into

@@ -28,8 +28,12 @@ class CurateSpec extends AnyFunSuite {
 
   test("no surviving doc is in the eval split or over the contamination cut (j22's gate)") {
     assert(ids.forall(_ % 10 != 0))
-    val contaminated = q("j22_decontaminate")
-      .filter(col("contamination") >= 0.30)
+    // gate on the UNROUNDED ratio — the exact predicate curate applies; a
+    // doc in [0.2999995, 0.30) rounds up to j22's display 0.30 but is NOT
+    // dropped by curate, so filtering the rounded column would flag it
+    // spuriously on such a fixture (ADVICE r3)
+    val contaminated = ops.PipelineOps.contamination(spark, TestSpark.sf0001)
+      .filter(col("raw_contamination") >= 0.30)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(contaminated.nonEmpty, "threshold dropped nothing — gate untested")
     assert((ids intersect contaminated).isEmpty)
@@ -64,8 +68,8 @@ class CurateSpec extends AnyFunSuite {
     val repDropped = q("j29_repetition_filter")
       .filter(col("keep") === 0)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
-    val contaminated = q("j22_decontaminate")
-      .filter(col("contamination") >= 0.30)
+    val contaminated = ops.PipelineOps.contamination(spark, TestSpark.sf0001)
+      .filter(col("raw_contamination") >= 0.30) // curate's exact predicate
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     val eligible = docs.filter(col("doc_id").isInCollection(
       docs.select(col("doc_id")).collect().map(_.getLong(0)).filter(id =>

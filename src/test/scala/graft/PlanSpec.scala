@@ -142,6 +142,16 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
 
+  test("j15: language dictionary / per-lang totals / vocab scalar are all broadcast") {
+    val p = plan("j15_langid")
+    // the per-token stream (corpus-sized) must meet the O(#languages)
+    // langs+lcnt frames and the 1-row vocab count as broadcasts; the only
+    // legitimate shuffle joins key on (cand_lang, token) — the vocab-sized
+    // ltf profile that can't be broadcast at corpus scale
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2, p) // langs + vocab scalars
+  }
+
   test("whole-stage codegen covers the flagship plan") {
     // AQE finalizes stages lazily — execute first, then inspect
     val df = SparkEntry.queries("d1_agg_group")(TestSpark.spark, TestSpark.sf0001)

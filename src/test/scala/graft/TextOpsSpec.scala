@@ -88,4 +88,20 @@ class TextOpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(got === Set((1L, 1L), (2L, 1L), (6L, 6L), (7L, 6L)))
   }
+
+  test("j21 leaves no cached relations behind (ADVICE r3 #1)") {
+    // library-use contract: after the returned frame is consumed, neither
+    // the CacheManager (persist) nor the block manager (localCheckpoint
+    // RDD blocks) holds anything the call created — the converged labels
+    // are re-homed to a reliable file checkpoint on exit
+    val rddsBefore = s.sparkContext.getPersistentRDDs.keySet
+    val out = ops.TextOps.j21(s, capDir)
+    assert(out.count() === 4L) // consume
+    val leakedRdds = s.sparkContext.getPersistentRDDs.keySet -- rddsBefore
+    assert(leakedRdds.isEmpty,
+      s"j21 left RDD blocks pinned: $leakedRdds")
+    assert(out.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    // and the frame must still be usable after the internal releases
+    assert(out.count() === 4L)
+  }
 }
