@@ -43,10 +43,34 @@ object Sources {
       .orderBy($"event_id")
   }
 
+  /** a6_connector_roundtrip — the full custom-connector path (SURVEY §3.1
+    * "Structured Streaming + custom connectors"): the events table is
+    * pushed through the graft-sync BULK SINK (idempotent NDJSON pages +
+    * manifest commit — the ES `_bulk` analog) and read back through the
+    * graft-sync SCAN with filter + column pushdown (the paged CQL scan
+    * analog); the oracle checks the round-trip against the original
+    * parquet. The store is rebuilt per call (overwrite commit), so the
+    * timing covers one full sink+scan cycle.
+    *
+    * `ts` is deliberately excluded: the connector moves it as raw ns
+    * longs, and the ns→µs presentation contract is a2's subject. */
+  def a6(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val store = s"${System.getProperty("java.io.tmpdir")}/graft-sync-store-" +
+      java.lang.Integer.toHexString(d.hashCode)
+    Tables.eventsRaw(s, d)
+      .write.format("graft-sync").mode("overwrite").save(store)
+    s.read.format("graft-sync").load(store)
+      .filter($"event_type" === "click" && $"value" >= 10.0)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .orderBy($"event_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_scan_parquet" -> a1,
     "a2_scan_events_ns" -> a2,
-    "a3_json_extract_source" -> a3)
+    "a3_json_extract_source" -> a3,
+    "a6_connector_roundtrip" -> a6)
 
   val oracle: Map[String, String] = Map(
     "a1_scan_parquet" ->
@@ -58,5 +82,10 @@ object Sources {
         |FROM 'events.parquet' ORDER BY event_id""".stripMargin,
     "a3_json_extract_source" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
-        |FROM 'events.parquet' ORDER BY event_id""".stripMargin)
+        |FROM 'events.parquet' ORDER BY event_id""".stripMargin,
+    "a6_connector_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM 'events.parquet'
+        |WHERE event_type = 'click' AND value >= 10.0
+        |ORDER BY event_id""".stripMargin)
 }

@@ -43,38 +43,60 @@ private[sources] object GraftSyncStore {
     else None
   }
 
-  /** Atomically publish a manifest for one committed job/epoch. The name is
-    * caller-chosen (`_manifest-<queryId>.json` / `_manifest-epoch-N.json`):
-    * a REPLAYED streaming epoch rewrites the same manifest with the same
-    * page list, which is what makes the sink idempotent under retries. */
-  def writeManifest(dir: String, name: String, pages: Seq[String]): Unit = {
+  /** Atomically publish a manifest for one committed job/epoch, named
+    * `_manifest-<ordinal>-<tag>.json`. The ORDINAL defines the feed order
+    * the micro-batch offsets index into (manifests concatenate in ordinal
+    * order — page names themselves are never globally sorted, because a
+    * later job's random queryId could sort before an earlier one's). A
+    * REPLAYED streaming epoch passes the same (ordinal=epochId, tag) and
+    * so rewrites the same manifest with the same page list — the sink's
+    * idempotency under retries. */
+  def writeManifest(dir: String, ordinal: Long, tag: String,
+      pages: Seq[String]): Unit = {
     val node = mapper.createObjectNode()
     val arr = node.putArray("pages")
     pages.sorted.foreach(arr.add)
-    atomicWrite(Paths.get(dir, s"$ManifestPrefix$name.json"),
+    atomicWrite(Paths.get(dir, f"$ManifestPrefix$ordinal%012d-$tag.json"),
       mapper.writeValueAsBytes(node))
+  }
+
+  /** The next free batch-commit ordinal: max over existing manifests + 1.
+    * Driver-side only (one committing driver per store — the same
+    * single-committer assumption a file-sink manifest makes). */
+  def nextOrdinal(dir: String): Long = {
+    val ords = listFiles(dir).map(_.getFileName.toString)
+      .filter(_.startsWith(ManifestPrefix))
+      .flatMap(n => n.stripPrefix(ManifestPrefix).takeWhile(_.isDigit) match {
+        case "" => None
+        case d => Some(d.toLong)
+      })
+    if (ords.isEmpty) 1L else ords.max + 1L
   }
 
   def deleteManifests(dir: String): Unit =
     listFiles(dir).filter(_.getFileName.toString.startsWith(ManifestPrefix))
       .foreach(Files.deleteIfExists(_))
 
-  /** The committed page list: union of every manifest, deduplicated and
-    * sorted (the deterministic page order the micro-batch stream offsets
-    * index into). Falls back to "every *.jsonl in the directory" when no
-    * manifest exists, so hand-assembled fixture dirs still read. */
+  /** The committed page list in FEED ORDER: manifests concatenate by
+    * ordinal (append order — the order micro-batch offsets index into,
+    * stable because committed manifests are never reordered), pages sorted
+    * within each manifest, first occurrence wins. Falls back to "every
+    * *.jsonl in the directory, name-sorted" when no manifest exists, so
+    * hand-assembled fixture dirs still read. */
   def committedPages(dir: String): Seq[String] = {
     val manifests = listFiles(dir)
       .filter(_.getFileName.toString.startsWith(ManifestPrefix))
+      .sortBy(_.getFileName.toString)
     val pages =
       if (manifests.isEmpty)
-        listFiles(dir).map(_.getFileName.toString).filter(_.endsWith(".jsonl"))
+        listFiles(dir).map(_.getFileName.toString)
+          .filter(_.endsWith(".jsonl")).sorted
       else
         manifests.flatMap { m =>
           val node = mapper.readTree(Files.readAllBytes(m))
           node.get("pages").elements().asScala.map(_.asText()).toSeq
         }
-    pages.distinct.sorted.filter(p => Files.isRegularFile(Paths.get(dir, p)))
+    pages.distinct.filter(p => Files.isRegularFile(Paths.get(dir, p)))
   }
 
   /** Overwrite semantics for `SaveMode.Overwrite`/`truncate()`: drop every

@@ -1,0 +1,184 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types._
+
+/** The `graft-sync` write path — an idempotent batched NDJSON bulk sink,
+  * the ES `_bulk` analog (SURVEY §3.1): every task buffers rows and flushes
+  * them as one NDJSON page ("bulk request"), and commits are page-replace
+  * operations keyed by deterministic names, so any retry converges to the
+  * same store state instead of duplicating documents.
+  *
+  * Idempotency, the property that makes a sync pipeline safe to retry:
+  *   - batch: pages are named `page-<queryId>-<partition>.jsonl` — a
+  *     retried task overwrites its own page; the driver-side commit then
+  *     publishes ONE manifest naming exactly the committed pages
+  *     (atomically, tmp+rename), so readers never see a torn job.
+  *   - streaming: pages are `epoch-<epochId>-<partition>.jsonl` and each
+  *     epoch commit publishes `_manifest-epoch-<epochId>.json`. A replayed
+  *     epoch (post-crash re-execution of an un-committed batch) rewrites
+  *     the SAME pages and the SAME manifest — exactly-once output without
+  *     any sink-side dedup state, the same effect ES reaches with
+  *     deterministic `_id` upserts.
+  *
+  * Scale: a task writes only its own partition's page; the driver commit
+  * handles O(#partitions) names, no data. Abort paths delete only the
+  * aborted attempt's page.
+  */
+private[sources] class GraftSyncWriteBuilder(dir: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = {
+    GraftSyncStore.checkSchema(info.schema())
+    new Write {
+      override def toBatch: BatchWrite =
+        new GraftSyncBatchWrite(dir, info.schema(), info.queryId(), doTruncate)
+      override def toStreaming: StreamingWrite =
+        new GraftSyncStreamingWrite(dir, info.schema(), doTruncate)
+    }
+  }
+}
+
+private[sources] class GraftSyncBatchWrite(dir: String, schema: StructType,
+    queryId: String, truncate: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    GraftSyncWriterFactory(dir, schema, s"page-$queryId")
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val pages = messages.map(_.asInstanceOf[GraftSyncCommit].page).filter(_.nonEmpty)
+    if (truncate) {
+      // overwrite = drop every previously-committed generation, keep ours
+      GraftSyncStore.deleteManifests(dir)
+      val keep = pages.toSet
+      val p = Paths.get(dir)
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try {
+          s.forEach { f =>
+            val n = f.getFileName.toString
+            if (n.endsWith(".jsonl") && !keep(n)) Files.deleteIfExists(f)
+          }
+        } finally s.close()
+      }
+    }
+    GraftSyncStore.writeSchema(dir, schema)
+    GraftSyncStore.writeManifest(dir, GraftSyncStore.nextOrdinal(dir),
+      queryId, pages.toSeq)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftSyncCommit(page) if page.nonEmpty =>
+        Files.deleteIfExists(Paths.get(dir, page))
+      case _ => ()
+    }
+}
+
+private[sources] class GraftSyncStreamingWrite(dir: String, schema: StructType,
+    truncate: Boolean) extends StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    GraftSyncStreamingWriterFactory(dir, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    GraftSyncStore.writeSchema(dir, schema)
+    // ordinal = epochId: re-publishing a replayed epoch rewrites the SAME
+    // manifest, so the feed order and page set are unchanged — a no-op
+    GraftSyncStore.writeManifest(dir, epochId, "epoch",
+      messages.map(_.asInstanceOf[GraftSyncCommit].page).toSeq.filter(_.nonEmpty))
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftSyncCommit(page) if page.nonEmpty =>
+        Files.deleteIfExists(Paths.get(dir, page))
+      case _ => ()
+    }
+}
+
+private[sources] case class GraftSyncCommit(page: String) extends WriterCommitMessage
+
+private[sources] case class GraftSyncWriterFactory(dir: String,
+    schema: StructType, prefix: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftSyncDataWriter(dir, schema, f"$prefix-$partitionId%05d.jsonl")
+}
+
+private[sources] case class GraftSyncStreamingWriterFactory(dir: String,
+    schema: StructType) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftSyncDataWriter(dir, schema, f"epoch-$epochId-$partitionId%05d.jsonl")
+}
+
+/** Serializes this partition's rows to one NDJSON page. The page is
+  * written tmp-then-atomic-rename in commit(), so a name is only ever
+  * bound to complete content; concurrent speculative attempts race on the
+  * rename with identical bytes — either winner is correct. */
+private[sources] class GraftSyncDataWriter(dir: String, schema: StructType,
+    page: String) extends DataWriter[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val buf = new java.lang.StringBuilder(1 << 16)
+  private val fields = schema.fields
+
+  override def write(row: InternalRow): Unit = {
+    val node = mapper.createObjectNode()
+    var i = 0
+    while (i < fields.length) {
+      val f = fields(i)
+      if (row.isNullAt(i)) node.putNull(f.name)
+      else f.dataType match {
+        case IntegerType => node.put(f.name, row.getInt(i))
+        case LongType => node.put(f.name, row.getLong(i))
+        case FloatType => node.put(f.name, row.getFloat(i))
+        case DoubleType => node.put(f.name, row.getDouble(i))
+        case BooleanType => node.put(f.name, row.getBoolean(i))
+        case StringType => node.put(f.name, row.getUTF8String(i).toString)
+        case ArrayType(et, _) =>
+          val arr = node.putArray(f.name)
+          val a = row.getArray(i)
+          var j = 0
+          while (j < a.numElements()) {
+            et match {
+              case IntegerType => arr.add(a.getInt(j))
+              case LongType => arr.add(a.getLong(j))
+              case FloatType => arr.add(a.getFloat(j))
+              case DoubleType => arr.add(a.getDouble(j))
+              case StringType => arr.add(a.getUTF8String(j).toString)
+              case other => throw new IllegalStateException(s"unreachable: $other")
+            }
+            j += 1
+          }
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+      i += 1
+    }
+    buf.append(mapper.writeValueAsString(node)).append('\n')
+  }
+
+  override def commit(): WriterCommitMessage = {
+    // an empty partition sends no bulk request — no page file, no
+    // manifest entry (the driver-side commits filter the "" marker)
+    if (buf.length() == 0) GraftSyncCommit("")
+    else {
+      Files.createDirectories(Paths.get(dir))
+      GraftSyncStore.atomicWrite(Paths.get(dir, page), buf.toString.getBytes(UTF_8))
+      GraftSyncCommit(page)
+    }
+  }
+
+  override def abort(): Unit = () // nothing durable until commit's rename
+  override def close(): Unit = ()
+}

@@ -21,6 +21,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_extendedprice"), "scan reads columns the query never uses")
   }
 
+  test("a6: connector scan claims its filters — pushdown visible, no residual FilterExec") {
+    val p = plan("a6_connector_roundtrip")
+    assert(p.contains("GraftSyncScan"), p)
+    assert(p.contains("EqualTo(event_type,click)"), p)
+    assert(p.contains("GreaterThanOrEqual(value,10.0)"), p)
+    // fully-claimed pushdown: the filter runs inside the page reader,
+    // Spark plans no residual Filter node
+    assert(!p.contains("Filter ("), p)
+    // pruned parse: props/ts never reach the scan output
+    assert(!p.contains("props"), p)
+  }
+
   test("c1: small dimension is broadcast — no shuffle of the fact side") {
     val p = plan("c1_join_broadcast")
     assert(p.contains("BroadcastHashJoin"), p)
