@@ -310,6 +310,49 @@ object TextOps {
       .orderBy($"source")
   }
 
+  /** j34_bm25_search — relevance-ranked retrieval, the ES query-side
+    * capability (the reference's search engine half): score every document
+    * against a multi-token query with BM25 (Robertson/Okapi; the +1 idf
+    * variant Lucene uses so no term scores negative), return the top 10
+    * with deterministic (rounded-score, doc_id) ordering.
+    *
+    * Scale shape: the explode is filtered to the query's terms BEFORE any
+    * shuffle — the tf aggregation moves O(docs containing a query term),
+    * never the corpus token stream. df/idf and the corpus stats (N, avgdl)
+    * ride one broadcast each; the per-(doc,term) score is pure row
+    * arithmetic; the final top-k is ORDER BY+LIMIT = TakeOrderedAndProject
+    * (per-partition heaps, no global sort). An inverted-index engine keeps
+    * tf/df precomputed; this is the same dataflow with the index build
+    * inlined.
+    *
+    * Determinism: per-doc term scores are summed via sorted-fold (j24/j33
+    * discipline — groupBy sum over doubles is order-nondeterministic);
+    * BM25 constants are spelled as the same literals in both engines
+    * (2.2 = k1+1, 0.25 = 1-b) so the arithmetic is bit-identical. */
+  def j34(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq("spark", "vector", "dup") // mixed df: two common, one rare
+    val docs = Tables.documents(s, d)
+    val dl = docs.select($"doc_id", size(split($"text", " ")).cast("double").as("dl"))
+    val tf = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
+      .filter($"token".isin(terms: _*))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg($"dl").as("avgdl"))
+    tf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore",
+        log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)) *
+          ($"tf" * 2.2) / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+      .groupBy($"doc_id")
+      .agg(expr("aggregate(array_sort(collect_list(tscore)), CAST(0 AS DOUBLE), (a, x) -> a + x)")
+        .as("sc"), count(lit(1)).as("n_terms"))
+      .select($"doc_id", round($"sc", 6).as("bm25"), $"n_terms")
+      .orderBy($"bm25".desc, $"doc_id".asc)
+      .limit(10)
+  }
+
   /** k1_scala_udf — registered Scala UDF in a query (lower + strip
     * non-alphanumerics), oracled by the equivalent SQL expression. */
   def k1(s: SparkSession, d: String): DataFrame = {
@@ -326,6 +369,7 @@ object TextOps {
     "j1_dedup_exact" -> j1, "j2_dedup_near_jaccard" -> j2,
     "j21_dedup_clusters" -> j21,
     "j6_wordcount" -> j6, "j7_tfidf" -> j7, "j8_pivot_stats" -> j8,
+    "j34_bm25_search" -> j34,
     "k1_scala_udf" -> k1)
 
   val oracle: Map[String, String] = Map(
@@ -394,6 +438,24 @@ object TextOps {
         |count(*) FILTER (WHERE lang = 'fr') AS fr,
         |count(*) FILTER (WHERE lang = 'zh') AS zh
         |FROM 'documents.parquet' GROUP BY source ORDER BY source""".stripMargin,
+    "j34_bm25_search" ->
+      """WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |            FROM 'documents.parquet'),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM (
+        |         SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |         FROM 'documents.parquet')
+        |       WHERE token IN ('spark', 'vector', 'dup') GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |sc AS (SELECT tf.doc_id,
+        |         ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |           (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS tscore
+        |       FROM tf JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN st),
+        |agg AS (SELECT doc_id, list_sum(list_sort(list(tscore))) AS s,
+        |               count(*) AS n_terms
+        |        FROM sc GROUP BY 1)
+        |SELECT doc_id, round(s, 6) AS bm25, n_terms
+        |FROM agg ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 10""".stripMargin,
     "k1_scala_udf" ->
       """SELECT c_custkey,
         |regexp_replace(lower(c_name), '[^a-z0-9 ]', '', 'g') AS clean_name

@@ -185,6 +185,19 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("n")) === 15000L)
   }
 
+  test("j34_bm25_search top hit matches DuckDB at BOTH SFs (corpora differ)") {
+    // sf0.001: doc 82 wins with 2 matched terms; sf0.01 (different texts):
+    // doc 134 with all 3 — both goldens from the independent DuckDB run
+    val r1 = q("j34_bm25_search").head()
+    assert(r1.getLong(0) === 82L)
+    assert(r1.getDouble(r1.fieldIndex("bm25")) === 5.212299)
+    assert(r1.getLong(r1.fieldIndex("n_terms")) === 2L)
+    val r2 = q01("j34_bm25_search").head()
+    assert(r2.getLong(0) === 134L)
+    assert(r2.getDouble(r2.fieldIndex("bm25")) === 4.548686)
+    assert(r2.getLong(r2.fieldIndex("n_terms")) === 3L)
+  }
+
   test("d3_agg_approx_distinct at sf0.01: exact counts match and sketch is in-bound") {
     val rows = q01("d3_agg_approx_distinct").collect()
     val click = rows.find(_.getString(0) == "click").get

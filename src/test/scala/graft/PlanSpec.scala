@@ -68,7 +68,7 @@ class PlanSpec extends AnyFunSuite {
     // broadcast idiom at any scale. (j31/j33 get their own targeted
     // plan tests below, so the exemption doesn't hide a degraded join.)
     val scalarBroadcast = Set("j7_tfidf", "j15_langid", "j26_embed_quantize",
-      "j31_embed_lsh_neardup", "j33_lm_score")
+      "j31_embed_lsh_neardup", "j33_lm_score", "j34_bm25_search")
     val offenders = SparkEntry.queries.toSeq
       .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
       .flatMap { case (name, fn) =>
@@ -162,6 +162,15 @@ class PlanSpec extends AnyFunSuite {
     // ltf profile that can't be broadcast at corpus scale
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2, p) // langs + vocab scalars
+  }
+
+  test("j34: tf/df broadcast onto the term stream; top-k is TakeOrderedAndProject") {
+    val p = plan("j34_bm25_search")
+    // df + corpus stats reach the scored stream as broadcasts, and the
+    // top-10 must be per-partition heaps, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("whole-stage codegen covers the flagship plan") {
