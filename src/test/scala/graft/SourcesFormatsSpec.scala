@@ -67,6 +67,33 @@ class SourcesFormatsSpec extends AnyFunSuite {
     assert(!plan.contains("l_extendedprice"), "orc scan reads pruned columns")
   }
 
+  test("partitioned layout prunes: a one-day query plans PartitionFilters and matches") {
+    // the first lever a 100 TB user reaches for: day-partitioned events,
+    // a single-day query must touch one directory, not the table
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val root = Files.createTempDirectory("ppart").toString
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+    val days = ev.select($"day").distinct().count()
+    assert(days > 1, "fixture spans one day — pruning test would be vacuous")
+    Sinks.writePartitioned(ev, s"$root/events_by_day", "day")
+    val q = spark.read.parquet(s"$root/events_by_day")
+      .filter($"day" === "2024-01-01")
+      .select($"event_id", $"value")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(plan.contains("day#"), plan) // the pruning predicate, not a data filter
+    // the day column is partition metadata — the data read schema carries
+    // only the projected columns
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,value:double>"), plan)
+    // row-exactness vs the unpartitioned scan
+    val want = ev.filter($"day" === "2024-01-01")
+      .select($"event_id", $"value").collect().toSet
+    assert(q.collect().toSet === want)
+    assert(want.nonEmpty)
+  }
+
   test("k3: typed flatMap generator produces exactly explode's rows") {
     // §2-k3 (non-declared): the custom-UDTF path. Spark's idiomatic form
     // is Dataset.flatMap — same Generator machinery as explode underneath.
