@@ -140,6 +140,36 @@ class GraftSyncConnectorSpec extends AnyFunSuite {
     assert(second === first, "replayed epochs must converge, not duplicate")
   }
 
+  test("an event-time operator runs unchanged over the connector stream (i1 twin)") {
+    // the charter's composition: Structured Streaming + custom connectors.
+    // The tumbling-window aggregation (i1) applied to the graft-sync
+    // micro-batch stream must equal the same aggregation run as batch over
+    // the same store — Structured Streaming's batch-equivalence guarantee,
+    // now through OUR source.
+    val dir = freshStore("i1")
+    val ck = Files.createTempDirectory("gsync-i1-ck").toString
+    Tables.eventsRaw(spark, TestSpark.sf0001)
+      .write.format("graft-sync").mode("overwrite").save(dir)
+    def windowed(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts",
+        expr("cast(timestamp_micros(cast(ts div 1000 as long)) as timestamp_ntz)"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
+    val q = windowed(spark.readStream.format("graft-sync").load(dir))
+      .writeStream.format("memory").queryName("gsync_i1")
+      .outputMode("complete")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("gsync_i1").collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getString(1), r.getLong(2))).toSet
+    val want = windowed(spark.read.format("graft-sync").load(dir)).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getString(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("schema is persisted by the sink and inferred by the source") {
     val dir = freshStore("schema")
     Tables.documents(spark, TestSpark.sf0001)
