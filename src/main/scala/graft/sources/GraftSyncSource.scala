@@ -245,12 +245,19 @@ private[sources] class GraftSyncPageReader(path: java.nio.file.Path,
 
   private val reader = java.nio.file.Files.newBufferedReader(path)
   private var row: InternalRow = _
+  private var lineNo = 0L
 
   override def next(): Boolean = {
     var line = reader.readLine()
     while (line != null) {
+      lineNo += 1
       if (line.nonEmpty) {
-        val vals = GraftSyncStore.parseLine(mapper, line, parseFields)
+        val vals =
+          try GraftSyncStore.parseLine(mapper, line, parseFields)
+          catch {
+            case e: Exception => throw new java.io.IOException(
+              s"graft-sync: corrupt page $path line $lineNo: ${e.getMessage}", e)
+          }
         def get(c: String): Any = vals(colIndex(c))
         if (pushed.forall(GraftSyncFilters.eval(_, get))) {
           row = toCatalyst(vals)

@@ -160,15 +160,19 @@ private[sources] object GraftSyncStore {
     out
   }
 
+  /** STRICT decode: a value of the wrong JSON kind throws instead of
+    * jackson's silent `asLong()==0` coercion — schema drift in a sync
+    * feed must surface as an error, not as zeros. */
   private def fromJson(v: JsonNode, dt: DataType): Any = dt match {
-    case IntegerType => v.asInt()
-    case LongType => v.asLong()
-    case FloatType => v.asDouble().toFloat
-    case DoubleType => v.asDouble()
-    case BooleanType => v.asBoolean()
-    case StringType => v.asText()
-    case ArrayType(et, _) =>
+    case IntegerType if v.isNumber => v.asInt()
+    case LongType if v.isNumber => v.asLong()
+    case FloatType if v.isNumber => v.asDouble().toFloat
+    case DoubleType if v.isNumber => v.asDouble()
+    case BooleanType if v.isBoolean => v.asBoolean()
+    case StringType if v.isTextual => v.asText()
+    case ArrayType(et, _) if v.isArray =>
       v.elements().asScala.map(e => fromJson(e, et)).toArray[Any]
-    case other => throw new IllegalStateException(s"unreachable: $other")
+    case other => throw new IllegalArgumentException(
+      s"expected ${other.simpleString}, found JSON ${v.getNodeType} ($v)")
   }
 }

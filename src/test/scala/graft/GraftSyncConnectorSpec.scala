@@ -181,6 +181,20 @@ class GraftSyncConnectorSpec extends AnyFunSuite {
     assert(df.count() === Tables.documents(spark, TestSpark.sf0001).count())
   }
 
+  test("a corrupt page fails loudly with file and line context") {
+    val dir = freshStore("corrupt")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, "page-0.jsonl"),
+      ("""{"id":1}""" + "\n" + """{"id": not-json}""" + "\n").getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      spark.read.format("graft-sync").schema("id BIGINT").load(dir).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("corrupt page") && m.contains("line 2")),
+      s"got: ${msgs(e)}")
+  }
+
   test("unsupported column types are rejected loudly at write time") {
     val dir = freshStore("badtype")
     val bad = spark.range(3).select(struct($"id").as("s"))
