@@ -181,6 +181,48 @@ class GraftSyncConnectorSpec extends AnyFunSuite {
     assert(df.count() === Tables.documents(spark, TestSpark.sf0001).count())
   }
 
+  test("the reference's sync loop runs through the connector: LWW + tombstones") {
+    // the end-to-end story: a keyed change feed (updates + delete
+    // tombstones, ts as epoch-micros longs — the connector's value
+    // domain) arrives through the graft-sync micro-batch source and is
+    // LWW-merged per batch; the resulting live view must equal the batch
+    // merge of the whole feed. mergeLww's window ordering is
+    // type-generic, so the operator runs unchanged on the long-encoded
+    // feed.
+    val dir = freshStore("sync")
+    val ck = Files.createTempDirectory("gsync-sync-ck").toString
+    val gen1 = Seq((1L, 100L, 1L, "a1"), (2L, 100L, 2L, "b1"), (3L, 100L, 5L, "c1"))
+    val gen2 = Seq((1L, 200L, 3L, "a2"), // newer update for key 1
+      (2L, 300L, 4L, null), // tombstone deletes key 2...
+      (2L, 250L, 6L, "b2")) // ...and this OLDER update must stay dead
+    val cols = Seq("key", "ts", "uid", "payload")
+    gen1.toDF(cols: _*).write.format("graft-sync").mode("overwrite").save(dir)
+    gen2.toDF(cols: _*).write.format("graft-sync").mode("append").save(dir)
+
+    var snapshot = Seq.empty[(Long, Long, Long, String)].toDF(cols: _*)
+    val q = spark.readStream.format("graft-sync").load(dir)
+      .writeStream
+      .foreachBatch { (delta: org.apache.spark.sql.DataFrame, _: Long) =>
+        snapshot = graft.streaming.Sync
+          .mergeLwwWithDeletes(snapshot, delta).localCheckpoint()
+        ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val live = graft.streaming.Sync.liveView(snapshot)
+      .select(col("key"), col("payload"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batchWant = graft.streaming.Sync.liveView(
+      graft.streaming.Sync.mergeLwwWithDeletes(
+        gen1.toDF(cols: _*), gen2.toDF(cols: _*)))
+      .select(col("key"), col("payload"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(live === batchWant)
+    assert(live === Set((1L, "a2"), (3L, "c1"))) // key 2 deleted, stays deleted
+  }
+
   test("a corrupt page fails loudly with file and line context") {
     val dir = freshStore("corrupt")
     Files.createDirectories(Paths.get(dir))

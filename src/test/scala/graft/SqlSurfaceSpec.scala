@@ -28,6 +28,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(sql.collect().toSeq === df.collect().toSeq)
   }
 
+  test("the graft-sync connector is consumable from SQL via CREATE TABLE ... USING") {
+    val dir = java.nio.file.Files.createTempDirectory("gsync-sql").toString + "/store"
+    Tables.eventsRaw(s, TestSpark.sf0001)
+      .select($"event_id", $"event_type", $"value")
+      .write.format("graft-sync").mode("overwrite").save(dir)
+    s.sql("DROP TABLE IF EXISTS gsync_events")
+    s.sql(s"CREATE TABLE gsync_events USING `graft-sync` OPTIONS (path '$dir')")
+    try {
+      val got = s.sql(
+        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv
+          |FROM gsync_events WHERE value >= 10.0
+          |GROUP BY event_type ORDER BY event_type""".stripMargin).collect().toSeq
+      val want = Tables.eventsRaw(s, TestSpark.sf0001)
+        .filter($"value" >= 10.0)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sv"))
+        .orderBy($"event_type").collect().toSeq
+      assert(got === want)
+    } finally s.sql("DROP TABLE IF EXISTS gsync_events")
+  }
+
   test("vec_dot is callable from SQL and codegen-planned") {
     functions.VectorExpressions.register(s)
     Tables.embeddings(s, TestSpark.sf0001).createOrReplaceTempView("emb_v")
