@@ -38,25 +38,31 @@ private[sources] class GraftSyncWriteBuilder(dir: String, info: LogicalWriteInfo
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
+  // bulk batch size: rows per page/request (the ES `_bulk` request-size
+  // knob). Bounded writer memory at any partition size.
+  private val bulkRows: Int =
+    Option(info.options.get("bulk-rows")).map(_.toInt).getOrElse(50000)
+
   override def build(): Write = {
     GraftSyncStore.checkSchema(info.schema())
+    require(bulkRows > 0, s"graft-sync: bulk-rows must be positive, got $bulkRows")
     new Write {
       override def toBatch: BatchWrite =
-        new GraftSyncBatchWrite(dir, info.schema(), info.queryId(), doTruncate)
+        new GraftSyncBatchWrite(dir, info.schema(), info.queryId(), doTruncate, bulkRows)
       override def toStreaming: StreamingWrite =
-        new GraftSyncStreamingWrite(dir, info.schema(), doTruncate)
+        new GraftSyncStreamingWrite(dir, info.schema(), bulkRows)
     }
   }
 }
 
 private[sources] class GraftSyncBatchWrite(dir: String, schema: StructType,
-    queryId: String, truncate: Boolean) extends BatchWrite {
+    queryId: String, truncate: Boolean, bulkRows: Int) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftSyncWriterFactory(dir, schema, s"page-$queryId")
+    GraftSyncWriterFactory(dir, schema, s"page-$queryId", bulkRows)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val pages = messages.map(_.asInstanceOf[GraftSyncCommit].page).filter(_.nonEmpty)
+    val pages = messages.flatMap(_.asInstanceOf[GraftSyncCommit].pages)
     if (truncate) {
       // overwrite = drop every previously-committed generation, keep ours
       GraftSyncStore.deleteManifests(dir)
@@ -79,59 +85,66 @@ private[sources] class GraftSyncBatchWrite(dir: String, schema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftSyncCommit(page) if page.nonEmpty =>
-        Files.deleteIfExists(Paths.get(dir, page))
+      case GraftSyncCommit(pages) =>
+        pages.foreach(p => Files.deleteIfExists(Paths.get(dir, p)))
       case _ => ()
     }
 }
 
 private[sources] class GraftSyncStreamingWrite(dir: String, schema: StructType,
-    truncate: Boolean) extends StreamingWrite {
+    bulkRows: Int) extends StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    GraftSyncStreamingWriterFactory(dir, schema)
+    GraftSyncStreamingWriterFactory(dir, schema, bulkRows)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     GraftSyncStore.writeSchema(dir, schema)
     // ordinal = epochId: re-publishing a replayed epoch rewrites the SAME
     // manifest, so the feed order and page set are unchanged — a no-op
     GraftSyncStore.writeManifest(dir, epochId, "epoch",
-      messages.map(_.asInstanceOf[GraftSyncCommit].page).toSeq.filter(_.nonEmpty))
+      messages.flatMap(_.asInstanceOf[GraftSyncCommit].pages).toSeq)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftSyncCommit(page) if page.nonEmpty =>
-        Files.deleteIfExists(Paths.get(dir, page))
+      case GraftSyncCommit(pages) =>
+        pages.foreach(p => Files.deleteIfExists(Paths.get(dir, p)))
       case _ => ()
     }
 }
 
-private[sources] case class GraftSyncCommit(page: String) extends WriterCommitMessage
+private[sources] case class GraftSyncCommit(pages: Seq[String]) extends WriterCommitMessage
 
 private[sources] case class GraftSyncWriterFactory(dir: String,
-    schema: StructType, prefix: String) extends DataWriterFactory {
+    schema: StructType, prefix: String, bulkRows: Int) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftSyncDataWriter(dir, schema, f"$prefix-$partitionId%05d.jsonl")
+    new GraftSyncDataWriter(dir, schema, f"$prefix-$partitionId%05d", bulkRows)
 }
 
 private[sources] case class GraftSyncStreamingWriterFactory(dir: String,
-    schema: StructType) extends StreamingDataWriterFactory {
+    schema: StructType, bulkRows: Int) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new GraftSyncDataWriter(dir, schema, f"epoch-$epochId-$partitionId%05d.jsonl")
+    new GraftSyncDataWriter(dir, schema, f"epoch-$epochId-$partitionId%05d", bulkRows)
 }
 
-/** Serializes this partition's rows to one NDJSON page. The page is
-  * written tmp-then-atomic-rename in commit(), so a name is only ever
-  * bound to complete content; concurrent speculative attempts race on the
-  * rename with identical bytes — either winner is correct. */
+/** Serializes this partition's rows to NDJSON pages of at most `bulkRows`
+  * rows each — a real bulk endpoint takes bounded requests, and the
+  * writer's memory must stay bounded no matter how large the partition
+  * (the per-chunk buffer is the only state). Chunk names are
+  * deterministic (`<prefix>-c<chunk>`): Spark replays a partition's rows
+  * in the same order on retry, so a retried task overwrites its own
+  * chunks byte-for-byte, and a speculative twin races the atomic rename
+  * with identical content — either winner is correct. */
 private[sources] class GraftSyncDataWriter(dir: String, schema: StructType,
-    page: String) extends DataWriter[InternalRow] {
+    prefix: String, bulkRows: Int) extends DataWriter[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private val buf = new java.lang.StringBuilder(1 << 16)
   private val fields = schema.fields
+  private var rowsInChunk = 0
+  private var chunkIdx = 0
+  private val flushed = Seq.newBuilder[String]
 
   override def write(row: InternalRow): Unit = {
     val node = mapper.createObjectNode()
@@ -166,19 +179,31 @@ private[sources] class GraftSyncDataWriter(dir: String, schema: StructType,
       i += 1
     }
     buf.append(mapper.writeValueAsString(node)).append('\n')
+    rowsInChunk += 1
+    if (rowsInChunk >= bulkRows) flushChunk()
+  }
+
+  private def flushChunk(): Unit = {
+    val page = f"$prefix-c$chunkIdx%04d.jsonl"
+    Files.createDirectories(Paths.get(dir))
+    GraftSyncStore.atomicWrite(Paths.get(dir, page), buf.toString.getBytes(UTF_8))
+    flushed += page
+    buf.setLength(0)
+    rowsInChunk = 0
+    chunkIdx += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    // an empty partition sends no bulk request — no page file, no
-    // manifest entry (the driver-side commits filter the "" marker)
-    if (buf.length() == 0) GraftSyncCommit("")
-    else {
-      Files.createDirectories(Paths.get(dir))
-      GraftSyncStore.atomicWrite(Paths.get(dir, page), buf.toString.getBytes(UTF_8))
-      GraftSyncCommit(page)
-    }
+    if (rowsInChunk > 0) flushChunk()
+    // an empty partition sends no bulk request — no pages, no manifest entry
+    GraftSyncCommit(flushed.result())
   }
 
-  override def abort(): Unit = () // nothing durable until commit's rename
+  override def abort(): Unit = {
+    // chunks already flushed by this attempt are deterministic names a
+    // successful retry will overwrite; remove them eagerly anyway so an
+    // aborted-forever job leaves no unmanifested files
+    flushed.result().foreach(p => Files.deleteIfExists(Paths.get(dir, p)))
+  }
   override def close(): Unit = ()
 }

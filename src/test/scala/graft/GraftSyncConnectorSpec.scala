@@ -77,6 +77,18 @@ class GraftSyncConnectorSpec extends AnyFunSuite {
     assert(df.filter($"v" < 100.0).select($"id").as[Long].collect().toSet === Set(1L))
   }
 
+  test("bulk-rows bounds the request size: an oversized partition chunks into pages") {
+    val dir = freshStore("chunk")
+    Tables.eventsRaw(spark, TestSpark.sf0001).limit(25).coalesce(1)
+      .write.format("graft-sync").option("bulk-rows", "10")
+      .mode("overwrite").save(dir)
+    // 25 rows / 10-row requests = 3 pages; writer memory stays bounded at
+    // one request no matter the partition size
+    val pages = new java.io.File(dir).list().count(_.endsWith(".jsonl"))
+    assert(pages === 3, s"expected 3 chunk pages, store has $pages")
+    assert(spark.read.format("graft-sync").load(dir).count() === 25L)
+  }
+
   test("overwrite commits are idempotent; append adds a generation") {
     val dir = freshStore("idem")
     val five = Tables.eventsRaw(spark, TestSpark.sf0001).limit(5)
