@@ -353,6 +353,33 @@ object TextOps {
       .limit(10)
   }
 
+  /** j35_fuzzy_search — the ES `fuzziness` capability: expand each query
+    * term to the vocabulary tokens within edit distance 1 (classic
+    * Levenshtein, Spark's built-in = DuckDB's), reporting per-match df and
+    * occurrence counts — the term-dictionary rewrite an ES fuzzy query
+    * performs before scoring.
+    *
+    * Scale shape: edit distance runs over the VOCABULARY (the distinct-
+    * token aggregate, millions of rows at 100 TB), never the corpus token
+    * stream (trillions); the 3-row term list rides a broadcast, so the
+    * expansion is one map-combined aggregation plus row-local arithmetic.
+    * (ES does the same against its term dictionary; a production variant
+    * would prune candidates with a length/prefix filter before the
+    * distance — unnecessary at fixture vocabulary sizes.) */
+  def j35(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq("sprk", "joid", "vectr").toDF("term") // distance-1 typos
+    Tables.documents(s, d)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .groupBy($"token")
+      .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("n_occ"))
+      .crossJoin(broadcast(terms))
+      .withColumn("dist", levenshtein($"token", $"term").cast("long"))
+      .filter($"dist" <= 1)
+      .select($"term", $"token", $"dist", $"df", $"n_occ")
+      .orderBy($"term", $"token")
+  }
+
   /** k1_scala_udf — registered Scala UDF in a query (lower + strip
     * non-alphanumerics), oracled by the equivalent SQL expression. */
   def k1(s: SparkSession, d: String): DataFrame = {
@@ -369,7 +396,7 @@ object TextOps {
     "j1_dedup_exact" -> j1, "j2_dedup_near_jaccard" -> j2,
     "j21_dedup_clusters" -> j21,
     "j6_wordcount" -> j6, "j7_tfidf" -> j7, "j8_pivot_stats" -> j8,
-    "j34_bm25_search" -> j34,
+    "j34_bm25_search" -> j34, "j35_fuzzy_search" -> j35,
     "k1_scala_udf" -> k1)
 
   val oracle: Map[String, String] = Map(
@@ -456,6 +483,15 @@ object TextOps {
         |        FROM sc GROUP BY 1)
         |SELECT doc_id, round(s, 6) AS bm25, n_terms
         |FROM agg ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "j35_fuzzy_search" ->
+      """WITH v AS (SELECT token, count(DISTINCT doc_id) AS df, count(*) AS n_occ
+        |           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |                 FROM 'documents.parquet') GROUP BY 1)
+        |SELECT t.term, v.token, CAST(levenshtein(v.token, t.term) AS BIGINT) AS dist,
+        |       v.df, v.n_occ
+        |FROM v CROSS JOIN (VALUES ('sprk'), ('joid'), ('vectr')) t(term)
+        |WHERE levenshtein(v.token, t.term) <= 1
+        |ORDER BY t.term, v.token""".stripMargin,
     "k1_scala_udf" ->
       """SELECT c_custkey,
         |regexp_replace(lower(c_name), '[^a-z0-9 ]', '', 'g') AS clean_name

@@ -68,7 +68,8 @@ class PlanSpec extends AnyFunSuite {
     // broadcast idiom at any scale. (j31/j33 get their own targeted
     // plan tests below, so the exemption doesn't hide a degraded join.)
     val scalarBroadcast = Set("j7_tfidf", "j15_langid", "j26_embed_quantize",
-      "j31_embed_lsh_neardup", "j33_lm_score", "j34_bm25_search")
+      "j31_embed_lsh_neardup", "j33_lm_score", "j34_bm25_search",
+      "j35_fuzzy_search") // 3-row term list onto the vocab aggregate
     val offenders = SparkEntry.queries.toSeq
       .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
       .flatMap { case (name, fn) =>
