@@ -380,6 +380,25 @@ object TextOps {
       .orderBy($"term", $"token")
   }
 
+  /** j36_phrase_search — ES `match_phrase`: documents containing the exact
+    * adjacent token sequence, with per-doc occurrence counts. Positional
+    * adjacency is evaluated inside the row (a transform over token
+    * positions — zero shuffles, pure codegen'd array arithmetic), which is
+    * what a positional inverted index gives a search engine without the
+    * index build. The only exchange is the presentation ORDER BY. */
+  def j36(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .withColumn("n_matches", expr(
+        """size(filter(sequence(1, size(toks) - 1),
+          |  i -> element_at(toks, i) = 'hash' AND element_at(toks, i + 1) = 'join'))"""
+          .stripMargin).cast("long"))
+      .filter($"n_matches" >= 1)
+      .select($"doc_id", $"n_matches", size($"toks").cast("long").as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
   /** k1_scala_udf — registered Scala UDF in a query (lower + strip
     * non-alphanumerics), oracled by the equivalent SQL expression. */
   def k1(s: SparkSession, d: String): DataFrame = {
@@ -397,6 +416,7 @@ object TextOps {
     "j21_dedup_clusters" -> j21,
     "j6_wordcount" -> j6, "j7_tfidf" -> j7, "j8_pivot_stats" -> j8,
     "j34_bm25_search" -> j34, "j35_fuzzy_search" -> j35,
+    "j36_phrase_search" -> j36,
     "k1_scala_udf" -> k1)
 
   val oracle: Map[String, String] = Map(
@@ -492,6 +512,16 @@ object TextOps {
         |FROM v CROSS JOIN (VALUES ('sprk'), ('joid'), ('vectr')) t(term)
         |WHERE levenshtein(v.token, t.term) <= 1
         |ORDER BY t.term, v.token""".stripMargin,
+    "j36_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+        |           FROM 'documents.parquet'),
+        |m AS (SELECT doc_id,
+        |        CAST(len(list_filter(generate_series(1, len(t) - 1),
+        |          i -> t[i] = 'hash' AND t[i + 1] = 'join')) AS BIGINT) AS n_matches,
+        |        CAST(len(t) AS BIGINT) AS n_tokens
+        |      FROM t)
+        |SELECT doc_id, n_matches, n_tokens FROM m
+        |WHERE n_matches >= 1 ORDER BY doc_id""".stripMargin,
     "k1_scala_udf" ->
       """SELECT c_custkey,
         |regexp_replace(lower(c_name), '[^a-z0-9 ]', '', 'g') AS clean_name
