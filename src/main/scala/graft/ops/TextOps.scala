@@ -399,6 +399,36 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** j37_significant_terms — ES `significant_terms`: tokens
+    * overrepresented in a foreground slice (lang = 'zh') relative to the
+    * whole corpus, JLH-scored ((fgPct − bgPct) · fgPct/bgPct) — "what
+    * makes this slice different", equally a search-facet and a
+    * training-data diagnostics op.
+    *
+    * Scale shape: ONE map-combined aggregation computes background and
+    * foreground counts together (conditional count inside the same
+    * groupBy), totals ride a one-row broadcast, the score is row-local
+    * arithmetic on exact integer counts, and the top-15 is
+    * TakeOrderedAndProject. */
+  def j37(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"lang", explode(split($"text", " ")).as("token"))
+    val stats = toks.groupBy($"token").agg(
+      count(lit(1)).as("bg"),
+      count(when($"lang" === "zh", 1)).as("fg"))
+    val tot = stats.agg(sum($"bg").as("bg_tot"), sum($"fg").as("fg_tot"))
+    stats.filter($"fg" > 0)
+      .crossJoin(broadcast(tot))
+      .withColumn("fg_pct", $"fg" / $"fg_tot")
+      .withColumn("bg_pct", $"bg" / $"bg_tot")
+      .filter($"fg_pct" > $"bg_pct")
+      .withColumn("jlh", round(($"fg_pct" - $"bg_pct") * ($"fg_pct" / $"bg_pct"), 6))
+      .select($"token", $"fg", $"bg", $"jlh")
+      .orderBy($"jlh".desc, $"token".asc)
+      .limit(15)
+  }
+
   /** k1_scala_udf — registered Scala UDF in a query (lower + strip
     * non-alphanumerics), oracled by the equivalent SQL expression. */
   def k1(s: SparkSession, d: String): DataFrame = {
@@ -416,7 +446,7 @@ object TextOps {
     "j21_dedup_clusters" -> j21,
     "j6_wordcount" -> j6, "j7_tfidf" -> j7, "j8_pivot_stats" -> j8,
     "j34_bm25_search" -> j34, "j35_fuzzy_search" -> j35,
-    "j36_phrase_search" -> j36,
+    "j36_phrase_search" -> j36, "j37_significant_terms" -> j37,
     "k1_scala_udf" -> k1)
 
   val oracle: Map[String, String] = Map(
@@ -522,6 +552,20 @@ object TextOps {
         |      FROM t)
         |SELECT doc_id, n_matches, n_tokens FROM m
         |WHERE n_matches >= 1 ORDER BY doc_id""".stripMargin,
+    "j37_significant_terms" ->
+      """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+        |              FROM 'documents.parquet'),
+        |st AS (SELECT token, count(*) AS bg,
+        |              count(*) FILTER (WHERE lang = 'zh') AS fg
+        |       FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(bg) AS bg_tot, sum(fg) AS fg_tot FROM st)
+        |SELECT token, fg, bg,
+        |  round((fg / fg_tot - bg / bg_tot) * ((fg / fg_tot) / (bg / bg_tot)), 6) AS jlh
+        |FROM st CROSS JOIN tot
+        |WHERE fg > 0 AND fg / fg_tot > bg / bg_tot
+        |ORDER BY round((fg / fg_tot - bg / bg_tot) * ((fg / fg_tot) / (bg / bg_tot)), 6) DESC,
+        |         token ASC
+        |LIMIT 15""".stripMargin,
     "k1_scala_udf" ->
       """SELECT c_custkey,
         |regexp_replace(lower(c_name), '[^a-z0-9 ]', '', 'g') AS clean_name

@@ -69,7 +69,8 @@ class PlanSpec extends AnyFunSuite {
     // plan tests below, so the exemption doesn't hide a degraded join.)
     val scalarBroadcast = Set("j7_tfidf", "j15_langid", "j26_embed_quantize",
       "j31_embed_lsh_neardup", "j33_lm_score", "j34_bm25_search",
-      "j35_fuzzy_search") // 3-row term list onto the vocab aggregate
+      "j35_fuzzy_search", // 3-row term list onto the vocab aggregate
+      "j37_significant_terms") // 1-row totals onto the token stats
     val offenders = SparkEntry.queries.toSeq
       .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
       .flatMap { case (name, fn) =>
