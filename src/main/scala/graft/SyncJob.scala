@@ -23,7 +23,9 @@ final case class SyncConfig(
     snapshotA: String,        // merged snapshot A maintains of B's data
     snapshotB: String,        // merged snapshot B maintains of A's data
     checkpointDir: String,
-    interval: Trigger = Trigger.AvailableNow())
+    interval: Trigger = Trigger.AvailableNow(),
+    formatA: String = "parquet",   // feed format: parquet | graft-sync
+    formatB: String = "parquet")
 
 object SyncConfig {
 
@@ -68,7 +70,12 @@ object SyncConfig {
       snapshotA = req("cassandra.snapshot"),
       snapshotB = req("elasticsearch.snapshot"),
       checkpointDir = req("checkpoint_dir"),
-      interval = interval)
+      interval = interval,
+      // optional per-side feed format: the parquet harness default, or
+      // `format: graft-sync` to read the side through the DataSource V2
+      // connector (a real paged endpoint instead of a file drop)
+      formatA = flat.getOrElse("cassandra.format", "parquet"),
+      formatB = flat.getOrElse("elasticsearch.format", "parquet"))
   }
 
   /** Two-level YAML subset → flat "section.key" map. Unknown keys pass
@@ -126,12 +133,28 @@ object SyncJob {
     * into the opposite snapshot. Returns both running queries. */
   def start(spark: SparkSession, cfg: SyncConfig): (StreamingQuery, StreamingQuery) = {
     val aToB = Sync.lwwSink(
-      Sync.changeStream(spark, cfg.sideA),
+      changeFeed(spark, cfg.sideA, cfg.formatA),
       cfg.snapshotB, s"${cfg.checkpointDir}/a2b", cfg.interval)
     val bToA = Sync.lwwSink(
-      Sync.changeStream(spark, cfg.sideB),
+      changeFeed(spark, cfg.sideB, cfg.formatB),
       cfg.snapshotA, s"${cfg.checkpointDir}/b2a", cfg.interval)
     (aToB, bToA)
+  }
+
+  /** One side's change feed as a stream in [[Sync.changeSchema]] shape.
+    * `graft-sync` feeds carry `ts` as epoch-micros longs (the connector's
+    * value domain) and are re-homed to TimestampType here, so every
+    * downstream operator sees one schema regardless of the endpoint. */
+  private def changeFeed(spark: SparkSession, dir: String,
+      format: String): org.apache.spark.sql.DataFrame = format match {
+    case "parquet" => Sync.changeStream(spark, dir)
+    case "graft-sync" =>
+      spark.readStream.format("graft-sync").load(dir)
+        .withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts)"))
+        .select("key", "ts", "uid", "payload")
+    case other => throw new IllegalArgumentException(
+      s"sync config: unknown feed format '$other' (parquet | graft-sync)")
   }
 
   /** One batch round (the reference's non-streaming mode): read whatever

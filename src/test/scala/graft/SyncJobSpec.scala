@@ -82,6 +82,47 @@ class SyncJobSpec extends AnyFunSuite {
     assert((na, nb) === (1L, 1L))
   }
 
+  test("a graft-sync feed drives the same sync loop (format: graft-sync in YAML)") {
+    // the connector as the configured endpoint: side A's change feed is a
+    // graft-sync store (ts as epoch-micros longs), side B stays parquet —
+    // the mixed-endpoint deployment the reference models
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val root = tmp("syncgsync")
+    val cfg = SyncConfig.fromYaml(
+      s"""cassandra:
+         |  feed: $root/feedA
+         |  snapshot: $root/snapA
+         |  format: graft-sync
+         |elasticsearch:
+         |  feed: $root/feedB
+         |  snapshot: $root/snapB
+         |checkpoint_dir: $root/ckpt
+         |""".stripMargin)
+    assert(cfg.formatA === "graft-sync")
+    assert(cfg.formatB === "parquet")
+    def us(s: String): Long = ts(s).getTime * 1000L
+    Seq((1L, us("2024-01-01 10:00:00"), 1L, "a1"),
+        (2L, us("2024-01-01 10:00:00"), 2L, "a2"))
+      .toDF("key", "ts", "uid", "payload")
+      .write.format("graft-sync").mode("append").save(cfg.sideA)
+    Seq(Change(2, ts("2024-01-01 11:00:00"), 3, "b2-newer")).toDF()
+      .write.mode("append").parquet(cfg.sideB)
+    val (na, nb) = SyncJob.runOnce(spark, cfg)
+    assert((na, nb) === (1L, 2L))
+    val snapB = spark.read.parquet(cfg.snapshotB)
+      .select($"key", $"payload").as[(Long, String)].collect().toMap
+    assert(snapB === Map(1L -> "a1", 2L -> "a2"))
+    // incremental: a new committed generation in the connector feed wins LWW
+    Seq((1L, us("2024-01-01 12:00:00"), 4L, "a1-v2"))
+      .toDF("key", "ts", "uid", "payload")
+      .write.format("graft-sync").mode("append").save(cfg.sideA)
+    SyncJob.runOnce(spark, cfg)
+    val snapB2 = spark.read.parquet(cfg.snapshotB)
+      .select($"key", $"payload").as[(Long, String)].collect().toMap
+    assert(snapB2 === Map(1L -> "a1-v2", 2L -> "a2"))
+  }
+
   test("bidirectional sync converges and incremental rounds are idempotent") {
     val spark = TestSpark.spark
     import spark.implicits._
