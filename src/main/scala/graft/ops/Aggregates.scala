@@ -184,6 +184,33 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** d15_agg_approx_percentile — the sketch percentile for 100 TB, where
+    * exact `percentile` (d12) must materialize and sort every group value:
+    * `approx_percentile` (t-digest-style, bounded accuracy parameter) keeps
+    * per-group state constant. Cross-engine sketch internals differ, so the
+    * oracle follows d3's discipline: emit the exact percentile plus a
+    * tolerance boolean both engines agree on — the approx path stays
+    * exercised AND hash-checkable. Tolerance: the events `value` spans
+    * ~0..500, accuracy 1000 bounds rank error well under 1%, so |approx −
+    * exact| ≤ max(1.0, 5% · exact) is generous and stable. */
+  def d15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("exact_p50"),
+        expr("approx_percentile(value, 0.5, 1000)").as("approx_p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("exact_p95"),
+        expr("approx_percentile(value, 0.95, 1000)").as("approx_p95"))
+      .select(
+        $"event_type", $"exact_p50", $"exact_p95",
+        (abs($"approx_p50" - $"exact_p50") <=
+          greatest(lit(1.0), $"exact_p50" * 0.05)).as("p50_within_tol"),
+        (abs($"approx_p95" - $"exact_p95") <=
+          greatest(lit(1.0), $"exact_p95" * 0.05)).as("p95_within_tol"))
+      .orderBy($"event_type")
+  }
+
   /** d13_agg_salted_skew — the hot-key mitigation as a graded operator:
     * two-level salted aggregation (scatter each key over 16 deterministic
     * sub-keys, partial-agg, combine). The oracle is the PLAIN group-by —
@@ -206,7 +233,7 @@ object Aggregates {
     "d8_agg_argmax" -> d8, "d9_agg_collect_sorted" -> d9,
     "d10_agg_conditional" -> d10, "d11_agg_distinct_mixed" -> d11,
     "d12_agg_percentile" -> d12, "d13_agg_salted_skew" -> d13,
-    "d14_agg_cube" -> d14)
+    "d14_agg_cube" -> d14, "d15_agg_approx_percentile" -> d15)
 
   val oracle: Map[String, String] = Map(
     "d1_agg_group" ->
@@ -229,6 +256,15 @@ object Aggregates {
         |count(DISTINCT user_id) AS exact_users,
         |abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
         |  <= count(DISTINCT user_id) * 0.1 AS approx_within_10pct
+        |FROM 'events.parquet' GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "d15_agg_approx_percentile" ->
+      """SELECT event_type,
+        |round(quantile_cont(value, 0.5), 6) AS exact_p50,
+        |round(quantile_cont(value, 0.95), 6) AS exact_p95,
+        |abs(approx_quantile(value, 0.5) - round(quantile_cont(value, 0.5), 6))
+        |  <= greatest(1.0, round(quantile_cont(value, 0.5), 6) * 0.05) AS p50_within_tol,
+        |abs(approx_quantile(value, 0.95) - round(quantile_cont(value, 0.95), 6))
+        |  <= greatest(1.0, round(quantile_cont(value, 0.95), 6) * 0.05) AS p95_within_tol
         |FROM 'events.parquet' GROUP BY event_type ORDER BY event_type""".stripMargin,
     "d4_agg_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,

@@ -86,13 +86,15 @@ private[sources] class GraftSyncTable(dir: String, schema: StructType)
     TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSyncScanBuilder(dir, schema)
+    new GraftSyncScanBuilder(dir, schema,
+      Option(options.get("max-pages-per-trigger")).map(_.toInt))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftSyncWriteBuilder(dir, info)
 }
 
-private[sources] class GraftSyncScanBuilder(dir: String, fullSchema: StructType)
+private[sources] class GraftSyncScanBuilder(dir: String, fullSchema: StructType,
+    maxPagesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -114,7 +116,8 @@ private[sources] class GraftSyncScanBuilder(dir: String, fullSchema: StructType)
     // parsing (required ∪ pushed-filter columns) and emitting required.
     required = requiredSchema
 
-  override def build(): Scan = new GraftSyncScan(dir, fullSchema, required, pushed)
+  override def build(): Scan =
+    new GraftSyncScan(dir, fullSchema, required, pushed, maxPagesPerTrigger)
 }
 
 private[sources] object GraftSyncFilters {
@@ -189,7 +192,8 @@ private[sources] object GraftSyncFilters {
 }
 
 private[sources] class GraftSyncScan(dir: String, fullSchema: StructType,
-    required: StructType, pushed: Array[Filter]) extends Scan {
+    required: StructType, pushed: Array[Filter],
+    maxPagesPerTrigger: Option[Int] = None) extends Scan {
 
   override def readSchema(): StructType = required
 
@@ -207,7 +211,8 @@ private[sources] class GraftSyncScan(dir: String, fullSchema: StructType,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftSyncMicroBatchStream(dir, fullSchema, required, pushed)
+    new GraftSyncMicroBatchStream(dir, fullSchema, required, pushed,
+      maxPagesPerTrigger)
 }
 
 /** One committed page = one split. At 100 TB the page list is just longer;
@@ -298,7 +303,8 @@ private[sources] class GraftSyncPageReader(path: java.nio.file.Path,
   * incrementally. Truncating/rewriting the store mid-query is a contract
   * violation and fails loudly below. */
 private[sources] class GraftSyncMicroBatchStream(dir: String,
-    fullSchema: StructType, required: StructType, pushed: Array[Filter])
+    fullSchema: StructType, required: StructType, pushed: Array[Filter],
+    maxPagesPerTrigger: Option[Int])
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private case class PageOffset(n: Long) extends Offset {
@@ -311,10 +317,23 @@ private[sources] class GraftSyncMicroBatchStream(dir: String,
   @volatile private var availableNowEnd: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd = Some(GraftSyncStore.committedPages(dir).size.toLong)
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    PageOffset(availableNowEnd.getOrElse(
-      GraftSyncStore.committedPages(dir).size.toLong))
+
+  // Admission control: `max-pages-per-trigger` bounds each micro-batch
+  // (the paged-endpoint fetch-size knob — a huge backlog drains in
+  // bounded batches instead of one giant catch-up job). Composes with
+  // AvailableNow: Spark keeps planning batches until the pinned end.
+  override def getDefaultReadLimit: ReadLimit =
+    maxPagesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val end = availableNowEnd.getOrElse(
+      GraftSyncStore.committedPages(dir).size.toLong)
+    val s = start.asInstanceOf[PageOffset].n
+    limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        PageOffset(math.min(end, s + mf.maxFiles()))
+      case _ => PageOffset(end)
+    }
+  }
   override def reportLatestOffset(): Offset =
     PageOffset(GraftSyncStore.committedPages(dir).size.toLong)
 

@@ -126,6 +126,30 @@ class GraftSyncConnectorSpec extends AnyFunSuite {
     assert(drain() === 27L, "second run must append only the new pages' rows")
   }
 
+  test("max-pages-per-trigger: a backlog drains in bounded batches, not one catch-up job") {
+    val dir = freshStore("limit")
+    val ck = Files.createTempDirectory("gsync-limit-ck").toString
+    val base = Tables.eventsRaw(spark, TestSpark.sf0001)
+      .select($"event_id", $"value")
+    // 4 committed generations = 4+ pages of backlog
+    base.limit(5).write.format("graft-sync").mode("overwrite").save(dir)
+    (1 to 3).foreach { _ =>
+      base.limit(5).write.format("graft-sync").mode("append").save(dir)
+    }
+    var batches = 0
+    val q = spark.readStream.format("graft-sync")
+      .option("max-pages-per-trigger", "1").load(dir)
+      .writeStream
+      .foreachBatch { (delta: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (delta.count() > 0) batches += 1
+        ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 4, s"expected >= 4 bounded batches, got $batches")
+  }
+
   test("streaming bulk sink: exactly-once pages per epoch; replay converges (idempotent)") {
     val dir = freshStore("ssink")
     val rows = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
