@@ -66,11 +66,31 @@ object Sources {
       .orderBy($"event_id")
   }
 
+  /** a7_partitioned_scan — partition pruning on the graded surface: events
+    * land in a day-partitioned layout (Sinks.writePartitioned — the 100 TB
+    * table organization), and the one-day query prunes to one directory at
+    * planning time; `day` never appears as a data filter. The oracle is the
+    * equivalent date predicate over the flat table. The layout is rebuilt
+    * per call, so the timing covers one partitioned write + pruned read. */
+  def a7(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val store = s"${System.getProperty("java.io.tmpdir")}/graft-events-by-day-" +
+      java.lang.Integer.toHexString(d.hashCode)
+    graft.Sinks.writePartitioned(
+      Tables.events(s, d).withColumn("day", date_format($"ts", "yyyy-MM-dd")),
+      store, "day")
+    s.read.parquet(store)
+      .filter($"day" === "2024-01-02")
+      .select($"event_id", $"event_type", $"value")
+      .orderBy($"event_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_scan_parquet" -> a1,
     "a2_scan_events_ns" -> a2,
     "a3_json_extract_source" -> a3,
-    "a6_connector_roundtrip" -> a6)
+    "a6_connector_roundtrip" -> a6,
+    "a7_partitioned_scan" -> a7)
 
   val oracle: Map[String, String] = Map(
     "a1_scan_parquet" ->
@@ -87,5 +107,10 @@ object Sources {
       """SELECT event_id, user_id, event_type, value
         |FROM 'events.parquet'
         |WHERE event_type = 'click' AND value >= 10.0
+        |ORDER BY event_id""".stripMargin,
+    "a7_partitioned_scan" ->
+      """SELECT event_id, event_type, value
+        |FROM 'events.parquet'
+        |WHERE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') = '2024-01-02'
         |ORDER BY event_id""".stripMargin)
 }

@@ -33,6 +33,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("props"), p)
   }
 
+  test("a7: one-day query prunes the partitioned layout at planning time") {
+    val p = plan("a7_partitioned_scan")
+    assert(p.contains("PartitionFilters: ["), p)
+    assert(p.contains("day#"), p)
+    // day is partition metadata, not a data column in the read
+    assert(p.contains("ReadSchema: struct<event_id:bigint,event_type:string,value:double>"), p)
+  }
+
   test("c1: small dimension is broadcast — no shuffle of the fact side") {
     val p = plan("c1_join_broadcast")
     assert(p.contains("BroadcastHashJoin"), p)
