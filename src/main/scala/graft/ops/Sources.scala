@@ -56,8 +56,11 @@ object Sources {
     * longs, and the ns→µs presentation contract is a2's subject. */
   def a6(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // keyed by (sfDir, pid): reps within one JVM reuse + overwrite the
+    // store; concurrent JVMs (a bench next to a verify) never share one
     val store = s"${System.getProperty("java.io.tmpdir")}/graft-sync-store-" +
-      java.lang.Integer.toHexString(d.hashCode)
+      java.lang.Integer.toHexString(d.hashCode) +
+      s"-p${ProcessHandle.current().pid()}"
     Tables.eventsRaw(s, d)
       .write.format("graft-sync").mode("overwrite").save(store)
     s.read.format("graft-sync").load(store)
@@ -75,7 +78,8 @@ object Sources {
   def a7(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val store = s"${System.getProperty("java.io.tmpdir")}/graft-events-by-day-" +
-      java.lang.Integer.toHexString(d.hashCode)
+      java.lang.Integer.toHexString(d.hashCode) +
+      s"-p${ProcessHandle.current().pid()}" // per-JVM: no cross-process races
     graft.Sinks.writePartitioned(
       Tables.events(s, d).withColumn("day", date_format($"ts", "yyyy-MM-dd")),
       store, "day")
