@@ -96,10 +96,11 @@ private[sources] class GraftSyncTable(dir: String, schema: StructType)
 private[sources] class GraftSyncScanBuilder(dir: String, fullSchema: StructType,
     maxPagesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var limit: Option[Int] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, residual) =
@@ -116,8 +117,15 @@ private[sources] class GraftSyncScanBuilder(dir: String, fullSchema: StructType,
     // parsing (required ∪ pushed-filter columns) and emitting required.
     required = requiredSchema
 
+  /** Per-partition limit: each page reader stops after `n` surviving rows
+    * (post-pushed-filter), so a `LIMIT n` over a huge store parses at most
+    * n rows per split instead of the whole page set. Spark keeps its own
+    * global Limit on top — returning false declares the pushdown partial,
+    * which is exactly right for a multi-split scan. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
+
   override def build(): Scan =
-    new GraftSyncScan(dir, fullSchema, required, pushed, maxPagesPerTrigger)
+    new GraftSyncScan(dir, fullSchema, required, pushed, maxPagesPerTrigger, limit)
 }
 
 private[sources] object GraftSyncFilters {
@@ -193,21 +201,38 @@ private[sources] object GraftSyncFilters {
 
 private[sources] class GraftSyncScan(dir: String, fullSchema: StructType,
     required: StructType, pushed: Array[Filter],
-    maxPagesPerTrigger: Option[Int] = None) extends Scan {
+    maxPagesPerTrigger: Option[Int] = None, limit: Option[Int] = None)
+    extends Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
   // surfaces in `.explain` — the PlanSpec pin for pushdown reads this
   override def description(): String =
     s"GraftSyncScan $dir PushedFilters: [${pushed.mkString(", ")}], " +
+      limit.map(n => s"PushedLimit: $n, ").getOrElse("") +
       s"ReadSchema: ${required.catalogString}"
+
+  /** Size statistics from the committed page files — what lets Catalyst
+    * treat a small connector table like any other small table (broadcast
+    * it under the join threshold) instead of assuming the DSv2 default of
+    * "unknown = huge". NDJSON bytes overestimate in-memory row size
+    * slightly, which errs the safe way for broadcast decisions. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes: Long = GraftSyncStore.committedPages(dir)
+      .map(p => try java.nio.file.Files.size(
+        java.nio.file.Paths.get(dir, p)) catch { case _: Exception => 0L }).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       GraftSyncStore.committedPages(dir)
         .map(p => GraftSyncPage(dir, p): InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      new GraftSyncReaderFactory(fullSchema, required, pushed)
+      new GraftSyncReaderFactory(fullSchema, required, pushed, limit)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -221,12 +246,13 @@ private[sources] case class GraftSyncPage(dir: String, page: String)
   extends InputPartition
 
 private[sources] class GraftSyncReaderFactory(fullSchema: StructType,
-    required: StructType, pushed: Array[Filter])
+    required: StructType, pushed: Array[Filter],
+    limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftSyncPage]
     new GraftSyncPageReader(
-      java.nio.file.Paths.get(p.dir, p.page), fullSchema, required, pushed)
+      java.nio.file.Paths.get(p.dir, p.page), fullSchema, required, pushed, limit)
   }
 }
 
@@ -234,7 +260,8 @@ private[sources] class GraftSyncReaderFactory(fullSchema: StructType,
   * evaluate pushed filters on the raw values, convert survivors to
   * Catalyst form. */
 private[sources] class GraftSyncPageReader(path: java.nio.file.Path,
-    fullSchema: StructType, required: StructType, pushed: Array[Filter])
+    fullSchema: StructType, required: StructType, pushed: Array[Filter],
+    limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
@@ -251,8 +278,11 @@ private[sources] class GraftSyncPageReader(path: java.nio.file.Path,
   private val reader = java.nio.file.Files.newBufferedReader(path)
   private var row: InternalRow = _
   private var lineNo = 0L
+  private var emitted = 0L
 
   override def next(): Boolean = {
+    // pushed LIMIT: this split has produced enough rows — stop parsing
+    if (limit.exists(emitted >= _)) return false
     var line = reader.readLine()
     while (line != null) {
       lineNo += 1
@@ -266,6 +296,7 @@ private[sources] class GraftSyncPageReader(path: java.nio.file.Path,
         def get(c: String): Any = vals(colIndex(c))
         if (pushed.forall(GraftSyncFilters.eval(_, get))) {
           row = toCatalyst(vals)
+          emitted += 1
           return true
         }
       }

@@ -64,6 +64,34 @@ class GraftSyncConnectorSpec extends AnyFunSuite {
     assert(q.collect().toSeq.sortBy(_.getLong(0)) === want)
   }
 
+  test("reported statistics let Catalyst broadcast a small connector table") {
+    val dir = freshStore("stats")
+    Tables.nation(spark, TestSpark.sf0001)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .write.format("graft-sync").mode("overwrite").save(dir)
+    // without SupportsReportStatistics the DSv2 default is "unknown =
+    // huge" and this joins as SMJ; with page-file sizes reported, the
+    // ~1 KB nation store sits under the broadcast threshold
+    val j = Tables.customer(spark, TestSpark.sf0001)
+      .join(spark.read.format("graft-sync").load(dir),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(j.count() === Tables.customer(spark, TestSpark.sf0001).count())
+  }
+
+  test("limit pushdown stops the page reader early") {
+    val dir = freshStore("lim")
+    Tables.eventsRaw(spark, TestSpark.sf0001)
+      .select($"event_id", $"value")
+      .write.format("graft-sync").mode("overwrite").save(dir)
+    val q = spark.read.format("graft-sync").load(dir).limit(3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 3"), plan)
+    assert(q.count() === 3L)
+  }
+
   test("null semantics through pushdown: IsNull / comparisons vs missing fields") {
     val dir = freshStore("null")
     Files.createDirectories(Paths.get(dir))
