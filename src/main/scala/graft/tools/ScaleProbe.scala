@@ -19,7 +19,11 @@ object ScaleProbe {
     for (d <- args; q <- Seq("j2_dedup_near_jaccard", "j12_minhash_lsh",
         "j21_dedup_clusters", "j22_decontaminate", "j28_domain_mix",
         "j29_repetition_filter", "j30_shuffle_shard",
-        "j32_heavy_hitters_sketch")) {
+        "j32_heavy_hitters_sketch",
+        // round 4: the search suite + both connector-path scans
+        "j34_bm25_search", "j35_fuzzy_search", "j36_phrase_search",
+        "j37_significant_terms", "a6_connector_roundtrip",
+        "a7_partitioned_scan")) {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(q)(spark, d).count()
       val dt = (System.nanoTime() - t0) / 1e9
