@@ -57,10 +57,12 @@ object Sources {
   def a6(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // keyed by (sfDir, pid): reps within one JVM reuse + overwrite the
-    // store; concurrent JVMs (a bench next to a verify) never share one
-    val store = s"${System.getProperty("java.io.tmpdir")}/graft-sync-store-" +
-      java.lang.Integer.toHexString(d.hashCode) +
-      s"-p${ProcessHandle.current().pid()}"
+    // store; concurrent JVMs (a bench next to a verify) never share one;
+    // deleted at JVM exit (TempCleanup) so runs don't accumulate copies
+    val store = graft.TempCleanup.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft-sync-store-" +
+        java.lang.Integer.toHexString(d.hashCode) +
+        s"-p${ProcessHandle.current().pid()}")
     Tables.eventsRaw(s, d)
       .write.format("graft-sync").mode("overwrite").save(store)
     s.read.format("graft-sync").load(store)
@@ -77,9 +79,10 @@ object Sources {
     * per call, so the timing covers one partitioned write + pruned read. */
   def a7(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val store = s"${System.getProperty("java.io.tmpdir")}/graft-events-by-day-" +
-      java.lang.Integer.toHexString(d.hashCode) +
-      s"-p${ProcessHandle.current().pid()}" // per-JVM: no cross-process races
+    val store = graft.TempCleanup.register( // per-JVM path, deleted at exit
+      s"${System.getProperty("java.io.tmpdir")}/graft-events-by-day-" +
+        java.lang.Integer.toHexString(d.hashCode) +
+        s"-p${ProcessHandle.current().pid()}")
     graft.Sinks.writePartitioned(
       Tables.events(s, d).withColumn("day", date_format($"ts", "yyyy-MM-dd")),
       store, "day")

@@ -228,14 +228,16 @@ object TextOps {
     // round's localCheckpoint blocks. The returned frame then pins NOTHING
     // in executor storage — a j21/nearDupDropSet caller that drops the
     // frame leaks nothing, and spark.catalog.clearCache is not needed.
-    // The checkpoint files themselves are removed by the ContextCleaner
-    // once the frame is GC'd (spark.cleaner.referenceTracking.cleanCheckpoints)
-    // or at session stop; the labels frame is component-sized (one row per
-    // near-dup doc), so the disk write is trivial next to the fixpoint.
+    // The checkpoint files are deleted at JVM exit (TempCleanup — the
+    // ContextCleaner only removes reliable checkpoints when
+    // cleanCheckpoints was set before the context started, which a
+    // library cannot assume); the labels frame is component-sized (one
+    // row per near-dup doc), so the disk write is trivial next to the
+    // fixpoint.
     val sc = s.sparkContext
     if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      sc.setCheckpointDir(graft.TempCleanup.register(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString))
     val out = labels.select($"node", $"label").checkpoint() // eager + reliable
     releaseCheckpoint(labels)
     out
@@ -390,6 +392,10 @@ object TextOps {
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id", split($"text", " ").as("toks"))
+      // a <2-token doc cannot contain a 2-token phrase — and without this
+      // guard sequence(1, size-1) would be sequence(1, 0) = [1, 0] (Spark
+      // infers step −1), making element_at(toks, 0) throw
+      .filter(size($"toks") >= 2)
       .withColumn("n_matches", expr(
         """size(filter(sequence(1, size(toks) - 1),
           |  i -> element_at(toks, i) = 'hash' AND element_at(toks, i + 1) = 'join'))"""

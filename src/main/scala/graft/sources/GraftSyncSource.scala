@@ -182,10 +182,15 @@ private[sources] object GraftSyncFilters {
 
   /** 3-valued comparison: None when either side is null. Numerics compare
     * as Long when both sides are integral (no double rounding at 2^53),
-    * as Double otherwise; strings byte-compare (UTF8_BINARY). */
+    * as Double otherwise; strings compare through UTF8String — genuine
+    * UTF-8 byte order, which differs from java.lang.String's UTF-16
+    * code-unit order for supplementary characters (String.compareTo would
+    * mis-order an emoji against U+E000..U+FFFF, and a claimed filter is
+    * never re-checked by Spark). */
   private def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
     case (null, _) | (_, null) => None
-    case (a: String, b: String) => Some(a.compareTo(b))
+    case (a: String, b: String) =>
+      Some(UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
     case (a: Boolean, b: Boolean) => Some(java.lang.Boolean.compare(a, b))
     case (a: Number, b: Number) =>
       if (integral(a) && integral(b)) Some(java.lang.Long.compare(a.longValue(), b.longValue()))

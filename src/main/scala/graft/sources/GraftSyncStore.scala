@@ -73,6 +73,26 @@ private[sources] object GraftSyncStore {
     if (ords.isEmpty) 1L else ords.max + 1L
   }
 
+  /** A store's manifests are ONE writer lineage: either batch commits
+    * (max+1 ordinals) or streaming epochs (ordinal = epochId, stable under
+    * replay). Interleaving the two would let a later commit's manifest
+    * sort BEFORE existing ones — reordering the feed a checkpointed
+    * reader's offsets index into — so the sinks refuse it loudly instead
+    * of corrupting silently. (Batch-append then a FRESH stream into the
+    * same store restarts at epoch 0, which also sorts before the batch
+    * generation — same refusal.) */
+  def requireLineage(dir: String, wantEpochs: Boolean): Unit = {
+    val names = listFiles(dir).map(_.getFileName.toString)
+      .filter(_.startsWith(ManifestPrefix))
+    val (epochs, batches) = names.partition(_.endsWith("-epoch.json"))
+    val conflict = if (wantEpochs) batches else epochs
+    if (conflict.nonEmpty) throw new IllegalStateException(
+      s"graft-sync: store $dir already holds ${conflict.size} " +
+        s"${if (wantEpochs) "batch" else "epoch"}-committed manifest(s); " +
+        "a store is a single writer lineage (batch or streaming, not " +
+        "both) — write to a fresh directory or truncate first")
+  }
+
   def deleteManifests(dir: String): Unit =
     listFiles(dir).filter(_.getFileName.toString.startsWith(ManifestPrefix))
       .foreach(Files.deleteIfExists(_))
@@ -80,15 +100,19 @@ private[sources] object GraftSyncStore {
   /** The committed page list in FEED ORDER: manifests concatenate by
     * ordinal (append order — the order micro-batch offsets index into,
     * stable because committed manifests are never reordered), pages sorted
-    * within each manifest, first occurrence wins. Falls back to "every
-    * *.jsonl in the directory, name-sorted" when no manifest exists, so
-    * hand-assembled fixture dirs still read. */
+    * within each manifest, first occurrence wins.
+    *
+    * The "every *.jsonl, name-sorted" fallback applies ONLY to
+    * hand-assembled dirs (no `_schema.json`): a sink-produced store always
+    * carries the schema marker, so its readers never see pages a task
+    * flushed before the driver committed the manifest — torn jobs stay
+    * invisible even mid-first-write. */
   def committedPages(dir: String): Seq[String] = {
     val manifests = listFiles(dir)
       .filter(_.getFileName.toString.startsWith(ManifestPrefix))
       .sortBy(_.getFileName.toString)
     val pages =
-      if (manifests.isEmpty)
+      if (manifests.isEmpty && readSchema(dir).isEmpty)
         listFiles(dir).map(_.getFileName.toString)
           .filter(_.endsWith(".jsonl")).sorted
       else

@@ -46,6 +46,11 @@ private[sources] class GraftSyncWriteBuilder(dir: String, info: LogicalWriteInfo
   override def build(): Write = {
     GraftSyncStore.checkSchema(info.schema())
     require(bulkRows > 0, s"graft-sync: bulk-rows must be positive, got $bulkRows")
+    // publish the schema marker BEFORE any task flushes a page: its
+    // presence disables committedPages' hand-made-dir fallback, so a
+    // reader concurrent with the store's very first write sees an empty
+    // committed set instead of in-flight pages
+    GraftSyncStore.writeSchema(dir, info.schema())
     new Write {
       override def toBatch: BatchWrite =
         new GraftSyncBatchWrite(dir, info.schema(), info.queryId(), doTruncate, bulkRows)
@@ -78,6 +83,7 @@ private[sources] class GraftSyncBatchWrite(dir: String, schema: StructType,
         } finally s.close()
       }
     }
+    GraftSyncStore.requireLineage(dir, wantEpochs = false)
     GraftSyncStore.writeSchema(dir, schema)
     GraftSyncStore.writeManifest(dir, GraftSyncStore.nextOrdinal(dir),
       queryId, pages.toSeq)
@@ -98,6 +104,7 @@ private[sources] class GraftSyncStreamingWrite(dir: String, schema: StructType,
     GraftSyncStreamingWriterFactory(dir, schema, bulkRows)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    GraftSyncStore.requireLineage(dir, wantEpochs = true)
     GraftSyncStore.writeSchema(dir, schema)
     // ordinal = epochId: re-publishing a replayed epoch rewrites the SAME
     // manifest, so the feed order and page set are unchanged — a no-op
@@ -199,11 +206,13 @@ private[sources] class GraftSyncDataWriter(dir: String, schema: StructType,
     GraftSyncCommit(flushed.result())
   }
 
-  override def abort(): Unit = {
-    // chunks already flushed by this attempt are deterministic names a
-    // successful retry will overwrite; remove them eagerly anyway so an
-    // aborted-forever job leaves no unmanifested files
-    flushed.result().foreach(p => Files.deleteIfExists(Paths.get(dir, p)))
-  }
+  override def abort(): Unit = ()
+  // Task-level abort deliberately deletes NOTHING: chunk names are
+  // deterministic, so a losing speculative/zombie attempt's abort could
+  // otherwise delete the pages its winning twin already committed.
+  // Un-committed chunks are harmless — readers see only manifested pages
+  // (for sink-produced stores the no-manifest fallback is disabled by the
+  // _schema.json marker), and a successful retry overwrites the names.
+  // Job-level abort (driver, no concurrent winner) does the cleanup.
   override def close(): Unit = ()
 }

@@ -390,13 +390,15 @@ object Sync {
       // candidate-pair dedup BEFORE the verify join (batch j12's candidate
       // discipline, ADVICE r3): an exact copy collides in all 4 bands and
       // would otherwise run the corpusSh join + array_intersect 4× per
-      // pair. Watermark-bounded state on the same (doc_id, cand_id) keys
-      // the emission dedup used — moving it here subsumes that trailing
-      // dedup (the verify is a deterministic per-pair function, so unique
-      // pairs in ⇒ unique verdicts out). A plain dropDuplicates would be
-      // wrong here: its state never ages out on a stream.
+      // pair. The dedup key includes a CONTENT signature (hash of the
+      // shingle set): a doc re-synced with UPDATED text is a new
+      // candidate that must re-verify — keying on (doc_id, cand_id)
+      // alone would suppress it and miss its duplicates. Watermark-
+      // bounded state; a plain dropDuplicates would never age out.
       .select(col("doc_id"), col("ts"), col("dsh"), col("cand_id"))
-      .dropDuplicatesWithinWatermark("doc_id", "cand_id")
+      .withColumn("dsig", xxhash64(concat_ws(" ",
+        expr("transform(dsh, x -> cast(x AS STRING))"))))
+      .dropDuplicatesWithinWatermark("doc_id", "cand_id", "dsig")
       .join(corpusSh, "cand_id")
       .withColumn("inter", size(array_intersect(col("dsh"), col("csh"))))
       // filter on the UNROUNDED value (matching batch j12's gate exactly —
@@ -407,6 +409,9 @@ object Sync {
       .filter(col("jac") >= 0.5)
       .select(col("doc_id"), col("ts"), col("cand_id"),
         round(col("jac"), 6).as("jaccard"))
+      // emission contract: one verdict per pair within the watermark (two
+      // versions of a re-sent doc can both clear the gate above)
+      .dropDuplicatesWithinWatermark("doc_id", "cand_id")
     (out, () => { corpusSh.unpersist(); bandIndex.unpersist(); () })
   }
 

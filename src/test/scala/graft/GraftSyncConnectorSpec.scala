@@ -287,6 +287,29 @@ class GraftSyncConnectorSpec extends AnyFunSuite {
     assert(live === Set((1L, "a2"), (3L, "c1"))) // key 2 deleted, stays deleted
   }
 
+  test("a store refuses mixed batch+streaming commit lineages") {
+    // interleaved lineages could insert a manifest BEFORE existing ones
+    // (epoch 0 sorts before batch ordinal 1), silently reordering the
+    // feed under a checkpointed reader — refused loudly instead
+    val dir = freshStore("lineage")
+    val five = Tables.eventsRaw(spark, TestSpark.sf0001)
+      .select($"event_id", $"value").limit(5)
+    five.write.format("graft-sync").mode("overwrite").save(dir)
+    val ck = Files.createTempDirectory("gsync-lineage-ck").toString
+    val mem = MemoryStream[(Long, Double)](spark)
+    mem.addData((99L, 1.0))
+    val q = mem.toDF().toDF("event_id", "value")
+      .writeStream.format("graft-sync")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start(dir)
+    val e = intercept[Exception] { q.awaitTermination() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("single writer lineage")), s"got: ${msgs(e)}")
+    // the refused epoch committed nothing: the store still reads cleanly
+    assert(spark.read.format("graft-sync").load(dir).count() === 5L)
+  }
+
   test("a corrupt page fails loudly with file and line context") {
     val dir = freshStore("corrupt")
     Files.createDirectories(Paths.get(dir))

@@ -89,6 +89,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got === Set((1L, 1L), (2L, 1L), (6L, 6L), (7L, 6L)))
   }
 
+  test("j15's fixed language dictionary covers every corpus language (the superset invariant)") {
+    // j15's correctness argument: a superset dictionary is result-
+    // identical to the oracle's corpus-derived DISTINCT lang. Pin the
+    // superset property so a regenerated fixture with a new language
+    // fails HERE with a pointer, not in the oracle gate with no cause.
+    for (dir <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      val corpusLangs = Tables.documents(s, dir)
+        .select($"lang").distinct().as[String].collect().toSet
+      val missing = corpusLangs -- ops.PipelineOps.langDictionary.toSet
+      assert(missing.isEmpty,
+        s"langs $missing in $dir are missing from PipelineOps.langDictionary — " +
+          "add them or j15 diverges from its oracle")
+    }
+  }
+
+  test("j36 ignores documents too short to hold the phrase (no element_at(toks, 0) crash)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-j36").toString
+    Seq((1L, "hash"), (2L, ""), (3L, "hash join"), (4L, "a hash join hash join"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = ops.TextOps.j36(s, dir)
+      .select($"doc_id", $"n_matches").as[(Long, Long)].collect().toSet
+    assert(got === Set((3L, 1L), (4L, 2L)))
+  }
+
   test("j21 leaves no cached relations behind (ADVICE r3 #1)") {
     // library-use contract: after the returned frame is consumed, neither
     // the CacheManager (persist) nor the block manager (localCheckpoint
