@@ -87,14 +87,16 @@ private[sources] class GraftSyncTable(dir: String, schema: StructType)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSyncScanBuilder(dir, schema,
-      Option(options.get("max-pages-per-trigger")).map(_.toInt))
+      Option(options.get("max-pages-per-trigger")).map(_.toInt),
+      Option(options.get("starting-offset")).getOrElse("earliest"))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftSyncWriteBuilder(dir, info)
 }
 
 private[sources] class GraftSyncScanBuilder(dir: String, fullSchema: StructType,
-    maxPagesPerTrigger: Option[Int] = None)
+    maxPagesPerTrigger: Option[Int] = None,
+    startingOffset: String = "earliest")
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
@@ -125,7 +127,8 @@ private[sources] class GraftSyncScanBuilder(dir: String, fullSchema: StructType,
   override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
 
   override def build(): Scan =
-    new GraftSyncScan(dir, fullSchema, required, pushed, maxPagesPerTrigger, limit)
+    new GraftSyncScan(dir, fullSchema, required, pushed, maxPagesPerTrigger,
+      limit, startingOffset)
 }
 
 private[sources] object GraftSyncFilters {
@@ -206,7 +209,8 @@ private[sources] object GraftSyncFilters {
 
 private[sources] class GraftSyncScan(dir: String, fullSchema: StructType,
     required: StructType, pushed: Array[Filter],
-    maxPagesPerTrigger: Option[Int] = None, limit: Option[Int] = None)
+    maxPagesPerTrigger: Option[Int] = None, limit: Option[Int] = None,
+    startingOffset: String = "earliest")
     extends Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -242,7 +246,7 @@ private[sources] class GraftSyncScan(dir: String, fullSchema: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftSyncMicroBatchStream(dir, fullSchema, required, pushed,
-      maxPagesPerTrigger)
+      maxPagesPerTrigger, startingOffset)
 }
 
 /** One committed page = one split. At 100 TB the page list is just longer;
@@ -340,7 +344,7 @@ private[sources] class GraftSyncPageReader(path: java.nio.file.Path,
   * violation and fails loudly below. */
 private[sources] class GraftSyncMicroBatchStream(dir: String,
     fullSchema: StructType, required: StructType, pushed: Array[Filter],
-    maxPagesPerTrigger: Option[Int])
+    maxPagesPerTrigger: Option[Int], startingOffset: String = "earliest")
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private case class PageOffset(n: Long) extends Offset {
@@ -373,7 +377,17 @@ private[sources] class GraftSyncMicroBatchStream(dir: String,
   override def reportLatestOffset(): Offset =
     PageOffset(GraftSyncStore.committedPages(dir).size.toLong)
 
-  override def initialOffset(): Offset = PageOffset(0L)
+  /** `starting-offset` = earliest (default: the whole committed feed) or
+    * latest (only pages committed after the query starts) — the standard
+    * backlog knob of a feed source. Only consulted for a FRESH query; a
+    * checkpointed restart resumes from its stored offset. */
+  override def initialOffset(): Offset = startingOffset match {
+    case "earliest" => PageOffset(0L)
+    case "latest" =>
+      PageOffset(GraftSyncStore.committedPages(dir).size.toLong)
+    case other => throw new IllegalArgumentException(
+      s"graft-sync: starting-offset must be earliest|latest, got '$other'")
+  }
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead")

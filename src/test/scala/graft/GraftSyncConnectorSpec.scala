@@ -287,6 +287,29 @@ class GraftSyncConnectorSpec extends AnyFunSuite {
     assert(live === Set((1L, "a2"), (3L, "c1"))) // key 2 deleted, stays deleted
   }
 
+  test("starting-offset=latest skips the existing backlog, then sees new pages") {
+    val dir = freshStore("solatest")
+    val ck = Files.createTempDirectory("gsync-so-ck").toString
+    val out = freshStore("solatest-out")
+    val base = Tables.eventsRaw(spark, TestSpark.sf0001)
+      .select($"event_id", $"value")
+    base.limit(20).write.format("graft-sync").mode("overwrite").save(dir)
+    def drain(): Long = {
+      val q = spark.readStream.format("graft-sync")
+        .option("starting-offset", "latest").load(dir)
+        .writeStream.format("graft-sync")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start(out)
+      q.awaitTermination()
+      spark.read.format("graft-sync").load(out).count()
+    }
+    assert(drain() === 0L, "latest must skip the pre-existing backlog")
+    base.orderBy($"event_id".desc).limit(4)
+      .write.format("graft-sync").mode("append").save(dir)
+    // the checkpointed restart resumes from the stored 'latest' position
+    assert(drain() === 4L, "pages committed after query start must arrive")
+  }
+
   test("a store refuses mixed batch+streaming commit lineages") {
     // interleaved lineages could insert a manifest BEFORE existing ones
     // (epoch 0 sorts before batch ordinal 1), silently reordering the
