@@ -1,0 +1,209 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** ES query-DSL capabilities beyond the core ranked-retrieval suite
+  * (j34 BM25 / j35 fuzzy / j36 phrase / j37 significant-terms live in
+  * [[TextOps]]): more-like-this, phrase-prefix, highlighting, search_after
+  * pagination, and function_score decay ranking. Together with TextOps'
+  * suite these cover the query surface a user of the reference's ES side
+  * actually issues (SURVEY §1.1/§3.1 `[pub]`: match/fuzzy/phrase/MLT/
+  * significant-terms queries, pagination, highlight, decay scoring).
+  *
+  * Shared determinism discipline (j24/j33/j34): per-doc double sums go
+  * through sorted-fold (`aggregate(array_sort(collect_list(…)))` =
+  * DuckDB `list_sum(list_sort(list(…)))`), scores round to 6dp, and every
+  * ORDER BY carries a unique-id tiebreak — so the oracle hash compare is
+  * exact, not approximately-equal.
+  */
+object SearchOps {
+
+  /** j38_mlt_search — ES `more_like_this`: rank the corpus against a
+    * source document. The source doc's terms are weighted tf·idf and the
+    * top 5 kept (ES `max_query_terms`, tiebreak token asc); every other
+    * document scores sum(candidate_tf · idf) over the shared terms.
+    *
+    * Scale shape: term selection reduces the source doc (one row) against
+    * the token-level df aggregate; the selected 5 terms ride a broadcast
+    * onto the corpus token stream, so — exactly like j34 — the shuffle
+    * moves O(docs containing a selected term), never the corpus. Final
+    * top-10 is ORDER BY+LIMIT = TakeOrderedAndProject. */
+  def j38(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val dfreq = toks.groupBy($"token")
+      .agg(countDistinct($"doc_id").cast("double").as("df"))
+    val srcTf = toks.filter($"doc_id" === 1)
+      .groupBy($"token").agg(count(lit(1)).cast("double").as("src_tf"))
+    val terms = srcTf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf", log($"n_docs" / $"df"))
+      .orderBy(($"src_tf" * $"idf").desc, $"token".asc)
+      .limit(5)
+      .select($"token", $"idf")
+    toks.filter($"doc_id" =!= 1)
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).cast("double").as("tf"))
+      .join(broadcast(terms), "token")
+      .withColumn("tscore", $"tf" * $"idf")
+      .groupBy($"doc_id")
+      .agg(expr("aggregate(array_sort(collect_list(tscore)), CAST(0 AS DOUBLE), (a, x) -> a + x)")
+        .as("sc"), count(lit(1)).as("n_shared"))
+      .select($"doc_id", round($"sc", 6).as("mlt_score"), $"n_shared")
+      .orderBy($"mlt_score".desc, $"doc_id".asc)
+      .limit(10)
+  }
+
+  /** j39_prefix_search — ES `match_phrase_prefix`: an exact leading token
+    * followed by a prefix-matched completion ('merge s*'), reporting the
+    * distinct completions each doc supplied (what the autocomplete UI
+    * shows). Positional adjacency and the prefix test both run inside the
+    * row (filter/transform over token positions — zero shuffles, pure
+    * codegen), the j36 discipline; completions are CSV-encoded per the
+    * no-array-output contract (QueriesSpec). */
+  def j39(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      // same guard as j36: sequence(1, 0) would infer step -1
+      .filter(size($"toks") >= 2)
+      .withColumn("hits", expr(
+        """filter(sequence(1, size(toks) - 1),
+          |  i -> element_at(toks, i) = 'merge'
+          |       AND startswith(element_at(toks, i + 1), 's'))""".stripMargin))
+      .filter(size($"hits") >= 1)
+      .select(
+        $"doc_id",
+        size($"hits").cast("long").as("n_matches"),
+        expr("array_join(array_sort(array_distinct(transform(hits, i -> element_at(toks, i + 1)))), ',')")
+          .as("completions"))
+      .orderBy($"doc_id")
+  }
+
+  /** j40_highlight — ES highlighting: for each document matching the term
+    * ('vector'), return the first match position and a ±2-token snippet
+    * around it. Entirely row-local string/array arithmetic (the only
+    * exchange is the presentation ORDER BY); a search engine serves this
+    * from stored positions, this is the same computation inlined. */
+  def j40(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .withColumn("pos", array_position($"toks", "vector"))
+      .filter($"pos" > 0)
+      .withColumn("st", greatest($"pos" - 2, lit(1L)))
+      .withColumn("en", least($"pos" + 2, size($"toks").cast("long")))
+      .select(
+        $"doc_id", $"pos",
+        expr("array_join(slice(toks, cast(st as int), cast(en - st + 1 as int)), ' ')")
+          .as("snippet"))
+      .orderBy($"doc_id")
+  }
+
+  /** j41_search_after — ES `search_after` keyset pagination: resume a
+    * (value DESC, event_id ASC) result stream after cursor (480.0, 1000).
+    *
+    * Scale shape — WHY keyset beats OFFSET at 100 TB: the cursor is a
+    * plain predicate, so it pushes to the parquet scan (PushedFilters,
+    * PlanSpec-pinned) and row groups whose value-stats lie entirely above
+    * the cursor never leave disk; the page is then ORDER BY+LIMIT =
+    * TakeOrderedAndProject (per-partition heaps). OFFSET n would instead
+    * materialize and sort-merge the n skipped rows on every page — depth-
+    * proportional work per page vs constant work per page. */
+  def j41(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .filter($"value" < 480.0 || ($"value" === 480.0 && $"event_id" > 1000L))
+      .select($"event_id", $"value", $"event_type")
+      .orderBy($"value".desc, $"event_id".asc)
+      .limit(20)
+  }
+
+  /** j42_decay_rank — ES `function_score` gaussian decay (recency boost):
+    * score = value · exp(−Δd²/2σ²) with origin 2024-01-31T00:00:00Z and
+    * σ = 7 days, top 20. Δ is computed in the epoch-µs integer domain
+    * (e3/i2 discipline — Spark and DuckDB subtract identically) and only
+    * then divided into fractional days; scores round to 6dp with an
+    * event_id tiebreak. Pure per-row arithmetic; the only exchange is the
+    * TakeOrderedAndProject top-k. */
+  def j42(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // 2024-01-31T00:00:00Z in epoch-µs; spelled as a literal so the
+    // arithmetic is session-timezone-independent in both engines
+    val originUs = 1706659200000000L
+    Tables.eventsRaw(s, d)
+      .select($"event_id", $"event_type", $"value", expr("ts div 1000").as("us"))
+      .withColumn("dd", (lit(originUs) - $"us").cast("double") / lit(8.64e10))
+      .withColumn("decayed", round($"value" * exp(-($"dd" * $"dd") / lit(98.0)), 6))
+      .select($"event_id", $"event_type", $"decayed")
+      .orderBy($"decayed".desc, $"event_id".asc)
+      .limit(20)
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j38_mlt_search" -> j38, "j39_prefix_search" -> j39,
+    "j40_highlight" -> j40, "j41_search_after" -> j41,
+    "j42_decay_rank" -> j42)
+
+  val oracle: Map[String, String] = Map(
+    "j38_mlt_search" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |              FROM 'documents.parquet'),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM 'documents.parquet'),
+        |df AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        |       FROM toks GROUP BY 1),
+        |src AS (SELECT token, CAST(count(*) AS DOUBLE) AS src_tf
+        |        FROM toks WHERE doc_id = 1 GROUP BY 1),
+        |terms AS (SELECT src.token, ln(n.n_docs / df.df) AS idf
+        |          FROM src JOIN df USING (token) CROSS JOIN n
+        |          ORDER BY src.src_tf * ln(n.n_docs / df.df) DESC, src.token ASC
+        |          LIMIT 5),
+        |cand AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+        |         FROM toks WHERE doc_id <> 1 GROUP BY 1, 2),
+        |sc AS (SELECT cand.doc_id, cand.tf * terms.idf AS tscore
+        |       FROM cand JOIN terms USING (token)),
+        |agg AS (SELECT doc_id, list_sum(list_sort(list(tscore))) AS s,
+        |               count(*) AS n_shared
+        |        FROM sc GROUP BY 1)
+        |SELECT doc_id, round(s, 6) AS mlt_score, n_shared
+        |FROM agg ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "j39_prefix_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+        |           FROM 'documents.parquet'),
+        |m AS (SELECT doc_id, t,
+        |        list_filter(generate_series(1, len(t) - 1),
+        |          i -> t[i] = 'merge' AND starts_with(t[i + 1], 's')) AS hits
+        |      FROM t)
+        |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+        |  array_to_string(list_sort(list_distinct(
+        |    list_transform(hits, i -> t[i + 1]))), ',') AS completions
+        |FROM m WHERE len(hits) >= 1 ORDER BY doc_id""".stripMargin,
+    "j40_highlight" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+        |           FROM 'documents.parquet'),
+        |p AS (SELECT doc_id, t, CAST(list_position(t, 'vector') AS BIGINT) AS pos
+        |      FROM t)
+        |SELECT doc_id, pos,
+        |  array_to_string(list_slice(t,
+        |    CAST(greatest(pos - 2, 1) AS INT),
+        |    CAST(least(pos + 2, len(t)) AS INT)), ' ') AS snippet
+        |FROM p WHERE pos IS NOT NULL AND pos > 0
+        |ORDER BY doc_id""".stripMargin,
+    "j41_search_after" ->
+      """SELECT event_id, value, event_type FROM 'events.parquet'
+        |WHERE value < 480.0 OR (value = 480.0 AND event_id > 1000)
+        |ORDER BY value DESC, event_id ASC LIMIT 20""".stripMargin,
+    "j42_decay_rank" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |             CAST(1706659200000000 - epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)
+        |               / 86400000000.0 AS dd
+        |           FROM 'events.parquet')
+        |SELECT event_id, event_type,
+        |       round(value * exp(-(dd * dd) / 98.0), 6) AS decayed
+        |FROM e
+        |ORDER BY round(value * exp(-(dd * dd) / 98.0), 6) DESC, event_id ASC
+        |LIMIT 20""".stripMargin)
+}

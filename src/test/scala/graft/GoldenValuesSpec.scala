@@ -198,6 +198,38 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(r2.getLong(r2.fieldIndex("n_terms")) === 3L)
   }
 
+  test("j38_mlt_search top hit matches DuckDB at BOTH SFs (corpora differ)") {
+    // goldens from the independent DuckDB run of the oracle SQL
+    val r1 = q("j38_mlt_search").head()
+    assert(r1.getLong(0) === 457L)
+    assert(r1.getDouble(r1.fieldIndex("mlt_score")) === 7.080355)
+    assert(r1.getLong(r1.fieldIndex("n_shared")) === 5L)
+    val r2 = q01("j38_mlt_search").head()
+    assert(r2.getLong(0) === 315L)
+    assert(r2.getDouble(r2.fieldIndex("mlt_score")) === 6.116819)
+    assert(r2.getLong(r2.fieldIndex("n_shared")) === 5L)
+  }
+
+  test("j41_search_after first page row matches DuckDB at BOTH SFs") {
+    val r1 = q("j41_search_after").head()
+    assert(r1.getLong(0) === 288L)
+    assert(r1.getDouble(r1.fieldIndex("value")) === 327.53)
+    val r2 = q01("j41_search_after").head()
+    assert(r2.getLong(0) === 8621L)
+    assert(r2.getDouble(r2.fieldIndex("value")) === 386.59)
+  }
+
+  test("j42_decay_rank top hit matches DuckDB at BOTH SFs (exp() cross-engine)") {
+    // the gaussian decay goes through libm exp in both engines; these
+    // literal goldens pin that the 6dp rounding absorbs any ulp drift
+    val r1 = q("j42_decay_rank").head()
+    assert(r1.getLong(0) === 927L)
+    assert(r1.getDouble(r1.fieldIndex("decayed")) === 157.217263)
+    val r2 = q01("j42_decay_rank").head()
+    assert(r2.getLong(0) === 9480L)
+    assert(r2.getDouble(r2.fieldIndex("decayed")) === 477.688058)
+  }
+
   test("d3_agg_approx_distinct at sf0.01: exact counts match and sketch is in-bound") {
     val rows = q01("d3_agg_approx_distinct").collect()
     val click = rows.find(_.getString(0) == "click").get

@@ -78,7 +78,8 @@ class PlanSpec extends AnyFunSuite {
     val scalarBroadcast = Set("j7_tfidf", "j15_langid", "j26_embed_quantize",
       "j31_embed_lsh_neardup", "j33_lm_score", "j34_bm25_search",
       "j35_fuzzy_search", // 3-row term list onto the vocab aggregate
-      "j37_significant_terms") // 1-row totals onto the token stats
+      "j37_significant_terms", // 1-row totals onto the token stats
+      "j38_mlt_search") // 1-row corpus count onto the source doc's terms
     val offenders = SparkEntry.queries.toSeq
       .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
       .flatMap { case (name, fn) =>
@@ -181,6 +182,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j38: selected terms broadcast onto the candidate stream; top-k is TakeOrderedAndProject") {
+    val p = plan("j38_mlt_search")
+    // the 5-term MLT query reaches the corpus tf aggregate as a broadcast
+    // (the j34 discipline — the shuffle moves O(matching docs), never the
+    // corpus), and the top-10 is per-partition heaps
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j39/j40: phrase-prefix and highlight are row-local — zero hash exchanges") {
+    // adjacency, prefix test, and snippet slicing all run inside the row;
+    // the only exchange either plan may carry is the presentation ORDER BY
+    for (q <- Seq("j39_prefix_search", "j40_highlight")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q: $p")
+    }
+  }
+
+  test("j41: keyset cursor pushes to the scan; the page is TakeOrderedAndProject") {
+    val p = plan("j41_search_after")
+    // search_after's whole 100 TB advantage: the cursor predicate reaches
+    // the parquet scan (row groups above the cursor never leave disk) and
+    // the page never plans a global sort
+    assert(p.contains("LessThan(value,480.0)"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("j42: decay ranking is per-row arithmetic + top-k — zero hash exchanges") {
+    val p = plan("j42_decay_rank")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
   test("whole-stage codegen covers the flagship plan") {
