@@ -23,7 +23,10 @@ object ScaleProbe {
         // round 4: the search suite + both connector-path scans
         "j34_bm25_search", "j35_fuzzy_search", "j36_phrase_search",
         "j37_significant_terms", "a6_connector_roundtrip",
-        "a7_partitioned_scan")) {
+        "a7_partitioned_scan",
+        // round 4 (late): the rest of the ES query DSL
+        "j38_mlt_search", "j39_prefix_search", "j40_highlight",
+        "j41_search_after", "j42_decay_rank")) {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(q)(spark, d).count()
       val dt = (System.nanoTime() - t0) / 1e9
