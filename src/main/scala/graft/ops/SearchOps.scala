@@ -143,10 +143,48 @@ object SearchOps {
       .limit(20)
   }
 
+  /** The stored percolation queries: AND-semantics term sets (ES
+    * percolator documents). Shared by the batch operator and the
+    * streaming twin ([[graft.streaming.Sync.percolateStream]]) so the
+    * two paths cannot drift. */
+  val percolateQueries: Seq[(String, Seq[String])] = Seq(
+    ("q1_spark_join", Seq("spark", "join")),
+    ("q2_vector_window_hash", Seq("vector", "window", "hash")),
+    ("q3_merge_slow", Seq("merge", "slow")))
+
+  /** j43_percolate — the ES percolator: stored queries (AND-semantics
+    * term sets) matched against the document corpus — "which of my saved
+    * searches does this doc satisfy", the reverse of a search. The same
+    * operator routes training documents to topic buckets by stored term
+    * rules.
+    *
+    * Scale shape: the inverted evaluation — doc tokens are distinct'd
+    * in-row, the (term → query) table rides a broadcast, and the per-
+    * (doc, query) hit count compares to the query's term count. The
+    * shuffle moves only (doc, query-term) hits — tokens no stored query
+    * mentions never leave the scan stage. ES evaluates percolation
+    * against an in-memory query index; this is the same term-indexed
+    * dataflow. The streaming twin percolates arriving docs row-locally
+    * with zero state. */
+  def j43(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qt = percolateQueries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t, ts.size.toLong)) }
+      .toDF("query_id", "term", "n_terms")
+    Tables.documents(s, d)
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("token"))
+      .join(broadcast(qt), $"token" === $"term")
+      .groupBy($"query_id", $"doc_id")
+      .agg(count(lit(1)).as("n_hit"), max($"n_terms").as("n_terms"))
+      .filter($"n_hit" === $"n_terms")
+      .select($"query_id", $"doc_id", $"n_terms")
+      .orderBy($"query_id", $"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j38_mlt_search" -> j38, "j39_prefix_search" -> j39,
     "j40_highlight" -> j40, "j41_search_after" -> j41,
-    "j42_decay_rank" -> j42)
+    "j42_decay_rank" -> j42, "j43_percolate" -> j43)
 
   val oracle: Map[String, String] = Map(
     "j38_mlt_search" ->
@@ -196,6 +234,21 @@ object SearchOps {
       """SELECT event_id, value, event_type FROM 'events.parquet'
         |WHERE value < 480.0 OR (value = 480.0 AND event_id > 1000)
         |ORDER BY value DESC, event_id ASC LIMIT 20""".stripMargin,
+    "j43_percolate" ->
+      """WITH qt(query_id, term, n_terms) AS (VALUES
+        |  ('q1_spark_join', 'spark', 2), ('q1_spark_join', 'join', 2),
+        |  ('q2_vector_window_hash', 'vector', 3),
+        |  ('q2_vector_window_hash', 'window', 3),
+        |  ('q2_vector_window_hash', 'hash', 3),
+        |  ('q3_merge_slow', 'merge', 2), ('q3_merge_slow', 'slow', 2)),
+        |toks AS (SELECT DISTINCT doc_id, token FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM 'documents.parquet')),
+        |m AS (SELECT qt.query_id, toks.doc_id,
+        |        count(*) AS n_hit, CAST(max(qt.n_terms) AS BIGINT) AS n_terms
+        |      FROM toks JOIN qt ON toks.token = qt.term GROUP BY 1, 2)
+        |SELECT query_id, doc_id, n_terms FROM m
+        |WHERE n_hit = n_terms ORDER BY query_id, doc_id""".stripMargin,
     "j42_decay_rank" ->
       """WITH e AS (SELECT event_id, event_type, value,
         |             CAST(1706659200000000 - epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)

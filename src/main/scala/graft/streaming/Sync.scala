@@ -489,6 +489,30 @@ object Sync {
     (out, () => { corpusHashes.unpersist(); evalArr.unpersist(); () })
   }
 
+  /** Streaming twin of j43 — the ES percolator on the change feed: match
+    * each arriving document against the stored queries (AND-semantics
+    * term sets from [[graft.ops.SearchOps.percolateQueries]] by default —
+    * one term table shared with the batch operator so the two paths
+    * cannot drift) and emit one (doc_id, ts, query_id) row per match.
+    *
+    * Scale shape: completely stateless — the query table rides a
+    * broadcast and containment (`forall` over the term array vs the
+    * doc's token array) evaluates inside the row, so the operator needs
+    * no watermark, no state store, and re-partitions nothing. ES keeps
+    * its percolator queries in an in-memory index per shard; a broadcast
+    * is the same thing cluster-wide. */
+  def percolateStream(docs: DataFrame,
+      queries: Seq[(String, Seq[String])] =
+        graft.ops.SearchOps.percolateQueries): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = queries.toDF("query_id", "terms")
+    docs
+      .select(col("doc_id"), col("ts"), split(col("text"), " ").as("toks"))
+      .join(broadcast(qt), expr("forall(terms, t -> array_contains(toks, t))"))
+      .select(col("doc_id"), col("ts"), col("query_id"))
+  }
+
   /** i6 streaming form — the sync loop: each microbatch is LWW-merged into
     * the parquet snapshot at `targetDir` (read-modify-write per batch, the
     * foreachBatch upsert idiom; at scale this would be a MERGE INTO a

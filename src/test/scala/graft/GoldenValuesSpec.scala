@@ -219,6 +219,23 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(r2.getDouble(r2.fieldIndex("value")) === 386.59)
   }
 
+  test("j41_search_after page equals the global-order slice after the cursor") {
+    import org.apache.spark.sql.functions.col
+    // semantic contract of keyset pagination: the page is EXACTLY the 20
+    // rows that follow the cursor position in the full (value DESC,
+    // event_id ASC) order — no skips, no repeats
+    val full = graft.Tables.events(TestSpark.spark, TestSpark.sf0001)
+      .select(col("event_id"), col("value"), col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+      .collect()
+    val afterCursor = full.dropWhile { r =>
+      val v = r.getDouble(r.fieldIndex("value")); val id = r.getLong(0)
+      v > 480.0 || (v == 480.0 && id <= 1000L)
+    }.take(20).map(r => (r.getLong(0), r.getDouble(1)))
+    val page = q("j41_search_after").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(page === afterCursor)
+  }
+
   test("j42_decay_rank top hit matches DuckDB at BOTH SFs (exp() cross-engine)") {
     // the gaussian decay goes through libm exp in both engines; these
     // literal goldens pin that the 6dp rounding absorbs any ulp drift

@@ -218,6 +218,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("j43: query-term table is broadcast — non-query tokens never leave the scan stage") {
+    val p = plan("j43_percolate")
+    // percolation must probe a broadcast of the (tiny) term table so the
+    // shuffle carries only (doc, query-term) hits; the hit count map-side
+    // combines like any aggregation
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the flagship plan") {
     // AQE finalizes stages lazily — execute first, then inspect
     val df = SparkEntry.queries("d1_agg_group")(TestSpark.spark, TestSpark.sf0001)

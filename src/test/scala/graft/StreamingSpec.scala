@@ -91,6 +91,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming percolation matches arriving docs against the stored queries, statelessly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = Sync.percolateStream(mem.toDF())
+      .writeStream.format("memory").queryName("perc_out").outputMode("append").start()
+    try {
+      mem.addData(
+        Doc(1, "spark join table scan", ts("2024-01-01 10:00:00")),        // q1 only
+        Doc(2, "vector window table", ts("2024-01-01 10:00:10")),          // no query (q2 needs hash)
+        Doc(3, "merge slow vector window hash", ts("2024-01-01 10:00:20")))// q2 AND q3
+      q.processAllAvailable()
+      val got = spark.table("perc_out")
+        .select($"doc_id", $"query_id").as[(Long, String)].collect().sorted
+      assert(got === Array(
+        (1L, "q1_spark_join"),
+        (3L, "q2_vector_window_hash"), (3L, "q3_merge_slow")))
+      // the term table is the batch operator's own — matching cannot drift
+      assert(graft.ops.SearchOps.percolateQueries.map(_._1) ===
+        Seq("q1_spark_join", "q2_vector_window_hash", "q3_merge_slow"))
+    } finally q.stop()
+  }
+
   test("streaming LSH dedup: arriving docs are matched against the corpus, once each") {
     val spark = TestSpark.spark
     import spark.implicits._
