@@ -181,10 +181,34 @@ object SearchOps {
       .orderBy($"query_id", $"doc_id")
   }
 
+  /** j44_composite_agg — ES `composite` aggregation with `after_key`:
+    * page through the (lang, source) bucket space in key order, resuming
+    * after bucket ('en', 'src12'), 10 buckets per page with count + sum
+    * metrics — the bucket-space complement of j41's row pagination (how
+    * a client walks ALL buckets of a high-cardinality aggregation
+    * without a giant single response).
+    *
+    * Scale shape: the after_key cursor is a predicate on the GROUPING
+    * columns, so it filters the scan before any aggregation — row groups
+    * wholly before the cursor never leave disk (PushedFilters,
+    * PlanSpec-pinned), the per-bucket metrics map-side combine, and the
+    * page is TakeOrderedAndProject. ES walks a doc_values index the same
+    * way; pages are constant work regardless of how deep the cursor is. */
+  def j44(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter($"lang" > "en" || ($"lang" === "en" && $"source" > "src12"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("doc_count"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"lang".asc, $"source".asc)
+      .limit(10)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j38_mlt_search" -> j38, "j39_prefix_search" -> j39,
     "j40_highlight" -> j40, "j41_search_after" -> j41,
-    "j42_decay_rank" -> j42, "j43_percolate" -> j43)
+    "j42_decay_rank" -> j42, "j43_percolate" -> j43,
+    "j44_composite_agg" -> j44)
 
   val oracle: Map[String, String] = Map(
     "j38_mlt_search" ->
@@ -249,6 +273,12 @@ object SearchOps {
         |      FROM toks JOIN qt ON toks.token = qt.term GROUP BY 1, 2)
         |SELECT query_id, doc_id, n_terms FROM m
         |WHERE n_hit = n_terms ORDER BY query_id, doc_id""".stripMargin,
+    "j44_composite_agg" ->
+      """SELECT lang, source, count(*) AS doc_count,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM 'documents.parquet'
+        |WHERE lang > 'en' OR (lang = 'en' AND source > 'src12')
+        |GROUP BY lang, source ORDER BY lang, source LIMIT 10""".stripMargin,
     "j42_decay_rank" ->
       """WITH e AS (SELECT event_id, event_type, value,
         |             CAST(1706659200000000 - epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)

@@ -228,6 +228,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("j44: after_key cursor pushes to the scan; metrics map-side combine") {
+    val p = plan("j44_composite_agg")
+    // composite pagination's scale property: the bucket cursor filters
+    // BEFORE the aggregation (rows wholly before it never leave disk),
+    // and the page itself is per-partition heaps
+    assert(p.contains("GreaterThan(lang,en)"), p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("whole-stage codegen covers the flagship plan") {
     // AQE finalizes stages lazily — execute first, then inspect
     val df = SparkEntry.queries("d1_agg_group")(TestSpark.spark, TestSpark.sf0001)
