@@ -204,11 +204,52 @@ object SearchOps {
       .limit(10)
   }
 
+  /** j45_sharded_terms_agg — ES `terms` aggregation semantics on a
+    * sharded index, error bound included: each shard returns its local
+    * top-3 terms (`shard_size`), the coordinator merges them by summing
+    * the counts of shards that returned the term, and
+    * `doc_count_error_upper_bound` = Σ (3rd-place count) over the shards
+    * that did NOT return it — the worst case the term could have hidden
+    * there. Reported beside the exact global count so the approximation
+    * error is visible, the d3/d15 sketch-oracle discipline.
+    *
+    * The shard key is `doc_id % 4` — DETERMINISTIC, not Spark's physical
+    * partitioning — because the approximation's *value* depends on the
+    * shard layout; pinning it makes the op cross-engine reproducible
+    * (and is exactly how an ES index routes: hash(routing_key) % shards).
+    *
+    * Scale shape: two keyed aggregations (per-shard counts, exact
+    * counts), a window over the (shard, token) aggregate — #shards ×
+    * vocabulary rows, not corpus rows — and a one-row total broadcast.
+    * This is the coordinator-merge dataflow a distributed engine runs to
+    * answer global top-k without shipping full per-shard term lists. */
+  def j45(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(($"doc_id" % 4).as("shard"), explode(split($"text", " ")).as("token"))
+    val cnt = toks.groupBy($"shard", $"token").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"shard").orderBy($"c".desc, $"token".asc)
+    val local = cnt.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+    val shardMin = local.groupBy($"shard").agg(min($"c").as("last_c"))
+    val totLast = shardMin.agg(sum($"last_c").as("all_last"))
+    val exact = toks.groupBy($"token").agg(count(lit(1)).as("exact_count"))
+    local.join(broadcast(shardMin), "shard")
+      .groupBy($"token")
+      .agg(sum($"c").as("merged_count"), sum($"last_c").as("present_last"))
+      .crossJoin(broadcast(totLast))
+      .select($"token", $"merged_count",
+        ($"all_last" - $"present_last").as("error_bound"))
+      .join(exact, "token")
+      .orderBy($"merged_count".desc, $"token".asc)
+      .limit(5)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j38_mlt_search" -> j38, "j39_prefix_search" -> j39,
     "j40_highlight" -> j40, "j41_search_after" -> j41,
     "j42_decay_rank" -> j42, "j43_percolate" -> j43,
-    "j44_composite_agg" -> j44)
+    "j44_composite_agg" -> j44, "j45_sharded_terms_agg" -> j45)
 
   val oracle: Map[String, String] = Map(
     "j38_mlt_search" ->
@@ -279,6 +320,25 @@ object SearchOps {
         |FROM 'documents.parquet'
         |WHERE lang > 'en' OR (lang = 'en' AND source > 'src12')
         |GROUP BY lang, source ORDER BY lang, source LIMIT 10""".stripMargin,
+    "j45_sharded_terms_agg" ->
+      """WITH toks AS (SELECT doc_id % 4 AS shard,
+        |                     unnest(string_split(text, ' ')) AS token
+        |              FROM 'documents.parquet'),
+        |cnt AS (SELECT shard, token, count(*) AS c FROM toks GROUP BY 1, 2),
+        |loc AS (SELECT shard, token, c FROM cnt
+        |        QUALIFY row_number() OVER (
+        |          PARTITION BY shard ORDER BY c DESC, token ASC) <= 3),
+        |sm AS (SELECT shard, min(c) AS last_c FROM loc GROUP BY 1),
+        |tot AS (SELECT sum(last_c) AS all_last FROM sm),
+        |ex AS (SELECT token, count(*) AS exact_count FROM toks GROUP BY 1),
+        |m AS (SELECT l.token, CAST(sum(l.c) AS BIGINT) AS merged_count,
+        |             sum(sm.last_c) AS present_last
+        |      FROM loc l JOIN sm USING (shard) GROUP BY 1)
+        |SELECT m.token, m.merged_count,
+        |       CAST(tot.all_last - m.present_last AS BIGINT) AS error_bound,
+        |       ex.exact_count
+        |FROM m CROSS JOIN tot JOIN ex USING (token)
+        |ORDER BY m.merged_count DESC, m.token ASC LIMIT 5""".stripMargin,
     "j42_decay_rank" ->
       """WITH e AS (SELECT event_id, event_type, value,
         |             CAST(1706659200000000 - epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)

@@ -79,7 +79,8 @@ class PlanSpec extends AnyFunSuite {
       "j31_embed_lsh_neardup", "j33_lm_score", "j34_bm25_search",
       "j35_fuzzy_search", // 3-row term list onto the vocab aggregate
       "j37_significant_terms", // 1-row totals onto the token stats
-      "j38_mlt_search") // 1-row corpus count onto the source doc's terms
+      "j38_mlt_search", // 1-row corpus count onto the source doc's terms
+      "j45_sharded_terms_agg") // 1-row error-bound total onto the merge
     val offenders = SparkEntry.queries.toSeq
       .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
       .flatMap { case (name, fn) =>
@@ -236,6 +237,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("GreaterThan(lang,en)"), p)
     assert(p.contains("partial_count"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("j45: coordinator merge runs over aggregates — the shard window is keyed, counts map-combine") {
+    val p = plan("j45_sharded_terms_agg")
+    // the per-shard top-3 window must partition by shard (a global window
+    // would single-partition the vocab at scale), and both count
+    // aggregations must combine map-side before their shuffles
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("shard")), p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("whole-stage codegen covers the flagship plan") {
