@@ -245,11 +245,56 @@ object SearchOps {
       .limit(5)
   }
 
+  /** j46_rescore — ES `rescore`: two-phase ranking. Phase 1 (recall) is
+    * the cheap match — anchor-term tf, top-50 candidates ("window_size");
+    * phase 2 re-ranks ONLY that window with the full BM25 over the
+    * 3-term query, combined as p1 + 2·bm25 (query_weight=1,
+    * rescore_query_weight=2), top-10. This is how production retrieval
+    * actually runs: a cheap index probe bounds the candidate set, the
+    * expensive scorer never sees the corpus.
+    *
+    * Scale shape: the candidate window (50 rows) rides a broadcast onto
+    * the term-filtered tf aggregate, so the expensive scoring join moves
+    * O(candidates × query terms) rows; corpus-wide work is only the df
+    * counts (term-filtered, tiny) and doc lengths (column-pruned scan).
+    * Same determinism discipline as j34 (sorted-fold, 6dp, doc_id
+    * tiebreaks at both cuts). */
+  def j46(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq("spark", "vector", "dup")
+    val docs = Tables.documents(s, d)
+    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
+    val cands = toks.filter($"token" === "spark")
+      .groupBy($"doc_id").agg(count(lit(1)).cast("double").as("p1"))
+      .orderBy($"p1".desc, $"doc_id".asc).limit(50)
+    val dl = docs.select($"doc_id", size(split($"text", " ")).cast("double").as("dl"))
+    val tfAll = toks.filter($"token".isin(terms: _*))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tfAll.groupBy($"token").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg($"dl").as("avgdl"))
+    tfAll.join(broadcast(cands), "doc_id")
+      .join(dl, "doc_id")
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore",
+        log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)) *
+          ($"tf" * 2.2) / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+      .groupBy($"doc_id")
+      .agg(expr("aggregate(array_sort(collect_list(tscore)), CAST(0 AS DOUBLE), (a, x) -> a + x)")
+        .as("bm25"), max($"p1").as("p1"))
+      .select($"doc_id",
+        round($"p1" + lit(2.0) * $"bm25", 6).as("rescore"),
+        round($"bm25", 6).as("bm25"))
+      .orderBy($"rescore".desc, $"doc_id".asc)
+      .limit(10)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j38_mlt_search" -> j38, "j39_prefix_search" -> j39,
     "j40_highlight" -> j40, "j41_search_after" -> j41,
     "j42_decay_rank" -> j42, "j43_percolate" -> j43,
-    "j44_composite_agg" -> j44, "j45_sharded_terms_agg" -> j45)
+    "j44_composite_agg" -> j44, "j45_sharded_terms_agg" -> j45,
+    "j46_rescore" -> j46)
 
   val oracle: Map[String, String] = Map(
     "j38_mlt_search" ->
@@ -339,6 +384,28 @@ object SearchOps {
         |       ex.exact_count
         |FROM m CROSS JOIN tot JOIN ex USING (token)
         |ORDER BY m.merged_count DESC, m.token ASC LIMIT 5""".stripMargin,
+    "j46_rescore" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |              FROM 'documents.parquet'),
+        |cand AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS p1 FROM toks
+        |         WHERE token = 'spark' GROUP BY 1
+        |         ORDER BY p1 DESC, doc_id ASC LIMIT 50),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |       FROM 'documents.parquet'),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM toks
+        |       WHERE token IN ('spark', 'vector', 'dup') GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |sc AS (SELECT tf.doc_id, cand.p1,
+        |         ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |           (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS tscore
+        |       FROM tf JOIN cand USING (doc_id) JOIN dl USING (doc_id)
+        |            JOIN df USING (token) CROSS JOIN st),
+        |agg AS (SELECT doc_id, max(p1) AS p1,
+        |               list_sum(list_sort(list(tscore))) AS bm25
+        |        FROM sc GROUP BY 1)
+        |SELECT doc_id, round(p1 + 2.0 * bm25, 6) AS rescore, round(bm25, 6) AS bm25
+        |FROM agg ORDER BY round(p1 + 2.0 * bm25, 6) DESC, doc_id ASC LIMIT 10""".stripMargin,
     "j42_decay_rank" ->
       """WITH e AS (SELECT event_id, event_type, value,
         |             CAST(1706659200000000 - epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)

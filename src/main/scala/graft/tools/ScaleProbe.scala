@@ -26,7 +26,8 @@ object ScaleProbe {
         "a7_partitioned_scan",
         // round 4 (late): the rest of the ES query DSL
         "j38_mlt_search", "j39_prefix_search", "j40_highlight",
-        "j41_search_after", "j42_decay_rank")) {
+        "j41_search_after", "j42_decay_rank", "j43_percolate",
+        "j44_composite_agg", "j45_sharded_terms_agg", "j46_rescore")) {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(q)(spark, d).count()
       val dt = (System.nanoTime() - t0) / 1e9

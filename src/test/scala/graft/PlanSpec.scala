@@ -80,7 +80,8 @@ class PlanSpec extends AnyFunSuite {
       "j35_fuzzy_search", // 3-row term list onto the vocab aggregate
       "j37_significant_terms", // 1-row totals onto the token stats
       "j38_mlt_search", // 1-row corpus count onto the source doc's terms
-      "j45_sharded_terms_agg") // 1-row error-bound total onto the merge
+      "j45_sharded_terms_agg", // 1-row error-bound total onto the merge
+      "j46_rescore") // 1-row corpus stats onto the candidate window
     val offenders = SparkEntry.queries.toSeq
       .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
       .flatMap { case (name, fn) =>
@@ -248,6 +249,16 @@ class PlanSpec extends AnyFunSuite {
     assert(winLines.nonEmpty && winLines.forall(_.contains("shard")), p)
     assert(p.contains("partial_count"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j46: the candidate window is broadcast — the expensive scorer never sees the corpus") {
+    val p = plan("j46_rescore")
+    // two-phase retrieval's contract: phase 2 joins the 50-row candidate
+    // window (and df) as broadcasts onto the term-filtered tf aggregate,
+    // and both cuts are per-partition heaps
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
