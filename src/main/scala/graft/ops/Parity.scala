@@ -29,4 +29,12 @@ object Parity {
     * `array_to_string(list, ',')`). */
   def csv(arr: Column): Column =
     array_join(transform(arr, x => x.cast("string")), ",")
+
+  /** Order-deterministic double sum for a grouped aggregation: collect,
+    * sort, THEN fold — plain sum() over doubles is order-nondeterministic
+    * across shuffles, which breaks the oracle hash compare (j24/j33/j34
+    * discipline). DuckDB mirror: `list_sum(list_sort(list(x)))`. Every
+    * score-summing search/LM operator goes through this one helper. */
+  def sortedFoldSum(c: Column): Column =
+    aggregate(array_sort(collect_list(c)), lit(0.0), (a, x) => a + x)
 }

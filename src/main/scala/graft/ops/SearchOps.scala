@@ -42,7 +42,11 @@ object SearchOps {
     val terms = srcTf.join(dfreq, "token")
       .crossJoin(broadcast(nDocs))
       .withColumn("idf", log($"n_docs" / $"df"))
-      .orderBy(($"src_tf" * $"idf").desc, $"token".asc)
+      // the cut orders on the ROUNDED weight (like every other score cut
+      // in the suite): an unrounded tf·idf order could select different
+      // term sets across engines on a log() ulp tie, and a different
+      // 5-term query diverges by whole units — 6dp can't absorb that
+      .orderBy(round($"src_tf" * $"idf", 6).desc, $"token".asc)
       .limit(5)
       .select($"token", $"idf")
     toks.filter($"doc_id" =!= 1)
@@ -50,8 +54,7 @@ object SearchOps {
       .join(broadcast(terms), "token")
       .withColumn("tscore", $"tf" * $"idf")
       .groupBy($"doc_id")
-      .agg(expr("aggregate(array_sort(collect_list(tscore)), CAST(0 AS DOUBLE), (a, x) -> a + x)")
-        .as("sc"), count(lit(1)).as("n_shared"))
+      .agg(Parity.sortedFoldSum($"tscore").as("sc"), count(lit(1)).as("n_shared"))
       .select($"doc_id", round($"sc", 6).as("mlt_score"), $"n_shared")
       .orderBy($"mlt_score".desc, $"doc_id".asc)
       .limit(10)
@@ -276,12 +279,11 @@ object SearchOps {
       .join(dl, "doc_id")
       .join(broadcast(dfreq), "token")
       .crossJoin(broadcast(stats))
-      .withColumn("tscore",
-        log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)) *
-          ($"tf" * 2.2) / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+      // ONE BM25 definition engine-wide: the formula lives in
+      // TextOps.bm25Tscore, shared with j34
+      .withColumn("tscore", TextOps.bm25Tscore($"tf", $"df", $"dl", $"n_docs", $"avgdl"))
       .groupBy($"doc_id")
-      .agg(expr("aggregate(array_sort(collect_list(tscore)), CAST(0 AS DOUBLE), (a, x) -> a + x)")
-        .as("bm25"), max($"p1").as("p1"))
+      .agg(Parity.sortedFoldSum($"tscore").as("bm25"), max($"p1").as("p1"))
       .select($"doc_id",
         round($"p1" + lit(2.0) * $"bm25", 6).as("rescore"),
         round($"bm25", 6).as("bm25"))
@@ -307,7 +309,8 @@ object SearchOps {
         |        FROM toks WHERE doc_id = 1 GROUP BY 1),
         |terms AS (SELECT src.token, ln(n.n_docs / df.df) AS idf
         |          FROM src JOIN df USING (token) CROSS JOIN n
-        |          ORDER BY src.src_tf * ln(n.n_docs / df.df) DESC, src.token ASC
+        |          ORDER BY round(src.src_tf * ln(n.n_docs / df.df), 6) DESC,
+        |                   src.token ASC
         |          LIMIT 5),
         |cand AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
         |         FROM toks WHERE doc_id <> 1 GROUP BY 1, 2),

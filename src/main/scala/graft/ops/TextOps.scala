@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -344,16 +344,24 @@ object TextOps {
     tf.join(dl, "doc_id")
       .join(broadcast(dfreq), "token")
       .crossJoin(broadcast(stats))
-      .withColumn("tscore",
-        log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)) *
-          ($"tf" * 2.2) / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+      .withColumn("tscore", bm25Tscore($"tf", $"df", $"dl", $"n_docs", $"avgdl"))
       .groupBy($"doc_id")
-      .agg(expr("aggregate(array_sort(collect_list(tscore)), CAST(0 AS DOUBLE), (a, x) -> a + x)")
-        .as("sc"), count(lit(1)).as("n_terms"))
+      .agg(Parity.sortedFoldSum($"tscore").as("sc"), count(lit(1)).as("n_terms"))
       .select($"doc_id", round($"sc", 6).as("bm25"), $"n_terms")
       .orderBy($"bm25".desc, $"doc_id".asc)
       .limit(10)
   }
+
+  /** The BM25 per-(doc, term) score — Lucene's +1 idf variant with
+    * k1=1.2, b=0.75 spelled as the merged literals (2.2 = k1+1,
+    * 0.25 = 1−b) so Spark and DuckDB compute bit-identical doubles. ONE
+    * definition shared by j34 and the rescore phase (SearchOps.j46); the
+    * oracle SQL strings necessarily restate it — a constant change must
+    * touch those two strings and nothing else. */
+  private[graft] def bm25Tscore(tf: Column, df: Column, dl: Column,
+      nDocs: Column, avgdl: Column): Column =
+    log(lit(1.0) + (nDocs - df + 0.5) / (df + 0.5)) *
+      (tf * 2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / avgdl))
 
   /** j35_fuzzy_search — the ES `fuzziness` capability: expand each query
     * term to the vocabulary tokens within edit distance 1 (classic

@@ -497,10 +497,14 @@ object Sync {
     *
     * Scale shape: completely stateless — the query table rides a
     * broadcast and containment (`forall` over the term array vs the
-    * doc's token array) evaluates inside the row, so the operator needs
-    * no watermark, no state store, and re-partitions nothing. ES keeps
-    * its percolator queries in an in-memory index per shard; a broadcast
-    * is the same thing cluster-wide. */
+    * doc's DISTINCT token set) evaluates inside the row, so the operator
+    * needs no watermark, no state store, and re-partitions nothing.
+    * Unlike batch j43's inverted (term-indexed) evaluation, the per-doc
+    * cost here is O(|queries| × terms-per-query) membership probes —
+    * the right trade at percolator-set sizes in the reference's class
+    * (tens–hundreds of saved searches); a percolator holding thousands
+    * of queries should instead pre-filter candidates through j43's
+    * broadcast term join, at the price of a stateful aggregation. */
   def percolateStream(docs: DataFrame,
       queries: Seq[(String, Seq[String])] =
         graft.ops.SearchOps.percolateQueries): DataFrame = {
@@ -508,7 +512,10 @@ object Sync {
     import spark.implicits._
     val qt = queries.toDF("query_id", "terms")
     docs
-      .select(col("doc_id"), col("ts"), split(col("text"), " ").as("toks"))
+      // distinct once per row: every query term then probes the deduped
+      // set, not the raw (repetition-heavy) token array
+      .select(col("doc_id"), col("ts"),
+        array_distinct(split(col("text"), " ")).as("toks"))
       .join(broadcast(qt), expr("forall(terms, t -> array_contains(toks, t))"))
       .select(col("doc_id"), col("ts"), col("query_id"))
   }
