@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the round-4 search suite (j38–j46) that the
+  * oracle hash compare can't express: cross-path equivalence and the
+  * inequalities the operators' contracts promise at ANY corpus.
+  */
+class SearchOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  private val d = TestSpark.sf0001
+
+  test("j43's inverted evaluation equals row-local containment (the streaming twin's shape)") {
+    // batch j43 evaluates AND-semantics via term-indexed hit counts; the
+    // streaming twin evaluates via per-row containment. Same query table,
+    // same corpus -> the match sets must be identical, or the two paths
+    // have drifted
+    val inverted = ops.SearchOps.j43(spark, d)
+      .select($"query_id", $"doc_id").as[(String, Long)].collect().toSet
+    val qt = ops.SearchOps.percolateQueries.toDF("query_id", "terms")
+    val containment = Tables.documents(spark, d)
+      .select($"doc_id", array_distinct(split($"text", " ")).as("toks"))
+      .join(broadcast(qt), expr("forall(terms, t -> array_contains(toks, t))"))
+      .select($"query_id", $"doc_id").as[(String, Long)].collect().toSet
+    assert(inverted === containment)
+    assert(inverted.nonEmpty, "vacuous: no document matched any stored query")
+  }
+
+  test("j45's approximation honesty: merged_count <= exact_count, error_bound >= 0") {
+    // the coordinator merge may only UNDERcount (a shard not returning a
+    // term contributes nothing), and the error bound is a sum of
+    // non-negative 3rd-place counts
+    val rows = ops.SearchOps.j45(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val merged = r.getLong(r.fieldIndex("merged_count"))
+      val exact = r.getLong(r.fieldIndex("exact_count"))
+      val err = r.getLong(r.fieldIndex("error_bound"))
+      assert(merged <= exact, s"merge overcounted: $r")
+      assert(err >= 0, s"negative error bound: $r")
+      // the bound must actually bound the miss: exact <= merged + error
+      // can be violated only by counts from shards that DID return the
+      // term being wrong, which the merge takes verbatim — so pin it
+      assert(exact <= merged + err, s"error bound does not cover the miss: $r")
+    }
+  }
+
+  test("j46's rescore window discipline: every result contains the phase-1 anchor term") {
+    // phase 2 may only re-rank phase-1 candidates, and every candidate
+    // matched the anchor term 'spark'
+    val resultIds = ops.SearchOps.j46(spark, d).select($"doc_id").as[Long].collect().toSet
+    val anchorIds = Tables.documents(spark, d)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(array_contains($"toks", "spark"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(resultIds.nonEmpty && resultIds.subsetOf(anchorIds))
+  }
+
+  test("j38 shares at most max_query_terms=5 terms and never returns the source doc") {
+    val rows = ops.SearchOps.j38(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_shared")) <= 5L, s"$r")
+      assert(r.getLong(0) !== 1L, "MLT returned its own source doc")
+    }
+  }
+}
