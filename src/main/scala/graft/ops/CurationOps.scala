@@ -218,9 +218,99 @@ object CurationOps {
       .orderBy($"shard", $"pos")
   }
 
+  // PII patterns, shared by the transformer and the count — spelled in the
+  // common RE2/Java subset (char classes + bounded repeats, no lookaround)
+  // so Spark and the DuckDB oracle compile them identically.
+  private[graft] val EmailRe = "[a-z0-9]+@[a-z0-9.]+"
+  private[graft] val PhoneRe = "\\+1-[0-9]{3}-555-[0-9]{4}"
+  private[graft] val IpRe =
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Redact emails, NANP phone numbers, and IPv4 addresses from a string
+    * column — the PII scrub a pretraining pipeline runs before anything
+    * else sees the text. Order matters only for overlap hygiene: emails
+    * first (their domains contain dots an IP pattern could nibble), then
+    * phones, then bare IPs. Pure per-row codegen'd regex — zero shuffles,
+    * linear at any corpus size. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      IpRe, "<IP>")
+
+  /** Count of PII hits in a string column (sum over the three patterns),
+    * counted on the RAW text before redaction. */
+  def piiCount(c: Column): Column =
+    (size(regexp_extract_all(c, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(c, lit(PhoneRe), lit(0))) +
+      size(regexp_extract_all(c, lit(IpRe), lit(0)))).cast("long")
+
+  /** j49_pii_redact — [[redactPii]]/[[piiCount]] over a deterministic
+    * contact-card corpus derived from the customer table (the fixture
+    * text carries no organic PII, so the query synthesizes it from
+    * c_custkey arithmetic — identically in both engines — with each PII
+    * kind present on a different key residue so the counts vary 0–3).
+    * Every transformation is per-row; the only exchange is the
+    * presentation ORDER BY. */
+  def j49(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = $"c_custkey"
+    val contact = concat_ws(" ",
+      $"c_name",
+      when(k % 3 =!= 0,
+        concat(lit("user"), k.cast("string"), lit("@example.com"))),
+      when(k % 2 === 0,
+        concat(lit("+1-"), lpad((k % 1000).cast("string"), 3, "0"),
+          lit("-555-"), lpad((k % 10000).cast("string"), 4, "0"))),
+      when(k % 5 === 0,
+        concat(lit("10.0."), (k % 256).cast("string"), lit("."),
+          ((k * 7) % 256).cast("string"))))
+    Tables.customer(s, d)
+      .withColumn("contact", contact)
+      .select($"c_custkey", redactPii($"contact").as("redacted"),
+        piiCount($"contact").as("n_pii"))
+      .orderBy($"c_custkey")
+  }
+
+  /** j50_span_dedup — exact substring-level duplication stats (the
+    * Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better" measurement, at 10-token granularity): for each document,
+    * how many of its 10-token spans also appear in ANOTHER document.
+    * Document-level dedup (j1/j2/j12) misses boilerplate shared between
+    * otherwise-distinct pages; this is the operator that sees it.
+    *
+    * Scale shape: spans explode to O(corpus tokens) rows but carry only
+    * (doc_id, 32-byte span hash); both aggregations key on the span hash
+    * (map-side combined, uniformly distributed — no skew), and the
+    * cross-doc count is a window over the ALREADY-GROUPED (span, doc)
+    * frame, so no doc×doc comparison exists anywhere. At 100 TB the md5
+    * would be swapped for an 8-byte xxhash64 (the j2/j12 key discipline);
+    * md5 here because the oracle must compute the identical key. */
+  def j50(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spans = Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 10)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(t) - 9), i -> md5(array_join(slice(t, i, 10), ' ')))"))
+        .as("span_h"))
+    val w = Window.partitionBy($"span_h")
+    spans.groupBy($"span_h", $"doc_id").agg(count(lit(1)).as("c"))
+      .withColumn("nd", count(lit(1)).over(w))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_spans"),
+        sum(when($"nd" >= 2, $"c").otherwise(0L)).as("n_dup_spans"))
+      .filter($"n_dup_spans" > 0)
+      .select($"doc_id", $"n_spans", $"n_dup_spans",
+        round($"n_dup_spans".cast("double") / $"n_spans", 6).as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j28_domain_mix" -> j28, "j29_repetition_filter" -> j29,
-    "j30_shuffle_shard" -> j30)
+    "j30_shuffle_shard" -> j30, "j49_pii_redact" -> j49,
+    "j50_span_dedup" -> j50)
 
   private val NibbleSql =
     """((strpos('0123456789abcdef', substr(%s, 1, 1)) - 1) * 4096 +
@@ -252,6 +342,43 @@ object CurationOps {
         |round(1.0 - len(list_distinct(g3)) / len(g3), 6) AS dup3_frac,
         |CAST((1.0 - len(list_distinct(g2)) / len(g2)) <= 0.10 AS INT) AS keep
         |FROM g ORDER BY doc_id""".stripMargin,
+    "j49_pii_redact" ->
+      """WITH c AS (SELECT c_custkey, concat_ws(' ', c_name,
+        |    CASE WHEN c_custkey % 3 <> 0
+        |      THEN 'user' || CAST(c_custkey AS VARCHAR) || '@example.com' END,
+        |    CASE WHEN c_custkey % 2 = 0
+        |      THEN '+1-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') ||
+        |           '-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') END,
+        |    CASE WHEN c_custkey % 5 = 0
+        |      THEN '10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+        |           CAST(c_custkey * 7 % 256 AS VARCHAR) END) AS contact
+        |  FROM 'customer.parquet')
+        |SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(contact,
+        |    '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |    '\+1-[0-9]{3}-555-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(contact, '[a-z0-9]+@[a-z0-9.]+'))
+        |     + len(regexp_extract_all(contact, '\+1-[0-9]{3}-555-[0-9]{4}'))
+        |     + len(regexp_extract_all(contact,
+        |         '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_pii
+        |FROM c ORDER BY c_custkey""".stripMargin,
+    "j50_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+        |           FROM 'documents.parquet'
+        |           WHERE len(string_split(text, ' ')) >= 10),
+        |sp AS (SELECT doc_id, unnest(list_transform(
+        |         generate_series(1, len(t) - 9),
+        |         i -> md5(array_to_string(t[i:i+9], ' ')))) AS span_h FROM t),
+        |g AS (SELECT span_h, doc_id, count(*) AS c FROM sp GROUP BY 1, 2),
+        |w AS (SELECT doc_id, c,
+        |        count(*) OVER (PARTITION BY span_h) AS nd FROM g),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_spans,
+        |        CAST(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_spans
+        |      FROM w GROUP BY 1)
+        |SELECT doc_id, n_spans, n_dup_spans,
+        |  round(CAST(n_dup_spans AS DOUBLE) / n_spans, 6) AS dup_frac
+        |FROM a WHERE n_dup_spans > 0 ORDER BY doc_id""".stripMargin,
     "j30_shuffle_shard" ->
       s"""WITH k AS (SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS skey
          |           FROM 'documents.parquet'),

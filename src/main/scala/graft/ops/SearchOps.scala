@@ -291,12 +291,111 @@ object SearchOps {
       .limit(10)
   }
 
+  /** j47_date_histogram — ES `date_histogram` with `min_doc_count: 0` and
+    * `extended_bounds`: day buckets over the full event-time span, zero-
+    * filled where the filtered stream (purchases ≥ 200) has no events, with
+    * a `cardinality` sub-aggregation (distinct users). A plain groupBy
+    * (i1's shape) silently drops empty buckets; a monitoring client needs
+    * the gaps to BE rows — that's the capability this adds.
+    *
+    * Scale shape: the spine is one min/max aggregate exploded into ~days
+    * rows (tiny at any corpus size — bounded by calendar time, not data),
+    * broadcast onto the histogram; the histogram itself is one keyed
+    * aggregation that map-side combines. Both metrics are integers, so no
+    * double-sum ordering hazard. */
+  def j47(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select(to_date($"ts").as("day"), $"event_type", $"value", $"user_id")
+    val spine = e.agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select(explode(sequence($"d0", $"d1")).as("day"))
+    val hist = e.filter($"event_type" === "purchase" && $"value" >= 200.0)
+      .groupBy($"day")
+      .agg(count(lit(1)).as("doc_count"), countDistinct($"user_id").as("n_users"))
+    spine.join(broadcast(hist), Seq("day"), "left")
+      .select($"day",
+        coalesce($"doc_count", lit(0L)).as("doc_count"),
+        coalesce($"n_users", lit(0L)).as("n_users"))
+      .orderBy($"day")
+  }
+
+  /** The term-suggester inputs: misspelled query terms (shared with the
+    * oracle SQL so the two can't drift). */
+  val suggestInputs: Seq[String] = Seq("sprak", "vektor", "mrege")
+
+  /** j48_term_suggest — ES `term` suggester ("did you mean"): for each
+    * misspelled input term, the corpus-vocabulary tokens within edit
+    * distance 2, ranked distance asc, frequency desc, token asc, top 3
+    * per input.
+    *
+    * Scale shape: the candidate space is the VOCABULARY aggregate (tokens ×
+    * frequencies), never the corpus — at 100 TB the vocabulary is millions
+    * of rows while the corpus is trillions, so the expensive levenshtein
+    * runs on the reduced side only. The 3-term input rides a broadcast
+    * nested-loop join guarded by the standard length-band bound
+    * (|len(tok) − len(input)| ≤ 2 ⇒ edit distance ≥ 3 impossible to pass),
+    * which prunes most of the vocabulary before any edit-distance work —
+    * ES's FST traversal bounds candidates the same way. Top-3-per-input is
+    * a window over the surviving candidates (a handful of rows). */
+  def j48(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val inputs = suggestInputs.toDF("input")
+    val vocab = Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy($"input")
+      .orderBy($"dist".asc, $"freq".desc, $"token".asc)
+    vocab.join(broadcast(inputs),
+        abs(length($"token") - length($"input")) <= 2)
+      .withColumn("dist", levenshtein($"token", $"input").cast("long"))
+      .filter($"dist" <= 2)
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+      .select($"input", $"token".as("suggestion"), $"dist", $"freq")
+      .orderBy($"input".asc, $"dist".asc, $"freq".desc, $"suggestion".asc)
+  }
+
+  /** j51_bool_msm — ES `bool` query with `should` clauses and
+    * `minimum_should_match: 2`: documents matching at least 2 of the 4
+    * query terms, scored as the BM25 sum over the matched terms only,
+    * top 15. This is the boolean-coverage gate between a single `match`
+    * (j34, any term qualifies) and `match_phrase` (j36, all terms adjacent).
+    *
+    * Scale shape: identical to j34 — the term filter bounds every
+    * aggregate to O(docs containing a query term), df/stats ride
+    * broadcasts, and the msm gate is a HAVING on the already-grouped
+    * per-doc frame (no extra pass). Same determinism discipline
+    * (sorted-fold, 6dp, doc_id tiebreak); ONE BM25 definition engine-wide
+    * via [[TextOps.bm25Tscore]]. */
+  def j51(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq("spark", "join", "vector", "slow")
+    val docs = Tables.documents(s, d)
+    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
+    val dl = docs.select($"doc_id", size(split($"text", " ")).cast("double").as("dl"))
+    val tf = toks.filter($"token".isin(terms: _*))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg($"dl").as("avgdl"))
+    tf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore", TextOps.bm25Tscore($"tf", $"df", $"dl", $"n_docs", $"avgdl"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_matched"), Parity.sortedFoldSum($"tscore").as("sc"))
+      .filter($"n_matched" >= 2)
+      .select($"doc_id", $"n_matched", round($"sc", 6).as("score"))
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(15)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j38_mlt_search" -> j38, "j39_prefix_search" -> j39,
     "j40_highlight" -> j40, "j41_search_after" -> j41,
     "j42_decay_rank" -> j42, "j43_percolate" -> j43,
     "j44_composite_agg" -> j44, "j45_sharded_terms_agg" -> j45,
-    "j46_rescore" -> j46)
+    "j46_rescore" -> j46, "j47_date_histogram" -> j47,
+    "j48_term_suggest" -> j48, "j51_bool_msm" -> j51)
 
   val oracle: Map[String, String] = Map(
     "j38_mlt_search" ->
@@ -409,6 +508,54 @@ object SearchOps {
         |        FROM sc GROUP BY 1)
         |SELECT doc_id, round(p1 + 2.0 * bm25, 6) AS rescore, round(bm25, 6) AS bm25
         |FROM agg ORDER BY round(p1 + 2.0 * bm25, 6) DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "j47_date_histogram" ->
+      """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |             event_type, value, user_id
+        |           FROM 'events.parquet'),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |spine AS (SELECT CAST(unnest(generate_series(
+        |            CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+        |            INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |h AS (SELECT day, count(*) AS doc_count,
+        |             count(DISTINCT user_id) AS n_users
+        |      FROM e WHERE event_type = 'purchase' AND value >= 200.0
+        |      GROUP BY 1)
+        |SELECT spine.day, coalesce(h.doc_count, 0) AS doc_count,
+        |       coalesce(h.n_users, 0) AS n_users
+        |FROM spine LEFT JOIN h USING (day) ORDER BY spine.day""".stripMargin,
+    "j48_term_suggest" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+        |              FROM 'documents.parquet'),
+        |v AS (SELECT token, count(*) AS freq FROM toks GROUP BY 1),
+        |inp(input) AS (VALUES ('sprak'), ('vektor'), ('mrege')),
+        |c AS (SELECT inp.input, v.token AS suggestion,
+        |        CAST(levenshtein(v.token, inp.input) AS BIGINT) AS dist, v.freq
+        |      FROM v CROSS JOIN inp
+        |      WHERE abs(len(v.token) - len(inp.input)) <= 2
+        |        AND levenshtein(v.token, inp.input) <= 2)
+        |SELECT input, suggestion, dist, freq FROM c
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY input ORDER BY dist ASC, freq DESC, suggestion ASC) <= 3
+        |ORDER BY input ASC, dist ASC, freq DESC, suggestion ASC""".stripMargin,
+    "j51_bool_msm" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |              FROM 'documents.parquet'),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |       FROM 'documents.parquet'),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM toks
+        |       WHERE token IN ('spark', 'join', 'vector', 'slow') GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |sc AS (SELECT tf.doc_id,
+        |         ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |           (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS tscore
+        |       FROM tf JOIN dl USING (doc_id)
+        |            JOIN df USING (token) CROSS JOIN st),
+        |agg AS (SELECT doc_id, count(*) AS n_matched,
+        |               list_sum(list_sort(list(tscore))) AS sc
+        |        FROM sc GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT doc_id, n_matched, round(sc, 6) AS score
+        |FROM agg ORDER BY round(sc, 6) DESC, doc_id ASC LIMIT 15""".stripMargin,
     "j42_decay_rank" ->
       """WITH e AS (SELECT event_id, event_type, value,
         |             CAST(1706659200000000 - epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)

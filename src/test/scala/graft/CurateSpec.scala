@@ -115,4 +115,47 @@ class CurateSpec extends AnyFunSuite {
         assert(ps.toSeq === (1L to ps.length).toSeq)
     }
   }
+
+  test("j49: redacted text carries ZERO residual PII — the scrub is its own proof") {
+    import spark.implicits._
+    // re-running the counter over the redacted column must find nothing;
+    // this is the invariant a compliance audit actually checks, and it
+    // holds for any input — not just the fixture
+    val residual = q("j49_pii_redact")
+      .select(CurationOps.piiCount($"redacted").as("n"))
+      .agg(sum($"n")).head().getLong(0)
+    assert(residual === 0L)
+    // and the scrub was non-vacuous: the raw side had PII to find
+    val found = q("j49_pii_redact")
+      .agg(sum($"n_pii")).head().getLong(0)
+    assert(found > 0L)
+  }
+
+  test("j50: doc set equals an independent pair-join recomputation of span sharing") {
+    import spark.implicits._
+    // cross-path check: j50 counts cross-doc spans via a keyed window;
+    // recompute "docs sharing >= 1 span with ANOTHER doc" the naive way
+    // (span self-join — fine at fixture scale, never in the operator) and
+    // the two paths must agree exactly
+    val spans = Tables.documents(spark, TestSpark.sf0001)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 10)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(t) - 9), i -> md5(array_join(slice(t, i, 10), ' ')))"))
+        .as("span_h")).distinct()
+    val naive = spans.as("a")
+      .join(spans.as("b"), Seq("span_h"))
+      .filter($"a.doc_id" =!= $"b.doc_id")
+      .select($"a.doc_id").as[Long].collect().toSet
+    val rows = q("j50_span_dedup").collect()
+    assert(rows.nonEmpty, "fixture has no span-level duplication")
+    val ids = rows.map(_.getLong(0)).toSet
+    assert(ids === naive)
+    rows.foreach { r =>
+      val (n, d) = (r.getLong(r.fieldIndex("n_spans")), r.getLong(r.fieldIndex("n_dup_spans")))
+      assert(d >= 1 && d <= n, s"$r")
+      val frac = r.getDouble(r.fieldIndex("dup_frac"))
+      assert(frac > 0.0 && frac <= 1.0, s"$r")
+    }
+  }
 }

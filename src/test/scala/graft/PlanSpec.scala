@@ -81,7 +81,9 @@ class PlanSpec extends AnyFunSuite {
       "j37_significant_terms", // 1-row totals onto the token stats
       "j38_mlt_search", // 1-row corpus count onto the source doc's terms
       "j45_sharded_terms_agg", // 1-row error-bound total onto the merge
-      "j46_rescore") // 1-row corpus stats onto the candidate window
+      "j46_rescore", // 1-row corpus stats onto the candidate window
+      "j48_term_suggest", // 3-row input list onto the vocab aggregate (banded)
+      "j51_bool_msm") // 1-row corpus stats onto the term-filtered tf
     val offenders = SparkEntry.queries.toSeq
       .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
       .flatMap { case (name, fn) =>
@@ -259,6 +261,51 @@ class PlanSpec extends AnyFunSuite {
     // and both cuts are per-partition heaps
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
     assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j47: zero-filled spine joins as a broadcast; the histogram map-side combines") {
+    val p = plan("j47_date_histogram")
+    // the calendar spine (bounded by days, not data) must be the broadcast
+    // side; the heavy side is one keyed aggregation that partial-combines
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j48: edit distance runs on the vocabulary aggregate, inputs ride the length-band broadcast") {
+    val p = plan("j48_term_suggest")
+    // the candidate space is vocab × 3 inputs (banded), never corpus rows:
+    // the token aggregate partial-combines before the broadcast NLJ, and
+    // the top-3 window partitions by input — no global window
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("levenshtein"), p)
+    assert(p.contains("partial_count"), p)
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("input")), p)
+  }
+
+  test("j49: PII redaction is per-row regex — zero hash exchanges") {
+    val p = plan("j49_pii_redact")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j50: span dedup never compares doc×doc — everything keys on the span hash") {
+    val p = plan("j50_span_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the cross-doc count is a window over the ALREADY-GROUPED frame,
+    // partitioned by the span hash — never a global window
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("span_h")), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("j51: df and corpus stats ride broadcasts; both cuts are per-partition heaps") {
+    val p = plan("j51_bool_msm")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 

@@ -58,6 +58,50 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(resultIds.nonEmpty && resultIds.subsetOf(anchorIds))
   }
 
+  test("j47 covers the full event span with no gaps and sums to the filtered total") {
+    // min_doc_count=0 semantics: one row per calendar day between the
+    // corpus bounds, zero-filled; the filled counts must sum to exactly
+    // the filtered event count (nothing invented, nothing dropped)
+    val rows = ops.SearchOps.j47(spark, d).collect()
+    val days = rows.map(_.getDate(0).toLocalDate)
+    assert(days.length >= 2)
+    assert(java.time.temporal.ChronoUnit.DAYS.between(
+      days.head, days.last) + 1 === days.length, "spine has gaps")
+    assert(rows.exists(_.getLong(1) === 0L), "no empty bucket — zero-fill unexercised")
+    val total = rows.map(_.getLong(1)).sum
+    val expected = Tables.events(spark, d)
+      .filter($"event_type" === "purchase" && $"value" >= 200.0).count()
+    assert(total === expected)
+  }
+
+  test("j48 suggests within edit distance 2 and respects per-input top-3") {
+    val rows = ops.SearchOps.j48(spark, d).collect()
+    assert(rows.nonEmpty)
+    val byInput = rows.groupBy(_.getString(0))
+    assert(byInput.keySet === ops.SearchOps.suggestInputs.toSet,
+      "an input term produced no suggestion")
+    byInput.values.foreach(g => assert(g.length <= 3))
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("dist")) <= 2L, s"$r")
+      assert(r.getString(1) !== r.getString(0), "suggested the misspelling itself")
+    }
+  }
+
+  test("j51 honors minimum_should_match=2: every hit matches >= 2 distinct query terms") {
+    val rows = ops.SearchOps.j51(spark, d).collect()
+    assert(rows.nonEmpty)
+    val terms = Set("spark", "join", "vector", "slow")
+    val toks = Tables.documents(spark, d)
+      .select($"doc_id", array_distinct(split($"text", " ")).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val matched = toks(id).count(terms)
+      assert(matched >= 2, s"doc $id matched only $matched query terms")
+      assert(r.getLong(r.fieldIndex("n_matched")) === matched.toLong)
+    }
+  }
+
   test("j38 shares at most max_query_terms=5 terms and never returns the source doc") {
     val rows = ops.SearchOps.j38(spark, d).collect()
     assert(rows.nonEmpty)
