@@ -27,7 +27,10 @@ object ScaleProbe {
         // round 4 (late): the rest of the ES query DSL
         "j38_mlt_search", "j39_prefix_search", "j40_highlight",
         "j41_search_after", "j42_decay_rank", "j43_percolate",
-        "j44_composite_agg", "j45_sharded_terms_agg", "j46_rescore")) {
+        "j44_composite_agg", "j45_sharded_terms_agg", "j46_rescore",
+        // round 4 (final): histogram/suggest/redact/span-dedup/msm
+        "j47_date_histogram", "j48_term_suggest", "j49_pii_redact",
+        "j50_span_dedup", "j51_bool_msm")) {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(q)(spark, d).count()
       val dt = (System.nanoTime() - t0) / 1e9
