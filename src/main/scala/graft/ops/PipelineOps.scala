@@ -692,6 +692,59 @@ object PipelineOps {
       .orderBy($"doc_id")
   }
 
+  // ---------- j52 DSIR importance weighting ----------
+
+  /** j52_dsir_score — data selection via importance resampling (DSIR,
+    * Xie et al. 2023): score each raw-pool document by how much its
+    * hashed-bigram feature distribution resembles the target domain —
+    * mean over the doc's features of log(p_target(f) / p_raw(f)), both
+    * add-one smoothed over 1024 hashed buckets. Target = the eval split
+    * (doc_id%10==0, j22's stand-in); raw pool = the rest. High scorers
+    * are what a pipeline keeps when it wants "more data like the target"
+    * — the learned-distribution complement of the heuristic (j16/j29)
+    * and self-LM (j33) quality passes.
+    *
+    * Scale shape: features hash to a FIXED 1024-bucket space (the paper's
+    * device), so the count table and log-ratio table are bounded at any
+    * corpus size and ride broadcasts; ONE conditional aggregation builds
+    * target+raw counts together (j37's trick — no second corpus pass),
+    * and the raw stream's only shuffle is its per-doc aggregation. The
+    * bigram construction is [[bigramArr]], shared with j24/j33; the
+    * bucket arithmetic is the md5-nibble device every sampling operator
+    * uses, so the oracle computes identical bytes. */
+  def j52(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // ONE corpus pass (j15's discipline): the bigram explode reduces
+    // straight to per-(doc, bucket) counts — a frame bounded by
+    // docs × 1024, NOT corpus tokens — and is persisted; the bucket
+    // count table and the scoring pass both derive from it. Per-doc
+    // sums fold (c · lr) weights in sorted order, the grouped twin of
+    // the per-occurrence fold, mirrored exactly by the oracle.
+    val fc = Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(bigramArr("toks"))).as("b"))
+      .withColumn("h", md5(concat(lit("dsir:"), $"b.w1", lit(" "), $"b.w2")))
+      .select($"doc_id", expr(s"${Hashing.nibbleInt("h")} % 1024").as("f"))
+      .groupBy($"doc_id", $"f").agg(count(lit(1)).as("c"))
+      .persist()
+    val counts = fc.groupBy($"f").agg(
+      sum(when($"doc_id" % 10 === 0, $"c").otherwise(0L)).as("ct"),
+      sum(when($"doc_id" % 10 =!= 0, $"c").otherwise(0L)).as("cr"))
+    val totals = counts.agg(sum($"ct").as("tt"), sum($"cr").as("tr"))
+    val ratio = counts.crossJoin(broadcast(totals))
+      .select($"f",
+        (log(($"ct" + lit(1.0)) / ($"tt" + lit(1024.0))) -
+          log(($"cr" + lit(1.0)) / ($"tr" + lit(1024.0)))).as("lr"))
+    fc.filter($"doc_id" % 10 =!= 0)
+      .join(broadcast(ratio), "f")
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_feats"), Parity.sortedFoldSum($"c" * $"lr").as("s"))
+      .select($"doc_id", $"n_feats",
+        round($"s" / $"n_feats", 6).as("dsir_score"))
+      .orderBy($"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j12_minhash_lsh" -> j12, "j13_simhash" -> j13,
     "j14_embed_neardup" -> j14, "j15_langid" -> j15,
@@ -701,7 +754,8 @@ object PipelineOps {
     "j23_hash_split" -> j23, "j24_bigram_lm" -> j24,
     "j25_sequence_pack" -> j25, "j26_embed_quantize" -> j26,
     "j27_simhash_neardup" -> j27, "j31_embed_lsh_neardup" -> j31,
-    "j32_heavy_hitters_sketch" -> j32, "j33_lm_score" -> j33)
+    "j32_heavy_hitters_sketch" -> j32, "j33_lm_score" -> j33,
+    "j52_dsir_score" -> j52)
 
   val oracle: Map[String, String] = Map(
     "j12_minhash_lsh" ->
@@ -743,6 +797,34 @@ object PipelineOps {
         |SELECT doc_id, n_bigrams, round(sll / n_bigrams, 6) AS avg_ll,
         |       round(exp(-(sll / n_bigrams)), 6) AS ppl
         |FROM sc ORDER BY doc_id""".stripMargin,
+    "j52_dsir_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM 'documents.parquet'
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id, unnest(list_transform(
+        |         generate_series(1, len(toks) - 1),
+        |         i -> md5('dsir:' || toks[i] || ' ' || toks[i+1]))) AS h FROM t),
+        |fx AS (SELECT doc_id,
+        |        ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+        |         (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+        |         (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+        |         (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 1024 AS f
+        |       FROM bg),
+        |g AS (SELECT doc_id, f, count(*) AS c FROM fx GROUP BY 1, 2),
+        |c AS (SELECT f, sum(CASE WHEN doc_id % 10 = 0 THEN c ELSE 0 END) AS ct,
+        |             sum(CASE WHEN doc_id % 10 <> 0 THEN c ELSE 0 END) AS cr
+        |      FROM g GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM c),
+        |r AS (SELECT f, ln((ct + 1.0) / (tt + 1024.0)) -
+        |               ln((cr + 1.0) / (tr + 1024.0)) AS lr
+        |      FROM c CROSS JOIN tot),
+        |sc AS (SELECT g.doc_id, g.c, g.c * r.lr AS w FROM g JOIN r USING (f)
+        |       WHERE g.doc_id % 10 <> 0),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+        |             list_sum(list_sort(list(w))) AS s
+        |      FROM sc GROUP BY 1)
+        |SELECT doc_id, n_feats, round(s / n_feats, 6) AS dsir_score
+        |FROM a ORDER BY doc_id""".stripMargin,
     "j32_heavy_hitters_sketch" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM 'documents.parquet'),
         |cells AS (SELECT token, r,

@@ -116,6 +116,26 @@ class CurateSpec extends AnyFunSuite {
     }
   }
 
+  test("j52: DSIR ranks target-lookalikes above the rest of the raw pool") {
+    import spark.implicits._
+    // docs j22 flags as contaminated share shingles with the eval split —
+    // they ARE distributionally close to the target, so the importance
+    // score must rank them higher on average than the uncontaminated pool
+    val contaminated = ops.PipelineOps.contamination(spark, TestSpark.sf0001)
+      .filter(col("raw_contamination") >= 0.30)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(contaminated.nonEmpty, "fixture lost its eval-twin docs")
+    val scores = q("j52_dsir_score")
+      .select($"doc_id", $"dsir_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val (in, outp) = scores.partition(s => contaminated(s._1))
+    assert(in.nonEmpty && outp.nonEmpty)
+    val meanIn = in.map(_._2).sum / in.length
+    val meanOut = outp.map(_._2).sum / outp.length
+    assert(meanIn > meanOut,
+      s"eval-twins scored $meanIn, rest $meanOut — importance weighting inverted")
+  }
+
   test("j49: redacted text carries ZERO residual PII — the scrub is its own proof") {
     import spark.implicits._
     // re-running the counter over the redacted column must find nothing;

@@ -83,7 +83,8 @@ class PlanSpec extends AnyFunSuite {
       "j45_sharded_terms_agg", // 1-row error-bound total onto the merge
       "j46_rescore", // 1-row corpus stats onto the candidate window
       "j48_term_suggest", // 3-row input list onto the vocab aggregate (banded)
-      "j51_bool_msm") // 1-row corpus stats onto the term-filtered tf
+      "j51_bool_msm", // 1-row corpus stats onto the term-filtered tf
+      "j52_dsir_score") // 1-row feature totals onto the 1024-bucket counts
     val offenders = SparkEntry.queries.toSeq
       .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
       .flatMap { case (name, fn) =>
@@ -306,6 +307,15 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("j51_bool_msm")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
     assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j52: the log-ratio table rides a broadcast — the raw stream shuffles only for its per-doc agg") {
+    val p = plan("j52_dsir_score")
+    // DSIR's scale device: features live in a FIXED 1024-bucket space, so
+    // the ratio table is bounded at any corpus size and must broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
