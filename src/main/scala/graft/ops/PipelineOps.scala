@@ -745,6 +745,78 @@ object PipelineOps {
       .orderBy($"doc_id")
   }
 
+  // ---------- j53 SemDeDup: cluster-then-dedup in embedding space ----------
+
+  /** j53_semdedup — SemDeDup (Abbas et al. 2023): make embedding-space
+    * near-dup removal tractable by CLUSTERING first, then running the
+    * pairwise-cosine verification only WITHIN a cluster. K=8 seed
+    * centroids (the first 8 vectors by id — deterministic, no RNG), one
+    * Lloyd refinement step, cosine assignment with centroid-id tiebreak;
+    * within each final cluster, pairs with cosine ≥ 0.35 mark the member
+    * MORE similar to its centroid as the duplicate (the paper keeps the
+    * low-centroid-similarity example — dedup should preserve diversity,
+    * so the atypical member survives; ties drop the larger id). Output:
+    * every vector with its cluster, centroid cosine, and keep verdict.
+    *
+    * This is the third candidate-blocking strategy beside j14 (label
+    * cells) and j31 (LSH buckets) — the one that needs NO labels and no
+    * hash family, just the embedding geometry itself. Scale shape: the
+    * seed table and the refined K×64 centroid matrix are tiny at any
+    * corpus size and ride broadcasts, so both assignment passes are
+    * per-row folds with no shuffle; the pair join is keyed on the
+    * cluster id (never vec×vec). At 100 TB: K grows to ~√N (the paper
+    * uses 50k clusters for LAION) so cells stay small, more Lloyd
+    * rounds loop the same two stages, and skewed cells split by
+    * sub-clustering — the plan shape is unchanged. Centroid means use
+    * the sorted-fold device ([[Parity.sortedFoldSum]]) for oracle
+    * parity; at scale a plain fp-tolerant sum() suffices. */
+  def j53(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding",
+        sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
+    val seeds = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("sid"), $"embedding".as("sv"), $"nrm".as("snrm"))
+    val w1 = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"sid".asc)
+    val asg1 = e.crossJoin(broadcast(seeds))
+      .withColumn("cos", expr("vec_dot(embedding, sv)") / ($"nrm" * $"snrm"))
+      .withColumn("rn", row_number().over(w1)).filter($"rn" === 1)
+      .select($"vec_id", $"sid".as("cluster"))
+    // one Lloyd step: per-(cluster, dim) mean — sorted-fold so both
+    // engines sum member contributions in the identical order
+    val cent = e.join(asg1, "vec_id")
+      .select($"cluster", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"cluster", $"pos")
+      .agg((Parity.sortedFoldSum($"v".cast("double")) / count(lit(1))).as("m"))
+    val ca = cent.groupBy($"cluster")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)").as("cv"))
+      .withColumn("cnrm",
+        sqrt(expr("aggregate(cv, CAST(0 AS DOUBLE), (a, x) -> a + x * x)")))
+    val w2 = Window.partitionBy($"vec_id").orderBy($"cos2".desc, $"cluster".asc)
+    val fin = e.crossJoin(broadcast(ca))
+      .withColumn("cos2", expr(
+        """aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
+          |  (a, i) -> a + CAST(element_at(embedding, i) AS DOUBLE) *
+          |            element_at(cv, i))""".stripMargin) / ($"nrm" * $"cnrm"))
+      .withColumn("rn", row_number().over(w2)).filter($"rn" === 1)
+      .select($"vec_id", $"cluster", $"cos2".as("cos_c"), $"embedding", $"nrm")
+      .persist()
+    val a = fin.select($"cluster", $"vec_id".as("v1"), $"embedding".as("va"),
+      $"nrm".as("na"), $"cos_c".as("c1"))
+    val b = fin.select($"cluster", $"vec_id".as("v2"), $"embedding".as("vb"),
+      $"nrm".as("nb"), $"cos_c".as("c2"))
+    val dropped = a.join(b, Seq("cluster")).filter($"v1" < $"v2")
+      .filter(expr("vec_dot(va, vb)") / ($"na" * $"nb") >= 0.35)
+      .select(when($"c1" > $"c2", $"v1").otherwise($"v2").as("vec_id"))
+      .distinct()
+    fin.join(dropped.withColumn("dup", lit(1)), Seq("vec_id"), "left")
+      .select($"vec_id", $"cluster".cast("long").as("cluster"),
+        round($"cos_c", 6).as("cos_c"),
+        when($"dup".isNull, 1).otherwise(0).cast("int").as("keep"))
+      .orderBy($"vec_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j12_minhash_lsh" -> j12, "j13_simhash" -> j13,
     "j14_embed_neardup" -> j14, "j15_langid" -> j15,
@@ -755,7 +827,7 @@ object PipelineOps {
     "j25_sequence_pack" -> j25, "j26_embed_quantize" -> j26,
     "j27_simhash_neardup" -> j27, "j31_embed_lsh_neardup" -> j31,
     "j32_heavy_hitters_sketch" -> j32, "j33_lm_score" -> j33,
-    "j52_dsir_score" -> j52)
+    "j52_dsir_score" -> j52, "j53_semdedup" -> j53)
 
   val oracle: Map[String, String] = Map(
     "j12_minhash_lsh" ->
@@ -825,6 +897,40 @@ object PipelineOps {
         |      FROM sc GROUP BY 1)
         |SELECT doc_id, n_feats, round(s / n_feats, 6) AS dsir_score
         |FROM a ORDER BY doc_id""".stripMargin,
+    "j53_semdedup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM 'embeddings.parquet'),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |sd AS (SELECT vec_id AS sid, v AS sv, nrm AS snrm FROM n WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, sid,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY
+        |          list_sum(list_transform(generate_series(1, 64), i -> v[i] * sv[i])) / (nrm * snrm) DESC,
+        |          sid ASC) AS rn
+        |       FROM n CROSS JOIN sd),
+        |g1 AS (SELECT vec_id, sid AS cluster FROM a1 WHERE rn = 1),
+        |ex AS (SELECT cluster, i - 1 AS pos, n.v[i] AS val
+        |       FROM n JOIN g1 USING (vec_id), generate_series(1, 64) AS t(i)),
+        |ct AS (SELECT cluster, pos, list_sum(list_sort(list(val))) / count(*) AS m
+        |       FROM ex GROUP BY 1, 2),
+        |ca AS (SELECT cluster, list(m ORDER BY pos) AS cv FROM ct GROUP BY 1),
+        |cn AS (SELECT cluster, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm FROM ca),
+        |a2 AS (SELECT vec_id, cluster,
+        |        list_sum(list_transform(generate_series(1, 64), i -> v[i] * cv[i])) / (nrm * cnrm) AS cos2,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY
+        |          list_sum(list_transform(generate_series(1, 64), i -> v[i] * cv[i])) / (nrm * cnrm) DESC,
+        |          cluster ASC) AS rn
+        |       FROM n CROSS JOIN cn),
+        |f AS (SELECT vec_id, cluster, cos2 AS cos_c FROM a2 WHERE rn = 1),
+        |pr AS (SELECT x.vec_id AS v1, y.vec_id AS v2, x.cos_c AS c1, y.cos_c AS c2
+        |       FROM f x JOIN f y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        |       JOIN n nx ON nx.vec_id = x.vec_id
+        |       JOIN n ny ON ny.vec_id = y.vec_id
+        |       WHERE list_sum(list_transform(generate_series(1, 64), i -> nx.v[i] * ny.v[i])) /
+        |             (nx.nrm * ny.nrm) >= 0.35),
+        |dr AS (SELECT DISTINCT CASE WHEN c1 > c2 THEN v1 ELSE v2 END AS vec_id FROM pr)
+        |SELECT f.vec_id, f.cluster, round(f.cos_c, 6) AS cos_c,
+        |       CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+        |FROM f LEFT JOIN dr ON f.vec_id = dr.vec_id ORDER BY f.vec_id""".stripMargin,
     "j32_heavy_hitters_sketch" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM 'documents.parquet'),
         |cells AS (SELECT token, r,

@@ -30,7 +30,8 @@ object ScaleProbe {
         "j44_composite_agg", "j45_sharded_terms_agg", "j46_rescore",
         // round 4 (final): histogram/suggest/redact/span-dedup/msm
         "j47_date_histogram", "j48_term_suggest", "j49_pii_redact",
-        "j50_span_dedup", "j51_bool_msm", "j52_dsir_score")) {
+        "j50_span_dedup", "j51_bool_msm", "j52_dsir_score",
+        "j53_semdedup")) {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(q)(spark, d).count()
       val dt = (System.nanoTime() - t0) / 1e9

@@ -136,6 +136,23 @@ class CurateSpec extends AnyFunSuite {
       s"eval-twins scored $meanIn, rest $meanOut — importance weighting inverted")
   }
 
+  test("j53: SemDeDup always keeps each cluster's most atypical member, and actually drops dups") {
+    import spark.implicits._
+    val rows = q("j53_semdedup")
+      .select($"cluster", $"vec_id", $"cos_c", $"keep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // non-vacuous: the fixture must contain within-cluster near-dups
+    assert(rows.exists(_._4 == 0), "no duplicates dropped — fixture degenerate")
+    // the paper's diversity guarantee: the member FARTHEST from its
+    // centroid (min cos_c, tiebreak smallest id) can never be the one
+    // dropped — dedup keeps the atypical example from every dup group
+    rows.groupBy(_._1).foreach { case (c, members) =>
+      val atypical = members.minBy(m => (m._3, m._2))
+      assert(atypical._4 == 1,
+        s"cluster $c dropped its most atypical member ${atypical._2}")
+    }
+  }
+
   test("j49: redacted text carries ZERO residual PII — the scrub is its own proof") {
     import spark.implicits._
     // re-running the counter over the redacted column must find nothing;

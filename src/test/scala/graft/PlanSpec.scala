@@ -84,7 +84,8 @@ class PlanSpec extends AnyFunSuite {
       "j46_rescore", // 1-row corpus stats onto the candidate window
       "j48_term_suggest", // 3-row input list onto the vocab aggregate (banded)
       "j51_bool_msm", // 1-row corpus stats onto the term-filtered tf
-      "j52_dsir_score") // 1-row feature totals onto the 1024-bucket counts
+      "j52_dsir_score", // 1-row feature totals onto the 1024-bucket counts
+      "j53_semdedup") // 8-row seed/centroid matrices onto the vector stream
     val offenders = SparkEntry.queries.toSeq
       .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
       .flatMap { case (name, fn) =>
@@ -307,6 +308,16 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("j51_bool_msm")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
     assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j53: centroids broadcast onto the vector stream; the dup pair join is keyed on the cluster") {
+    val p = plan("j53_semdedup")
+    // SemDeDup's whole point: the K×64 centroid matrix is tiny at any
+    // corpus size (rides a broadcast), and the pairwise verification is
+    // an equi-join on the cluster id — never vec×vec
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
