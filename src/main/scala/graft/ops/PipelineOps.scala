@@ -770,38 +770,54 @@ object PipelineOps {
     * sub-clustering — the plan shape is unchanged. Centroid means use
     * the sorted-fold device ([[Parity.sortedFoldSum]]) for oracle
     * parity; at scale a plain fp-tolerant sum() suffices. */
+  /** Shared SemDeDup clustering core (j53 + Sync.semDedupStream): K=8
+    * deterministic seeds (first 8 ids), one Lloyd refinement with
+    * sorted-fold per-dimension means, final cosine assignment with
+    * centroid-id tiebreak. Input must carry (vec_id, embedding, nrm);
+    * `vec_dot` must already be registered on the session. Returns the
+    * UNPERSISTED assignment frame (vec_id, cluster, cos_c, embedding,
+    * nrm) and the centroid frame (cluster, cv, cnrm). */
+  private[graft] def semClusterAssign(e: DataFrame): (DataFrame, DataFrame) = {
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("sid"), col("embedding").as("sv"),
+        col("nrm").as("snrm"))
+    val w1 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("sid").asc)
+    val asg1 = e.crossJoin(broadcast(seeds))
+      .withColumn("cos",
+        expr("vec_dot(embedding, sv)") / (col("nrm") * col("snrm")))
+      .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("sid").as("cluster"))
+    // one Lloyd step: per-(cluster, dim) mean — sorted-fold so both
+    // engines sum member contributions in the identical order
+    val cent = e.join(asg1, "vec_id")
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg((Parity.sortedFoldSum(col("v").cast("double")) / count(lit(1))).as("m"))
+    val ca = cent.groupBy(col("cluster"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)").as("cv"))
+      .withColumn("cnrm",
+        sqrt(expr("aggregate(cv, CAST(0 AS DOUBLE), (a, x) -> a + x * x)")))
+    val w2 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos2").desc, col("cluster").asc)
+    val fin = e.crossJoin(broadcast(ca))
+      .withColumn("cos2", expr(
+        """aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
+          |  (a, i) -> a + CAST(element_at(embedding, i) AS DOUBLE) *
+          |            element_at(cv, i))""".stripMargin) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster"), col("cos2").as("cos_c"),
+        col("embedding"), col("nrm"))
+    (fin, ca)
+  }
+
   def j53(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.functions.VectorExpressions.register(s)
     val e = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding",
         sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
-    val seeds = e.filter($"vec_id" < 8)
-      .select($"vec_id".as("sid"), $"embedding".as("sv"), $"nrm".as("snrm"))
-    val w1 = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"sid".asc)
-    val asg1 = e.crossJoin(broadcast(seeds))
-      .withColumn("cos", expr("vec_dot(embedding, sv)") / ($"nrm" * $"snrm"))
-      .withColumn("rn", row_number().over(w1)).filter($"rn" === 1)
-      .select($"vec_id", $"sid".as("cluster"))
-    // one Lloyd step: per-(cluster, dim) mean — sorted-fold so both
-    // engines sum member contributions in the identical order
-    val cent = e.join(asg1, "vec_id")
-      .select($"cluster", posexplode($"embedding").as(Seq("pos", "v")))
-      .groupBy($"cluster", $"pos")
-      .agg((Parity.sortedFoldSum($"v".cast("double")) / count(lit(1))).as("m"))
-    val ca = cent.groupBy($"cluster")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)").as("cv"))
-      .withColumn("cnrm",
-        sqrt(expr("aggregate(cv, CAST(0 AS DOUBLE), (a, x) -> a + x * x)")))
-    val w2 = Window.partitionBy($"vec_id").orderBy($"cos2".desc, $"cluster".asc)
-    val fin = e.crossJoin(broadcast(ca))
-      .withColumn("cos2", expr(
-        """aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
-          |  (a, i) -> a + CAST(element_at(embedding, i) AS DOUBLE) *
-          |            element_at(cv, i))""".stripMargin) / ($"nrm" * $"cnrm"))
-      .withColumn("rn", row_number().over(w2)).filter($"rn" === 1)
-      .select($"vec_id", $"cluster", $"cos2".as("cos_c"), $"embedding", $"nrm")
-      .persist()
+    val fin = semClusterAssign(e)._1.persist()
     val a = fin.select($"cluster", $"vec_id".as("v1"), $"embedding".as("va"),
       $"nrm".as("na"), $"cos_c".as("c1"))
     val b = fin.select($"cluster", $"vec_id".as("v2"), $"embedding".as("vb"),

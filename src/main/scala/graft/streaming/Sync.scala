@@ -415,6 +415,79 @@ object Sync {
     (out, () => { corpusSh.unpersist(); bandIndex.unpersist(); () })
   }
 
+  /** Incremental SemDeDup on an embedding change feed — the streaming
+    * complement of the batch cluster-then-dedup pass (PipelineOps.j53),
+    * and the third streaming dedup surface beside the shingle-LSH
+    * ([[lshDedupStream]]) and exact-hash (curateStream's first gate)
+    * paths: every arriving VECTOR is checked for semantic duplicates
+    * against the existing corpus without a vec×vec join.
+    *
+    * Static side, computed once per query (re)start from the corpus
+    * snapshot: the j53 clustering (K=8 seeds + one Lloyd step) yields
+    * (a) the refined centroid matrix, aggregated to ONE row so the
+    * stream can take it as a broadcast column, and (b) the clustered
+    * corpus index (cluster, cand_id, member vector + norm). Stream
+    * side: nearest-centroid assignment is a per-ROW fold over the
+    * broadcast matrix (array_max over per-centroid cosine structs,
+    * centroid-id tiebreak — no aggregation, no shuffle), then one
+    * stream-static equi-join probes ONLY the assigned cluster's members
+    * and verifies with exact cosine ≥ 0.35.
+    *
+    * Scale: per microbatch only arriving rows move; the probe join is
+    * keyed on the cluster id, so at 100 TB the corpus index becomes a
+    * table bucketed by cluster and a batch's vectors touch only their
+    * clusters' buckets. Corpus growth = restart against a refreshed
+    * snapshot (the [[lshDedupStream]] pattern); K grows with the corpus
+    * (SemDeDup uses 50k clusters for LAION) which only shrinks the
+    * probed fraction. */
+  def semDedupStream(vecs: DataFrame, corpus: DataFrame,
+      gap: String = "10 minutes"): DataFrame =
+    semDedupStreamReleasable(vecs, corpus, gap)._1
+
+  /** [[semDedupStream]] plus a release thunk for its two static-side
+    * caches (centroid row + clustered index) — call after query.stop(). */
+  def semDedupStreamReleasable(vecs: DataFrame, corpus: DataFrame,
+      gap: String = "10 minutes"): (DataFrame, () => Unit) = {
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    val e = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
+    val (fin, ca) = graft.ops.PipelineOps.semClusterAssign(e)
+    val index = fin
+      .select(col("cluster"), col("vec_id").as("cand_id"),
+        col("embedding").as("cvm"), col("nrm").as("cnm"))
+      .persist()
+    // K centroid rows → ONE row carrying the whole matrix: the argmax
+    // fold below handles ties by centroid id, so collect_list's order
+    // nondeterminism cannot change an assignment
+    val caRow = ca
+      .agg(collect_list(struct(col("cluster"), col("cv"), col("cnrm"))).as("cents"))
+      .persist()
+    val out = vecs
+      .withWatermark("ts", gap)
+      .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
+      .crossJoin(broadcast(caRow))
+      // nearest centroid, per row: max over (cosine, -cluster) structs —
+      // highest cosine wins, ties take the smallest centroid id
+      .withColumn("pick", expr(
+        """array_max(transform(cents, s -> named_struct(
+          |  'cs', aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
+          |          (a, i) -> a + CAST(element_at(embedding, i) AS DOUBLE) *
+          |                    element_at(s.cv, i)) / (nrm * s.cnrm),
+          |  'negcl', -s.cluster)))""".stripMargin))
+      .select(col("vec_id"), col("ts"), col("embedding"), col("nrm"),
+        (-col("pick.negcl")).as("cluster"))
+      .join(index, "cluster")
+      .filter(col("vec_id") =!= col("cand_id")) // a re-synced vector is not its own dup
+      .withColumn("cos", expr("vec_dot(embedding, cvm)") / (col("nrm") * col("cnm")))
+      .filter(col("cos") >= 0.35)
+      .select(col("vec_id"), col("ts"), col("cand_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      // emission contract: one verdict per pair within the watermark
+      // (the [[lshDedupStream]] discipline)
+      .dropDuplicatesWithinWatermark("vec_id", "cand_id")
+    (out, () => { index.unpersist(); caRow.unpersist(); () })
+  }
+
   /** The curation gates in incremental form — the per-document filters of
     * [[graft.ops.CurationOps.curate]] applied to the change feed, so a
     * corpus kept continuously in sync (the reference's whole purpose)

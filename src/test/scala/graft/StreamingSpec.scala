@@ -10,6 +10,7 @@ import java.sql.Timestamp
 
 case class Change(key: Long, ts: Timestamp, uid: Long, payload: String)
 case class Doc(doc_id: Long, text: String, ts: Timestamp)
+case class Vec(vec_id: Long, embedding: Array[Float], ts: Timestamp)
 
 /** Streaming semantics the oracle can't see: watermark late-drop (i4),
   * within-watermark dedup (i5), the foreachBatch LWW sink (i6 streaming
@@ -151,6 +152,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(out(0)._3 === 1.0)
       assert(out(1)._3 === 0.777778) // 7 shared / 9 union, rounded to 6dp
     } finally q.stop()
+  }
+
+  test("streaming SemDeDup: arriving vectors probe only their cluster, once each") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def basis(i: Int): Array[Float] = Array.tabulate(64)(j => if (j == i) 1f else 0f)
+    // 4 mutually orthogonal corpus vectors → 4 singleton clusters whose
+    // refined centroids are the members themselves
+    val corpus = Seq((0L, basis(0)), (1L, basis(1)), (2L, basis(2)), (3L, basis(3)))
+      .toDF("vec_id", "embedding")
+    val mem = MemoryStream[Vec]
+    val (src, release) = Sync.semDedupStreamReleasable(mem.toDF(), corpus)
+    val q = src.writeStream.format("memory").queryName("sem_out")
+      .outputMode("append").start()
+    try {
+      // e0-dominant with a small e1 component: assigned to cluster 0
+      // (cos ≈ 0.981 vs centroid 0, ≈ 0.196 vs centroid 1), then the
+      // in-cluster verify finds corpus vector 0 at cos ≥ 0.35
+      val near0 = Array.tabulate(64)(j =>
+        if (j == 0) 1f else if (j == 1) 0.2f else 0f)
+      mem.addData(
+        Vec(100L, near0, ts("2024-01-01 10:00:00")),
+        // orthogonal to every corpus member: lands in SOME cluster
+        // (tiebreak → 0) but its in-cluster cosine is 0 → no verdict
+        Vec(101L, basis(5), ts("2024-01-01 10:00:10")))
+      q.processAllAvailable()
+      mem.addData( // in-watermark duplicate verdict: suppressed
+        Vec(100L, near0, ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      val out = spark.table("sem_out")
+        .select($"vec_id", $"cand_id", $"cos_sim")
+        .as[(Long, Long, Double)].collect()
+      assert(out.map(r => (r._1, r._2)).toSeq === Seq((100L, 0L)))
+      assert(out.head._3 > 0.9 && out.head._3 < 1.0)
+    } finally { q.stop(); release() }
   }
 
   test("streaming LSH dedup matches an independent in-memory model on random docs") {
