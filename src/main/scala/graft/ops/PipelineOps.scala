@@ -778,7 +778,10 @@ object PipelineOps {
     * UNPERSISTED assignment frame (vec_id, cluster, cos_c, embedding,
     * nrm) and the centroid frame (cluster, cv, cnrm). */
   private[graft] def semClusterAssign(e: DataFrame): (DataFrame, DataFrame) = {
-    val seeds = e.filter(col("vec_id") < 8)
+    // the 8 SMALLEST ids, not `vec_id < 8`: a corpus snapshot whose ids
+    // don't span [0,8) (any real re-sync feed) must still yield 8 seeds —
+    // a TakeOrdered(8), cheap at any scale
+    val seeds = e.orderBy(col("vec_id")).limit(8)
       .select(col("vec_id").as("sid"), col("embedding").as("sv"),
         col("nrm").as("snrm"))
     val w1 = Window.partitionBy(col("vec_id"))
@@ -917,7 +920,7 @@ object PipelineOps {
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM 'embeddings.parquet'),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-        |sd AS (SELECT vec_id AS sid, v AS sv, nrm AS snrm FROM n WHERE vec_id < 8),
+        |sd AS (SELECT vec_id AS sid, v AS sv, nrm AS snrm FROM n ORDER BY vec_id LIMIT 8),
         |a1 AS (SELECT vec_id, sid,
         |        row_number() OVER (PARTITION BY vec_id ORDER BY
         |          list_sum(list_transform(generate_series(1, 64), i -> v[i] * sv[i])) / (nrm * snrm) DESC,

@@ -444,14 +444,20 @@ object Sync {
       gap: String = "10 minutes"): DataFrame =
     semDedupStreamReleasable(vecs, corpus, gap)._1
 
-  /** [[semDedupStream]] plus a release thunk for its two static-side
-    * caches (centroid row + clustered index) — call after query.stop(). */
+  /** [[semDedupStream]] plus a release thunk for its static-side caches
+    * (centroid frame + centroid row + clustered index) — call after
+    * query.stop(). */
   def semDedupStreamReleasable(vecs: DataFrame, corpus: DataFrame,
       gap: String = "10 minutes"): (DataFrame, () => Unit) = {
     graft.functions.VectorExpressions.register(corpus.sparkSession)
     val e = corpus.select(col("vec_id"), col("embedding"),
       sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
-    val (fin, ca) = graft.ops.PipelineOps.semClusterAssign(e)
+    val (fin, ca0) = graft.ops.PipelineOps.semClusterAssign(e)
+    // persist the K-row centroid frame FIRST: both static caches below
+    // (index via fin's final assignment, caRow via the aggregate) read
+    // it, and without the cache each would re-run the whole clustering —
+    // seeds, assignment window, Lloyd aggregation — from scratch
+    val ca = ca0.persist()
     val index = fin
       .select(col("cluster"), col("vec_id").as("cand_id"),
         col("embedding").as("cvm"), col("nrm").as("cnm"))
@@ -485,7 +491,7 @@ object Sync {
       // emission contract: one verdict per pair within the watermark
       // (the [[lshDedupStream]] discipline)
       .dropDuplicatesWithinWatermark("vec_id", "cand_id")
-    (out, () => { index.unpersist(); caRow.unpersist(); () })
+    (out, () => { index.unpersist(); caRow.unpersist(); ca.unpersist(); () })
   }
 
   /** The curation gates in incremental form — the per-document filters of

@@ -315,9 +315,15 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("j53_semdedup")
     // SemDeDup's whole point: the K×64 centroid matrix is tiny at any
     // corpus size (rides a broadcast), and the pairwise verification is
-    // an equi-join on the cluster id — never vec×vec
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
-      p.contains("BroadcastHashJoin"), p)
+    // an EQUI-join keyed on the cluster id — never vec×vec. Pin the key
+    // itself: if the pair join lost its cluster key (degrading to the
+    // O(N²) nested-loop the operator exists to avoid), no hash/merge
+    // join on [cluster#…] would remain in the plan. (A bare
+    // BNLJ-count assert doesn't work: the persisted assignment frame's
+    // lineage — with its two legitimate K-row attaches — prints once
+    // per reference.)
+    assert("""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cluster#"""
+      .r.findFirstIn(p).nonEmpty, p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
