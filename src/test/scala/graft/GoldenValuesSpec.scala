@@ -158,6 +158,25 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(r.getDouble(r.fieldIndex("ppl")) === 30.560329)
   }
 
+  test("j52_dsir_score first raw-pool docs at sf0.01 match DuckDB's smoothed log-ratios") {
+    val rows = q01("j52_dsir_score").take(2)
+    assert(rows(0).getLong(0) === 1L)
+    assert(rows(0).getLong(rows(0).fieldIndex("n_feats")) === 71L)
+    assert(rows(0).getDouble(rows(0).fieldIndex("dsir_score")) === -0.203887)
+    assert(rows(1).getLong(0) === 2L)
+    assert(rows(1).getDouble(rows(1).fieldIndex("dsir_score")) === -0.199566)
+  }
+
+  test("j53_semdedup first vectors at sf0.01 match DuckDB's clustering and drop rule") {
+    val rows = q01("j53_semdedup").take(3)
+    // seeds 0/1/2 anchor their own clusters; 0 and 1 are themselves
+    // dropped (a cluster-mate sits FARTHER from the centroid), 2 survives
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    assert(rows.map(r => r.getLong(r.fieldIndex("cluster"))).toSeq === Seq(0L, 1L, 2L))
+    assert(rows(0).getDouble(rows(0).fieldIndex("cos_c")) === 0.834438)
+    assert(rows.map(r => r.getInt(r.fieldIndex("keep"))).toSeq === Seq(0, 0, 1))
+  }
+
   test("c12_join_asof_native first purchase at sf0.01 matches DuckDB ASOF JOIN") {
     val r = q01("c12_join_asof_native").head()
     assert(r.getLong(r.fieldIndex("purchase_id")) === 43L)
