@@ -190,7 +190,11 @@ object CurationOps {
     * stage's semantics are pinned by its operator's DuckDB oracle; the
     * composition itself is pinned by CurateSpec's cross-checks against
     * those operators' outputs. */
-  def curate(s: SparkSession, d: String): DataFrame = {
+  def curate(s: SparkSession, d: String): DataFrame =
+    curateChain(s, d, semantic = false)
+
+  private def curateChain(s: SparkSession, d: String,
+      semantic: Boolean): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
     val exactKept = exactDedup(docs).drop("content_hash")
@@ -203,20 +207,59 @@ object CurationOps {
     // ratio sits within 5e-7 of the threshold
     val contaminated = PipelineOps.contamination(s, d)
       .filter($"raw_contamination" >= 0.30).select($"doc_id")
-    // localCheckpoint: domainMix reads the surviving corpus TWICE (the
-    // per-lang rate counts and the filtered output) — without truncation
-    // each branch would re-run the whole upstream filter chain. The
-    // checkpoint backs the returned frame and is freed by the
-    // ContextCleaner once the result is dropped.
     val decon = repKept
       .filter($"doc_id" % 10 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
-    val mixed = domainMix(decon).drop("rate")
-    shuffleShard(mixed)
-      .select($"shard", $"pos", $"doc_id", $"lang", $"source", $"text")
+    // the semantic-dedup gate sits BEFORE mixing/sharding: mixture rates
+    // must be computed over what actually survives, and the shard/pos
+    // training order must stay hole-free
+    val gated =
+      if (!semantic) decon
+      else decon.join(
+        PipelineOps.j53(s, d).filter($"keep" === 0)
+          .select($"vec_id".as("doc_id")),
+        Seq("doc_id"), "left_anti")
+    // localCheckpoint: domainMix reads the surviving corpus TWICE (the
+    // per-lang rate counts and the filtered output) — without truncation
+    // each branch would re-run the whole upstream filter chain (including
+    // j53's clustering on the semantic path). The checkpoint backs the
+    // returned frame and is freed by the ContextCleaner once the result
+    // is dropped.
+    val mixed = domainMix(gated.localCheckpoint()).drop("rate")
+    val sharded = shuffleShard(mixed)
+    if (!semantic)
+      sharded.select($"shard", $"pos", $"doc_id", $"lang", $"source", $"text")
+        .orderBy($"shard", $"pos")
+    else sharded
+      .join(PipelineOps.j52(s, d).select($"doc_id", $"dsir_score"),
+        Seq("doc_id"), "left")
+      .select($"shard", $"pos", $"doc_id", $"lang", $"source", $"text",
+        $"dsir_score")
       .orderBy($"shard", $"pos")
   }
+
+  /** [[curate]] extended with the round-4 SEMANTIC passes — what a
+    * pipeline adds once the corpus has embeddings:
+    *
+    *   7. semantic dedup — drop every doc whose embedding j53 marks as a
+    *      within-cluster duplicate (keep=0); docs without an embedding
+    *      row pass through (no evidence, no drop). Runs BETWEEN
+    *      decontamination and domain mixing, so the mixture rates are
+    *      computed over the true survivors and the shard/pos training
+    *      order stays hole-free
+    *   8. DSIR provenance — attach j52's importance score as a column.
+    *      The score is a SELECTION KNOB, not a gate: DSIR resampling is
+    *      a training-time weighted draw, so the engine supplies the
+    *      weight and leaves the draw to the trainer. Docs j52 cannot
+    *      score (under 2 tokens) carry null.
+    *
+    * Same output contract as [[curate]] plus `dsir_score`; the semantic
+    * exclusions are cross-checked bidirectionally by CurateSpec exactly
+    * like the text gates. Scale: both joins key on doc_id against frames
+    * no larger than the corpus (j53's verdicts are one row per VECTOR),
+    * and everything upstream keeps its own plan shape. */
+  def curateSemantic(s: SparkSession, d: String): DataFrame =
+    curateChain(s, d, semantic = true)
 
   // PII patterns, shared by the transformer and the count — spelled in the
   // common RE2/Java subset (char classes + bounded repeats, no lookaround)

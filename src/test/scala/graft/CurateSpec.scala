@@ -116,6 +116,57 @@ class CurateSpec extends AnyFunSuite {
     }
   }
 
+  test("curateSemantic: the semantic gate drops exactly j53's dups, scores ride along, order stays hole-free") {
+    import spark.implicits._
+    val sem = CurationOps.curateSemantic(spark, TestSpark.sf0001).collect()
+    val semIds = sem.map(r => r.getLong(r.fieldIndex("doc_id"))).toSet
+    val semDups = q("j53_semdedup").filter(col("keep") === 0)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(semDups.nonEmpty, "fixture has no semantic dups — gate untested")
+    // gate direction 1: no semantic duplicate survives
+    assert((semIds intersect semDups).isEmpty)
+    // gate direction 2 (completeness, the sibling of curate's own
+    // reconstruction test): derive the eligible set from the ORACLED
+    // operators — text gates minus j53's drop set — re-apply the mix,
+    // and demand curateSemantic produced exactly that
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val keepers = q("j1_dedup_exact")
+      .select($"doc_id").as[Long].collect().toSet
+    val nonReps = q("j21_dedup_clusters")
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select($"doc_id").as[Long].collect().toSet
+    val repDropped = q("j29_repetition_filter")
+      .filter(col("keep") === 0)
+      .select($"doc_id").as[Long].collect().toSet
+    val contaminated = ops.PipelineOps.contamination(spark, TestSpark.sf0001)
+      .filter(col("raw_contamination") >= 0.30)
+      .select($"doc_id").as[Long].collect().toSet
+    val eligible = docs.filter(col("doc_id").isInCollection(
+      docs.select($"doc_id").as[Long].collect().filter(id =>
+        keepers(id) && !nonReps(id) && !repDropped(id) &&
+          id % 10 != 0 && !contaminated(id) && !semDups(id))))
+    val expected = CurationOps.domainMix(eligible)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(semIds === expected)
+    // dsir_score provenance matches j52 wherever j52 scores the doc
+    val j52Scores = q("j52_dsir_score")
+      .select($"doc_id", $"dsir_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    sem.foreach { r =>
+      val id = r.getLong(r.fieldIndex("doc_id"))
+      val idx = r.fieldIndex("dsir_score")
+      j52Scores.get(id).foreach { exp =>
+        assert(!r.isNullAt(idx) && r.getDouble(idx) === exp, s"doc $id score mismatch")
+      }
+    }
+    // (shard, pos) remains a contiguous training order after the gate
+    sem.groupBy(r => r.getLong(r.fieldIndex("shard"))).foreach {
+      case (_, rows) =>
+        val ps = rows.map(r => r.getLong(r.fieldIndex("pos"))).sorted
+        assert(ps.toSeq === (1L to ps.length).toSeq)
+    }
+  }
+
   test("j52: DSIR ranks target-lookalikes above the rest of the raw pool") {
     import spark.implicits._
     // docs j22 flags as contaminated share shingles with the eval split —
