@@ -6,6 +6,17 @@ import org.apache.spark.sql.SparkSession
   * measure the growth slope (tools/ docs how the inputs are generated).
   * Usage: runMain graft.tools.ScaleProbe <dir1> [dir2 ...] */
 object ScaleProbe {
+  // non-documents inputs some probes need — skipped (with a note) when a
+  // scaled corpus dir (tools/gen_scale_corpora.py) carries documents only
+  private val needs: Map[String, String] = Map(
+    "a6_connector_roundtrip" -> "events.parquet",
+    "a7_partitioned_scan" -> "events.parquet",
+    "j41_search_after" -> "events.parquet",
+    "j42_decay_rank" -> "events.parquet",
+    "j47_date_histogram" -> "events.parquet",
+    "j49_pii_redact" -> "customer.parquet",
+    "j53_semdedup" -> "embeddings.parquet")
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -32,11 +43,17 @@ object ScaleProbe {
         "j47_date_histogram", "j48_term_suggest", "j49_pii_redact",
         "j50_span_dedup", "j51_bool_msm", "j52_dsir_score",
         "j53_semdedup")) {
-      val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(q)(spark, d).count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] $d $q%-24s ${dt}%6.2f s  rows=$n")
-      spark.catalog.clearCache()
+      val missing = needs.get(q)
+        .filterNot(f => new java.io.File(d, f).exists())
+      if (missing.isDefined)
+        println(s"[scale] $d $q skipped (no ${missing.get})")
+      else {
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(q)(spark, d).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] $d $q%-24s ${dt}%6.2f s  rows=$n")
+        spark.catalog.clearCache()
+      }
     }
     spark.stop()
   }
