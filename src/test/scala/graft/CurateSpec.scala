@@ -167,6 +167,28 @@ class CurateSpec extends AnyFunSuite {
     }
   }
 
+  test("semClusterAssign is invariant to the input partitioning") {
+    import spark.implicits._
+    // the sorted-fold centroid means exist exactly for this: shuffling
+    // the input across partitions must not move a single assignment or
+    // centroid bit (the engine-wide layout-independence discipline the
+    // domainMix/shuffleShard test pins for the text side)
+    graft.functions.VectorExpressions.register(spark)
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+      .select($"vec_id", $"embedding",
+        sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val (fin, ca) = ops.PipelineOps.semClusterAssign(df)
+      (fin.select($"vec_id", $"cluster", $"cos_c").collect()
+         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq,
+       ca.select($"cluster", $"cnrm").collect()
+         .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq)
+    }
+    val base = run(e)
+    for (n <- Seq(1, 13))
+      assert(run(e.repartition(n)) === base, s"drift at $n partitions")
+  }
+
   test("j52: DSIR ranks target-lookalikes above the rest of the raw pool") {
     import spark.implicits._
     // docs j22 flags as contaminated share shingles with the eval split —
