@@ -350,10 +350,36 @@ object CurationOps {
       .orderBy($"doc_id")
   }
 
+  /** j54_stratified_sample — exact-k deterministic sample per stratum:
+    * the k=20 docs per language with the smallest salted-hash draw (the
+    * shape of carving a fixed-size eval/validation split per domain).
+    * The fixed-SIZE complement of j28's fixed-RATE sampling: j28's
+    * output size floats with the data; an eval carve-out must not.
+    * Deterministic — no RNG state, re-runs and executor counts don't
+    * move the sample; the hash order IS the draw (salt `strat:` keeps it
+    * independent of j28/j30's draws).
+    *
+    * Scale shape: rank ≤ k over a hash order compiles to Spark 4's
+    * WindowGroupLimit (PlanSpec-pinned) — each partition keeps only its
+    * own top-k per stratum BEFORE the exchange, so the shuffle carries
+    * ≤ k·partitions rows per language, not the corpus; a skewed stratum
+    * costs the same as a balanced one. */
+  def j54(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
+    Tables.documents(s, d)
+      .select($"lang", $"doc_id",
+        md5(concat(lit("strat:"), $"doc_id".cast("string"))).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 20)
+      .select($"lang", $"doc_id", $"rk")
+      .orderBy($"lang", $"rk")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j28_domain_mix" -> j28, "j29_repetition_filter" -> j29,
     "j30_shuffle_shard" -> j30, "j49_pii_redact" -> j49,
-    "j50_span_dedup" -> j50)
+    "j50_span_dedup" -> j50, "j54_stratified_sample" -> j54)
 
   private val NibbleSql =
     """((strpos('0123456789abcdef', substr(%s, 1, 1)) - 1) * 4096 +
@@ -429,5 +455,12 @@ object CurationOps {
          |        CAST(${NibbleSql.format("skey", "skey", "skey", "skey")} % 8 AS BIGINT) AS shard
          |      FROM k)
          |SELECT shard, row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS pos, doc_id
-         |FROM s ORDER BY shard, pos""".stripMargin)
+         |FROM s ORDER BY shard, pos""".stripMargin,
+    "j54_stratified_sample" ->
+      """SELECT lang, doc_id, rk FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM 'documents.parquet')
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin)
 }

@@ -177,6 +177,16 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(rows.map(r => r.getInt(r.fieldIndex("keep"))).toSeq === Seq(0, 0, 1))
   }
 
+  test("j54_stratified_sample at sf0.01 draws exactly 20 per language, hash-ordered") {
+    val rows = q01("j54_stratified_sample").collect()
+    assert(rows.length === 100) // 5 langs × k=20, regardless of stratum sizes
+    assert(rows.groupBy(_.getString(0)).forall(_._2.length == 20))
+    // the first draws of the first stratum: the salted-hash order is the
+    // sample, so these doc_ids move ONLY if the draw function changes
+    val de = rows.filter(_.getString(0) == "de").sortBy(_.getLong(2)).take(3)
+    assert(de.map(_.getLong(1)).toSeq === Seq(58L, 106L, 128L))
+  }
+
   test("c12_join_asof_native first purchase at sf0.01 matches DuckDB ASOF JOIN") {
     val r = q01("c12_join_asof_native").head()
     assert(r.getLong(r.fieldIndex("purchase_id")) === 43L)

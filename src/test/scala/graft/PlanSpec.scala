@@ -336,6 +336,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("j54: the per-stratum cut runs map-side — Partial WindowGroupLimit before the exchange") {
+    val p = plan("j54_stratified_sample")
+    // the operator's scale story: rank ≤ k compiles to WindowGroupLimit,
+    // and the Partial instance sits BELOW the hash exchange, so each task
+    // ships at most k rows per stratum instead of its whole stratum slice
+    val partialIdx = p.indexOf("WindowGroupLimit [lang")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(lang")
+    assert(p.contains(", 20, Partial"), p)
+    assert(p.contains(", 20, Final"), p)
+    assert(exchangeIdx >= 0 && p.indexOf(", 20, Partial") > exchangeIdx, p)
+    assert(partialIdx >= 0, p)
+  }
+
   test("whole-stage codegen covers the flagship plan") {
     // AQE finalizes stages lazily — execute first, then inspect
     val df = SparkEntry.queries("d1_agg_group")(TestSpark.spark, TestSpark.sf0001)
