@@ -112,6 +112,58 @@ object TextOps {
       .orderBy($"d1", $"d2")
   }
 
+  /** j55_sorted_neighbor_dedup — sorted-neighborhood near-dup pairs: block
+    * docs by a 12-char sort-key prefix, order each block lexicographically,
+    * and Jaccard-verify each doc against its w=2 predecessors only — the
+    * fourth blocking strategy beside hash buckets (j12), label cells (j14),
+    * and clusters (j53), and the one that needs NO hash family or model:
+    * prefix-stable edits (truncation, suffix boilerplate, tail corruption)
+    * land adjacent in sort order and are caught by a bounded window.
+    *
+    * Scale shape: the only exchange is the hash partition on the block
+    * prefix; within a block the window is ordered but blocks are tiny
+    * (prefix entropy bounds them — max 13 docs/block at sf0.1, 2964
+    * blocks), so no global sort and no unpartitioned window exists in the
+    * plan (PlanSpec pins the window's partition key). Each doc compares
+    * against ≤ w neighbors ⇒ candidate count is ≤ w·N at any corpus size —
+    * linear by construction, vs the pair-count-driven cost of the index
+    * joins. At 100 TB the toks payload rides as a minhash signature
+    * (j12's key discipline) instead of the raw token array; the window
+    * algebra is unchanged. Classic SNM caveat applies and is documented:
+    * edits INSIDE the first 12 chars break adjacency — complementary to
+    * j12/j31, which are prefix-position-blind but hash-collision-bound. */
+  def j55(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val win = Window.partitionBy($"block").orderBy($"text", $"doc_id")
+    // both lags share one windowspec (partition+order), so they evaluate
+    // in a SINGLE WindowExec pass; the two candidates then explode from
+    // the same frame — one scan, one exchange, one window in the plan
+    // (a Union of per-lag branches would re-plan the whole subtree twice)
+    val cand = Tables.documents(s, d)
+      .select($"doc_id", $"text",
+        substring($"text", 1, 12).as("block"),
+        array_distinct(split($"text", " ")).as("toks"))
+      .select($"doc_id", $"toks",
+        lag($"doc_id", 1).over(win).as("p1_id"),
+        lag($"toks", 1).over(win).as("p1_toks"),
+        lag($"doc_id", 2).over(win).as("p2_id"),
+        lag($"toks", 2).over(win).as("p2_toks"))
+      .select($"doc_id", $"toks",
+        explode(array(
+          struct($"p1_id".as("id"), $"p1_toks".as("tk")),
+          struct($"p2_id".as("id"), $"p2_toks".as("tk")))).as("c"))
+      .filter($"c.id".isNotNull)
+    val inter = size(array_intersect($"toks", $"c.tk"))
+    cand
+      .select(least($"doc_id", $"c.id").as("d1"),
+        greatest($"doc_id", $"c.id").as("d2"),
+        (inter.cast("double") /
+          (size($"toks") + size($"c.tk") - inter)).as("jac"))
+      .filter($"jac" >= 0.5)
+      .select($"d1", $"d2", round($"jac", 6).as("jaccard"))
+      .orderBy($"d1", $"d2")
+  }
+
   /** j21_dedup_clusters — near-dup pairs → connected components → one
     * cluster id per document (the min doc_id in its component): the step
     * that turns pairwise similarity into an actionable keep/drop decision
@@ -457,7 +509,7 @@ object TextOps {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_dedup_exact" -> j1, "j2_dedup_near_jaccard" -> j2,
-    "j21_dedup_clusters" -> j21,
+    "j21_dedup_clusters" -> j21, "j55_sorted_neighbor_dedup" -> j55,
     "j6_wordcount" -> j6, "j7_tfidf" -> j7, "j8_pivot_stats" -> j8,
     "j34_bm25_search" -> j34, "j35_fuzzy_search" -> j35,
     "j36_phrase_search" -> j36, "j37_significant_terms" -> j37,
@@ -484,6 +536,28 @@ object TextOps {
         |FROM p JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
         |WHERE inter / (na.ns + nb.ns - inter) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
+    "j55_sorted_neighbor_dedup" ->
+      """WITH k AS (
+        |  SELECT doc_id, text, substr(text, 1, 12) AS block,
+        |    list_distinct(string_split(text, ' ')) AS toks
+        |  FROM 'documents.parquet'),
+        |w AS (
+        |  SELECT doc_id, toks,
+        |    lag(doc_id, 1) OVER win AS p1_id, lag(toks, 1) OVER win AS p1_toks,
+        |    lag(doc_id, 2) OVER win AS p2_id, lag(toks, 2) OVER win AS p2_toks
+        |  FROM k WINDOW win AS (PARTITION BY block ORDER BY text, doc_id)),
+        |pairs AS (
+        |  SELECT least(doc_id, p1_id) AS d1, greatest(doc_id, p1_id) AS d2,
+        |    len(list_intersect(toks, p1_toks))::DOUBLE /
+        |    (len(toks) + len(p1_toks) - len(list_intersect(toks, p1_toks))) AS jac
+        |  FROM w WHERE p1_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT least(doc_id, p2_id), greatest(doc_id, p2_id),
+        |    len(list_intersect(toks, p2_toks))::DOUBLE /
+        |    (len(toks) + len(p2_toks) - len(list_intersect(toks, p2_toks)))
+        |  FROM w WHERE p2_id IS NOT NULL)
+        |SELECT d1, d2, round(jac, 6) AS jaccard FROM pairs
+        |WHERE jac >= 0.5 ORDER BY d1, d2""".stripMargin,
     "j21_dedup_clusters" ->
       """WITH RECURSIVE s0 AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(

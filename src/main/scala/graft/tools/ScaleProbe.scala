@@ -42,7 +42,8 @@ object ScaleProbe {
         // round 4 (final): histogram/suggest/redact/span-dedup/msm
         "j47_date_histogram", "j48_term_suggest", "j49_pii_redact",
         "j50_span_dedup", "j51_bool_msm", "j52_dsir_score",
-        "j53_semdedup", "j54_stratified_sample")) {
+        "j53_semdedup", "j54_stratified_sample",
+        "j55_sorted_neighbor_dedup")) {
       val missing = needs.get(q)
         .filterNot(f => new java.io.File(d, f).exists())
       if (missing.isDefined)

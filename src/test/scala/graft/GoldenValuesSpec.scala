@@ -187,6 +187,16 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(de.map(_.getLong(1)).toSeq === Seq(58L, 106L, 128L))
   }
 
+  test("j55_sorted_neighbor_dedup first pairs at sf0.01 match DuckDB's window Jaccard") {
+    val rows = q01("j55_sorted_neighbor_dedup").take(2)
+    assert(rows(0).getLong(0) === 1L)
+    assert(rows(0).getLong(1) === 7L)
+    assert(rows(0).getDouble(rows(0).fieldIndex("jaccard")) === 0.766667)
+    assert(rows(1).getLong(0) === 8L)
+    assert(rows(1).getLong(1) === 245L)
+    assert(rows(1).getDouble(rows(1).fieldIndex("jaccard")) === 0.962963)
+  }
+
   test("c12_join_asof_native first purchase at sf0.01 matches DuckDB ASOF JOIN") {
     val r = q01("c12_join_asof_native").head()
     assert(r.getLong(r.fieldIndex("purchase_id")) === 43L)

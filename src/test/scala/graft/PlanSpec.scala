@@ -349,6 +349,20 @@ class PlanSpec extends AnyFunSuite {
     assert(partialIdx >= 0, p)
   }
 
+  test("j55: one block-partitioned window feeds both candidate lags — no unpartitioned window, one corpus exchange") {
+    val p = plan("j55_sorted_neighbor_dedup")
+    // every Window partitions on the block prefix (an unpartitioned window
+    // would serialize the corpus through one task — the anti-pattern this
+    // operator's blocking exists to avoid)
+    val winLines = p.linesIterator.filter(_.contains("- Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("[block#")), p)
+    // both lag offsets evaluate in a SINGLE Window node over one scan —
+    // a Union shape would re-scan and re-shuffle the corpus per lag
+    assert(winLines.size === 1, p)
+    assert("Exchange hashpartitioning\\(block#".r.findAllIn(p).size === 1, p)
+    assert("FileScan parquet".r.findAllIn(p).size === 1, p)
+  }
+
   test("whole-stage codegen covers the flagship plan") {
     // AQE finalizes stages lazily — execute first, then inspect
     val df = SparkEntry.queries("d1_agg_group")(TestSpark.spark, TestSpark.sf0001)
