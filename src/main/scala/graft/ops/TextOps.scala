@@ -132,14 +132,21 @@ object TextOps {
     * algebra is unchanged. Classic SNM caveat applies and is documented:
     * edits INSIDE the first 12 chars break adjacency — complementary to
     * j12/j31, which are prefix-position-blind but hash-collision-bound. */
-  def j55(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  def j55(s: SparkSession, d: String): DataFrame =
+    sortedNeighborPairs(Tables.documents(s, d))
+
+  /** Transformer form of j55 (the domainMix/shuffleShard discipline):
+    * composes over any frame with (doc_id, text); output is a pure
+    * function of the data — input partitioning cannot move a pair
+    * (TextOpsSpec pins the invariance). */
+  def sortedNeighborPairs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val win = Window.partitionBy($"block").orderBy($"text", $"doc_id")
     // both lags share one windowspec (partition+order), so they evaluate
     // in a SINGLE WindowExec pass; the two candidates then explode from
     // the same frame — one scan, one exchange, one window in the plan
     // (a Union of per-lag branches would re-plan the whole subtree twice)
-    val cand = Tables.documents(s, d)
+    val cand = docs
       .select($"doc_id", $"text",
         substring($"text", 1, 12).as("block"),
         array_distinct(split($"text", " ")).as("toks"))

@@ -114,6 +114,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got === Set((3L, 1L), (4L, 2L)))
   }
 
+  test("j55 pairs are canonical, unique, and invariant to input partitioning") {
+    val docs = graft.Tables.documents(s, TestSpark.sf0001)
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      graft.ops.TextOps.sortedNeighborPairs(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val base = pairs(docs)
+    assert(base.nonEmpty)
+    // canonical: d1 < d2 always (least/greatest normalization), no dup pairs
+    assert(base.forall { case (d1, d2, _) => d1 < d2 })
+    assert(base.map(p => (p._1, p._2)).distinct.size === base.size)
+    assert(base.forall { case (_, _, j) => j >= 0.5 && j <= 1.0 })
+    // layout independence: the sort-order window is a pure function of the
+    // data, so scattering the input cannot move or re-score a pair
+    for (n <- Seq(1, 13))
+      assert(pairs(docs.repartition(n)) === base, s"drift at $n partitions")
+  }
+
   test("j21 leaves no cached relations behind (ADVICE r3 #1)") {
     // library-use contract: after the returned frame is consumed, neither
     // the CacheManager (persist) nor the block manager (localCheckpoint
