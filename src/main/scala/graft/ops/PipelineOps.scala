@@ -480,6 +480,34 @@ object PipelineOps {
       .orderBy($"lang", $"shard", $"doc_id")
   }
 
+  // ---------- j56 overlapping chunking ----------
+
+  /** j56_chunk_overlap — sliding-window chunking, the inverse of j25:
+    * where packing lays docs end-to-end and cuts fixed sequences, chunking
+    * splits each doc into 64-token windows advancing by a 48-token stride
+    * (16-token overlap), the standard RAG / long-doc preprocessing step.
+    * Window starts are every 48th token position from 1 while ≤ n, so a
+    * trailing window may be short (n_tok < 64) — the simple rule both
+    * engines can state identically; chunk_id is the 0-based window index.
+    *
+    * Scale shape: zero exchanges before the deterministic output sort —
+    * chunk generation is a per-row posexplode of a computed start
+    * sequence, and the chunk text is a row-local array slice; ≤ ⌈n/48⌉
+    * output rows per doc, linear in corpus tokens at any size. */
+  def j56(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"toks",
+        posexplode(sequence(lit(1), size($"toks"), lit(48))))
+      .select($"doc_id",
+        $"pos".cast("long").as("chunk_id"),
+        $"col".cast("long").as("start_tok"),
+        least(lit(64), size($"toks") - $"col" + 1).cast("long").as("n_tok"),
+        array_join(slice($"toks", $"col", lit(64)), " ").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   // ---------- j27 simhash near-dup ----------
 
   /** j27_simhash_neardup — the consumer of j13's fingerprints: Hamming-
@@ -843,7 +871,8 @@ object PipelineOps {
     "j18_rolling_fingerprint" -> j18, "j19_multimodal_binary" -> j19,
     "j20_ivf_topk" -> j20, "j22_decontaminate" -> j22,
     "j23_hash_split" -> j23, "j24_bigram_lm" -> j24,
-    "j25_sequence_pack" -> j25, "j26_embed_quantize" -> j26,
+    "j25_sequence_pack" -> j25, "j56_chunk_overlap" -> j56,
+    "j26_embed_quantize" -> j26,
     "j27_simhash_neardup" -> j27, "j31_embed_lsh_neardup" -> j31,
     "j32_heavy_hitters_sketch" -> j32, "j33_lm_score" -> j33,
     "j52_dsir_score" -> j52, "j53_semdedup" -> j53)
@@ -1137,6 +1166,15 @@ object PipelineOps {
         |       cum_before // 1024 AS seq_id,
         |       cum_before % 1024 AS seq_offset
         |FROM c ORDER BY lang, shard, doc_id""".stripMargin,
+    "j56_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM 'documents.parquet'),
+        |c AS (SELECT doc_id, toks,
+        |  unnest(generate_series(1, len(toks), 48)) AS start_tok FROM t)
+        |SELECT doc_id, (start_tok - 1) // 48 AS chunk_id, start_tok,
+        |  least(64, len(toks) - start_tok + 1) AS n_tok,
+        |  array_to_string(list_slice(toks, start_tok, start_tok + 63), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "j24_bigram_lm" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS t FROM 'documents.parquet'),
         |bg0 AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),

@@ -197,6 +197,15 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(rows(1).getDouble(rows(1).fieldIndex("jaccard")) === 0.962963)
   }
 
+  test("j56_chunk_overlap first chunks at sf0.01 match DuckDB's window slicing") {
+    val rows = q01("j56_chunk_overlap").take(3)
+    // doc 0 is short (one 32-token window); doc 1 spills into a short tail
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 1L))
+    assert(rows.map(r => r.getLong(r.fieldIndex("chunk_id"))).toSeq === Seq(0L, 0L, 1L))
+    assert(rows.map(r => r.getLong(r.fieldIndex("start_tok"))).toSeq === Seq(1L, 1L, 49L))
+    assert(rows.map(r => r.getLong(r.fieldIndex("n_tok"))).toSeq === Seq(32L, 64L, 24L))
+  }
+
   test("c12_join_asof_native first purchase at sf0.01 matches DuckDB ASOF JOIN") {
     val r = q01("c12_join_asof_native").head()
     assert(r.getLong(r.fieldIndex("purchase_id")) === 43L)

@@ -293,6 +293,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("j56: chunking is a row-local generate + slice — zero hash exchanges") {
+    val p = plan("j56_chunk_overlap")
+    // chunk starts come from a per-row posexplode, chunk text from a
+    // row-local array slice; the only exchange is the output sort's range
+    // partition — nothing re-keys the corpus
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("Generate posexplode"), p)
+    assert(!p.contains("Window ["), p)
+  }
+
   test("j50: span dedup never compares doc×doc — everything keys on the span hash") {
     val p = plan("j50_span_dedup")
     assert(!p.contains("CartesianProduct"), p)
