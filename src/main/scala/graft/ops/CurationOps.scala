@@ -350,6 +350,59 @@ object CurationOps {
       .orderBy($"doc_id")
   }
 
+  /** Temperature-based mixture sampling over any frame with (lang,
+    * doc_id) — the multilingual-pretraining rebalance: sampling weight
+    * ∝ n_lang^τ with τ = 0.5, so high-resource languages are compressed
+    * and low-resource ones boosted relative to their raw shares. Realized
+    * as exact per-lang quotas: quota_l = floor(target · √n_l / Σ√n),
+    * filled by the quota_l docs with the smallest salted-hash draw (salt
+    * `temp:` keeps the draw independent of j28/j30/j54). The COMPUTED
+    * complement of j28 (which needs explicit targets) — corpus statistics
+    * decide the mixture, a temperature knob decides how flat.
+    *
+    * Cross-engine float discipline: the normalizer Σ√n folds in sorted
+    * lang order (j53's sorted-fold device) — √ is IEEE-exact and a fixed
+    * summation order makes the double, hence every floor(quota), bit-
+    * identical across engines and cluster layouts.
+    *
+    * Scale shape: the rank cut happens in two stages — a LITERAL cut at
+    * `target` first (quota_l ≤ target always), which compiles to a
+    * map-side Partial WindowGroupLimit exactly like j54, then the exact
+    * per-lang quota as a 5-row broadcast-join filter. So the shuffle
+    * carries ≤ target·tasks rows per language even though the final
+    * quota is data-dependent — the non-literal rank filter never sees
+    * more than the literal one lets through. */
+  def temperatureMix(docs: DataFrame, target: Int = 250): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    // global-window collect instead of agg+crossJoin (domainMix's trick):
+    // keeps the count subtree single; the window moves ~5 rows
+    val quotas = counts
+      .withColumn("z", aggregate(
+        array_sort(collect_list(struct(col("lang"), sqrt(col("n_docs").cast("double")).as("w")))
+          .over(Window.partitionBy())),
+        lit(0.0), (acc, x) => acc + x.getField("w")))
+      .select(col("lang"),
+        floor(lit(target) * sqrt(col("n_docs").cast("double")) / col("z"))
+          .cast("long").as("quota"))
+    val win = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    docs
+      .withColumn("h", md5(concat(lit("temp:"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(win).cast("long"))
+      .filter(col("rk") <= target) // literal cut -> map-side WindowGroupLimit
+      .join(broadcast(quotas), "lang")
+      .filter(col("rk") <= col("quota"))
+      .drop("h")
+  }
+
+  /** j57_temperature_mix — [[temperatureMix]] bound to the documents
+    * table at target 250 (≈ half the fixture corpus). */
+  def j57(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    temperatureMix(Tables.documents(s, d).select($"lang", $"doc_id"))
+      .select($"lang", $"doc_id", $"rk", $"quota")
+      .orderBy($"lang", $"rk")
+  }
+
   /** j54_stratified_sample — exact-k deterministic sample per stratum:
     * the k=20 docs per language with the smallest salted-hash draw (the
     * shape of carving a fixed-size eval/validation split per domain).
@@ -379,7 +432,8 @@ object CurationOps {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j28_domain_mix" -> j28, "j29_repetition_filter" -> j29,
     "j30_shuffle_shard" -> j30, "j49_pii_redact" -> j49,
-    "j50_span_dedup" -> j50, "j54_stratified_sample" -> j54)
+    "j50_span_dedup" -> j50, "j54_stratified_sample" -> j54,
+    "j57_temperature_mix" -> j57)
 
   private val NibbleSql =
     """((strpos('0123456789abcdef', substr(%s, 1, 1)) - 1) * 4096 +
@@ -462,5 +516,15 @@ object CurationOps {
         |    row_number() OVER (PARTITION BY lang
         |      ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM 'documents.parquet')
-        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin)
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    "j57_temperature_mix" ->
+      """WITH d AS (SELECT lang, doc_id FROM 'documents.parquet'),
+        |c AS (SELECT lang, count(*) AS n_docs FROM d GROUP BY 1),
+        |z AS (SELECT list_sum(list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang)) AS z FROM c),
+        |q AS (SELECT lang, CAST(floor(250 * sqrt(CAST(n_docs AS DOUBLE)) / z) AS BIGINT) AS quota
+        |      FROM c, z),
+        |r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |        ORDER BY md5('temp:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM d)
+        |SELECT r.lang, doc_id, rk, quota FROM r JOIN q ON r.lang = q.lang
+        |WHERE rk <= quota ORDER BY r.lang, rk""".stripMargin)
 }

@@ -43,7 +43,8 @@ object ScaleProbe {
         "j47_date_histogram", "j48_term_suggest", "j49_pii_redact",
         "j50_span_dedup", "j51_bool_msm", "j52_dsir_score",
         "j53_semdedup", "j54_stratified_sample",
-        "j55_sorted_neighbor_dedup", "j56_chunk_overlap")) {
+        "j55_sorted_neighbor_dedup", "j56_chunk_overlap",
+        "j57_temperature_mix")) {
       val missing = needs.get(q)
         .filterNot(f => new java.io.File(d, f).exists())
       if (missing.isDefined)

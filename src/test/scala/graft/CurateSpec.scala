@@ -93,11 +93,15 @@ class CurateSpec extends AnyFunSuite {
         .select(col("shard"), col("pos"), col("doc_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .toSeq.sorted
-    val base = (mixIds(docs), order(docs))
+    def tempIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      CurationOps.temperatureMix(df.select(col("lang"), col("doc_id")))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val base = (mixIds(docs), order(docs), tempIds(docs))
     for (n <- Seq(1, 13)) {
       val re = docs.repartition(n)
       assert(mixIds(re) === base._1, s"domainMix differs at $n partitions")
       assert(order(re) === base._2, s"shuffleShard differs at $n partitions")
+      assert(tempIds(re) === base._3, s"temperatureMix differs at $n partitions")
     }
   }
 

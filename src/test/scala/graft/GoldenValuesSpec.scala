@@ -206,6 +206,17 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(rows.map(r => r.getLong(r.fieldIndex("n_tok"))).toSeq === Seq(32L, 64L, 24L))
   }
 
+  test("j57_temperature_mix at sf0.01 matches DuckDB's quotas and draws") {
+    val rows = q01("j57_temperature_mix").collect()
+    assert(rows.length === 248) // Σ floor-quotas — floors must agree bit-for-bit
+    // temperature compression visible: en (raw majority) capped at 76 of 250
+    val quotas = rows.groupBy(_.getString(0)).map { case (l, rs) =>
+      l -> rs.head.getLong(rs.head.fieldIndex("quota")) }
+    assert(quotas === Map("de" -> 43L, "en" -> 76L, "es" -> 44L, "fr" -> 41L, "zh" -> 44L))
+    val de = rows.filter(_.getString(0) == "de").sortBy(_.getLong(2)).take(2)
+    assert(de.map(_.getLong(1)).toSeq === Seq(431L, 224L))
+  }
+
   test("c12_join_asof_native first purchase at sf0.01 matches DuckDB ASOF JOIN") {
     val r = q01("c12_join_asof_native").head()
     assert(r.getLong(r.fieldIndex("purchase_id")) === 43L)

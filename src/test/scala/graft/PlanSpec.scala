@@ -373,6 +373,19 @@ class PlanSpec extends AnyFunSuite {
     assert("FileScan parquet".r.findAllIn(p).size === 1, p)
   }
 
+  test("j57: literal pre-cut runs map-side; the exact quota rides a broadcast") {
+    val p = plan("j57_temperature_mix")
+    // the two-stage cut: the literal target bound compiles to a Partial
+    // WindowGroupLimit below the stratum exchange (j54's shape), and the
+    // data-dependent quota is only ever a broadcast-join condition —
+    // never a second corpus shuffle
+    assert(p.contains(", 250, Partial"), p)
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(lang")
+    assert(exchangeIdx >= 0 && p.indexOf(", 250, Partial") > exchangeIdx, p)
+    assert("BroadcastHashJoin \\[lang#\\d+\\], \\[lang#\\d+\\], Inner, BuildRight, \\(rk#\\d+L <= quota#"
+      .r.findFirstIn(p).nonEmpty, p)
+  }
+
   test("whole-stage codegen covers the flagship plan") {
     // AQE finalizes stages lazily — execute first, then inspect
     val df = SparkEntry.queries("d1_agg_group")(TestSpark.spark, TestSpark.sf0001)
