@@ -232,6 +232,56 @@ class CurateSpec extends AnyFunSuite {
     }
   }
 
+  test("j57: the temperature mixture is flatter than the raw mixture, within budget") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+    val rawN = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = q("j57_temperature_mix").collect()
+    val kept = out.groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    // budget: Σ floor-quotas never exceeds the target
+    assert(out.length <= 250)
+    // every language fills its quota exactly (quota ≤ n_lang on this fixture)
+    val quotas = out.groupBy(_.getString(0)).map { case (l, rs) =>
+      l -> rs.head.getLong(rs.head.fieldIndex("quota")) }
+    assert(kept === quotas)
+    // the flattening property τ<1 exists for: the dominant language's share
+    // SHRINKS and the smallest language's share GROWS vs the raw corpus
+    val rawTot = rawN.values.sum.toDouble
+    val keptTot = out.length.toDouble
+    val top = rawN.maxBy(_._2)._1
+    val bottom = rawN.minBy(_._2)._1
+    assert(kept(top) / keptTot < rawN(top) / rawTot,
+      s"dominant lang $top was not compressed")
+    assert(kept(bottom) / keptTot > rawN(bottom) / rawTot,
+      s"smallest lang $bottom was not boosted")
+  }
+
+  test("j56: chunks tile every doc — stride-48 starts, full coverage, correct tails") {
+    val chunks = q("j56_chunk_overlap").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    val nDocs = graft.Tables.documents(spark, TestSpark.sf0001).count()
+    assert(chunks.size === nDocs) // every doc chunks (short docs → 1 window)
+    for ((doc, cs) <- chunks) {
+      // starts are exactly 1, 49, 97, …: no gap, no drift
+      assert(cs.map(r => r.getLong(r.fieldIndex("start_tok"))).toSeq ===
+        cs.indices.map(i => 1L + 48L * i), s"doc $doc starts broken")
+      // gap-free tiling: every non-tail window reaches past the next
+      // window's start (a non-tail start s implies n ≥ s+48, so
+      // n_tok ≥ 49 > stride gap). NOT "non-tail windows are full" — a
+      // penultimate window is short whenever the doc ends mid-window.
+      val n = cs.last.getLong(cs.last.fieldIndex("start_tok")) +
+        cs.last.getLong(cs.last.fieldIndex("n_tok")) - 1
+      assert(cs.init.forall(r => r.getLong(r.fieldIndex("start_tok")) +
+        r.getLong(r.fieldIndex("n_tok")) - 1 >= r.getLong(r.fieldIndex("start_tok")) + 48),
+        s"doc $doc has a coverage gap")
+      assert(cs.last.getLong(cs.last.fieldIndex("n_tok")) >= 1, s"doc $doc empty tail")
+      // coverage: the tail window ends exactly at the token count implied
+      // by the chunk set (start of last + its length), and a further
+      // window would start past it — the tiling is minimal and complete
+      assert(1L + 48L * cs.length > n, s"doc $doc missing a window")
+    }
+  }
+
   test("j49: redacted text carries ZERO residual PII — the scrub is its own proof") {
     import spark.implicits._
     // re-running the counter over the redacted column must find nothing;
