@@ -496,16 +496,30 @@ object PipelineOps {
     * output rows per doc, linear in corpus tokens at any size. */
   def j56(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
-      .select($"doc_id", split($"text", " ").as("toks"))
-      .select($"doc_id", $"toks",
-        posexplode(sequence(lit(1), size($"toks"), lit(48))))
-      .select($"doc_id",
-        $"pos".cast("long").as("chunk_id"),
-        $"col".cast("long").as("start_tok"),
-        least(lit(64), size($"toks") - $"col" + 1).cast("long").as("n_tok"),
-        array_join(slice($"toks", $"col", lit(64)), " ").as("chunk_text"))
+    chunkOverlap(Tables.documents(s, d).select($"doc_id", $"text"))
       .orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** Transformer form of j56: chunk any frame with a `text` column,
+    * carrying every other column through onto each chunk row (so doc_id,
+    * ts, lang … ride along unchanged). Stateless and row-local, which is
+    * why the SAME function body is the streaming twin's implementation
+    * ([[graft.streaming.Sync.chunkStream]]) — batch/stream parity is by
+    * construction, not by parallel maintenance. */
+  def chunkOverlap(docs: DataFrame, chunkTok: Int = 64,
+      strideTok: Int = 48): DataFrame = {
+    val keep = docs.columns.filter(_ != "text").toSeq.map(col)
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(keep ++ Seq(col("toks"),
+        posexplode(sequence(lit(1), size(col("toks")), lit(strideTok)))): _*)
+      .select(keep ++ Seq(
+        col("pos").cast("long").as("chunk_id"),
+        col("col").cast("long").as("start_tok"),
+        least(lit(chunkTok), size(col("toks")) - col("col") + 1)
+          .cast("long").as("n_tok"),
+        array_join(slice(col("toks"), col("col"), lit(chunkTok)), " ")
+          .as("chunk_text")): _*)
   }
 
   // ---------- j27 simhash near-dup ----------

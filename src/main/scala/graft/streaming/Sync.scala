@@ -599,6 +599,19 @@ object Sync {
       .select(col("doc_id"), col("ts"), col("query_id"))
   }
 
+  /** j56 streaming form — chunking at ingest, the production place for
+    * it: each arriving document splits into its overlapping token windows
+    * (64/48 defaults) before hitting the index/training sink, with every
+    * non-text column (doc_id, ts, …) carried onto each chunk row.
+    *
+    * Scale shape: literally the batch transformer applied to the stream —
+    * [[graft.ops.PipelineOps.chunkOverlap]] is row-local (a per-row
+    * generate + slice, zero exchanges), so it is trivially streamable:
+    * no watermark, no state store, any output mode; batch/stream parity
+    * holds by construction because there is ONE implementation. */
+  def chunkStream(docs: DataFrame): DataFrame =
+    graft.ops.PipelineOps.chunkOverlap(docs)
+
   /** i6 streaming form — the sync loop: each microbatch is LWW-merged into
     * the parquet snapshot at `targetDir` (read-modify-write per batch, the
     * foreachBatch upsert idiom; at scale this would be a MERGE INTO a

@@ -116,6 +116,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming chunking splits arriving docs with batch-identical windows") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = Sync.chunkStream(mem.toDF())
+      .writeStream.format("memory").queryName("chunk_out").outputMode("append").start()
+    try {
+      val words100 = (1 to 100).map(i => s"w$i").mkString(" ")
+      mem.addData(
+        Doc(1, "tiny doc", ts("2024-01-01 10:00:00")),
+        Doc(2, words100, ts("2024-01-01 10:00:10")))
+      q.processAllAvailable()
+      val got = spark.table("chunk_out")
+        .select($"doc_id", $"chunk_id", $"start_tok", $"n_tok")
+        .as[(Long, Long, Long, Long)].collect().sorted
+      // doc 1: one 2-token window; doc 2 (100 toks): starts 1/49/97,
+      // n_tok 64/52/4 — same least(64, n-s+1) rule the batch oracle pins
+      assert(got === Array(
+        (1L, 0L, 1L, 2L),
+        (2L, 0L, 1L, 64L), (2L, 1L, 49L, 52L), (2L, 2L, 97L, 4L)))
+      // ts carried through onto every chunk row (the pass-through contract)
+      assert(spark.table("chunk_out").columns.contains("ts"))
+    } finally q.stop()
+  }
+
   test("streaming LSH dedup: arriving docs are matched against the corpus, once each") {
     val spark = TestSpark.spark
     import spark.implicits._
