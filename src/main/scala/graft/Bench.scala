@@ -7,6 +7,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC everywhere: the events ts_us mapping (Tables.eventsUs) and the
+      // DuckDB oracle's epoch_us() must agree on the epoch
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

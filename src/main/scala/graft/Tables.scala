@@ -11,11 +11,16 @@ import org.apache.spark.sql.functions._
   * represented by parquet-backed tables (see README). All schema quirks are
   * handled here, ONCE, so operators never touch reader configs:
   *
-  *  - `events.parquet` carries ns-precision timestamps that stock Spark
-  *    4.1.2 rejects (`PARQUET_TYPE_ILLEGAL`). We flip
-  *    `spark.sql.legacy.parquet.nanosAsLong` at read time (a runtime-settable
-  *    session conf) and reconstruct a µs TimestampNTZ column, which equals
-  *    DuckDB's silent ns→µs truncation digit-for-digit (SURVEY.md §7.5#1-2).
+  *  - `events.parquet` has shipped with TWO timestamp encodings across
+  *    driver rounds: ns-precision INT64 timestamps that stock Spark 4.1.2
+  *    rejects (`PARQUET_TYPE_ILLEGAL` — rounds 1-4), and native µs
+  *    `timestamp_ntz` (round 5+). [[events]] detects the encoding from the
+  *    resolved schema and canonicalizes BOTH to the same µs TimestampNTZ
+  *    column: for ns data we flip `spark.sql.legacy.parquet.nanosAsLong`
+  *    (a runtime-settable session conf) and truncate — digit-for-digit
+  *    what DuckDB's silent ns→µs cast does (SURVEY.md §7.5#1-2); for µs
+  *    data the read is already canonical. Operators only ever see the
+  *    canonical shape, so the storage encoding can keep changing under us.
   *
   * Scale note (100 TB design): each reader is a plain parquet scan, so
   * Catalyst's predicate pushdown / column pruning / partition pruning apply
@@ -60,39 +65,70 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
-  /** Raw events: `ts` arrives as LongType nanoseconds-since-epoch. */
+  /** Raw events exactly as stored: `ts` is LongType ns-since-epoch in the
+    * legacy encoding, µs TimestampNTZ in the current one. Callers that
+    * don't touch `ts` (JSON/props queries) read this; time arithmetic goes
+    * through [[events]]/[[eventsUs]]. */
   def eventsRaw(s: SparkSession, d: String): DataFrame = {
     // Runtime-settable (verified SURVEY.md probe 7b); Verify's session does
-    // not pre-set it, so the reader must.
+    // not pre-set it, so the reader must. Harmless for µs data (the conf
+    // only changes how ns annotations are read).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(s, d, "events")
   }
 
-  /** Events with `ts` reconstructed as a µs-precision TimestampNTZ — the
-    * canonical shape every time-based operator consumes. Equals DuckDB's
-    * `CAST(ts AS TIMESTAMP)` exactly (both truncate ns→µs).
-    */
-  def events(s: SparkSession, d: String): DataFrame =
-    eventsRaw(s, d).withColumn(
-      "ts",
-      expr("cast(timestamp_micros(cast(ts div 1000 as long)) as timestamp_ntz)"))
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, StructType, StructField, StringType, DoubleType, TimestampType}
 
-  /** The events table as an unbounded stream (same ns shim, same canonical
-    * µs shape) — the change-log side of the sync read as Structured
-    * Streaming. Any event-time operator defined on [[events]] runs on this
-    * unchanged; StreamingSpec asserts the batch/stream equivalence. */
+  /** ts → canonical µs TimestampNTZ, whatever the storage encoding. */
+  private def canonTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => // legacy ns longs: truncate exactly like DuckDB
+        df.withColumn("ts",
+          expr("cast(timestamp_micros(cast(ts div 1000 as long)) as timestamp_ntz)"))
+      case TimestampNTZType => df // already canonical
+      case TimestampType => // defensive: instant-typed µs; UTC sessions only
+        df.withColumn("ts", expr("cast(ts as timestamp_ntz)"))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported storage type $other")
+    }
+
+  /** Events with `ts` as a µs-precision TimestampNTZ — the canonical shape
+    * every time-based operator consumes. Equals DuckDB's
+    * `CAST(ts AS TIMESTAMP)` exactly under either storage encoding.
+    */
+  def events(s: SparkSession, d: String): DataFrame = canonTs(eventsRaw(s, d))
+
+  /** Events with an additional `ts_us` epoch-µs LONG column — the integer
+    * domain the deterministic window/decay arithmetic runs in (Spark and
+    * DuckDB subtract identically on longs; SURVEY §7.5#2). Single sourced
+    * here so the encoding switch can't drift per-operator. All engine
+    * sessions run with spark.sql.session.timeZone=UTC, so the ntz→epoch
+    * mapping below is the same one DuckDB's `epoch_us(ts)` applies. */
+  def eventsUs(s: SparkSession, d: String): DataFrame = {
+    val raw = eventsRaw(s, d)
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts_us", expr("ts div 1000"))
+      case _ => canonTs(raw)
+        .withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
+    }
+  }
+
+  /** The events table as an unbounded stream (same canonical µs shape) —
+    * the change-log side of the sync read as Structured Streaming. Any
+    * event-time operator defined on [[events]] runs on this unchanged;
+    * StreamingSpec asserts the batch/stream equivalence. The stream schema
+    * mirrors whatever encoding the batch footer resolves to, so the
+    * stream/batch pair can never disagree about `ts`. */
   def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.types._
+    val tsType = eventsRaw(s, d).schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // the file source wants a directory: point at sfDir, glob the one file
-    s.readStream.schema(schema)
+    canonTs(s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts",
-        expr("cast(timestamp_micros(cast(ts div 1000 as long)) as timestamp_ntz)"))
+      .parquet(d))
   }
 }

@@ -137,8 +137,8 @@ object SearchOps {
     // 2024-01-31T00:00:00Z in epoch-µs; spelled as a literal so the
     // arithmetic is session-timezone-independent in both engines
     val originUs = 1706659200000000L
-    Tables.eventsRaw(s, d)
-      .select($"event_id", $"event_type", $"value", expr("ts div 1000").as("us"))
+    Tables.eventsUs(s, d)
+      .select($"event_id", $"event_type", $"value", $"ts_us".as("us"))
       .withColumn("dd", (lit(originUs) - $"us").cast("double") / lit(8.64e10))
       .withColumn("decayed", round($"value" * exp(-($"dd" * $"dd") / lit(98.0)), 6))
       .select($"event_id", $"event_type", $"decayed")

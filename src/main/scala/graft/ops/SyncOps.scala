@@ -141,8 +141,8 @@ object SyncOps {
     import s.implicits._
     val lww = udaf(LwwAggregator)
     s.udf.register("lww_last", lww)
-    Tables.eventsRaw(s, d)
-      .select($"user_id", expr("ts div 1000").as("ts_us"), $"event_type")
+    Tables.eventsUs(s, d)
+      .select($"user_id", $"ts_us", $"event_type")
       .groupBy($"user_id")
       .agg(lww($"ts_us", $"event_type").as("last_type"))
       .orderBy($"user_id")

@@ -44,8 +44,8 @@ object Windows {
   def e3(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts_us".asc)
-    Tables.eventsRaw(s, d)
-      .select($"event_id", $"user_id", expr("ts div 1000").as("ts_us"))
+    Tables.eventsUs(s, d)
+      .select($"event_id", $"user_id", $"ts_us")
       .select(
         $"event_id", $"user_id", $"ts_us",
         lag($"ts_us", 1).over(w).as("prev_us"),

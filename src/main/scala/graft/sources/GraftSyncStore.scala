@@ -158,12 +158,16 @@ private[sources] object GraftSyncStore {
     f.dataType match {
       case IntegerType | LongType | FloatType | DoubleType | BooleanType |
            StringType => ()
+      // µs-precision wall-clock timestamps move as epoch-µs JSON numbers —
+      // both sync endpoints (CQL `timestamp`, ES `date`) have this type,
+      // so the connector must too (events.ts is one as of round 5)
+      case TimestampNTZType => ()
       case ArrayType(IntegerType | LongType | FloatType | DoubleType |
            StringType, _) => ()
       case other => throw new IllegalArgumentException(
         s"graft-sync: unsupported column type ${other.simpleString} for " +
           s"field '${f.name}' (supported: int/long/float/double/boolean/" +
-          "string and flat arrays of them)")
+          "string/timestamp_ntz and flat arrays of the numerics/strings)")
     }
   }
 
@@ -190,6 +194,7 @@ private[sources] object GraftSyncStore {
   private def fromJson(v: JsonNode, dt: DataType): Any = dt match {
     case IntegerType if v.isNumber => v.asInt()
     case LongType if v.isNumber => v.asLong()
+    case TimestampNTZType if v.isNumber => v.asLong() // epoch µs = Catalyst repr
     case FloatType if v.isNumber => v.asDouble().toFloat
     case DoubleType if v.isNumber => v.asDouble()
     case BooleanType if v.isBoolean => v.asBoolean()

@@ -162,6 +162,7 @@ private[sources] class GraftSyncDataWriter(dir: String, schema: StructType,
       else f.dataType match {
         case IntegerType => node.put(f.name, row.getInt(i))
         case LongType => node.put(f.name, row.getLong(i))
+        case TimestampNTZType => node.put(f.name, row.getLong(i)) // epoch µs
         case FloatType => node.put(f.name, row.getFloat(i))
         case DoubleType => node.put(f.name, row.getDouble(i))
         case BooleanType => node.put(f.name, row.getBoolean(i))

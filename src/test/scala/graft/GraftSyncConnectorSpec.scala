@@ -214,9 +214,9 @@ class GraftSyncConnectorSpec extends AnyFunSuite {
     val ck = Files.createTempDirectory("gsync-i1-ck").toString
     Tables.eventsRaw(spark, TestSpark.sf0001)
       .write.format("graft-sync").mode("overwrite").save(dir)
+    // ts is µs timestamp_ntz end-to-end (the connector moves it as epoch-µs
+    // JSON numbers and restores the type) — no conversion needed
     def windowed(df: org.apache.spark.sql.DataFrame) = df
-      .withColumn("ts",
-        expr("cast(timestamp_micros(cast(ts div 1000 as long)) as timestamp_ntz)"))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
