@@ -429,11 +429,39 @@ object CurationOps {
       .orderBy($"lang", $"rk")
   }
 
+  /** j65_quality_classifier — model-based quality gating: a fixed-weight
+    * linear classifier over the j16 heuristic features (token count,
+    * type-token ratio, mean token length, stopword ratio) — the shape of
+    * fastText/logistic quality filters (CCNet, GPT-3's Wikipedia-vs-crawl
+    * classifier) with the learned weights pinned as literals so the gate
+    * is reproducible across engines. The logit is reported instead of the
+    * sigmoid (monotone in it) — exp() is libm-dependent, the linear form
+    * is bit-exact IEEE arithmetic in both engines.
+    *
+    * Scale shape: pure per-row array arithmetic — zero exchanges before
+    * the presentation sort (j29's shape); a learned-weights swap is a
+    * literal change, not a plan change. */
+  def j65(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id",
+        size($"toks").cast("double").as("n_toks"),
+        expr("size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE)").as("ttr"),
+        (($"n_chars" - size($"toks") + 1) / size($"toks").cast("double")).as("mean_tok_len"),
+        (size(expr("filter(toks, t -> t IN ('a', 'the'))")) / size($"toks").cast("double")).as("stop_ratio"))
+      .select($"doc_id",
+        round(lit(-3.0) + lit(0.01) * $"n_toks" + lit(4.0) * $"ttr"
+          + lit(0.5) * $"mean_tok_len" - lit(6.0) * $"stop_ratio", 6).as("score"))
+      .withColumn("keep", ($"score" > 0.0).cast("int"))
+      .orderBy($"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j28_domain_mix" -> j28, "j29_repetition_filter" -> j29,
     "j30_shuffle_shard" -> j30, "j49_pii_redact" -> j49,
     "j50_span_dedup" -> j50, "j54_stratified_sample" -> j54,
-    "j57_temperature_mix" -> j57)
+    "j57_temperature_mix" -> j57, "j65_quality_classifier" -> j65)
 
   private val NibbleSql =
     """((strpos('0123456789abcdef', substr(%s, 1, 1)) - 1) * 4096 +
@@ -442,6 +470,22 @@ object CurationOps {
       | (strpos('0123456789abcdef', substr(%s, 4, 1)) - 1))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "j65_quality_classifier" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+        |           FROM 'documents.parquet'),
+        |f AS (SELECT doc_id,
+        |        CAST(len(toks) AS DOUBLE) AS n_toks,
+        |        len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS ttr,
+        |        (n_chars - len(toks) + 1) / CAST(len(toks) AS DOUBLE) AS mean_tok_len,
+        |        len(list_filter(toks, t -> t IN ('a', 'the')))
+        |          / CAST(len(toks) AS DOUBLE) AS stop_ratio
+        |      FROM t),
+        |sc AS (SELECT doc_id,
+        |         round(-3.0 + 0.01 * n_toks + 4.0 * ttr
+        |           + 0.5 * mean_tok_len - 6.0 * stop_ratio, 6) AS score
+        |       FROM f)
+        |SELECT doc_id, score, CAST(score > 0.0 AS INT) AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "j28_domain_mix" -> {
       val h = "md5('mix:' || CAST(d.doc_id AS VARCHAR))"
       s"""WITH c AS (SELECT lang, count(*) AS cnt FROM 'documents.parquet' GROUP BY lang),

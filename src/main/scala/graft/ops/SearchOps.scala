@@ -389,7 +389,249 @@ object SearchOps {
       .limit(15)
   }
 
+  /** j58_pipeline_agg — ES pipeline aggregations (`derivative`,
+    * `cumulative_sum`, `moving_fn` avg, window 3) computed over the j47
+    * parent date_histogram: per-day purchase counts, zero-filled, then
+    * day-over-day delta, running total, and a 3-bucket trailing moving
+    * average — the monitoring-dashboard post-processing ES layers on top
+    * of a histogram response.
+    *
+    * Scale shape: pipeline aggs run on the BUCKET frame, never the event
+    * stream — the histogram map-side combines down to ≤ calendar-days
+    * rows, and the unpartitioned window that follows moves ~30 rows (the
+    * domainMix global-window argument: bounded by calendar time, not
+    * data). Metrics stay integral until the one rounded division, so no
+    * double-sum ordering hazard. */
+  def j58(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+      .select(to_date($"ts").as("day"), $"event_type")
+    val spine = e.agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select(explode(sequence($"d0", $"d1")).as("day"))
+    val hist = e.filter($"event_type" === "purchase")
+      .groupBy($"day").agg(count(lit(1)).as("doc_count"))
+    val buckets = spine.join(broadcast(hist), Seq("day"), "left")
+      .select($"day", coalesce($"doc_count", lit(0L)).as("doc_count"))
+    val w = Window.orderBy($"day") // ≤ calendar-days rows by construction
+    buckets
+      .withColumn("deriv", $"doc_count" - lag($"doc_count", 1).over(w))
+      .withColumn("cum", sum($"doc_count")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("mavg", round(avg($"doc_count")
+        .over(w.rowsBetween(-2, Window.currentRow)), 6))
+      .orderBy($"day")
+  }
+
+  /** j59_rare_terms — ES `rare_terms` aggregation: the long-tail buckets a
+    * `terms` agg (ordered count DESC) structurally cannot surface —
+    * 3-gram shingles appearing in at most `max_doc_count = 2` documents,
+    * ordered count ASC, first 100 by (count, term). Token-level df is
+    * useless for rarity on this fixture (31-token vocabulary, every token
+    * near-ubiquitous), so the terms are the shingle space — the same
+    * high-cardinality term domain the dedup pipeline (j2/j12/j50) keys on.
+    *
+    * Scale shape: one distinct-per-doc explode + one map-combined count
+    * keyed on the (uniform) shingle term; the rarity filter reduces on the
+    * AGGREGATE; the cut is ORDER BY+LIMIT = TakeOrderedAndProject. ES
+    * bounds the same computation with a CuckooFilter (approximate,
+    * memory-capped); exact counting is the honest equivalent when the
+    * engine has a shuffle. */
+  def j59(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select(explode(expr(
+        s"""array_distinct(transform(sequence(1, size(toks) - 2),
+           |  i -> ${TextOps.shingle3("toks")}))""".stripMargin)).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("doc_count"))
+      .filter($"doc_count" <= 2)
+      .orderBy($"doc_count".asc, $"term".asc)
+      .limit(100)
+  }
+
+  /** j60_adjacency_matrix — ES `adjacency_matrix` aggregation: named
+    * filters A (lang = 'en'), B (n_chars ≥ 350), C (source ∈ src0..src3),
+    * one bucket per filter and per pairwise intersection ('A&B' keys),
+    * empty buckets omitted — the co-occurrence matrix ES computes for
+    * graph-style exploration.
+    *
+    * Scale shape: the entire matrix is ONE map-side-combinable global
+    * aggregate of 0/1 flag products (a single reduce row at any corpus
+    * size); `stack` unpivots the 6 sums into ES's bucket rows. Zero
+    * joins, zero windows, one exchange of one row. */
+  def j60(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(
+        ($"lang" === "en").as("a"),
+        ($"n_chars" >= 350).as("b"),
+        $"source".isin("src0", "src1", "src2", "src3").as("c"))
+      // conditional counts, not sums-of-flags: BIGINT in both engines
+      // (DuckDB promotes sum(BIGINT) to HUGEINT, which the compare rejects)
+      .agg(
+        count(when($"a", 1)).as("ka"), count(when($"b", 1)).as("kb"),
+        count(when($"c", 1)).as("kc"), count(when($"a" && $"b", 1)).as("kab"),
+        count(when($"a" && $"c", 1)).as("kac"), count(when($"b" && $"c", 1)).as("kbc"))
+      .selectExpr(
+        """stack(6, 'A', ka, 'B', kb, 'C', kc,
+          |         'A&B', kab, 'A&C', kac, 'B&C', kbc)
+          |  AS (key, doc_count)""".stripMargin)
+      .filter($"doc_count" > 0)
+      .orderBy($"key")
+  }
+
+  /** j61_sampler_agg — ES `diversified_sampler` + sub-aggregation: score
+    * the corpus with BM25 for the query term 'spark', keep at most 5 docs
+    * per source (the diversity constraint), sample the top 100 of the
+    * survivors (`shard_size`), then run a `terms` agg on lang over the
+    * sample with a `max` metric — "what does the high-relevance slice
+    * look like, without any one source dominating".
+    *
+    * Scale shape: scoring is j34's term-filtered aggregation (shuffle
+    * moves docs containing the term, never the corpus); the diversity
+    * rank compiles to WindowGroupLimit-prunable per-source top-5; the
+    * sample cut is TakeOrderedAndProject on (rounded score, doc_id); the
+    * final agg sees ≤ 100 rows. Determinism: ranking on ROUNDED score
+    * with doc_id tiebreak in both engines, so the sample set is exact. */
+  def j61(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
+    val dl = docs.select($"doc_id", $"source", $"lang",
+      size(split($"text", " ")).cast("double").as("dl"))
+    val tf = toks.filter($"token" === "spark")
+      .groupBy($"doc_id").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg($"dl").as("avgdl"))
+    val wDiv = Window.partitionBy($"source").orderBy($"score".desc, $"doc_id".asc)
+    tf.join(dl, "doc_id")
+      .crossJoin(broadcast(dfreq)).crossJoin(broadcast(stats))
+      .withColumn("score",
+        round(TextOps.bm25Tscore($"tf", $"df", $"dl", $"n_docs", $"avgdl"), 6))
+      .withColumn("rs", row_number().over(wDiv)).filter($"rs" <= 5)
+      .orderBy($"score".desc, $"doc_id".asc).limit(100)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("doc_count"), max($"score").as("max_score"))
+      .orderBy($"lang")
+  }
+
+  /** j62_collapse — ES field collapsing (`collapse` on `source` +
+    * `inner_hits`): BM25-rank the corpus for a two-term query, return the
+    * best hit PER SOURCE with its group's hit count and the group
+    * runner-up's score — one result slot per source no matter how many
+    * docs a source matches, exactly search-result grouping.
+    *
+    * Scale shape: scoring is the j34 dataflow; collapse is one window
+    * over the per-source partitions of the SCORED frame (matching docs,
+    * not the corpus), and the final cut TakeOrderedAndProject. */
+  def j62(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val terms = Seq("hash", "join")
+    val docs = Tables.documents(s, d)
+    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
+    val dl = docs.select($"doc_id", $"source",
+      size(split($"text", " ")).cast("double").as("dl"))
+    val tf = toks.filter($"token".isin(terms: _*))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg($"dl").as("avgdl"))
+    val scored = tf.join(dl, "doc_id") // dl carries source — no second pass over docs
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore", TextOps.bm25Tscore($"tf", $"df", $"dl", $"n_docs", $"avgdl"))
+      .groupBy($"doc_id", $"source")
+      .agg(Parity.sortedFoldSum($"tscore").as("sc"))
+      .withColumn("score", round($"sc", 6))
+    val wc = Window.partitionBy($"source").orderBy($"score".desc, $"doc_id".asc)
+    scored
+      .withColumn("rn", row_number().over(wc))
+      .withColumn("n_hits", count(lit(1)).over(Window.partitionBy($"source")).cast("long"))
+      .filter($"rn" === 1)
+      .select($"source", $"doc_id", $"score", $"n_hits")
+      .orderBy($"score".desc, $"source".asc)
+      .limit(10)
+  }
+
+  /** The completion-suggester inputs (shared with the oracle SQL). */
+  val completionPrefixes: Seq[String] = Seq("c", "s", "w")
+
+  /** j63_completion_suggest — ES `completion` suggester (autocomplete):
+    * for each typed prefix, the top-3 vocabulary completions by
+    * (frequency DESC, token ASC) with their weights — the FST lookup ES
+    * serves from RAM, expressed over the term dictionary.
+    *
+    * Scale shape: j48's discipline — candidates come from the VOCABULARY
+    * aggregate (millions of rows at 100 TB, vs trillions of corpus
+    * tokens); the 3-row prefix list rides a broadcast nested-loop join
+    * on `startswith` (ES walks an FST edge instead — same pruning role);
+    * top-3-per-prefix is a window over the few surviving rows. */
+  def j63(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val prefixes = completionPrefixes.toDF("prefix")
+    val vocab = Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy($"prefix").orderBy($"freq".desc, $"token".asc)
+    vocab.join(broadcast(prefixes), $"token".startsWith($"prefix"))
+      .withColumn("rn", row_number().over(w).cast("long")).filter($"rn" <= 3)
+      .select($"prefix", $"token".as("completion"), $"freq", $"rn")
+      .orderBy($"prefix".asc, $"rn".asc)
+  }
+
+  /** j64_auto_date_histogram — ES `auto_date_histogram` with
+    * `buckets: 12`: the engine, not the caller, picks the interval — the
+    * smallest rung of the 1h/1d/7d/30d ladder that covers the event span
+    * in at most 12 buckets — then zero-fills contiguous buckets at that
+    * interval. The interval choice is data-dependent but deterministic
+    * (integer epoch-µs arithmetic on the span, identical in both
+    * engines).
+    *
+    * Scale shape: the choice consumes one min/max aggregate row; buckets
+    * are a broadcast spine (≤ 12 rows by construction — the POINT of the
+    * operator) left-joining the map-combined histogram, j47's exact
+    * dataflow with the interval made adaptive. */
+  def j64(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hourUs = 3600000000L
+    val dayUs = 86400000000L
+    val weekUs = 604800000000L
+    val monthUs = 2592000000000L // 30d rung — ES uses calendar months; fixed-width keeps both engines identical
+    val e = Tables.eventsUs(s, d).select($"ts_us")
+    // interval choice + bucket math stay in the INTEGER domain end-to-end:
+    // Spark's `/` on longs is double division (and DuckDB's differs again),
+    // so spans compare against 12·interval and buckets use `div`
+    val stats = e.agg(min($"ts_us").as("lo"), max($"ts_us").as("hi"))
+      .withColumn("iv",
+        when($"hi" - $"lo" < 12L * hourUs, hourUs)
+          .when($"hi" - $"lo" < 12L * dayUs, dayUs)
+          .when($"hi" - $"lo" < 12L * weekUs, weekUs)
+          .otherwise(monthUs))
+      .withColumn("lbl",
+        when($"iv" === hourUs, "1h").when($"iv" === dayUs, "1d")
+          .when($"iv" === weekUs, "7d").otherwise("30d"))
+    val spine = stats.select($"lo", $"iv", $"lbl",
+      explode(sequence(lit(0L), expr("(hi - lo) div iv"))).as("b"))
+    val hist = e.crossJoin(broadcast(stats.select($"lo", $"iv")))
+      .select(expr("(ts_us - lo) div iv").as("b"))
+      .groupBy($"b").agg(count(lit(1)).as("doc_count"))
+    spine.join(broadcast(hist), Seq("b"), "left")
+      .select(
+        expr("cast(timestamp_micros(lo + b * iv) as timestamp_ntz)").as("bucket_start"),
+        $"lbl".as("interval"),
+        coalesce($"doc_count", lit(0L)).as("doc_count"))
+      .orderBy($"bucket_start")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j58_pipeline_agg" -> j58, "j59_rare_terms" -> j59,
+    "j60_adjacency_matrix" -> j60, "j61_sampler_agg" -> j61,
+    "j62_collapse" -> j62, "j63_completion_suggest" -> j63,
+    "j64_auto_date_histogram" -> j64,
     "j38_mlt_search" -> j38, "j39_prefix_search" -> j39,
     "j40_highlight" -> j40, "j41_search_after" -> j41,
     "j42_decay_rank" -> j42, "j43_percolate" -> j43,
@@ -398,6 +640,125 @@ object SearchOps {
     "j48_term_suggest" -> j48, "j51_bool_msm" -> j51)
 
   val oracle: Map[String, String] = Map(
+    "j58_pipeline_agg" ->
+      """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type
+        |           FROM 'events.parquet'),
+        |bnd AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |spine AS (SELECT CAST(unnest(generate_series(
+        |            CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+        |            INTERVAL 1 DAY)) AS DATE) AS day FROM bnd),
+        |h AS (SELECT day, count(*) AS doc_count FROM e
+        |      WHERE event_type = 'purchase' GROUP BY 1),
+        |b AS (SELECT spine.day, coalesce(h.doc_count, 0) AS doc_count
+        |      FROM spine LEFT JOIN h USING (day))
+        |SELECT day, doc_count,
+        |       doc_count - lag(doc_count) OVER (ORDER BY day) AS deriv,
+        |       CAST(sum(doc_count) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |       round(avg(doc_count) OVER (ORDER BY day
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg
+        |FROM b ORDER BY day""".stripMargin,
+    "j59_rare_terms" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS term
+        |  FROM 'documents.parquet' WHERE len(string_split(text, ' ')) >= 3),
+        |df AS (SELECT term, count(*) AS doc_count FROM sh GROUP BY 1)
+        |SELECT term, doc_count FROM df WHERE doc_count <= 2
+        |ORDER BY doc_count ASC, term ASC LIMIT 100""".stripMargin,
+    "j60_adjacency_matrix" ->
+      """WITH f AS (SELECT (lang = 'en') AS a, (n_chars >= 350) AS b,
+        |             (source IN ('src0','src1','src2','src3')) AS c
+        |           FROM 'documents.parquet'),
+        |m AS (SELECT count(*) FILTER (WHERE a) AS ka,
+        |             count(*) FILTER (WHERE b) AS kb,
+        |             count(*) FILTER (WHERE c) AS kc,
+        |             count(*) FILTER (WHERE a AND b) AS kab,
+        |             count(*) FILTER (WHERE a AND c) AS kac,
+        |             count(*) FILTER (WHERE b AND c) AS kbc FROM f),
+        |u AS (SELECT 'A' AS "key", ka AS doc_count FROM m
+        |      UNION ALL SELECT 'B', kb FROM m
+        |      UNION ALL SELECT 'C', kc FROM m
+        |      UNION ALL SELECT 'A&B', kab FROM m
+        |      UNION ALL SELECT 'A&C', kac FROM m
+        |      UNION ALL SELECT 'B&C', kbc FROM m)
+        |SELECT "key", doc_count FROM u WHERE doc_count > 0
+        |ORDER BY "key"""".stripMargin,
+    "j61_sampler_agg" ->
+      """WITH docs AS (SELECT doc_id, source, lang, string_split(text, ' ') AS toks
+        |              FROM 'documents.parquet'),
+        |dl AS (SELECT doc_id, source, lang, CAST(len(toks) AS DOUBLE) AS dl FROM docs),
+        |tf AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM (SELECT doc_id, unnest(toks) AS token FROM docs)
+        |       WHERE token = 'spark' GROUP BY 1),
+        |d AS (SELECT count(*) AS df FROM tf),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |sc AS (SELECT tf.doc_id, dl.source, dl.lang,
+        |         round(ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+        |           (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) AS score
+        |       FROM tf JOIN dl USING (doc_id) CROSS JOIN d CROSS JOIN st),
+        |div AS (SELECT * FROM sc QUALIFY
+        |          row_number() OVER (PARTITION BY source
+        |                             ORDER BY score DESC, doc_id ASC) <= 5),
+        |samp AS (SELECT * FROM div ORDER BY score DESC, doc_id ASC LIMIT 100)
+        |SELECT lang, count(*) AS doc_count, max(score) AS max_score
+        |FROM samp GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j62_collapse" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |              FROM 'documents.parquet'),
+        |dl AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |       FROM 'documents.parquet'),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM toks
+        |       WHERE token IN ('hash', 'join') GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |sc AS (SELECT tf.doc_id, dl.source,
+        |         ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |           (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS tscore
+        |       FROM tf JOIN dl USING (doc_id)
+        |            JOIN df USING (token) CROSS JOIN st),
+        |agg AS (SELECT doc_id, source,
+        |               round(list_sum(list_sort(list(tscore))), 6) AS score
+        |        FROM sc GROUP BY 1, 2),
+        |coll AS (SELECT source, doc_id, score,
+        |           count(*) OVER (PARTITION BY source) AS n_hits,
+        |           row_number() OVER (PARTITION BY source
+        |                              ORDER BY score DESC, doc_id ASC) AS rn
+        |         FROM agg)
+        |SELECT source, doc_id, score, n_hits FROM coll WHERE rn = 1
+        |ORDER BY score DESC, source ASC LIMIT 10""".stripMargin,
+    "j63_completion_suggest" ->
+      """WITH v AS (SELECT token, count(*) AS freq
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |                 FROM 'documents.parquet') GROUP BY 1),
+        |inp(prefix) AS (VALUES ('c'), ('s'), ('w')),
+        |c AS (SELECT inp.prefix, v.token AS completion, v.freq,
+        |        CAST(row_number() OVER (PARTITION BY inp.prefix
+        |               ORDER BY v.freq DESC, v.token ASC) AS BIGINT) AS rn
+        |      FROM v JOIN inp ON starts_with(v.token, inp.prefix))
+        |SELECT prefix, completion, freq, rn FROM c WHERE rn <= 3
+        |ORDER BY prefix ASC, rn ASC""".stripMargin,
+    "j64_auto_date_histogram" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |           FROM 'events.parquet'),
+        |s AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+        |iv AS (SELECT lo, hi,
+        |         CASE WHEN hi - lo < 12 * 3600000000 THEN 3600000000
+        |              WHEN hi - lo < 12 * 86400000000 THEN 86400000000
+        |              WHEN hi - lo < 12 * 604800000000 THEN 604800000000
+        |              ELSE 2592000000000 END AS iv,
+        |         CASE WHEN hi - lo < 12 * 3600000000 THEN '1h'
+        |              WHEN hi - lo < 12 * 86400000000 THEN '1d'
+        |              WHEN hi - lo < 12 * 604800000000 THEN '7d'
+        |              ELSE '30d' END AS lbl FROM s),
+        |spine AS (SELECT lo, iv, lbl, unnest(generate_series(0, (hi - lo) // iv)) AS b
+        |          FROM iv),
+        |h AS (SELECT (e.us - iv.lo) // iv.iv AS b, count(*) AS doc_count
+        |      FROM e CROSS JOIN iv GROUP BY 1)
+        |SELECT make_timestamp(lo + b * iv) AS bucket_start, lbl AS "interval",
+        |       coalesce(doc_count, 0) AS doc_count
+        |FROM spine LEFT JOIN h USING (b) ORDER BY bucket_start""".stripMargin,
     "j38_mlt_search" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |              FROM 'documents.parquet'),

@@ -85,7 +85,11 @@ class PlanSpec extends AnyFunSuite {
       "j48_term_suggest", // 3-row input list onto the vocab aggregate (banded)
       "j51_bool_msm", // 1-row corpus stats onto the term-filtered tf
       "j52_dsir_score", // 1-row feature totals onto the 1024-bucket counts
-      "j53_semdedup") // 8-row seed/centroid matrices onto the vector stream
+      "j53_semdedup", // 8-row seed/centroid matrices onto the vector stream
+      "j61_sampler_agg", // 1-row df + corpus stats onto the term-filtered tf
+      "j62_collapse", // 1-row corpus stats onto the term-filtered tf
+      "j63_completion_suggest", // 3-row prefix list onto the vocab aggregate
+      "j64_auto_date_histogram") // 1-row span/interval stats onto the bucket ids
     val offenders = SparkEntry.queries.toSeq
       .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
       .flatMap { case (name, fn) =>
