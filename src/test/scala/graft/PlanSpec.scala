@@ -307,6 +307,73 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window ["), p)
   }
 
+  test("j58: pipeline aggs run on the bucket frame — histogram partial-combines first") {
+    val p = plan("j58_pipeline_agg")
+    // j47's dataflow + windows AFTER the bucket reduction: the event
+    // stream is aggregated (map-side combine) before any window touches it
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("Window ["), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j59: rarity filters the shingle AGGREGATE; the cut is a TakeOrdered, not a sort") {
+    val p = plan("j59_rare_terms")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Window ["), p)
+  }
+
+  test("j60: the adjacency matrix is ONE global aggregate — no joins, no windows") {
+    val p = plan("j60_adjacency_matrix")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window ["), p)
+    assert(p.contains("partial_count"), p)
+    // stack unpivots AFTER the single reduce row
+    assert(p.contains("Generate stack"), p)
+  }
+
+  test("j61: diversity rank prunes map-side; the sample cut is a TakeOrdered") {
+    val p = plan("j61_sampler_agg")
+    // per-source top-5 compiles to WindowGroupLimit (Partial = before the
+    // exchange, j54's shape); the top-100 sample is TakeOrderedAndProject
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j62: collapse windows partition by source — never a global window") {
+    val p = plan("j62_collapse")
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("source")), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("j63: completions come from the vocab aggregate; prefixes ride the broadcast") {
+    val p = plan("j63_completion_suggest")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("StartsWith"), p)
+    assert(p.contains("partial_count"), p) // vocab partial-combines pre-join
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("prefix")), p)
+  }
+
+  test("j64: the adaptive spine broadcasts onto a map-combined histogram") {
+    val p = plan("j64_auto_date_histogram")
+    // interval choice consumes one min/max row; buckets ≤ 12 by
+    // construction, so the spine must be the broadcast side
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j65: the quality classifier is per-row arithmetic — zero hash exchanges") {
+    val p = plan("j65_quality_classifier")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window ["), p)
+  }
+
   test("j50: span dedup never compares doc×doc — everything keys on the span hash") {
     val p = plan("j50_span_dedup")
     assert(!p.contains("CartesianProduct"), p)
