@@ -175,6 +175,10 @@ object CurationOps {
     *      (cluster_id == doc_id) from the j2→j21 pair/component pass
     *   3. repetition filter — drop docs with dup-2-gram fraction > 0.10
     *      (j29's gate)
+    *   3b. quality gate — drop docs the fixed-weight classifier scores
+    *      at or under the 0.8 decision boundary (j65's gate; the
+    *      model-based filter a production pipeline runs beside the
+    *      heuristics)
     *   4. decontamination — drop the eval docs themselves (doc_id%10==0
     *      stand-in) and every training doc whose j22 contamination ratio
     *      (shared shingles / own shingles) reaches 0.30. The ratio gate,
@@ -202,12 +206,18 @@ object CurationOps {
       .join(TextOps.nearDupDropSet(s, d), Seq("doc_id"), "left_anti")
     val repKept = repetitionStats(nearKept)
       .filter($"keep" === 1).drop("n_toks", "d2", "d3", "keep")
+    // model-based quality gate (j65): row-local classification, so the
+    // drop set computed on the full corpus equals the one computed on the
+    // survivors — derived from `docs` to match the oracled operator 1:1
+    val qualKept = repKept.join(
+      qualityScore(docs).filter($"keep" === 0).select($"doc_id"),
+      Seq("doc_id"), "left_anti")
     // gate on the UNROUNDED ratio (same boundary as Sync.curateStream) —
     // j22's presentation rounding could otherwise flip a doc whose true
     // ratio sits within 5e-7 of the threshold
     val contaminated = PipelineOps.contamination(s, d)
       .filter($"raw_contamination" >= 0.30).select($"doc_id")
-    val decon = repKept
+    val decon = qualKept
       .filter($"doc_id" % 10 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
     // the semantic-dedup gate sits BEFORE mixing/sharding: mixture rates
@@ -441,20 +451,35 @@ object CurationOps {
     * Scale shape: pure per-row array arithmetic — zero exchanges before
     * the presentation sort (j29's shape); a learned-weights swap is a
     * literal change, not a plan change. */
+  /** The quality logit as a row-local Column over `text` — ONE definition
+    * shared by the declared query, the batch curation chain, and the
+    * streaming gate (the j56/j28 single-source discipline, so the decision
+    * boundary cannot drift between surfaces). `length(text)` stands in for
+    * the table's `n_chars` (equal by the fixture's construction, and the
+    * honest definition on a feed that carries only text). */
+  def qualityLogit(text: Column): Column = {
+    val toks = split(text, " ")
+    val nToks = size(toks).cast("double")
+    val ttr = size(array_distinct(toks)) / nToks
+    val meanTokLen = (length(text) - size(toks) + 1) / nToks
+    val stopRatio = size(filter(toks, t => t.isin("a", "the"))) / nToks
+    round(lit(-3.0) + lit(0.01) * nToks + lit(4.0) * ttr
+      + lit(0.5) * meanTokLen - lit(6.0) * stopRatio, 6)
+  }
+
+  /** Decision boundary: 0.8 sits at the fixture's ~5th percentile, so the
+    * gate actually drops the low-quality tail (a 0 cut keeps everything). */
+  val qualityCut = 0.8
+
+  /** The classifier as a transformer: (doc_id, text, …) ⇒
+    * (doc_id, score, keep). */
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), qualityLogit(col("text")).as("score"))
+      .withColumn("keep", (col("score") > qualityCut).cast("int"))
+
   def j65(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
-      .withColumn("toks", split($"text", " "))
-      .select($"doc_id",
-        size($"toks").cast("double").as("n_toks"),
-        expr("size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE)").as("ttr"),
-        (($"n_chars" - size($"toks") + 1) / size($"toks").cast("double")).as("mean_tok_len"),
-        (size(expr("filter(toks, t -> t IN ('a', 'the'))")) / size($"toks").cast("double")).as("stop_ratio"))
-      .select($"doc_id",
-        round(lit(-3.0) + lit(0.01) * $"n_toks" + lit(4.0) * $"ttr"
-          + lit(0.5) * $"mean_tok_len" - lit(6.0) * $"stop_ratio", 6).as("score"))
-      .withColumn("keep", ($"score" > 0.0).cast("int"))
-      .orderBy($"doc_id")
+    qualityScore(Tables.documents(s, d)).orderBy($"doc_id")
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -484,7 +509,7 @@ object CurationOps {
         |         round(-3.0 + 0.01 * n_toks + 4.0 * ttr
         |           + 0.5 * mean_tok_len - 6.0 * stop_ratio, 6) AS score
         |       FROM f)
-        |SELECT doc_id, score, CAST(score > 0.0 AS INT) AS keep
+        |SELECT doc_id, score, CAST(score > 0.8 AS INT) AS keep
         |FROM sc ORDER BY doc_id""".stripMargin,
     "j28_domain_mix" -> {
       val h = "md5('mix:' || CAST(d.doc_id AS VARCHAR))"

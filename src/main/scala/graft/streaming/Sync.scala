@@ -507,6 +507,9 @@ object Sync {
     *   - repetition gate: dup-2-gram fraction ≤ 0.10
     *     ([[graft.ops.CurationOps.repetitionStats]] — narrow ops, so the
     *     same transformer runs unchanged on the stream)
+    *   - quality gate: the fixed-weight classifier logit above the 0.8
+    *     decision boundary ([[graft.ops.CurationOps.qualityLogit]] — the
+    *     SAME Column definition batch curate gates on, evaluated per row)
     *   - decontamination gate: shared-shingle ratio vs the eval set
     *     < 0.30 (j22's ratio, computed per ROW against the collected
     *     eval hash array — the eval set is MBs by assumption, so it
@@ -545,6 +548,8 @@ object Sync {
     val gated = graft.ops.CurationOps.repetitionStats(
       docs.withWatermark("ts", gap), keepTokens = true)
       .filter(col("keep") === 1).drop("keep", "d3")
+      .withColumn("quality", graft.ops.CurationOps.qualityLogit(col("text")))
+      .filter(col("quality") > graft.ops.CurationOps.qualityCut)
       .withColumn("content_hash", md5(col("text")))
       .join(corpusHashes, Seq("content_hash"), "left_anti")
       .withColumn("__shh", when(col("n_toks") >= 3,
@@ -558,7 +563,7 @@ object Sync {
       .filter(col("contamination") < 0.30)
     val out = gated
       .select(col("content_hash"), col("doc_id"), col("ts"), col("text"),
-        round(col("d2"), 6).as("dup2_frac"),
+        round(col("d2"), 6).as("dup2_frac"), col("quality"),
         round(col("contamination"), 6).as("contamination"))
       // keyed on the CONTENT hash, not doc_id: in-feed exact duplicates
       // (same text under a new id) must collapse to one survivor, exactly

@@ -53,6 +53,14 @@ class CurateSpec extends AnyFunSuite {
     assert((ids intersect dropped).isEmpty)
   }
 
+  test("every surviving doc passes the quality classifier (j65's gate)") {
+    val dropped = q("j65_quality_classifier")
+      .filter(col("keep") === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty, "quality boundary dropped nothing — gate untested")
+    assert((ids intersect dropped).isEmpty)
+  }
+
   test("every eligible doc that wins its mix draw survives (completeness)") {
     // the reverse direction of the gate checks above: derive the eligible
     // set from the ORACLED operators' outputs, apply the mix to it, and
@@ -71,9 +79,12 @@ class CurateSpec extends AnyFunSuite {
     val contaminated = ops.PipelineOps.contamination(spark, TestSpark.sf0001)
       .filter(col("raw_contamination") >= 0.30) // curate's exact predicate
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val qualDropped = q("j65_quality_classifier")
+      .filter(col("keep") === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     val eligible = docs.filter(col("doc_id").isInCollection(
       docs.select(col("doc_id")).collect().map(_.getLong(0)).filter(id =>
-        keepers(id) && !nonReps(id) && !repDropped(id) &&
+        keepers(id) && !nonReps(id) && !repDropped(id) && !qualDropped(id) &&
           id % 10 != 0 && !contaminated(id))))
     val expected = CurationOps.domainMix(eligible)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
@@ -145,9 +156,12 @@ class CurateSpec extends AnyFunSuite {
     val contaminated = ops.PipelineOps.contamination(spark, TestSpark.sf0001)
       .filter(col("raw_contamination") >= 0.30)
       .select($"doc_id").as[Long].collect().toSet
+    val qualDropped = q("j65_quality_classifier")
+      .filter(col("keep") === 0)
+      .select($"doc_id").as[Long].collect().toSet
     val eligible = docs.filter(col("doc_id").isInCollection(
       docs.select($"doc_id").as[Long].collect().filter(id =>
-        keepers(id) && !nonReps(id) && !repDropped(id) &&
+        keepers(id) && !nonReps(id) && !repDropped(id) && !qualDropped(id) &&
           id % 10 != 0 && !contaminated(id) && !semDups(id))))
     val expected = CurationOps.domainMix(eligible)
       .select($"doc_id").as[Long].collect().toSet

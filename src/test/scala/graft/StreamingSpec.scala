@@ -278,7 +278,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("curateStream gates docs on arrival: exact-dup, repetition, contamination") {
+  test("curateStream gates docs on arrival: exact-dup, repetition, quality, contamination") {
     val spark = TestSpark.spark
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -298,7 +298,10 @@ class StreamingSpec extends AnyFunSuite {
         // mostly eval shingles (ratio 3/4 ≥ 0.30) → dropped
         Doc(4, "secret bench mark question answer here", ts("2024-01-01 10:00:15")),
         // one shared eval shingle in a long doc (ratio 1/8 < 0.30) → kept
-        Doc(5, "secret bench mark aaa bbb ccc ddd eee fff ggg", ts("2024-01-01 10:00:20")))
+        Doc(5, "secret bench mark aaa bbb ccc ddd eee fff ggg", ts("2024-01-01 10:00:20")),
+        // stopword-heavy short doc: repetition-clean (all bigrams distinct)
+        // but quality logit ≈ −2.57 < 0.8 → dropped by the QUALITY gate
+        Doc(7, "a the b the c the d", ts("2024-01-01 10:00:25")))
       q.processAllAvailable()
       mem.addData(
         // re-send of kept doc 2 within the watermark → suppressed
