@@ -59,6 +59,57 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("fingerprint")) === 1100271463L)
   }
 
+  test("j58_pipeline_agg bucket 2 matches DuckDB (derivative/cum/moving avg)") {
+    val r = q("j58_pipeline_agg").collect()(1)
+    assert(r.getLong(r.fieldIndex("doc_count")) === 11L)
+    assert(r.getLong(r.fieldIndex("deriv")) === 7L)
+    assert(r.getLong(r.fieldIndex("cum")) === 15L)
+    assert(r.getDouble(r.fieldIndex("mavg")) === 7.5)
+    // first bucket's derivative is SQL-null (no predecessor), not zero
+    assert(q("j58_pipeline_agg").head().isNullAt(r.fieldIndex("deriv")))
+  }
+
+  test("j60_adjacency_matrix matches DuckDB at both SFs (A / A&B cells)") {
+    val m = q("j60_adjacency_matrix").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("A") === 193L && m("A&B") === 74L && m("A&C") === 28L)
+    val m01 = q01("j60_adjacency_matrix").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m01("A") === 218L && m01("A&B") === 91L && m01("A&C") === 41L)
+  }
+
+  test("j61_sampler_agg diversified sample composition matches DuckDB at both SFs") {
+    val r = q("j61_sampler_agg").head()
+    assert(r.getString(0) === "de")
+    assert(r.getLong(r.fieldIndex("doc_count")) === 18L)
+    assert(r.getDouble(r.fieldIndex("max_score")) === 0.45994)
+    val r01 = q01("j61_sampler_agg").head()
+    assert(r01.getLong(r01.fieldIndex("doc_count")) === 15L)
+    assert(r01.getDouble(r01.fieldIndex("max_score")) === 0.492022)
+  }
+
+  test("j62_collapse top group matches DuckDB at both SFs") {
+    val r = q("j62_collapse").head()
+    assert(r.getString(0) === "src9")
+    assert(r.getLong(r.fieldIndex("doc_id")) === 169L)
+    assert(r.getDouble(r.fieldIndex("score")) === 0.960198)
+    assert(r.getLong(r.fieldIndex("n_hits")) === 24L)
+    val r01 = q01("j62_collapse").head()
+    assert(r01.getString(0) === "src12")
+    assert(r01.getDouble(r01.fieldIndex("score")) === 0.823457)
+  }
+
+  test("j64_auto_date_histogram picks the 7d rung and anchors buckets at min(ts)") {
+    val rows = q("j64_auto_date_histogram").collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.getString(1) === "7d"))
+    assert(rows(0).getAs[LocalDateTime]("bucket_start") ===
+      LocalDateTime.of(2024, 1, 1, 0, 9, 58, 778549000))
+    assert(rows(0).getLong(rows(0).fieldIndex("doc_count")) === 248L)
+    val rows01 = q01("j64_auto_date_histogram").collect()
+    assert(rows01(0).getLong(rows01(0).fieldIndex("doc_count")) === 2348L)
+  }
+
   test("j22_decontaminate first contaminated doc at sf0.01 matches DuckDB") {
     val r = q01("j22_decontaminate").head()
     assert(r.getLong(r.fieldIndex("doc_id")) === 1L)
