@@ -878,7 +878,70 @@ object PipelineOps {
       .orderBy($"vec_id")
   }
 
+  // ---------- j66 BPE merge induction ----------
+
+  /** j66_bpe_vocab — the first 3 BPE merges (Sennrich et al. 2016), the
+    * tokenizer-vocabulary induction step between corpus curation and the
+    * dataloader: count symbol-pair frequencies over the word-frequency
+    * table, merge the most frequent pair everywhere, repeat. Reports each
+    * round's chosen pair and its weighted count.
+    *
+    * Re-segmentation trick, shared with the oracle: symbol sequences are
+    * SELF-DELIMITED strings — `spark` ⇒ `(s)(p)(a)(r)(k)` — so merging
+    * pair (l,r) is the plain string replace of `(l)(r)` with `(lr)`.
+    * Adjacent matches share no delimiter characters, which makes both
+    * engines' left-to-right non-overlapping `replace` EXACTLY BPE's
+    * greedy merge scan (a space-separated encoding would eat the shared
+    * boundary space and silently skip every second occurrence).
+    *
+    * Scale shape: the corpus is touched ONCE (the word-frequency
+    * aggregation, map-combined; persisted — at 100 TB the vocab is
+    * millions of rows while the corpus is trillions, the same reduction
+    * every industrial BPE trainer makes). Each round is one map-combined
+    * pair aggregation over the vocab plus a 1-row argmax that rides a
+    * broadcast back onto it — the fixpoint stays fully declarative, no
+    * driver-side collect (deterministic tiebreak: count DESC, pair ASC). */
+  def j66(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      // chars via sequence+substring, NOT split(word, ''): Spark's regex
+      // split appends a trailing empty element that would become `()`
+      .withColumn("sym", concat(lit("("), concat_ws(")(", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")), lit(")")))
+      .select($"cnt", $"sym")
+      .persist() // the chain below reads it 2× per round (pairs + rewrite)
+    def topPair(vocab: DataFrame): DataFrame = vocab
+      .select($"cnt", split(expr("substring(sym, 2, length(sym) - 2)"), "\\)\\(").as("syms"))
+      .filter(size($"syms") >= 2) // sequence(1,0) would count DESCENDING in Spark
+      .select($"cnt", explode(expr(
+        """transform(sequence(1, size(syms) - 1),
+          |  i -> named_struct('l', element_at(syms, i), 'r', element_at(syms, i + 1)))""".stripMargin)).as("p"))
+      .groupBy($"p.l".as("l"), $"p.r".as("r"))
+      .agg(sum($"cnt").as("pair_count"))
+      .orderBy($"pair_count".desc, $"l".asc, $"r".asc)
+      .limit(1)
+    def merged(vocab: DataFrame, top: DataFrame): DataFrame = vocab
+      .crossJoin(broadcast(top))
+      .withColumn("sym", expr(
+        "replace(sym, '(' || l || ')(' || r || ')', '(' || l || r || ')')"))
+      .select($"cnt", $"sym")
+    val t1 = topPair(words)
+    val v1 = merged(words, t1)
+    val t2 = topPair(v1)
+    val v2 = merged(v1, t2)
+    val t3 = topPair(v2)
+    t1.withColumn("merge_rank", lit(1L))
+      .unionAll(t2.withColumn("merge_rank", lit(2L)))
+      .unionAll(t3.withColumn("merge_rank", lit(3L)))
+      .select($"merge_rank", $"l".as("left"), $"r".as("right"),
+        concat($"l", $"r").as("merged"), $"pair_count")
+      .orderBy($"merge_rank")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j66_bpe_vocab" -> j66,
     "j12_minhash_lsh" -> j12, "j13_simhash" -> j13,
     "j14_embed_neardup" -> j14, "j15_langid" -> j15,
     "j16_quality_score" -> j16, "j17_token_stats" -> j17,
@@ -892,6 +955,48 @@ object PipelineOps {
     "j52_dsir_score" -> j52, "j53_semdedup" -> j53)
 
   val oracle: Map[String, String] = Map(
+    "j66_bpe_vocab" ->
+      """WITH w AS (SELECT word, count(*) AS cnt
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |                 FROM 'documents.parquet') GROUP BY 1),
+        |v0 AS (SELECT cnt, '(' || array_to_string(list_transform(
+        |         generate_series(1, length(word)), i -> word[i]), ')(') || ')' AS sym
+        |       FROM w),
+        |p1 AS (SELECT s.l, s.r, CAST(sum(cnt) AS BIGINT) AS pair_count
+        |       FROM (SELECT cnt, unnest(list_transform(
+        |               generate_series(1, len(string_split(sym[2:-2], ')(')) - 1),
+        |               i -> struct_pack(l := string_split(sym[2:-2], ')(')[i],
+        |                                r := string_split(sym[2:-2], ')(')[i+1]))) AS s
+        |             FROM v0 WHERE len(string_split(sym[2:-2], ')(')) >= 2)
+        |       GROUP BY 1, 2),
+        |t1 AS (SELECT * FROM p1 ORDER BY pair_count DESC, l, r LIMIT 1),
+        |v1 AS (SELECT cnt, replace(sym, '(' || t1.l || ')(' || t1.r || ')',
+        |                           '(' || t1.l || t1.r || ')') AS sym
+        |       FROM v0 CROSS JOIN t1),
+        |p2 AS (SELECT s.l, s.r, CAST(sum(cnt) AS BIGINT) AS pair_count
+        |       FROM (SELECT cnt, unnest(list_transform(
+        |               generate_series(1, len(string_split(sym[2:-2], ')(')) - 1),
+        |               i -> struct_pack(l := string_split(sym[2:-2], ')(')[i],
+        |                                r := string_split(sym[2:-2], ')(')[i+1]))) AS s
+        |             FROM v1 WHERE len(string_split(sym[2:-2], ')(')) >= 2)
+        |       GROUP BY 1, 2),
+        |t2 AS (SELECT * FROM p2 ORDER BY pair_count DESC, l, r LIMIT 1),
+        |v2 AS (SELECT cnt, replace(sym, '(' || t2.l || ')(' || t2.r || ')',
+        |                           '(' || t2.l || t2.r || ')') AS sym
+        |       FROM v1 CROSS JOIN t2),
+        |p3 AS (SELECT s.l, s.r, CAST(sum(cnt) AS BIGINT) AS pair_count
+        |       FROM (SELECT cnt, unnest(list_transform(
+        |               generate_series(1, len(string_split(sym[2:-2], ')(')) - 1),
+        |               i -> struct_pack(l := string_split(sym[2:-2], ')(')[i],
+        |                                r := string_split(sym[2:-2], ')(')[i+1]))) AS s
+        |             FROM v2 WHERE len(string_split(sym[2:-2], ')(')) >= 2)
+        |       GROUP BY 1, 2),
+        |t3 AS (SELECT * FROM p3 ORDER BY pair_count DESC, l, r LIMIT 1)
+        |SELECT merge_rank, l AS "left", r AS "right", l || r AS merged, pair_count
+        |FROM (SELECT CAST(1 AS BIGINT) AS merge_rank, * FROM t1
+        |      UNION ALL SELECT CAST(2 AS BIGINT), * FROM t2
+        |      UNION ALL SELECT CAST(3 AS BIGINT), * FROM t3)
+        |ORDER BY merge_rank""".stripMargin,
     "j12_minhash_lsh" ->
       s"""WITH s AS ($shingleSql),
          |h AS (SELECT doc_id, sh, i,

@@ -627,7 +627,33 @@ object SearchOps {
       .orderBy($"bucket_start")
   }
 
+  /** j67_percentile_ranks — ES `percentile_ranks` aggregation: the inverse
+    * of d12's percentiles — for each probe value, the percentage of the
+    * metric's population at or under it. ES serves this from the same
+    * TDigest as `percentiles`; exact counting is the d12 discipline (the
+    * sketch-tier complement is d15).
+    *
+    * Scale shape: all three ranks come from ONE map-side-combinable
+    * global aggregate of conditional counts (j60's shape — a single
+    * reduce row at any corpus size), unpivoted by `stack`. */
+  def j67(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .agg(count(lit(1)).as("n"),
+        count(when($"value" <= 100.0, 1)).as("le100"),
+        count(when($"value" <= 250.0, 1)).as("le250"),
+        count(when($"value" <= 400.0, 1)).as("le400"))
+      .selectExpr(
+        """stack(3, CAST(100.0 AS DOUBLE), le100, CAST(250.0 AS DOUBLE), le250,
+          |         CAST(400.0 AS DOUBLE), le400)
+          |  AS (probe, n_le)""".stripMargin, "n")
+      .select($"probe",
+        round(lit(100.0) * $"n_le" / $"n".cast("double"), 6).as("pct_rank"))
+      .orderBy($"probe")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j67_percentile_ranks" -> j67,
     "j58_pipeline_agg" -> j58, "j59_rare_terms" -> j59,
     "j60_adjacency_matrix" -> j60, "j61_sampler_agg" -> j61,
     "j62_collapse" -> j62, "j63_completion_suggest" -> j63,
@@ -640,6 +666,17 @@ object SearchOps {
     "j48_term_suggest" -> j48, "j51_bool_msm" -> j51)
 
   val oracle: Map[String, String] = Map(
+    "j67_percentile_ranks" ->
+      """WITH m AS (SELECT count(*) AS n,
+        |             count(*) FILTER (WHERE value <= 100.0) AS le100,
+        |             count(*) FILTER (WHERE value <= 250.0) AS le250,
+        |             count(*) FILTER (WHERE value <= 400.0) AS le400
+        |           FROM 'events.parquet'),
+        |u AS (SELECT CAST(100.0 AS DOUBLE) AS probe, le100 AS n_le, n FROM m
+        |      UNION ALL SELECT CAST(250.0 AS DOUBLE), le250, n FROM m
+        |      UNION ALL SELECT CAST(400.0 AS DOUBLE), le400, n FROM m)
+        |SELECT probe, round(100.0 * n_le / CAST(n AS DOUBLE), 6) AS pct_rank
+        |FROM u ORDER BY probe""".stripMargin,
     "j58_pipeline_agg" ->
       """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type
         |           FROM 'events.parquet'),

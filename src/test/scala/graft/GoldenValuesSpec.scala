@@ -99,6 +99,24 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(r01.getDouble(r01.fieldIndex("score")) === 0.823457)
   }
 
+  test("j66_bpe_vocab merges match DuckDB at both SFs (different corpora)") {
+    val m = q("j66_bpe_vocab").collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+    assert(m.toSeq === Seq((1L, "er", 4650L), (2L, "or", 2880L), (3L, "in", 2858L)))
+    val m01 = q01("j66_bpe_vocab").collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+    assert(m01.toSeq === Seq((1L, "er", 4568L), (2L, "in", 2760L), (3L, "ow", 2747L)))
+  }
+
+  test("j67_percentile_ranks matches DuckDB at both SFs") {
+    val m = q("j67_percentile_ranks").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(m(100.0) === 86.4 && m(250.0) === 99.3 && m(400.0) === 100.0)
+    val m01 = q01("j67_percentile_ranks").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(m01(100.0) === 86.84 && m01(400.0) === 99.99)
+  }
+
   test("j64_auto_date_histogram picks the 7d rung and anchors buckets at min(ts)") {
     val rows = q("j64_auto_date_histogram").collect()
     assert(rows.length === 5)
