@@ -104,14 +104,11 @@ object Tables {
     * here so the encoding switch can't drift per-operator. All engine
     * sessions run with spark.sql.session.timeZone=UTC, so the ntz→epoch
     * mapping below is the same one DuckDB's `epoch_us(ts)` applies. */
-  def eventsUs(s: SparkSession, d: String): DataFrame = {
-    val raw = eventsRaw(s, d)
-    raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts_us", expr("ts div 1000"))
-      case _ => canonTs(raw)
-        .withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
-    }
-  }
+  def eventsUs(s: SparkSession, d: String): DataFrame =
+    // canonicalize FIRST so `ts` has one shape (µs TimestampNTZ) under
+    // either storage encoding; ts_us from the truncated canonical value
+    // equals the legacy `ts div 1000` exactly
+    events(s, d).withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
 
   /** The events table as an unbounded stream (same canonical µs shape) —
     * the change-log side of the sync read as Structured Streaming. Any

@@ -206,12 +206,12 @@ object CurationOps {
       .join(TextOps.nearDupDropSet(s, d), Seq("doc_id"), "left_anti")
     val repKept = repetitionStats(nearKept)
       .filter($"keep" === 1).drop("n_toks", "d2", "d3", "keep")
-    // model-based quality gate (j65): row-local classification, so the
-    // drop set computed on the full corpus equals the one computed on the
-    // survivors — derived from `docs` to match the oracled operator 1:1
-    val qualKept = repKept.join(
-      qualityScore(docs).filter($"keep" === 0).select($"doc_id"),
-      Seq("doc_id"), "left_anti")
+    // model-based quality gate (j65): row-local classification — the gate
+    // is the SAME shared Column the streaming twin filters on, applied in
+    // place (zero extra scans/exchanges; an anti-join against the j65
+    // frame would re-scan the corpus and shuffle, and would silently KEEP
+    // a null-text doc the stream's `> cut` predicate drops)
+    val qualKept = repKept.filter(qualityLogit($"text") > qualityCut)
     // gate on the UNROUNDED ratio (same boundary as Sync.curateStream) —
     // j22's presentation rounding could otherwise flip a doc whose true
     // ratio sits within 5e-7 of the threshold

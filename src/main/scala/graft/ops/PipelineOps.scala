@@ -905,6 +905,10 @@ object PipelineOps {
     import s.implicits._
     val words = Tables.documents(s, d)
       .select(explode(split($"text", " ")).as("word"))
+      // guard empty tokens (consecutive spaces): Spark's sequence(1,0)
+      // DESCENDS where DuckDB's generate_series(1,0) is empty, so an
+      // empty word would encode as "()()" here but "()" in the oracle
+      .filter(length($"word") > 0)
       .groupBy($"word").agg(count(lit(1)).as("cnt"))
       // chars via sequence+substring, NOT split(word, ''): Spark's regex
       // split appends a trailing empty element that would become `()`
@@ -958,7 +962,8 @@ object PipelineOps {
     "j66_bpe_vocab" ->
       """WITH w AS (SELECT word, count(*) AS cnt
         |           FROM (SELECT unnest(string_split(text, ' ')) AS word
-        |                 FROM 'documents.parquet') GROUP BY 1),
+        |                 FROM 'documents.parquet')
+        |           WHERE length(word) > 0 GROUP BY 1),
         |v0 AS (SELECT cnt, '(' || array_to_string(list_transform(
         |         generate_series(1, length(word)), i -> word[i]), ')(') || ')' AS sym
         |       FROM w),

@@ -520,9 +520,9 @@ object SearchOps {
 
   /** j62_collapse — ES field collapsing (`collapse` on `source` +
     * `inner_hits`): BM25-rank the corpus for a two-term query, return the
-    * best hit PER SOURCE with its group's hit count and the group
-    * runner-up's score — one result slot per source no matter how many
-    * docs a source matches, exactly search-result grouping.
+    * best hit PER SOURCE with its group's hit count — one result slot per
+    * source no matter how many docs a source matches, exactly
+    * search-result grouping.
     *
     * Scale shape: scoring is the j34 dataflow; collapse is one window
     * over the per-source partitions of the SCORED frame (matching docs,

@@ -212,10 +212,11 @@ class GraftSyncConnectorSpec extends AnyFunSuite {
     // now through OUR source.
     val dir = freshStore("i1")
     val ck = Files.createTempDirectory("gsync-i1-ck").toString
-    Tables.eventsRaw(spark, TestSpark.sf0001)
+    // write the CANONICAL events shape (ts µs timestamp_ntz whatever the
+    // storage encoding) so this test survives another fixture re-encode;
+    // the connector moves the ntz column as epoch-µs JSON numbers
+    Tables.events(spark, TestSpark.sf0001)
       .write.format("graft-sync").mode("overwrite").save(dir)
-    // ts is µs timestamp_ntz end-to-end (the connector moves it as epoch-µs
-    // JSON numbers and restores the type) — no conversion needed
     def windowed(df: org.apache.spark.sql.DataFrame) = df
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
