@@ -652,8 +652,32 @@ object SearchOps {
       .orderBy($"probe")
   }
 
+  /** j68_mad — ES `median_absolute_deviation` aggregation: per event
+    * type, the median of |value − median(value)| — the robust dispersion
+    * metric ES serves from the same TDigest as `percentiles`; exact
+    * two-pass computation is the d12 discipline (`percentile` ≡ DuckDB
+    * `percentile_cont`, identical interpolation arithmetic).
+    *
+    * Scale shape: two keyed map-combined aggregations with the 3-row
+    * median table broadcast between them — the corpus shuffles on
+    * event_type once per pass, never collects. (ES's one-pass sketch is
+    * the d15-style trade; exact MAD fundamentally needs the second pass.) */
+  def j68(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d).select($"event_type", $"value")
+    val med = e.groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    e.join(broadcast(med), "event_type")
+      .withColumn("ad", abs($"value" - $"med"))
+      .groupBy($"event_type")
+      .agg(round(max($"med"), 6).as("median_value"), // constant per group
+        round(expr("percentile(ad, 0.5)"), 6).as("mad"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "j67_percentile_ranks" -> j67,
+    "j67_percentile_ranks" -> j67, "j68_mad" -> j68,
     "j58_pipeline_agg" -> j58, "j59_rare_terms" -> j59,
     "j60_adjacency_matrix" -> j60, "j61_sampler_agg" -> j61,
     "j62_collapse" -> j62, "j63_completion_suggest" -> j63,
@@ -666,6 +690,16 @@ object SearchOps {
     "j48_term_suggest" -> j48, "j51_bool_msm" -> j51)
 
   val oracle: Map[String, String] = Map(
+    "j68_mad" ->
+      """WITH m AS (SELECT event_type,
+        |             percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+        |           FROM 'events.parquet' GROUP BY 1)
+        |SELECT e.event_type,
+        |       round(max(m.med), 6) AS median_value,
+        |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(e.value - m.med)), 6) AS mad,
+        |       count(*) AS n
+        |FROM 'events.parquet' e JOIN m USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j67_percentile_ranks" ->
       """WITH m AS (SELECT count(*) AS n,
         |             count(*) FILTER (WHERE value <= 100.0) AS le100,

@@ -119,6 +119,54 @@ object SyncOps {
       .orderBy($"op")
   }
 
+  /** i13_sync_diff — the sync tool's `verify` subcommand: reconcile the
+    * source store against a (simulated) lagging replica by row checksum
+    * and report every divergence class with counts per event_type. The
+    * replica is derived deterministically from the source inside the
+    * query — identically in both engines — with three injected fault
+    * classes: missed inserts (event_id % 97 == 0 absent), divergent
+    * updates (event_id % 101 == 0 carries value+1), and orphans
+    * (event_id % 103 == 0 re-keyed past the source id space).
+    *
+    * Row identity = md5 over the canonical value string (h9's checksum
+    * discipline: money as integer cents — no stringified double ever
+    * enters a hash; props verbatim). Divergence classes:
+    * `missing_in_target` / `missing_in_source` / `checksum_mismatch` /
+    * `in_sync`.
+    *
+    * Scale shape: one full-outer equi-join keyed on the row id — both
+    * sides shuffle-partition on the same key, which is the honest cost of
+    * a full-store reconcile (the reference pages both stores and compares
+    * in the driver; co-partitioned merge IS that loop distributed). The
+    * report aggregates map-side to |classes|×|event_types| rows. */
+  def i13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def withCs(df: DataFrame): DataFrame = df.withColumn("cs",
+      md5(concat_ws("|", $"user_id", $"event_type",
+        round($"value" * 100, 0).cast("long"), $"props")))
+    val src = withCs(Tables.eventsRaw(s, d)
+      .select($"event_id", $"user_id", $"event_type", $"value", $"props"))
+    val tgt = withCs(Tables.eventsRaw(s, d)
+      .select($"event_id", $"user_id", $"event_type", $"value", $"props")
+      .filter($"event_id" % 97 =!= 0)
+      .withColumn("value",
+        when($"event_id" % 101 === 0, $"value" + 1.0).otherwise($"value")))
+      .withColumn("event_id",
+        when($"event_id" % 103 === 0, $"event_id" + 100000000L)
+          .otherwise($"event_id"))
+    src.select($"event_id", $"event_type".as("et_s"), $"cs".as("cs_s"))
+      .join(tgt.select($"event_id", $"event_type".as("et_t"), $"cs".as("cs_t")),
+        Seq("event_id"), "full_outer")
+      .select(
+        when($"cs_t".isNull, "missing_in_target")
+          .when($"cs_s".isNull, "missing_in_source")
+          .when($"cs_s" =!= $"cs_t", "checksum_mismatch")
+          .otherwise("in_sync").as("status"),
+        coalesce($"et_s", $"et_t").as("event_type"))
+      .groupBy($"status", $"event_type").agg(count(lit(1)).as("n"))
+      .orderBy($"status", $"event_type")
+  }
+
   /** Input/buffer row for the LWW aggregator: a (timestamp, value) pair. */
   case class TsVal(ts_us: Long, v: String)
 
@@ -151,7 +199,8 @@ object SyncOps {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c10_join_asof" -> c10, "c12_join_asof_native" -> c12,
     "i6_incremental_lww_merge" -> i6, "i11_sync_stats" -> i11,
-    "i12_lww_delete_merge" -> i12, "k2_typed_aggregator" -> k2)
+    "i12_lww_delete_merge" -> i12, "i13_sync_diff" -> i13,
+    "k2_typed_aggregator" -> k2)
 
   /** c10 and c12 implement the SAME semantics (composed vs native) and are
     * graded against one oracle text — edit here, both keys follow. */
@@ -166,6 +215,28 @@ object SyncOps {
       |ORDER BY purchase_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "i13_sync_diff" ->
+      """WITH s AS (SELECT event_id, event_type,
+        |             md5(concat_ws('|', user_id, event_type,
+        |               CAST(round(value * 100, 0) AS BIGINT), props)) AS cs
+        |           FROM 'events.parquet'),
+        |t0 AS (SELECT event_id, event_type, user_id,
+        |         CASE WHEN event_id % 101 = 0 THEN value + 1.0 ELSE value END AS value,
+        |         props
+        |       FROM 'events.parquet' WHERE event_id % 97 <> 0),
+        |t AS (SELECT CASE WHEN event_id % 103 = 0 THEN event_id + 100000000 ELSE event_id END AS event_id,
+        |        event_type,
+        |        md5(concat_ws('|', user_id, event_type,
+        |          CAST(round(value * 100, 0) AS BIGINT), props)) AS cs
+        |      FROM t0)
+        |SELECT CASE WHEN t.cs IS NULL THEN 'missing_in_target'
+        |            WHEN s.cs IS NULL THEN 'missing_in_source'
+        |            WHEN s.cs <> t.cs THEN 'checksum_mismatch'
+        |            ELSE 'in_sync' END AS status,
+        |       coalesce(s.event_type, t.event_type) AS event_type,
+        |       count(*) AS n
+        |FROM s FULL OUTER JOIN t USING (event_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "c10_join_asof" -> asofOracle,
     "c12_join_asof_native" -> asofOracle,
     "i6_incremental_lww_merge" ->
