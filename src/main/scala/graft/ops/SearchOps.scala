@@ -676,8 +676,33 @@ object SearchOps {
       .orderBy($"event_type")
   }
 
+  /** j69_boxplot — ES `boxplot` aggregation: per event type, min / q1 /
+    * median / q3 / max plus the 1.5·IQR Tukey fences clipped to the data
+    * range (the fence FORMULA, the summary a plotting client consumes; ES
+    * additionally snaps whiskers to the nearest datapoint inside the
+    * fence — that refinement needs a TDigest-style pass ES already has in
+    * hand). Exact percentiles = the d12/j68 discipline.
+    *
+    * Scale shape: ONE keyed map-combined aggregation; the fence
+    * arithmetic is row-local on the 5-number summary. */
+  def j69(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(round(min($"value"), 6).as("min_v"),
+        round(expr("percentile(value, 0.25)"), 6).as("q1"),
+        round(expr("percentile(value, 0.5)"), 6).as("q2"),
+        round(expr("percentile(value, 0.75)"), 6).as("q3"),
+        round(max($"value"), 6).as("max_v"))
+      .withColumn("lower_fence",
+        round(greatest($"min_v", $"q1" - lit(1.5) * ($"q3" - $"q1")), 6))
+      .withColumn("upper_fence",
+        round(least($"max_v", $"q3" + lit(1.5) * ($"q3" - $"q1")), 6))
+      .orderBy($"event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "j67_percentile_ranks" -> j67, "j68_mad" -> j68,
+    "j67_percentile_ranks" -> j67, "j68_mad" -> j68, "j69_boxplot" -> j69,
     "j58_pipeline_agg" -> j58, "j59_rare_terms" -> j59,
     "j60_adjacency_matrix" -> j60, "j61_sampler_agg" -> j61,
     "j62_collapse" -> j62, "j63_completion_suggest" -> j63,
@@ -690,6 +715,18 @@ object SearchOps {
     "j48_term_suggest" -> j48, "j51_bool_msm" -> j51)
 
   val oracle: Map[String, String] = Map(
+    "j69_boxplot" ->
+      """WITH b AS (SELECT event_type,
+        |             round(min(value), 6) AS min_v,
+        |             round(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 6) AS q1,
+        |             round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS q2,
+        |             round(percentile_cont(0.75) WITHIN GROUP (ORDER BY value), 6) AS q3,
+        |             round(max(value), 6) AS max_v
+        |           FROM 'events.parquet' GROUP BY 1)
+        |SELECT event_type, min_v, q1, q2, q3, max_v,
+        |       round(greatest(min_v, q1 - 1.5 * (q3 - q1)), 6) AS lower_fence,
+        |       round(least(max_v, q3 + 1.5 * (q3 - q1)), 6) AS upper_fence
+        |FROM b ORDER BY event_type""".stripMargin,
     "j68_mad" ->
       """WITH m AS (SELECT event_type,
         |             percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med

@@ -11,6 +11,32 @@ import java.nio.file.Files
   */
 class SourcesFormatsSpec extends AnyFunSuite {
 
+  test("Tables.events canonicalizes BOTH storage encodings to the same µs ntz column") {
+    // the round-5 lesson: the driver re-encoded events.ts from int64 ns to
+    // native µs timestamp_ntz between rounds. Tables.events must keep
+    // serving the SAME canonical column under either encoding — synthesize
+    // a legacy ns-long events.parquet and compare against the real one.
+    val s = TestSpark.spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("events-ns-legacy").toString
+    val real = graft.Tables.events(s, TestSpark.sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .orderBy($"event_id").limit(50).collect()
+    // re-encode those rows as the LEGACY shape: ts = LongType ns-since-epoch
+    real.map { r =>
+      val ldt = r.getAs[java.time.LocalDateTime](1)
+      (r.getLong(0),
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L + ldt.getNano,
+        r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5))
+    }
+      .toSeq.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val legacy = graft.Tables.events(s, dir)
+      .orderBy($"event_id").limit(50).collect()
+    assert(legacy.toSeq === real.toSeq) // same values, same µs ntz type
+    assert(graft.Tables.eventsUs(s, dir).schema("ts_us").dataType.typeName === "long")
+  }
+
   test("same aggregation, parquet vs jsonl source: identical results") {
     val spark = TestSpark.spark
     import spark.implicits._
