@@ -701,8 +701,46 @@ object SearchOps {
       .orderBy($"event_type")
   }
 
+  /** j70_boosting_query — ES `boosting` query: rank by the positive
+    * clause's BM25 score ('spark'), demoting — not excluding — documents
+    * matching the negative clause ('slow') by `negative_boost` 0.5. The
+    * capability a bool must_not cannot express: soft demotion keeps
+    * recall while re-ordering.
+    *
+    * Scale shape: j34's term-filtered dataflow for BOTH clauses in one
+    * pass (the explode filters to positive ∪ negative terms); the demote
+    * factor is row arithmetic on the per-doc aggregate; top-15 =
+    * TakeOrderedAndProject. */
+  def j70(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
+    val dl = docs.select($"doc_id", size(split($"text", " ")).cast("double").as("dl"))
+    val tf = toks.filter($"token".isin("spark", "slow"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg($"dl").as("avgdl"))
+    tf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore",
+        when($"token" === "spark",
+          TextOps.bm25Tscore($"tf", $"df", $"dl", $"n_docs", $"avgdl"))
+          .otherwise(lit(0.0)))
+      .groupBy($"doc_id")
+      .agg(Parity.sortedFoldSum($"tscore").as("pos"),
+        max(when($"token" === "slow", 1).otherwise(0)).as("neg"))
+      .filter($"pos" > 0.0) // positive clause must match (ES semantics)
+      .select($"doc_id",
+        round($"pos" * when($"neg" === 1, 0.5).otherwise(1.0), 6).as("score"),
+        $"neg".cast("int").as("demoted"))
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(15)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j67_percentile_ranks" -> j67, "j68_mad" -> j68, "j69_boxplot" -> j69,
+    "j70_boosting_query" -> j70,
     "j58_pipeline_agg" -> j58, "j59_rare_terms" -> j59,
     "j60_adjacency_matrix" -> j60, "j61_sampler_agg" -> j61,
     "j62_collapse" -> j62, "j63_completion_suggest" -> j63,
@@ -715,6 +753,31 @@ object SearchOps {
     "j48_term_suggest" -> j48, "j51_bool_msm" -> j51)
 
   val oracle: Map[String, String] = Map(
+    "j70_boosting_query" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |              FROM 'documents.parquet'),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |       FROM 'documents.parquet'),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM toks
+        |       WHERE token IN ('spark', 'slow') GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |sc AS (SELECT tf.doc_id,
+        |         CASE WHEN tf.token = 'spark' THEN
+        |           ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |             (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
+        |         ELSE 0.0 END AS tscore,
+        |         CASE WHEN tf.token = 'slow' THEN 1 ELSE 0 END AS neg
+        |       FROM tf JOIN dl USING (doc_id)
+        |            JOIN df USING (token) CROSS JOIN st),
+        |agg AS (SELECT doc_id, list_sum(list_sort(list(tscore))) AS pos,
+        |               max(neg) AS neg
+        |        FROM sc GROUP BY 1 HAVING list_sum(list_sort(list(tscore))) > 0.0)
+        |SELECT doc_id,
+        |       round(pos * CASE WHEN neg = 1 THEN 0.5 ELSE 1.0 END, 6) AS score,
+        |       CAST(neg AS INT) AS demoted
+        |FROM agg
+        |ORDER BY score DESC, doc_id ASC LIMIT 15""".stripMargin,
     "j69_boxplot" ->
       """WITH b AS (SELECT event_type,
         |             round(min(value), 6) AS min_v,

@@ -90,7 +90,8 @@ class PlanSpec extends AnyFunSuite {
       "j62_collapse", // 1-row corpus stats onto the term-filtered tf
       "j63_completion_suggest", // 3-row prefix list onto the vocab aggregate
       "j64_auto_date_histogram", // 1-row span/interval stats onto the bucket ids
-      "j66_bpe_vocab") // 1-row argmax pair broadcast onto the vocab, per merge round
+      "j66_bpe_vocab", // 1-row argmax pair broadcast onto the vocab, per merge round
+      "j70_boosting_query") // 1-row corpus stats onto the term-filtered tf (j34's shape)
     val offenders = SparkEntry.queries.toSeq
       .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
       .flatMap { case (name, fn) =>
