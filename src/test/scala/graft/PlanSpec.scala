@@ -376,6 +376,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window ["), p)
   }
 
+  test("j67/j69: single-aggregation metrics — no joins, no windows") {
+    for (q <- Seq("j67_percentile_ranks", "j69_boxplot")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: $p")
+      assert(!p.contains("Window ["), s"$q: $p")
+      assert(p.contains("partial_"), s"$q: $p") // map-side combine
+    }
+  }
+
+  test("j68: the median table broadcasts between the two MAD passes") {
+    val p = plan("j68_mad")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p) // 3-row medians must never shuffle-join
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j70: demotion ranks via TakeOrdered — no global sort, no cartesian") {
+    val p = plan("j70_boosting_query")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("i13: the reconcile is ONE keyed full-outer join; classes count map-side") {
+    val p = plan("i13_sync_diff")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("j50: span dedup never compares doc×doc — everything keys on the span hash") {
     val p = plan("j50_span_dedup")
     assert(!p.contains("CartesianProduct"), p)
