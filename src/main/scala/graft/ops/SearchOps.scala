@@ -264,24 +264,15 @@ object SearchOps {
     * tiebreaks at both cuts). */
   def j46(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val terms = Seq("spark", "vector", "dup")
     val docs = Tables.documents(s, d)
-    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
-    val cands = toks.filter($"token" === "spark")
+    val cands = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
+      .filter($"token" === "spark")
       .groupBy($"doc_id").agg(count(lit(1)).cast("double").as("p1"))
       .orderBy($"p1".desc, $"doc_id".asc).limit(50)
-    val dl = docs.select($"doc_id", size(split($"text", " ")).cast("double").as("dl"))
-    val tfAll = toks.filter($"token".isin(terms: _*))
-      .groupBy($"doc_id", $"token").agg(count(lit(1)).cast("double").as("tf"))
-    val dfreq = tfAll.groupBy($"token").agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg($"dl").as("avgdl"))
-    tfAll.join(broadcast(cands), "doc_id")
-      .join(dl, "doc_id")
-      .join(broadcast(dfreq), "token")
-      .crossJoin(broadcast(stats))
-      // ONE BM25 definition engine-wide: the formula lives in
-      // TextOps.bm25Tscore, shared with j34
-      .withColumn("tscore", TextOps.bm25Tscore($"tf", $"df", $"dl", $"n_docs", $"avgdl"))
+    // ONE BM25 definition engine-wide: formula AND dataflow live in
+    // TextOps (bm25Tscore / bm25Frames), shared with j34
+    TextOps.bm25Frames(docs, Seq("spark", "vector", "dup")).scored
+      .join(broadcast(cands), "doc_id")
       .groupBy($"doc_id")
       .agg(Parity.sortedFoldSum($"tscore").as("bm25"), max($"p1").as("p1"))
       .select($"doc_id",
@@ -369,18 +360,8 @@ object SearchOps {
     * via [[TextOps.bm25Tscore]]. */
   def j51(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val terms = Seq("spark", "join", "vector", "slow")
-    val docs = Tables.documents(s, d)
-    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
-    val dl = docs.select($"doc_id", size(split($"text", " ")).cast("double").as("dl"))
-    val tf = toks.filter($"token".isin(terms: _*))
-      .groupBy($"doc_id", $"token").agg(count(lit(1)).cast("double").as("tf"))
-    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg($"dl").as("avgdl"))
-    tf.join(dl, "doc_id")
-      .join(broadcast(dfreq), "token")
-      .crossJoin(broadcast(stats))
-      .withColumn("tscore", TextOps.bm25Tscore($"tf", $"df", $"dl", $"n_docs", $"avgdl"))
+    TextOps.bm25Frames(Tables.documents(s, d),
+        Seq("spark", "join", "vector", "slow")).scored
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_matched"), Parity.sortedFoldSum($"tscore").as("sc"))
       .filter($"n_matched" >= 2)
@@ -498,19 +479,10 @@ object SearchOps {
   def j61(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d)
-    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
-    val dl = docs.select($"doc_id", $"source", $"lang",
-      size(split($"text", " ")).cast("double").as("dl"))
-    val tf = toks.filter($"token" === "spark")
-      .groupBy($"doc_id").agg(count(lit(1)).cast("double").as("tf"))
-    val dfreq = tf.agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg($"dl").as("avgdl"))
     val wDiv = Window.partitionBy($"source").orderBy($"score".desc, $"doc_id".asc)
-    tf.join(dl, "doc_id")
-      .crossJoin(broadcast(dfreq)).crossJoin(broadcast(stats))
-      .withColumn("score",
-        round(TextOps.bm25Tscore($"tf", $"df", $"dl", $"n_docs", $"avgdl"), 6))
+    TextOps.bm25Frames(Tables.documents(s, d), Seq("spark"),
+        dlExtra = Seq("source", "lang")).scored
+      .withColumn("score", round($"tscore", 6))
       .withColumn("rs", row_number().over(wDiv)).filter($"rs" <= 5)
       .orderBy($"score".desc, $"doc_id".asc).limit(100)
       .groupBy($"lang")
@@ -530,19 +502,9 @@ object SearchOps {
   def j62(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val terms = Seq("hash", "join")
-    val docs = Tables.documents(s, d)
-    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
-    val dl = docs.select($"doc_id", $"source",
-      size(split($"text", " ")).cast("double").as("dl"))
-    val tf = toks.filter($"token".isin(terms: _*))
-      .groupBy($"doc_id", $"token").agg(count(lit(1)).cast("double").as("tf"))
-    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg($"dl").as("avgdl"))
-    val scored = tf.join(dl, "doc_id") // dl carries source — no second pass over docs
-      .join(broadcast(dfreq), "token")
-      .crossJoin(broadcast(stats))
-      .withColumn("tscore", TextOps.bm25Tscore($"tf", $"df", $"dl", $"n_docs", $"avgdl"))
+    // dl carries source — no second pass over docs
+    val scored = TextOps.bm25Frames(Tables.documents(s, d),
+        Seq("hash", "join"), dlExtra = Seq("source")).scored
       .groupBy($"doc_id", $"source")
       .agg(Parity.sortedFoldSum($"tscore").as("sc"))
       .withColumn("score", round($"sc", 6))
@@ -658,8 +620,9 @@ object SearchOps {
     * two-pass computation is the d12 discipline (`percentile` ≡ DuckDB
     * `percentile_cont`, identical interpolation arithmetic).
     *
-    * Scale shape: two keyed map-combined aggregations with the 3-row
-    * median table broadcast between them — the corpus shuffles on
+    * Scale shape: two keyed map-combined aggregations with the per-type
+    * median table (one row per event type) broadcast between them — the
+    * corpus shuffles on
     * event_type once per pass, never collects. (ES's one-pass sketch is
     * the d15-style trade; exact MAD fundamentally needs the second pass.) */
   def j68(s: SparkSession, d: String): DataFrame = {
@@ -713,20 +676,10 @@ object SearchOps {
     * TakeOrderedAndProject. */
   def j70(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, d)
-    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
-    val dl = docs.select($"doc_id", size(split($"text", " ")).cast("double").as("dl"))
-    val tf = toks.filter($"token".isin("spark", "slow"))
-      .groupBy($"doc_id", $"token").agg(count(lit(1)).cast("double").as("tf"))
-    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg($"dl").as("avgdl"))
-    tf.join(dl, "doc_id")
-      .join(broadcast(dfreq), "token")
-      .crossJoin(broadcast(stats))
+    TextOps.bm25Frames(Tables.documents(s, d), Seq("spark", "slow")).scored
+      // the negative clause contributes 0 to the score — it only demotes
       .withColumn("tscore",
-        when($"token" === "spark",
-          TextOps.bm25Tscore($"tf", $"df", $"dl", $"n_docs", $"avgdl"))
-          .otherwise(lit(0.0)))
+        when($"token" === "spark", $"tscore").otherwise(lit(0.0)))
       .groupBy($"doc_id")
       .agg(Parity.sortedFoldSum($"tscore").as("pos"),
         max(when($"token" === "slow", 1).otherwise(0)).as("neg"))

@@ -126,7 +126,9 @@ object SyncOps {
     * query — identically in both engines — with three injected fault
     * classes: missed inserts (event_id % 97 == 0 absent), divergent
     * updates (event_id % 101 == 0 carries value+1), and orphans
-    * (event_id % 103 == 0 re-keyed past the source id space).
+    * (event_id % 103 == 0 re-keyed by negation — `-id - 1` is disjoint
+    * from the non-negative source id space at ANY scale; a fixed offset
+    * would collide once real ids pass it).
     *
     * Row identity = md5 over the canonical value string (h9's checksum
     * discipline: money as integer cents — no stringified double ever
@@ -152,7 +154,7 @@ object SyncOps {
       .withColumn("value",
         when($"event_id" % 101 === 0, $"value" + 1.0).otherwise($"value")))
       .withColumn("event_id",
-        when($"event_id" % 103 === 0, $"event_id" + 100000000L)
+        when($"event_id" % 103 === 0, -$"event_id" - 1L)
           .otherwise($"event_id"))
     src.select($"event_id", $"event_type".as("et_s"), $"cs".as("cs_s"))
       .join(tgt.select($"event_id", $"event_type".as("et_t"), $"cs".as("cs_t")),
@@ -224,7 +226,7 @@ object SyncOps {
         |         CASE WHEN event_id % 101 = 0 THEN value + 1.0 ELSE value END AS value,
         |         props
         |       FROM 'events.parquet' WHERE event_id % 97 <> 0),
-        |t AS (SELECT CASE WHEN event_id % 103 = 0 THEN event_id + 100000000 ELSE event_id END AS event_id,
+        |t AS (SELECT CASE WHEN event_id % 103 = 0 THEN -event_id - 1 ELSE event_id END AS event_id,
         |        event_type,
         |        md5(concat_ws('|', user_id, event_type,
         |          CAST(round(value * 100, 0) AS BIGINT), props)) AS cs

@@ -393,22 +393,43 @@ object TextOps {
   def j34(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val terms = Seq("spark", "vector", "dup") // mixed df: two common, one rare
-    val docs = Tables.documents(s, d)
-    val dl = docs.select($"doc_id", size(split($"text", " ")).cast("double").as("dl"))
-    val tf = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
-      .filter($"token".isin(terms: _*))
-      .groupBy($"doc_id", $"token").agg(count(lit(1)).cast("double").as("tf"))
-    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg($"dl").as("avgdl"))
-    tf.join(dl, "doc_id")
-      .join(broadcast(dfreq), "token")
-      .crossJoin(broadcast(stats))
-      .withColumn("tscore", bm25Tscore($"tf", $"df", $"dl", $"n_docs", $"avgdl"))
+    bm25Frames(Tables.documents(s, d), terms).scored
       .groupBy($"doc_id")
       .agg(Parity.sortedFoldSum($"tscore").as("sc"), count(lit(1)).as("n_terms"))
       .select($"doc_id", round($"sc", 6).as("bm25"), $"n_terms")
       .orderBy($"bm25".desc, $"doc_id".asc)
       .limit(10)
+  }
+
+  /** The BM25 scoring DATAFLOW, single-sourced like the formula: doc
+    * lengths (plus any carried metadata columns), the term-filtered tf
+    * aggregate, per-term df, and the 1-row corpus stats — shared by every
+    * term-scored operator (j34 / j46 rescore / j51 msm / j61 sampler /
+    * j62 collapse / j70 boosting), so the tokenization and the tf/df
+    * definitions cannot drift between them. The oracle SQL strings
+    * necessarily restate the same CTEs. */
+  private[graft] case class Bm25Frames(tf: DataFrame, dl: DataFrame,
+      dfreq: DataFrame, stats: DataFrame) {
+    /** The per-(doc, term) scored join — the common consumption shape:
+      * tf ⋈ dl ⋈ broadcast(df) × broadcast(stats) with `tscore`. */
+    def scored: DataFrame = tf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore",
+        bm25Tscore(col("tf"), col("df"), col("dl"), col("n_docs"), col("avgdl")))
+  }
+
+  private[graft] def bm25Frames(docs: DataFrame, terms: Seq[String],
+      dlExtra: Seq[String] = Nil): Bm25Frames = {
+    val dl = docs.select(col("doc_id") +: dlExtra.map(col) :+
+      size(split(col("text"), " ")).cast("double").as("dl"): _*)
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    Bm25Frames(tf, dl, dfreq, stats)
   }
 
   /** The BM25 per-(doc, term) score — Lucene's +1 idf variant with

@@ -388,7 +388,7 @@ class PlanSpec extends AnyFunSuite {
   test("j68: the median table broadcasts between the two MAD passes") {
     val p = plan("j68_mad")
     assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p) // 3-row medians must never shuffle-join
+    assert(!p.contains("SortMergeJoin"), p) // the tiny per-type median table must never shuffle-join
     assert(!p.contains("CartesianProduct"), p)
   }
 

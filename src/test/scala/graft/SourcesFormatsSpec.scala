@@ -35,6 +35,16 @@ class SourcesFormatsSpec extends AnyFunSuite {
       .orderBy($"event_id").limit(50).collect()
     assert(legacy.toSeq === real.toSeq) // same values, same µs ntz type
     assert(graft.Tables.eventsUs(s, dir).schema("ts_us").dataType.typeName === "long")
+
+    // ...and the GENUINE legacy encoding: a TIMESTAMP(NANOS)-annotated
+    // parquet (pyarrow-written fixture — Spark cannot write one). Stock
+    // Spark rejects it with PARQUET_TYPE_ILLEGAL unless eventsRaw flips
+    // nanosAsLong; this pins the conf path itself, not just the LongType
+    // branch the synthesized file above exercises.
+    val nsDir = getClass.getResource("/fixtures/events-ns").getPath
+    val annotated = graft.Tables.events(s, nsDir)
+      .orderBy($"event_id").limit(50).collect()
+    assert(annotated.toSeq === real.toSeq)
   }
 
   test("same aggregation, parquet vs jsonl source: identical results") {
