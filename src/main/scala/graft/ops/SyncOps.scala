@@ -141,11 +141,17 @@ object SyncOps {
     * a full-store reconcile (the reference pages both stores and compares
     * in the driver; co-partitioned merge IS that loop distributed). The
     * report aggregates map-side to |classes|×|event_types| rows. */
+  /** The event-row checksum — ONE definition shared by batch i13 and the
+    * streaming [[graft.streaming.Sync.syncDiffStream]] (h9's canonical-
+    * string discipline: money as integer cents, props verbatim), so the
+    * two reconcile surfaces can't disagree about row identity. */
+  def eventChecksum(df: DataFrame): DataFrame = df.withColumn("cs",
+    md5(concat_ws("|", col("user_id"), col("event_type"),
+      round(col("value") * 100, 0).cast("long"), col("props"))))
+
   def i13(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    def withCs(df: DataFrame): DataFrame = df.withColumn("cs",
-      md5(concat_ws("|", $"user_id", $"event_type",
-        round($"value" * 100, 0).cast("long"), $"props")))
+    val withCs = eventChecksum _
     val src = withCs(Tables.eventsRaw(s, d)
       .select($"event_id", $"user_id", $"event_type", $"value", $"props"))
     val tgt = withCs(Tables.eventsRaw(s, d)

@@ -617,6 +617,53 @@ object Sync {
   def chunkStream(docs: DataFrame): DataFrame =
     graft.ops.PipelineOps.chunkOverlap(docs)
 
+  /** Streaming twin of i13 — CONTINUOUS reconciliation: each change
+    * arriving on the source feed is checked against the replica snapshot
+    * and emitted with its divergence class, instead of waiting for the
+    * periodic full-store diff. `missing_in_target` = the replica has no
+    * row for the key yet (the sync loop is behind); `checksum_mismatch` =
+    * the replica's row differs (a divergent update to repair); `in_sync`
+    * rows are suppressed by default — a verify feed reports problems.
+    *
+    * Row identity is [[graft.ops.SyncOps.eventChecksum]] — the SAME
+    * definition batch i13 compares, so the periodic and continuous
+    * surfaces cannot disagree. (`missing_in_source` — replica orphans —
+    * is structurally a replica-side scan concern: a row the source never
+    * sends can't appear on the change feed; that class stays with the
+    * batch sweep.)
+    *
+    * Scale shape: the replica snapshot is reduced to (key, checksum) and
+    * persisted (stream-static joins re-execute the static plan per
+    * microbatch — the lshDedupStream discipline); the probe is a keyed
+    * left join per arriving row; emission is watermark-deduped per
+    * (key, checksum) so a re-sent unchanged row reports once. */
+  def syncDiffStream(changes: DataFrame, replica: DataFrame,
+      emitInSync: Boolean = false, gap: String = "10 minutes"): DataFrame =
+    syncDiffStreamReleasable(changes, replica, emitInSync, gap)._1
+
+  /** [[syncDiffStream]] plus the static-cache release thunk (the
+    * `...Releasable` contract shared with lshDedupStream/curateStream). */
+  def syncDiffStreamReleasable(changes: DataFrame, replica: DataFrame,
+      emitInSync: Boolean = false, gap: String = "10 minutes")
+      : (DataFrame, () => Unit) = {
+    val replicaCs = graft.ops.SyncOps.eventChecksum(replica)
+      .select(col("event_id"), col("cs").as("cs_t")).persist()
+    val classified = graft.ops.SyncOps.eventChecksum(
+      changes.withWatermark("ts", gap))
+      .join(replicaCs, Seq("event_id"), "left")
+      .withColumn("status",
+        when(col("cs_t").isNull, "missing_in_target")
+          .when(col("cs") =!= col("cs_t"), "checksum_mismatch")
+          .otherwise("in_sync"))
+    val out = (if (emitInSync) classified
+      else classified.filter(col("status") =!= "in_sync"))
+      .select(col("event_id"), col("ts"), col("event_type"), col("status"),
+        col("cs"))
+      .dropDuplicatesWithinWatermark("event_id", "cs")
+      .drop("cs")
+    (out, () => { replicaCs.unpersist(); () })
+  }
+
   /** i6 streaming form — the sync loop: each microbatch is LWW-merged into
     * the parquet snapshot at `targetDir` (read-modify-write per batch, the
     * foreachBatch upsert idiom; at scale this would be a MERGE INTO a

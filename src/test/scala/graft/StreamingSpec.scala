@@ -9,6 +9,8 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 case class Change(key: Long, ts: Timestamp, uid: Long, payload: String)
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
 case class Doc(doc_id: Long, text: String, ts: Timestamp)
 case class Vec(vec_id: Long, embedding: Array[Float], ts: Timestamp)
 
@@ -276,6 +278,35 @@ class StreamingSpec extends AnyFunSuite {
         .as[(Long, Long, Double)].collect().toSet
       assert(got === want)
     } finally q.stop()
+  }
+
+  test("syncDiffStream classifies arriving changes against the replica (i13's twin)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // replica snapshot: key 1 in sync, key 2 divergent (old value), key 3 absent
+    val replica = Seq(
+      Ev(1L, ts("2024-01-01 09:00:00"), 10L, "click", 5.0, """{"k":1}"""),
+      Ev(2L, ts("2024-01-01 09:00:00"), 20L, "purchase", 99.0, """{"k":2}""")).toDF()
+    val mem = MemoryStream[Ev]
+    val (diff, release) = Sync.syncDiffStreamReleasable(mem.toDF(), replica)
+    val q = diff.writeStream.format("memory").queryName("sync_diff")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(1L, ts("2024-01-01 10:00:00"), 10L, "click", 5.0, """{"k":1}"""),     // in_sync → suppressed
+        Ev(2L, ts("2024-01-01 10:00:05"), 20L, "purchase", 42.0, """{"k":2}"""), // divergent value
+        Ev(3L, ts("2024-01-01 10:00:10"), 30L, "view", 1.0, """{"k":3}"""))      // replica is behind
+      q.processAllAvailable()
+      // re-sent identical change within the watermark → reported once
+      mem.addData(
+        Ev(2L, ts("2024-01-01 10:01:00"), 20L, "purchase", 42.0, """{"k":2}"""))
+      q.processAllAvailable()
+      val out = spark.table("sync_diff")
+        .select($"event_id", $"status").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      assert(out.sorted.toSeq === Seq(2L -> "checksum_mismatch", 3L -> "missing_in_target"))
+    } finally { q.stop(); release() }
   }
 
   test("curateStream gates docs on arrival: exact-dup, repetition, quality, contamination") {
