@@ -691,9 +691,75 @@ object SearchOps {
       .limit(15)
   }
 
+  /** j71_extended_stats — ES `extended_stats`: the `stats` fields plus
+    * sum_of_squares, variance, std_deviation, and the ±2σ
+    * std_deviation_bounds. Quantities are integral-valued doubles, so
+    * sum and sum-of-squares are order-exact; the bounds derive from the
+    * ROUNDED avg/σ so both engines compose identical doubles.
+    *
+    * Scale shape: one keyed map-combined aggregation; bounds are row
+    * arithmetic on the aggregate. */
+  def j71(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        min($"l_quantity").as("min_q"), max($"l_quantity").as("max_q"),
+        round(sum($"l_quantity"), 2).as("sum_q"),
+        round(sum($"l_quantity" * $"l_quantity"), 2).as("sum_sq"),
+        round(avg($"l_quantity"), 6).as("avg_q"),
+        round(var_samp($"l_quantity"), 6).as("var_q"),
+        round(stddev_samp($"l_quantity"), 6).as("sd_q"))
+      .withColumn("upper_2sd", round($"avg_q" + lit(2.0) * $"sd_q", 6))
+      .withColumn("lower_2sd", round($"avg_q" - lit(2.0) * $"sd_q", 6))
+      .orderBy($"l_returnflag")
+  }
+
+  /** j72_weighted_avg — ES `weighted_avg`: mean extendedprice weighted by
+    * quantity per return flag. Money sums ride exact DECIMAL(18,2) (d1's
+    * parity discipline — a double sum is order-nondeterministic); the one
+    * division happens AFTER both operands are exact, as a single double
+    * op both engines compute identically. */
+  def j72(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        sum($"l_extendedprice".cast("decimal(18,2)") *
+          $"l_quantity".cast("decimal(18,2)")).as("wsum"),
+        sum($"l_quantity".cast("decimal(18,2)")).as("qsum"))
+      .select($"l_returnflag",
+        round($"wsum".cast("double") / $"qsum".cast("double"), 6).as("weighted_avg"),
+        $"qsum".cast("double").as("total_weight"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** j73_range_agg — ES `range` aggregation on the value metric: buckets
+    * [*,100) / [100,250) / [250,*) with doc_count and an exact sum
+    * sub-metric. Money sums go through integer cents (h9/i13's
+    * discipline) — the 2dp doubles are exact as cents, so the per-bucket
+    * sum is order-independent.
+    *
+    * Scale shape: the bucket label is row-local; ONE keyed map-combined
+    * aggregation over ≤ 3 keys. */
+  def j73(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(
+        when($"value" < 100.0, "*-100.0")
+          .when($"value" < 250.0, "100.0-250.0")
+          .otherwise("250.0-*").as("range_key"),
+        round($"value" * 100, 0).cast("long").as("cents"))
+      .groupBy($"range_key")
+      .agg(count(lit(1)).as("doc_count"),
+        round(sum($"cents") / lit(100.0), 2).as("sum_value"))
+      .orderBy($"range_key")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j67_percentile_ranks" -> j67, "j68_mad" -> j68, "j69_boxplot" -> j69,
-    "j70_boosting_query" -> j70,
+    "j70_boosting_query" -> j70, "j71_extended_stats" -> j71,
+    "j72_weighted_avg" -> j72, "j73_range_agg" -> j73,
     "j58_pipeline_agg" -> j58, "j59_rare_terms" -> j59,
     "j60_adjacency_matrix" -> j60, "j61_sampler_agg" -> j61,
     "j62_collapse" -> j62, "j63_completion_suggest" -> j63,
@@ -706,6 +772,36 @@ object SearchOps {
     "j48_term_suggest" -> j48, "j51_bool_msm" -> j51)
 
   val oracle: Map[String, String] = Map(
+    "j71_extended_stats" ->
+      """WITH a AS (SELECT l_returnflag, count(*) AS n,
+        |             min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+        |             round(sum(l_quantity), 2) AS sum_q,
+        |             round(sum(l_quantity * l_quantity), 2) AS sum_sq,
+        |             round(avg(l_quantity), 6) AS avg_q,
+        |             round(var_samp(l_quantity), 6) AS var_q,
+        |             round(stddev_samp(l_quantity), 6) AS sd_q
+        |           FROM 'lineitem.parquet' GROUP BY 1)
+        |SELECT l_returnflag, n, min_q, max_q, sum_q, sum_sq, avg_q, var_q, sd_q,
+        |       round(avg_q + 2.0 * sd_q, 6) AS upper_2sd,
+        |       round(avg_q - 2.0 * sd_q, 6) AS lower_2sd
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "j72_weighted_avg" ->
+      """SELECT l_returnflag,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                 CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |        / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
+        |    AS weighted_avg,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_weight
+        |FROM 'lineitem.parquet' GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "j73_range_agg" ->
+      """WITH b AS (SELECT CASE WHEN value < 100.0 THEN '*-100.0'
+        |                       WHEN value < 250.0 THEN '100.0-250.0'
+        |                       ELSE '250.0-*' END AS range_key,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |           FROM 'events.parquet')
+        |SELECT range_key, count(*) AS doc_count,
+        |       round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS sum_value
+        |FROM b GROUP BY 1 ORDER BY range_key""".stripMargin,
     "j70_boosting_query" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |              FROM 'documents.parquet'),
