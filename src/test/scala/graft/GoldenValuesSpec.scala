@@ -117,6 +117,42 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(m01(100.0) === 86.84 && m01(400.0) === 99.99)
   }
 
+  test("i13_sync_diff first divergence classes match DuckDB at both SFs") {
+    val m = q("i13_sync_diff").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("checksum_mismatch", "click")) === 3L)
+    assert(m(("checksum_mismatch", "purchase")) === 2L)
+    val m01 = q01("i13_sync_diff").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m01(("checksum_mismatch", "click")) === 14L)
+    assert(m01(("checksum_mismatch", "error")) === 20L)
+  }
+
+  test("j71_extended_stats flag A matches DuckDB (sum², σ bounds)") {
+    val r = q("j71_extended_stats").head()
+    assert(r.getString(0) === "A")
+    assert(r.getDouble(r.fieldIndex("sum_sq")) === 1649919.0)
+    assert(r.getDouble(r.fieldIndex("sd_q")) === 14.44319)
+    assert(r.getDouble(r.fieldIndex("upper_2sd")) === 54.034698)
+    assert(r.getDouble(r.fieldIndex("lower_2sd")) === -3.738062)
+  }
+
+  test("j72_weighted_avg flag A matches DuckDB at both SFs (DECIMAL-exact sums)") {
+    val r = q("j72_weighted_avg").head()
+    assert(r.getDouble(r.fieldIndex("weighted_avg")) === 51483.533511)
+    assert(r.getDouble(r.fieldIndex("total_weight")) === 49341.0)
+    val r01 = q01("j72_weighted_avg").head()
+    assert(r01.getDouble(r01.fieldIndex("weighted_avg")) === 53129.178305)
+  }
+
+  test("j73_range_agg buckets match DuckDB (cent-exact sums)") {
+    val m = q("j73_range_agg").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m("*-100.0") === ((864L, 30588.56)))
+    assert(m("100.0-250.0") === ((129L, 17465.42)))
+    assert(m("250.0-*") === ((7L, 1996.21)))
+  }
+
   test("j64_auto_date_histogram picks the 7d rung and anchors buckets at min(ts)") {
     val rows = q("j64_auto_date_histogram").collect()
     assert(rows.length === 5)
