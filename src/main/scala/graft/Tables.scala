@@ -104,11 +104,20 @@ object Tables {
     * here so the encoding switch can't drift per-operator. All engine
     * sessions run with spark.sql.session.timeZone=UTC, so the ntz→epoch
     * mapping below is the same one DuckDB's `epoch_us(ts)` applies. */
-  def eventsUs(s: SparkSession, d: String): DataFrame =
+  def eventsUs(s: SparkSession, d: String): DataFrame = {
+    // the ntz→timestamp cast below applies the SESSION timezone; any zone
+    // but UTC silently shifts every epoch by the offset (no error, wrong
+    // numbers). Fail loudly instead — every engine entry point (Verify,
+    // Bench, TestSpark, ExplainDump, ScaleProbe) sets UTC.
+    val tz = s.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"eventsUs needs spark.sql.session.timeZone=UTC (got '$tz'): " +
+        "the ts_us epoch mapping would shift by the zone offset")
     // canonicalize FIRST so `ts` has one shape (µs TimestampNTZ) under
     // either storage encoding; ts_us from the truncated canonical value
     // equals the legacy `ts div 1000` exactly
     events(s, d).withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
+  }
 
   /** The events table as an unbounded stream (same canonical µs shape) —
     * the change-log side of the sync read as Structured Streaming. Any

@@ -936,12 +936,19 @@ object PipelineOps {
     val t2 = topPair(v1)
     val v2 = merged(v1, t2)
     val t3 = topPair(v2)
-    t1.withColumn("merge_rank", lit(1L))
+    val out = t1.withColumn("merge_rank", lit(1L))
       .unionAll(t2.withColumn("merge_rank", lit(2L)))
       .unionAll(t3.withColumn("merge_rank", lit(3L)))
       .select($"merge_rank", $"l".as("left"), $"r".as("right"),
         concat($"l", $"r").as("merged"), $"pair_count")
       .orderBy($"merge_rank")
+      // materialize the 3-row result now (j21's localCheckpoint discipline)
+      // so `words` can be unpersisted HERE instead of leaking a cached
+      // frame per invocation for the session lifetime — the caller gets a
+      // lineage-free 3-row frame, not a plan that still needs the cache
+      .localCheckpoint()
+    words.unpersist()
+    out
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -547,9 +547,11 @@ object SearchOps {
 
   /** j64_auto_date_histogram — ES `auto_date_histogram` with
     * `buckets: 12`: the engine, not the caller, picks the interval — the
-    * smallest rung of the 1h/1d/7d/30d ladder that covers the event span
-    * in at most 12 buckets — then zero-fills contiguous buckets at that
-    * interval. The interval choice is data-dependent but deterministic
+    * smallest rung of the 1h/1d/7d/30d/90d/360d ladder that covers the
+    * event span in at most 12 buckets — then zero-fills contiguous buckets
+    * at that interval. The ≤12-bucket invariant holds for spans up to
+    * 12·360d (~12 years); beyond that ES escalates to multi-year calendar
+    * rungs (out of scope for this fixture's weeks-long span). The interval choice is data-dependent but deterministic
     * (integer epoch-µs arithmetic on the span, identical in both
     * engines).
     *
@@ -563,6 +565,10 @@ object SearchOps {
     val dayUs = 86400000000L
     val weekUs = 604800000000L
     val monthUs = 2592000000000L // 30d rung — ES uses calendar months; fixed-width keeps both engines identical
+    val qtrUs = 7776000000000L   // 90d rung
+    val yearUs = 31104000000000L // 360d rung — spans ≥ 12·360d (~12 years)
+    // would exceed 12 buckets again; past that ES escalates to multi-year
+    // calendar rungs, out of scope for an events fixture spanning weeks
     val e = Tables.eventsUs(s, d).select($"ts_us")
     // interval choice + bucket math stay in the INTEGER domain end-to-end:
     // Spark's `/` on longs is double division (and DuckDB's differs again),
@@ -572,10 +578,13 @@ object SearchOps {
         when($"hi" - $"lo" < 12L * hourUs, hourUs)
           .when($"hi" - $"lo" < 12L * dayUs, dayUs)
           .when($"hi" - $"lo" < 12L * weekUs, weekUs)
-          .otherwise(monthUs))
+          .when($"hi" - $"lo" < 12L * monthUs, monthUs)
+          .when($"hi" - $"lo" < 12L * qtrUs, qtrUs)
+          .otherwise(yearUs))
       .withColumn("lbl",
         when($"iv" === hourUs, "1h").when($"iv" === dayUs, "1d")
-          .when($"iv" === weekUs, "7d").otherwise("30d"))
+          .when($"iv" === weekUs, "7d").when($"iv" === monthUs, "30d")
+          .when($"iv" === qtrUs, "90d").otherwise("360d"))
     val spine = stats.select($"lo", $"iv", $"lbl",
       explode(sequence(lit(0L), expr("(hi - lo) div iv"))).as("b"))
     val hist = e.crossJoin(broadcast(stats.select($"lo", $"iv")))
@@ -694,22 +703,31 @@ object SearchOps {
   /** j71_extended_stats — ES `extended_stats`: the `stats` fields plus
     * sum_of_squares, variance, std_deviation, and the ±2σ
     * std_deviation_bounds. Quantities are integral-valued doubles, so
-    * sum and sum-of-squares are order-exact; the bounds derive from the
-    * ROUNDED avg/σ so both engines compose identical doubles.
+    * sum and sum-of-squares are order-exact; variance/σ are computed FROM
+    * those exact sums — var = (Σx² − (Σx)²/n)/(n−1) — as the identical
+    * IEEE expression in both engines (Spark's var_samp central-moment
+    * merge vs DuckDB's accumulation are order-dependent; this form makes
+    * the cross-engine parity structural, not rounding-masked). The ±2σ
+    * bounds derive from the ROUNDED avg/σ so both engines compose
+    * identical doubles.
     *
-    * Scale shape: one keyed map-combined aggregation; bounds are row
-    * arithmetic on the aggregate. */
+    * Scale shape: one keyed map-combined aggregation; variance and bounds
+    * are row arithmetic on the aggregate. */
   def j71(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, d)
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n"),
         min($"l_quantity").as("min_q"), max($"l_quantity").as("max_q"),
-        round(sum($"l_quantity"), 2).as("sum_q"),
-        round(sum($"l_quantity" * $"l_quantity"), 2).as("sum_sq"),
-        round(avg($"l_quantity"), 6).as("avg_q"),
-        round(var_samp($"l_quantity"), 6).as("var_q"),
-        round(stddev_samp($"l_quantity"), 6).as("sd_q"))
+        sum($"l_quantity").as("s1"),
+        sum($"l_quantity" * $"l_quantity").as("s2"),
+        round(avg($"l_quantity"), 6).as("avg_q"))
+      .withColumn("var_u", ($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1))
+      .select($"l_returnflag", $"n", $"min_q", $"max_q",
+        round($"s1", 2).as("sum_q"), round($"s2", 2).as("sum_sq"),
+        $"avg_q",
+        round($"var_u", 6).as("var_q"),
+        round(sqrt($"var_u"), 6).as("sd_q"))
       .withColumn("upper_2sd", round($"avg_q" + lit(2.0) * $"sd_q", 6))
       .withColumn("lower_2sd", round($"avg_q" - lit(2.0) * $"sd_q", 6))
       .orderBy($"l_returnflag")
@@ -775,16 +793,17 @@ object SearchOps {
     "j71_extended_stats" ->
       """WITH a AS (SELECT l_returnflag, count(*) AS n,
         |             min(l_quantity) AS min_q, max(l_quantity) AS max_q,
-        |             round(sum(l_quantity), 2) AS sum_q,
-        |             round(sum(l_quantity * l_quantity), 2) AS sum_sq,
-        |             round(avg(l_quantity), 6) AS avg_q,
-        |             round(var_samp(l_quantity), 6) AS var_q,
-        |             round(stddev_samp(l_quantity), 6) AS sd_q
-        |           FROM 'lineitem.parquet' GROUP BY 1)
-        |SELECT l_returnflag, n, min_q, max_q, sum_q, sum_sq, avg_q, var_q, sd_q,
-        |       round(avg_q + 2.0 * sd_q, 6) AS upper_2sd,
-        |       round(avg_q - 2.0 * sd_q, 6) AS lower_2sd
-        |FROM a ORDER BY l_returnflag""".stripMargin,
+        |             sum(l_quantity) AS s1,
+        |             sum(l_quantity * l_quantity) AS s2,
+        |             round(avg(l_quantity), 6) AS avg_q
+        |           FROM 'lineitem.parquet' GROUP BY 1),
+        |v AS (SELECT *, (s2 - s1 * s1 / n) / (n - 1) AS var_u FROM a)
+        |SELECT l_returnflag, n, min_q, max_q,
+        |       round(s1, 2) AS sum_q, round(s2, 2) AS sum_sq, avg_q,
+        |       round(var_u, 6) AS var_q, round(sqrt(var_u), 6) AS sd_q,
+        |       round(avg_q + 2.0 * round(sqrt(var_u), 6), 6) AS upper_2sd,
+        |       round(avg_q - 2.0 * round(sqrt(var_u), 6), 6) AS lower_2sd
+        |FROM v ORDER BY l_returnflag""".stripMargin,
     "j72_weighted_avg" ->
       """SELECT l_returnflag,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
@@ -967,11 +986,15 @@ object SearchOps {
         |         CASE WHEN hi - lo < 12 * 3600000000 THEN 3600000000
         |              WHEN hi - lo < 12 * 86400000000 THEN 86400000000
         |              WHEN hi - lo < 12 * 604800000000 THEN 604800000000
-        |              ELSE 2592000000000 END AS iv,
+        |              WHEN hi - lo < 12 * 2592000000000 THEN 2592000000000
+        |              WHEN hi - lo < 12 * 7776000000000 THEN 7776000000000
+        |              ELSE 31104000000000 END AS iv,
         |         CASE WHEN hi - lo < 12 * 3600000000 THEN '1h'
         |              WHEN hi - lo < 12 * 86400000000 THEN '1d'
         |              WHEN hi - lo < 12 * 604800000000 THEN '7d'
-        |              ELSE '30d' END AS lbl FROM s),
+        |              WHEN hi - lo < 12 * 2592000000000 THEN '30d'
+        |              WHEN hi - lo < 12 * 7776000000000 THEN '90d'
+        |              ELSE '360d' END AS lbl FROM s),
         |spine AS (SELECT lo, iv, lbl, unnest(generate_series(0, (hi - lo) // iv)) AS b
         |          FROM iv),
         |h AS (SELECT (e.us - iv.lo) // iv.iv AS b, count(*) AS doc_count

@@ -20,6 +20,9 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // UTC like every other entry point: events probes go through
+      // Tables.eventsUs, whose ntz→epoch mapping asserts the zone
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

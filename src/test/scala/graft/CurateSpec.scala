@@ -338,4 +338,17 @@ class CurateSpec extends AnyFunSuite {
       assert(frac > 0.0 && frac <= 1.0, s"$r")
     }
   }
+
+  test("fixture invariant: n_chars == length(text) (j65's qualityLogit assumes it)") {
+    // qualityLogit scores length(text) while the j65 oracle reads the
+    // table's n_chars column; they agree only while the fixture keeps
+    // n_chars == length(text). Pin the invariant where it is assumed so a
+    // fixture regenerate that breaks it fails HERE, not as an opaque j65
+    // hash mismatch (ADVICE r5).
+    for (dir <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      val bad = Tables.documents(spark, dir)
+        .filter(col("n_chars") =!= length(col("text"))).count()
+      assert(bad === 0L, s"$dir: $bad docs where n_chars != length(text)")
+    }
+  }
 }
