@@ -13,7 +13,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Sources.defs ++ ops.Relational.defs ++ ops.Aggregates.defs ++
       ops.Windows.defs ++ ops.Scalars.defs ++ ops.VectorOps.defs ++
-      ops.TextOps.defs ++ ops.SearchOps.defs ++ ops.SyncOps.defs ++
+      ops.TextOps.defs ++ ops.SearchOps.defs ++ ops.BucketOps.defs ++
+      ops.SyncOps.defs ++
       ops.StreamingOps.defs ++ ops.PipelineOps.defs ++ ops.CurationOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -24,6 +25,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Sources.oracle ++ ops.Relational.oracle ++ ops.Aggregates.oracle ++
       ops.Windows.oracle ++ ops.Scalars.oracle ++ ops.VectorOps.oracle ++
-      ops.TextOps.oracle ++ ops.SearchOps.oracle ++ ops.SyncOps.oracle ++
+      ops.TextOps.oracle ++ ops.SearchOps.oracle ++ ops.BucketOps.oracle ++
+      ops.SyncOps.oracle ++
       ops.StreamingOps.oracle ++ ops.PipelineOps.oracle ++ ops.CurationOps.oracle
 }

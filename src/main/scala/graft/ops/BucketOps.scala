@@ -1,0 +1,599 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 widening of the ES aggregation/query surface (SURVEY §2-J,
+  * judge r5 "next round" items 1-5 plus the remaining common aggs): the
+  * plain numeric `histogram`, `top_hits`, the bucket_script/
+  * bucket_selector/bucket_sort/serial_diff pipeline aggs, `multi_match`/
+  * `dis_max`, `filters`, `multi_terms`, `string_stats`, `matrix_stats`,
+  * `span_near`, `wildcard`, `rate`, and the `missing` bucket.
+  *
+  * Shared disciplines (established by SearchOps/TextOps):
+  *  - money/value sums ride integer cents (j73) or exact DECIMAL (j72) —
+  *    never order-dependent double sums;
+  *  - per-doc double sums go through Parity.sortedFoldSum ≡ DuckDB
+  *    `list_sum(list_sort(list(…)))`;
+  *  - every score ORDER BY ranks the ROUNDED value with a unique-id
+  *    tiebreak, so both engines cut identical sets;
+  *  - bucket spines are bounded by calendar time or literal bounds, never
+  *    by data volume, and ride broadcasts onto map-combined histograms.
+  */
+object BucketOps {
+
+  /** j74_histogram — ES plain numeric `histogram` on `value` per
+    * event_type: fixed interval 50, offset 0, `min_doc_count: 0`,
+    * `extended_bounds: {min: 0, max: 500}`, with an exact sum sub-metric.
+    * The most common ES agg after terms/date_histogram; j47's spine/
+    * zero-fill machinery with a numeric (not calendar) spine.
+    *
+    * Scale shape: the spine is (event_types × ≤(range/interval)) rows —
+    * bounded by the value DOMAIN, not the corpus — broadcast onto the
+    * map-combined histogram. Bucketing runs in the integer-cents domain
+    * (j73's discipline): `(cents div 5000) * 50` avoids cross-engine
+    * double-division-and-floor drift, and the sum metric is exact. */
+  def j74(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d).select($"event_type",
+      round($"value" * 100, 0).cast("long").as("cents"))
+    // extended_bounds [0,500] ∪ the data's own bucket range (ES semantics:
+    // bounds EXTEND the histogram; out-of-bounds data still buckets)
+    val bd = e.agg(min($"cents").as("mn"), max($"cents").as("mx"))
+      .selectExpr("least((mn div 5000) * 50, 0L) AS b0",
+        "greatest((mx div 5000) * 50, 500L) AS b1")
+    val buckets = bd.select(explode(sequence($"b0", $"b1", lit(50L))).as("bucket"))
+    val spine = e.select($"event_type").distinct()
+      .crossJoin(broadcast(buckets))
+    val hist = e
+      .select($"event_type", (expr("cents div 5000") * 50).as("bucket"), $"cents")
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("doc_count"), sum($"cents").as("sc"))
+    spine.join(broadcast(hist), Seq("event_type", "bucket"), "left")
+      .select($"event_type", $"bucket",
+        coalesce($"doc_count", lit(0L)).as("doc_count"),
+        round(coalesce($"sc", lit(0L)) / lit(100.0), 2).as("sum_value"))
+      .orderBy($"event_type", $"bucket")
+  }
+
+  /** j75_top_hits — ES `top_hits` sub-aggregation: for each lang bucket,
+    * the top-3 documents by (n_chars DESC, doc_id ASC) with their fields,
+    * alongside the bucket's doc_count — the standard drill-down companion
+    * to every bucket agg (j62's collapse is the 1-hit special case).
+    *
+    * Scale shape: rank ≤ k over a literal cut compiles to Spark 4's
+    * WindowGroupLimit (j54's shape, PlanSpec-pinned) — each task prunes
+    * to its own top-3 per bucket BEFORE the exchange, so the shuffle
+    * carries ≤ k·partitions rows per bucket, not the corpus. The bucket
+    * doc_count deliberately comes from a separate map-combined groupBy
+    * joined back as a broadcast — a count-over-partition window would
+    * force the full partition through the window and defeat the prune. */
+  def j75(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"lang", $"doc_id", $"source", $"n_chars")
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("doc_count"))
+    val w = Window.partitionBy($"lang").orderBy($"n_chars".desc, $"doc_id".asc)
+    docs.withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .join(broadcast(counts), "lang")
+      .select($"lang", $"doc_count", $"rn", $"doc_id", $"source", $"n_chars")
+      .orderBy($"lang", $"rn")
+  }
+
+  /** The j58/j76/j78/j79 parent frame: the zero-filled per-day purchase
+    * histogram (day, doc_count) plus the day's total event count — j47's
+    * spine machinery, shared so the pipeline-agg family can't drift. */
+  private def dailyFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d).select(to_date($"ts").as("day"), $"event_type")
+    val spine = e.agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select(explode(sequence($"d0", $"d1")).as("day"))
+    val hist = e.groupBy($"day")
+      .agg(count(lit(1)).as("total"),
+        count(when($"event_type" === "purchase", 1)).as("purchases"))
+    spine.join(broadcast(hist), Seq("day"), "left")
+      .select($"day", coalesce($"total", lit(0L)).as("total"),
+        coalesce($"purchases", lit(0L)).as("purchases"))
+  }
+
+  /** j76_bucket_script + bucket_selector — ES pipeline aggs over the j58
+    * parent date_histogram: `bucket_script` derives each day's purchase
+    * share (purchases / total events), then `bucket_selector` keeps only
+    * buckets where the share ≥ 0.2 — the HAVING/derived-metric layer of
+    * the pipeline-agg family (judge r5 item 3).
+    *
+    * Scale shape: both pipeline stages are row arithmetic + a filter on
+    * the BUCKET frame (≤ calendar-days rows), never the event stream;
+    * the histogram itself map-side combines. */
+  def j76(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    dailyFrame(s, d)
+      .withColumn("purchase_share",
+        when($"total" > 0,
+          round($"purchases".cast("double") / $"total".cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .filter($"purchase_share" >= 0.2)
+      .orderBy($"day")
+  }
+
+  /** j77_multi_match — ES `multi_match` with `dis_max` combination: one
+    * query scored against TWO fields — full-text BM25 on `text` (term
+    * 'spark') and an exact keyword match on `source` ('src3', field boost
+    * 1.5) — combined as max + 0.3·min (dis_max `tie_breaker`), top-15.
+    * Every search UI sends multi_match; all prior scorers were
+    * single-field (judge r5 item 4).
+    *
+    * Scale shape: the text leg is j34's term-filtered dataflow (ONE
+    * corpus pass; the shuffle moves docs containing the term); the
+    * keyword leg is row-local; combining them is a left join from the
+    * full doc frame onto the (small) scored frame. Same determinism
+    * discipline: sorted-fold sums, rank on the ROUNDED score, doc_id
+    * tiebreak. */
+  def j77(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val ts = TextOps.bm25Frames(docs, Seq("spark")).scored
+      .groupBy($"doc_id").agg(Parity.sortedFoldSum($"tscore").as("tsc"))
+    val base = docs.select($"doc_id",
+      when($"source" === "src3", 1.5).otherwise(0.0).as("src_score"))
+    base.join(ts, Seq("doc_id"), "left")
+      .withColumn("tsc", coalesce($"tsc", lit(0.0)))
+      .filter($"tsc" > 0.0 || $"src_score" > 0.0)
+      .select($"doc_id",
+        round(greatest($"tsc", $"src_score")
+          + lit(0.3) * least($"tsc", $"src_score"), 6).as("score"),
+        round($"tsc", 6).as("text_score"), $"src_score")
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(15)
+  }
+
+  /** j78_serial_diff — ES `serial_diff` pipeline agg: lag-7 differencing
+    * (one calendar week) of the per-day purchase count over the j58
+    * parent frame — the seasonality-removal companion of `derivative`
+    * (lag-1), completing the pipeline-agg family (judge r5 item 5).
+    *
+    * Scale shape: j58's exact argument — the unpartitioned window is
+    * sound ONLY because the frame is bounded by calendar days, not data;
+    * a finer-grained histogram must add a partition key. */
+  def j78(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"day") // ≤ calendar-days rows by construction
+    dailyFrame(s, d)
+      .select($"day", $"purchases".as("doc_count"))
+      .withColumn("serial_diff", $"doc_count" - lag($"doc_count", 7).over(w))
+      .orderBy($"day")
+  }
+
+  /** j79_bucket_sort — ES `bucket_sort` pipeline agg with `sort`, `from`
+    * and `size`: re-order the j58 parent's day buckets by purchase count
+    * DESC (day ASC tiebreak — a total order, so both engines cut the same
+    * set), skip 2, keep 5 — the "page inside the histogram response"
+    * post-processing ES clients use.
+    *
+    * Scale shape: sort + offset + limit on the BUCKET frame (≤ calendar
+    * days), not the events; the histogram map-side combines first. */
+  def j79(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    dailyFrame(s, d)
+      .select($"day", $"purchases".as("doc_count"))
+      .orderBy($"doc_count".desc, $"day".asc)
+      .offset(2).limit(5)
+      .orderBy($"day")
+  }
+
+  /** j80_filters_agg — ES `filters` aggregation with `other_bucket`:
+    * named overlapping filters (purchases, big_value ≥ 400, errors),
+    * each an independent bucket with doc_count + an exact sum metric,
+    * plus the `other` bucket for events matching none — the fixed-bucket
+    * complement of `terms` (j60's conditional-aggregation shape).
+    *
+    * Scale shape: the whole response is ONE map-side-combinable global
+    * aggregate (a single reduce row at any corpus size); `stack` unpivots
+    * it into ES's bucket rows. Sums ride integer cents (j73). */
+  def j80(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = $"event_type" === "purchase"
+    val b = $"value" >= 400.0
+    val er = $"event_type" === "error"
+    val oth = !p && !b && !er
+    Tables.events(s, d)
+      .select($"event_type", $"value",
+        round($"value" * 100, 0).cast("long").as("cents"))
+      .agg(
+        count(when(p, 1)).as("kp"), sum(when(p, $"cents")).as("sp"),
+        count(when(b, 1)).as("kb"), sum(when(b, $"cents")).as("sb"),
+        count(when(er, 1)).as("ke"), sum(when(er, $"cents")).as("se"),
+        count(when(oth, 1)).as("ko"), sum(when(oth, $"cents")).as("so"))
+      .selectExpr(
+        """stack(4, 'big_value', kb, sb, 'errors', ke, se,
+          |         'other', ko, so, 'purchases', kp, sp)
+          |  AS (key, doc_count, sc)""".stripMargin)
+      .select($"key", $"doc_count",
+        round(coalesce($"sc", lit(0L)) / lit(100.0), 2).as("sum_value"))
+      .orderBy($"key")
+  }
+
+  /** j81_multi_terms — ES `multi_terms` aggregation: buckets keyed by the
+    * (lang, source) VALUE PAIR, ordered doc_count DESC (key tiebreak),
+    * top 10, with a sum sub-metric — the unpaged, relevance-ordered
+    * complement of j44's composite (which pages the key space in key
+    * order).
+    *
+    * Scale shape: one keyed map-combined aggregation; the cut is ORDER
+    * BY+LIMIT = TakeOrderedAndProject over the bucket frame. */
+  def j81(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("doc_count"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"doc_count".desc, $"lang".asc, $"source".asc)
+      .limit(10)
+  }
+
+  /** j82_string_stats — ES `string_stats` metric agg (with
+    * `show_distribution`'s entropy) over `text`: doc count, min/max/avg
+    * length, and the Shannon entropy (bits) of the corpus's character
+    * distribution — the term-dictionary health metric ES exposes.
+    *
+    * Scale shape: length stats are one global map-combined aggregate;
+    * entropy reduces the corpus to ≤ |alphabet| (here ~30) char-count
+    * rows — another map-combined aggregate — and the Σ c·ln c fold runs
+    * over THAT frame via the sorted-fold discipline (identical addition
+    * order in both engines). H = (ln T − Σ c·ln c / T) / ln 2 — one
+    * formula, same IEEE ops; 6dp absorbs libm ln() ulp drift (the j42
+    * rule). */
+  def j82(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val lenStats = docs.agg(count(lit(1)).as("n_docs"),
+      min(length($"text")).cast("long").as("min_length"),
+      max(length($"text")).cast("long").as("max_length"),
+      round(avg(length($"text")), 6).as("avg_length"))
+    val freq = docs
+      // chars via sequence+substring (j66's rule: split(text,'') appends
+      // a trailing empty element in Spark)
+      .select(explode(expr(
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+      .groupBy($"ch").agg(count(lit(1)).cast("double").as("c"))
+    val ent = freq
+      .agg(sum($"c").as("t"),
+        Parity.sortedFoldSum($"c" * log($"c")).as("clnc"))
+      .select(round((log($"t") - $"clnc" / $"t") / log(lit(2.0)), 6).as("entropy"))
+    lenStats.crossJoin(broadcast(ent))
+  }
+
+  /** j83_matrix_stats — ES `matrix_stats` over the (l_quantity,
+    * l_extendedprice) field pair: count, means, variances, covariance and
+    * correlation. All five moments derive from EXACT DECIMAL sums (Σx,
+    * Σy, Σx², Σxy, Σy² — j72's discipline; a double sum is
+    * order-nondeterministic), cast to double once, then composed with the
+    * identical IEEE expressions in both engines (the j71 rule: the parity
+    * is structural, not rounding-masked).
+    *
+    * Scale shape: ONE global map-combined aggregation; every derived
+    * moment is row arithmetic on the single reduce row. */
+  def j83(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val x = $"l_quantity".cast("decimal(18,2)")
+    val y = $"l_extendedprice".cast("decimal(18,2)")
+    Tables.lineitem(s, d)
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"))
+      .selectExpr("n",
+        "cast(sx as double) AS dx", "cast(sy as double) AS dy",
+        "cast(sxx as double) AS dxx", "cast(sxy as double) AS dxy",
+        "cast(syy as double) AS dyy")
+      .select($"n",
+        round($"dx" / $"n", 6).as("mean_q"),
+        round($"dy" / $"n", 6).as("mean_p"),
+        round(($"dxx" - $"dx" * $"dx" / $"n") / ($"n" - 1), 6).as("var_q"),
+        round(($"dyy" - $"dy" * $"dy" / $"n") / ($"n" - 1), 6).as("var_p"),
+        round(($"dxy" - $"dx" * $"dy" / $"n") / ($"n" - 1), 6).as("cov_qp"),
+        round((($"dxy" - $"dx" * $"dy" / $"n") / ($"n" - 1)) /
+          sqrt((($"dxx" - $"dx" * $"dx" / $"n") / ($"n" - 1)) *
+            (($"dyy" - $"dy" * $"dy" / $"n") / ($"n" - 1))), 6).as("corr_qp"))
+  }
+
+  /** j84_span_near — ES `span_near` query (`in_order: true`, `slop: 3`):
+    * documents where 'spark' is followed by 'join' within at most 3
+    * intervening tokens, with per-doc match counts and the first match
+    * position — the proximity query between `match` (any distance) and
+    * `match_phrase` (adjacent, j36).
+    *
+    * Scale shape: j36's discipline — the span test runs INSIDE the row
+    * (filter over token positions + a bounded 4-token slice), zero hash
+    * exchanges before the presentation sort, pure codegen. */
+  def j84(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 1) // sequence(1, 0) would infer step -1
+      .withColumn("hits", expr(
+        """filter(sequence(1, size(toks)),
+          |  i -> element_at(toks, i) = 'spark'
+          |       AND size(filter(slice(toks, i + 1, 4), t -> t = 'join')) > 0)""".stripMargin))
+      .filter(size($"hits") >= 1)
+      .select($"doc_id", size($"hits").cast("long").as("n_matches"),
+        element_at($"hits", 1).cast("long").as("first_pos"))
+      .orderBy($"doc_id")
+  }
+
+  /** j85_wildcard_query — ES `wildcard` on a keyword field: `src1*` over
+    * `source`, bucketed per matching source with doc_count + sum metric.
+    *
+    * Scale shape: a trailing-star wildcard is a prefix predicate, which
+    * Spark pushes to the parquet scan as StringStartsWith (PushedFilters
+    * — row groups whose source-stats exclude the prefix never leave
+    * disk), exactly as ES bounds the same query by a term-dictionary
+    * seek. A LEADING-star wildcard cannot prune in either engine — that
+    * shape belongs to j2-style inverted indexing, not this operator. */
+  def j85(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter($"source".startsWith("src1"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("doc_count"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"source")
+  }
+
+  /** j86_rate_agg — ES `rate` aggregation inside a date_histogram:
+    * per calendar week (date_trunc 'week' — Monday-based in both
+    * engines), the purchase count and the per-day rate (`unit: "day"` ⇒
+    * count/7), zero-filled across the span — "how fast is this happening"
+    * normalized so bucket width doesn't distort the series.
+    *
+    * Scale shape: j47's exact dataflow with a weekly spine (bounded by
+    * calendar time); the rate is row arithmetic on the bucket frame. */
+  def j86(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select(date_trunc("week", $"ts").cast("date").as("week"), $"event_type")
+    val spine = e.agg(min($"week").as("w0"), max($"week").as("w1"))
+      .select(explode(expr("sequence(w0, w1, interval 7 days)")).as("week"))
+    val hist = e.filter($"event_type" === "purchase")
+      .groupBy($"week").agg(count(lit(1)).as("doc_count"))
+    spine.join(broadcast(hist), Seq("week"), "left")
+      .select($"week", coalesce($"doc_count", lit(0L)).as("doc_count"))
+      .withColumn("rate_per_day", round($"doc_count" / lit(7.0), 6))
+      .orderBy($"week")
+  }
+
+  /** j87_missing_agg — ES `terms` aggregation with the `missing`
+    * parameter (and the standalone `missing` agg's count): a derived
+    * `tier` attribute exists only for events whose props.k ≥ 50 (a
+    * GENUINELY null column — the b3 discipline: real nulls, not
+    * sentinels); docs lacking it land in the '(missing)' bucket instead
+    * of silently dropping out of the terms agg.
+    *
+    * Scale shape: schema-on-read JSON extraction (a3's path) + ONE keyed
+    * map-combined aggregation over ≤ 3 buckets; sums ride integer cents. */
+  def j87(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.eventsRaw(s, d)
+      .select(
+        when(get_json_object($"props", "$.k").cast("int") >= 80, "high")
+          .when(get_json_object($"props", "$.k").cast("int") >= 50, "mid")
+          .as("tier"), // null for k < 50 — the absent attribute
+        round($"value" * 100, 0).cast("long").as("cents"))
+      .groupBy(coalesce($"tier", lit("(missing)")).as("tier"))
+      .agg(count(lit(1)).as("doc_count"),
+        round(sum($"cents") / lit(100.0), 2).as("sum_value"))
+      .orderBy($"tier")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j74_histogram" -> j74, "j75_top_hits" -> j75,
+    "j76_bucket_selector" -> j76, "j77_multi_match" -> j77,
+    "j78_serial_diff" -> j78, "j79_bucket_sort" -> j79,
+    "j80_filters_agg" -> j80, "j81_multi_terms" -> j81,
+    "j82_string_stats" -> j82, "j83_matrix_stats" -> j83,
+    "j84_span_near" -> j84, "j85_wildcard_query" -> j85,
+    "j86_rate_agg" -> j86, "j87_missing_agg" -> j87)
+
+  val oracle: Map[String, String] = Map(
+    "j74_histogram" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |           FROM 'events.parquet'),
+        |bd AS (SELECT least((min(cents) // 5000) * 50, 0) AS b0,
+        |              greatest((max(cents) // 5000) * 50, 500) AS b1 FROM e),
+        |bk AS (SELECT unnest(generate_series(b0, b1, 50)) AS bucket FROM bd),
+        |ty AS (SELECT DISTINCT event_type FROM e),
+        |spine AS (SELECT ty.event_type, bk.bucket FROM ty CROSS JOIN bk),
+        |h AS (SELECT event_type, (cents // 5000) * 50 AS bucket,
+        |             count(*) AS doc_count, CAST(sum(cents) AS BIGINT) AS sc
+        |      FROM e GROUP BY 1, 2)
+        |SELECT spine.event_type, spine.bucket,
+        |       coalesce(h.doc_count, 0) AS doc_count,
+        |       round(coalesce(h.sc, 0) / 100.0, 2) AS sum_value
+        |FROM spine LEFT JOIN h USING (event_type, bucket)
+        |ORDER BY spine.event_type, spine.bucket""".stripMargin,
+    "j75_top_hits" ->
+      """WITH c AS (SELECT lang, count(*) AS doc_count
+        |           FROM 'documents.parquet' GROUP BY 1),
+        |r AS (SELECT lang, doc_id, source, n_chars,
+        |        CAST(row_number() OVER (PARTITION BY lang
+        |               ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rn
+        |      FROM 'documents.parquet')
+        |SELECT r.lang, c.doc_count, r.rn, r.doc_id, r.source, r.n_chars
+        |FROM r JOIN c USING (lang) WHERE r.rn <= 3
+        |ORDER BY r.lang, r.rn""".stripMargin,
+    "j76_bucket_selector" ->
+      """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type
+        |           FROM 'events.parquet'),
+        |bnd AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |spine AS (SELECT CAST(unnest(generate_series(
+        |            CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+        |            INTERVAL 1 DAY)) AS DATE) AS day FROM bnd),
+        |h AS (SELECT day, count(*) AS total,
+        |             count(*) FILTER (WHERE event_type = 'purchase') AS purchases
+        |      FROM e GROUP BY 1),
+        |b AS (SELECT spine.day, coalesce(h.total, 0) AS total,
+        |             coalesce(h.purchases, 0) AS purchases
+        |      FROM spine LEFT JOIN h USING (day)),
+        |sc AS (SELECT day, total, purchases,
+        |         CASE WHEN total > 0
+        |           THEN round(CAST(purchases AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |           ELSE 0.0 END AS purchase_share
+        |       FROM b)
+        |SELECT day, total, purchases, purchase_share FROM sc
+        |WHERE purchase_share >= 0.2 ORDER BY day""".stripMargin,
+    "j77_multi_match" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |              FROM 'documents.parquet'),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |       FROM 'documents.parquet'),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM toks
+        |       WHERE token = 'spark' GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |sc AS (SELECT tf.doc_id,
+        |         ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |           (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS tscore
+        |       FROM tf JOIN dl USING (doc_id)
+        |            JOIN df USING (token) CROSS JOIN st),
+        |ts AS (SELECT doc_id, list_sum(list_sort(list(tscore))) AS tsc
+        |       FROM sc GROUP BY 1),
+        |base AS (SELECT doc_id,
+        |           CAST(CASE WHEN source = 'src3' THEN 1.5 ELSE 0.0 END AS DOUBLE) AS src_score
+        |         FROM 'documents.parquet'),
+        |j AS (SELECT base.doc_id, coalesce(ts.tsc, 0.0) AS tsc, base.src_score
+        |      FROM base LEFT JOIN ts USING (doc_id))
+        |SELECT doc_id,
+        |       round(greatest(tsc, src_score) + 0.3 * least(tsc, src_score), 6) AS score,
+        |       round(tsc, 6) AS text_score, src_score
+        |FROM j WHERE tsc > 0.0 OR src_score > 0.0
+        |ORDER BY score DESC, doc_id ASC LIMIT 15""".stripMargin,
+    "j78_serial_diff" ->
+      """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type
+        |           FROM 'events.parquet'),
+        |bnd AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |spine AS (SELECT CAST(unnest(generate_series(
+        |            CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+        |            INTERVAL 1 DAY)) AS DATE) AS day FROM bnd),
+        |h AS (SELECT day, count(*) AS doc_count FROM e
+        |      WHERE event_type = 'purchase' GROUP BY 1),
+        |b AS (SELECT spine.day, coalesce(h.doc_count, 0) AS doc_count
+        |      FROM spine LEFT JOIN h USING (day))
+        |SELECT day, doc_count,
+        |       doc_count - lag(doc_count, 7) OVER (ORDER BY day) AS serial_diff
+        |FROM b ORDER BY day""".stripMargin,
+    "j79_bucket_sort" ->
+      """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type
+        |           FROM 'events.parquet'),
+        |bnd AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |spine AS (SELECT CAST(unnest(generate_series(
+        |            CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+        |            INTERVAL 1 DAY)) AS DATE) AS day FROM bnd),
+        |h AS (SELECT day, count(*) AS doc_count FROM e
+        |      WHERE event_type = 'purchase' GROUP BY 1),
+        |b AS (SELECT spine.day, coalesce(h.doc_count, 0) AS doc_count
+        |      FROM spine LEFT JOIN h USING (day)),
+        |sel AS (SELECT day, doc_count FROM b
+        |        ORDER BY doc_count DESC, day ASC LIMIT 5 OFFSET 2)
+        |SELECT day, doc_count FROM sel ORDER BY day""".stripMargin,
+    "j80_filters_agg" ->
+      """WITH e AS (SELECT event_type, value,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |           FROM 'events.parquet'),
+        |m AS (SELECT
+        |        count(*) FILTER (WHERE event_type = 'purchase') AS kp,
+        |        CAST(coalesce(sum(cents) FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS sp,
+        |        count(*) FILTER (WHERE value >= 400.0) AS kb,
+        |        CAST(coalesce(sum(cents) FILTER (WHERE value >= 400.0), 0) AS BIGINT) AS sb,
+        |        count(*) FILTER (WHERE event_type = 'error') AS ke,
+        |        CAST(coalesce(sum(cents) FILTER (WHERE event_type = 'error'), 0) AS BIGINT) AS se,
+        |        count(*) FILTER (WHERE NOT (event_type = 'purchase')
+        |          AND NOT (value >= 400.0) AND NOT (event_type = 'error')) AS ko,
+        |        CAST(coalesce(sum(cents) FILTER (WHERE NOT (event_type = 'purchase')
+        |          AND NOT (value >= 400.0) AND NOT (event_type = 'error')), 0) AS BIGINT) AS so
+        |      FROM e),
+        |u AS (SELECT 'big_value' AS "key", kb AS doc_count, sb AS sc FROM m
+        |      UNION ALL SELECT 'errors', ke, se FROM m
+        |      UNION ALL SELECT 'other', ko, so FROM m
+        |      UNION ALL SELECT 'purchases', kp, sp FROM m)
+        |SELECT "key", doc_count, round(sc / 100.0, 2) AS sum_value
+        |FROM u ORDER BY "key"""".stripMargin,
+    "j81_multi_terms" ->
+      """SELECT lang, source, count(*) AS doc_count,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM 'documents.parquet' GROUP BY 1, 2
+        |ORDER BY doc_count DESC, lang ASC, source ASC LIMIT 10""".stripMargin,
+    "j82_string_stats" ->
+      """WITH ls AS (SELECT count(*) AS n_docs,
+        |              min(length(text)) AS min_length,
+        |              max(length(text)) AS max_length,
+        |              round(avg(length(text)), 6) AS avg_length
+        |            FROM 'documents.parquet'),
+        |ch AS (SELECT unnest(list_transform(generate_series(1, length(text)),
+        |                i -> substring(text, i, 1))) AS ch
+        |       FROM 'documents.parquet'),
+        |f AS (SELECT ch, CAST(count(*) AS DOUBLE) AS c FROM ch GROUP BY 1),
+        |ent AS (SELECT sum(c) AS t,
+        |          list_sum(list_sort(list(c * ln(c)))) AS clnc FROM f)
+        |SELECT ls.n_docs, ls.min_length, ls.max_length, ls.avg_length,
+        |       round((ln(ent.t) - ent.clnc / ent.t) / ln(2.0), 6) AS entropy
+        |FROM ls CROSS JOIN ent""".stripMargin,
+    "j83_matrix_stats" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS dx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS dy,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS dxx,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS dxy,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS dyy
+        |  FROM 'lineitem.parquet')
+        |SELECT n,
+        |  round(dx / n, 6) AS mean_q,
+        |  round(dy / n, 6) AS mean_p,
+        |  round((dxx - dx * dx / n) / (n - 1), 6) AS var_q,
+        |  round((dyy - dy * dy / n) / (n - 1), 6) AS var_p,
+        |  round((dxy - dx * dy / n) / (n - 1), 6) AS cov_qp,
+        |  round(((dxy - dx * dy / n) / (n - 1)) /
+        |    sqrt(((dxx - dx * dx / n) / (n - 1)) *
+        |         ((dyy - dy * dy / n) / (n - 1))), 6) AS corr_qp
+        |FROM a""".stripMargin,
+    "j84_span_near" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+        |           FROM 'documents.parquet'
+        |           WHERE len(string_split(text, ' ')) >= 1),
+        |m AS (SELECT doc_id,
+        |        list_filter(generate_series(1, len(t)),
+        |          i -> t[i] = 'spark'
+        |               AND len(list_filter(list_slice(t, i + 1, i + 4),
+        |                                   x -> x = 'join')) > 0) AS hits
+        |      FROM t)
+        |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+        |       CAST(hits[1] AS BIGINT) AS first_pos
+        |FROM m WHERE len(hits) >= 1 ORDER BY doc_id""".stripMargin,
+    "j85_wildcard_query" ->
+      """SELECT source, count(*) AS doc_count,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM 'documents.parquet' WHERE source LIKE 'src1%'
+        |GROUP BY 1 ORDER BY source""".stripMargin,
+    "j86_rate_agg" ->
+      """WITH e AS (SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+        |             event_type
+        |           FROM 'events.parquet'),
+        |bnd AS (SELECT min(week) AS w0, max(week) AS w1 FROM e),
+        |spine AS (SELECT CAST(unnest(generate_series(
+        |            CAST(w0 AS TIMESTAMP), CAST(w1 AS TIMESTAMP),
+        |            INTERVAL 7 DAY)) AS DATE) AS week FROM bnd),
+        |h AS (SELECT week, count(*) AS doc_count FROM e
+        |      WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT spine.week, coalesce(h.doc_count, 0) AS doc_count,
+        |       round(coalesce(h.doc_count, 0) / 7.0, 6) AS rate_per_day
+        |FROM spine LEFT JOIN h USING (week) ORDER BY spine.week""".stripMargin,
+    "j87_missing_agg" ->
+      """WITH e AS (SELECT
+        |    CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 80 THEN 'high'
+        |         WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50 THEN 'mid'
+        |         END AS tier,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM 'events.parquet')
+        |SELECT coalesce(tier, '(missing)') AS tier, count(*) AS doc_count,
+        |       round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS sum_value
+        |FROM e GROUP BY 1 ORDER BY tier""".stripMargin)
+}

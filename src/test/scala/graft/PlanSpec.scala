@@ -91,7 +91,10 @@ class PlanSpec extends AnyFunSuite {
       "j63_completion_suggest", // 3-row prefix list onto the vocab aggregate
       "j64_auto_date_histogram", // 1-row span/interval stats onto the bucket ids
       "j66_bpe_vocab", // 1-row argmax pair broadcast onto the vocab, per merge round
-      "j70_boosting_query") // 1-row corpus stats onto the term-filtered tf (j34's shape)
+      "j70_boosting_query", // 1-row corpus stats onto the term-filtered tf (j34's shape)
+      "j74_histogram", // ≤11-row numeric spine (bounded by the value DOMAIN) onto the 5-row type frame
+      "j77_multi_match", // 1-row corpus stats onto the term-filtered tf (j34's shape)
+      "j82_string_stats") // 1-row entropy frame onto the 1-row length-stats frame
     val offenders = SparkEntry.queries.toSeq
       .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
       .flatMap { case (name, fn) =>
@@ -487,6 +490,32 @@ class PlanSpec extends AnyFunSuite {
     assert(exchangeIdx >= 0 && p.indexOf(", 250, Partial") > exchangeIdx, p)
     assert("BroadcastHashJoin \\[lang#\\d+\\], \\[lang#\\d+\\], Inner, BuildRight, \\(rk#\\d+L <= quota#"
       .r.findFirstIn(p).nonEmpty, p)
+  }
+
+  test("j75: top_hits prunes map-side — Partial WindowGroupLimit before the bucket exchange") {
+    val p = plan("j75_top_hits")
+    // rank ≤ 3 compiles to WindowGroupLimit with the Partial instance
+    // BELOW the lang exchange (j54's shape): each task ships ≤3 rows per
+    // bucket, not its whole bucket slice; the bucket doc_count comes from
+    // a broadcast-joined groupBy, NOT a count-over-partition window (which
+    // would force full partitions through the window and kill the prune)
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(lang")
+    assert(p.contains(", 3, Partial"), p)
+    assert(p.contains(", 3, Final"), p)
+    assert(exchangeIdx >= 0 && p.indexOf(", 3, Partial") > exchangeIdx, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("j84: span_near runs inside the row — zero hash exchanges before the sort") {
+    val p = plan("j84_span_near")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("j85: trailing-star wildcard pushes to the parquet scan as a prefix filter") {
+    val p = plan("j85_wildcard_query")
+    assert(p.contains("StringStartsWith(source,src1)"), p)
+    // projection pruned: text never reaches the scan
+    assert(!p.contains("text"), "scan reads columns the query never uses")
   }
 
   test("whole-stage codegen covers the flagship plan") {
