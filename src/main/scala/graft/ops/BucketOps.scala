@@ -253,10 +253,12 @@ object BucketOps {
       max(length($"text")).cast("long").as("max_length"),
       round(avg(length($"text")), 6).as("avg_length"))
     val freq = docs
-      // chars via sequence+substring (j66's rule: split(text,'') appends
-      // a trailing empty element in Spark)
-      .select(explode(expr(
-        "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+      // chars via a zero-width regex split — NOT substring(text, i, 1)
+      // per position, which is O(len²) per doc (UTF8String.substring
+      // seeks from the start) and a real hazard on long documents; the
+      // lookarounds exclude start AND end so no empty elements appear
+      // (split(text,'') would append a trailing one)
+      .select(explode(split($"text", "(?!^)(?!$)")).as("ch"))
       .groupBy($"ch").agg(count(lit(1)).cast("double").as("c"))
     val ent = freq
       .agg(sum($"c").as("t"),
