@@ -65,7 +65,11 @@ object StreamingOps {
     * (one row per micro-batch — bounded by wall-clock trigger count in
     * production, corpus/100 in this replay), which then broadcasts back
     * onto the stream; the classification itself map-side combines. */
-  def i4(s: SparkSession, d: String): DataFrame = {
+  /** The per-event classification behind [[i4]] — exposed so
+    * StreamingSpec can replay the SAME perturbed arrival sequence through
+    * a real `withWatermark(...).dropDuplicates` stream and assert the
+    * surviving event_id set equals `late = false` row for row. */
+  private[graft] def i4Classified(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val e = Tables.eventsUs(s, d)
@@ -79,6 +83,11 @@ object StreamingOps {
       .select($"b", $"wm")
     e.join(broadcast(wm), Seq("b"))
       .withColumn("late", $"wm".isNotNull && $"us" < $"wm")
+  }
+
+  def i4(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    i4Classified(s, d)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_events"),
         count(when($"late", 1)).as("n_late"),

@@ -9,6 +9,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 case class Change(key: Long, ts: Timestamp, uid: Long, payload: String)
+case class IdUs(id: Long, us: Long)
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)
 case class Doc(doc_id: Long, text: String, ts: Timestamp)
@@ -47,6 +48,43 @@ class StreamingSpec extends AnyFunSuite {
         .select($"win_start".cast("string"), $"n").as[(String, Long)].collect().toMap
       assert(rows("2024-01-01 10:00:00") === 2L) // late row NOT counted
       assert(rows("2024-01-01 12:00:00") === 1L)
+    } finally q.stop()
+  }
+
+  test("i4 batch twin: replaying the perturbed arrival sequence through a REAL watermark drops exactly the rows i4 classifies late") {
+    // The declared i4_watermark_late models Spark's semantics (watermark
+    // advances BETWEEN micro-batches to max-seen − delay; rows under it
+    // drop). Pin the model to the engine: replay sf0.001's fault-injected
+    // events through withWatermark + streaming dropDuplicates in the same
+    // div-100 micro-batches and compare survivor sets row for row.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cls = graft.ops.StreamingOps.i4Classified(spark, TestSpark.sf0001)
+      .select($"event_id", $"b", $"us", $"late")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val expectedKept = cls.filter(!_._4).map(_._1).toSet
+    assert(cls.exists(_._4), "fixture produced no late rows — vacuous")
+    val mem = MemoryStream[IdUs]
+    val q = mem.toDF()
+      .withColumn("ts", expr("timestamp_micros(us)"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("id", "ts") // ids unique ⇒ passes all non-late rows
+      .writeStream.format("memory").queryName("i4_equiv")
+      .outputMode("append").start()
+    try {
+      cls.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (_, chunk) =>
+        // one addData + drain per b-group = one micro-batch per arrival
+        // batch, so the watermark advances exactly at i4's boundaries
+        mem.addData(chunk.sortBy(_._1).toSeq.map(r => IdUs(r._1, r._3)))
+        q.processAllAvailable()
+      }
+      val survived = spark.table("i4_equiv")
+        .select($"id").as[Long].collect().toSet
+      assert(survived === expectedKept,
+        s"stream/batch divergence: onlyStream=${(survived -- expectedKept).toSeq.sorted.take(5)} " +
+          s"onlyBatch=${(expectedKept -- survived).toSeq.sorted.take(5)}")
     } finally q.stop()
   }
 
