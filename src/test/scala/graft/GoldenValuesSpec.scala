@@ -417,4 +417,71 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(click.getLong(click.fieldIndex("exact_users")) === 150L)
     assert(rows.forall(_.getBoolean(rows.head.fieldIndex("approx_within_10pct"))))
   }
+
+  test("j74_histogram click buckets match DuckDB (cents-domain bucketing + zero-fill)") {
+    val m = q("j74_histogram").collect()
+      .filter(_.getString(0) == "click")
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(m(0L) === ((133L, 2756.79)))
+    assert(m(50L) === ((54L, 3923.76)))
+    assert(m(500L) === ((0L, 0.0))) // extended_bounds bucket with no data
+    assert(m.size === 11) // spine [0, 500] step 50, min_doc_count 0
+  }
+
+  test("j83_matrix_stats moments match DuckDB (exact decimal sums, structural parity)") {
+    val r = q("j83_matrix_stats").head()
+    assert(r.getLong(r.fieldIndex("n")) === 6000L)
+    assert(r.getDouble(r.fieldIndex("mean_q")) === 25.376167)
+    assert(r.getDouble(r.fieldIndex("var_q")) === 210.864476)
+    assert(r.getDouble(r.fieldIndex("var_p")) === 908486581.488999)
+    assert(r.getDouble(r.fieldIndex("cov_qp")) === -4290.702161)
+    assert(r.getDouble(r.fieldIndex("corr_qp")) === -0.009803)
+    val r01 = q01("j83_matrix_stats").head()
+    assert(r01.getDouble(r01.fieldIndex("corr_qp")) === 0.003436)
+  }
+
+  test("i4_watermark_late classification matches DuckDB at both SFs") {
+    val m = q("i4_watermark_late").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m("click") === ((210L, 2L, 208L)))
+    assert(m("error") === ((201L, 1L, 200L)))
+    assert(m("purchase") === ((202L, 0L, 202L)))
+    val m01 = q01("i4_watermark_late").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(m01("click") === 41L) // 24h-shifted rows under the batch watermark
+    assert(m01("error") === 45L)
+  }
+
+  test("j77_multi_match head: dis_max combine of text BM25 + boosted keyword") {
+    val r = q("j77_multi_match").head()
+    assert(r.getLong(0) === 343L)
+    assert(r.getDouble(r.fieldIndex("score")) === 1.640063)
+    assert(r.getDouble(r.fieldIndex("text_score")) === 0.466878)
+    assert(r.getDouble(r.fieldIndex("src_score")) === 1.5)
+  }
+
+  test("j82_string_stats matches DuckDB (char-distribution entropy)") {
+    val r = q("j82_string_stats").head()
+    assert(r.getLong(r.fieldIndex("n_docs")) === 500L)
+    assert(r.getLong(r.fieldIndex("min_length")) === 47L)
+    assert(r.getLong(r.fieldIndex("max_length")) === 558L)
+    assert(r.getDouble(r.fieldIndex("avg_length")) === 306.312)
+    assert(r.getDouble(r.fieldIndex("entropy")) === 4.170939)
+  }
+
+  test("j80_filters_agg keeps an EMPTY named bucket (big_value has no sf0.001 rows)") {
+    val m = q("j80_filters_agg").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m("big_value") === ((0L, 0.0))) // named filter bucket survives empty
+    assert(m("errors") === ((201L, 9429.09)))
+    assert(m("other") === ((597L, 30196.41)))
+    assert(m("purchases") === ((202L, 10424.69)))
+  }
+
+  test("j86_rate_agg at sf0.01: weekly purchases normalized per day") {
+    val r = q01("j86_rate_agg").head()
+    assert(r.getAs[java.sql.Date]("week").toString === "2024-01-01")
+    assert(r.getLong(r.fieldIndex("doc_count")) === 488L)
+    assert(r.getDouble(r.fieldIndex("rate_per_day")) === 69.714286)
+  }
 }
