@@ -275,6 +275,15 @@ object BucketOps {
     * identical IEEE expressions in both engines (the j71 rule: the parity
     * is structural, not rounding-masked).
     *
+    * The decimal→double step goes THROUGH A STRING on both sides: Σy²
+    * exceeds 2^53 at sf0.1 (~2.2e15 with 4 fractional digits), so the
+    * conversion must round — and Spark's BigDecimal.doubleValue vs
+    * DuckDB's native decimal→double conversion disagreed by 1 ulp at
+    * exactly that magnitude (caught by the sf0.1 hash gate). String →
+    * double parsing is correctly rounded in BOTH engines, so casting the
+    * identical digit strings yields identical doubles — conversion
+    * parity made structural.
+    *
     * Scale shape: ONE global map-combined aggregation; every derived
     * moment is row arithmetic on the single reduce row. */
   def j83(s: SparkSession, d: String): DataFrame = {
@@ -286,9 +295,11 @@ object BucketOps {
         sum(x).as("sx"), sum(y).as("sy"),
         sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"))
       .selectExpr("n",
-        "cast(sx as double) AS dx", "cast(sy as double) AS dy",
-        "cast(sxx as double) AS dxx", "cast(sxy as double) AS dxy",
-        "cast(syy as double) AS dyy")
+        "cast(cast(sx as string) as double) AS dx",
+        "cast(cast(sy as string) as double) AS dy",
+        "cast(cast(sxx as string) as double) AS dxx",
+        "cast(cast(sxy as string) as double) AS dxy",
+        "cast(cast(syy as string) as double) AS dyy")
       .select($"n",
         round($"dx" / $"n", 6).as("mean_q"),
         round($"dy" / $"n", 6).as("mean_p"),
@@ -387,7 +398,73 @@ object BucketOps {
       .orderBy($"tier")
   }
 
+  /** j89_top_metrics — ES `top_metrics` aggregation: per event_type
+    * bucket, the metric values (value, user_id) of the event with the
+    * LATEST timestamp (`sort: ts desc`, event_id ASC tiebreak for
+    * cross-engine determinism) — the "current reading per key" the sync
+    * loop's monitoring reads (e8's LWW winner, surfaced as an agg
+    * response instead of a dedup).
+    *
+    * Scale shape: rank = 1 over a literal cut compiles to Spark 4's
+    * WindowGroupLimit (j54/j75's shape) — each task ships one row per
+    * bucket, never its slice. The ts ordering runs in the epoch-µs
+    * integer domain (e3's discipline). */
+  def j89(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"ts_us".desc, $"event_id".asc)
+    Tables.eventsUs(s, d)
+      .select($"event_type", $"event_id", $"ts", $"ts_us", $"user_id", $"value")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"event_type", $"ts", $"user_id", $"value")
+      .orderBy($"event_type")
+  }
+
+  /** j90_t_test — ES `t_test` aggregation (unpaired, heteroscedastic =
+    * Welch): is the purchase value distribution different from the click
+    * one? Reports both means, Welch's t statistic and the
+    * Welch–Satterthwaite degrees of freedom. ES additionally maps (t, df)
+    * to a p-value through the t-distribution CDF — a client-side
+    * constant-time lookup whose incomplete-beta implementation is
+    * libm-specific, so the ENGINE surfaces the distributed part (the
+    * exact moments and the statistic) and leaves the CDF to the caller.
+    *
+    * Determinism: all moments come from exact integer-cents sums (ONE
+    * j60-style conditional-count reduce row); every derived quantity is
+    * the identical IEEE expression in both engines (j71/j83's structural
+    * rule). */
+  def j90(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = $"event_type" === "purchase"
+    val k = $"event_type" === "click"
+    Tables.events(s, d)
+      .select($"event_type", round($"value" * 100, 0).cast("long").as("c"))
+      .agg(
+        count(when(p, 1)).as("n1"), sum(when(p, $"c")).as("s1"),
+        sum(when(p, $"c" * $"c")).as("q1"),
+        count(when(k, 1)).as("n2"), sum(when(k, $"c")).as("s2"),
+        sum(when(k, $"c" * $"c")).as("q2"))
+      // cents sums are exact longs < 2^53 — the double casts are lossless
+      .selectExpr("n1", "n2",
+        "cast(s1 as double) AS ds1", "cast(q1 as double) AS dq1",
+        "cast(s2 as double) AS ds2", "cast(q2 as double) AS dq2")
+      .select($"n1", $"n2",
+        round($"ds1" / $"n1" / 100.0, 6).as("mean_purchase"),
+        round($"ds2" / $"n2" / 100.0, 6).as("mean_click"),
+        // variances in dollars²: cents² / 1e4
+        ((($"dq1" - $"ds1" * $"ds1" / $"n1") / ($"n1" - 1)) / 10000.0).as("v1"),
+        ((($"dq2" - $"ds2" * $"ds2" / $"n2") / ($"n2" - 1)) / 10000.0).as("v2"))
+      .select($"n1", $"n2", $"mean_purchase", $"mean_click",
+        round(($"mean_purchase" - $"mean_click") /
+          sqrt($"v1" / $"n1" + $"v2" / $"n2"), 6).as("t_stat"),
+        round(pow($"v1" / $"n1" + $"v2" / $"n2", 2) /
+          (pow($"v1" / $"n1", 2) / ($"n1" - 1) +
+            pow($"v2" / $"n2", 2) / ($"n2" - 1)), 6).as("welch_df"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j89_top_metrics" -> j89, "j90_t_test" -> j90,
     "j74_histogram" -> j74, "j75_top_hits" -> j75,
     "j76_bucket_selector" -> j76, "j77_multi_match" -> j77,
     "j78_serial_diff" -> j78, "j79_bucket_sort" -> j79,
@@ -397,6 +474,36 @@ object BucketOps {
     "j86_rate_agg" -> j86, "j87_missing_agg" -> j87)
 
   val oracle: Map[String, String] = Map(
+    "j89_top_metrics" ->
+      """SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+        |FROM 'events.parquet'
+        |QUALIFY row_number() OVER (PARTITION BY event_type
+        |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id ASC) = 1
+        |ORDER BY event_type""".stripMargin,
+    "j90_t_test" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+        |           FROM 'events.parquet'),
+        |m AS (SELECT
+        |        count(*) FILTER (WHERE event_type = 'purchase') AS n1,
+        |        CAST(CAST(sum(c) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS DOUBLE) AS ds1,
+        |        CAST(CAST(sum(c * c) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS DOUBLE) AS dq1,
+        |        count(*) FILTER (WHERE event_type = 'click') AS n2,
+        |        CAST(CAST(sum(c) FILTER (WHERE event_type = 'click') AS BIGINT) AS DOUBLE) AS ds2,
+        |        CAST(CAST(sum(c * c) FILTER (WHERE event_type = 'click') AS BIGINT) AS DOUBLE) AS dq2
+        |      FROM e),
+        |d AS (SELECT n1, n2,
+        |        round(ds1 / n1 / 100.0, 6) AS mean_purchase,
+        |        round(ds2 / n2 / 100.0, 6) AS mean_click,
+        |        ((dq1 - ds1 * ds1 / n1) / (n1 - 1)) / 10000.0 AS v1,
+        |        ((dq2 - ds2 * ds2 / n2) / (n2 - 1)) / 10000.0 AS v2
+        |      FROM m)
+        |SELECT n1, n2, mean_purchase, mean_click,
+        |       round((mean_purchase - mean_click) /
+        |             sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+        |       round(pow(v1 / n1 + v2 / n2, 2) /
+        |             (pow(v1 / n1, 2) / (n1 - 1) +
+        |              pow(v2 / n2, 2) / (n2 - 1)), 6) AS welch_df
+        |FROM d""".stripMargin,
     "j74_histogram" ->
       """WITH e AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
         |           FROM 'events.parquet'),
@@ -541,11 +648,11 @@ object BucketOps {
         |FROM ls CROSS JOIN ent""".stripMargin,
     "j83_matrix_stats" ->
       """WITH a AS (SELECT count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS dx,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS dy,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS dxx,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS dxy,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS dyy
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS dx,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS dy,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS dxx,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS dxy,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS dyy
         |  FROM 'lineitem.parquet')
         |SELECT n,
         |  round(dx / n, 6) AS mean_q,

@@ -901,9 +901,12 @@ object PipelineOps {
     * pair aggregation over the vocab plus a 1-row argmax that rides a
     * broadcast back onto it — the fixpoint stays fully declarative, no
     * driver-side collect (deterministic tiebreak: count DESC, pair ASC). */
-  def j66(s: SparkSession, d: String): DataFrame = {
+  /** The BPE word-frequency frame: (word, cnt, sym) with `sym` the
+    * self-delimited symbol encoding — shared by j66 (merge induction)
+    * and j88 (merge application). */
+  private def bpeWords(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val words = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(explode(split($"text", " ")).as("word"))
       // guard empty tokens (consecutive spaces): Spark's sequence(1,0)
       // DESCENDS where DuckDB's generate_series(1,0) is empty, so an
@@ -914,23 +917,40 @@ object PipelineOps {
       // split appends a trailing empty element that would become `()`
       .withColumn("sym", concat(lit("("), concat_ws(")(", expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))")), lit(")")))
+  }
+
+  /** One BPE statistics pass: the most frequent adjacent symbol pair
+    * (count DESC, pair ASC tiebreak) of a (cnt, sym) vocab frame. */
+  private def bpeTopPair(vocab: DataFrame): DataFrame = vocab
+    .select(col("cnt"),
+      split(expr("substring(sym, 2, length(sym) - 2)"), "\\)\\(").as("syms"))
+    .filter(size(col("syms")) >= 2) // sequence(1,0) would count DESCENDING in Spark
+    .select(col("cnt"), explode(expr(
+      """transform(sequence(1, size(syms) - 1),
+        |  i -> named_struct('l', element_at(syms, i), 'r', element_at(syms, i + 1)))""".stripMargin)).as("p"))
+    .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+    .agg(sum(col("cnt")).as("pair_count"))
+    .orderBy(col("pair_count").desc, col("l").asc, col("r").asc)
+    .limit(1)
+
+  /** One BPE rewrite pass: apply a 1-row (l, r) merge to every sym —
+    * the self-delimited encoding makes `replace` exactly the greedy
+    * left-to-right non-overlapping merge scan. Extra columns (word)
+    * pass through untouched. */
+  private def bpeMerge(vocab: DataFrame, top: DataFrame): DataFrame = vocab
+    .crossJoin(broadcast(top))
+    .withColumn("sym", expr(
+      "replace(sym, '(' || l || ')(' || r || ')', '(' || l || r || ')')"))
+    .drop("l", "r", "pair_count")
+
+  def j66(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = bpeWords(s, d)
       .select($"cnt", $"sym")
       .persist() // the chain below reads it 2× per round (pairs + rewrite)
-    def topPair(vocab: DataFrame): DataFrame = vocab
-      .select($"cnt", split(expr("substring(sym, 2, length(sym) - 2)"), "\\)\\(").as("syms"))
-      .filter(size($"syms") >= 2) // sequence(1,0) would count DESCENDING in Spark
-      .select($"cnt", explode(expr(
-        """transform(sequence(1, size(syms) - 1),
-          |  i -> named_struct('l', element_at(syms, i), 'r', element_at(syms, i + 1)))""".stripMargin)).as("p"))
-      .groupBy($"p.l".as("l"), $"p.r".as("r"))
-      .agg(sum($"cnt").as("pair_count"))
-      .orderBy($"pair_count".desc, $"l".asc, $"r".asc)
-      .limit(1)
-    def merged(vocab: DataFrame, top: DataFrame): DataFrame = vocab
-      .crossJoin(broadcast(top))
-      .withColumn("sym", expr(
-        "replace(sym, '(' || l || ')(' || r || ')', '(' || l || r || ')')"))
-      .select($"cnt", $"sym")
+    def topPair(vocab: DataFrame): DataFrame = bpeTopPair(vocab)
+    def merged(vocab: DataFrame, top: DataFrame): DataFrame =
+      bpeMerge(vocab, top)
     val t1 = topPair(words)
     val v1 = merged(words, t1)
     val t2 = topPair(v1)
@@ -951,8 +971,43 @@ object PipelineOps {
     out
   }
 
+  /** j88_bpe_encode — BPE merge APPLICATION (the consumer of j66's
+    * training): re-learn the 3 merge rules on the corpus, apply them to
+    * the word vocabulary in rank order (each application is the greedy
+    * left-to-right scan the self-delimited encoding buys), and return
+    * the 10 most frequent words with their segmentation and piece count
+    * — the train→tokenize round trip every LLM data pipeline runs.
+    *
+    * Scale shape: j66's exact argument — the corpus is touched once
+    * (word-frequency agg, map-combined); every merge round runs on the
+    * VOCAB frame with the 1-row winning pair broadcast back; the final
+    * cut is TakeOrderedAndProject on the vocab. At 100 TB the learned
+    * merge table is thousands of rows (still one broadcast) and the
+    * application loop is the same declarative fold. */
+  def j88(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = bpeWords(s, d).persist()
+    val v0 = words.select($"word", $"cnt", $"sym")
+    val t1 = bpeTopPair(v0)
+    val v1 = bpeMerge(v0, t1)
+    val t2 = bpeTopPair(v1)
+    val v2 = bpeMerge(v1, t2)
+    val t3 = bpeTopPair(v2)
+    val v3 = bpeMerge(v2, t3)
+    val out = v3
+      .select($"word", $"cnt",
+        expr("replace(substring(sym, 2, length(sym) - 2), ')(', ' ')")
+          .as("encoded"))
+      .withColumn("n_pieces", size(split($"encoded", " ")).cast("long"))
+      .orderBy($"cnt".desc, $"word".asc)
+      .limit(10)
+      .localCheckpoint() // j66's release discipline: 10 rows, lineage-free
+    words.unpersist()
+    out
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "j66_bpe_vocab" -> j66,
+    "j66_bpe_vocab" -> j66, "j88_bpe_encode" -> j88,
     "j12_minhash_lsh" -> j12, "j13_simhash" -> j13,
     "j14_embed_neardup" -> j14, "j15_langid" -> j15,
     "j16_quality_score" -> j16, "j17_token_stats" -> j17,
@@ -966,6 +1021,52 @@ object PipelineOps {
     "j52_dsir_score" -> j52, "j53_semdedup" -> j53)
 
   val oracle: Map[String, String] = Map(
+    "j88_bpe_encode" ->
+      """WITH w AS (SELECT word, count(*) AS cnt
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |                 FROM 'documents.parquet')
+        |           WHERE length(word) > 0 GROUP BY 1),
+        |v0 AS (SELECT word, cnt, '(' || array_to_string(list_transform(
+        |         generate_series(1, length(word)), i -> word[i]), ')(') || ')' AS sym
+        |       FROM w),
+        |p1 AS (SELECT s.l, s.r, CAST(sum(cnt) AS BIGINT) AS pair_count
+        |       FROM (SELECT cnt, unnest(list_transform(
+        |               generate_series(1, len(string_split(sym[2:-2], ')(')) - 1),
+        |               i -> struct_pack(l := string_split(sym[2:-2], ')(')[i],
+        |                                r := string_split(sym[2:-2], ')(')[i+1]))) AS s
+        |             FROM v0 WHERE len(string_split(sym[2:-2], ')(')) >= 2)
+        |       GROUP BY 1, 2),
+        |t1 AS (SELECT * FROM p1 ORDER BY pair_count DESC, l, r LIMIT 1),
+        |v1 AS (SELECT word, cnt, replace(sym, '(' || t1.l || ')(' || t1.r || ')',
+        |                           '(' || t1.l || t1.r || ')') AS sym
+        |       FROM v0 CROSS JOIN t1),
+        |p2 AS (SELECT s.l, s.r, CAST(sum(cnt) AS BIGINT) AS pair_count
+        |       FROM (SELECT cnt, unnest(list_transform(
+        |               generate_series(1, len(string_split(sym[2:-2], ')(')) - 1),
+        |               i -> struct_pack(l := string_split(sym[2:-2], ')(')[i],
+        |                                r := string_split(sym[2:-2], ')(')[i+1]))) AS s
+        |             FROM v1 WHERE len(string_split(sym[2:-2], ')(')) >= 2)
+        |       GROUP BY 1, 2),
+        |t2 AS (SELECT * FROM p2 ORDER BY pair_count DESC, l, r LIMIT 1),
+        |v2 AS (SELECT word, cnt, replace(sym, '(' || t2.l || ')(' || t2.r || ')',
+        |                           '(' || t2.l || t2.r || ')') AS sym
+        |       FROM v1 CROSS JOIN t2),
+        |p3 AS (SELECT s.l, s.r, CAST(sum(cnt) AS BIGINT) AS pair_count
+        |       FROM (SELECT cnt, unnest(list_transform(
+        |               generate_series(1, len(string_split(sym[2:-2], ')(')) - 1),
+        |               i -> struct_pack(l := string_split(sym[2:-2], ')(')[i],
+        |                                r := string_split(sym[2:-2], ')(')[i+1]))) AS s
+        |             FROM v2 WHERE len(string_split(sym[2:-2], ')(')) >= 2)
+        |       GROUP BY 1, 2),
+        |t3 AS (SELECT * FROM p3 ORDER BY pair_count DESC, l, r LIMIT 1),
+        |v3 AS (SELECT word, cnt, replace(sym, '(' || t3.l || ')(' || t3.r || ')',
+        |                           '(' || t3.l || t3.r || ')') AS sym
+        |       FROM v2 CROSS JOIN t3),
+        |enc AS (SELECT word, cnt, replace(sym[2:-2], ')(', ' ') AS encoded
+        |        FROM v3)
+        |SELECT word, cnt, encoded,
+        |       CAST(len(string_split(encoded, ' ')) AS BIGINT) AS n_pieces
+        |FROM enc ORDER BY cnt DESC, word ASC LIMIT 10""".stripMargin,
     "j66_bpe_vocab" ->
       """WITH w AS (SELECT word, count(*) AS cnt
         |           FROM (SELECT unnest(string_split(text, ' ')) AS word

@@ -746,9 +746,14 @@ object SearchOps {
         sum($"l_extendedprice".cast("decimal(18,2)") *
           $"l_quantity".cast("decimal(18,2)")).as("wsum"),
         sum($"l_quantity".cast("decimal(18,2)")).as("qsum"))
+      // decimal→double THROUGH A STRING (j83's rule): wsum's magnitude
+      // approaches 2^53 at sf0.1, where Spark's and DuckDB's native
+      // decimal→double conversions can round a different way; string →
+      // double parsing is correctly rounded in both engines
       .select($"l_returnflag",
-        round($"wsum".cast("double") / $"qsum".cast("double"), 6).as("weighted_avg"),
-        $"qsum".cast("double").as("total_weight"))
+        round(expr("cast(cast(wsum as string) as double)") /
+          expr("cast(cast(qsum as string) as double)"), 6).as("weighted_avg"),
+        expr("cast(cast(qsum as string) as double)").as("total_weight"))
       .orderBy($"l_returnflag")
   }
 
@@ -806,11 +811,11 @@ object SearchOps {
         |FROM v ORDER BY l_returnflag""".stripMargin,
     "j72_weighted_avg" ->
       """SELECT l_returnflag,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |                 CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-        |        / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
+        |  round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                      CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+        |        / CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE), 6)
         |    AS weighted_avg,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_weight
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_weight
         |FROM 'lineitem.parquet' GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "j73_range_agg" ->
       """WITH b AS (SELECT CASE WHEN value < 100.0 THEN '*-100.0'

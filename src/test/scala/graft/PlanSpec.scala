@@ -506,6 +506,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("j89: top_metrics ships one row per bucket — Partial WindowGroupLimit before the exchange") {
+    val p = plan("j89_top_metrics")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(event_type")
+    assert(p.contains(", 1, Partial"), p)
+    assert(p.contains(", 1, Final"), p)
+    assert(exchangeIdx >= 0 && p.indexOf(", 1, Partial") > exchangeIdx, p)
+  }
+
   test("j84: span_near runs inside the row — zero hash exchanges before the sort") {
     val p = plan("j84_span_near")
     assert(!p.contains("Exchange hashpartitioning"), p)
