@@ -175,6 +175,42 @@ object SyncOps {
       .orderBy($"status", $"event_type")
   }
 
+  /** i14_ttl_expiry — Cassandra per-row TTL semantics on the batch
+    * surface (C* `USING TTL` / `INSERT ... TTL n`): every event carries a
+    * row-level TTL (derived from props.k as `k mod 48` hours — the a3
+    * schema-on-read path, computed identically in both engines), and the
+    * LIVE view as of a fixed read time T₀ (2024-01-15 00:00 UTC, mid-
+    * span) classifies each row: written after T₀ (not yet visible),
+    * expired (ts + ttl ≤ T₀ — what C* purges at compaction), or live.
+    * The sync loop must respect this: an expired source row must not be
+    * resurrected into the target index. Reported per event_type with the
+    * live rows' exact cents balance.
+    *
+    * Scale shape: pure row-local integer-µs arithmetic + ONE keyed
+    * map-combined aggregation (classification needs no state — TTL is a
+    * pure function of the row and the read time). */
+  def i14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cutoffUs = 1705276800000000L // 2024-01-15T00:00:00Z as epoch-µs
+    Tables.eventsUs(s, d)
+      .select($"event_type", $"ts_us",
+        round($"value" * 100, 0).cast("long").as("cents"),
+        (get_json_object($"props", "$.k").cast("long") % 48).as("ttl_h"))
+      .withColumn("expiry_us", $"ts_us" + $"ttl_h" * 3600000000L)
+      .withColumn("status",
+        when($"ts_us" > cutoffUs, "future")
+          .when($"expiry_us" <= cutoffUs, "expired")
+          .otherwise("live"))
+      .groupBy($"event_type")
+      .agg(
+        count(when($"status" === "live", 1)).as("n_live"),
+        count(when($"status" === "expired", 1)).as("n_expired"),
+        count(when($"status" === "future", 1)).as("n_future"),
+        round(coalesce(sum(when($"status" === "live", $"cents")), lit(0L))
+          / lit(100.0), 2).as("live_value"))
+      .orderBy($"event_type")
+  }
+
   /** Input/buffer row for the LWW aggregator: a (timestamp, value) pair. */
   case class TsVal(ts_us: Long, v: String)
 
@@ -208,7 +244,7 @@ object SyncOps {
     "c10_join_asof" -> c10, "c12_join_asof_native" -> c12,
     "i6_incremental_lww_merge" -> i6, "i11_sync_stats" -> i11,
     "i12_lww_delete_merge" -> i12, "i13_sync_diff" -> i13,
-    "k2_typed_aggregator" -> k2)
+    "i14_ttl_expiry" -> i14, "k2_typed_aggregator" -> k2)
 
   /** c10 and c12 implement the SAME semantics (composed vs native) and are
     * graded against one oracle text — edit here, both keys follow. */
@@ -223,6 +259,24 @@ object SyncOps {
       |ORDER BY purchase_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "i14_ttl_expiry" ->
+      """WITH e AS (SELECT event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |             CAST(json_extract_string(props, '$.k') AS BIGINT) % 48 AS ttl_h
+        |           FROM 'events.parquet'),
+        |c AS (SELECT event_type, cents,
+        |        CASE WHEN us > 1705276800000000 THEN 'future'
+        |             WHEN us + ttl_h * 3600000000 <= 1705276800000000 THEN 'expired'
+        |             ELSE 'live' END AS status
+        |      FROM e)
+        |SELECT event_type,
+        |       count(*) FILTER (WHERE status = 'live') AS n_live,
+        |       count(*) FILTER (WHERE status = 'expired') AS n_expired,
+        |       count(*) FILTER (WHERE status = 'future') AS n_future,
+        |       round(CAST(coalesce(sum(cents) FILTER (WHERE status = 'live'), 0) AS BIGINT)
+        |             / 100.0, 2) AS live_value
+        |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin,
     "i13_sync_diff" ->
       """WITH s AS (SELECT event_id, event_type,
         |             md5(concat_ws('|', user_id, event_type,
