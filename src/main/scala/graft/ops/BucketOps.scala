@@ -463,8 +463,35 @@ object BucketOps {
             pow($"v2" / $"n2", 2) / ($"n2" - 1)), 6).as("welch_df"))
   }
 
+  /** j91_frequent_item_sets — ES `frequent_item_sets` aggregation
+    * (market-basket analysis), k=2: part pairs co-purchased within the
+    * same order with support ≥ 2, top-20 by (support DESC, pair ASC).
+    * ES runs a sampled Eclat over transactions; exact pair counting is
+    * the honest equivalent when the engine has a shuffle.
+    *
+    * Scale shape: the pair generator is a SELF-JOIN ON THE BASKET KEY —
+    * co-partitioned on l_orderkey, so the quadratic blowup is bounded by
+    * basket size (≤ 7 lineitems per order here; ~k² rows per basket, not
+    * corpus²); pair support then map-side combines and the cut is
+    * TakeOrderedAndProject. Larger itemsets (k>2) iterate a-priori style
+    * on the surviving pairs — same join shape, support-pruned input. */
+  def j91(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= 2)
+      .orderBy($"support".desc, $"p1".asc, $"p2".asc)
+      .limit(20)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j89_top_metrics" -> j89, "j90_t_test" -> j90,
+    "j91_frequent_item_sets" -> j91,
     "j74_histogram" -> j74, "j75_top_hits" -> j75,
     "j76_bucket_selector" -> j76, "j77_multi_match" -> j77,
     "j78_serial_diff" -> j78, "j79_bucket_sort" -> j79,
@@ -474,6 +501,16 @@ object BucketOps {
     "j86_rate_agg" -> j86, "j87_missing_agg" -> j87)
 
   val oracle: Map[String, String] = Map(
+    "j91_frequent_item_sets" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+        |            FROM 'lineitem.parquet'),
+        |p AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |             count(*) AS support
+        |      FROM li a JOIN li b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2)
+        |SELECT p1, p2, support FROM p WHERE support >= 2
+        |ORDER BY support DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin,
     "j89_top_metrics" ->
       """SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, user_id, value
         |FROM 'events.parquet'
