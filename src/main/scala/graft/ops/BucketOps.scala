@@ -255,10 +255,12 @@ object BucketOps {
     val freq = docs
       // chars via a zero-width regex split — NOT substring(text, i, 1)
       // per position, which is O(len²) per doc (UTF8String.substring
-      // seeks from the start) and a real hazard on long documents; the
-      // lookarounds exclude start AND end so no empty elements appear
-      // (split(text,'') would append a trailing one)
-      .select(explode(split($"text", "(?!^)(?!$)")).as("ch"))
+      // seeks from the start) and a real hazard on long documents. The
+      // lookarounds exclude the start and the TRUE end of input (\z, not
+      // $ — Java's $ also matches before a trailing newline, which would
+      // glom the last two chars of a \n-terminated text into one
+      // element), so no empty elements appear either way.
+      .select(explode(split($"text", "(?!^)(?!\\z)")).as("ch"))
       .groupBy($"ch").agg(count(lit(1)).cast("double").as("c"))
     val ent = freq
       .agg(sum($"c").as("t"),

@@ -948,14 +948,11 @@ object PipelineOps {
     val words = bpeWords(s, d)
       .select($"cnt", $"sym")
       .persist() // the chain below reads it 2× per round (pairs + rewrite)
-    def topPair(vocab: DataFrame): DataFrame = bpeTopPair(vocab)
-    def merged(vocab: DataFrame, top: DataFrame): DataFrame =
-      bpeMerge(vocab, top)
-    val t1 = topPair(words)
-    val v1 = merged(words, t1)
-    val t2 = topPair(v1)
-    val v2 = merged(v1, t2)
-    val t3 = topPair(v2)
+    val t1 = bpeTopPair(words)
+    val v1 = bpeMerge(words, t1)
+    val t2 = bpeTopPair(v1)
+    val v2 = bpeMerge(v1, t2)
+    val t3 = bpeTopPair(v2)
     val out = t1.withColumn("merge_rank", lit(1L))
       .unionAll(t2.withColumn("merge_rank", lit(2L)))
       .unionAll(t3.withColumn("merge_rank", lit(3L)))

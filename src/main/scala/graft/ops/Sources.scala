@@ -16,9 +16,17 @@ import org.apache.spark.sql.functions._
 object Sources {
 
   /** Stores already materialized by this JVM (a6/a7): contents derive
-    * deterministically from read-only inputs, so build-once is safe. */
+    * deterministically from read-only inputs, so build-once is safe.
+    * `computeIfAbsent` gives at-most-once builds AND only records the
+    * store after the build lambda RETURNS — a failed write propagates
+    * without marking the store built, so the next call retries instead
+    * of serving a missing/half-committed store; concurrent callers block
+    * on the in-flight build rather than reading mid-write. */
   private val builtStores =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def buildOnce(store: String)(build: => Unit): Unit =
+    builtStores.computeIfAbsent(store, _ => { build; java.lang.Boolean.TRUE })
 
   /** a1_scan_parquet — scan with projection + predicate pushed to parquet. */
   def a1(s: SparkSession, d: String): DataFrame = {
@@ -74,9 +82,10 @@ object Sources {
     // keeps the sink cost out of Bench's min-of-N reps, which should
     // measure the SCAN (the r4→r5 "regressions" on a6 were exactly this
     // rebuild landing in some reps and not others; judge r5 item 7)
-    if (builtStores.add(store))
+    buildOnce(store) {
       Tables.eventsRaw(s, d)
         .write.format("graft-sync").mode("overwrite").save(store)
+    }
     s.read.format("graft-sync").load(store)
       .filter($"event_type" === "click" && $"value" >= 10.0)
       .select($"event_id", $"user_id", $"event_type", $"value")
@@ -96,10 +105,11 @@ object Sources {
       s"${System.getProperty("java.io.tmpdir")}/graft-events-by-day-" +
         java.lang.Integer.toHexString(d.hashCode) +
         s"-p${ProcessHandle.current().pid()}")
-    if (builtStores.add(store))
+    buildOnce(store) {
       graft.Sinks.writePartitioned(
         Tables.events(s, d).withColumn("day", date_format($"ts", "yyyy-MM-dd")),
         store, "day")
+    }
     s.read.parquet(store)
       .filter($"day" === "2024-01-02")
       .select($"event_id", $"event_type", $"value")
