@@ -78,6 +78,20 @@ object Sync {
   def liveView(snapshot: DataFrame): DataFrame =
     snapshot.filter(col("payload").isNotNull)
 
+  /** TTL-aware read view (batch i14's semantics on the sync snapshot):
+    * rows whose per-row TTL has lapsed as of `asOf` are invisible — C*'s
+    * read-path expiry filter, applied BEFORE compaction ever purges them.
+    * `ttlSecCol` holds the row's TTL in seconds; NULL or 0 means "never
+    * expires" (C* `TTL 0`). Composes with [[liveView]]: tombstones and
+    * expiry both hide a row, and a newer write with its own TTL makes the
+    * key visible again (each write carries its own expiry, exactly C*).
+    * Pure row-local arithmetic — no state, no extra exchange. */
+  def liveViewTtl(snapshot: DataFrame, ttlSecCol: String,
+      asOf: java.sql.Timestamp): DataFrame =
+    liveView(snapshot).filter(
+      col(ttlSecCol).isNull || col(ttlSecCol) === 0 ||
+        expr(s"timestampadd(SECOND, $ttlSecCol, ts)") > lit(asOf))
+
   /** Typed change row for the custom-state operators (same shape as
     * [[changeSchema]]). */
   case class ChangeRow(key: Long, ts: Timestamp, uid: Long, payload: String)

@@ -34,6 +34,31 @@ class SinksAndDeletesSpec extends AnyFunSuite {
     assert(Sync.liveView(compacted).count() === 1)
   }
 
+  test("TTL view hides lapsed rows, keeps TTL-0/NULL forever, and a fresh write re-lives the key") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = Seq(
+      Change(1, ts("2024-01-01 10:00:00"), 1, "v1"), // ttl 3600 → expires 11:00
+      Change(2, ts("2024-01-01 10:00:00"), 2, "w1"), // ttl 0    → never
+      Change(3, ts("2024-01-01 10:00:00"), 3, "x1")) // ttl null → never
+      .toDF()
+      .withColumn("ttl_s",
+        when($"key" === 1, 3600L).when($"key" === 2, 0L))
+    def live(at: String) =
+      Sync.liveViewTtl(base, "ttl_s", ts(at)).select($"key").as[Long].collect().toSet
+    assert(live("2024-01-01 10:30:00") === Set(1L, 2L, 3L)) // nothing lapsed yet
+    assert(live("2024-01-01 11:00:00") === Set(2L, 3L)) // key 1 expiry is exclusive (<=)
+    // a NEWER write for key 1 carries its own TTL — the key comes back
+    val rewrite = Seq(Change(1, ts("2024-01-01 12:00:00"), 4, "v2")).toDF()
+      .withColumn("ttl_s", lit(7200L))
+    val snap2 = Sync.mergeLwwWithDeletes(base, rewrite)
+    assert(Sync.liveViewTtl(snap2, "ttl_s", ts("2024-01-01 13:00:00"))
+      .filter($"key" === 1).select($"payload").as[String].collect().toSeq === Seq("v2"))
+    // ...and lapses again once ITS ttl passes
+    assert(Sync.liveViewTtl(snap2, "ttl_s", ts("2024-01-01 14:00:00"))
+      .filter($"key" === 1).count() === 0)
+  }
+
   test("partitioned sink lays out directories the reader can prune") {
     val spark = TestSpark.spark
     import spark.implicits._
