@@ -14,7 +14,7 @@ object SparkEntry {
     ops.Sources.defs ++ ops.Relational.defs ++ ops.Aggregates.defs ++
       ops.Windows.defs ++ ops.Scalars.defs ++ ops.VectorOps.defs ++
       ops.TextOps.defs ++ ops.SearchOps.defs ++ ops.BucketOps.defs ++
-      ops.SyncOps.defs ++
+      ops.AggExtOps.defs ++ ops.SyncOps.defs ++
       ops.StreamingOps.defs ++ ops.PipelineOps.defs ++ ops.CurationOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -26,6 +26,6 @@ object SparkEntry {
     ops.Sources.oracle ++ ops.Relational.oracle ++ ops.Aggregates.oracle ++
       ops.Windows.oracle ++ ops.Scalars.oracle ++ ops.VectorOps.oracle ++
       ops.TextOps.oracle ++ ops.SearchOps.oracle ++ ops.BucketOps.oracle ++
-      ops.SyncOps.oracle ++
+      ops.AggExtOps.oracle ++ ops.SyncOps.oracle ++
       ops.StreamingOps.oracle ++ ops.PipelineOps.oracle ++ ops.CurationOps.oracle
 }

@@ -86,7 +86,7 @@ object BucketOps {
   /** The j58/j76/j78/j79 parent frame: the zero-filled per-day purchase
     * histogram (day, doc_count) plus the day's total event count — j47's
     * spine machinery, shared so the pipeline-agg family can't drift. */
-  private def dailyFrame(s: SparkSession, d: String): DataFrame = {
+  private[ops] def dailyFrame(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.events(s, d).select(to_date($"ts").as("day"), $"event_type")
     val spine = e.agg(min($"day").as("d0"), max($"day").as("d1"))

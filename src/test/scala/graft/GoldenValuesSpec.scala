@@ -484,4 +484,58 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("doc_count")) === 488L)
     assert(r.getDouble(r.fieldIndex("rate_per_day")) === 69.714286)
   }
+
+  test("j100_zipf_fit matches DuckDB OLS moments at BOTH SFs (different corpora)") {
+    val r = q("j100_zipf_fit").head()
+    assert(r.getLong(r.fieldIndex("n_tokens")) === 31L)
+    assert(r.getDouble(r.fieldIndex("zipf_slope")) === -0.178961)
+    assert(r.getDouble(r.fieldIndex("intercept")) === 7.173999)
+    assert(r.getDouble(r.fieldIndex("r2")) === 0.059947)
+    val r01 = q01("j100_zipf_fit").head()
+    assert(r01.getDouble(r01.fieldIndex("zipf_slope")) === -0.182505)
+  }
+
+  test("j95_random_sampler at sf0.01: estimate beside exact (md5-nibble draw)") {
+    val m = q01("j95_random_sampler").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val p = m("purchase")
+    assert(p.getLong(p.fieldIndex("exact_count")) === 1981L)
+    assert(p.getLong(p.fieldIndex("sample_count")) === 479L)
+    assert(p.getLong(p.fieldIndex("est_count")) === 1916L)
+    assert(p.getDouble(p.fieldIndex("est_sum")) === 90472.44)
+  }
+
+  test("j102_moving_percentiles: trailing median interpolation matches windowed quantile_cont") {
+    val r = q("j102_moving_percentiles").collect()(3) // 4-row frame — EVEN interpolation
+    assert(r.getAs[java.sql.Date]("day").toString === "2024-01-04")
+    assert(r.getLong(r.fieldIndex("doc_count")) === 2L)
+    assert(r.getDouble(r.fieldIndex("moving_med7")) === 5.0)
+    val r01 = q01("j102_moving_percentiles").collect()(3)
+    assert(r01.getDouble(r01.fieldIndex("moving_med7")) === 73.5)
+  }
+
+  test("j103_variable_width_histogram: quartile edges are equal-depth (d12 parity)") {
+    val r = q("j103_variable_width_histogram").head()
+    assert(r.getLong(r.fieldIndex("bucket")) === 0L)
+    assert(r.getLong(r.fieldIndex("doc_count")) === 250L) // exactly n/4
+    assert(r.getDouble(r.fieldIndex("min_value")) === 0.03)
+    assert(r.getDouble(r.fieldIndex("max_value")) === 14.81)
+    assert(r.getDouble(r.fieldIndex("avg_value")) === 7.27624)
+  }
+
+  test("j92_sibling_aggs matches DuckDB (arg-min/max day keys)") {
+    val r = q("j92_sibling_aggs").head()
+    assert(r.getLong(r.fieldIndex("n_buckets")) === 30L)
+    assert(r.getLong(r.fieldIndex("sum_bucket")) === 202L)
+    assert(r.getAs[java.sql.Date]("min_bucket_day").toString === "2024-01-04")
+    assert(r.getAs[java.sql.Date]("max_bucket_day").toString === "2024-01-07")
+    assert(r.getDouble(r.fieldIndex("avg_bucket")) === 6.733333)
+  }
+
+  test("j93_cumulative_cardinality: first-seen rewrite is exact (last row = total distinct)") {
+    val rows = q("j93_cumulative_cardinality").collect()
+    assert(rows.last.getLong(rows.last.fieldIndex("cum_users")) === 15L)
+    val rows01 = q01("j93_cumulative_cardinality").collect()
+    assert(rows01.last.getLong(rows01.last.fieldIndex("cum_users")) === 150L)
+  }
 }

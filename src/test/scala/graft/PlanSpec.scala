@@ -94,7 +94,12 @@ class PlanSpec extends AnyFunSuite {
       "j70_boosting_query", // 1-row corpus stats onto the term-filtered tf (j34's shape)
       "j74_histogram", // ≤11-row numeric spine (bounded by the value DOMAIN) onto the 5-row type frame
       "j77_multi_match", // 1-row corpus stats onto the term-filtered tf (j34's shape)
-      "j82_string_stats") // 1-row entropy frame onto the 1-row length-stats frame
+      "j82_string_stats", // 1-row entropy frame onto the 1-row length-stats frame
+      "j92_sibling_aggs", // 1-row sibling-stats frame onto the ≤31-row bucket frame
+      "j94_normalize_agg", // 1-row total/min/max frame onto the bucket frame
+      "j98_rank_feature", // 1-row corpus stats onto the term-filtered tf (j34's shape)
+      "j103_variable_width_histogram", // 1-row quartile frame onto the scan
+      "j107_pinned_query") // 1-row corpus stats onto the term-filtered tf (j34's shape)
     val offenders = SparkEntry.queries.toSeq
       .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
       .flatMap { case (name, fn) =>
@@ -524,6 +529,52 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("StringStartsWith(source,src1)"), p)
     // projection pruned: text never reaches the scan
     assert(!p.contains("text"), "scan reads columns the query never uses")
+  }
+
+  test("j97/j99: distance_feature and span_first are row-local — zero hash exchanges") {
+    for (q <- Seq("j97_distance_feature", "j99_span_first")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q: $p")
+      assert(!p.contains("Join"), s"$q: $p")
+    }
+    // the distance cut is a TakeOrdered, not a global sort
+    assert(plan("j97_distance_feature").contains("TakeOrderedAndProject"),
+      plan("j97_distance_feature"))
+  }
+
+  test("j95: the sampler draw folds into ONE conditional aggregate — no joins, no windows") {
+    val p = plan("j95_random_sampler")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window ["), p)
+    assert(p.contains("partial_"), p) // map-side combine of sample + exact
+  }
+
+  test("j101: length bands are row-local CASE + one keyed aggregate") {
+    val p = plan("j101_length_buckets")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("j100: OLS moments run over the vocab AGGREGATE, never the token stream") {
+    val p = plan("j100_zipf_fit")
+    // token counts partial-combine before the vocab exchange; the rank
+    // window and the moment folds then consume the (≪ corpus) aggregate
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("j103: the quartile row broadcasts back — the corpus never shuffle-joins") {
+    val p = plan("j103_variable_width_histogram")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange rangepartitioning(cents"), p)
+  }
+
+  test("j93: first-seen counts broadcast onto the calendar spine") {
+    val p = plan("j93_cumulative_cardinality")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("whole-stage codegen covers the flagship plan") {
