@@ -449,7 +449,144 @@ object AggExtOps {
     pinned.unionByName(organic).orderBy($"rank")
   }
 
+  /** j108_significant_text — ES `significant_text`: tokens
+    * overrepresented in the docs MATCHING A QUERY ('spark') vs the whole
+    * corpus, with `filter_duplicate_text` semantics — each token counted
+    * at most once per doc (doc frequency, not raw tf), so one spammy doc
+    * can't mint a "significant" term. JLH-scored; the query-driven
+    * complement of j37's slice-driven significant_terms.
+    *
+    * Scale shape: j37's dataflow — ONE map-combined aggregation computes
+    * foreground + background doc counts together (the fg flag is
+    * row-local), totals ride a 1-row broadcast, top-15 is
+    * TakeOrderedAndProject. */
+  def j108(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(array_contains(split($"text", " "), "spark").as("fgdoc"),
+        explode(array_distinct(split($"text", " "))).as("token"))
+    val stats = toks.groupBy($"token").agg(
+      count(lit(1)).as("bg"),
+      count(when($"fgdoc", 1)).as("fg"))
+    val tot = stats.agg(sum($"bg").as("bg_tot"), sum($"fg").as("fg_tot"))
+    stats.filter($"fg" > 0)
+      .crossJoin(broadcast(tot))
+      .withColumn("fg_pct", $"fg" / $"fg_tot")
+      .withColumn("bg_pct", $"bg" / $"bg_tot")
+      .filter($"fg_pct" > $"bg_pct")
+      .withColumn("jlh", round(($"fg_pct" - $"bg_pct") * ($"fg_pct" / $"bg_pct"), 6))
+      .select($"token", $"fg", $"bg", $"jlh")
+      .orderBy($"jlh".desc, $"token".asc)
+      .limit(15)
+  }
+
+  /** j109_scripted_metric — ES `scripted_metric` aggregation: a custom
+    * map/combine/reduce metric the built-in aggs can't express — per
+    * event_type, the SUM OF EACH USER'S PEAK value ("total exposure if
+    * every user converts at their maximum"). The map script tracks a
+    * per-user max, the combine merges maps, the reduce sums — which is
+    * exactly a two-level keyed aggregation in a shuffle engine.
+    *
+    * Scale shape: both levels map-side combine ((type, user) then type);
+    * the money stays integer cents until the one output division. */
+  def j109(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_type", $"user_id",
+        round($"value" * 100, 0).cast("long").as("cents"))
+      .groupBy($"event_type", $"user_id")
+      .agg(max($"cents").as("peak"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_users"),
+        round(sum($"peak") / lit(100.0), 2).as("sum_user_peaks"))
+      .orderBy($"event_type")
+  }
+
+  /** j110_match_bool_prefix — ES `match_bool_prefix` ('merge s'): every
+    * term but the last matches as a full term, the last as a PREFIX —
+    * the search-as-you-type query (j39's match_phrase_prefix without the
+    * adjacency constraint). Reports the full-term hit and the distinct
+    * prefix completions per doc.
+    *
+    * Scale shape: both legs are row-local set arithmetic on the scan
+    * (zero exchanges before the presentation sort) — ES evaluates the
+    * same booleans per doc against its term dictionary. */
+  def j110(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", array_distinct(split($"text", " ")).as("toks"))
+      .select($"doc_id",
+        array_contains($"toks", "merge").cast("int").as("has_merge"),
+        expr("size(filter(toks, t -> startswith(t, 's')))")
+          .cast("long").as("n_prefix_matches"))
+      .filter($"has_merge" === 1 || $"n_prefix_matches" >= 1)
+      .orderBy($"doc_id")
+  }
+
+  /** j112_quality_decile_mix — curation audit: the corpus cut into
+    * per-language quality DECILES (rank-based ntile over the j65
+    * classifier logit — rank arithmetic, not a double quantile, so no
+    * interpolation hazard) with per-cell doc/token mass and mean score —
+    * the "what does the bottom decile look like, per language" table a
+    * data-mixture owner reads before setting j28/j57's knobs.
+    *
+    * Scale shape: the logit is row-local (shared qualityLogit Column —
+    * the j65/curate/stream single-source); ntile is one window per lang
+    * partition; the cell aggregate map-combines over ≤ langs×10 keys. */
+  def j112(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"score".asc, $"doc_id".asc)
+    Tables.documents(s, d)
+      .select($"lang", $"doc_id", CurationOps.qualityLogit($"text").as("score"),
+        size(split($"text", " ")).cast("long").as("n_toks"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy($"lang", $"decile")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("sum_tokens"),
+        Parity.sortedFoldSum($"score").as("ss"))
+      .select($"lang", $"decile", $"n_docs", $"sum_tokens",
+        round($"ss" / $"n_docs", 6).as("mean_score"))
+      .orderBy($"lang", $"decile")
+  }
+
+  /** j113_bigram_entropy — corpus bigram entropy: H(w1,w2), the
+    * first-token marginal H(w1), and the conditional entropy
+    * H(w2|w1) = H(w1,w2) − H(w1) in bits — the sequence-predictability
+    * diagnostic beside j100's Zipf fit (templated/synthetic corpora show
+    * abnormally low conditional entropy; j33/j24's LM statistics reduced
+    * to one comparable scalar).
+    *
+    * Scale shape: the corpus reduces to the bigram count aggregate
+    * (≤ |vocab|² keys, map-combined — the j24 shape); both entropy folds
+    * run over THAT frame and its |vocab|-row marginal (sorted folds, j82's
+    * discipline); identical IEEE composition (j83's rule). */
+  def j113(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cb = Tables.documents(s, d)
+      .select(split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> named_struct('w1', element_at(toks, i), 'w2', element_at(toks, i + 1)))"""
+          .stripMargin)).as("bg"))
+      .groupBy($"bg.w1".as("w1"), $"bg.w2".as("w2"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val hb = cb.agg(sum($"c").as("t"),
+      count(lit(1)).as("n_distinct"),
+      Parity.sortedFoldSum($"c" * log($"c")).as("clnc"))
+    val hu = cb.groupBy($"w1").agg(sum($"c").as("cu"))
+      .agg(Parity.sortedFoldSum($"cu" * log($"cu")).as("ulnu"))
+    hb.crossJoin(broadcast(hu))
+      .select($"t".cast("long").as("n_bigrams"), $"n_distinct",
+        round((log($"t") - $"clnc" / $"t") / log(lit(2.0)), 6).as("h_bigram_bits"),
+        round((log($"t") - $"ulnu" / $"t") / log(lit(2.0)), 6).as("h_unigram_bits"),
+        round(((log($"t") - $"clnc" / $"t") - (log($"t") - $"ulnu" / $"t")) /
+          log(lit(2.0)), 6).as("h_cond_bits"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j108_significant_text" -> j108, "j109_scripted_metric" -> j109,
+    "j110_match_bool_prefix" -> j110, "j112_quality_decile_mix" -> j112,
+    "j113_bigram_entropy" -> j113,
     "j104_percentiles_bucket" -> j104, "j105_embed_outliers" -> j105,
     "j106_terms_set" -> j106, "j107_pinned_query" -> j107,
     "j92_sibling_aggs" -> j92, "j93_cumulative_cardinality" -> j93,
@@ -481,6 +618,80 @@ object AggExtOps {
        | (strpos('0123456789abcdef', substr($h, 4, 1)) - 1))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "j108_significant_text" ->
+      """WITH toks AS (SELECT list_contains(string_split(text, ' '), 'spark') AS fgdoc,
+        |                unnest(list_distinct(string_split(text, ' '))) AS token
+        |              FROM 'documents.parquet'),
+        |st AS (SELECT token, count(*) AS bg,
+        |              count(*) FILTER (WHERE fgdoc) AS fg
+        |       FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(bg) AS bg_tot, sum(fg) AS fg_tot FROM st)
+        |SELECT token, fg, bg,
+        |  round((fg / fg_tot - bg / bg_tot) * ((fg / fg_tot) / (bg / bg_tot)), 6) AS jlh
+        |FROM st CROSS JOIN tot
+        |WHERE fg > 0 AND fg / fg_tot > bg / bg_tot
+        |ORDER BY round((fg / fg_tot - bg / bg_tot) * ((fg / fg_tot) / (bg / bg_tot)), 6) DESC,
+        |         token ASC
+        |LIMIT 15""".stripMargin,
+    "j109_scripted_metric" ->
+      """WITH p AS (SELECT event_type, user_id,
+        |             max(CAST(round(value * 100, 0) AS BIGINT)) AS peak
+        |           FROM 'events.parquet' GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_users,
+        |       round(CAST(sum(peak) AS BIGINT) / 100.0, 2) AS sum_user_peaks
+        |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "j110_match_bool_prefix" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |           FROM 'documents.parquet')
+        |SELECT doc_id,
+        |       CAST(list_contains(toks, 'merge') AS INT) AS has_merge,
+        |       CAST(len(list_filter(toks, t -> starts_with(t, 's'))) AS BIGINT)
+        |         AS n_prefix_matches
+        |FROM t
+        |WHERE list_contains(toks, 'merge')
+        |   OR len(list_filter(toks, t -> starts_with(t, 's'))) >= 1
+        |ORDER BY doc_id""".stripMargin,
+    "j112_quality_decile_mix" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks
+        |           FROM 'documents.parquet'),
+        |f AS (SELECT doc_id, lang,
+        |        CAST(len(toks) AS BIGINT) AS n_toks,
+        |        CAST(len(toks) AS DOUBLE) AS nt,
+        |        len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS ttr,
+        |        (n_chars - len(toks) + 1) / CAST(len(toks) AS DOUBLE) AS mean_tok_len,
+        |        len(list_filter(toks, t -> t IN ('a', 'the')))
+        |          / CAST(len(toks) AS DOUBLE) AS stop_ratio
+        |      FROM t),
+        |sc AS (SELECT doc_id, lang, n_toks,
+        |         round(-3.0 + 0.01 * nt + 4.0 * ttr
+        |           + 0.5 * mean_tok_len - 6.0 * stop_ratio, 6) AS score
+        |       FROM f),
+        |dec AS (SELECT lang, n_toks, score,
+        |          CAST(ntile(10) OVER (PARTITION BY lang
+        |            ORDER BY score ASC, doc_id ASC) AS BIGINT) AS decile
+        |        FROM sc)
+        |SELECT lang, decile, count(*) AS n_docs,
+        |       CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+        |       round(list_sum(list_sort(list(score))) / count(*), 6) AS mean_score
+        |FROM dec GROUP BY 1, 2 ORDER BY lang, decile""".stripMargin,
+    "j113_bigram_entropy" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t
+        |              FROM 'documents.parquet'
+        |              WHERE len(string_split(text, ' ')) >= 2),
+        |bg0 AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |          i -> {'w1': t[i], 'w2': t[i + 1]})) AS p FROM toks),
+        |cb AS (SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS DOUBLE) AS c
+        |       FROM bg0 GROUP BY 1, 2),
+        |hb AS (SELECT sum(c) AS t, count(*) AS n_distinct,
+        |         list_sum(list_sort(list(c * ln(c)))) AS clnc FROM cb),
+        |hu AS (SELECT list_sum(list_sort(list(cu * ln(cu)))) AS ulnu
+        |       FROM (SELECT w1, sum(c) AS cu FROM cb GROUP BY 1))
+        |SELECT CAST(hb.t AS BIGINT) AS n_bigrams, hb.n_distinct,
+        |       round((ln(hb.t) - hb.clnc / hb.t) / ln(2.0), 6) AS h_bigram_bits,
+        |       round((ln(hb.t) - hu.ulnu / hb.t) / ln(2.0), 6) AS h_unigram_bits,
+        |       round(((ln(hb.t) - hb.clnc / hb.t) - (ln(hb.t) - hu.ulnu / hb.t))
+        |             / ln(2.0), 6) AS h_cond_bits
+        |FROM hb CROSS JOIN hu""".stripMargin,
     "j104_percentiles_bucket" ->
       s"""WITH $dailySql
          |SELECT count(*) AS n_buckets,

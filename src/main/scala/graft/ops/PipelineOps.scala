@@ -120,6 +120,61 @@ object PipelineOps {
       .orderBy($"d1", $"d2")
   }
 
+  /** j111_minhash_accuracy — the sketch-accuracy audit for the dedup
+    * pipeline (d3/d15/j45/j95's estimate-beside-exact discipline applied
+    * to j12): for every band-collision candidate pair, the MinHash
+    * Jaccard ESTIMATE (fraction of the 8 signature slots that agree)
+    * reported beside the exact shingle Jaccard with the absolute error —
+    * what decides whether 8 hashes suffice before anyone trusts the LSH
+    * verdicts at 100 TB (E[est] = J; with 8 slots the audit makes the
+    * ±1/8 quantization visible on real pairs).
+    *
+    * Scale shape: identical to j12 (signature aggregate, band self-join,
+    * candidate-bounded exact verify) plus one 8-slot row-local
+    * comparison on the (tiny) candidate frame. */
+  def j111(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingleDf(s, d).persist()
+    val minCols = (0 to 7).map { i =>
+      min(substring(md5(concat(lit(s"${i / 4}:"), $"sh")), (i % 4) * 8 + 1, 8)).as(s"m$i")
+    }
+    val minh = sh.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+    val bands = minh.select($"doc_id", explode(expr(
+      """array(
+        |  named_struct('band', 0, 'sig', concat(m0, '|', m1)),
+        |  named_struct('band', 1, 'sig', concat(m2, '|', m3)),
+        |  named_struct('band', 2, 'sig', concat(m4, '|', m5)),
+        |  named_struct('band', 3, 'sig', concat(m6, '|', m7)))""".stripMargin)).as("b"))
+      .select($"doc_id", $"b.band".as("band"), $"b.sig".as("sig"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val ns = sh.groupBy($"doc_id").agg(count(lit(1)).as("ns"))
+    val exact = cand
+      .join(sh.select($"doc_id".as("d1"), $"shh".as("sh1")), "d1")
+      .join(sh.select($"doc_id".as("d2"), $"shh".as("sh2")), "d2")
+      .filter($"sh1" === $"sh2")
+      .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
+      .join(ns.select($"doc_id".as("d1"), $"ns".as("n1")), "d1")
+      .join(ns.select($"doc_id".as("d2"), $"ns".as("n2")), "d2")
+      .withColumn("jac", $"inter" / ($"n1" + $"n2" - $"inter"))
+    val m1 = minh.toDF("d1" +: (0 to 7).map(i => s"x$i"): _*)
+    val m2 = minh.toDF("d2" +: (0 to 7).map(i => s"y$i"): _*)
+    val matches = (0 to 7).map(i =>
+      when(col(s"x$i") === col(s"y$i"), 1).otherwise(0)).reduce(_ + _)
+    exact
+      .join(broadcast(m1), "d1").join(broadcast(m2), "d2")
+      .withColumn("est", matches.cast("double") / 8.0)
+      .select($"d1", $"d2",
+        round($"est", 6).as("est_jaccard"),
+        round($"jac", 6).as("jaccard"),
+        round(abs($"est" - $"jac"), 6).as("abs_err"))
+      .orderBy($"d1", $"d2")
+  }
+
   // ---------- j13 simhash ----------
 
   /** 16-bit SimHash terms, generated once and rendered per dialect:
@@ -1005,7 +1060,8 @@ object PipelineOps {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j66_bpe_vocab" -> j66, "j88_bpe_encode" -> j88,
-    "j12_minhash_lsh" -> j12, "j13_simhash" -> j13,
+    "j12_minhash_lsh" -> j12, "j111_minhash_accuracy" -> j111,
+    "j13_simhash" -> j13,
     "j14_embed_neardup" -> j14, "j15_langid" -> j15,
     "j16_quality_score" -> j16, "j17_token_stats" -> j17,
     "j18_rolling_fingerprint" -> j18, "j19_multimodal_binary" -> j19,
@@ -1129,6 +1185,36 @@ object PipelineOps {
          |FROM i2 JOIN n na ON d1 = na.doc_id JOIN n nb ON d2 = nb.doc_id
          |WHERE inter / (na.ns + nb.ns - inter) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
+    "j111_minhash_accuracy" ->
+      s"""WITH s AS ($shingleSql),
+         |h AS (SELECT doc_id, sh, i,
+         |      substr(md5(CAST(i // 4 AS VARCHAR) || ':' || sh), (i % 4) * 8 + 1, 8) AS hv
+         |      FROM s, generate_series(0, 7) t(i)),
+         |m AS (SELECT doc_id, i, min(hv) AS mh FROM h GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 2 AS band,
+         |          concat_ws('|', min(CASE WHEN i % 2 = 0 THEN mh END),
+         |                         min(CASE WHEN i % 2 = 1 THEN mh END)) AS sig
+         |          FROM m GROUP BY doc_id, i // 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
+         |i2 AS (SELECT d1, d2, count(*) AS inter
+         |       FROM cand JOIN s sa ON sa.doc_id = d1
+         |                 JOIN s sb ON sb.doc_id = d2 AND sa.sh = sb.sh
+         |       GROUP BY d1, d2),
+         |ex AS (SELECT d1, d2, inter / (na.ns + nb.ns - inter) AS jac
+         |       FROM i2 JOIN n na ON d1 = na.doc_id JOIN n nb ON d2 = nb.doc_id),
+         |est AS (SELECT ma.doc_id AS d1, mb.doc_id AS d2,
+         |          CAST(count(*) FILTER (WHERE ma.mh = mb.mh) AS DOUBLE) / 8.0 AS est
+         |        FROM m ma JOIN m mb ON ma.i = mb.i AND ma.doc_id < mb.doc_id
+         |        GROUP BY 1, 2)
+         |SELECT ex.d1, ex.d2,
+         |       round(est.est, 6) AS est_jaccard,
+         |       round(ex.jac, 6) AS jaccard,
+         |       round(abs(est.est - ex.jac), 6) AS abs_err
+         |FROM ex JOIN est USING (d1, d2)
+         |ORDER BY ex.d1, ex.d2""".stripMargin,
     "j13_simhash" -> s"$simhashFpSql ORDER BY doc_id",
     "j33_lm_score" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM 'documents.parquet'),

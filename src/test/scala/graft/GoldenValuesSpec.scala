@@ -538,4 +538,47 @@ class GoldenValuesSpec extends AnyFunSuite {
     val rows01 = q01("j93_cumulative_cardinality").collect()
     assert(rows01.last.getLong(rows01.last.fieldIndex("cum_users")) === 150L)
   }
+
+  test("j113_bigram_entropy matches DuckDB at BOTH SFs (different corpora)") {
+    val r = q("j113_bigram_entropy").head()
+    assert(r.getLong(r.fieldIndex("n_bigrams")) === 27439L)
+    assert(r.getLong(r.fieldIndex("n_distinct")) === 916L)
+    assert(r.getDouble(r.fieldIndex("h_bigram_bits")) === 9.792673)
+    assert(r.getDouble(r.fieldIndex("h_cond_bits")) === 4.885171)
+    val r01 = q01("j113_bigram_entropy").head()
+    assert(r01.getDouble(r01.fieldIndex("h_cond_bits")) === 4.883234)
+  }
+
+  test("j111_minhash_accuracy: estimate quantized to k=8 slots, exact Jaccard beside it") {
+    val rows = q01("j111_minhash_accuracy").collect()
+    assert(rows.length === 26)
+    val r = rows.head
+    assert(r.getLong(r.fieldIndex("d1")) === 8L)
+    assert(r.getLong(r.fieldIndex("d2")) === 245L)
+    assert(r.getDouble(r.fieldIndex("est_jaccard")) === 1.0)
+    assert(r.getDouble(r.fieldIndex("jaccard")) === 0.987805)
+    assert(r.getDouble(r.fieldIndex("abs_err")) === 0.012195)
+    // every estimate is a multiple of 1/8 — the quantization the audit exposes
+    rows.foreach { x =>
+      val est = x.getDouble(x.fieldIndex("est_jaccard"))
+      assert((est * 8) == math.rint(est * 8))
+    }
+  }
+
+  test("j108_significant_text: fg doc counts are deduped per doc (≤ corpus doc count)") {
+    val r = q01("j108_significant_text").head()
+    assert(r.getString(0) === "spark")
+    assert(r.getLong(r.fieldIndex("fg")) === 385L)
+    assert(r.getLong(r.fieldIndex("bg")) === 385L)
+    assert(r.getDouble(r.fieldIndex("jlh")) === 0.009092)
+  }
+
+  test("j112_quality_decile_mix bottom decile matches DuckDB") {
+    val r = q01("j112_quality_decile_mix").head()
+    assert(r.getString(0) === "de")
+    assert(r.getLong(r.fieldIndex("decile")) === 1L)
+    assert(r.getLong(r.fieldIndex("n_docs")) === 7L)
+    assert(r.getLong(r.fieldIndex("sum_tokens")) === 472L)
+    assert(r.getDouble(r.fieldIndex("mean_score")) === 0.746232)
+  }
 }

@@ -99,7 +99,9 @@ class PlanSpec extends AnyFunSuite {
       "j94_normalize_agg", // 1-row total/min/max frame onto the bucket frame
       "j98_rank_feature", // 1-row corpus stats onto the term-filtered tf (j34's shape)
       "j103_variable_width_histogram", // 1-row quartile frame onto the scan
-      "j107_pinned_query") // 1-row corpus stats onto the term-filtered tf (j34's shape)
+      "j107_pinned_query", // 1-row corpus stats onto the term-filtered tf (j34's shape)
+      "j108_significant_text", // 1-row fg/bg totals onto the token stats (j37's shape)
+      "j113_bigram_entropy") // 1-row marginal-entropy frame onto the 1-row joint frame
     val offenders = SparkEntry.queries.toSeq
       .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
       .flatMap { case (name, fn) =>
@@ -569,6 +571,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("Exchange rangepartitioning(cents"), p)
+  }
+
+  test("j110: match_bool_prefix is row-local — zero hash exchanges") {
+    val p = plan("j110_match_bool_prefix")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("j109: scripted_metric is two map-combined aggregation levels — no joins, no windows") {
+    val p = plan("j109_scripted_metric")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window ["), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("j112: deciles window per-lang partitions; the logit is row-local") {
+    val p = plan("j112_quality_decile_mix")
+    assert(p.contains("ntile(10)"), p)
+    // the windowspec's first argument is the lang partition key — never an
+    // unpartitioned corpus window
+    assert("""ntile\(10\) windowspecdefinition\(lang#""".r.findFirstIn(p).isDefined, p)
   }
 
   test("j93: first-seen counts broadcast onto the calendar spine") {
