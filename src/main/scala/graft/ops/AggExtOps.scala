@@ -265,17 +265,20 @@ object AggExtOps {
     * what decides whether j25's concat-packing or padded batching wins
     * for a given corpus.
     *
-    * Scale shape: the band is row-local integer CASE arithmetic (no
-    * log2 — libm-free and exact at the boundaries); per-band totals
-    * map-side combine over ≤4 keys; every division happens once on the
-    * reduce row (integral sums ⇒ identical IEEE). */
+    * Scale shape: the band is row-local INTEGER arithmetic — next power
+    * of two via the bit length of n−1 (`1 << length(bin(n−1))`, floored
+    * at 16), not a libm log2 whose value at an exact power of two could
+    * floor the wrong way; unbounded doc lengths get the right band
+    * instead of silently clamping (a clamp would make padding_waste
+    * negative and efficiency > 1 for >max-band docs). Per-band totals
+    * map-side combine over ≲log₂(max len) keys; every division happens
+    * once on the reduce row (integral sums ⇒ identical IEEE). */
   def j101(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .select(size(split($"text", " ")).cast("long").as("n_toks"))
       .withColumn("band",
-        when($"n_toks" <= 16, 16L).when($"n_toks" <= 32, 32L)
-          .when($"n_toks" <= 64, 64L).otherwise(128L))
+        greatest(lit(16L), expr("shiftleft(1L, length(bin(n_toks - 1)))")))
       .groupBy($"band")
       .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("sum_tokens"),
         sum($"band" - $"n_toks").as("padding_waste"))
@@ -369,8 +372,9 @@ object AggExtOps {
     * (SemDeDup's diversity complement: j53 keeps atypical members of DUP
     * groups; this SURFACES atypical members of whole classes).
     *
-    * Determinism: centroid components are round(avg,6) (j10's pinned
-    * discipline); all Σ over doubles are sorted folds; the 10% cutoff is
+    * Determinism: EVERY Σ over doubles is a sorted fold — including the
+    * centroid component means (sortedFoldSum/count, not avg(), whose
+    * partial-sum merge order is layout-dependent); the 10% cutoff is
     * a RANK cut (rn ≤ n/10), not a quantile interpolation over doubles —
     * rank arithmetic is integral, so no cross-engine ulp hazard exists.
     *
@@ -383,7 +387,11 @@ object AggExtOps {
     val comp = Tables.embeddings(s, d)
       .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "v")))
       .select($"vec_id", $"label", $"pos", $"v".cast("double").as("v"))
-    val cent = comp.groupBy($"label", $"pos").agg(round(avg($"v"), 6).as("m"))
+    // centroid mean as exact-order fold / count, NOT avg(): avg's partial
+    // sums merge in partition order, which is layout-dependent — the same
+    // hazard sortedFoldSum exists for, applied to the one remaining Σ
+    val cent = comp.groupBy($"label", $"pos")
+      .agg(round(Parity.sortedFoldSum($"v") / count(lit(1)), 6).as("m"))
     val nc = cent.groupBy($"label")
       .agg(Parity.sortedFoldSum($"m" * $"m").as("nc2"))
     val sims = comp.join(broadcast(cent), Seq("label", "pos"))
@@ -393,6 +401,7 @@ object AggExtOps {
       .join(broadcast(nc), "label")
       .select($"label", $"vec_id",
         round($"dot" / (sqrt($"nv2") * sqrt($"nc2")), 6).as("sim"))
+      .persist() // feeds both the per-label counts and the rank window
     val cnt = sims.groupBy($"label").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy($"label").orderBy($"sim".asc, $"vec_id".asc)
     sims.withColumn("rn", row_number().over(w).cast("long"))
@@ -443,7 +452,7 @@ object AggExtOps {
       .filter(!$"doc_id".isin(pinnedIds: _*))
       .orderBy($"score".desc, $"doc_id".asc)
       .limit(10)
-      .select((lit(3L) + row_number().over(
+      .select((lit(pinnedIds.length.toLong) + row_number().over(
         Window.orderBy($"score".desc, $"doc_id".asc))).as("rank"),
         $"doc_id", $"score")
     pinned.unionByName(organic).orderBy($"rank")
@@ -468,6 +477,7 @@ object AggExtOps {
     val stats = toks.groupBy($"token").agg(
       count(lit(1)).as("bg"),
       count(when($"fgdoc", 1)).as("fg"))
+      .persist() // the corpus-scale aggregate feeds the totals AND the scored leg
     val tot = stats.agg(sum($"bg").as("bg_tot"), sum($"fg").as("fg_tot"))
     stats.filter($"fg" > 0)
       .crossJoin(broadcast(tot))
@@ -570,6 +580,7 @@ object AggExtOps {
           .stripMargin)).as("bg"))
       .groupBy($"bg.w1".as("w1"), $"bg.w2".as("w2"))
       .agg(count(lit(1)).cast("double").as("c"))
+      .persist() // the corpus-scale aggregate feeds BOTH entropy folds
     val hb = cb.agg(sum($"c").as("t"),
       count(lit(1)).as("n_distinct"),
       Parity.sortedFoldSum($"c" * log($"c")).as("clnc"))
@@ -704,7 +715,8 @@ object AggExtOps {
       """WITH comp AS (SELECT vec_id, label, CAST(i - 1 AS INTEGER) AS pos,
         |                CAST(embedding[i] AS DOUBLE) AS v
         |              FROM 'embeddings.parquet', generate_series(1, 64) AS t(i)),
-        |cent AS (SELECT label, pos, round(avg(v), 6) AS m
+        |cent AS (SELECT label, pos,
+        |           round(list_sum(list_sort(list(v))) / count(*), 6) AS m
         |         FROM comp GROUP BY 1, 2),
         |nc AS (SELECT label, list_sum(list_sort(list(m * m))) AS nc2
         |       FROM cent GROUP BY 1),
@@ -897,8 +909,7 @@ object AggExtOps {
       """WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
         |           FROM 'documents.parquet'),
         |bb AS (SELECT n_toks,
-        |         CASE WHEN n_toks <= 16 THEN 16 WHEN n_toks <= 32 THEN 32
-        |              WHEN n_toks <= 64 THEN 64 ELSE 128 END AS band
+        |         greatest(16, 1 << length(bin(n_toks - 1))) AS band
         |       FROM d)
         |SELECT CAST(band AS BIGINT) AS band, count(*) AS n_docs,
         |       CAST(sum(n_toks) AS BIGINT) AS sum_tokens,

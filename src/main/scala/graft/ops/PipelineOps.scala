@@ -66,9 +66,14 @@ object PipelineOps {
        |SELECT doc_id, ${simhashExpr((n, k) => s"($n >> $k)")} AS simhash
        |FROM nibs GROUP BY doc_id""".stripMargin
 
-  /** j12_minhash_lsh — MinHash (8 string-min hashes) banded 4×2; candidate
-    * pairs from band collisions, then exact Jaccard verification ≥ 0.5. */
-  def j12(s: SparkSession, d: String): DataFrame = {
+  /** The MinHash/LSH pipeline pieces, single-sourced for j12 (the dedup
+    * operator) and j111 (its accuracy audit) so the salt scheme, the
+    * 8-hash/4×2 banding, and the candidate/exact-Jaccard joins cannot
+    * drift between the sketch and the audit of that same sketch. */
+  private case class MinhashFrames(sh: DataFrame, minh: DataFrame,
+      cand: DataFrame, exact: DataFrame)
+
+  private def minhashFrames(s: SparkSession, d: String): MinhashFrames = {
     import s.implicits._
     // reused by hashing, sizes, and the verify join — explode once
     val sh = shingleDf(s, d).persist()
@@ -106,15 +111,22 @@ object PipelineOps {
     // df = 25 over 27k distinct shingles at sf0.1; the raw-shingle
     // self-join path (TextOps.nearDupPairs) carries the df-cap for the
     // 100 TB case.
-    val inter = cand
+    val exact = cand
       .join(sh.select($"doc_id".as("d1"), $"shh".as("sh1")), "d1")
       .join(sh.select($"doc_id".as("d2"), $"shh".as("sh2")), "d2")
       .filter($"sh1" === $"sh2")
       .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
-    inter
       .join(ns.select($"doc_id".as("d1"), $"ns".as("n1")), "d1")
       .join(ns.select($"doc_id".as("d2"), $"ns".as("n2")), "d2")
       .withColumn("jac", $"inter" / ($"n1" + $"n2" - $"inter"))
+    MinhashFrames(sh, minh, cand, exact)
+  }
+
+  /** j12_minhash_lsh — MinHash (8 string-min hashes) banded 4×2; candidate
+    * pairs from band collisions, then exact Jaccard verification ≥ 0.5. */
+  def j12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    minhashFrames(s, d).exact
       .filter($"jac" >= 0.5)
       .select($"d1", $"d2", round($"jac", 6).as("jaccard"))
       .orderBy($"d1", $"d2")
@@ -134,38 +146,12 @@ object PipelineOps {
     * comparison on the (tiny) candidate frame. */
   def j111(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = shingleDf(s, d).persist()
-    val minCols = (0 to 7).map { i =>
-      min(substring(md5(concat(lit(s"${i / 4}:"), $"sh")), (i % 4) * 8 + 1, 8)).as(s"m$i")
-    }
-    val minh = sh.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
-    val bands = minh.select($"doc_id", explode(expr(
-      """array(
-        |  named_struct('band', 0, 'sig', concat(m0, '|', m1)),
-        |  named_struct('band', 1, 'sig', concat(m2, '|', m3)),
-        |  named_struct('band', 2, 'sig', concat(m4, '|', m5)),
-        |  named_struct('band', 3, 'sig', concat(m6, '|', m7)))""".stripMargin)).as("b"))
-      .select($"doc_id", $"b.band".as("band"), $"b.sig".as("sig"))
-    val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
-    val ns = sh.groupBy($"doc_id").agg(count(lit(1)).as("ns"))
-    val exact = cand
-      .join(sh.select($"doc_id".as("d1"), $"shh".as("sh1")), "d1")
-      .join(sh.select($"doc_id".as("d2"), $"shh".as("sh2")), "d2")
-      .filter($"sh1" === $"sh2")
-      .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
-      .join(ns.select($"doc_id".as("d1"), $"ns".as("n1")), "d1")
-      .join(ns.select($"doc_id".as("d2"), $"ns".as("n2")), "d2")
-      .withColumn("jac", $"inter" / ($"n1" + $"n2" - $"inter"))
-    val m1 = minh.toDF("d1" +: (0 to 7).map(i => s"x$i"): _*)
-    val m2 = minh.toDF("d2" +: (0 to 7).map(i => s"y$i"): _*)
+    val fr = minhashFrames(s, d)
+    val m1 = fr.minh.toDF("d1" +: (0 to 7).map(i => s"x$i"): _*)
+    val m2 = fr.minh.toDF("d2" +: (0 to 7).map(i => s"y$i"): _*)
     val matches = (0 to 7).map(i =>
       when(col(s"x$i") === col(s"y$i"), 1).otherwise(0)).reduce(_ + _)
-    exact
+    fr.exact
       .join(broadcast(m1), "d1").join(broadcast(m2), "d2")
       .withColumn("est", matches.cast("double") / 8.0)
       .select($"d1", $"d2",
@@ -1205,9 +1191,10 @@ object PipelineOps {
          |       GROUP BY d1, d2),
          |ex AS (SELECT d1, d2, inter / (na.ns + nb.ns - inter) AS jac
          |       FROM i2 JOIN n na ON d1 = na.doc_id JOIN n nb ON d2 = nb.doc_id),
-         |est AS (SELECT ma.doc_id AS d1, mb.doc_id AS d2,
+         |est AS (SELECT c.d1, c.d2,
          |          CAST(count(*) FILTER (WHERE ma.mh = mb.mh) AS DOUBLE) / 8.0 AS est
-         |        FROM m ma JOIN m mb ON ma.i = mb.i AND ma.doc_id < mb.doc_id
+         |        FROM cand c JOIN m ma ON ma.doc_id = c.d1
+         |                    JOIN m mb ON mb.doc_id = c.d2 AND mb.i = ma.i
          |        GROUP BY 1, 2)
          |SELECT ex.d1, ex.d2,
          |       round(est.est, 6) AS est_jaccard,
