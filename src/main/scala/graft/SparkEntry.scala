@@ -15,7 +15,8 @@ object SparkEntry {
       ops.Windows.defs ++ ops.Scalars.defs ++ ops.VectorOps.defs ++
       ops.TextOps.defs ++ ops.SearchOps.defs ++ ops.BucketOps.defs ++
       ops.AggExtOps.defs ++ ops.SyncOps.defs ++
-      ops.StreamingOps.defs ++ ops.PipelineOps.defs ++ ops.CurationOps.defs
+      ops.StreamingOps.defs ++ ops.PipelineOps.defs ++ ops.CurationOps.defs ++
+      ops.CorpusQualityOps.defs ++ ops.RankOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -27,5 +28,6 @@ object SparkEntry {
       ops.Windows.oracle ++ ops.Scalars.oracle ++ ops.VectorOps.oracle ++
       ops.TextOps.oracle ++ ops.SearchOps.oracle ++ ops.BucketOps.oracle ++
       ops.AggExtOps.oracle ++ ops.SyncOps.oracle ++
-      ops.StreamingOps.oracle ++ ops.PipelineOps.oracle ++ ops.CurationOps.oracle
+      ops.StreamingOps.oracle ++ ops.PipelineOps.oracle ++ ops.CurationOps.oracle ++
+      ops.CorpusQualityOps.oracle ++ ops.RankOps.oracle
 }

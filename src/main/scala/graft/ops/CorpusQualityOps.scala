@@ -1,0 +1,274 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality diagnostics a large-scale training-data pipeline runs
+  * before mixing (SURVEY §2-J charter: "the operations a large-scale
+  * training-data pipeline would need"), plus two ES query/agg DSL rows
+  * that complete the surface (`global` aggregation, `regexp` query).
+  *
+  * The repetition/rule operators are the Gopher/MassiveText filtering
+  * family (Rae et al. 2021, §A1.1 — public paper) re-expressed over the
+  * fixture corpus: the fixture text is single-line word salad, so the
+  * line-based signals (duplicate-line fraction) become their word-n-gram
+  * twins (top-2-gram char fraction, duplicate-3-gram fraction) and the
+  * absolute thresholds are re-centred on the fixture's measured
+  * distributions (documented per rule) — the SHAPE of each rule (bounded
+  * word count, bounded mean word length, stop-word floor, short-word
+  * ceiling) is the published one.
+  *
+  * Scale discipline (the j34/j112 shape): everything per-doc is row-local
+  * HOF arithmetic or a doc-keyed aggregation with map-side combine; the
+  * only exchanges are doc-keyed (never token-keyed fan-out without
+  * combine), and the per-lang reductions land on ≤5×10 rows.
+  */
+object CorpusQualityOps {
+
+  /** Word-n-gram frame helper: (doc_id, lang, n_chars, toks). */
+  private def toksFrame(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        split(col("text"), " ").as("toks"))
+
+  /** j114_rep_ngram — Gopher-style repetition signals, word-n-gram form:
+    * per document, the fraction of characters covered by the single most
+    * frequent 2-gram (count·len(2-gram)/n_chars; overlaps not
+    * deduplicated, as in the paper's "fraction of characters in most
+    * common n-gram") and the fraction of 3-gram occurrences that are
+    * duplicates (Σ count where count>1 / Σ count).
+    *
+    * Scale shape: n-gram construction is row-local (`transform` over
+    * token positions, zero extra scan); both statistics are doc-keyed
+    * aggregations with map-side combine, so the shuffle carries one row
+    * per distinct (doc, n-gram) — bounded by document length, never
+    * corpus-wide. Top-2-gram selection is a doc-partitioned window
+    * (count DESC, gram ASC tiebreak) on that already-reduced frame. */
+  def j114(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = toksFrame(s, d).filter(size($"toks") >= 3)
+    val bg = t.select($"doc_id", $"n_chars", explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))""".stripMargin)).as("bg"))
+      .groupBy($"doc_id", $"n_chars", $"bg").agg(count(lit(1)).as("c"))
+    val top = bg
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"c".desc, $"bg".asc)))
+      .filter($"rk" === 1)
+      .select($"doc_id",
+        (($"c" * length($"bg")).cast("double") / $"n_chars".cast("double"))
+          .as("top2_raw"))
+    val dup = t.select($"doc_id", explode(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),
+          |              ' ', element_at(toks, i + 2)))""".stripMargin)).as("tg"))
+      .groupBy($"doc_id", $"tg").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg((sum(when($"c" > 1, $"c").otherwise(lit(0L))).cast("double") /
+        sum($"c").cast("double")).as("dup3_raw"))
+    top.join(dup, "doc_id")
+      .select($"doc_id", round($"top2_raw", 6).as("top2_char_frac"),
+        round($"dup3_raw", 6).as("dup3_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** j115_gopher_rules — the Gopher/MassiveText quality-rule battery,
+    * thresholds re-centred on the fixture distributions (measured at
+    * sf0.01: n_toks 10–99 median 56; mean word length 3.71–5.30; 'a'/'the'
+    * stop count 0–14 median 3; len≤2 short-word ratio 0–0.20 median 0.03):
+    * word count in [25, 90], mean word length in [4.0, 5.0], ≥2 stop
+    * words, short-word ratio ≤ 0.09. Per-lang rule-level counts plus the
+    * all-rules pass rate — the report a curation run starts from.
+    *
+    * Scale shape: every rule is row-local arithmetic over the token
+    * array (one corpus scan, pure codegen); the only exchange is the
+    * 5-row per-lang reduction with map-side combine. Integer counts are
+    * exact; the single double (pass_rate) is an exact-int ratio. */
+  def j115(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mwl = ($"n_chars" - size($"toks") + 1).cast("double") /
+      size($"toks").cast("double")
+    val shortRatio = size(expr("filter(toks, t -> length(t) <= 2)"))
+      .cast("double") / size($"toks").cast("double")
+    val nStop = size(expr("filter(toks, t -> t IN ('a', 'the'))"))
+    val f = toksFrame(s, d).select($"lang",
+      (size($"toks") >= 25 && size($"toks") <= 90).as("wc_ok"),
+      (mwl >= 4.0d && mwl <= 5.0d).as("mwl_ok"),
+      (nStop >= 2).as("stop_ok"),
+      (shortRatio <= 0.09d).as("short_ok"))
+    f.groupBy($"lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum($"wc_ok".cast("long")).as("n_wc_ok"),
+        sum($"mwl_ok".cast("long")).as("n_mwl_ok"),
+        sum($"stop_ok".cast("long")).as("n_stop_ok"),
+        sum($"short_ok".cast("long")).as("n_short_ok"),
+        sum(($"wc_ok" && $"mwl_ok" && $"stop_ok" && $"short_ok")
+          .cast("long")).as("n_pass"))
+      .select($"lang", $"n_docs", $"n_wc_ok", $"n_mwl_ok", $"n_stop_ok",
+        $"n_short_ok", $"n_pass",
+        round($"n_pass".cast("double") / $"n_docs".cast("double"), 6)
+          .as("pass_rate"))
+      .orderBy($"lang")
+  }
+
+  /** j116_unique_ngram_ratio — compression-proxy repetition audit:
+    * distinct-2-gram / total-2-gram ratio per document (the cheap stand-in
+    * for "would this doc compress suspiciously well"), bucketed into
+    * fiftieth-wide bands per language with band counts and the band's mean
+    * ratio. A corpus whose mass sits in low bands is repetition-heavy.
+    * (2-grams, not the 4-grams a natural-text run would use: the fixture's
+    * word-salad 4-gram ratio is ≥0.98 everywhere — measured before
+    * choosing — while its 2-gram ratio spans 0.867–1.0, so the banding
+    * does real work; fiftieths for the same reason.)
+    *
+    * Scale shape: the ratio is ENTIRELY row-local (`array_distinct` over
+    * a position `transform` — zero exchanges for the per-doc statistic);
+    * the only shuffle is the small (lang, band) reduction. The mean
+    * goes through the sorted-fold so the oracle hash compare is exact. */
+  def j116(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = expr(
+      """transform(sequence(1, size(toks) - 1),
+        |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))""".stripMargin)
+    toksFrame(s, d).filter(size($"toks") >= 2)
+      .select($"lang", (size(array_distinct(grams)).cast("double") /
+        size(grams).cast("double")).as("ratio"))
+      .withColumn("band", least(floor($"ratio" * 50).cast("long"), lit(49L)))
+      .groupBy($"lang", $"band")
+      .agg(count(lit(1)).as("n_docs"),
+        Parity.sortedFoldSum($"ratio").as("rsum"))
+      .select($"lang", $"band", $"n_docs",
+        round($"rsum" / $"n_docs".cast("double"), 6).as("mean_ratio"))
+      .orderBy($"lang", $"band")
+  }
+
+  /** j118_global_agg — the ES `global` aggregation: a query context
+    * (lang = 'en') whose agg runs beside a `global` bucket that ignores
+    * the query — the "this slice vs the whole index" comparison every
+    * dashboard issues. Both contexts are conditional aggregates in ONE
+    * corpus scan (exactly how ES evaluates it: the global collector sees
+    * every doc, the scoped one sees the query's), reducing to a single
+    * row — no second scan, no join. Integer sums are exact; the averages
+    * divide exact ints. */
+  def j118(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val en = $"lang" === "en"
+    Tables.documents(s, d).agg(
+        sum(when(en, 1L).otherwise(0L)).as("n_query"),
+        sum(when(en, $"n_chars".cast("long")).otherwise(0L)).as("sq"),
+        count(lit(1)).as("n_global"),
+        sum($"n_chars".cast("long")).as("sg"))
+      .select($"n_query",
+        round($"sq".cast("double") / $"n_query".cast("double"), 6)
+          .as("avg_chars_query"),
+        $"n_global",
+        round($"sg".cast("double") / $"n_global".cast("double"), 6)
+          .as("avg_chars_global"))
+  }
+
+  /** j119_regexp_query — the ES `regexp` query: the term-level predicate
+    * restricting the vocabulary aggregate (distinct token → df,
+    * occurrences); matching terms are the query's rewrite, reported with
+    * their df/occurrence stats. Declared as filter-after-aggregate (the
+    * ES term-dictionary semantics); because the predicate is on the
+    * GROUP KEY, Catalyst pushes it below the aggregation, so the regex
+    * prunes the token stream BEFORE any exchange and only matching
+    * tokens are ever shuffled — the cheap-regex/expensive-shuffle trade
+    * a 100 TB corpus wants (PlanSpec pins the pushed shape). */
+  def j119(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .groupBy($"token")
+      .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("n_occ"))
+      .filter($"token".rlike("^s[a-z]*a[a-z]*$"))
+      .orderBy($"token")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j114_rep_ngram" -> j114, "j115_gopher_rules" -> j115,
+    "j116_unique_ngram_ratio" -> j116, "j118_global_agg" -> j118,
+    "j119_regexp_query" -> j119)
+
+  val oracle: Map[String, String] = Map(
+    "j114_rep_ngram" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+        |           FROM 'documents.parquet'
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |bg AS (SELECT doc_id, n_chars, unnest(list_transform(
+        |         generate_series(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM t),
+        |bgc AS (SELECT doc_id, n_chars, bg, count(*) AS c
+        |        FROM bg GROUP BY 1, 2, 3),
+        |top AS (SELECT doc_id,
+        |          CAST(c * len(bg) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS top2_raw
+        |        FROM bgc
+        |        QUALIFY row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY c DESC, bg ASC) = 1),
+        |tg AS (SELECT doc_id, unnest(list_transform(
+        |         generate_series(1, len(toks) - 2),
+        |         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS tg
+        |       FROM t),
+        |tgc AS (SELECT doc_id, tg, count(*) AS c FROM tg GROUP BY 1, 2),
+        |dup AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+        |            / CAST(sum(c) AS DOUBLE) AS dup3_raw
+        |        FROM tgc GROUP BY 1)
+        |SELECT doc_id, round(top2_raw, 6) AS top2_char_frac,
+        |       round(dup3_raw, 6) AS dup3_frac
+        |FROM top JOIN dup USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "j115_gopher_rules" ->
+      """WITH t AS (SELECT lang, n_chars, string_split(text, ' ') AS toks
+        |           FROM 'documents.parquet'),
+        |f AS (SELECT lang,
+        |        len(toks) BETWEEN 25 AND 90 AS wc_ok,
+        |        CAST(n_chars - len(toks) + 1 AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |          BETWEEN 4.0 AND 5.0 AS mwl_ok,
+        |        len(list_filter(toks, x -> x IN ('a', 'the'))) >= 2 AS stop_ok,
+        |        CAST(len(list_filter(toks, x -> len(x) <= 2)) AS DOUBLE)
+        |          / CAST(len(toks) AS DOUBLE) <= 0.09 AS short_ok
+        |      FROM t)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(wc_ok::INT) AS BIGINT) AS n_wc_ok,
+        |       CAST(sum(mwl_ok::INT) AS BIGINT) AS n_mwl_ok,
+        |       CAST(sum(stop_ok::INT) AS BIGINT) AS n_stop_ok,
+        |       CAST(sum(short_ok::INT) AS BIGINT) AS n_short_ok,
+        |       CAST(sum((wc_ok AND mwl_ok AND stop_ok AND short_ok)::INT) AS BIGINT)
+        |         AS n_pass,
+        |       round(CAST(sum((wc_ok AND mwl_ok AND stop_ok AND short_ok)::INT)
+        |             AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS pass_rate
+        |FROM f GROUP BY 1 ORDER BY lang""".stripMargin,
+    "j116_unique_ngram_ratio" ->
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS toks
+        |           FROM 'documents.parquet'
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (SELECT lang, list_transform(generate_series(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i + 1]) AS grams FROM t),
+        |r AS (SELECT lang, CAST(len(list_distinct(grams)) AS DOUBLE)
+        |             / CAST(len(grams) AS DOUBLE) AS ratio FROM g),
+        |b AS (SELECT lang, least(CAST(floor(ratio * 50) AS BIGINT), 49) AS band,
+        |             ratio FROM r)
+        |SELECT lang, band, count(*) AS n_docs,
+        |       round(list_sum(list_sort(list(ratio))) / CAST(count(*) AS DOUBLE), 6)
+        |         AS mean_ratio
+        |FROM b GROUP BY 1, 2 ORDER BY lang, band""".stripMargin,
+    "j118_global_agg" ->
+      """SELECT count(*) FILTER (WHERE lang = 'en') AS n_query,
+        |       round(CAST(sum(n_chars) FILTER (WHERE lang = 'en') AS DOUBLE)
+        |             / CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE), 6)
+        |         AS avg_chars_query,
+        |       count(*) AS n_global,
+        |       round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |         AS avg_chars_global
+        |FROM 'documents.parquet'""".stripMargin,
+    "j119_regexp_query" ->
+      """SELECT token, count(DISTINCT doc_id) AS df, count(*) AS n_occ
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |      FROM 'documents.parquet')
+        |GROUP BY token
+        |HAVING regexp_matches(token, '^s[a-z]*a[a-z]*$')
+        |ORDER BY token""".stripMargin)
+}

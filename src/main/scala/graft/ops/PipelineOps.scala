@@ -1044,8 +1044,52 @@ object PipelineOps {
     out
   }
 
+  /** j124_token_fertility — tokenizer fertility per language: apply the
+    * j66/j88 3-merge BPE to the word vocabulary and report, per lang,
+    * corpus words, corpus BPE tokens, and fertility (tokens/word) — the
+    * number every multilingual-tokenizer evaluation reports (a lang whose
+    * fertility is ~2× the others is under-served by the merge table and
+    * will consume twice the sequence length).
+    *
+    * Scale shape: merge induction runs on the vocab frame (j66's exact
+    * argument); the corpus contributes one (lang, word) map-combined
+    * aggregation, joined to the vocab-sized piece table on the word key
+    * (vocab is millions of rows at 100 TB — an ordinary shuffle join, or
+    * a broadcast when the merge table keeps the vocab compact); the final
+    * reduce lands on one row per lang. Integer sums exact; fertility is
+    * an exact-int ratio. */
+  def j124(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = bpeWords(s, d).persist()
+    val v0 = words.select($"word", $"cnt", $"sym")
+    val t1 = bpeTopPair(v0)
+    val v1 = bpeMerge(v0, t1)
+    val t2 = bpeTopPair(v1)
+    val v2 = bpeMerge(v1, t2)
+    val t3 = bpeTopPair(v2)
+    val v3 = bpeMerge(v2, t3)
+    val pieces = v3.select($"word",
+      size(split(expr("substring(sym, 2, length(sym) - 2)"), "\\)\\("))
+        .cast("long").as("n_pieces"))
+    val out = Tables.documents(s, d)
+      .select($"lang", explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"lang", $"word").agg(count(lit(1)).as("wc"))
+      .join(pieces, "word")
+      .groupBy($"lang")
+      .agg(sum($"wc").as("n_words"), sum($"wc" * $"n_pieces").as("n_tokens"))
+      .select($"lang", $"n_words", $"n_tokens",
+        round($"n_tokens".cast("double") / $"n_words".cast("double"), 6)
+          .as("fertility"))
+      .orderBy($"lang")
+      .localCheckpoint() // j66's release discipline: 5 rows, lineage-free
+    words.unpersist()
+    out
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j66_bpe_vocab" -> j66, "j88_bpe_encode" -> j88,
+    "j124_token_fertility" -> j124,
     "j12_minhash_lsh" -> j12, "j111_minhash_accuracy" -> j111,
     "j13_simhash" -> j13,
     "j14_embed_neardup" -> j14, "j15_langid" -> j15,
@@ -1106,6 +1150,60 @@ object PipelineOps {
         |SELECT word, cnt, encoded,
         |       CAST(len(string_split(encoded, ' ')) AS BIGINT) AS n_pieces
         |FROM enc ORDER BY cnt DESC, word ASC LIMIT 10""".stripMargin,
+    "j124_token_fertility" ->
+      """WITH w AS (SELECT word, count(*) AS cnt
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |                 FROM 'documents.parquet')
+        |           WHERE length(word) > 0 GROUP BY 1),
+        |v0 AS (SELECT word, cnt, '(' || array_to_string(list_transform(
+        |         generate_series(1, length(word)), i -> word[i]), ')(') || ')' AS sym
+        |       FROM w),
+        |p1 AS (SELECT s.l, s.r, CAST(sum(cnt) AS BIGINT) AS pair_count
+        |       FROM (SELECT cnt, unnest(list_transform(
+        |               generate_series(1, len(string_split(sym[2:-2], ')(')) - 1),
+        |               i -> struct_pack(l := string_split(sym[2:-2], ')(')[i],
+        |                                r := string_split(sym[2:-2], ')(')[i+1]))) AS s
+        |             FROM v0 WHERE len(string_split(sym[2:-2], ')(')) >= 2)
+        |       GROUP BY 1, 2),
+        |t1 AS (SELECT * FROM p1 ORDER BY pair_count DESC, l, r LIMIT 1),
+        |v1 AS (SELECT word, cnt, replace(sym, '(' || t1.l || ')(' || t1.r || ')',
+        |                           '(' || t1.l || t1.r || ')') AS sym
+        |       FROM v0 CROSS JOIN t1),
+        |p2 AS (SELECT s.l, s.r, CAST(sum(cnt) AS BIGINT) AS pair_count
+        |       FROM (SELECT cnt, unnest(list_transform(
+        |               generate_series(1, len(string_split(sym[2:-2], ')(')) - 1),
+        |               i -> struct_pack(l := string_split(sym[2:-2], ')(')[i],
+        |                                r := string_split(sym[2:-2], ')(')[i+1]))) AS s
+        |             FROM v1 WHERE len(string_split(sym[2:-2], ')(')) >= 2)
+        |       GROUP BY 1, 2),
+        |t2 AS (SELECT * FROM p2 ORDER BY pair_count DESC, l, r LIMIT 1),
+        |v2 AS (SELECT word, cnt, replace(sym, '(' || t2.l || ')(' || t2.r || ')',
+        |                           '(' || t2.l || t2.r || ')') AS sym
+        |       FROM v1 CROSS JOIN t2),
+        |p3 AS (SELECT s.l, s.r, CAST(sum(cnt) AS BIGINT) AS pair_count
+        |       FROM (SELECT cnt, unnest(list_transform(
+        |               generate_series(1, len(string_split(sym[2:-2], ')(')) - 1),
+        |               i -> struct_pack(l := string_split(sym[2:-2], ')(')[i],
+        |                                r := string_split(sym[2:-2], ')(')[i+1]))) AS s
+        |             FROM v2 WHERE len(string_split(sym[2:-2], ')(')) >= 2)
+        |       GROUP BY 1, 2),
+        |t3 AS (SELECT * FROM p3 ORDER BY pair_count DESC, l, r LIMIT 1),
+        |v3 AS (SELECT word, cnt, replace(sym, '(' || t3.l || ')(' || t3.r || ')',
+        |                           '(' || t3.l || t3.r || ')') AS sym
+        |       FROM v2 CROSS JOIN t3),
+        |pieces AS (SELECT word,
+        |             CAST(len(string_split(sym[2:-2], ')(')) AS BIGINT) AS n_pieces
+        |           FROM v3),
+        |lw AS (SELECT lang, word, count(*) AS wc
+        |       FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+        |             FROM 'documents.parquet')
+        |       WHERE length(word) > 0 GROUP BY 1, 2)
+        |SELECT lang, CAST(sum(wc) AS BIGINT) AS n_words,
+        |       CAST(sum(wc * n_pieces) AS BIGINT) AS n_tokens,
+        |       round(CAST(sum(wc * n_pieces) AS DOUBLE)
+        |             / CAST(sum(wc) AS DOUBLE), 6) AS fertility
+        |FROM lw JOIN pieces USING (word)
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
     "j66_bpe_vocab" ->
       """WITH w AS (SELECT word, count(*) AS cnt
         |           FROM (SELECT unnest(string_split(text, ' ')) AS word

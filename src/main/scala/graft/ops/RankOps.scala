@@ -1,0 +1,201 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ES scoring-DSL completion: `function_score` (field-value factor ×
+  * relevance with `min_score`), `simple_query_string` (the +must / -not /
+  * optional-should grammar), and the `_rank_eval` API (precision@k, MRR,
+  * NDCG@k against a rated document set) — the retrieval-quality loop a
+  * search team runs on every ranking change.
+  *
+  * All three consume [[TextOps.bm25Frames]] — ONE BM25 definition
+  * engine-wide — and keep the j34 discipline: the corpus is scanned once
+  * for term postings, document-frequency/corpus stats ride broadcasts
+  * back onto the postings, the shuffle moves O(docs matching a query
+  * term), never the corpus. Ranking cuts order on the ROUNDED score with
+  * a doc_id tiebreak (j38's rule) so both engines select identical sets.
+  */
+object RankOps {
+
+  /** j117_function_score — ES `function_score` with a `field_value_factor`
+    * function (field = n_chars, modifier = log1p — ES's log1p is log₁₀(1+x))
+    * combined with the text relevance under `boost_mode: multiply`, then a
+    * `min_score` cut at 0.9 (fixture-measured: the 385 'spark' matches
+    * score 0.54–1.24, median 0.86 — the cut does real work) and a top-15
+    * presentation cut on the rounded score.
+    *
+    * Scale shape: the field factor is row-local arithmetic on a column
+    * already in the dl frame (dlExtra) — function_score costs nothing
+    * beyond j34's postings aggregation; the final cut is
+    * TakeOrderedAndProject. */
+  def j117(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextOps.bm25Frames(Tables.documents(s, d), Seq("spark"),
+        dlExtra = Seq("n_chars")).scored
+      .select($"doc_id",
+        round($"tscore" * log10(lit(1.0d) + $"n_chars".cast("double")), 6)
+          .as("fscore"))
+      .filter($"fscore" >= 0.9d)
+      .orderBy($"fscore".desc, $"doc_id".asc)
+      .limit(15)
+  }
+
+  /** j120_simple_query_string — the query `"spark +merge -slow"`: 'merge'
+    * is required, 'slow' is prohibited, 'spark' is optional but scores.
+    * Matching docs score the BM25 sum over their matched scoring terms
+    * (sorted-fold; n_matched reported), top-15 on the rounded score.
+    *
+    * Scale shape: the must/score terms come from one postings frame; the
+    * prohibition is a left-anti join against the 'slow' posting list —
+    * every leg moves O(matching docs). Corpus stats (df, avgdl) are
+    * computed over the FULL index before the prohibition, exactly as ES
+    * scores a boolean filter (filters don't change idf). */
+  def j120(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val fr = TextOps.bm25Frames(docs, Seq("spark", "merge", "slow"))
+    val slowDocs = fr.tf.filter($"token" === "slow").select($"doc_id")
+    val mergeDocs = fr.tf.filter($"token" === "merge").select($"doc_id")
+    fr.scored.filter($"token".isin("spark", "merge"))
+      .groupBy($"doc_id")
+      .agg(Parity.sortedFoldSum($"tscore").as("sc"),
+        count(lit(1)).as("n_matched"))
+      .join(mergeDocs, Seq("doc_id"), "left_semi")
+      .join(slowDocs, Seq("doc_id"), "left_anti")
+      .select($"doc_id", round($"sc", 6).as("score"), $"n_matched")
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(15)
+  }
+
+  /** j121_rank_eval — the ES `_rank_eval` API over three single-term
+    * queries ('spark', 'merge', 'vector'): the system ranking is BM25
+    * top-10 (rounded-score order, doc_id tiebreak — j38's rule, so both
+    * engines rank identically); the rated set marks a document relevant
+    * when it contains the query term ≥ 2 times AND doc_id ≡ 0 (mod 3) —
+    * a deterministic stand-in for editorial labels whose mod-3 leg is
+    * deliberately uncorrelated with the ranker, so the metrics land
+    * strictly between 0 and 1 (a tf-only rating is monotone in BM25 and
+    * saturates every metric at 1.0 — measured before choosing). Reports
+    * precision@10, MRR (within the top 10), and NDCG@10 with binary gains
+    * (IDCG over min(|relevant|, 10)).
+    *
+    * Scale shape: one corpus pass builds the 3-term postings; ranking is
+    * a term-partitioned window on the postings aggregate (O(matching
+    * docs) per query); the metric folds run over ≤10 rows per query and
+    * the 3-row relevant-count frame rides a broadcast. The DCG/IDCG sums
+    * go through sorted folds; `least(n_rel, 10)` is guarded against the
+    * sequence(1, 0)-descends trap (n_rel ≥ 1 enforced by the CASE). */
+  def j121(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq("spark", "merge", "vector")
+    val fr = TextOps.bm25Frames(Tables.documents(s, d), terms)
+    val scored = fr.scored
+      .withColumn("rel", ($"tf" >= 2.0d && $"doc_id" % 3 === 0).cast("long"))
+    val nRel = scored.groupBy($"token")
+      .agg(sum($"rel").as("n_rel_total"))
+    val top10 = scored
+      .withColumn("rk", row_number().over(Window.partitionBy($"token")
+        .orderBy(round($"tscore", 6).desc, $"doc_id".asc)))
+      .filter($"rk" <= 10)
+    val log2 = log(lit(2.0d))
+    top10.groupBy($"token")
+      .agg(
+        (sum($"rel").cast("double") / lit(10.0d)).as("prec_raw"),
+        coalesce(max(when($"rel" === 1L,
+          lit(1.0d) / $"rk".cast("double"))), lit(0.0d)).as("mrr_raw"),
+        Parity.sortedFoldSum(when($"rel" === 1L,
+          lit(1.0d) / (log($"rk".cast("double") + 1.0d) / log2))
+          .otherwise(lit(0.0d))).as("dcg"))
+      .join(broadcast(nRel), "token")
+      .withColumn("idcg", when($"n_rel_total" === 0L, lit(0.0d)).otherwise(expr(
+        """aggregate(sequence(1, CAST(least(n_rel_total, 10) AS INT)),
+          |  CAST(0 AS DOUBLE),
+          |  (a, i) -> a + 1.0D / (ln(CAST(i AS DOUBLE) + 1.0D) / ln(2.0D)))""".stripMargin)))
+      .select($"token".as("query_term"), $"n_rel_total",
+        round($"prec_raw", 6).as("prec_at_10"),
+        round($"mrr_raw", 6).as("mrr"),
+        round(when($"idcg" > 0.0d, $"dcg" / $"idcg").otherwise(lit(0.0d)), 6)
+          .as("ndcg_at_10"))
+      .orderBy($"query_term")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j117_function_score" -> j117, "j120_simple_query_string" -> j120,
+    "j121_rank_eval" -> j121)
+
+  /** BM25 CTE block shared by the three oracles — the j34 SQL restated
+    * (necessarily; SURVEY §7.5#8) with the term list parameterized. */
+  private def bm25Sql(termsIn: String): String =
+    s"""dl AS (SELECT doc_id, n_chars, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+       |            FROM 'documents.parquet'),
+       |tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM (
+       |         SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |         FROM 'documents.parquet')
+       |       WHERE token IN ($termsIn) GROUP BY 1, 2),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |sc AS (SELECT tf.doc_id, tf.token, tf.tf,
+       |         ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+       |           (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS tscore,
+       |         dl.n_chars
+       |       FROM tf JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN st)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "j117_function_score" ->
+      s"""WITH ${bm25Sql("'spark'")}
+         |SELECT doc_id,
+         |       round(tscore * log10(1.0 + CAST(n_chars AS DOUBLE)), 6) AS fscore
+         |FROM sc
+         |WHERE round(tscore * log10(1.0 + CAST(n_chars AS DOUBLE)), 6) >= 0.9
+         |ORDER BY fscore DESC, doc_id ASC
+         |LIMIT 15""".stripMargin,
+    "j120_simple_query_string" ->
+      s"""WITH ${bm25Sql("'spark', 'merge', 'slow'")},
+         |agg AS (SELECT doc_id, round(list_sum(list_sort(list(tscore))), 6) AS score,
+         |               count(*) AS n_matched
+         |        FROM sc WHERE token IN ('spark', 'merge') GROUP BY 1)
+         |SELECT agg.doc_id, agg.score, agg.n_matched
+         |FROM agg
+         |WHERE EXISTS (SELECT 1 FROM tf m
+         |              WHERE m.doc_id = agg.doc_id AND m.token = 'merge')
+         |  AND NOT EXISTS (SELECT 1 FROM tf x
+         |                  WHERE x.doc_id = agg.doc_id AND x.token = 'slow')
+         |ORDER BY score DESC, doc_id ASC
+         |LIMIT 15""".stripMargin,
+    "j121_rank_eval" ->
+      s"""WITH ${bm25Sql("'spark', 'merge', 'vector'")},
+         |rated AS (SELECT doc_id, token, tf, tscore,
+         |            CAST(tf >= 2.0 AND doc_id % 3 = 0 AS BIGINT) AS rel FROM sc),
+         |nrel AS (SELECT token, CAST(sum(rel) AS BIGINT) AS n_rel_total
+         |         FROM rated GROUP BY 1),
+         |top10 AS (SELECT * FROM (
+         |            SELECT doc_id, token, rel,
+         |              row_number() OVER (PARTITION BY token
+         |                ORDER BY round(tscore, 6) DESC, doc_id ASC) AS rk
+         |            FROM rated)
+         |          WHERE rk <= 10),
+         |m AS (SELECT token,
+         |        CAST(sum(rel) AS DOUBLE) / 10.0 AS prec_raw,
+         |        coalesce(max(CASE WHEN rel = 1
+         |          THEN 1.0 / CAST(rk AS DOUBLE) END), 0.0) AS mrr_raw,
+         |        list_sum(list_sort(list(CASE WHEN rel = 1
+         |          THEN 1.0 / (ln(CAST(rk AS DOUBLE) + 1.0) / ln(2.0))
+         |          ELSE 0.0 END))) AS dcg
+         |      FROM top10 GROUP BY 1),
+         |idcg AS (SELECT token, CASE WHEN n_rel_total = 0 THEN 0.0
+         |           ELSE list_sum(list_transform(
+         |             generate_series(1, CAST(least(n_rel_total, 10) AS INT)),
+         |             i -> 1.0 / (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0)))) END AS idcg,
+         |           n_rel_total
+         |         FROM nrel)
+         |SELECT m.token AS query_term, idcg.n_rel_total,
+         |       round(m.prec_raw, 6) AS prec_at_10,
+         |       round(m.mrr_raw, 6) AS mrr,
+         |       round(CASE WHEN idcg.idcg > 0.0 THEN m.dcg / idcg.idcg
+         |             ELSE 0.0 END, 6) AS ndcg_at_10
+         |FROM m JOIN idcg USING (token)
+         |ORDER BY query_term""".stripMargin)
+}

@@ -105,10 +105,78 @@ object VectorOps {
       .orderBy($"doc_id")
   }
 
+  /** j122_knn_prefilter — FILTERED vector search, the ES `knn` + `filter`
+    * semantics, plus the recall audit every vector-store migration runs:
+    * the pre-filter top-10 (filter label ∈ {0,1,2} BEFORE ranking — what a
+    * filtered HNSW/IVF traversal returns) against post-filtering the
+    * UNfiltered global top-30 (the cheap-but-lossy alternative), reporting
+    * which pre-filter hits the post-filter run would have surfaced.
+    *
+    * Scale shape: both legs are one scan + TakeOrderedAndProject (the
+    * pre-filter predicate prunes before scoring); the 30-row post set
+    * rides a broadcast into the membership join. At 100 TB the same
+    * score expression drops behind the j20 IVF cells — the audit query
+    * itself is unchanged. */
+  def j122(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.embeddings(s, d)
+      .select($"vec_id", $"label", cosCol.as("cos_q"))
+    // orderBy+limit FIRST (TakeOrderedAndProject — per-partition top-k
+    // merge, scale-safe), then the rank window runs over the ≤10/≤30
+    // survivors only: never a global row_number over the corpus
+    val pre = scored.filter($"label".isin(0, 1, 2))
+      .orderBy($"cos_q".desc, $"vec_id".asc).limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"cos_q".desc, $"vec_id".asc)).cast("long"))
+    val post = scored
+      .orderBy($"cos_q".desc, $"vec_id".asc).limit(30)
+      .filter($"label".isin(0, 1, 2))
+      .select($"vec_id", lit(true).as("in_post"))
+    pre.join(broadcast(post), Seq("vec_id"), "left_outer")
+      .select($"rank", $"vec_id", $"label", $"cos_q",
+        coalesce($"in_post", lit(false)).as("in_post"))
+      .orderBy($"rank")
+  }
+
+  /** j123_maxsim — late-interaction (ColBERT-style) MaxSim scoring: a
+    * 4-vector probe set (vec_id 0–3) against multi-vector "documents"
+    * (each label's vector group); score(label) = mean over probe vectors
+    * of the max cosine against any vector in the group. The multi-vector
+    * retrieval shape single-vector ANN can't express.
+    *
+    * Scale shape: the probe set rides a broadcast onto ONE scan of the
+    * vector corpus (zip_with dot products, row-local); the max collapses
+    * per (label, probe) with map-side combine BEFORE the mean, so the
+    * shuffle carries |labels|×|probes| rows, never the corpus. Identical
+    * left-to-right fold order in both engines makes the unrounded maxes
+    * bit-equal; the final mean goes through the sorted fold. */
+  def j123(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val probes = Tables.embeddings(s, d).filter($"vec_id" <= 3)
+      .select($"vec_id".as("probe_id"), $"embedding".as("pvec"))
+    val dotPq =
+      """aggregate(zip_with(embedding, pvec,
+        |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin
+    val dotPp =
+      "aggregate(pvec, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    Tables.embeddings(s, d)
+      .crossJoin(broadcast(probes))
+      .select($"label", $"probe_id",
+        (expr(dotPq) / (sqrt(expr(dotSelf)) * sqrt(expr(dotPp)))).as("cos_pq"))
+      .groupBy($"label", $"probe_id")
+      .agg(max($"cos_pq").as("mc"))
+      .groupBy($"label")
+      .agg(Parity.sortedFoldSum($"mc").as("msum"), count(lit(1)).as("np"))
+      .select($"label", round($"msum" / $"np".cast("double"), 6).as("maxsim"))
+      .orderBy($"label")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j3_cosine_score" -> j3, "j4_topk_nn" -> j4, "j5_knn_per_label" -> j5,
     "j9_embedding_norm" -> j9, "j10_label_centroid" -> j10,
-    "j11_multimodal_cols" -> j11)
+    "j11_multimodal_cols" -> j11,
+    "j122_knn_prefilter" -> j122, "j123_maxsim" -> j123)
 
   private val dotSelfSql =
     "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
@@ -142,5 +210,39 @@ object VectorOps {
          |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
          |round(sqrt($dotSelfSql), 6) AS l2_norm
          |FROM 'documents.parquet' JOIN 'embeddings.parquet' ON doc_id = vec_id
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    "j122_knn_prefilter" ->
+      s"""WITH scored AS (SELECT vec_id, label, $cosSql AS cos_q
+         |                FROM 'embeddings.parquet'),
+         |pre AS (SELECT vec_id, label, cos_q,
+         |          CAST(row_number() OVER (ORDER BY cos_q DESC, vec_id ASC)
+         |            AS BIGINT) AS rank
+         |        FROM scored WHERE label IN (0, 1, 2)
+         |        QUALIFY rank <= 10),
+         |post AS (SELECT vec_id FROM (
+         |           SELECT vec_id, label,
+         |             row_number() OVER (ORDER BY cos_q DESC, vec_id ASC) AS grk
+         |           FROM scored)
+         |         WHERE grk <= 30 AND label IN (0, 1, 2))
+         |SELECT pre.rank, pre.vec_id, pre.label, pre.cos_q,
+         |       EXISTS (SELECT 1 FROM post WHERE post.vec_id = pre.vec_id)
+         |         AS in_post
+         |FROM pre ORDER BY rank""".stripMargin,
+    "j123_maxsim" ->
+      """WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec
+        |                FROM 'embeddings.parquet' WHERE vec_id <= 3),
+        |pairs AS (SELECT e.label, p.probe_id,
+        |            list_sum(list_transform(generate_series(1, 64),
+        |              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.pvec[i] AS DOUBLE)))
+        |            / (sqrt(list_sum(list_transform(e.embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |               * sqrt(list_sum(list_transform(p.pvec,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_pq
+        |          FROM 'embeddings.parquet' e CROSS JOIN probes p),
+        |mx AS (SELECT label, probe_id, max(cos_pq) AS mc
+        |       FROM pairs GROUP BY 1, 2)
+        |SELECT label,
+        |       round(list_sum(list_sort(list(mc))) / CAST(count(*) AS DOUBLE), 6)
+        |         AS maxsim
+        |FROM mx GROUP BY 1 ORDER BY label""".stripMargin)
 }

@@ -581,4 +581,51 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("sum_tokens")) === 472L)
     assert(r.getDouble(r.fieldIndex("mean_score")) === 0.746232)
   }
+
+  test("j114_rep_ngram doc 0 matches DuckDB") {
+    val r = q("j114_rep_ngram").head()
+    assert(r.getLong(0) === 0L)
+    assert(r.getDouble(r.fieldIndex("top2_char_frac")) === 0.171875)
+    assert(r.getDouble(r.fieldIndex("dup3_frac")) === 0.0)
+  }
+
+  test("j115_gopher_rules en row matches DuckDB") {
+    val rows = q("j115_gopher_rules").collect()
+    val en = rows.find(_.getString(0) == "en").get
+    assert(en.getLong(en.fieldIndex("n_docs")) === 193L)
+    assert(en.getLong(en.fieldIndex("n_wc_ok")) === 142L)
+    assert(en.getLong(en.fieldIndex("n_mwl_ok")) === 191L)
+    assert(en.getLong(en.fieldIndex("n_stop_ok")) === 144L)
+    assert(en.getLong(en.fieldIndex("n_short_ok")) === 184L)
+    assert(en.getLong(en.fieldIndex("n_pass")) === 114L)
+    assert(en.getDouble(en.fieldIndex("pass_rate")) === 0.590674)
+  }
+
+  test("j121_rank_eval metrics land strictly inside (0, 1) and match DuckDB") {
+    val rows = q("j121_rank_eval").collect()
+    val merge = rows.find(_.getString(0) == "merge").get
+    assert(merge.getLong(merge.fieldIndex("n_rel_total")) === 90L)
+    assert(merge.getDouble(merge.fieldIndex("prec_at_10")) === 0.6)
+    assert(merge.getDouble(merge.fieldIndex("mrr")) === 1.0)
+    assert(merge.getDouble(merge.fieldIndex("ndcg_at_10")) === 0.65948)
+    val spark = rows.find(_.getString(0) == "spark").get
+    assert(spark.getDouble(spark.fieldIndex("prec_at_10")) === 0.3)
+    assert(spark.getDouble(spark.fieldIndex("mrr")) === 0.25)
+    assert(spark.getDouble(spark.fieldIndex("ndcg_at_10")) === 0.234407)
+  }
+
+  test("j123_maxsim label scores match DuckDB") {
+    val rows = q("j123_maxsim").collect()
+    def m(l: Int) = rows.find(_.getInt(0) == l).get.getDouble(1)
+    assert(m(0) === 0.255567)
+    assert(m(2) === 0.311457)
+  }
+
+  test("j124_token_fertility en row matches DuckDB") {
+    val rows = q("j124_token_fertility").collect()
+    val en = rows.find(_.getString(0) == "en").get
+    assert(en.getLong(en.fieldIndex("n_words")) === 10343L)
+    assert(en.getLong(en.fieldIndex("n_tokens")) === 42704L)
+    assert(en.getDouble(en.fieldIndex("fertility")) === 4.128783)
+  }
 }

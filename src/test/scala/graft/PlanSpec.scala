@@ -101,7 +101,11 @@ class PlanSpec extends AnyFunSuite {
       "j103_variable_width_histogram", // 1-row quartile frame onto the scan
       "j107_pinned_query", // 1-row corpus stats onto the term-filtered tf (j34's shape)
       "j108_significant_text", // 1-row fg/bg totals onto the token stats (j37's shape)
-      "j113_bigram_entropy") // 1-row marginal-entropy frame onto the 1-row joint frame
+      "j113_bigram_entropy", // 1-row marginal-entropy frame onto the 1-row joint frame
+      "j117_function_score", // 1-row corpus stats onto the term-filtered tf (j34's shape)
+      "j120_simple_query_string", // 1-row corpus stats onto the term-filtered tf (j34's shape)
+      "j121_rank_eval", // 1-row corpus stats onto the term-filtered tf (j34's shape)
+      "j123_maxsim") // 4-row probe set onto one corpus scan (the MaxSim broadcast)
     val offenders = SparkEntry.queries.toSeq
       .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
       .flatMap { case (name, fn) =>
@@ -598,6 +602,60 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("j93_cumulative_cardinality")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("j115/j118: rule battery and global agg are one map-combined reduce — no joins") {
+    val p = plan("j115_gopher_rules")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    val g = plan("j118_global_agg")
+    assert(!g.contains("Join"), g)
+    // ES `global` is one scan: a single-partition final agg, never a
+    // hash-keyed exchange (there is no grouping key)
+    assert(!g.contains("Exchange hashpartitioning"), g)
+  }
+
+  test("j116: the uniqueness ratio is row-local — the only exchange is the (lang, band) agg") {
+    val p = plan("j116_unique_ngram_ratio")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("j119: Catalyst pushes the term predicate below the vocab aggregate — prune before shuffle") {
+    val p = plan("j119_regexp_query")
+    assert(!p.contains("Join"), p)
+    // the filter is on the GROUP KEY, so Catalyst pushes it under the
+    // aggregation: the regex prunes the token stream BEFORE any exchange
+    // and only s…a… tokens are ever shuffled. Plan prints top-down, so
+    // the RLIKE filter must sit below (later than) the last exchange —
+    // the declarative form hands the optimizer exactly this choice.
+    val rlikeIdx = p.indexOf("RLIKE")
+    val exchIdx = p.lastIndexOf("Exchange hashpartitioning")
+    assert(rlikeIdx >= 0 && exchIdx >= 0 && rlikeIdx > exchIdx, p)
+  }
+
+  test("j117/j122: ranking cuts plan as TakeOrderedAndProject, never a global sort") {
+    assert(plan("j117_function_score").contains("TakeOrderedAndProject"))
+    val p = plan("j122_knn_prefilter")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("j121: ranking window partitions by query term; the rel-count frame broadcasts") {
+    val p = plan("j121_rank_eval")
+    assert("""row_number\(\) windowspecdefinition\(token#""".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j123: probes broadcast onto one corpus scan; the max partial-combines before the mean") {
+    val p = plan("j123_maxsim")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_max"), p)
   }
 
   test("whole-stage codegen covers the flagship plan") {
