@@ -187,10 +187,39 @@ object CorpusQualityOps {
       .orderBy($"token")
   }
 
+  /** j128_temperature_mix — multilingual sampling-temperature
+    * reweighting (the mBERT/XLM-R exponential-smoothing recipe, public):
+    * per language, raw token share p_raw, temperature-smoothed share
+    * p_temp ∝ p_raw^(1/T) with T = 2, and the sampling boost
+    * p_temp/p_raw the dataloader applies — the standard fix for
+    * high-resource languages drowning out low-resource ones.
+    *
+    * Scale shape: one map-combined per-lang reduce over the corpus; the
+    * 1-row total and the |langs|-row normalizer ride broadcasts. The
+    * normalizer sum goes through the sorted fold (doubles); shares are
+    * exact-int ratios before the sqrt. */
+  def j128(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.documents(s, d)
+      .select($"lang", size(split($"text", " ")).cast("long").as("n_toks"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"))
+    val tot = per.agg(sum($"n_tokens").as("tot"))
+    val wp = per.crossJoin(broadcast(tot))
+      .withColumn("p_raw", $"n_tokens".cast("double") / $"tot".cast("double"))
+      .withColumn("w", sqrt($"p_raw"))
+    val z = wp.agg(Parity.sortedFoldSum($"w").as("z"))
+    wp.crossJoin(broadcast(z))
+      .select($"lang", $"n_docs", $"n_tokens", round($"p_raw", 6).as("p_raw"),
+        round($"w" / $"z", 6).as("p_temp"),
+        round(($"w" / $"z") / $"p_raw", 6).as("boost"))
+      .orderBy($"lang")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j114_rep_ngram" -> j114, "j115_gopher_rules" -> j115,
     "j116_unique_ngram_ratio" -> j116, "j118_global_agg" -> j118,
-    "j119_regexp_query" -> j119)
+    "j119_regexp_query" -> j119, "j128_temperature_mix" -> j128)
 
   val oracle: Map[String, String] = Map(
     "j114_rep_ngram" ->
@@ -270,5 +299,19 @@ object CorpusQualityOps {
         |      FROM 'documents.parquet')
         |GROUP BY token
         |HAVING regexp_matches(token, '^s[a-z]*a[a-z]*$')
-        |ORDER BY token""".stripMargin)
+        |ORDER BY token""".stripMargin,
+    "j128_temperature_mix" ->
+      """WITH per AS (SELECT lang, count(*) AS n_docs,
+        |               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |             FROM 'documents.parquet' GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per),
+        |wp AS (SELECT lang, n_docs, n_tokens,
+        |         CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS p_raw,
+        |         sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) AS w
+        |       FROM per CROSS JOIN tot),
+        |z AS (SELECT list_sum(list_sort(list(w))) AS z FROM wp)
+        |SELECT lang, n_docs, n_tokens, round(p_raw, 6) AS p_raw,
+        |       round(w / z.z, 6) AS p_temp,
+        |       round((w / z.z) / p_raw, 6) AS boost
+        |FROM wp CROSS JOIN z ORDER BY lang""".stripMargin)
 }

@@ -122,9 +122,117 @@ object RankOps {
       .orderBy($"query_term")
   }
 
+  /** j125_span_containing — ES `span_containing`: count the "big" spans
+    * (ordered pair 'table' … 'key' within 5 positions) and how many of
+    * them strictly contain the "little" span (token 'row' between the
+    * endpoints) — the position-algebra query the span family exists for,
+    * beyond j84's plain adjacency-with-slop.
+    *
+    * Scale shape: the entire position algebra runs INSIDE the row
+    * (nested filter/transform over token positions, the j36/j84/j99
+    * discipline) — zero hash exchanges; the only exchange is the
+    * presentation sort. The inner sequences are guarded (CASE on the
+    * range bounds) against Spark's sequence(a, b<a)-descends trap. */
+  def j125(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nBig = expr(
+      """aggregate(transform(sequence(1, size(toks)), i ->
+        |  CASE WHEN element_at(toks, i) = 'table' AND i < size(toks) THEN
+        |    size(filter(sequence(i + 1, least(i + 5, size(toks))), j ->
+        |      element_at(toks, j) = 'key'))
+        |  ELSE 0 END), CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin)
+    val nCont = expr(
+      """aggregate(transform(sequence(1, size(toks)), i ->
+        |  CASE WHEN element_at(toks, i) = 'table' AND i < size(toks) THEN
+        |    size(filter(sequence(i + 1, least(i + 5, size(toks))), j ->
+        |      element_at(toks, j) = 'key' AND
+        |      CASE WHEN j > i + 1 THEN
+        |        size(filter(sequence(i + 1, j - 1), k ->
+        |          element_at(toks, k) = 'row')) > 0
+        |      ELSE false END))
+        |  ELSE 0 END), CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin)
+    Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", nBig.as("n_big"), nCont.as("n_containing"))
+      .filter($"n_big" >= 1)
+      .orderBy($"doc_id")
+  }
+
+  /** j126_phrase_suggester — the ES `phrase` suggester for the input
+    * "merge tble": candidate corrections are vocabulary terms within
+    * edit distance 2 of the typo (ES max_edits), scored by the j24
+    * add-one bigram LM in the phrase context × a per-edit error-model
+    * discount: score = ln((c('merge', cand)+1) / (c_prefix('merge')+V))
+    * − dist·ln(10). The LM is what separates 'table' from 'the' here —
+    * exactly the disambiguation the phrase suggester adds over the term
+    * suggester's frequency ranking.
+    *
+    * Scale shape: edit distance runs over the VOCABULARY aggregate
+    * (j35's discipline); the bigram-context counts reduce to the
+    * 'merge'-prefixed slice; the 1-row prefix/vocab-size stats ride
+    * broadcasts. Nothing touches the corpus twice. */
+  def j126(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(explode(split($"text", " ")).as("token"))
+    val vocab = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val cand = vocab
+      .withColumn("dist", levenshtein($"token", lit("tble")).cast("long"))
+      .filter($"dist" <= 2)
+    val bg = docs.select(split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> named_struct('w1', element_at(toks, i),
+          |                    'w2', element_at(toks, i + 1)))""".stripMargin)).as("p"))
+      .filter($"p.w1" === "merge")
+      .groupBy($"p.w2".as("w2")).agg(count(lit(1)).as("c_bigram"))
+    val stats = bg.agg(sum($"c_bigram").as("c_prefix"))
+      .crossJoin(vocab.agg(count(lit(1)).as("v_size")))
+    cand.join(bg, cand("token") === bg("w2"), "left_outer")
+      .crossJoin(broadcast(stats))
+      .select($"token".as("candidate"), $"dist", $"cnt".as("term_freq"),
+        coalesce($"c_bigram", lit(0L)).as("c_bigram"),
+        round(log((coalesce($"c_bigram", lit(0L)).cast("double") + 1.0d) /
+            ($"c_prefix".cast("double") + $"v_size".cast("double"))) -
+          $"dist".cast("double") * log(lit(10.0d)), 6).as("score"))
+      .orderBy($"score".desc, $"candidate".asc)
+  }
+
+  /** j129_terms_lookup — the ES `terms` query with a LOOKUP: the term set
+    * is not a literal list but fetched from other data (ES reads it from
+    * a document; here it is the top-20 purchasers by exact cents — the
+    * j109 money discipline — with a user_id tiebreak at the cut). Their
+    * click activity is then retrieved by that looked-up term set.
+    *
+    * Scale shape: the lookup reduces to 20 rows and rides a broadcast
+    * into the click aggregation — the click stream never shuffles for
+    * the join; at 100 TB this is one map-combined agg per leg plus a
+    * broadcast hash join, the exact plan an ES terms-lookup filter
+    * compiles to. */
+  def j129(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.Tables.events(s, d)
+    val watch = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("purchase_cents"))
+      .orderBy($"purchase_cents".desc, $"user_id".asc)
+      .limit(20)
+    // the 20-row lookup broadcast-semi-filters the click STREAM before
+    // the count — the big side never shuffles for users outside the set
+    val clicks = ev.filter($"event_type" === "click")
+      .join(broadcast(watch.select($"user_id")), Seq("user_id"), "left_semi")
+      .groupBy($"user_id").agg(count(lit(1)).as("n_clicks"))
+    watch.join(clicks, Seq("user_id"), "left_outer")
+      .select($"user_id", $"purchase_cents",
+        coalesce($"n_clicks", lit(0L)).as("n_clicks"))
+      .orderBy($"user_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j117_function_score" -> j117, "j120_simple_query_string" -> j120,
-    "j121_rank_eval" -> j121)
+    "j121_rank_eval" -> j121, "j125_span_containing" -> j125,
+    "j126_phrase_suggester" -> j126, "j129_terms_lookup" -> j129)
 
   /** BM25 CTE block shared by the three oracles — the j34 SQL restated
     * (necessarily; SURVEY §7.5#8) with the term list parameterized. */
@@ -197,5 +305,61 @@ object RankOps {
          |       round(CASE WHEN idcg.idcg > 0.0 THEN m.dcg / idcg.idcg
          |             ELSE 0.0 END, 6) AS ndcg_at_10
          |FROM m JOIN idcg USING (token)
-         |ORDER BY query_term""".stripMargin)
+         |ORDER BY query_term""".stripMargin,
+    "j125_span_containing" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM 'documents.parquet'),
+        |c AS (SELECT doc_id,
+        |        CAST(list_sum(list_transform(generate_series(1, len(toks)), i ->
+        |          CASE WHEN toks[i] = 'table' AND i < len(toks) THEN
+        |            len(list_filter(generate_series(i + 1, least(i + 5, len(toks))), j ->
+        |              toks[j] = 'key'))
+        |          ELSE 0 END)) AS BIGINT) AS n_big,
+        |        CAST(list_sum(list_transform(generate_series(1, len(toks)), i ->
+        |          CASE WHEN toks[i] = 'table' AND i < len(toks) THEN
+        |            len(list_filter(generate_series(i + 1, least(i + 5, len(toks))), j ->
+        |              toks[j] = 'key' AND
+        |              CASE WHEN j > i + 1 THEN
+        |                len(list_filter(generate_series(i + 1, j - 1), k ->
+        |                  toks[k] = 'row')) > 0
+        |              ELSE false END))
+        |          ELSE 0 END)) AS BIGINT) AS n_containing
+        |      FROM t)
+        |SELECT doc_id, n_big, n_containing FROM c
+        |WHERE n_big >= 1
+        |ORDER BY doc_id""".stripMargin,
+    "j126_phrase_suggester" ->
+      """WITH v AS (SELECT token, count(*) AS cnt
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |                 FROM 'documents.parquet') GROUP BY 1),
+        |cand AS (SELECT token, CAST(levenshtein(token, 'tble') AS BIGINT) AS dist, cnt
+        |         FROM v WHERE levenshtein(token, 'tble') <= 2),
+        |bg AS (SELECT p.w2 AS w2, count(*) AS c_bigram FROM (
+        |         SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |           i -> {'w1': t[i], 'w2': t[i + 1]})) AS p
+        |         FROM (SELECT string_split(text, ' ') AS t FROM 'documents.parquet'
+        |               WHERE len(string_split(text, ' ')) >= 2))
+        |       WHERE p.w1 = 'merge' GROUP BY 1),
+        |st AS (SELECT (SELECT sum(c_bigram) FROM bg) AS c_prefix,
+        |              (SELECT count(*) FROM v) AS v_size)
+        |SELECT cand.token AS candidate, cand.dist, cand.cnt AS term_freq,
+        |       CAST(coalesce(bg.c_bigram, 0) AS BIGINT) AS c_bigram,
+        |       round(ln((CAST(coalesce(bg.c_bigram, 0) AS DOUBLE) + 1.0)
+        |               / (CAST(st.c_prefix AS DOUBLE) + CAST(st.v_size AS DOUBLE)))
+        |             - CAST(cand.dist AS DOUBLE) * ln(10.0), 6) AS score
+        |FROM cand LEFT JOIN bg ON bg.w2 = cand.token CROSS JOIN st
+        |ORDER BY score DESC, candidate ASC""".stripMargin,
+    "j129_terms_lookup" ->
+      """WITH w AS (SELECT user_id,
+        |             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |               AS purchase_cents
+        |           FROM 'events.parquet' WHERE event_type = 'purchase'
+        |           GROUP BY 1
+        |           ORDER BY purchase_cents DESC, user_id ASC LIMIT 20),
+        |c AS (SELECT user_id, count(*) AS n_clicks
+        |      FROM 'events.parquet' WHERE event_type = 'click' GROUP BY 1)
+        |SELECT w.user_id, w.purchase_cents,
+        |       CAST(coalesce(c.n_clicks, 0) AS BIGINT) AS n_clicks
+        |FROM w LEFT JOIN c USING (user_id)
+        |ORDER BY user_id""".stripMargin)
 }

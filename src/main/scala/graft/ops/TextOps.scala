@@ -75,7 +75,11 @@ object TextOps {
       s: SparkSession, d: String, dfCap: Long = ShingleDfCap): DataFrame =
     nearDupPairsReleasable(s, d, dfCap)._1
 
-  private[graft] def nearDupPairsReleasable(
+  /** Unfiltered pair statistics (d1 < d2, ≥1 shared shingle): inter, n1,
+    * n2, jac — the frame BOTH similarity metrics cut from: Jaccard
+    * (nearDupPairs → j2/j21) and containment (j127). Shares the hot-
+    * shingle df-cap and the persisted shingle relation. */
+  private[graft] def pairStatsReleasable(
       s: SparkSession, d: String,
       dfCap: Long = ShingleDfCap): (DataFrame, () => Unit) = {
     import s.implicits._
@@ -99,8 +103,14 @@ object TextOps {
       .join(ns.select($"doc_id".as("d1"), $"ns".as("n1")), "d1")
       .join(ns.select($"doc_id".as("d2"), $"ns".as("n2")), "d2")
       .withColumn("jac", $"inter" / ($"n1" + $"n2" - $"inter"))
-      .filter($"jac" >= 0.5)
     (out, () => { sh.unpersist(); () })
+  }
+
+  private[graft] def nearDupPairsReleasable(
+      s: SparkSession, d: String,
+      dfCap: Long = ShingleDfCap): (DataFrame, () => Unit) = {
+    val (stats, release) = pairStatsReleasable(s, d, dfCap)
+    (stats.filter(col("jac") >= 0.5), release)
   }
 
   /** j2_dedup_near_jaccard — near-dup pairs with exact shingle-set Jaccard
@@ -110,6 +120,59 @@ object TextOps {
     nearDupPairs(s, d)
       .select($"d1", $"d2", round($"jac", 6).as("jaccard"))
       .orderBy($"d1", $"d2")
+  }
+
+  /** j127_containment_dedup — near-dup pairs by CONTAINMENT
+    * C(A,B) = |A∩B| / min(|A|,|B|) ≥ 0.8 — the asymmetric metric that
+    * catches doc-inside-doc duplication (quote-and-extend, boilerplate
+    * wrapping) which symmetric Jaccard under-scores when sizes differ.
+    * Reports containment beside Jaccard with a `jaccard_visible` flag:
+    * pairs where the flag is false are exactly the dedup mass a
+    * Jaccard-only pipeline (j2/j12) silently keeps. (On the fixture's
+    * similarly-sized word-salad docs every ≥0.8-containment pair is also
+    * Jaccard-visible — the flag column proves it rather than assuming.)
+    *
+    * Scale shape: identical to j2 — the same df-capped shingle inverted
+    * index generates candidates (never doc×doc); only the final cut
+    * differs, on the shared [[pairStatsReleasable]] frame. */
+  def j127(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pairStatsReleasable(s, d)._1
+      .withColumn("containment",
+        $"inter".cast("double") / least($"n1", $"n2").cast("double"))
+      .filter($"containment" >= 0.8d)
+      .select($"d1", $"d2", round($"containment", 6).as("containment"),
+        round($"jac", 6).as("jaccard"), ($"jac" >= 0.5d).as("jaccard_visible"))
+      .orderBy($"d1", $"d2")
+  }
+
+  /** j130_shingle_novelty — corpus novelty curve: per document (in doc_id
+    * ingestion order), the fraction of its distinct 3-gram shingles seen
+    * in NO earlier document. A pipeline watches this to decide when a
+    * source is mined out (novelty → 0 means new docs only repeat the
+    * corpus). Cumulative-distinct made scale-safe by j93's first-seen
+    * rewrite: "shingle unseen before doc i" ≡ "min(doc_id) over the
+    * shingle's postings = i", so the whole curve is one shingle-keyed
+    * MIN aggregate (map-side combined) re-aggregated by first_doc — no
+    * growing seen-set state, no ordered scan.
+    *
+    * Scale shape: two map-combined aggregations over the shingle stream
+    * plus a doc-keyed join of two doc-sized frames. At 100 TB the
+    * shingle min-agg is the same shape as j2's df agg. */
+  def j130(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // persisted because both aggs below read it; released by the
+    // harness-level clearCache between queries (j2's pattern — the frame
+    // is returned directly, so its plan must keep reading the cache)
+    val sh = shingles(s, d).persist()
+    val ns = sh.groupBy($"doc_id").agg(count(lit(1)).as("ns"))
+    val novel = sh.groupBy($"sh").agg(min($"doc_id").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_novel"))
+    ns.join(novel, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"ns", coalesce($"n_novel", lit(0L)).as("n_novel"),
+        round(coalesce($"n_novel", lit(0L)).cast("double") /
+          $"ns".cast("double"), 6).as("novelty"))
+      .orderBy($"doc_id")
   }
 
   /** j55_sorted_neighbor_dedup — sorted-neighborhood near-dup pairs: block
@@ -537,6 +600,7 @@ object TextOps {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_dedup_exact" -> j1, "j2_dedup_near_jaccard" -> j2,
+    "j127_containment_dedup" -> j127, "j130_shingle_novelty" -> j130,
     "j21_dedup_clusters" -> j21, "j55_sorted_neighbor_dedup" -> j55,
     "j6_wordcount" -> j6, "j7_tfidf" -> j7, "j8_pivot_stats" -> j8,
     "j34_bm25_search" -> j34, "j35_fuzzy_search" -> j35,
@@ -564,6 +628,40 @@ object TextOps {
         |FROM p JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
         |WHERE inter / (na.ns + nb.ns - inter) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
+    "j127_containment_dedup" ->
+      """WITH s0 AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
+        |  FROM 'documents.parquet' WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id, sh FROM s0 QUALIFY count(*) OVER (PARTITION BY sh) <= 1000),
+        |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |       round(CAST(inter AS DOUBLE) / CAST(least(na.ns, nb.ns) AS DOUBLE), 6)
+        |         AS containment,
+        |       round(inter / (na.ns + nb.ns - inter), 6) AS jaccard,
+        |       inter / (na.ns + nb.ns - inter) >= 0.5 AS jaccard_visible
+        |FROM p JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / CAST(least(na.ns, nb.ns) AS DOUBLE) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
+    "j130_shingle_novelty" ->
+      """WITH s0 AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
+        |  FROM 'documents.parquet' WHERE len(string_split(text, ' ')) >= 3),
+        |n AS (SELECT doc_id, count(*) AS ns FROM s0 GROUP BY 1),
+        |fs AS (SELECT sh, min(doc_id) AS doc_id FROM s0 GROUP BY 1),
+        |nv AS (SELECT doc_id, count(*) AS n_novel FROM fs GROUP BY 1)
+        |SELECT n.doc_id, n.ns,
+        |       CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+        |       round(CAST(coalesce(nv.n_novel, 0) AS DOUBLE)
+        |             / CAST(n.ns AS DOUBLE), 6) AS novelty
+        |FROM n LEFT JOIN nv USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "j55_sorted_neighbor_dedup" ->
       """WITH k AS (
         |  SELECT doc_id, text, substr(text, 1, 12) AS block,

@@ -621,6 +621,39 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(m(2) === 0.311457)
   }
 
+  test("j126_phrase_suggester: the LM ranks 'table' above 'the' despite similar frequency") {
+    val rows = q("j126_phrase_suggester").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getString(0) === "table")
+    assert(rows(0).getLong(rows(0).fieldIndex("dist")) === 1L)
+    assert(rows(0).getDouble(rows(0).fieldIndex("score")) === -5.697513)
+    assert(rows(1).getString(0) === "the")
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) === -8.33034)
+  }
+
+  test("j128_temperature_mix: T=2 smoothing boosts low-resource langs, damps 'en'") {
+    val rows = q("j128_temperature_mix").collect()
+    val en = rows.find(_.getString(0) == "en").get
+    assert(en.getDouble(en.fieldIndex("p_raw")) === 0.370199)
+    assert(en.getDouble(en.fieldIndex("p_temp")) === 0.277272)
+    assert(en.getDouble(en.fieldIndex("boost")) === 0.74898)
+    // every non-en lang is boosted above 1, en damped below 1
+    rows.filterNot(_.getString(0) == "en").foreach { r =>
+      assert(r.getDouble(r.fieldIndex("boost")) > 1.0, r.getString(0))
+    }
+  }
+
+  test("j127_containment_dedup first pair matches DuckDB (and flags stay Jaccard-visible)") {
+    val rows = q("j127_containment_dedup").collect()
+    val r = rows.head
+    assert(r.getLong(0) === 0L && r.getLong(1) === 50L)
+    assert(r.getDouble(r.fieldIndex("containment")) === 1.0)
+    assert(r.getDouble(r.fieldIndex("jaccard")) === 0.952381)
+    // fixture fact the Scaladoc documents: similarly-sized word salad ⇒
+    // every ≥0.8-containment pair is also Jaccard-visible
+    assert(rows.forall(_.getBoolean(r.fieldIndex("jaccard_visible"))))
+  }
+
   test("j124_token_fertility en row matches DuckDB") {
     val rows = q("j124_token_fertility").collect()
     val en = rows.find(_.getString(0) == "en").get

@@ -105,7 +105,9 @@ class PlanSpec extends AnyFunSuite {
       "j117_function_score", // 1-row corpus stats onto the term-filtered tf (j34's shape)
       "j120_simple_query_string", // 1-row corpus stats onto the term-filtered tf (j34's shape)
       "j121_rank_eval", // 1-row corpus stats onto the term-filtered tf (j34's shape)
-      "j123_maxsim") // 4-row probe set onto one corpus scan (the MaxSim broadcast)
+      "j123_maxsim", // 4-row probe set onto one corpus scan (the MaxSim broadcast)
+      "j126_phrase_suggester", // 1-row prefix/vocab-size stats onto the candidate frame
+      "j128_temperature_mix") // 1-row total + 1-row normalizer onto the 5-row lang frame
     val offenders = SparkEntry.queries.toSeq
       .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
       .flatMap { case (name, fn) =>
@@ -656,6 +658,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_max"), p)
+  }
+
+  test("j125: span-containing position algebra is row-local — zero hash exchanges") {
+    val p = plan("j125_span_containing")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("j129: the 20-row lookup broadcast-semi-filters the click stream before the count") {
+    val p = plan("j129_terms_lookup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("j127: containment candidates come from the df-capped shingle index (j2's shape)") {
+    val p = plan("j127_containment_dedup")
+    assert(p.contains("LeftAnti"), p) // the hot-shingle cap survives
+    assert(p.contains("xxhash64"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j130: novelty is two map-combined aggs — no window, no growing state") {
+    val p = plan("j130_shingle_novelty")
+    assert(!p.contains("Window ["), p)
+    assert(p.contains("partial_min"), p)
   }
 
   test("whole-stage codegen covers the flagship plan") {
