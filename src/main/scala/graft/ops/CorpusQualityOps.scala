@@ -86,18 +86,31 @@ object CorpusQualityOps {
     * array (one corpus scan, pure codegen); the only exchange is the
     * 5-row per-lang reduction with map-side combine. Integer counts are
     * exact; the single double (pass_rate) is an exact-int ratio. */
+  /** The four Gopher rule flags as shared Columns over a frame carrying
+    * `toks` (split token array) and `n_chars` — ONE definition consumed
+    * by j115 (rule report), j133 (curation funnel), and the streaming
+    * gate (streaming/Sync.gopherGateStream), so the batch and streaming
+    * verdicts cannot drift. */
+  private[graft] def wcOk: org.apache.spark.sql.Column =
+    size(col("toks")) >= 25 && size(col("toks")) <= 90
+  private[graft] def mwlOk: org.apache.spark.sql.Column = {
+    val mwl = (col("n_chars") - size(col("toks")) + 1).cast("double") /
+      size(col("toks")).cast("double")
+    mwl >= 4.0d && mwl <= 5.0d
+  }
+  private[graft] def stopOk: org.apache.spark.sql.Column =
+    size(expr("filter(toks, t -> t IN ('a', 'the'))")) >= 2
+  private[graft] def shortOk: org.apache.spark.sql.Column =
+    size(expr("filter(toks, t -> length(t) <= 2)")).cast("double") /
+      size(col("toks")).cast("double") <= 0.09d
+  private[graft] def gopherPass: org.apache.spark.sql.Column =
+    wcOk && mwlOk && stopOk && shortOk
+
   def j115(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val mwl = ($"n_chars" - size($"toks") + 1).cast("double") /
-      size($"toks").cast("double")
-    val shortRatio = size(expr("filter(toks, t -> length(t) <= 2)"))
-      .cast("double") / size($"toks").cast("double")
-    val nStop = size(expr("filter(toks, t -> t IN ('a', 'the'))"))
     val f = toksFrame(s, d).select($"lang",
-      (size($"toks") >= 25 && size($"toks") <= 90).as("wc_ok"),
-      (mwl >= 4.0d && mwl <= 5.0d).as("mwl_ok"),
-      (nStop >= 2).as("stop_ok"),
-      (shortRatio <= 0.09d).as("short_ok"))
+      wcOk.as("wc_ok"), mwlOk.as("mwl_ok"),
+      stopOk.as("stop_ok"), shortOk.as("short_ok"))
     f.groupBy($"lang").agg(
         count(lit(1)).as("n_docs"),
         sum($"wc_ok".cast("long")).as("n_wc_ok"),
@@ -216,10 +229,43 @@ object CorpusQualityOps {
       .orderBy($"lang")
   }
 
+  /** j133_curation_funnel — the end-to-end pipeline bookkeeping every
+    * curation run reports: per language, documents and tokens at each
+    * stage — raw → exact-dedup survivors (j1's min-doc_id-per-content-
+    * hash rule) → quality-passed ([[gopherPass]], the SAME flag Columns
+    * j115 reports on) → final (both gates). The funnel is what tells a
+    * data lead where the corpus mass goes and which gate to re-tune.
+    *
+    * Scale shape: ONE corpus scan computes every stage as conditional
+    * aggregates (the j118 `global` trick applied pipeline-wide); the
+    * dedup flag is a window over the content-hash partition (duplicate
+    * groups are tiny — j1's exact shape). All outputs are exact ints. */
+  def j133(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select($"doc_id", $"lang", $"n_chars", split($"text", " ").as("toks"),
+        md5($"text").as("h"))
+      .withColumn("n_toks", size($"toks").cast("long"))
+      .withColumn("keep_dedup", row_number().over(
+        Window.partitionBy($"h").orderBy($"doc_id".asc)) === 1)
+      .withColumn("keep_quality", gopherPass)
+    base.groupBy($"lang").agg(
+        count(lit(1)).as("n_raw"),
+        sum($"n_toks").as("tok_raw"),
+        sum(when($"keep_dedup", 1L).otherwise(0L)).as("n_dedup"),
+        sum(when($"keep_quality", 1L).otherwise(0L)).as("n_quality"),
+        sum(when($"keep_dedup" && $"keep_quality", 1L).otherwise(0L))
+          .as("n_final"),
+        sum(when($"keep_dedup" && $"keep_quality", $"n_toks").otherwise(0L))
+          .as("tok_final"))
+      .orderBy($"lang")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j114_rep_ngram" -> j114, "j115_gopher_rules" -> j115,
     "j116_unique_ngram_ratio" -> j116, "j118_global_agg" -> j118,
-    "j119_regexp_query" -> j119, "j128_temperature_mix" -> j128)
+    "j119_regexp_query" -> j119, "j128_temperature_mix" -> j128,
+    "j133_curation_funnel" -> j133)
 
   val oracle: Map[String, String] = Map(
     "j114_rep_ngram" ->
@@ -313,5 +359,26 @@ object CorpusQualityOps {
         |SELECT lang, n_docs, n_tokens, round(p_raw, 6) AS p_raw,
         |       round(w / z.z, 6) AS p_temp,
         |       round((w / z.z) / p_raw, 6) AS boost
-        |FROM wp CROSS JOIN z ORDER BY lang""".stripMargin)
+        |FROM wp CROSS JOIN z ORDER BY lang""".stripMargin,
+    "j133_curation_funnel" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks,
+        |             md5(text) AS h
+        |           FROM 'documents.parquet'),
+        |f AS (SELECT lang, CAST(len(toks) AS BIGINT) AS n_toks,
+        |        row_number() OVER (PARTITION BY h ORDER BY doc_id ASC) = 1
+        |          AS keep_dedup,
+        |        (len(toks) BETWEEN 25 AND 90)
+        |          AND (CAST(n_chars - len(toks) + 1 AS DOUBLE)
+        |               / CAST(len(toks) AS DOUBLE) BETWEEN 4.0 AND 5.0)
+        |          AND (len(list_filter(toks, x -> x IN ('a', 'the'))) >= 2)
+        |          AND (CAST(len(list_filter(toks, x -> len(x) <= 2)) AS DOUBLE)
+        |               / CAST(len(toks) AS DOUBLE) <= 0.09) AS keep_quality
+        |      FROM t)
+        |SELECT lang, count(*) AS n_raw, CAST(sum(n_toks) AS BIGINT) AS tok_raw,
+        |       CAST(sum(keep_dedup::INT) AS BIGINT) AS n_dedup,
+        |       CAST(sum(keep_quality::INT) AS BIGINT) AS n_quality,
+        |       CAST(sum((keep_dedup AND keep_quality)::INT) AS BIGINT) AS n_final,
+        |       CAST(sum(CASE WHEN keep_dedup AND keep_quality THEN n_toks
+        |                ELSE 0 END) AS BIGINT) AS tok_final
+        |FROM f GROUP BY 1 ORDER BY lang""".stripMargin)
 }

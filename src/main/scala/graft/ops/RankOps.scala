@@ -229,10 +229,61 @@ object RankOps {
       .orderBy($"user_id")
   }
 
+  /** j131_has_child — the ES join-field `has_child` query with
+    * `score_mode: sum` and `min_children: 2`: parents (orders) ranked by
+    * the summed score of their matching children (lineitems with
+    * l_returnflag = 'R', child score = l_quantity), parents with fewer
+    * than 2 matching children dropped, top-15 on the rounded score.
+    *
+    * Scale shape: the child side reduces FIRST (per-parent sum/count,
+    * map-side combined — the shuffle carries one row per qualifying
+    * parent, never the child stream), then joins the parent table on the
+    * parent key — the co-partitioned equi-join ES's routing-by-parent-id
+    * gives its shards. Child scores are integral doubles (TPC-H
+    * quantities), so the sum is exact. */
+  def j131(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val kids = Tables.lineitem(s, d)
+      .filter($"l_returnflag" === "R")
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_hits"), sum($"l_quantity").as("score"))
+      .filter($"n_hits" >= 2)
+    Tables.orders(s, d)
+      .join(kids, $"o_orderkey" === $"l_orderkey")
+      .select($"o_orderkey", $"o_orderpriority", $"n_hits",
+        round($"score", 6).as("score"))
+      .orderBy($"score".desc, $"o_orderkey".asc)
+      .limit(15)
+  }
+
+  /** j132_has_parent — the ES `has_parent` query: children (lineitems)
+    * retrieved by a predicate on their PARENT (orders with
+    * o_orderpriority = '1-URGENT'), aggregated per (returnflag,
+    * linestatus) with exact-cents revenue (the j109 money discipline).
+    *
+    * Scale shape: the parent predicate prunes the parent scan (pushed
+    * filter), then the child stream joins on the parent key — broadcast
+    * when the qualifying parent set is small, co-partitioned otherwise
+    * (Catalyst/AQE picks); the final reduce is a 4-key aggregation. */
+  def j132(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val urgent = Tables.orders(s, d)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey")
+    Tables.lineitem(s, d)
+      .join(urgent, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
+          .as("revenue_cents"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j117_function_score" -> j117, "j120_simple_query_string" -> j120,
     "j121_rank_eval" -> j121, "j125_span_containing" -> j125,
-    "j126_phrase_suggester" -> j126, "j129_terms_lookup" -> j129)
+    "j126_phrase_suggester" -> j126, "j129_terms_lookup" -> j129,
+    "j131_has_child" -> j131, "j132_has_parent" -> j132)
 
   /** BM25 CTE block shared by the three oracles — the j34 SQL restated
     * (necessarily; SURVEY §7.5#8) with the term list parameterized. */
@@ -361,5 +412,24 @@ object RankOps {
         |SELECT w.user_id, w.purchase_cents,
         |       CAST(coalesce(c.n_clicks, 0) AS BIGINT) AS n_clicks
         |FROM w LEFT JOIN c USING (user_id)
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin,
+    "j131_has_child" ->
+      """WITH kids AS (SELECT l_orderkey, count(*) AS n_hits,
+        |                sum(l_quantity) AS score
+        |              FROM 'lineitem.parquet' WHERE l_returnflag = 'R'
+        |              GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT o.o_orderkey, o.o_orderpriority, kids.n_hits,
+        |       round(kids.score, 6) AS score
+        |FROM 'orders.parquet' o JOIN kids ON o.o_orderkey = kids.l_orderkey
+        |ORDER BY score DESC, o.o_orderkey ASC
+        |LIMIT 15""".stripMargin,
+    "j132_has_parent" ->
+      """SELECT l.l_returnflag, l.l_linestatus, count(*) AS n_items,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+        |         AS BIGINT) AS revenue_cents
+        |FROM 'lineitem.parquet' l
+        |JOIN 'orders.parquet' o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1, 2
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
 }

@@ -150,16 +150,20 @@ object VectorOps {
     * shuffle carries |labels|×|probes| rows, never the corpus. Identical
     * left-to-right fold order in both engines makes the unrounded maxes
     * bit-equal; the final mean goes through the sorted fold. */
+  /** Pairwise dot/norm expressions for a broadcast probe column `pvec`
+    * beside the corpus `embedding` — shared by j123 (MaxSim) and j134
+    * (hard negatives). Left-to-right fold order matches DuckDB list_sum. */
+  private val dotPq =
+    """aggregate(zip_with(embedding, pvec,
+      |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+      |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin
+  private val dotPp =
+    "aggregate(pvec, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+
   def j123(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val probes = Tables.embeddings(s, d).filter($"vec_id" <= 3)
       .select($"vec_id".as("probe_id"), $"embedding".as("pvec"))
-    val dotPq =
-      """aggregate(zip_with(embedding, pvec,
-        |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-        |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin
-    val dotPp =
-      "aggregate(pvec, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
     Tables.embeddings(s, d)
       .crossJoin(broadcast(probes))
       .select($"label", $"probe_id",
@@ -172,11 +176,41 @@ object VectorOps {
       .orderBy($"label")
   }
 
+  /** j134_hard_negatives — contrastive-pair mining: for each of 8 probe
+    * vectors, the top-2 most-similar vectors with a DIFFERENT label (the
+    * classic hard negatives a contrastive/embedding trainer mines per
+    * anchor). Ranking is on the ROUNDED cosine with a vec_id tiebreak
+    * (j38's rule) so both engines select identical pairs.
+    *
+    * Scale shape: the probe set rides a broadcast onto one corpus scan
+    * (j123's dot expressions); the per-probe top-2 is a window
+    * partitioned by probe_id — j5's per-label precedent: mining batches
+    * are small by construction (anchors per batch), and each partition
+    * holds one anchor's candidates. For very large anchor batches the
+    * same expression drops behind j20's IVF cells first. */
+  def j134(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val probes = Tables.embeddings(s, d).filter($"vec_id" < 8)
+      .select($"vec_id".as("probe_id"), $"label".as("probe_label"),
+        $"embedding".as("pvec"))
+    Tables.embeddings(s, d)
+      .crossJoin(broadcast(probes))
+      .filter($"label" =!= $"probe_label")
+      .select($"probe_id", $"vec_id", $"label",
+        round(expr(dotPq) / (sqrt(expr(dotSelf)) * sqrt(expr(dotPp))), 6)
+          .as("cos_pn"))
+      .withColumn("rank", row_number().over(Window.partitionBy($"probe_id")
+        .orderBy($"cos_pn".desc, $"vec_id".asc)).cast("long"))
+      .filter($"rank" <= 2)
+      .orderBy($"probe_id", $"rank")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j3_cosine_score" -> j3, "j4_topk_nn" -> j4, "j5_knn_per_label" -> j5,
     "j9_embedding_norm" -> j9, "j10_label_centroid" -> j10,
     "j11_multimodal_cols" -> j11,
-    "j122_knn_prefilter" -> j122, "j123_maxsim" -> j123)
+    "j122_knn_prefilter" -> j122, "j123_maxsim" -> j123,
+    "j134_hard_negatives" -> j134)
 
   private val dotSelfSql =
     "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
@@ -244,5 +278,24 @@ object VectorOps {
         |SELECT label,
         |       round(list_sum(list_sort(list(mc))) / CAST(count(*) AS DOUBLE), 6)
         |         AS maxsim
-        |FROM mx GROUP BY 1 ORDER BY label""".stripMargin)
+        |FROM mx GROUP BY 1 ORDER BY label""".stripMargin,
+    "j134_hard_negatives" ->
+      """WITH probes AS (SELECT vec_id AS probe_id, label AS probe_label,
+        |                       embedding AS pvec
+        |                FROM 'embeddings.parquet' WHERE vec_id < 8),
+        |cand AS (SELECT p.probe_id, e.vec_id, e.label,
+        |           round(list_sum(list_transform(generate_series(1, 64),
+        |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.pvec[i] AS DOUBLE)))
+        |           / (sqrt(list_sum(list_transform(e.embedding,
+        |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |              * sqrt(list_sum(list_transform(p.pvec,
+        |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_pn
+        |         FROM 'embeddings.parquet' e CROSS JOIN probes p
+        |         WHERE e.label <> p.probe_label)
+        |SELECT probe_id, vec_id, label, cos_pn,
+        |       CAST(row_number() OVER (PARTITION BY probe_id
+        |         ORDER BY cos_pn DESC, vec_id ASC) AS BIGINT) AS rank
+        |FROM cand
+        |QUALIFY rank <= 2
+        |ORDER BY probe_id, rank""".stripMargin)
 }

@@ -631,6 +631,31 @@ object Sync {
   def chunkStream(docs: DataFrame): DataFrame =
     graft.ops.PipelineOps.chunkOverlap(docs)
 
+  /** j115/j133 streaming form — the Gopher rule battery as an ingest
+    * gate: arriving documents that fail any of the four rules are dropped
+    * before they reach the corpus, with the per-rule flags carried as
+    * provenance columns (what [[curateStream]] does for the logit gate,
+    * here for the rule battery).
+    *
+    * Scale shape: stateless — every rule is row-local arithmetic over the
+    * token array ([[graft.ops.CorpusQualityOps]]'s flag Columns, the SAME
+    * definitions j115 reports on and j133 funnels by, so batch and stream
+    * verdicts cannot drift); no watermark, no state store, any output
+    * mode. n_chars is derived as length(text) — on the fixture the two
+    * are identical (CurateSpec pins the invariant). */
+  def gopherGateStream(docs: DataFrame): DataFrame = {
+    import graft.ops.CorpusQualityOps._
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("wc_ok", wcOk)
+      .withColumn("mwl_ok", mwlOk)
+      .withColumn("stop_ok", stopOk)
+      .withColumn("short_ok", shortOk)
+      .filter(col("wc_ok") && col("mwl_ok") && col("stop_ok") && col("short_ok"))
+      .drop("toks", "n_chars")
+  }
+
   /** Streaming twin of i13 — CONTINUOUS reconciliation: each change
     * arriving on the source feed is checked against the replica snapshot
     * and emitted with its divergence class, instead of waiting for the

@@ -654,6 +654,36 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(rows.forall(_.getBoolean(r.fieldIndex("jaccard_visible"))))
   }
 
+  test("j131_has_child top parent matches DuckDB (score_mode=sum over R-flag children)") {
+    val r = q("j131_has_child").head()
+    assert(r.getLong(0) === 406L)
+    assert(r.getString(r.fieldIndex("o_orderpriority")) === "4-NOT SPECIFIED")
+    assert(r.getLong(r.fieldIndex("n_hits")) === 6L)
+    assert(r.getDouble(r.fieldIndex("score")) === 212.0)
+  }
+
+  test("j133_curation_funnel en row matches DuckDB (funnel is monotone)") {
+    val rows = q("j133_curation_funnel").collect()
+    val en = rows.find(_.getString(0) == "en").get
+    assert(en.getLong(en.fieldIndex("n_raw")) === 193L)
+    assert(en.getLong(en.fieldIndex("tok_raw")) === 10343L)
+    assert(en.getLong(en.fieldIndex("n_quality")) === 114L)
+    assert(en.getLong(en.fieldIndex("tok_final")) === 7008L)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_final")) <= r.getLong(r.fieldIndex("n_dedup")))
+      assert(r.getLong(r.fieldIndex("n_final")) <= r.getLong(r.fieldIndex("n_quality")))
+    }
+  }
+
+  test("j134_hard_negatives probe 0 matches DuckDB (negatives never share the anchor label)") {
+    val rows = q("j134_hard_negatives").collect()
+    val r = rows.head
+    assert(r.getLong(r.fieldIndex("probe_id")) === 0L)
+    assert(r.getLong(r.fieldIndex("vec_id")) === 17L)
+    assert(r.getInt(r.fieldIndex("label")) === 7)
+    assert(r.getDouble(r.fieldIndex("cos_pn")) === 0.334456)
+  }
+
   test("j124_token_fertility en row matches DuckDB") {
     val rows = q("j124_token_fertility").collect()
     val en = rows.find(_.getString(0) == "en").get

@@ -107,7 +107,8 @@ class PlanSpec extends AnyFunSuite {
       "j121_rank_eval", // 1-row corpus stats onto the term-filtered tf (j34's shape)
       "j123_maxsim", // 4-row probe set onto one corpus scan (the MaxSim broadcast)
       "j126_phrase_suggester", // 1-row prefix/vocab-size stats onto the candidate frame
-      "j128_temperature_mix") // 1-row total + 1-row normalizer onto the 5-row lang frame
+      "j128_temperature_mix", // 1-row total + 1-row normalizer onto the 5-row lang frame
+      "j134_hard_negatives") // 8-row probe set onto one corpus scan (j123's broadcast)
     val offenders = SparkEntry.queries.toSeq
       .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
       .flatMap { case (name, fn) =>
@@ -684,6 +685,34 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("j130_shingle_novelty")
     assert(!p.contains("Window ["), p)
     assert(p.contains("partial_min"), p)
+  }
+
+  test("j131: the child side partial-aggregates before the parent join") {
+    val p = plan("j131_has_child")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the HAVING-equivalent min_children filter runs on the aggregate,
+    // before the join — never on the joined stream
+    assert(p.indexOf("n_hits") >= 0, p)
+  }
+
+  test("j132: the parent predicate is pushed to the parent scan; few parents broadcast") {
+    val p = plan("j132_has_parent")
+    assert(p.contains("EqualTo(o_orderpriority,1-URGENT)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("j133: the funnel is ONE scan — conditional aggregates, no self-join") {
+    val p = plan("j133_curation_funnel")
+    assert(!p.contains("Join"), p)
+    // exactly one parquet scan of documents
+    assert("FileScan parquet".r.findAllIn(p).size === 1, p)
+  }
+
+  test("j134: per-probe window partitions by probe_id — never unpartitioned") {
+    val p = plan("j134_hard_negatives")
+    assert("""row_number\(\) windowspecdefinition\(probe_id#""".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the probe broadcast
   }
 
   test("whole-stage codegen covers the flagship plan") {

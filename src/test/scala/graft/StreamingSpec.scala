@@ -156,6 +156,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming Gopher gate passes exactly the docs the batch flags pass") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real fixture docs (n_chars == length(text) pinned by CurateSpec),
+    // replayed through the stream; survivors must equal the batch verdict
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select($"doc_id", $"text").limit(40)
+      .as[(Long, String)].collect()
+    val batchPass = Tables.documents(spark, TestSpark.sf0001)
+      .limit(40)
+      .withColumn("toks", org.apache.spark.sql.functions.split($"text", " "))
+      .filter(graft.ops.CorpusQualityOps.gopherPass)
+      .select($"doc_id").as[Long].collect().sorted
+    val mem = MemoryStream[Doc]
+    val q = Sync.gopherGateStream(mem.toDF())
+      .writeStream.format("memory").queryName("gopher_out").outputMode("append").start()
+    try {
+      mem.addData(docs.map { case (id, t) => Doc(id, t, ts("2024-01-01 10:00:00")) }.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("gopher_out").select($"doc_id").as[Long].collect().sorted
+      assert(got.nonEmpty && got.length < 40) // the gate does real work
+      assert(got === batchPass)
+    } finally q.stop()
+  }
+
   test("streaming chunking splits arriving docs with batch-identical windows") {
     val spark = TestSpark.spark
     import spark.implicits._
