@@ -261,11 +261,41 @@ object CorpusQualityOps {
       .orderBy($"lang")
   }
 
+  /** j137_stratified_sample — per-language stratified sampling with a
+    * deterministic md5 draw (j23/j95's seedless-hash discipline): each
+    * language contributes its 20 lowest-keyed docs (equal allocation —
+    * what an eval-set builder uses so minority languages aren't drowned),
+    * reported as sample size beside sample-vs-population mean doc length
+    * (the stratification-bias check).
+    *
+    * Scale shape: the draw key is row-local; the rank is a per-lang
+    * window (j112's partitioned precedent — never unpartitioned); one
+    * 5-row reduce. Means are exact-int ratios. */
+  def j137(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select($"lang", $"n_chars", $"doc_id",
+        md5(concat(lit("strat:"), $"doc_id".cast("string"))).as("dk"))
+      .withColumn("sampled", row_number().over(
+        Window.partitionBy($"lang").orderBy($"dk".asc, $"doc_id".asc)) <= 20)
+    base.groupBy($"lang").agg(
+        count(lit(1)).as("n_pop"),
+        sum(when($"sampled", 1L).otherwise(0L)).as("n_sampled"),
+        sum(when($"sampled", $"n_chars".cast("long")).otherwise(0L)).as("sc"),
+        sum($"n_chars".cast("long")).as("pc"))
+      .select($"lang", $"n_pop", $"n_sampled",
+        round($"sc".cast("double") / $"n_sampled".cast("double"), 6)
+          .as("mean_chars_sample"),
+        round($"pc".cast("double") / $"n_pop".cast("double"), 6)
+          .as("mean_chars_pop"))
+      .orderBy($"lang")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j114_rep_ngram" -> j114, "j115_gopher_rules" -> j115,
     "j116_unique_ngram_ratio" -> j116, "j118_global_agg" -> j118,
     "j119_regexp_query" -> j119, "j128_temperature_mix" -> j128,
-    "j133_curation_funnel" -> j133)
+    "j133_curation_funnel" -> j133, "j137_stratified_sample" -> j137)
 
   val oracle: Map[String, String] = Map(
     "j114_rep_ngram" ->
@@ -380,5 +410,20 @@ object CorpusQualityOps {
         |       CAST(sum((keep_dedup AND keep_quality)::INT) AS BIGINT) AS n_final,
         |       CAST(sum(CASE WHEN keep_dedup AND keep_quality THEN n_toks
         |                ELSE 0 END) AS BIGINT) AS tok_final
-        |FROM f GROUP BY 1 ORDER BY lang""".stripMargin)
+        |FROM f GROUP BY 1 ORDER BY lang""".stripMargin,
+    "j137_stratified_sample" ->
+      """WITH t AS (SELECT lang, n_chars, doc_id,
+        |             md5('strat:' || CAST(doc_id AS VARCHAR)) AS dk
+        |           FROM 'documents.parquet'),
+        |r AS (SELECT lang, n_chars,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY dk ASC, doc_id ASC) <= 20 AS sampled
+        |      FROM t)
+        |SELECT lang, count(*) AS n_pop,
+        |       CAST(sum(sampled::INT) AS BIGINT) AS n_sampled,
+        |       round(CAST(sum(CASE WHEN sampled THEN n_chars ELSE 0 END) AS DOUBLE)
+        |             / CAST(sum(sampled::INT) AS DOUBLE), 6) AS mean_chars_sample,
+        |       round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |         AS mean_chars_pop
+        |FROM r GROUP BY 1 ORDER BY lang""".stripMargin)
 }

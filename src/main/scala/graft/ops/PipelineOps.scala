@@ -385,6 +385,109 @@ object PipelineOps {
       .limit(10)
   }
 
+  /** j135_ivf_recall — the ANN-accuracy audit (d3/j45/j111's
+    * estimate-beside-exact discipline applied to j20): the brute-force
+    * top-10 (ground truth, j4's scan) with a `found` flag per rank
+    * marking whether the IVF traversal (j20 ITSELF — the operator under
+    * audit is invoked, not restated, so the audit cannot drift from it)
+    * surfaced that vector. The recall-at-nprobe number every vector-store
+    * deployment measures before trusting pruned search.
+    *
+    * Scale shape: truth is one scan + TakeOrderedAndProject; the 10-row
+    * IVF result rides a broadcast membership join (j122's shape). */
+  def j135(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cosQ = round(
+      expr("aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))") /
+        (sqrt(expr("aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")) * lit(8.0)), 6)
+    val truth = Tables.embeddings(s, d)
+      .select($"vec_id", cosQ.as("cos_q"))
+      .orderBy($"cos_q".desc, $"vec_id".asc).limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"cos_q".desc, $"vec_id".asc)).cast("long"))
+    val ivf = j20(s, d).select($"vec_id", lit(true).as("found"))
+    truth.join(broadcast(ivf), Seq("vec_id"), "left_outer")
+      .select($"rank", $"vec_id", $"cos_q",
+        coalesce($"found", lit(false)).as("found"))
+      .orderBy($"rank")
+  }
+
+  /** One LSH band layout over the 8-slot signature frame: `w` rows per
+    * band (8/w bands), signature = the band's concatenated minhashes. */
+  private def bandsFor(minh: DataFrame, w: Int): DataFrame = {
+    val entries = (0 until 8 / w).map { b =>
+      val sig = (0 until w).map(k => s"m${b * w + k}")
+        .mkString("concat_ws('|', ", ", ", ")")
+      s"named_struct('band', $b, 'sig', $sig)"
+    }.mkString("array(", ", ", ")")
+    minh.select(col("doc_id"), explode(expr(entries)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** j136_lsh_band_tuning — the banding s-curve table every LSH
+    * deployment computes before fixing b×r: for each layout of the SAME
+    * 8-hash signature (4 bands×2 rows — j12's production choice — vs
+    * 2×4 vs 8×1), the candidate-pair count, how many true near-dups
+    * (exact Jaccard ≥ 0.5, the j2 inverted-index ground truth) the
+    * layout catches, and the resulting precision/recall. 8×1 maximizes
+    * recall at the cost of candidate volume; 2×4 the reverse — the table
+    * is the evidence for the 4×2 default.
+    *
+    * Scale shape: ONE signature aggregation (minhashFrames, persisted)
+    * feeds all three band self-joins; each layout's work is the same
+    * collision-bounded join as j12, and truth comes from the df-capped
+    * index of j2 — never doc×doc. Counts are exact ints. */
+  def j136(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val minh = minhashFrames(s, d).minh.persist()
+    // persisted: feeds the membership join AND the n_true scalar — the
+    // inverted-index pipeline must run once, not twice (harness
+    // clearCache releases it, j2's pattern)
+    val truth = TextOps.nearDupPairs(s, d)
+      .select($"d1", $"d2", lit(true).as("is_true")).persist()
+    // ONE collision join — the 8×1 layout (any single slot agrees) is a
+    // SUPERSET of every wider-band layout, so one permissive self-join
+    // generates all candidates; each stricter layout's admission is then
+    // a row-local predicate over the two signatures (j111's broadcast
+    // shape), not another self-join. 3 joins → 1.
+    val cand = bandsFor(minh, 1).as("x")
+      .join(bandsFor(minh, 1).as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val m1 = minh.toDF("d1" +: (0 to 7).map(i => s"x$i"): _*)
+    val m2 = minh.toDF("d2" +: (0 to 7).map(i => s"y$i"): _*)
+    val adm42 = (0 until 4).map(b =>
+      col(s"x${2 * b}") === col(s"y${2 * b}") &&
+        col(s"x${2 * b + 1}") === col(s"y${2 * b + 1}")).reduce(_ || _)
+    val adm24 = (0 until 2).map(b => (0 until 4).map(k =>
+      col(s"x${4 * b + k}") === col(s"y${4 * b + k}")).reduce(_ && _))
+      .reduce(_ || _)
+    val flags = cand
+      .join(broadcast(m1), "d1").join(broadcast(m2), "d2")
+      .join(broadcast(truth), Seq("d1", "d2"), "left_outer")
+      .select(adm42.as("a42"), adm24.as("a24"),
+        coalesce($"is_true", lit(false)).as("is_true"))
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val one = flags.agg(
+      count(lit(1)).as("c81"), sum($"is_true".cast("long")).as("g81"),
+      sum($"a42".cast("long")).as("c42"),
+      sum(($"a42" && $"is_true").cast("long")).as("g42"),
+      sum($"a24".cast("long")).as("c24"),
+      sum(($"a24" && $"is_true").cast("long")).as("g24"))
+    one.select(lit("2x4").as("config"), $"c24".as("n_candidates"), $"g24".as("n_caught"))
+      .unionAll(one.select(lit("4x2"), $"c42", $"g42"))
+      .unionAll(one.select(lit("8x1"), $"c81", $"g81"))
+      .crossJoin(broadcast(nTrue))
+      .select($"config", $"n_candidates", $"n_caught", $"n_true",
+        round($"n_caught".cast("double") / $"n_candidates".cast("double"), 6)
+          .as("prec"),
+        round($"n_caught".cast("double") / $"n_true".cast("double"), 6)
+          .as("recall"))
+      .orderBy($"config")
+  }
+
   // ---------- j22 decontamination ----------
 
   /** j22_decontaminate — benchmark-overlap removal, the step every
@@ -1095,7 +1198,8 @@ object PipelineOps {
     "j14_embed_neardup" -> j14, "j15_langid" -> j15,
     "j16_quality_score" -> j16, "j17_token_stats" -> j17,
     "j18_rolling_fingerprint" -> j18, "j19_multimodal_binary" -> j19,
-    "j20_ivf_topk" -> j20, "j22_decontaminate" -> j22,
+    "j20_ivf_topk" -> j20, "j135_ivf_recall" -> j135,
+    "j136_lsh_band_tuning" -> j136, "j22_decontaminate" -> j22,
     "j23_hash_split" -> j23, "j24_bigram_lm" -> j24,
     "j25_sequence_pack" -> j25, "j56_chunk_overlap" -> j56,
     "j26_embed_quantize" -> j26,
@@ -1269,6 +1373,81 @@ object PipelineOps {
          |FROM i2 JOIN n na ON d1 = na.doc_id JOIN n nb ON d2 = nb.doc_id
          |WHERE inter / (na.ns + nb.ns - inter) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
+    "j135_ivf_recall" ->
+      """WITH cent0 AS (
+        |  SELECT label, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
+        |  FROM 'embeddings.parquet', generate_series(1, 64) t(i)
+        |  GROUP BY label, i),
+        |cent AS (
+        |  SELECT label, round(sum(m), 6) AS cent_sum,
+        |         round(sqrt(sum(m * m)), 6) AS cent_norm
+        |  FROM cent0 GROUP BY label),
+        |cells AS (
+        |  SELECT label, round(cent_sum / (cent_norm * 8.0), 6) AS cell_score,
+        |         row_number() OVER (ORDER BY round(cent_sum / (cent_norm * 8.0), 6) DESC, label ASC) AS cr
+        |  FROM cent),
+        |ivf AS (
+        |  SELECT e.vec_id,
+        |    round(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 8.0), 6) AS cos_q
+        |  FROM 'embeddings.parquet' e JOIN cells c ON e.label = c.label AND c.cr <= 2
+        |  ORDER BY cos_q DESC, vec_id ASC LIMIT 10),
+        |truth AS (
+        |  SELECT vec_id,
+        |    round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 8.0), 6) AS cos_q,
+        |    CAST(row_number() OVER (ORDER BY
+        |      round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) /
+        |        (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 8.0), 6) DESC,
+        |      vec_id ASC) AS BIGINT) AS rank
+        |  FROM 'embeddings.parquet'
+        |  QUALIFY rank <= 10)
+        |SELECT t.rank, t.vec_id, t.cos_q,
+        |       EXISTS (SELECT 1 FROM ivf WHERE ivf.vec_id = t.vec_id) AS found
+        |FROM truth t ORDER BY rank""".stripMargin,
+    "j136_lsh_band_tuning" ->
+      s"""WITH s AS ($shingleSql),
+         |h AS (SELECT doc_id, sh, i,
+         |      substr(md5(CAST(i // 4 AS VARCHAR) || ':' || sh), (i % 4) * 8 + 1, 8) AS hv
+         |      FROM s, generate_series(0, 7) t(i)),
+         |m AS (SELECT doc_id, i, min(hv) AS mh FROM h GROUP BY doc_id, i),
+         |b2 AS (SELECT doc_id, i // 2 AS band, string_agg(mh, '|' ORDER BY i) AS sig
+         |       FROM m GROUP BY doc_id, i // 2),
+         |b4 AS (SELECT doc_id, i // 4 AS band, string_agg(mh, '|' ORDER BY i) AS sig
+         |       FROM m GROUP BY doc_id, i // 4),
+         |b1 AS (SELECT doc_id, i AS band, mh AS sig FROM m),
+         |c2 AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM b2 x JOIN b2 y
+         |       ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |c4 AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM b4 x JOIN b4 y
+         |       ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |c1 AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM b1 x JOIN b1 y
+         |       ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |sc AS (SELECT doc_id, sh FROM s QUALIFY count(*) OVER (PARTITION BY sh) <= 1000),
+         |n AS (SELECT doc_id, count(*) AS ns FROM sc GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |      FROM sc a JOIN sc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |pr AS (SELECT d1, d2 FROM p JOIN n na ON p.d1 = na.doc_id
+         |       JOIN n nb ON p.d2 = nb.doc_id
+         |       WHERE inter / (na.ns + nb.ns - inter) >= 0.5),
+         |tr AS (SELECT count(*) AS n_true FROM pr),
+         |u AS (SELECT '2x4' AS config,
+         |        (SELECT count(*) FROM c4) AS n_candidates,
+         |        (SELECT count(*) FROM c4 JOIN pr USING (d1, d2)) AS n_caught
+         |      UNION ALL SELECT '4x2',
+         |        (SELECT count(*) FROM c2),
+         |        (SELECT count(*) FROM c2 JOIN pr USING (d1, d2))
+         |      UNION ALL SELECT '8x1',
+         |        (SELECT count(*) FROM c1),
+         |        (SELECT count(*) FROM c1 JOIN pr USING (d1, d2)))
+         |SELECT config, CAST(n_candidates AS BIGINT) AS n_candidates,
+         |       CAST(n_caught AS BIGINT) AS n_caught,
+         |       CAST(tr.n_true AS BIGINT) AS n_true,
+         |       round(CAST(n_caught AS DOUBLE) / CAST(n_candidates AS DOUBLE), 6)
+         |         AS prec,
+         |       round(CAST(n_caught AS DOUBLE) / CAST(tr.n_true AS DOUBLE), 6)
+         |         AS recall
+         |FROM u CROSS JOIN tr ORDER BY config""".stripMargin,
     "j111_minhash_accuracy" ->
       s"""WITH s AS ($shingleSql),
          |h AS (SELECT doc_id, sh, i,

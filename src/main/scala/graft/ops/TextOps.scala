@@ -285,6 +285,37 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** j138_dedup_keep_best — the survivor-selection POLICY on top of j21's
+    * clusters: within each near-dup cluster, keep the highest-quality
+    * member (the shared [[CurationOps.qualityLogit]] — the same Column
+    * every quality surface gates on), tiebreak doc_id. j1/j21 keep
+    * min-doc_id (ingestion order); a real pipeline keeps the best copy —
+    * this is that step, reporting per cluster the kept doc, its quality,
+    * and how many copies were dropped. Ranking is on the ROUNDED logit
+    * (qualityLogit rounds to 6dp) so both engines pick identical
+    * survivors.
+    *
+    * Scale shape: j21's machinery verbatim (invoked, not restated) plus
+    * one doc-keyed join of the cluster table against the row-local logit
+    * and a per-cluster window — clusters are tiny (near-dup groups), so
+    * the window partitions are bounded like j1's hash groups. */
+  def j138(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val clusters = j21(s, d) // (doc_id, cluster_id)
+    val q = Tables.documents(s, d)
+      .select($"doc_id", CurationOps.qualityLogit($"text").as("q"))
+    clusters.join(q, "doc_id")
+      .withColumn("rk", row_number().over(Window.partitionBy($"cluster_id")
+        .orderBy($"q".desc, $"doc_id".asc)))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(when($"rk" === 1, $"doc_id")).as("kept_doc_id"),
+        max(when($"rk" === 1, $"q")).as("kept_quality"))
+      .select($"cluster_id", $"n_members", $"kept_doc_id", $"kept_quality",
+        ($"n_members" - 1L).as("n_dropped"))
+      .orderBy($"cluster_id")
+  }
+
   /** Connected components over an undirected pair list `(d1, d2)` of Long
     * node ids (the reusable core of j21): returns one `(node, label)` row
     * per node appearing in any pair, where label = the component's minimum
@@ -601,7 +632,8 @@ object TextOps {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_dedup_exact" -> j1, "j2_dedup_near_jaccard" -> j2,
     "j127_containment_dedup" -> j127, "j130_shingle_novelty" -> j130,
-    "j21_dedup_clusters" -> j21, "j55_sorted_neighbor_dedup" -> j55,
+    "j21_dedup_clusters" -> j21, "j138_dedup_keep_best" -> j138,
+    "j55_sorted_neighbor_dedup" -> j55,
     "j6_wordcount" -> j6, "j7_tfidf" -> j7, "j8_pivot_stats" -> j8,
     "j34_bm25_search" -> j34, "j35_fuzzy_search" -> j35,
     "j36_phrase_search" -> j36, "j37_significant_terms" -> j37,
@@ -705,6 +737,45 @@ object TextOps {
         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "j138_dedup_keep_best" ->
+      """WITH RECURSIVE s0 AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
+        |  FROM 'documents.parquet' WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id, sh FROM s0 QUALIFY count(*) OVER (PARTITION BY sh) <= 1000),
+        |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pr AS (SELECT d1, d2 FROM p JOIN n na ON p.d1 = na.doc_id
+        |       JOIN n nb ON p.d2 = nb.doc_id
+        |       WHERE inter / (na.ns + nb.ns - inter) >= 0.5),
+        |e AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |       FROM reach GROUP BY a),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks, n_chars
+        |      FROM 'documents.parquet'),
+        |ql AS (SELECT doc_id,
+        |         round(-3.0 + 0.01 * len(toks)
+        |           + 4.0 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+        |           + 0.5 * ((n_chars - len(toks) + 1) / CAST(len(toks) AS DOUBLE))
+        |           - 6.0 * (len(list_filter(toks, x -> x IN ('a', 'the')))
+        |                    / CAST(len(toks) AS DOUBLE)), 6) AS q
+        |       FROM t),
+        |rk AS (SELECT cl.cluster_id, cl.doc_id, ql.q,
+        |         row_number() OVER (PARTITION BY cl.cluster_id
+        |           ORDER BY ql.q DESC, cl.doc_id ASC) AS rk
+        |       FROM cl JOIN ql USING (doc_id))
+        |SELECT cluster_id, count(*) AS n_members,
+        |       CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS kept_doc_id,
+        |       max(CASE WHEN rk = 1 THEN q END) AS kept_quality,
+        |       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+        |FROM rk GROUP BY 1 ORDER BY cluster_id""".stripMargin,
     "j6_wordcount" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM 'documents.parquet')

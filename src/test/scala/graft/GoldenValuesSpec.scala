@@ -684,6 +684,42 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(r.getDouble(r.fieldIndex("cos_pn")) === 0.334456)
   }
 
+  test("j136_lsh_band_tuning: the s-curve table matches DuckDB and is monotone in band width") {
+    val rows = q("j136_lsh_band_tuning").collect()
+    def row(c: String) = rows.find(_.getString(0) == c).get
+    val r8 = row("8x1"); val r4 = row("4x2"); val r2 = row("2x4")
+    assert(r8.getLong(r8.fieldIndex("n_candidates")) === 874L)
+    assert(r4.getLong(r4.fieldIndex("n_candidates")) === 34L)
+    assert(r2.getLong(r2.fieldIndex("n_candidates")) === 28L)
+    assert(r4.getDouble(r4.fieldIndex("prec")) === 0.823529)
+    assert(r2.getDouble(r2.fieldIndex("prec")) === 1.0)
+    // wider rows-per-band ⇒ stricter bands ⇒ fewer candidates (superset chain)
+    assert(r8.getLong(r8.fieldIndex("n_candidates")) >=
+      r4.getLong(r4.fieldIndex("n_candidates")))
+    assert(r4.getLong(r4.fieldIndex("n_candidates")) >=
+      r2.getLong(r2.fieldIndex("n_candidates")))
+  }
+
+  test("j135_ivf_recall rank-1 is found; flags match DuckDB") {
+    val rows = q("j135_ivf_recall").collect()
+    assert(rows.length === 10)
+    assert(rows.head.getLong(0) === 1L)
+    assert(rows.head.getLong(rows.head.fieldIndex("vec_id")) === 207L)
+    assert(rows.head.getBoolean(rows.head.fieldIndex("found")))
+    assert(rows(1).getLong(rows(1).fieldIndex("vec_id")) === 435L)
+    assert(!rows(1).getBoolean(rows(1).fieldIndex("found")))
+  }
+
+  test("j138_dedup_keep_best keeps the max-quality member, not the min doc_id") {
+    val rows = q("j138_dedup_keep_best").collect()
+    val c0 = rows.head
+    assert(c0.getLong(0) === 0L)
+    assert(c0.getLong(c0.fieldIndex("n_members")) === 3L)
+    assert(c0.getLong(c0.fieldIndex("kept_doc_id")) === 0L)
+    assert(c0.getDouble(c0.fieldIndex("kept_quality")) === 2.23)
+    assert(c0.getLong(c0.fieldIndex("n_dropped")) === 2L)
+  }
+
   test("j124_token_fertility en row matches DuckDB") {
     val rows = q("j124_token_fertility").collect()
     val en = rows.find(_.getString(0) == "en").get

@@ -108,7 +108,8 @@ class PlanSpec extends AnyFunSuite {
       "j123_maxsim", // 4-row probe set onto one corpus scan (the MaxSim broadcast)
       "j126_phrase_suggester", // 1-row prefix/vocab-size stats onto the candidate frame
       "j128_temperature_mix", // 1-row total + 1-row normalizer onto the 5-row lang frame
-      "j134_hard_negatives") // 8-row probe set onto one corpus scan (j123's broadcast)
+      "j134_hard_negatives", // 8-row probe set onto one corpus scan (j123's broadcast)
+      "j136_lsh_band_tuning") // 1-row n_true frame onto the 3-row layout table
     val offenders = SparkEntry.queries.toSeq
       .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
       .flatMap { case (name, fn) =>
@@ -713,6 +714,20 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("j134_hard_negatives")
     assert("""row_number\(\) windowspecdefinition\(probe_id#""".r.findFirstIn(p).isDefined, p)
     assert(p.contains("BroadcastNestedLoopJoin"), p) // the probe broadcast
+  }
+
+  test("j137: the sample window partitions by lang; one scan feeds the reduce") {
+    val p = plan("j137_stratified_sample")
+    assert(!p.contains("Join"), p)
+    assert("""row_number\(\) windowspecdefinition\(lang#""".r.findFirstIn(p).isDefined, p)
+    assert("FileScan parquet".r.findAllIn(p).size === 1, p)
+  }
+
+  test("j135: the truth leg is TakeOrderedAndProject; the IVF result broadcasts") {
+    val p = plan("j135_ivf_recall")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("whole-stage codegen covers the flagship plan") {
