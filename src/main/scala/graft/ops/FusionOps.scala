@@ -1,0 +1,464 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 fourth wave — hybrid retrieval and corpus/event analytics that
+  * close the remaining "a search+pipeline team runs this weekly" gaps:
+  * RRF hybrid rank fusion (the ES 8.x `rrf` retriever), leakage-safe
+  * train/val/test splitting over near-dup clusters, weighted sampling
+  * (sequential Poisson — Ohlsson 1998), cohort retention over the event
+  * stream, the ES `children` aggregation and `date_range` aggregation,
+  * `span_not`, and per-user inter-arrival (burstiness) statistics.
+  *
+  * Shared disciplines: ranking cuts order on ROUNDED scores with id
+  * tiebreaks (j38's rule); pseudo-randomness is the md5-nibble device
+  * (Hashing.nibbleInt, mirrored strpos-for-strpos in every oracle);
+  * money rides BIGINT cents; epoch arithmetic runs in the `ts_us` long
+  * domain (Tables.eventsUs). Every operator here composes the engine's
+  * existing single-source frames (TextOps.bm25Frames, VectorOps.cosCol,
+  * TextOps.j21) instead of restating them, so the audited pipeline and
+  * its consumer cannot drift.
+  */
+object FusionOps {
+
+  /** DuckDB mirror of [[Hashing.nibbleInt]] over an inline md5 expression
+    * (strpos-for-instr, same base-16 weights) — the same arithmetic the
+    * Spark side evaluates, so draws are bit-reproducible cross-engine. */
+  private def duckNibble(h: String, nibbles: Int = 4): String =
+    (0 until nibbles).map { i =>
+      val w = 1L << (4 * (nibbles - 1 - i))
+      val term = s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1)"
+      if (w == 1L) term else s"$term * $w"
+    }.mkString("(", " + ", ")")
+
+  // ---------- j139 RRF hybrid rank fusion ----------
+
+  /** j139_rrf_fusion — the ES 8.x `rrf` retriever: fuse a lexical BM25
+    * ranking (j34's query, top-20) with a semantic kNN ranking (j4's
+    * cosine leg over the embedding table, top-20) by Reciprocal Rank
+    * Fusion: score(d) = Σ_legs 1/(60 + rank_leg(d)), rank_constant 60 =
+    * ES's default. Docs appearing in only one leg keep that leg's
+    * contribution (the other coalesces to 0) — exactly ES's union
+    * semantics. Both leg rankings cut on the ROUNDED leg score with id
+    * tiebreak (j38's rule) so the fused set is engine-identical.
+    *
+    * Scale shape: each leg is a TakeOrderedAndProject over its own
+    * pipeline (the BM25 leg pays j34's postings aggregate, the kNN leg a
+    * single scan — at 100 TB the j20 IVF path would replace brute force);
+    * the fusion itself is a full-outer join of two ≤20-row frames — free
+    * at any scale. */
+  def j139(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lex = TextOps.bm25Frames(Tables.documents(s, d),
+        Seq("spark", "vector", "dup")).scored
+      .groupBy($"doc_id")
+      .agg(Parity.sortedFoldSum($"tscore").as("sc"))
+      .select($"doc_id", round($"sc", 6).as("bm25"))
+      .orderBy($"bm25".desc, $"doc_id".asc)
+      .limit(20) // TakeOrdered — the unpartitioned rank below sees ≤20 rows
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy($"bm25".desc, $"doc_id".asc)).cast("long"))
+      .select($"doc_id", $"lex_rank")
+    val sem = Tables.embeddings(s, d)
+      .select($"vec_id".as("doc_id"), VectorOps.cosCol.as("cos_q"))
+      .orderBy($"cos_q".desc, $"doc_id".asc)
+      .limit(20)
+      .withColumn("sem_rank", row_number()
+        .over(Window.orderBy($"cos_q".desc, $"doc_id".asc)).cast("long"))
+      .select($"doc_id", $"sem_rank")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select($"doc_id", $"lex_rank", $"sem_rank",
+        round(coalesce(lit(1.0) / (lit(60) + $"lex_rank"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + $"sem_rank"), lit(0.0)), 6)
+          .as("rrf_score"))
+      .orderBy($"rrf_score".desc, $"doc_id".asc)
+      .limit(10)
+  }
+
+  // ---------- j140 leakage-safe cluster split ----------
+
+  /** j140_cluster_split — train/val/test splitting that cannot leak
+    * near-duplicates across splits: assign each document's whole near-dup
+    * CLUSTER (j21 invoked verbatim; docs in no cluster are singletons)
+    * to a split by hashing the cluster id — a doc-level hash split (j23)
+    * would put two near-identical docs on opposite sides of the
+    * train/test fence, the classic contamination bug group-aware
+    * splitting exists to prevent. Reports, per split, the doc count,
+    * cluster count, docs living in multi-member clusters, and the largest
+    * cluster — the numbers a data audit reads to confirm no straddle
+    * (straddle is impossible by construction: the split key is a pure
+    * function of cluster_id).
+    *
+    * Scale shape: j21's machinery (bucketed candidates + pointer-jumped
+    * label propagation) plus one doc-keyed left join and two map-combined
+    * aggregations — nothing here outgrows j21 itself. */
+  def j140(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val clusters = TextOps.j21(s, d) // (doc_id, cluster_id) — paired docs only
+    val all = Tables.documents(s, d).select($"doc_id")
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+      .withColumn("h", md5(concat(lit("cs:"), $"cluster_id".cast("string"))))
+      .withColumn("bucket", expr(s"${Hashing.nibbleInt("h")} % 100"))
+      .withColumn("split",
+        when($"bucket" < 80, "train")
+          .when($"bucket" < 90, "validation")
+          .otherwise("test"))
+    all.groupBy($"split", $"cluster_id")
+      .agg(count(lit(1)).as("sz"))
+      .groupBy($"split")
+      .agg(sum($"sz").as("n_docs"),
+        count(lit(1)).as("n_clusters"),
+        sum(when($"sz" > 1, $"sz").otherwise(0L)).as("n_grouped_docs"),
+        max($"sz").as("max_cluster_size"))
+      .orderBy($"split")
+  }
+
+  // ---------- j141 weighted sampling ----------
+
+  /** j141_weighted_sample — weight-proportional sampling without
+    * replacement by sequential Poisson sampling (Ohlsson 1998, the
+    * order-sampling scheme production ETL uses for top-k weighted draws):
+    * draw u ∈ (0,1) per doc, rank by u/w ascending, keep the first k.
+    * Weight = n_chars (longer docs proportionally likelier). u is the
+    * seedless md5-nibble draw (j23/j95 discipline): 6 nibbles → u =
+    * (nib + 0.5)/16^6 — so the "random" order is a pure function of
+    * doc_id, bit-identical in both engines; the ranking key is two IEEE
+    * divisions of exactly-representable operands, so the selected SET is
+    * deterministic, not merely tolerance-close.
+    *
+    * Scale shape: the draw and key are row-local; the k-cut is one
+    * TakeOrderedAndProject. This is the scale path for weighted
+    * subsampling at 100 TB — no per-group windows, no global sort. */
+  def j141(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("h", md5(concat(lit("ws:"), $"doc_id".cast("string"))))
+      .withColumn("u",
+        (expr(Hashing.nibbleInt("h", 6)).cast("double") + 0.5d) / 16777216.0d)
+      .withColumn("key", $"u" / $"n_chars".cast("double"))
+      .orderBy($"key".asc, $"doc_id".asc)
+      .limit(30)
+      .select($"doc_id", $"n_chars".as("weight"),
+        round($"key", 9).as("draw_key"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------- j142 cohort retention ----------
+
+  /** j142_cohort_retention — the standard product-analytics cohort table
+    * over the event stream: cohort = the ISO-agnostic week index
+    * (epoch-µs div one week — pure integer arithmetic, no calendar) of a
+    * user's FIRST event; for each (cohort, week_offset) cell, the
+    * distinct users active that week and the retention percentage vs the
+    * cohort's week-0 size.
+    *
+    * Scale shape: first-event is a map-combined min per user; the
+    * cohort-tag join is user-keyed (co-partitioned with the groupBy that
+    * follows); the distinct-user count per cell is the standard two-level
+    * expansion; the week-0 base rides a cohort-partitioned window whose
+    * partitions are bounded by the number of week offsets, not by data. */
+  def j142(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wk = Tables.eventsUs(s, d)
+      .select($"user_id", expr("ts_us div 604800000000").as("week_idx"))
+    val cohort = wk.groupBy($"user_id").agg(min($"week_idx").as("cohort_week"))
+    val cells = wk.join(cohort, "user_id")
+      .groupBy($"cohort_week", ($"week_idx" - $"cohort_week").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_active"))
+    val base = Window.partitionBy($"cohort_week")
+    cells
+      .withColumn("cohort_size",
+        max(when($"week_offset" === 0, $"n_active")).over(base))
+      .select($"cohort_week", $"week_offset", $"n_active",
+        round($"n_active".cast("double") / $"cohort_size" * 100, 6)
+          .as("retention_pct"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  // ---------- j143 ES children aggregation ----------
+
+  /** j143_children_agg — the ES `children` aggregation (the agg-side dual
+    * of j131's has_child QUERY): bucket by a PARENT field
+    * (o_orderpriority terms) and aggregate metrics over each bucket's
+    * CHILD documents (lineitems) — parent count, child count, child
+    * quantity, child revenue (BIGINT cents, the money discipline).
+    *
+    * Scale shape: one equi-join on the parent key (orderkey — AQE-planned
+    * shuffle join of co-keyed sides) and one 5-group map-combined
+    * aggregate; the distinct-parent count expands over (priority,
+    * orderkey) — bounded by the orders table, never child-multiplied. */
+  def j143(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority")
+      .join(Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_quantity", $"l_extendedprice"),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_orderkey").as("n_parents"),
+        count(lit(1)).as("n_children"),
+        round(sum($"l_quantity"), 6).as("sum_qty"),
+        sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
+          .as("revenue_cents"))
+      .orderBy($"o_orderpriority")
+  }
+
+  // ---------- j144 ES date_range aggregation ----------
+
+  /** j144_date_range_agg — the ES `date_range` aggregation with keyed
+    * half-open ranges (`from` inclusive, `to` exclusive) and unbounded
+    * edge ranges: early [−∞, t1), mid [t1, t2), late [t2, +∞), where
+    * t1/t2 split the observed event span in integer-µs thirds (the
+    * j64/j103 data-dependent-but-deterministic device — fixed absolute
+    * dates would go vacuous when the driver regenerates the fixture
+    * window). Per bucket: the from/to epochs, doc count, value cents, and
+    * distinct users.
+    *
+    * Scale shape: the span is ONE 1-row aggregate riding a broadcast
+    * (BroadcastNestedLoopJoin of a single row); bucket classification is
+    * row-local; the final aggregate has 3 groups and map-combines. */
+  def j144(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.eventsUs(s, d)
+    val span = e.agg(min($"ts_us").as("lo"), max($"ts_us").as("hi"))
+    e.crossJoin(broadcast(span))
+      .withColumn("t1", $"lo" + expr("(hi - lo) div 3"))
+      .withColumn("t2", $"lo" + expr("2 * ((hi - lo) div 3)"))
+      .withColumn("range_key",
+        when($"ts_us" < $"t1", "early")
+          .when($"ts_us" < $"t2", "mid")
+          .otherwise("late"))
+      .groupBy($"range_key")
+      .agg(
+        max(when($"range_key" === "mid", $"t1")
+          .when($"range_key" === "late", $"t2")).as("from_us"),
+        max(when($"range_key" === "early", $"t1")
+          .when($"range_key" === "mid", $"t2")).as("to_us"),
+        count(lit(1)).as("doc_count"),
+        sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("value_cents"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"range_key")
+  }
+
+  // ---------- j145 span_not ----------
+
+  /** j145_span_not — the ES `span_not` query: occurrences of the include
+    * term ('spark') that are NOT within `pre`/`post` = 2 positions of any
+    * exclude term ('slow'); a doc matches when at least one occurrence
+    * survives. Reports per matching doc the total, surviving, and
+    * excluded occurrence counts.
+    *
+    * Scale shape: the j84/j99/j125 corpus-linear family — position lists
+    * and the exclusion test are row-local higher-order functions inside
+    * whole-stage codegen; ZERO exchanges before the final presentation
+    * sort (PlanSpec-pinned). Cost per row is O(|spark| · |slow|) on
+    * per-doc occurrence counts, not document length squared. */
+  def j145(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("inc",
+        expr("filter(sequence(1, size(toks)), x -> toks[x - 1] = 'spark')"))
+      .filter(size($"inc") > 0)
+      .withColumn("exc",
+        expr("filter(sequence(1, size(toks)), x -> toks[x - 1] = 'slow')"))
+      .withColumn("n_kept", expr(
+        "size(filter(inc, x -> !exists(exc, y -> abs(x - y) <= 2)))"))
+      .filter($"n_kept" > 0)
+      .select($"doc_id",
+        size($"inc").cast("long").as("n_spark"),
+        $"n_kept".cast("long").as("n_kept"),
+        (size($"inc") - $"n_kept").cast("long").as("n_excluded"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------- j146 inter-arrival statistics ----------
+
+  /** j146_interarrival_stats — per-user inter-arrival (burstiness)
+    * statistics over the event stream: for the 20 most active users, the
+    * gap count, mean / median / max gap in whole seconds. Gaps run in the
+    * integer-seconds domain (µs div 10⁶) so every aggregate is exact
+    * cross-engine: the mean's sum is an exact-integer double, and linear
+    * percentile interpolation over integer doubles is exact arithmetic in
+    * both engines (ADVICE r5's var/stddev order-dependence lesson —
+    * central-moment aggregates are avoided by construction).
+    *
+    * Scale shape: one user-partitioned window (lag) feeding a
+    * user-keyed aggregate — the exchange is shared between them (same
+    * key), then a TakeOrderedAndProject cut. */
+  def j146(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+    Tables.eventsUs(s, d)
+      .select($"user_id", $"event_id", $"ts_us")
+      .withColumn("prev", lag($"ts_us", 1).over(w))
+      .filter($"prev".isNotNull)
+      .withColumn("gap_s", expr("(ts_us - prev) div 1000000"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg($"gap_s"), 6).as("mean_gap_s"),
+        round(expr("percentile(gap_s, 0.5)"), 6).as("median_gap_s"),
+        max($"gap_s").as("max_gap_s"))
+      .orderBy($"n_gaps".desc, $"user_id".asc)
+      .limit(20)
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j139_rrf_fusion" -> j139, "j140_cluster_split" -> j140,
+    "j141_weighted_sample" -> j141, "j142_cohort_retention" -> j142,
+    "j143_children_agg" -> j143, "j144_date_range_agg" -> j144,
+    "j145_span_not" -> j145, "j146_interarrival_stats" -> j146)
+
+  /** The j21 pipeline restated for the j140 oracle (necessarily — SURVEY
+    * §7.5#8), identical to TextOps's j21/j138 CTE block. */
+  private val clusterSql =
+    """s0 AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(string_split(text, ' ')) - 2),
+      |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
+      |  FROM 'documents.parquet' WHERE len(string_split(text, ' ')) >= 3),
+      |s AS (SELECT doc_id, sh FROM s0 QUALIFY count(*) OVER (PARTITION BY sh) <= 1000),
+      |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |pr AS (SELECT d1, d2 FROM p JOIN n na ON p.d1 = na.doc_id
+      |       JOIN n nb ON p.d2 = nb.doc_id
+      |       WHERE inter / (na.ns + nb.ns - inter) >= 0.5),
+      |e AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+      |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      |       FROM reach GROUP BY a)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "j139_rrf_fusion" ->
+      """WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |            FROM 'documents.parquet'),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM (
+        |         SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |         FROM 'documents.parquet')
+        |       WHERE token IN ('spark', 'vector', 'dup') GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |sc AS (SELECT tf.doc_id,
+        |         ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |           (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS tscore
+        |       FROM tf JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN st),
+        |agg AS (SELECT doc_id, round(list_sum(list_sort(list(tscore))), 6) AS bm25
+        |        FROM sc GROUP BY 1),
+        |lexr AS (SELECT doc_id,
+        |           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS lex_rank
+        |         FROM agg QUALIFY lex_rank <= 20),
+        |cos AS (SELECT vec_id AS doc_id,
+        |          round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+        |            / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 8.0), 6) AS cos_q
+        |        FROM 'embeddings.parquet'),
+        |semr AS (SELECT doc_id,
+        |           CAST(row_number() OVER (ORDER BY cos_q DESC, doc_id ASC) AS BIGINT) AS sem_rank
+        |         FROM cos QUALIFY sem_rank <= 20)
+        |SELECT doc_id, l.lex_rank, r.sem_rank,
+        |       round(coalesce(1.0 / (60 + l.lex_rank), 0.0) +
+        |             coalesce(1.0 / (60 + r.sem_rank), 0.0), 6) AS rrf_score
+        |FROM lexr l FULL JOIN semr r USING (doc_id)
+        |ORDER BY rrf_score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "j140_cluster_split" ->
+      s"""WITH RECURSIVE $clusterSql,
+         |alldocs AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+         |            FROM 'documents.parquet' d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+         |b AS (SELECT doc_id, cluster_id,
+         |        ${duckNibble("md5('cs:' || CAST(cluster_id AS VARCHAR))")} % 100 AS bucket
+         |      FROM alldocs),
+         |sp AS (SELECT CASE WHEN bucket < 80 THEN 'train'
+         |                   WHEN bucket < 90 THEN 'validation'
+         |                   ELSE 'test' END AS split, cluster_id FROM b),
+         |pc AS (SELECT split, cluster_id, count(*) AS sz FROM sp GROUP BY 1, 2)
+         |SELECT split, CAST(sum(sz) AS BIGINT) AS n_docs, count(*) AS n_clusters,
+         |       CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT) AS n_grouped_docs,
+         |       max(sz) AS max_cluster_size
+         |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j141_weighted_sample" ->
+      s"""WITH k AS (SELECT doc_id, n_chars,
+         |             ((${duckNibble("md5('ws:' || CAST(doc_id AS VARCHAR))", 6)} + 0.5) / 16777216.0)
+         |               / CAST(n_chars AS DOUBLE) AS key
+         |           FROM 'documents.parquet')
+         |SELECT doc_id, n_chars AS weight, round(key, 9) AS draw_key
+         |FROM k
+         |QUALIFY row_number() OVER (ORDER BY key ASC, doc_id ASC) <= 30
+         |ORDER BY doc_id""".stripMargin,
+    "j142_cohort_retention" ->
+      """WITH wk AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week_idx
+        |            FROM 'events.parquet'),
+        |c AS (SELECT user_id, min(week_idx) AS cohort_week FROM wk GROUP BY 1),
+        |cells AS (SELECT c.cohort_week, wk.week_idx - c.cohort_week AS week_offset,
+        |            count(DISTINCT wk.user_id) AS n_active
+        |          FROM wk JOIN c USING (user_id) GROUP BY 1, 2),
+        |wb AS (SELECT *, max(CASE WHEN week_offset = 0 THEN n_active END)
+        |         OVER (PARTITION BY cohort_week) AS cohort_size
+        |       FROM cells)
+        |SELECT cohort_week, week_offset, n_active,
+        |       round(CAST(n_active AS DOUBLE) / cohort_size * 100, 6) AS retention_pct
+        |FROM wb ORDER BY cohort_week, week_offset""".stripMargin,
+    "j143_children_agg" ->
+      """SELECT o.o_orderpriority, count(DISTINCT o.o_orderkey) AS n_parents,
+        |       count(*) AS n_children,
+        |       round(sum(l.l_quantity), 6) AS sum_qty,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+        |         AS BIGINT) AS revenue_cents
+        |FROM 'orders.parquet' o JOIN 'lineitem.parquet' l
+        |  ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j144_date_range_agg" ->
+      """WITH e AS (SELECT epoch_us(ts) AS ts_us, user_id, value
+        |           FROM 'events.parquet'),
+        |bnd AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM e),
+        |b AS (SELECT e.*, bnd.lo + (bnd.hi - bnd.lo) // 3 AS t1,
+        |        bnd.lo + 2 * ((bnd.hi - bnd.lo) // 3) AS t2
+        |      FROM e CROSS JOIN bnd),
+        |kb AS (SELECT *, CASE WHEN ts_us < t1 THEN 'early'
+        |                      WHEN ts_us < t2 THEN 'mid'
+        |                      ELSE 'late' END AS range_key FROM b)
+        |SELECT range_key,
+        |       max(CASE WHEN range_key = 'mid' THEN t1
+        |                WHEN range_key = 'late' THEN t2 END) AS from_us,
+        |       max(CASE WHEN range_key = 'early' THEN t1
+        |                WHEN range_key = 'mid' THEN t2 END) AS to_us,
+        |       count(*) AS doc_count,
+        |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS value_cents,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM kb GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j145_span_not" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM 'documents.parquet'),
+        |p AS (SELECT doc_id,
+        |        list_filter(generate_series(1, len(toks)), x -> toks[x] = 'spark') AS inc,
+        |        list_filter(generate_series(1, len(toks)), x -> toks[x] = 'slow') AS exc
+        |      FROM t),
+        |k AS (SELECT doc_id, len(inc) AS n_spark,
+        |        len(list_filter(inc, x ->
+        |          len(list_filter(exc, y -> abs(x - y) <= 2)) = 0)) AS n_kept
+        |      FROM p WHERE len(inc) > 0)
+        |SELECT doc_id, CAST(n_spark AS BIGINT) AS n_spark,
+        |       CAST(n_kept AS BIGINT) AS n_kept,
+        |       CAST(n_spark - n_kept AS BIGINT) AS n_excluded
+        |FROM k WHERE n_kept > 0 ORDER BY doc_id""".stripMargin,
+    "j146_interarrival_stats" ->
+      """WITH g AS (SELECT user_id,
+        |             (epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |               (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |               // 1000000 AS gap_s
+        |           FROM 'events.parquet'),
+        |a AS (SELECT user_id, count(*) AS n_gaps,
+        |        round(avg(gap_s), 6) AS mean_gap_s,
+        |        round(quantile_cont(gap_s, 0.5), 6) AS median_gap_s,
+        |        max(gap_s) AS max_gap_s
+        |      FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+        |SELECT * FROM a
+        |ORDER BY n_gaps DESC, user_id ASC LIMIT 20""".stripMargin)
+}

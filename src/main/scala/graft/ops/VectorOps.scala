@@ -23,17 +23,17 @@ import org.apache.spark.sql.functions._
 object VectorOps {
 
   /** Σ aᵢ·aᵢ in double, left-to-right — identical in DuckDB list_sum form. */
-  private val dotSelf =
+  private[graft] val dotSelf =
     "aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-  private val sumAll =
+  private[graft] val sumAll =
     "aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"
 
   /** Cosine similarity vs the fixed all-ones query vector: sum(v)/(‖v‖·8).
     * (‖ones₆₄‖ = 8; dimension is verified 64 everywhere.) */
-  private def cosCol = round(
+  private[graft] def cosCol = round(
     expr(sumAll) / (sqrt(expr(dotSelf)) * lit(8.0d)), 6)
 
-  private val cosSql =
+  private[graft] val cosSql =
     """round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
       | / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 8.0), 6)""".stripMargin.replace("\n", "")
 

@@ -727,4 +727,99 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(en.getLong(en.fieldIndex("n_tokens")) === 42704L)
     assert(en.getDouble(en.fieldIndex("fertility")) === 4.128783)
   }
+
+  test("j139_rrf_fusion fuses both legs with ES union semantics (matches DuckDB)") {
+    val rows = q("j139_rrf_fusion").collect()
+    // rank-1 of each leg tie at 1/61, doc_id breaks: lexical 82 then kNN 207
+    val r0 = rows.head
+    assert(r0.getLong(0) === 82L)
+    assert(r0.getLong(r0.fieldIndex("lex_rank")) === 1L)
+    assert(r0.isNullAt(r0.fieldIndex("sem_rank"))) // single-leg doc survives
+    assert(r0.getDouble(r0.fieldIndex("rrf_score")) === 0.016393)
+    val r1 = rows(1)
+    assert(r1.getLong(0) === 207L)
+    assert(r1.getLong(r1.fieldIndex("sem_rank")) === 1L)
+    assert(r1.isNullAt(r1.fieldIndex("lex_rank")))
+  }
+
+  test("j140_cluster_split: whole clusters land in one split (matches DuckDB)") {
+    val rows = q("j140_cluster_split").collect()
+    def row(sp: String) = rows.find(_.getString(0) == sp).get
+    val tr = row("train"); val va = row("validation"); val te = row("test")
+    assert(tr.getLong(tr.fieldIndex("n_docs")) === 410L)
+    assert(tr.getLong(tr.fieldIndex("n_clusters")) === 387L)
+    assert(tr.getLong(tr.fieldIndex("n_grouped_docs")) === 43L)
+    assert(tr.getLong(tr.fieldIndex("max_cluster_size")) === 4L)
+    assert(va.getLong(va.fieldIndex("n_docs")) === 47L)
+    assert(te.getLong(te.fieldIndex("n_docs")) === 43L)
+    // every fixture doc is in exactly one split
+    assert(rows.map(r => r.getLong(r.fieldIndex("n_docs"))).sum === 500L)
+  }
+
+  test("j141_weighted_sample selection is bit-deterministic (matches DuckDB)") {
+    val rows = q("j141_weighted_sample").collect()
+    assert(rows.length === 30)
+    val r0 = rows.head
+    assert(r0.getLong(0) === 8L)
+    assert(r0.getLong(r0.fieldIndex("weight")) === 402L)
+    assert(r0.getDouble(r0.fieldIndex("draw_key")) === 0.000184428)
+  }
+
+  test("j142_cohort_retention base week is 100% and retention ≤ 100 (matches DuckDB)") {
+    val rows = q("j142_cohort_retention").collect()
+    val r0 = rows.head
+    assert(r0.getLong(0) === 2817L)
+    assert(r0.getLong(r0.fieldIndex("week_offset")) === 0L)
+    assert(r0.getLong(r0.fieldIndex("n_active")) === 15L)
+    assert(r0.getDouble(r0.fieldIndex("retention_pct")) === 100.0)
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("retention_pct")) <= 100.0)
+    }
+  }
+
+  test("j143_children_agg URGENT bucket matches DuckDB (BIGINT cents)") {
+    val rows = q("j143_children_agg").collect()
+    val u = rows.find(_.getString(0) == "1-URGENT").get
+    assert(u.getLong(u.fieldIndex("n_parents")) === 266L)
+    assert(u.getLong(u.fieldIndex("n_children")) === 1147L)
+    assert(u.getDouble(u.fieldIndex("sum_qty")) === 28882.0)
+    assert(u.getLong(u.fieldIndex("revenue_cents")) === 6113094924L)
+  }
+
+  test("j144_date_range_agg edge ranges are unbounded; buckets partition the stream") {
+    val rows = q("j144_date_range_agg").collect()
+    def row(k: String) = rows.find(_.getString(0) == k).get
+    val e = row("early"); val m = row("mid"); val l = row("late")
+    assert(e.isNullAt(e.fieldIndex("from_us")) && l.isNullAt(l.fieldIndex("to_us")))
+    assert(e.getLong(e.fieldIndex("to_us")) === m.getLong(m.fieldIndex("from_us")))
+    assert(m.getLong(m.fieldIndex("to_us")) === l.getLong(l.fieldIndex("from_us")))
+    assert(e.getLong(e.fieldIndex("doc_count")) === 344L)
+    assert(m.getLong(m.fieldIndex("doc_count")) === 354L)
+    assert(l.getLong(l.fieldIndex("doc_count")) === 302L)
+    assert(e.getLong(e.fieldIndex("value_cents")) === 1793010L)
+  }
+
+  test("j145_span_not exclusion counts match DuckDB; kept+excluded = total") {
+    val rows = q("j145_span_not").collect()
+    val d1 = rows.find(_.getLong(0) == 1L).get
+    assert(d1.getLong(d1.fieldIndex("n_spark")) === 4L)
+    assert(d1.getLong(d1.fieldIndex("n_kept")) === 3L)
+    assert(d1.getLong(d1.fieldIndex("n_excluded")) === 1L)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_kept")) +
+        r.getLong(r.fieldIndex("n_excluded")) ===
+        r.getLong(r.fieldIndex("n_spark")))
+      assert(r.getLong(r.fieldIndex("n_kept")) >= 1L) // span_not match rule
+    }
+  }
+
+  test("j146_interarrival_stats most-active user matches DuckDB (exact integer domain)") {
+    val rows = q("j146_interarrival_stats").collect()
+    val r0 = rows.head
+    assert(r0.getLong(0) === 14L)
+    assert(r0.getLong(r0.fieldIndex("n_gaps")) === 87L)
+    assert(r0.getDouble(r0.fieldIndex("mean_gap_s")) === 29046.402299)
+    assert(r0.getDouble(r0.fieldIndex("median_gap_s")) === 21463.0)
+    assert(r0.getLong(r0.fieldIndex("max_gap_s")) === 129645L)
+  }
 }

@@ -109,7 +109,9 @@ class PlanSpec extends AnyFunSuite {
       "j126_phrase_suggester", // 1-row prefix/vocab-size stats onto the candidate frame
       "j128_temperature_mix", // 1-row total + 1-row normalizer onto the 5-row lang frame
       "j134_hard_negatives", // 8-row probe set onto one corpus scan (j123's broadcast)
-      "j136_lsh_band_tuning") // 1-row n_true frame onto the 3-row layout table
+      "j136_lsh_band_tuning", // 1-row n_true frame onto the 3-row layout table
+      "j139_rrf_fusion", // 1-row corpus stats onto the term-filtered tf (j34's shape)
+      "j144_date_range_agg") // 1-row span frame onto the event stream (targeted test below)
     val offenders = SparkEntry.queries.toSeq
       .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
       .flatMap { case (name, fn) =>
@@ -728,6 +730,48 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("j139: both fusion legs are TakeOrdered cuts; the final cut is TakeOrdered") {
+    val p = plan("j139_rrf_fusion")
+    // lexical top-20, semantic top-20, fused top-10 — three bounded cuts,
+    // so the full-outer fusion join only ever sees ≤20-row sides
+    assert("TakeOrderedAndProject\\(limit=20".r.findAllIn(p).size === 2, p)
+    assert(p.contains("TakeOrderedAndProject(limit=10"), p)
+    assert(p.contains("FullOuter"), p)
+  }
+
+  test("j141: weighted sampling is one row-local pass + one TakeOrdered — no exchange, no window") {
+    val p = plan("j141_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject(limit=30"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("j145: span_not position algebra is row-local — zero hash exchanges, no join") {
+    val p = plan("j145_span_not")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("j146: the lag window and the per-user aggregate share ONE user_id exchange") {
+    val p = plan("j146_interarrival_stats")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(p.contains("Exchange hashpartitioning(user_id"), p)
+    assert(p.contains("TakeOrderedAndProject(limit=20"), p)
+  }
+
+  test("j144: the span rides a 1-row broadcast; no shuffle before the 3-group aggregate") {
+    val p = plan("j144_date_range_agg")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the only hash exchange is the final 3-group aggregate's
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("j142: the retention base window is cohort-partitioned, never global") {
+    val p = plan("j142_cohort_retention")
+    assert(p.contains("Exchange hashpartitioning(cohort_week"), p)
+    assert(p.contains("windowspecdefinition(cohort_week"), p)
   }
 
   test("whole-stage codegen covers the flagship plan") {
