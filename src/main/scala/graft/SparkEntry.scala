@@ -16,7 +16,8 @@ object SparkEntry {
       ops.TextOps.defs ++ ops.SearchOps.defs ++ ops.BucketOps.defs ++
       ops.AggExtOps.defs ++ ops.SyncOps.defs ++
       ops.StreamingOps.defs ++ ops.PipelineOps.defs ++ ops.CurationOps.defs ++
-      ops.CorpusQualityOps.defs ++ ops.RankOps.defs ++ ops.FusionOps.defs
+      ops.CorpusQualityOps.defs ++ ops.RankOps.defs ++ ops.FusionOps.defs ++
+      ops.AnalyticsOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -29,5 +30,6 @@ object SparkEntry {
       ops.TextOps.oracle ++ ops.SearchOps.oracle ++ ops.BucketOps.oracle ++
       ops.AggExtOps.oracle ++ ops.SyncOps.oracle ++
       ops.StreamingOps.oracle ++ ops.PipelineOps.oracle ++ ops.CurationOps.oracle ++
-      ops.CorpusQualityOps.oracle ++ ops.RankOps.oracle ++ ops.FusionOps.oracle
+      ops.CorpusQualityOps.oracle ++ ops.RankOps.oracle ++ ops.FusionOps.oracle ++
+      ops.AnalyticsOps.oracle
 }

@@ -1,0 +1,283 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 fifth wave — held-out LM scoring and event/corpus report
+  * operators: Stupid Backoff n-gram scoring (Brants et al. 2007, the
+  * production-scale LM smoothing that needs no normalization pass),
+  * the per-source data card, an ordered multi-step event funnel with a
+  * conversion window, and the hour-of-day activity profile.
+  *
+  * Disciplines as everywhere: train/held-out split via the doc_id mod
+  * device (j22/j52), sorted folds for cross-engine double sums
+  * (Parity.sortedFoldSum), money in BIGINT cents, epoch math in the
+  * ts_us long domain, quality signals via the shared single-source
+  * Columns (CurationOps.qualityLogit, CorpusQualityOps.gopherPass).
+  */
+object AnalyticsOps {
+
+  // ---------- j151 Stupid Backoff LM scoring ----------
+
+  /** j151_stupid_backoff — score HELD-OUT documents (doc_id ≡ 0 mod 10,
+    * j22's split device) under a trigram Stupid Backoff LM trained on the
+    * REST of the corpus (Brants et al. 2007): S(w₃|w₁w₂) = c₁₂₃/c₁₂ when
+    * the trigram was seen in training, else 0.4·c₂₃/c₂, else 0.16·c₃/N —
+    * unnormalized score backoff, the trick that made web-scale LMs
+    * trainable with pure counting. Per held-out doc: trigram count, how
+    * often backoff fired, and the mean log-score. Self-scoring (j33)
+    * never exercises backoff — every bigram scores itself — which is
+    * exactly why this operator trains on a split: the fixture's held-out
+    * trigram mass is ~35% unseen (measured at both sf0.001 and sf0.01),
+    * so the ladder does real work. All backoff counts are marginals of
+    * the ONE trigram aggregate (suffix c₂₃, middle c₂, last c₃, total N)
+    * — one corpus reduce, no second pass; this differs from raw-bigram
+    * counting only at document edges, and the oracle restates the same
+    * marginal definition. The unigram floor coalesces an unseen w₃ to
+    * count 1 (never fires on the shared-vocab fixture; the guard keeps
+    * log() finite on any input).
+    *
+    * Scale shape: the trigram count table is vocab³-bounded (persisted —
+    * five marginals derive from it without re-reducing the corpus; the
+    * harness clearCache releases it, j7's precedent) and rides
+    * broadcasts with its marginals, so the held-out trigram stream
+    * shuffles ONCE — its per-doc aggregation. For vocabularies where
+    * vocab³ outgrows a broadcast, the joins degrade to keyed shuffles
+    * and the structure is unchanged. */
+  def j151(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tg = Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> named_struct('w1', element_at(toks, i),
+          |                    'w2', element_at(toks, i + 1),
+          |                    'w3', element_at(toks, i + 2)))""".stripMargin))
+        .as("t"))
+      .select($"doc_id", $"t.w1".as("w1"), $"t.w2".as("w2"), $"t.w3".as("w3"))
+    val c3 = tg.filter($"doc_id" % 10 =!= 0)
+      .groupBy($"w1", $"w2", $"w3").agg(count(lit(1)).as("c123"))
+      .persist() // vocab³-bounded; feeds the five marginals below
+    val c12 = c3.groupBy($"w1", $"w2").agg(sum($"c123").as("c12"))
+    val c23 = c3.groupBy($"w2", $"w3").agg(sum($"c123").as("c23"))
+    val c2 = c3.groupBy($"w2").agg(sum($"c123").as("c2"))
+    val cw3 = c3.groupBy($"w3").agg(sum($"c123").as("cw3"))
+    val n = c3.agg(sum($"c123").as("n_total"))
+    tg.filter($"doc_id" % 10 === 0)
+      .join(broadcast(c3), Seq("w1", "w2", "w3"), "left_outer")
+      .join(broadcast(c12), Seq("w1", "w2"), "left_outer")
+      .join(broadcast(c23), Seq("w2", "w3"), "left_outer")
+      .join(broadcast(c2), Seq("w2"), "left_outer")
+      .join(broadcast(cw3), Seq("w3"), "left_outer")
+      .crossJoin(broadcast(n))
+      .withColumn("lvl",
+        when($"c123".isNotNull, 1).when($"c23".isNotNull, 2).otherwise(3))
+      .withColumn("ll",
+        when($"lvl" === 1, log($"c123" / $"c12"))
+          .when($"lvl" === 2, log(lit(0.4d) * $"c23" / $"c2"))
+          .otherwise(log(lit(0.16d) * coalesce($"cw3", lit(1L)) / $"n_total")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when($"lvl" >= 2, 1L).otherwise(0L)).as("n_backoff"),
+        Parity.sortedFoldSum($"ll").as("sll"))
+      .select($"doc_id", $"n_trigrams", $"n_backoff",
+        round($"sll" / $"n_trigrams", 6).as("avg_ll"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------- j152 per-source data card ----------
+
+  /** j152_source_card — the per-source "data card" row a corpus release
+    * ships: doc count, char and token mass, language spread, mean model
+    * quality (the shared qualityLogit) and Gopher-battery pass rate (the
+    * shared gopherPass) — every quality number in the card is the SAME
+    * Column the curation operators gate on, so the card cannot disagree
+    * with the pipeline it describes.
+    *
+    * Scale shape: ONE corpus scan, row-local signals, one source-keyed
+    * map-combined aggregate (j133's one-scan discipline); the distinct-
+    * lang count expands over (source, lang) — bounded by sources×langs. */
+  def j152(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"source", $"lang", $"n_chars",
+        CurationOps.qualityLogit($"text").as("score"),
+        split($"text", " ").as("toks"))
+      .withColumn("gpass", CorpusQualityOps.gopherPass)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        sum(size($"toks").cast("long")).as("sum_tokens"),
+        countDistinct($"lang").as("n_langs"),
+        Parity.sortedFoldSum($"score").as("ss"),
+        sum($"gpass".cast("long")).as("n_gopher_pass"))
+      .select($"source", $"n_docs", $"sum_chars", $"sum_tokens", $"n_langs",
+        round($"ss" / $"n_docs", 6).as("mean_quality"),
+        round($"n_gopher_pass".cast("double") / $"n_docs".cast("double"), 6)
+          .as("gopher_pass_rate"))
+      .orderBy($"source")
+  }
+
+  // ---------- j153 ordered event funnel ----------
+
+  /** j153_event_funnel — the ordered product funnel view → click →
+    * purchase with a 12-hour conversion window per step (each step must
+    * happen AFTER the previous step's first completion and within the
+    * window — the standard funnel semantics analytics warehouses
+    * implement; the window is fixture-measured to produce real attrition:
+    * unconstrained, every user completes — 15→6→3 at 12 h). Per funnel
+    * entrant: the step timestamps, the stage reached, and the step
+    * delays in whole seconds.
+    *
+    * Scale shape: three user-keyed min-aggregates, each joined back
+    * user-keyed (co-partitioned with the aggregates — one exchange
+    * lineage per step); the event_type predicates push to the scans. No
+    * windows, no per-user event arrays. */
+  def j153(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val winUs = 43200000000L // 12 h in µs
+    val e = Tables.eventsUs(s, d).select($"user_id", $"event_type", $"ts_us")
+    val t1 = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts_us").as("t1_us"))
+    val t2 = e.filter($"event_type" === "click").join(t1, "user_id")
+      .filter($"ts_us" > $"t1_us" && $"ts_us" <= $"t1_us" + winUs)
+      .groupBy($"user_id").agg(min($"ts_us").as("t2_us"))
+    val t3 = e.filter($"event_type" === "purchase").join(t2, "user_id")
+      .filter($"ts_us" > $"t2_us" && $"ts_us" <= $"t2_us" + winUs)
+      .groupBy($"user_id").agg(min($"ts_us").as("t3_us"))
+    t1.join(t2, Seq("user_id"), "left_outer")
+      .join(t3, Seq("user_id"), "left_outer")
+      .select($"user_id", $"t1_us", $"t2_us", $"t3_us",
+        when($"t3_us".isNotNull, 3L).when($"t2_us".isNotNull, 2L)
+          .otherwise(1L).as("stage"),
+        expr("(t2_us - t1_us) div 1000000").as("click_delay_s"),
+        expr("(t3_us - t2_us) div 1000000").as("purchase_delay_s"))
+      .orderBy($"user_id")
+  }
+
+  // ---------- j154 hour-of-day activity profile ----------
+
+  /** j154_hourly_profile — events by (type, UTC hour of day): count,
+    * value cents, and each hour's share of its type's traffic — the
+    * capacity-planning / anomaly-baseline profile beside j47's calendar
+    * histogram. Hour from pure integer µs arithmetic (div + mod), no
+    * calendar functions.
+    *
+    * Scale shape: one map-combined (type, hour) aggregate — ≤ 24·|types|
+    * groups; the share window runs over that bounded frame, partitioned
+    * by type. */
+  def j154(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.eventsUs(s, d)
+      .select($"event_type",
+        expr("(ts_us div 3600000000) % 24").as("hour_utc"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy($"event_type", $"hour_utc")
+      .agg(count(lit(1)).as("n_events"), sum($"cents").as("value_cents"))
+      .withColumn("type_share",
+        round($"n_events".cast("double") /
+          sum($"n_events").over(Window.partitionBy($"event_type")), 6))
+      .orderBy($"event_type", $"hour_utc")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j151_stupid_backoff" -> j151, "j152_source_card" -> j152,
+    "j153_event_funnel" -> j153, "j154_hourly_profile" -> j154)
+
+  val oracle: Map[String, String] = Map(
+    "j151_stupid_backoff" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM 'documents.parquet'
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |tg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2, b.w3 AS w3 FROM (
+        |         SELECT doc_id, unnest(list_transform(
+        |           generate_series(1, len(toks) - 2),
+        |           i -> {'w1': toks[i], 'w2': toks[i + 1], 'w3': toks[i + 2]})) AS b
+        |         FROM t)),
+        |c3 AS (SELECT w1, w2, w3, count(*) AS c123 FROM tg
+        |       WHERE doc_id % 10 != 0 GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, sum(c123) AS c12 FROM c3 GROUP BY 1, 2),
+        |c23 AS (SELECT w2, w3, sum(c123) AS c23 FROM c3 GROUP BY 1, 2),
+        |c2 AS (SELECT w2, sum(c123) AS c2 FROM c3 GROUP BY 1),
+        |cw3 AS (SELECT w3, sum(c123) AS cw3 FROM c3 GROUP BY 1),
+        |nt AS (SELECT sum(c123) AS n_total FROM c3),
+        |sc AS (SELECT h.doc_id,
+        |         CASE WHEN c3.c123 IS NOT NULL THEN 1
+        |              WHEN c23.c23 IS NOT NULL THEN 2 ELSE 3 END AS lvl,
+        |         CASE WHEN c3.c123 IS NOT NULL THEN ln(c3.c123 / c12.c12)
+        |              WHEN c23.c23 IS NOT NULL THEN ln(0.4 * c23.c23 / c2.c2)
+        |              ELSE ln(0.16 * coalesce(cw3.cw3, 1) / nt.n_total) END AS ll
+        |       FROM (SELECT * FROM tg WHERE doc_id % 10 = 0) h
+        |       LEFT JOIN c3 USING (w1, w2, w3)
+        |       LEFT JOIN c12 USING (w1, w2)
+        |       LEFT JOIN c23 USING (w2, w3)
+        |       LEFT JOIN c2 USING (w2)
+        |       LEFT JOIN cw3 USING (w3)
+        |       CROSS JOIN nt)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        |       CAST(sum(CASE WHEN lvl >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_backoff,
+        |       round(list_sum(list_sort(list(ll))) / count(*), 6) AS avg_ll
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "j152_source_card" ->
+      """WITH t AS (SELECT source, lang, n_chars, string_split(text, ' ') AS toks
+        |           FROM 'documents.parquet'),
+        |f AS (SELECT source, lang, n_chars, len(toks) AS n_toks,
+        |        round(-3.0 + 0.01 * CAST(len(toks) AS DOUBLE)
+        |          + 4.0 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+        |          + 0.5 * ((n_chars - len(toks) + 1) / CAST(len(toks) AS DOUBLE))
+        |          - 6.0 * (len(list_filter(toks, x -> x IN ('a', 'the')))
+        |                   / CAST(len(toks) AS DOUBLE)), 6) AS score,
+        |        (len(toks) BETWEEN 25 AND 90
+        |         AND CAST(n_chars - len(toks) + 1 AS DOUBLE)
+        |             / CAST(len(toks) AS DOUBLE) BETWEEN 4.0 AND 5.0
+        |         AND len(list_filter(toks, x -> x IN ('a', 'the'))) >= 2
+        |         AND CAST(len(list_filter(toks, x -> len(x) <= 2)) AS DOUBLE)
+        |             / CAST(len(toks) AS DOUBLE) <= 0.09) AS gpass
+        |      FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+        |       count(DISTINCT lang) AS n_langs,
+        |       round(list_sum(list_sort(list(score))) / count(*), 6) AS mean_quality,
+        |       round(CAST(sum(gpass::INT) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |         AS gopher_pass_rate
+        |FROM f GROUP BY 1 ORDER BY source""".stripMargin,
+    "j153_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |           FROM 'events.parquet'),
+        |t1 AS (SELECT user_id, min(ts_us) AS t1_us FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts_us) AS t2_us
+        |       FROM e JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts_us > t1.t1_us
+        |         AND e.ts_us <= t1.t1_us + 43200000000 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts_us) AS t3_us
+        |       FROM e JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts_us > t2.t2_us
+        |         AND e.ts_us <= t2.t2_us + 43200000000 GROUP BY 1)
+        |SELECT t1.user_id, t1.t1_us, t2.t2_us, t3.t3_us,
+        |       CAST(CASE WHEN t3.t3_us IS NOT NULL THEN 3
+        |                 WHEN t2.t2_us IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+        |         AS stage,
+        |       (t2.t2_us - t1.t1_us) // 1000000 AS click_delay_s,
+        |       (t3.t3_us - t2.t2_us) // 1000000 AS purchase_delay_s
+        |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "j154_hourly_profile" ->
+      """WITH h AS (SELECT event_type,
+        |             (epoch_us(ts) // 3600000000) % 24 AS hour_utc,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |           FROM 'events.parquet'),
+        |a AS (SELECT event_type, hour_utc, count(*) AS n_events,
+        |        CAST(sum(cents) AS BIGINT) AS value_cents
+        |      FROM h GROUP BY 1, 2)
+        |SELECT event_type, hour_utc, n_events, value_cents,
+        |       round(CAST(n_events AS DOUBLE) /
+        |             sum(n_events) OVER (PARTITION BY event_type), 6)
+        |         AS type_share
+        |FROM a ORDER BY event_type, hour_utc""".stripMargin)
+}

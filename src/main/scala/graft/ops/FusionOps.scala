@@ -306,11 +306,173 @@ object FusionOps {
       .limit(20)
   }
 
+  // ---------- j147 linear retriever (min-max normalized hybrid) ----------
+
+  /** j147_linear_retriever — ES 8.16's `retriever: linear`, the OTHER
+    * hybrid-search combiner beside j139's RRF: each leg's top-20 scores
+    * are min-max normalized over that leg's result window, then combined
+    * as 0.7·lex + 0.3·sem (missing leg contributes 0 — union semantics).
+    * Unlike RRF this keeps score MAGNITUDE information (a runaway
+    * top hit stays far ahead after normalization; RRF flattens it to
+    * 1/61 vs 1/62). Norms are rounded to 6dp BEFORE the weighted sum, so
+    * the combination is arithmetic over engine-identical inputs. A
+    * degenerate leg (max = min) normalizes to 1.0 — every doc in the
+    * window is equally a top hit.
+    *
+    * Scale shape: j139's exactly — legs are TakeOrdered cuts, the
+    * min/max is a 1-row aggregate OVER THE ≤20-ROW window riding a
+    * broadcast, the fusion join sees two ≤20-row frames at any corpus
+    * size. */
+  def j147(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def minmax(leg: DataFrame, score: String, normName: String): DataFrame = {
+      val stats = leg.agg(min(col(score)).as("mn"), max(col(score)).as("mx"))
+      leg.crossJoin(broadcast(stats))
+        .select($"doc_id",
+          round(when($"mx" > $"mn",
+            (col(score) - $"mn") / ($"mx" - $"mn")).otherwise(lit(1.0d)), 6)
+            .as(normName))
+    }
+    val lex = minmax(
+      TextOps.bm25Frames(Tables.documents(s, d), Seq("spark", "vector", "dup"))
+        .scored
+        .groupBy($"doc_id")
+        .agg(Parity.sortedFoldSum($"tscore").as("sc"))
+        .select($"doc_id", round($"sc", 6).as("bm25"))
+        .orderBy($"bm25".desc, $"doc_id".asc).limit(20),
+      "bm25", "lex_norm")
+    val sem = minmax(
+      Tables.embeddings(s, d)
+        .select($"vec_id".as("doc_id"), VectorOps.cosCol.as("cos_q"))
+        .orderBy($"cos_q".desc, $"doc_id".asc).limit(20),
+      "cos_q", "sem_norm")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select($"doc_id", $"lex_norm", $"sem_norm",
+        round(lit(0.7d) * coalesce($"lex_norm", lit(0.0d)) +
+          lit(0.3d) * coalesce($"sem_norm", lit(0.0d)), 6).as("lin_score"))
+      .orderBy($"lin_score".desc, $"doc_id".asc)
+      .limit(10)
+  }
+
+  // ---------- j148 cross-source duplication overlap ----------
+
+  /** j148_source_overlap — "how much of source A duplicates source B":
+    * j2's near-dup pairs (the shared pairStats pipeline, invoked — not
+    * restated) tagged with each side's `source` and aggregated per
+    * unordered source pair — the matrix a curation team reads before
+    * deciding which feed to drop, since removing the smaller side of a
+    * heavily-overlapping pair costs almost no unique data. Within-source
+    * rows (src1 = src2) measure internal duplication.
+    *
+    * Scale shape: j2's machinery (df-capped inverted index, never
+    * doc×doc) plus two doc-keyed joins against the (doc_id, source)
+    * projection and a source²-bounded aggregate. */
+  def j148(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (rawPairs, release) = TextOps.nearDupPairsReleasable(s, d)
+    val pairs = rawPairs
+      .select($"d1", $"d2", round($"jac", 6).as("jaccard"))
+      .localCheckpoint() // materialize before releasing the shingle cache
+    release()
+    val src = Tables.documents(s, d).select($"doc_id", $"source")
+    pairs
+      .join(src.select($"doc_id".as("d1"), $"source".as("s1")), "d1")
+      .join(src.select($"doc_id".as("d2"), $"source".as("s2")), "d2")
+      .groupBy(least($"s1", $"s2").as("src1"), greatest($"s1", $"s2").as("src2"))
+      .agg(count(lit(1)).as("n_pairs"),
+        Parity.sortedFoldSum($"jaccard").as("js"))
+      .select($"src1", $"src2", $"n_pairs",
+        round($"js" / $"n_pairs", 6).as("mean_jaccard"))
+      .orderBy($"src1", $"src2")
+  }
+
+  // ---------- j149 tokenizer vocabulary coverage (OOV rate) ----------
+
+  /** j149_oov_rate — vocabulary-coverage audit: fix the vocabulary to the
+    * corpus's top-20 tokens by frequency (ties broken lexicographically)
+    * and report, per language, the out-of-vocabulary token mass and type
+    * count — the first number a tokenizer migration checks (a vocab that
+    * covers 99% of en mass but 80% of de mass will inflate de sequence
+    * lengths, j124's fertility effect, before training even starts).
+    * Vocab size 20 is fixture-measured (j116's discipline): the synthetic
+    * corpus has exactly 31 token types, so ≥40 covers everything (a
+    * vacuous audit — every rate 0.0) while 20 leaves 31–34% OOV mass with
+    * real per-lang variation; a production run would pass 32k–50k, the
+    * mechanism is unchanged.
+    *
+    * Scale shape: the corpus reduces ONCE to the (lang, token) count
+    * aggregate (map-combined, vocabulary-bounded keys — the j24/j35
+    * discipline); corpus totals derive from that aggregate, the top-500
+    * cut is a TakeOrdered, and the membership join is a broadcast of 500
+    * rows onto the vocabulary-sized frame. The corpus token stream is
+    * never joined or shuffled. */
+  def j149(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lt = Tables.documents(s, d)
+      .select($"lang", explode(split($"text", " ")).as("token"))
+      .groupBy($"lang", $"token").agg(count(lit(1)).as("cnt"))
+    val vocab = lt.groupBy($"token").agg(sum($"cnt").as("tot"))
+      .orderBy($"tot".desc, $"token".asc).limit(20)
+      .select($"token", lit(true).as("in_vocab"))
+    lt.join(broadcast(vocab), Seq("token"), "left_outer")
+      .withColumn("oov", $"in_vocab".isNull)
+      .groupBy($"lang")
+      .agg(sum($"cnt").as("n_tokens"),
+        sum(when($"oov", $"cnt").otherwise(0L)).as("n_oov_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when($"oov", 1L).otherwise(0L)).as("n_oov_types"))
+      .select($"lang", $"n_tokens", $"n_oov_tokens",
+        round($"n_oov_tokens".cast("double") / $"n_tokens".cast("double"), 6)
+          .as("oov_rate"),
+        $"n_types", $"n_oov_types")
+      .orderBy($"lang")
+  }
+
+  // ---------- j150 quality-signal agreement ----------
+
+  /** j150_quality_agreement — do the engine's two quality signals agree?
+    * Per (lang, qualityLogit-decile), the Gopher rule-battery pass rate
+    * (both signals are the SHARED single-source definitions:
+    * CurationOps.qualityLogit and CorpusQualityOps.gopherPass — the same
+    * Columns j65/j133/curateStream and j115/gopherGateStream gate on).
+    * A well-calibrated pair shows pass_rate rising with decile; flat or
+    * inverted bands are where the two filters would fight each other in
+    * a curation chain. Deciles are per-lang ntile over (score, doc_id) —
+    * j112's device, a total order so both engines bucket identically.
+    *
+    * Scale shape: the logit and the rule flags are row-local; the decile
+    * window and the (lang, decile) aggregate share the per-lang exchange
+    * (j112's envelope — lang partitions are corpus-linear but
+    * per-partition work is a sort, the honest cost of rank-based
+    * deciles; fixed score BANDS would be exchange-free but
+    * distribution-dependent). */
+  def j150(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"score".asc, $"doc_id".asc)
+    Tables.documents(s, d)
+      .select($"lang", $"doc_id", $"n_chars",
+        CurationOps.qualityLogit($"text").as("score"),
+        split($"text", " ").as("toks"))
+      .withColumn("gpass", CorpusQualityOps.gopherPass)
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy($"lang", $"decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"gpass".cast("long")).as("n_gopher_pass"),
+        Parity.sortedFoldSum($"score").as("ss"))
+      .select($"lang", $"decile", $"n_docs", $"n_gopher_pass",
+        round($"n_gopher_pass".cast("double") / $"n_docs".cast("double"), 6)
+          .as("gopher_pass_rate"),
+        round($"ss" / $"n_docs", 6).as("mean_score"))
+      .orderBy($"lang", $"decile")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j139_rrf_fusion" -> j139, "j140_cluster_split" -> j140,
     "j141_weighted_sample" -> j141, "j142_cohort_retention" -> j142,
     "j143_children_agg" -> j143, "j144_date_range_agg" -> j144,
-    "j145_span_not" -> j145, "j146_interarrival_stats" -> j146)
+    "j145_span_not" -> j145, "j146_interarrival_stats" -> j146,
+    "j147_linear_retriever" -> j147, "j148_source_overlap" -> j148,
+    "j149_oov_rate" -> j149, "j150_quality_agreement" -> j150)
 
   /** The j21 pipeline restated for the j140 oracle (necessarily — SURVEY
     * §7.5#8), identical to TextOps's j21/j138 CTE block. */
@@ -448,6 +610,107 @@ object FusionOps {
         |       CAST(n_kept AS BIGINT) AS n_kept,
         |       CAST(n_spark - n_kept AS BIGINT) AS n_excluded
         |FROM k WHERE n_kept > 0 ORDER BY doc_id""".stripMargin,
+    "j147_linear_retriever" ->
+      """WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |            FROM 'documents.parquet'),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM (
+        |         SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |         FROM 'documents.parquet')
+        |       WHERE token IN ('spark', 'vector', 'dup') GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |sc AS (SELECT tf.doc_id,
+        |         ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |           (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS tscore
+        |       FROM tf JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN st),
+        |agg AS (SELECT doc_id, round(list_sum(list_sort(list(tscore))), 6) AS bm25
+        |        FROM sc GROUP BY 1),
+        |lexw AS (SELECT doc_id, bm25 FROM agg
+        |         QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) <= 20),
+        |lexs AS (SELECT min(bm25) AS mn, max(bm25) AS mx FROM lexw),
+        |lexn AS (SELECT doc_id,
+        |           round(CASE WHEN mx > mn THEN (bm25 - mn) / (mx - mn)
+        |                      ELSE 1.0 END, 6) AS lex_norm
+        |         FROM lexw CROSS JOIN lexs),
+        |cos AS (SELECT vec_id AS doc_id,
+        |          round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+        |            / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 8.0), 6) AS cos_q
+        |        FROM 'embeddings.parquet'),
+        |semw AS (SELECT doc_id, cos_q FROM cos
+        |         QUALIFY row_number() OVER (ORDER BY cos_q DESC, doc_id ASC) <= 20),
+        |sems AS (SELECT min(cos_q) AS mn, max(cos_q) AS mx FROM semw),
+        |semn AS (SELECT doc_id,
+        |           round(CASE WHEN mx > mn THEN (cos_q - mn) / (mx - mn)
+        |                      ELSE 1.0 END, 6) AS sem_norm
+        |         FROM semw CROSS JOIN sems)
+        |SELECT doc_id, l.lex_norm, r.sem_norm,
+        |       round(0.7 * coalesce(l.lex_norm, 0.0) +
+        |             0.3 * coalesce(r.sem_norm, 0.0), 6) AS lin_score
+        |FROM lexn l FULL JOIN semn r USING (doc_id)
+        |ORDER BY lin_score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "j148_source_overlap" ->
+      """WITH s0 AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
+        |  FROM 'documents.parquet' WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id, sh FROM s0 QUALIFY count(*) OVER (PARTITION BY sh) <= 1000),
+        |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pr AS (SELECT d1, d2, round(inter / (na.ns + nb.ns - inter), 6) AS jaccard
+        |       FROM p JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
+        |       WHERE inter / (na.ns + nb.ns - inter) >= 0.5),
+        |tagged AS (SELECT least(da.source, db.source) AS src1,
+        |             greatest(da.source, db.source) AS src2, pr.jaccard
+        |           FROM pr JOIN 'documents.parquet' da ON pr.d1 = da.doc_id
+        |                   JOIN 'documents.parquet' db ON pr.d2 = db.doc_id)
+        |SELECT src1, src2, count(*) AS n_pairs,
+        |       round(list_sum(list_sort(list(jaccard))) / count(*), 6) AS mean_jaccard
+        |FROM tagged GROUP BY 1, 2 ORDER BY src1, src2""".stripMargin,
+    "j149_oov_rate" ->
+      """WITH lt AS (SELECT lang, token, count(*) AS cnt FROM (
+        |              SELECT lang, unnest(string_split(text, ' ')) AS token
+        |              FROM 'documents.parquet') GROUP BY 1, 2),
+        |c AS (SELECT token, sum(cnt) AS tot FROM lt GROUP BY 1),
+        |v AS (SELECT token FROM c
+        |      QUALIFY row_number() OVER (ORDER BY tot DESC, token ASC) <= 20),
+        |f AS (SELECT lt.lang, lt.cnt, (v.token IS NULL) AS oov
+        |      FROM lt LEFT JOIN v ON lt.token = v.token)
+        |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN oov THEN cnt ELSE 0 END) AS BIGINT) AS n_oov_tokens,
+        |       round(CAST(sum(CASE WHEN oov THEN cnt ELSE 0 END) AS DOUBLE)
+        |             / CAST(sum(cnt) AS DOUBLE), 6) AS oov_rate,
+        |       count(*) AS n_types,
+        |       CAST(sum(oov::INT) AS BIGINT) AS n_oov_types
+        |FROM f GROUP BY 1 ORDER BY lang""".stripMargin,
+    "j150_quality_agreement" ->
+      """WITH t AS (SELECT lang, doc_id, n_chars, string_split(text, ' ') AS toks
+        |           FROM 'documents.parquet'),
+        |f AS (SELECT lang, doc_id,
+        |        round(-3.0 + 0.01 * CAST(len(toks) AS DOUBLE)
+        |          + 4.0 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+        |          + 0.5 * ((n_chars - len(toks) + 1) / CAST(len(toks) AS DOUBLE))
+        |          - 6.0 * (len(list_filter(toks, x -> x IN ('a', 'the')))
+        |                   / CAST(len(toks) AS DOUBLE)), 6) AS score,
+        |        (len(toks) BETWEEN 25 AND 90
+        |         AND CAST(n_chars - len(toks) + 1 AS DOUBLE)
+        |             / CAST(len(toks) AS DOUBLE) BETWEEN 4.0 AND 5.0
+        |         AND len(list_filter(toks, x -> x IN ('a', 'the'))) >= 2
+        |         AND CAST(len(list_filter(toks, x -> len(x) <= 2)) AS DOUBLE)
+        |             / CAST(len(toks) AS DOUBLE) <= 0.09) AS gpass
+        |      FROM t),
+        |dec AS (SELECT lang, score, gpass,
+        |          CAST(ntile(10) OVER (PARTITION BY lang
+        |            ORDER BY score ASC, doc_id ASC) AS BIGINT) AS decile
+        |        FROM f)
+        |SELECT lang, decile, count(*) AS n_docs,
+        |       CAST(sum(gpass::INT) AS BIGINT) AS n_gopher_pass,
+        |       round(CAST(sum(gpass::INT) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |         AS gopher_pass_rate,
+        |       round(list_sum(list_sort(list(score))) / count(*), 6) AS mean_score
+        |FROM dec GROUP BY 1, 2 ORDER BY lang, decile""".stripMargin,
     "j146_interarrival_stats" ->
       """WITH g AS (SELECT user_id,
         |             (epoch_us(ts) - lag(epoch_us(ts)) OVER

@@ -813,6 +813,111 @@ class GoldenValuesSpec extends AnyFunSuite {
     }
   }
 
+  test("j147_linear_retriever normalizes per leg window and keeps magnitude (matches DuckDB)") {
+    val rows = q("j147_linear_retriever").collect()
+    val r0 = rows.head
+    assert(r0.getLong(0) === 82L)
+    assert(r0.getDouble(r0.fieldIndex("lex_norm")) === 1.0) // leg max → 1.0
+    assert(r0.isNullAt(r0.fieldIndex("sem_norm")))
+    assert(r0.getDouble(r0.fieldIndex("lin_score")) === 0.7) // 0.7·1 + 0.3·0
+    val r1 = rows(1)
+    assert(r1.getLong(0) === 33L)
+    assert(r1.getDouble(r1.fieldIndex("lin_score")) === 0.569986)
+  }
+
+  test("j148_source_overlap first cell matches DuckDB; src pair is unordered") {
+    val rows = q("j148_source_overlap").collect()
+    val r0 = rows.head
+    assert(r0.getString(0) === "src0" && r0.getString(1) === "src0")
+    assert(r0.getLong(r0.fieldIndex("n_pairs")) === 1L)
+    assert(r0.getDouble(r0.fieldIndex("mean_jaccard")) === 0.973333)
+    rows.foreach(r => assert(r.getString(0) <= r.getString(1)))
+  }
+
+  test("j149_oov_rate per-lang coverage matches DuckDB (vocab=20 leaves real OOV mass)") {
+    val rows = q("j149_oov_rate").collect()
+    val en = rows.find(_.getString(0) == "en").get
+    assert(en.getLong(en.fieldIndex("n_tokens")) === 10343L)
+    assert(en.getLong(en.fieldIndex("n_oov_tokens")) === 3312L)
+    assert(en.getDouble(en.fieldIndex("oov_rate")) === 0.320217)
+    assert(en.getLong(en.fieldIndex("n_types")) === 31L)
+    assert(en.getLong(en.fieldIndex("n_oov_types")) === 11L)
+    // the audit is non-vacuous at this vocab size: every lang has OOV mass
+    rows.foreach(r => assert(r.getDouble(r.fieldIndex("oov_rate")) > 0.3))
+  }
+
+  test("j150_quality_agreement pins the fixture's signal ANTI-correlation at top deciles") {
+    val rows = q("j150_quality_agreement").collect()
+    assert(rows.length === 50)
+    val en1 = rows.find(r => r.getString(0) == "en" && r.getLong(1) == 1L).get
+    assert(en1.getLong(en1.fieldIndex("n_docs")) === 20L)
+    assert(en1.getDouble(en1.fieldIndex("gopher_pass_rate")) === 0.75)
+    assert(en1.getDouble(en1.fieldIndex("mean_score")) === 0.793651)
+    // the finding this audit exists to surface: the top logit decile
+    // FAILS the gopher battery (high TTR ⇒ few stop words ⇒ stopOk false)
+    val en10 = rows.find(r => r.getString(0) == "en" && r.getLong(1) == 10L).get
+    assert(en10.getDouble(en10.fieldIndex("gopher_pass_rate")) === 0.0)
+    // mean_score is monotone in decile by construction (rank-based buckets)
+    val enScores = rows.filter(_.getString(0) == "en").sortBy(_.getLong(1))
+      .map(r => r.getDouble(r.fieldIndex("mean_score")))
+    assert(enScores.sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("j151_stupid_backoff backoff fires on held-out mass (matches DuckDB)") {
+    val rows = q("j151_stupid_backoff").collect()
+    assert(rows.length === 50)
+    val d0 = rows.find(_.getLong(0) == 0L).get
+    assert(d0.getLong(d0.fieldIndex("n_trigrams")) === 21L)
+    assert(d0.getLong(d0.fieldIndex("n_backoff")) === 0L)
+    assert(d0.getDouble(d0.fieldIndex("avg_ll")) === -2.853601)
+    val d10 = rows.find(_.getLong(0) == 10L).get
+    assert(d10.getLong(d10.fieldIndex("n_backoff")) === 17L)
+    assert(d10.getDouble(d10.fieldIndex("avg_ll")) === -3.368142)
+    // the split makes the ladder non-vacuous: most held-out docs back off
+    assert(rows.count(r => r.getLong(r.fieldIndex("n_backoff")) > 0L) === 43)
+  }
+
+  test("j152_source_card src0 row matches DuckDB (card numbers = pipeline Columns)") {
+    val rows = q("j152_source_card").collect()
+    val s0 = rows.find(_.getString(0) == "src0").get
+    assert(s0.getLong(s0.fieldIndex("n_docs")) === 25L)
+    assert(s0.getLong(s0.fieldIndex("sum_chars")) === 8364L)
+    assert(s0.getLong(s0.fieldIndex("sum_tokens")) === 1533L)
+    assert(s0.getLong(s0.fieldIndex("n_langs")) === 5L)
+    assert(s0.getDouble(s0.fieldIndex("mean_quality")) === 1.364186)
+    assert(s0.getDouble(s0.fieldIndex("gopher_pass_rate")) === 0.64)
+  }
+
+  test("j153_event_funnel stages attrit under the 12h window (matches DuckDB)") {
+    val rows = q("j153_event_funnel").collect()
+    assert(rows.length === 15)
+    val stages = rows.groupBy(_.getLong(rows.head.fieldIndex("stage")))
+      .view.mapValues(_.length).toMap
+    assert(stages === Map(1L -> 9, 2L -> 3, 3L -> 3))
+    val u2 = rows.find(_.getLong(0) == 2L).get
+    assert(u2.getLong(u2.fieldIndex("stage")) === 3L)
+    assert(u2.getLong(u2.fieldIndex("click_delay_s")) === 31990L)
+    assert(u2.getLong(u2.fieldIndex("purchase_delay_s")) === 2441L)
+    // ordered-funnel invariant: timestamps strictly increase along stages
+    rows.filter(_.getLong(rows.head.fieldIndex("stage")) == 3L).foreach { r =>
+      assert(r.getLong(r.fieldIndex("t1_us")) < r.getLong(r.fieldIndex("t2_us")))
+      assert(r.getLong(r.fieldIndex("t2_us")) < r.getLong(r.fieldIndex("t3_us")))
+    }
+  }
+
+  test("j154_hourly_profile shares sum to 1 per type; click hour-0 matches DuckDB") {
+    val rows = q("j154_hourly_profile").collect()
+    val c0 = rows.find(r => r.getString(0) == "click" && r.getLong(1) == 0L).get
+    assert(c0.getLong(c0.fieldIndex("n_events")) === 6L)
+    assert(c0.getLong(c0.fieldIndex("value_cents")) === 43856L)
+    assert(c0.getDouble(c0.fieldIndex("type_share")) === 0.028571)
+    val byType = rows.groupBy(_.getString(0))
+    byType.values.foreach { rs =>
+      val tot = rs.map(r => r.getDouble(r.fieldIndex("type_share"))).sum
+      assert(math.abs(tot - 1.0) < 0.001) // rounding residue only
+    }
+  }
+
   test("j146_interarrival_stats most-active user matches DuckDB (exact integer domain)") {
     val rows = q("j146_interarrival_stats").collect()
     val r0 = rows.head

@@ -111,7 +111,9 @@ class PlanSpec extends AnyFunSuite {
       "j134_hard_negatives", // 8-row probe set onto one corpus scan (j123's broadcast)
       "j136_lsh_band_tuning", // 1-row n_true frame onto the 3-row layout table
       "j139_rrf_fusion", // 1-row corpus stats onto the term-filtered tf (j34's shape)
-      "j144_date_range_agg") // 1-row span frame onto the event stream (targeted test below)
+      "j144_date_range_agg", // 1-row span frame onto the event stream (targeted test below)
+      "j147_linear_retriever", // 1-row min/max stats onto each ≤20-row leg window
+      "j151_stupid_backoff") // 1-row trigram total onto the held-out stream
     val offenders = SparkEntry.queries.toSeq
       .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
       .flatMap { case (name, fn) =>
@@ -772,6 +774,40 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("j142_cohort_retention")
     assert(p.contains("Exchange hashpartitioning(cohort_week"), p)
     assert(p.contains("windowspecdefinition(cohort_week"), p)
+  }
+
+  test("j149: the corpus token stream reduces once; the vocab membership is a ≤20-row broadcast") {
+    val p = plan("j149_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject(limit=20"), p)
+    // exchanges: the (lang, token) agg + the per-lang agg + the vocab
+    // derivation — never the raw token stream into a join
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("j150: the decile window and the (lang, decile) aggregate share the lang exchange") {
+    val p = plan("j150_quality_agreement")
+    assert(p.contains("windowspecdefinition(lang"), p)
+    assert("Exchange hashpartitioning\\(lang#".r.findAllIn(p).size === 1, p)
+  }
+
+  test("j151: every count table rides a broadcast — the held-out stream never sort-merge joins") {
+    val p = plan("j151_stupid_backoff")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5, p)
+  }
+
+  test("j153: the step predicates push to the event scans; no nested-loop join") {
+    val p = plan("j153_event_funnel")
+    assert(p.contains("EqualTo(event_type,view)"), p)
+    assert(p.contains("EqualTo(event_type,click)"), p)
+    assert(p.contains("EqualTo(event_type,purchase)"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("j154: the share window runs over the bounded (type, hour) aggregate, partitioned by type") {
+    val p = plan("j154_hourly_profile")
+    assert(p.contains("windowspecdefinition(event_type"), p)
   }
 
   test("whole-stage codegen covers the flagship plan") {
