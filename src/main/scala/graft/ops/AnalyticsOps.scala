@@ -183,9 +183,192 @@ object AnalyticsOps {
       .orderBy($"event_type", $"hour_utc")
   }
 
+  // ---------- j155 PMI collocations ----------
+
+  /** j155_pmi_collocations — collocation mining by pointwise mutual
+    * information over document-level co-occurrence: PMI(a,b) =
+    * ln(c_ab·N / (df_a·df_b)) for token pairs co-occurring in ≥20 docs,
+    * top-20 by rounded PMI (pair tiebreak). The classic "which terms
+    * travel together beyond chance" table behind related-terms UIs and
+    * phrase induction (support cut from the fixture: 456 qualifying
+    * pairs, PMI spanning −0.037…0.188 — small on word salad, but real
+    * variation the ordering exercises).
+    *
+    * Scale shape: the per-doc distinct-token explode is row-local; the
+    * co-occurrence self-join is doc-keyed (pairs per doc bounded by the
+    * per-doc distinct count, not corpus size) and reduces to a
+    * vocab²-bounded aggregate; df and N ride broadcasts onto that
+    * aggregate; the cut is a TakeOrdered. */
+  def j155(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dt = Tables.documents(s, d)
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("t"))
+    val n = dt.agg(countDistinct($"doc_id").as("n"))
+    val dfreq = dt.groupBy($"t").agg(count(lit(1)).as("df"))
+    dt.as("a")
+      .join(dt.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("t1"), col("b.t").as("t2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter($"c12" >= 20)
+      .join(broadcast(dfreq.select($"t".as("t1"), $"df".as("df1"))), "t1")
+      .join(broadcast(dfreq.select($"t".as("t2"), $"df".as("df2"))), "t2")
+      .crossJoin(broadcast(n))
+      .select($"t1", $"t2", $"c12",
+        round(log($"c12".cast("double") * $"n" / ($"df1" * $"df2")), 6)
+          .as("pmi"))
+      .orderBy($"pmi".desc, $"t1".asc, $"t2".asc)
+      .limit(20)
+  }
+
+  // ---------- j156 event-type transition matrix ----------
+
+  /** j156_event_transitions — the first-order Markov transition matrix of
+    * the event stream: per (previous type → type) pair, the transition
+    * count and conditional probability — the session-flow map (and the
+    * baseline a sequence-anomaly monitor compares against). Transitions
+    * order by (ts_us, event_id) within user — j146's total order.
+    *
+    * Scale shape: one user-partitioned lag window, then a map-combined
+    * aggregate over ≤|types|² keys; the probability window runs over
+    * that bounded frame. */
+  def j156(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+    Tables.eventsUs(s, d)
+      .select($"user_id", $"event_id", $"event_type", $"ts_us")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_next",
+        round($"n".cast("double") /
+          sum($"n").over(Window.partitionBy($"prev_type")), 6))
+      .orderBy($"prev_type", $"event_type")
+  }
+
+  // ---------- j157 vocabulary coverage curve ----------
+
+  /** j157_vocab_coverage — the Heaps/Zipf view j149's single cut comes
+    * from: cumulative token-mass coverage at vocabulary sizes 1, 2, 4, 8,
+    * 16 and the full vocabulary — the curve that picks a tokenizer's
+    * vocab budget (where it flattens, additional entries buy nothing).
+    * Reports each checkpoint's rank, the token at that rank, and the
+    * cumulative coverage.
+    *
+    * Scale shape: the corpus reduces once to the token-count aggregate;
+    * the rank/cumsum window runs over THAT frame (31 rows on the fixture,
+    * ~10⁶ for a web corpus — the j100 vocab-aggregate discipline; the
+    * single-partition window is bounded by vocabulary, never corpus);
+    * the total and type count ride a 1-row broadcast. */
+  def j157(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(sum($"cnt").as("total"),
+      count(lit(1)).as("n_types"))
+    val w = Window.orderBy($"cnt".desc, $"t".asc)
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum($"cnt").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(stats))
+      .filter($"rank".isin(1L, 2L, 4L, 8L, 16L) || $"rank" === $"n_types")
+      .select($"rank", $"t".as("token"), $"cnt", $"cum",
+        round($"cum".cast("double") / $"total".cast("double"), 6)
+          .as("coverage"))
+      .orderBy($"rank")
+  }
+
+  // ---------- j158 incremental dedup ----------
+
+  /** j158_incremental_dedup — the PRODUCTION shape of near-dup detection:
+    * a daily increment (doc_id ≡ 0 mod 5, the split device) checked
+    * against the full corpus WITHOUT re-pairing the corpus against
+    * itself. The band join is increment-bands × all-bands — old×old pairs
+    * are never generated, which is the entire point: a 100 TB corpus
+    * re-deduped from scratch per increment is j12 at full cost daily,
+    * while this is j12 cost on the increment only. Signatures come from
+    * j12's own minhashFrames (invoked, the j135/j136 audit discipline),
+    * candidates verify with exact shingle Jaccard, and each surviving
+    * pair is classified new_new / new_old — new_old pairs are drops (the
+    * corpus copy wins), new_new pairs dedupe within the increment.
+    *
+    * Scale shape: the increment's band rows join the corpus band rows on
+    * (band, sig) — collision-bounded exactly like j12; the exact-verify
+    * join fans out by shingles-per-doc (length-bounded); the corpus-side
+    * work is ONE signature/banding pass, which a production deployment
+    * stores as the persistent LSH index instead of recomputing. */
+  def j158(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fr = PipelineOps.minhashFrames(s, d)
+    val bandExpr =
+      """array(
+        |  named_struct('band', 0, 'sig', concat(m0, '|', m1)),
+        |  named_struct('band', 1, 'sig', concat(m2, '|', m3)),
+        |  named_struct('band', 2, 'sig', concat(m4, '|', m5)),
+        |  named_struct('band', 3, 'sig', concat(m6, '|', m7)))""".stripMargin
+    val bands = fr.minh.select($"doc_id", explode(expr(bandExpr)).as("b"))
+      .select($"doc_id", $"b.band".as("band"), $"b.sig".as("sig"))
+    val newBands = bands.filter($"doc_id" % 5 === 0)
+    val cand = newBands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
+      .distinct()
+    val ns = fr.sh.groupBy($"doc_id").agg(count(lit(1)).as("ns"))
+    cand
+      .join(fr.sh.select($"doc_id".as("d1"), $"shh".as("sh1")), "d1")
+      .join(fr.sh.select($"doc_id".as("d2"), $"shh".as("sh2")), "d2")
+      .filter($"sh1" === $"sh2")
+      .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
+      .join(ns.select($"doc_id".as("d1"), $"ns".as("n1")), "d1")
+      .join(ns.select($"doc_id".as("d2"), $"ns".as("n2")), "d2")
+      .withColumn("jaccard", round($"inter" / ($"n1" + $"n2" - $"inter"), 6))
+      .filter($"jaccard" >= 0.5)
+      .select($"d1", $"d2", $"jaccard",
+        when($"d1" % 5 === 0 && $"d2" % 5 === 0, "new_new")
+          .otherwise("new_old").as("pair_class"))
+      .orderBy($"d1", $"d2")
+  }
+
+  // ---------- j159 span_within ----------
+
+  /** j159_span_within — the ES `span_within` query (the little-side dual
+    * of j125's span_containing): occurrences of the SMALL span ('key')
+    * that lie inside a big span [position of 'table', +5]; a doc matches
+    * when at least one 'key' is enclosed. Reports per matching doc the
+    * total 'key' occurrences and how many are enclosed.
+    *
+    * Scale shape: j145's family — row-local HOF position algebra, zero
+    * exchanges before the presentation sort. */
+  def j159(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("keys",
+        expr("filter(sequence(1, size(toks)), x -> toks[x - 1] = 'key')"))
+      .filter(size($"keys") > 0)
+      .withColumn("tables",
+        expr("filter(sequence(1, size(toks)), x -> toks[x - 1] = 'table')"))
+      .withColumn("n_within", expr(
+        "size(filter(keys, x -> exists(tables, y -> x > y AND x <= y + 5)))"))
+      .filter($"n_within" > 0)
+      .select($"doc_id",
+        size($"keys").cast("long").as("n_key"),
+        $"n_within".cast("long").as("n_within"))
+      .orderBy($"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j151_stupid_backoff" -> j151, "j152_source_card" -> j152,
-    "j153_event_funnel" -> j153, "j154_hourly_profile" -> j154)
+    "j153_event_funnel" -> j153, "j154_hourly_profile" -> j154,
+    "j155_pmi_collocations" -> j155, "j156_event_transitions" -> j156,
+    "j157_vocab_coverage" -> j157, "j158_incremental_dedup" -> j158,
+    "j159_span_within" -> j159)
 
   val oracle: Map[String, String] = Map(
     "j151_stupid_backoff" ->
@@ -267,6 +450,88 @@ object AnalyticsOps {
         |       (t3.t3_us - t2.t2_us) // 1000000 AS purchase_delay_s
         |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    "j158_incremental_dedup" ->
+      """WITH s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
+        |  FROM 'documents.parquet' WHERE len(string_split(text, ' ')) >= 3),
+        |h AS (SELECT doc_id, sh, i,
+        |      substr(md5(CAST(i // 4 AS VARCHAR) || ':' || sh), (i % 4) * 8 + 1, 8) AS hv
+        |      FROM s, generate_series(0, 7) t(i)),
+        |m AS (SELECT doc_id, i, min(hv) AS mh FROM h GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 2 AS band,
+        |          concat_ws('|', min(CASE WHEN i % 2 = 0 THEN mh END),
+        |                         min(CASE WHEN i % 2 = 1 THEN mh END)) AS sig
+        |          FROM m GROUP BY doc_id, i // 2),
+        |cand AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS d1,
+        |                greatest(x.doc_id, y.doc_id) AS d2
+        |         FROM (SELECT * FROM bands WHERE doc_id % 5 = 0) x
+        |         JOIN bands y
+        |           ON x.band = y.band AND x.sig = y.sig AND x.doc_id != y.doc_id),
+        |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
+        |i2 AS (SELECT d1, d2, count(*) AS inter
+        |       FROM cand JOIN s sa ON sa.doc_id = d1
+        |                 JOIN s sb ON sb.doc_id = d2 AND sa.sh = sb.sh
+        |       GROUP BY d1, d2)
+        |SELECT d1, d2, round(inter / (na.ns + nb.ns - inter), 6) AS jaccard,
+        |       CASE WHEN d1 % 5 = 0 AND d2 % 5 = 0 THEN 'new_new'
+        |            ELSE 'new_old' END AS pair_class
+        |FROM i2 JOIN n na ON d1 = na.doc_id JOIN n nb ON d2 = nb.doc_id
+        |WHERE inter / (na.ns + nb.ns - inter) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+    "j159_span_within" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM 'documents.parquet'),
+        |p AS (SELECT doc_id,
+        |        list_filter(generate_series(1, len(toks)), x -> toks[x] = 'key') AS keys,
+        |        list_filter(generate_series(1, len(toks)), x -> toks[x] = 'table') AS tbls
+        |      FROM t),
+        |k AS (SELECT doc_id, len(keys) AS n_key,
+        |        len(list_filter(keys, x ->
+        |          len(list_filter(tbls, y -> x > y AND x <= y + 5)) > 0)) AS n_within
+        |      FROM p WHERE len(keys) > 0)
+        |SELECT doc_id, CAST(n_key AS BIGINT) AS n_key,
+        |       CAST(n_within AS BIGINT) AS n_within
+        |FROM k WHERE n_within > 0 ORDER BY doc_id""".stripMargin,
+    "j155_pmi_collocations" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+        |            FROM 'documents.parquet'),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM dt),
+        |df AS (SELECT t, count(*) AS df FROM dt GROUP BY 1),
+        |p AS (SELECT a.t AS t1, b.t AS t2, count(*) AS c12
+        |      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t
+        |      GROUP BY 1, 2)
+        |SELECT t1, t2, c12,
+        |       round(ln(CAST(c12 AS DOUBLE) * n.n / (d1.df * d2.df)), 6) AS pmi
+        |FROM p JOIN df d1 ON p.t1 = d1.t JOIN df d2 ON p.t2 = d2.t CROSS JOIN n
+        |WHERE c12 >= 20
+        |ORDER BY pmi DESC, t1 ASC, t2 ASC LIMIT 20""".stripMargin,
+    "j156_event_transitions" ->
+      """WITH l AS (SELECT event_type,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY epoch_us(ts), event_id) AS prev_type
+        |           FROM 'events.parquet'),
+        |a AS (SELECT prev_type, event_type, count(*) AS n FROM l
+        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, event_type, n,
+        |       round(CAST(n AS DOUBLE) /
+        |             sum(n) OVER (PARTITION BY prev_type), 6) AS p_next
+        |FROM a ORDER BY prev_type, event_type""".stripMargin,
+    "j157_vocab_coverage" ->
+      """WITH c AS (SELECT t, count(*) AS cnt FROM (
+        |             SELECT unnest(string_split(text, ' ')) AS t
+        |             FROM 'documents.parquet') GROUP BY 1),
+        |st AS (SELECT sum(cnt) AS total, count(*) AS n_types FROM c),
+        |r AS (SELECT t, cnt,
+        |        CAST(row_number() OVER (ORDER BY cnt DESC, t ASC) AS BIGINT) AS rank,
+        |        CAST(sum(cnt) OVER (ORDER BY cnt DESC, t ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM c)
+        |SELECT rank, t AS token, cnt, cum,
+        |       round(CAST(cum AS DOUBLE) / CAST(st.total AS DOUBLE), 6) AS coverage
+        |FROM r CROSS JOIN st
+        |WHERE rank IN (1, 2, 4, 8, 16) OR rank = st.n_types
+        |ORDER BY rank""".stripMargin,
     "j154_hourly_profile" ->
       """WITH h AS (SELECT event_type,
         |             (epoch_us(ts) // 3600000000) % 24 AS hour_utc,

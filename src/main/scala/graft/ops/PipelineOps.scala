@@ -70,10 +70,10 @@ object PipelineOps {
     * operator) and j111 (its accuracy audit) so the salt scheme, the
     * 8-hash/4×2 banding, and the candidate/exact-Jaccard joins cannot
     * drift between the sketch and the audit of that same sketch. */
-  private case class MinhashFrames(sh: DataFrame, minh: DataFrame,
+  private[graft] case class MinhashFrames(sh: DataFrame, minh: DataFrame,
       cand: DataFrame, exact: DataFrame)
 
-  private def minhashFrames(s: SparkSession, d: String): MinhashFrames = {
+  private[graft] def minhashFrames(s: SparkSession, d: String): MinhashFrames = {
     import s.implicits._
     // reused by hashing, sizes, and the verify join — explode once
     val sh = shingleDf(s, d).persist()

@@ -918,6 +918,69 @@ class GoldenValuesSpec extends AnyFunSuite {
     }
   }
 
+  test("j155_pmi_collocations top pair matches DuckDB") {
+    val rows = q("j155_pmi_collocations").collect()
+    val r0 = rows.head
+    assert(r0.getString(0) === "dup" && r0.getString(1) === "hash")
+    assert(r0.getLong(r0.fieldIndex("c12")) === 23L)
+    assert(r0.getDouble(r0.fieldIndex("pmi")) === 0.188427)
+    // output is PMI-sorted descending on the rounded value
+    val pmis = rows.map(r => r.getDouble(r.fieldIndex("pmi")))
+    assert(pmis.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("j156_event_transitions rows are conditional probabilities (matches DuckDB)") {
+    val rows = q("j156_event_transitions").collect()
+    val cc = rows.find(r => r.getString(0) == "click" && r.getString(1) == "click").get
+    assert(cc.getLong(cc.fieldIndex("n")) === 45L)
+    assert(cc.getDouble(cc.fieldIndex("p_next")) === 0.217391)
+    // each prev_type's outgoing probabilities sum to ~1 (rounding residue)
+    rows.groupBy(_.getString(0)).values.foreach { rs =>
+      val tot = rs.map(r => r.getDouble(r.fieldIndex("p_next"))).sum
+      assert(math.abs(tot - 1.0) < 0.001)
+    }
+  }
+
+  test("j157_vocab_coverage curve is monotone and matches DuckDB") {
+    val rows = q("j157_vocab_coverage").collect()
+    assert(rows.length === 6) // ranks 1,2,4,8,16 + the full vocab (31)
+    val r0 = rows.head
+    assert(r0.getLong(0) === 1L && r0.getString(1) === "scan")
+    assert(r0.getLong(r0.fieldIndex("cnt")) === 984L)
+    assert(r0.getDouble(r0.fieldIndex("coverage")) === 0.03522)
+    assert(rows.last.getLong(0) === 31L)
+    assert(rows.last.getDouble(rows.last.fieldIndex("coverage")) === 1.0)
+    val cov = rows.map(r => r.getDouble(r.fieldIndex("coverage")))
+    assert(cov.sliding(2).forall(p => p(0) < p(1)))
+  }
+
+  test("j158_incremental_dedup classifies increment pairs and matches DuckDB") {
+    val rows = q("j158_incremental_dedup").collect()
+    assert(rows.length === 14)
+    val r0 = rows.head
+    assert(r0.getLong(0) === 0L && r0.getLong(1) === 50L)
+    assert(r0.getDouble(r0.fieldIndex("jaccard")) === 0.952381)
+    assert(r0.getString(r0.fieldIndex("pair_class")) === "new_new")
+    val classes = rows.groupBy(_.getString(r0.fieldIndex("pair_class")))
+      .view.mapValues(_.length).toMap
+    assert(classes === Map("new_new" -> 3, "new_old" -> 11))
+    // the incremental invariant: EVERY pair touches the increment
+    rows.foreach(r => assert(r.getLong(0) % 5 == 0 || r.getLong(1) % 5 == 0))
+  }
+
+  test("j159_span_within enclosure counts match DuckDB; within ≤ total") {
+    val rows = q("j159_span_within").collect()
+    assert(rows.length === 114)
+    val d3 = rows.find(_.getLong(0) == 3L).get
+    assert(d3.getLong(d3.fieldIndex("n_key")) === 1L)
+    assert(d3.getLong(d3.fieldIndex("n_within")) === 1L)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_within")) >= 1L)
+      assert(r.getLong(r.fieldIndex("n_within")) <=
+        r.getLong(r.fieldIndex("n_key")))
+    }
+  }
+
   test("j146_interarrival_stats most-active user matches DuckDB (exact integer domain)") {
     val rows = q("j146_interarrival_stats").collect()
     val r0 = rows.head

@@ -113,7 +113,9 @@ class PlanSpec extends AnyFunSuite {
       "j139_rrf_fusion", // 1-row corpus stats onto the term-filtered tf (j34's shape)
       "j144_date_range_agg", // 1-row span frame onto the event stream (targeted test below)
       "j147_linear_retriever", // 1-row min/max stats onto each ≤20-row leg window
-      "j151_stupid_backoff") // 1-row trigram total onto the held-out stream
+      "j151_stupid_backoff", // 1-row trigram total onto the held-out stream
+      "j155_pmi_collocations", // 1-row doc count onto the vocab²-bounded pair agg
+      "j157_vocab_coverage") // 1-row total/type stats onto the vocab aggregate
     val offenders = SparkEntry.queries.toSeq
       .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
       .flatMap { case (name, fn) =>
@@ -808,6 +810,41 @@ class PlanSpec extends AnyFunSuite {
   test("j154: the share window runs over the bounded (type, hour) aggregate, partitioned by type") {
     val p = plan("j154_hourly_profile")
     assert(p.contains("windowspecdefinition(event_type"), p)
+  }
+
+  test("j155: co-occurrence joins on doc_id and the df tables ride broadcasts") {
+    val p = plan("j155_pmi_collocations")
+    assert(p.contains("TakeOrderedAndProject(limit=20"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("j157: the rank window runs over the vocab AGGREGATE, never the token stream") {
+    val p = plan("j157_vocab_coverage")
+    // the window's child must be the aggregated count frame: the plan has
+    // a HashAggregate between the scan and the Window
+    val win = p.indexOf("Window ")
+    val agg = p.indexOf("HashAggregate")
+    assert(win >= 0 && agg > win, p)
+  }
+
+  test("j158: the band join is increment×corpus — the increment filter sits under the join") {
+    val p = plan("j158_incremental_dedup")
+    // the %5 increment filter must prune one side UNDER the (band, sig)
+    // join — that is what makes this incremental instead of a full
+    // re-dedup (the tree prints parents first, so "under" = later index)
+    val bandJoin = "oin \\[band#".r.findFirstMatchIn(p).map(_.start)
+    // LAST occurrence: the first is the top-level pair_class CASE (parents
+    // print first); the increment filter is the deepest one
+    val incFilter = "% 5\\) = 0".r.findAllMatchIn(p).map(_.start).toSeq
+    assert(bandJoin.isDefined && incFilter.nonEmpty, p)
+    assert(incFilter.max > bandJoin.get, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j159: span_within position algebra is row-local — zero hash exchanges, no join") {
+    val p = plan("j159_span_within")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
   }
 
   test("whole-stage codegen covers the flagship plan") {

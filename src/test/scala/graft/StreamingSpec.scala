@@ -683,6 +683,49 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming funnel's final state equals the batch j153 row for every user") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // full fixture event log, event-time ordered (the funnelStream
+    // ordering contract), replayed in three microbatches
+    val evs = Tables.eventsUs(spark, TestSpark.sf0001)
+      .select($"user_id", $"event_type", $"ts_us")
+      .orderBy($"ts_us")
+      .as[Sync.FunnelEvent].collect()
+    val batch = SparkEntry.queries("j153_event_funnel")(spark, TestSpark.sf0001)
+      .collect()
+      .map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) -1L else r.getLong(i)
+        (r.getLong(0), opt(1), opt(2), opt(3),
+          r.getLong(r.fieldIndex("stage")))
+      }.sortBy(_._1)
+    val mem = MemoryStream[Sync.FunnelEvent]
+    val q = Sync.funnelStream(mem.toDF())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 3)).foreach { chunk =>
+        mem.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      // last emission per user = the user's final funnel state
+      val got = spark.table("funnel_out")
+        .withColumn("seq", org.apache.spark.sql.functions
+          .monotonically_increasing_id())
+        .orderBy($"seq")
+        .collect()
+        .groupBy(_.getLong(0)).map { case (u, rs) =>
+          val r = rs.last
+          (u, r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        }.toSeq.sortBy(_._1)
+      assert(got === batch.toSeq)
+      // and the fixture funnel does real attrition through the stream too
+      assert(got.map(_._5).groupBy(identity).view.mapValues(_.size).toMap ===
+        Map(1L -> 9, 2L -> 3, 3L -> 3))
+    } finally q.stop()
+  }
+
   test("a5: parquet directory consumed as an unbounded stream") {
     val spark = TestSpark.spark
     import spark.implicits._
