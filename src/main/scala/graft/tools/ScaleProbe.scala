@@ -47,7 +47,13 @@ object ScaleProbe {
         "j50_span_dedup", "j51_bool_msm", "j52_dsir_score",
         "j53_semdedup", "j54_stratified_sample",
         "j55_sorted_neighbor_dedup", "j56_chunk_overlap",
-        "j57_temperature_mix")) {
+        "j57_temperature_mix",
+        // round 6 (fourth session): the new tails worth probing on
+        // scaled corpora — the span HOF family's row-local floor, the
+        // two composed-dedup pipelines, and the pair-tag matrix
+        "j140_cluster_split", "j145_span_not", "j148_source_overlap",
+        "j155_pmi_collocations", "j158_incremental_dedup",
+        "j159_span_within")) {
       val missing = needs.get(q)
         .filterNot(f => new java.io.File(d, f).exists())
       if (missing.isDefined)
