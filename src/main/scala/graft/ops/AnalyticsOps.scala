@@ -363,12 +363,141 @@ object AnalyticsOps {
       .orderBy($"doc_id")
   }
 
+  // ---------- j160 bucket correlation ----------
+
+  /** j160_bucket_correlation — ES x-pack's `bucket_correlation` pipeline
+    * agg: Pearson correlation between two per-day count series (clicks vs
+    * purchases) over the daily bucket frame. The correlation is computed
+    * from the six INTEGER power sums (n, Σx, Σy, Σxy, Σx², Σy²) — exact
+    * longs in both engines at any ordering — with exactly one double
+    * division at the end, so the parity is structural (the j71/ADVICE-r5
+    * central-moment lesson applied to covariance: corr() in either engine
+    * would be an order-dependent streaming moment).
+    *
+    * Scale shape: ONE conditional-count aggregate onto the day key, then
+    * a 1-row reduce over the day frame — both map-combined. */
+  def j160(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.eventsUs(s, d)
+      .select(expr("ts_us div 86400000000").as("day"), $"event_type")
+      .groupBy($"day")
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+      .agg(count(lit(1)).as("n_days"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+      .select($"n_days", $"sx", $"sy",
+        round(($"n_days" * $"sxy" - $"sx" * $"sy").cast("double") /
+          sqrt(($"n_days" * $"sxx" - $"sx" * $"sx").cast("double") *
+            ($"n_days" * $"syy" - $"sy" * $"sy").cast("double")), 6)
+          .as("pearson_r"))
+  }
+
+  // ---------- j161 two-sample KS test ----------
+
+  /** j161_ks_test — two-sample Kolmogorov–Smirnov (ES x-pack's
+    * `bucket_count_ks_test` analog, and the classic drift test): compare
+    * the value distributions of click vs purchase events. D = max over
+    * the merged support of |F̂_click − F̂_purchase|, with the ECDFs built
+    * from exact integer cumulative counts over the distinct-cents
+    * aggregate — every D candidate is a difference of two exact-int
+    * ratios, bit-identical cross-engine, so the argmax needs no
+    * tolerance (tiebreak: smallest cents achieving the max). Reports D,
+    * the 5%-level critical value c(0.05)·√((n1+n2)/(n1·n2)) with
+    * c = 1.358, and the reject flag.
+    *
+    * Scale shape: the corpus reduces to the distinct-cents aggregate
+    * (bounded by the value DOMAIN, not event count — the j157/j74
+    * spine discipline); the cumulative window runs over that bounded
+    * frame; the final cut is a 1-row TakeOrdered. */
+  def j161(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_type",
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val byV = e.groupBy($"cents")
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy($"cents".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = byV.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+    byV
+      .withColumn("cum1", sum($"c1").over(w))
+      .withColumn("cum2", sum($"c2").over(w))
+      .crossJoin(broadcast(n))
+      .withColumn("dv",
+        abs($"cum1".cast("double") / $"n1" - $"cum2".cast("double") / $"n2"))
+      .orderBy($"dv".desc, $"cents".asc)
+      .limit(1)
+      .select($"n1", $"n2", $"cents".as("d_at_cents"),
+        round($"dv", 6).as("d_stat"),
+        round(lit(1.358d) *
+          sqrt(($"n1" + $"n2").cast("double") / ($"n1" * $"n2").cast("double")),
+          6).as("crit_05"),
+        ($"dv" > lit(1.358d) *
+          sqrt(($"n1" + $"n2").cast("double") / ($"n1" * $"n2").cast("double")))
+          .as("reject_05"))
+  }
+
+  // ---------- j162 PSI drift ----------
+
+  /** j162_drift_psi — Population Stability Index, the standard
+    * production-ML input-drift monitor: band the metric (value cents)
+    * into 10 equal-width bands over the REFERENCE window's range, then
+    * PSI = Σ (p−q)·ln(p/q) between the reference (first half of the
+    * event span, integer-µs midpoint) and the current (second half)
+    * distributions, add-one smoothed so empty bands stay finite.
+    * Per-band rows carry both proportions and the band's PSI term; the
+    * headline PSI rides every row, computed as the SORTED fold over the
+    * 10 term doubles (Parity.sortedFoldSum — a window sum's addition
+    * order is engine-internal, the j26/j33 lesson) broadcast back onto
+    * the band frame.
+    *
+    * Scale shape: span + reference range are 1-row broadcasts; banding
+    * is row-local; the band aggregate has 10 groups and map-combines. */
+  def j162(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.eventsUs(s, d)
+      .select($"ts_us", expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val span = e.agg(min($"ts_us").as("lo"), max($"ts_us").as("hi"))
+    val halved = e.crossJoin(broadcast(span))
+      .withColumn("is_ref", $"ts_us" < $"lo" + expr("(hi - lo) div 2"))
+    val refRange = halved.filter($"is_ref")
+      .agg(min($"cents").as("cmin"), max($"cents").as("cmax"))
+    // persisted: the 10-row band frame feeds both the per-band output and
+    // the 1-row PSI fold — without it each consumer re-scans the events
+    // (harness clearCache releases it, the j7 precedent)
+    val banded = halved.crossJoin(broadcast(refRange))
+      .withColumn("band",
+        least(lit(9L), greatest(lit(0L),
+          expr("((cents - cmin) * 10) div (cmax - cmin + 1)"))))
+      .groupBy($"band")
+      .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("n_cur"))
+      .persist()
+    val tot = banded.agg(sum($"n_ref").as("tr"), sum($"n_cur").as("tc"))
+    val terms = banded.crossJoin(broadcast(tot))
+      .withColumn("p", ($"n_ref" + 1L).cast("double") / ($"tr" + 10L))
+      .withColumn("q", ($"n_cur" + 1L).cast("double") / ($"tc" + 10L))
+      .withColumn("term", ($"p" - $"q") * log($"p" / $"q"))
+    val psiRow = terms.agg(round(Parity.sortedFoldSum($"term"), 6).as("psi"))
+    terms.crossJoin(broadcast(psiRow))
+      .select($"band", $"n_ref", $"n_cur",
+        round($"p", 6).as("p_ref"), round($"q", 6).as("q_cur"),
+        round($"term", 6).as("psi_term"), $"psi")
+      .orderBy($"band")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j151_stupid_backoff" -> j151, "j152_source_card" -> j152,
     "j153_event_funnel" -> j153, "j154_hourly_profile" -> j154,
     "j155_pmi_collocations" -> j155, "j156_event_transitions" -> j156,
     "j157_vocab_coverage" -> j157, "j158_incremental_dedup" -> j158,
-    "j159_span_within" -> j159)
+    "j159_span_within" -> j159, "j160_bucket_correlation" -> j160,
+    "j161_ks_test" -> j161, "j162_drift_psi" -> j162)
 
   val oracle: Map[String, String] = Map(
     "j151_stupid_backoff" ->
@@ -450,6 +579,74 @@ object AnalyticsOps {
         |       (t3.t3_us - t2.t2_us) // 1000000 AS purchase_delay_s
         |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    "j160_bucket_correlation" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS x,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y
+        |  FROM 'events.parquet' GROUP BY 1),
+        |st AS (SELECT count(*) AS n_days,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |       FROM d)
+        |SELECT n_days, sx, sy,
+        |       round(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |             sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE) *
+        |                  CAST(n_days * syy - sy * sy AS DOUBLE)), 6) AS pearson_r
+        |FROM st""".stripMargin,
+    "j161_ks_test" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |           FROM 'events.parquet'
+        |           WHERE event_type IN ('click', 'purchase')),
+        |v AS (SELECT cents,
+        |        CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS c1,
+        |        CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS c2
+        |      FROM e GROUP BY 1),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM v),
+        |c AS (SELECT cents,
+        |        CAST(sum(c1) OVER (ORDER BY cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+        |        CAST(sum(c2) OVER (ORDER BY cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+        |      FROM v),
+        |dv AS (SELECT cents, abs(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2) AS dv,
+        |              n1, n2
+        |       FROM c CROSS JOIN n)
+        |SELECT n1, n2, cents AS d_at_cents, round(dv, 6) AS d_stat,
+        |       round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)), 6)
+        |         AS crit_05,
+        |       dv > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE))
+        |         AS reject_05
+        |FROM dv
+        |QUALIFY row_number() OVER (ORDER BY dv DESC, cents ASC) = 1""".stripMargin,
+    "j162_drift_psi" ->
+      """WITH e AS (SELECT epoch_us(ts) AS ts_us,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |           FROM 'events.parquet'),
+        |sp AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM e),
+        |h AS (SELECT e.cents, e.ts_us < sp.lo + (sp.hi - sp.lo) // 2 AS is_ref
+        |      FROM e CROSS JOIN sp),
+        |rr AS (SELECT min(cents) AS cmin, max(cents) AS cmax FROM h WHERE is_ref),
+        |b AS (SELECT least(9, greatest(0,
+        |        ((h.cents - rr.cmin) * 10) // (rr.cmax - rr.cmin + 1))) AS band,
+        |        is_ref
+        |      FROM h CROSS JOIN rr),
+        |bd AS (SELECT band,
+        |         CAST(count(*) FILTER (WHERE is_ref) AS BIGINT) AS n_ref,
+        |         CAST(count(*) FILTER (WHERE NOT is_ref) AS BIGINT) AS n_cur
+        |       FROM b GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+        |              CAST(sum(n_cur) AS BIGINT) AS tc FROM bd),
+        |tm AS (SELECT band, n_ref, n_cur,
+        |         CAST(n_ref + 1 AS DOUBLE) / (tr + 10) AS p,
+        |         CAST(n_cur + 1 AS DOUBLE) / (tc + 10) AS q
+        |       FROM bd CROSS JOIN tt),
+        |t2 AS (SELECT *, (p - q) * ln(p / q) AS term FROM tm),
+        |ps AS (SELECT round(list_sum(list_sort(list(term))), 6) AS psi FROM t2)
+        |SELECT band, n_ref, n_cur, round(p, 6) AS p_ref, round(q, 6) AS q_cur,
+        |       round(term, 6) AS psi_term, ps.psi
+        |FROM t2 CROSS JOIN ps ORDER BY band""".stripMargin,
     "j158_incremental_dedup" ->
       """WITH s AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |    generate_series(1, len(string_split(text, ' ')) - 2),

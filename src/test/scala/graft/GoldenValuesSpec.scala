@@ -981,6 +981,36 @@ class GoldenValuesSpec extends AnyFunSuite {
     }
   }
 
+  test("j160_bucket_correlation matches DuckDB (exact power-sum formulation)") {
+    val r = q("j160_bucket_correlation").head()
+    assert(r.getLong(r.fieldIndex("n_days")) === 30L)
+    assert(r.getLong(r.fieldIndex("sx")) === 210L)
+    assert(r.getLong(r.fieldIndex("sy")) === 202L)
+    assert(r.getDouble(r.fieldIndex("pearson_r")) === 0.163359)
+  }
+
+  test("j161_ks_test D-stat and verdict match DuckDB (exact ECDF ratios)") {
+    val r = q("j161_ks_test").head()
+    assert(r.getLong(r.fieldIndex("n1")) === 210L)
+    assert(r.getLong(r.fieldIndex("n2")) === 202L)
+    assert(r.getLong(r.fieldIndex("d_at_cents")) === 4198L)
+    assert(r.getDouble(r.fieldIndex("d_stat")) === 0.055257)
+    assert(r.getDouble(r.fieldIndex("crit_05")) === 0.133833)
+    assert(!r.getBoolean(r.fieldIndex("reject_05"))) // same generator ⇒ no drift
+  }
+
+  test("j162_drift_psi bands and headline PSI match DuckDB; proportions sum to 1") {
+    val rows = q("j162_drift_psi").collect()
+    assert(rows.length === 10)
+    val b0 = rows.head
+    assert(b0.getLong(b0.fieldIndex("n_ref")) === 243L)
+    assert(b0.getDouble(b0.fieldIndex("p_ref")) === 0.460377)
+    assert(b0.getDouble(b0.fieldIndex("psi")) === 0.024438) // < 0.1: stable
+    rows.foreach(r => assert(r.getDouble(r.fieldIndex("psi")) === 0.024438))
+    val pSum = rows.map(r => r.getDouble(r.fieldIndex("p_ref"))).sum
+    assert(math.abs(pSum - 1.0) < 0.001) // smoothing keeps it a distribution
+  }
+
   test("j146_interarrival_stats most-active user matches DuckDB (exact integer domain)") {
     val rows = q("j146_interarrival_stats").collect()
     val r0 = rows.head

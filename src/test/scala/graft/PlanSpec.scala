@@ -115,7 +115,9 @@ class PlanSpec extends AnyFunSuite {
       "j147_linear_retriever", // 1-row min/max stats onto each ≤20-row leg window
       "j151_stupid_backoff", // 1-row trigram total onto the held-out stream
       "j155_pmi_collocations", // 1-row doc count onto the vocab²-bounded pair agg
-      "j157_vocab_coverage") // 1-row total/type stats onto the vocab aggregate
+      "j157_vocab_coverage", // 1-row total/type stats onto the vocab aggregate
+      "j161_ks_test", // 1-row n1/n2 totals onto the distinct-cents frame
+      "j162_drift_psi") // 1-row span/range/totals/psi broadcasts onto bounded frames
     val offenders = SparkEntry.queries.toSeq
       .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
       .flatMap { case (name, fn) =>
@@ -845,6 +847,20 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("j159_span_within")
     assert(!p.contains("Exchange hashpartitioning"), p)
     assert(!p.contains("Join"), p)
+  }
+
+  test("j160: correlation is two map-combined aggregates — no join, no window") {
+    val p = plan("j160_bucket_correlation")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("j161: the ECDF window runs over the distinct-cents AGGREGATE; the cut is 1-row TakeOrdered") {
+    val p = plan("j161_ks_test")
+    val win = p.indexOf("Window ")
+    val agg = p.indexOf("HashAggregate", win)
+    assert(win >= 0 && agg > win, p) // aggregate sits under the window
+    assert(p.contains("TakeOrderedAndProject(limit=1"), p)
   }
 
   test("whole-stage codegen covers the flagship plan") {
