@@ -212,13 +212,19 @@ object AggExtOps {
       .filter(size($"toks") >= 1)
       .withColumn("all_hits", expr(
         "filter(sequence(1, size(toks)), i -> element_at(toks, i) = 'spark')"))
-      .filter(size($"all_hits") >= 1)
       .withColumn("n_first", expr("size(filter(all_hits, i -> i <= 5))").cast("long"))
       .withColumn("n_clean", expr(
         """size(filter(all_hits,
           |  i -> size(filter(slice(toks, i + 1, 2), t -> t = 'join')) = 0))"""
           .stripMargin).cast("long"))
-      .select($"doc_id", $"n_first", $"n_clean")
+      // match predicate as a generate, NOT a Filter: a pushed Filter
+      // re-evaluates the position scan beside the Project (j145's lesson)
+      .select($"doc_id", explode(expr(
+        """filter(array(named_struct(
+          |  'n_hits', CAST(size(all_hits) AS BIGINT),
+          |  'n_first', n_first, 'n_clean', n_clean)),
+          |  s -> s.n_hits >= 1)""".stripMargin)).as("r"))
+      .select($"doc_id", $"r.n_first".as("n_first"), $"r.n_clean".as("n_clean"))
       .orderBy($"doc_id")
   }
 

@@ -344,22 +344,26 @@ object AnalyticsOps {
     * total 'key' occurrences and how many are enclosed.
     *
     * Scale shape: j145's family — row-local HOF position algebra, zero
-    * exchanges before the presentation sort. */
+    * exchanges before the presentation sort. The match predicate is an
+    * `explode(filter(array(...)))` generate, not a Filter — j145's
+    * single-evaluation discipline (a pushed Filter re-evaluates the
+    * position algebra; measured ~10× on this family at sf0.1). */
   def j159(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .withColumn("toks", split($"text", " "))
       .withColumn("keys",
         expr("filter(sequence(1, size(toks)), x -> toks[x - 1] = 'key')"))
-      .filter(size($"keys") > 0)
-      .withColumn("tables",
+      .withColumn("tbls",
         expr("filter(sequence(1, size(toks)), x -> toks[x - 1] = 'table')"))
       .withColumn("n_within", expr(
-        "size(filter(keys, x -> exists(tables, y -> x > y AND x <= y + 5)))"))
-      .filter($"n_within" > 0)
-      .select($"doc_id",
-        size($"keys").cast("long").as("n_key"),
-        $"n_within".cast("long").as("n_within"))
+        "size(filter(keys, x -> exists(tbls, y -> x > y AND x <= y + 5)))"))
+      .select($"doc_id", explode(expr(
+        """filter(array(named_struct(
+          |  'n_key', CAST(size(keys) AS BIGINT),
+          |  'n_within', CAST(n_within AS BIGINT))),
+          |  s -> s.n_within > 0)""".stripMargin)).as("r"))
+      .select($"doc_id", $"r.n_key".as("n_key"), $"r.n_within".as("n_within"))
       .orderBy($"doc_id")
   }
 

@@ -331,9 +331,15 @@ object BucketOps {
         """filter(sequence(1, size(toks)),
           |  i -> element_at(toks, i) = 'spark'
           |       AND size(filter(slice(toks, i + 1, 4), t -> t = 'join')) > 0)""".stripMargin))
-      .filter(size($"hits") >= 1)
-      .select($"doc_id", size($"hits").cast("long").as("n_matches"),
-        element_at($"hits", 1).cast("long").as("first_pos"))
+      // match predicate as a generate, NOT a Filter: a pushed Filter
+      // re-evaluates the span scan beside the Project (j145's lesson)
+      .select($"doc_id", explode(expr(
+        """filter(array(named_struct(
+          |  'n_matches', CAST(size(hits) AS BIGINT),
+          |  'first_pos', CAST(if(size(hits) >= 1, element_at(hits, 1), 0) AS BIGINT))),
+          |  s -> s.n_matches >= 1)""".stripMargin)).as("r"))
+      .select($"doc_id", $"r.n_matches".as("n_matches"),
+        $"r.first_pos".as("first_pos"))
       .orderBy($"doc_id")
   }
 

@@ -154,7 +154,15 @@ object RankOps {
     Tables.documents(s, d)
       .select($"doc_id", split($"text", " ").as("toks"))
       .select($"doc_id", nBig.as("n_big"), nCont.as("n_containing"))
-      .filter($"n_big" >= 1)
+      // match predicate as a generate, NOT a Filter: a deterministic
+      // Filter on these computed columns is pushed to the scan, where it
+      // re-evaluates both position aggregates beside the Project (j145's
+      // lesson — measured ~3× on this query at sf0.1)
+      .select($"doc_id", explode(expr(
+        """filter(array(named_struct('n_big', n_big, 'n_containing', n_containing)),
+          |  s -> s.n_big >= 1)""".stripMargin)).as("r"))
+      .select($"doc_id", $"r.n_big".as("n_big"),
+        $"r.n_containing".as("n_containing"))
       .orderBy($"doc_id")
   }
 

@@ -582,8 +582,15 @@ object TextOps {
         """size(filter(sequence(1, size(toks) - 1),
           |  i -> element_at(toks, i) = 'hash' AND element_at(toks, i + 1) = 'join'))"""
           .stripMargin).cast("long"))
-      .filter($"n_matches" >= 1)
-      .select($"doc_id", $"n_matches", size($"toks").cast("long").as("n_tokens"))
+      // match predicate as a generate, NOT a Filter: a pushed Filter
+      // re-evaluates the adjacency scan beside the Project (j145's lesson)
+      .select($"doc_id", explode(expr(
+        """filter(array(named_struct(
+          |  'n_matches', n_matches,
+          |  'n_tokens', CAST(size(toks) AS BIGINT))),
+          |  s -> s.n_matches >= 1)""".stripMargin)).as("r"))
+      .select($"doc_id", $"r.n_matches".as("n_matches"),
+        $"r.n_tokens".as("n_tokens"))
       .orderBy($"doc_id")
   }
 
