@@ -495,13 +495,57 @@ object AnalyticsOps {
       .orderBy($"band")
   }
 
+  // ---------- j163 change-point detection ----------
+
+  /** j163_change_point — ES 8.x's `change_point` aggregation, the
+    * step-change flavor: over the zero-filled daily purchase series
+    * (BucketOps.dailyFrame — j58/j76's single-sourced bucket frame), find
+    * the split day maximizing |mean(before) − mean(after)| with ≥ 2 days
+    * on each side — the piecewise-constant single-breakpoint fit. Means
+    * come from exact-integer prefix sums (a running window over the
+    * bounded day frame), so every candidate delta is bit-identical
+    * cross-engine and the argmax needs no tolerance (tiebreak: earliest
+    * day). The fixture series has no injected step, so the reported
+    * delta is the stationary-noise maximum — the op reports the best
+    * split and its magnitude, the caller applies the threshold (ES
+    * likewise reports `change_point` with a p-value the client gates
+    * on).
+    *
+    * Scale shape: j47's histogram machinery (map-combined counts + a
+    * calendar-bounded spine), one running-sum window over the day frame,
+    * a 1-row TakeOrdered. */
+  def j163(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val days = BucketOps.dailyFrame(s, d).select($"day", $"purchases")
+    val w = Window.orderBy($"day".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = days.agg(count(lit(1)).as("n"), sum($"purchases").as("s"))
+    days
+      .withColumn("rn", row_number().over(Window.orderBy($"day".asc)).cast("long"))
+      .withColumn("cum", sum($"purchases").over(w))
+      .crossJoin(broadcast(tot))
+      .filter($"rn" >= 2 && $"rn" <= $"n" - 2) // ≥2 days on each side
+      .withColumn("mean_before", $"cum".cast("double") / $"rn")
+      .withColumn("mean_after",
+        ($"s" - $"cum").cast("double") / ($"n" - $"rn"))
+      .withColumn("delta", abs($"mean_before" - $"mean_after"))
+      .orderBy($"delta".desc, $"day".asc)
+      .limit(1)
+      .select($"day".as("change_day"), $"rn".as("n_before"),
+        ($"n" - $"rn").as("n_after"),
+        round($"mean_before", 6).as("mean_before"),
+        round($"mean_after", 6).as("mean_after"),
+        round($"delta", 6).as("delta"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j151_stupid_backoff" -> j151, "j152_source_card" -> j152,
     "j153_event_funnel" -> j153, "j154_hourly_profile" -> j154,
     "j155_pmi_collocations" -> j155, "j156_event_transitions" -> j156,
     "j157_vocab_coverage" -> j157, "j158_incremental_dedup" -> j158,
     "j159_span_within" -> j159, "j160_bucket_correlation" -> j160,
-    "j161_ks_test" -> j161, "j162_drift_psi" -> j162)
+    "j161_ks_test" -> j161, "j162_drift_psi" -> j162,
+    "j163_change_point" -> j163)
 
   val oracle: Map[String, String] = Map(
     "j151_stupid_backoff" ->
@@ -583,6 +627,35 @@ object AnalyticsOps {
         |       (t3.t3_us - t2.t2_us) // 1000000 AS purchase_delay_s
         |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    "j163_change_point" ->
+      """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type
+        |           FROM 'events.parquet'),
+        |bnd AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |spine AS (SELECT CAST(unnest(generate_series(
+        |            CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+        |            INTERVAL 1 DAY)) AS DATE) AS day FROM bnd),
+        |h AS (SELECT day, count(*) AS purchases FROM e
+        |      WHERE event_type = 'purchase' GROUP BY 1),
+        |b AS (SELECT spine.day, coalesce(h.purchases, 0) AS purchases
+        |      FROM spine LEFT JOIN h USING (day)),
+        |tot AS (SELECT count(*) AS n, CAST(sum(purchases) AS BIGINT) AS s FROM b),
+        |c AS (SELECT day,
+        |        CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+        |        CAST(sum(purchases) OVER (ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM b),
+        |m AS (SELECT day, rn, n - rn AS n_after,
+        |        CAST(cum AS DOUBLE) / rn AS mean_before,
+        |        CAST(s - cum AS DOUBLE) / (n - rn) AS mean_after
+        |      FROM c CROSS JOIN tot
+        |      WHERE rn >= 2 AND rn <= n - 2)
+        |SELECT day AS change_day, rn AS n_before, n_after,
+        |       round(mean_before, 6) AS mean_before,
+        |       round(mean_after, 6) AS mean_after,
+        |       round(abs(mean_before - mean_after), 6) AS delta
+        |FROM m
+        |QUALIFY row_number() OVER (
+        |  ORDER BY abs(mean_before - mean_after) DESC, day ASC) = 1""".stripMargin,
     "j160_bucket_correlation" ->
       """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
         |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS x,

@@ -1011,6 +1011,16 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(math.abs(pSum - 1.0) < 0.001) // smoothing keeps it a distribution
   }
 
+  test("j163_change_point best split matches DuckDB (exact prefix-sum means)") {
+    val r = q("j163_change_point").head()
+    assert(r.getDate(0).toString === "2024-01-22")
+    assert(r.getLong(r.fieldIndex("n_before")) === 22L)
+    assert(r.getLong(r.fieldIndex("n_after")) === 8L)
+    assert(r.getDouble(r.fieldIndex("mean_before")) === 7.454545)
+    assert(r.getDouble(r.fieldIndex("mean_after")) === 4.75)
+    assert(r.getDouble(r.fieldIndex("delta")) === 2.704545)
+  }
+
   test("j146_interarrival_stats most-active user matches DuckDB (exact integer domain)") {
     val rows = q("j146_interarrival_stats").collect()
     val r0 = rows.head

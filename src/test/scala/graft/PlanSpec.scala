@@ -117,7 +117,8 @@ class PlanSpec extends AnyFunSuite {
       "j155_pmi_collocations", // 1-row doc count onto the vocab²-bounded pair agg
       "j157_vocab_coverage", // 1-row total/type stats onto the vocab aggregate
       "j161_ks_test", // 1-row n1/n2 totals onto the distinct-cents frame
-      "j162_drift_psi") // 1-row span/range/totals/psi broadcasts onto bounded frames
+      "j162_drift_psi", // 1-row span/range/totals/psi broadcasts onto bounded frames
+      "j163_change_point") // 1-row series totals onto the calendar-bounded day frame
     val offenders = SparkEntry.queries.toSeq
       .filterNot(q => q._1 == "c8_join_cross" || scalarBroadcast(q._1))
       .flatMap { case (name, fn) =>
