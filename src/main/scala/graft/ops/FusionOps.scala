@@ -378,11 +378,13 @@ object FusionOps {
     * projection and a source²-bounded aggregate. */
   def j148(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val (rawPairs, release) = TextOps.nearDupPairsReleasable(s, d)
-    val pairs = rawPairs
+    // nearDupPairs leaves its shingle relation persist()ed (the j2/j7
+    // precedent — harness clearCache releases it); the pair frame is
+    // consumed once by the tag-join chain, so no materialization barrier
+    // is needed. A localCheckpoint here would pin RDD blocks clearCache
+    // cannot see (the j21 doc's caveat — the j66 leak lesson).
+    val pairs = TextOps.nearDupPairs(s, d)
       .select($"d1", $"d2", round($"jac", 6).as("jaccard"))
-      .localCheckpoint() // materialize before releasing the shingle cache
-    release()
     val src = Tables.documents(s, d).select($"doc_id", $"source")
     pairs
       .join(src.select($"doc_id".as("d1"), $"source".as("s1")), "d1")

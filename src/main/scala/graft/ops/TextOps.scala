@@ -415,7 +415,7 @@ object TextOps {
     * only clears CacheManager entries; checkpoint blocks are RDD-level and
     * would otherwise stay pinned until a driver GC lets the ContextCleaner
     * find them. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()
