@@ -419,7 +419,7 @@ object AnalyticsOps {
   def j161(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.events(s, d)
-      .filter($"event_type".isin("click", "purchase"))
+      .filter($"event_type".isin("click", "purchase") && $"value".isNotNull)
       .select($"event_type",
         expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
     val byV = e.groupBy($"cents")
@@ -675,7 +675,8 @@ object AnalyticsOps {
     "j161_ks_test" ->
       """WITH e AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
         |           FROM 'events.parquet'
-        |           WHERE event_type IN ('click', 'purchase')),
+        |           WHERE event_type IN ('click', 'purchase')
+        |             AND value IS NOT NULL),
         |v AS (SELECT cents,
         |        CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS c1,
         |        CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS c2

@@ -219,27 +219,40 @@ object FusionOps {
     *
     * Scale shape: the span is ONE 1-row aggregate riding a broadcast
     * (BroadcastNestedLoopJoin of a single row); bucket classification is
-    * row-local; the final aggregate has 3 groups and map-combines. */
+    * row-local; the final aggregate has 3 groups and map-combines. ES
+    * fidelity (r6 ADVICE): every configured range is ALWAYS emitted, even
+    * with doc_count 0 — observed buckets left-join onto a static 3-row
+    * range spine derived from the same span aggregate, zeros coalesced
+    * in (the j47 min_doc_count=0 discipline). */
   def j144(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.eventsUs(s, d)
     val span = e.agg(min($"ts_us").as("lo"), max($"ts_us").as("hi"))
-    e.crossJoin(broadcast(span))
       .withColumn("t1", $"lo" + expr("(hi - lo) div 3"))
       .withColumn("t2", $"lo" + expr("2 * ((hi - lo) div 3)"))
+    val spine = span.select(explode(array(
+      struct(lit("early").as("range_key"),
+        lit(null).cast("long").as("from_us"), $"t1".as("to_us")),
+      struct(lit("mid").as("range_key"),
+        $"t1".as("from_us"), $"t2".as("to_us")),
+      struct(lit("late").as("range_key"),
+        $"t2".as("from_us"), lit(null).cast("long").as("to_us")))).as("r"))
+      .select($"r.*")
+    val obs = e.crossJoin(broadcast(span))
       .withColumn("range_key",
         when($"ts_us" < $"t1", "early")
           .when($"ts_us" < $"t2", "mid")
           .otherwise("late"))
       .groupBy($"range_key")
       .agg(
-        max(when($"range_key" === "mid", $"t1")
-          .when($"range_key" === "late", $"t2")).as("from_us"),
-        max(when($"range_key" === "early", $"t1")
-          .when($"range_key" === "mid", $"t2")).as("to_us"),
-        count(lit(1)).as("doc_count"),
-        sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("value_cents"),
-        countDistinct($"user_id").as("n_users"))
+        count(lit(1)).as("dc"),
+        sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("vc"),
+        countDistinct($"user_id").as("nu"))
+    spine.join(obs, Seq("range_key"), "left_outer")
+      .select($"range_key", $"from_us", $"to_us",
+        coalesce($"dc", lit(0L)).as("doc_count"),
+        coalesce($"vc", lit(0L)).as("value_cents"),
+        coalesce($"nu", lit(0L)).as("n_users"))
       .orderBy($"range_key")
   }
 
@@ -413,8 +426,9 @@ object FusionOps {
     *
     * Scale shape: the corpus reduces ONCE to the (lang, token) count
     * aggregate (map-combined, vocabulary-bounded keys — the j24/j35
-    * discipline); corpus totals derive from that aggregate, the top-500
-    * cut is a TakeOrdered, and the membership join is a broadcast of 500
+    * discipline); corpus totals derive from that aggregate, the
+    * top-VOCAB_SIZE cut (20 here, 32k–50k in production) is a
+    * TakeOrdered, and the membership join is a broadcast of that many
     * rows onto the vocabulary-sized frame. The corpus token stream is
     * never joined or shuffled. */
   def j149(s: SparkSession, d: String): DataFrame = {
@@ -589,23 +603,30 @@ object FusionOps {
     "j144_date_range_agg" ->
       """WITH e AS (SELECT epoch_us(ts) AS ts_us, user_id, value
         |           FROM 'events.parquet'),
-        |bnd AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM e),
-        |b AS (SELECT e.*, bnd.lo + (bnd.hi - bnd.lo) // 3 AS t1,
-        |        bnd.lo + 2 * ((bnd.hi - bnd.lo) // 3) AS t2
-        |      FROM e CROSS JOIN bnd),
-        |kb AS (SELECT *, CASE WHEN ts_us < t1 THEN 'early'
-        |                      WHEN ts_us < t2 THEN 'mid'
-        |                      ELSE 'late' END AS range_key FROM b)
-        |SELECT range_key,
-        |       max(CASE WHEN range_key = 'mid' THEN t1
-        |                WHEN range_key = 'late' THEN t2 END) AS from_us,
-        |       max(CASE WHEN range_key = 'early' THEN t1
-        |                WHEN range_key = 'mid' THEN t2 END) AS to_us,
-        |       count(*) AS doc_count,
-        |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
-        |         AS value_cents,
-        |       count(DISTINCT user_id) AS n_users
-        |FROM kb GROUP BY 1 ORDER BY 1""".stripMargin,
+        |bnd AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi,
+        |          min(ts_us) + (max(ts_us) - min(ts_us)) // 3 AS t1,
+        |          min(ts_us) + 2 * ((max(ts_us) - min(ts_us)) // 3) AS t2
+        |        FROM e),
+        |spine AS (
+        |  SELECT 'early' AS range_key, CAST(NULL AS BIGINT) AS from_us,
+        |         t1 AS to_us FROM bnd
+        |  UNION ALL SELECT 'mid', t1, t2 FROM bnd
+        |  UNION ALL SELECT 'late', t2, CAST(NULL AS BIGINT) FROM bnd),
+        |kb AS (SELECT e.*, CASE WHEN ts_us < bnd.t1 THEN 'early'
+        |                        WHEN ts_us < bnd.t2 THEN 'mid'
+        |                        ELSE 'late' END AS range_key
+        |       FROM e CROSS JOIN bnd),
+        |obs AS (SELECT range_key, count(*) AS dc,
+        |          CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |            AS vc,
+        |          count(DISTINCT user_id) AS nu
+        |        FROM kb GROUP BY 1)
+        |SELECT s.range_key, s.from_us, s.to_us,
+        |       CAST(coalesce(o.dc, 0) AS BIGINT) AS doc_count,
+        |       CAST(coalesce(o.vc, 0) AS BIGINT) AS value_cents,
+        |       CAST(coalesce(o.nu, 0) AS BIGINT) AS n_users
+        |FROM spine s LEFT JOIN obs o ON s.range_key = o.range_key
+        |ORDER BY 1""".stripMargin,
     "j145_span_not" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM 'documents.parquet'),

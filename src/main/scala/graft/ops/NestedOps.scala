@@ -1,0 +1,299 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Round-7 additions: the ES `nested` mapping family (j164/j165), the
+  * metric-ordered `terms` aggregation (j167), and EQL `sequence`
+  * (j168) — the four "what a real ES user still can't do here" gaps the
+  * r6 verdict ranked highest.
+  *
+  * The `nested` pair models ES's array-of-struct sub-documents. The
+  * fixture stores orders/lineitem relationally, so [[nestedOrders]]
+  * first builds the nested document frame — per order, an array of
+  * lineitem structs — exactly the shape a nested-mapped ES index (or an
+  * array-of-struct parquet lake table) would already have on disk; at
+  * 100 TB that construction step disappears (the data arrives nested)
+  * and everything downstream is row-local HOF algebra over the array
+  * column. */
+object NestedOps {
+
+  /** The nested document frame: one row per order with
+    * `items: array<struct<ln, qty, price_cents>>` and the parent's
+    * totalprice in cents. Construction is ONE order-keyed aggregation
+    * (collect_list of bounded per-order item lists — TPC-H caps at 7
+    * lineitems/order, ES nested docs are similarly bounded by mapping
+    * design) joined order-keyed to the parent row. Item ORDER inside the
+    * array is nondeterministic (collect_list after a shuffle) — every
+    * consumer below is order-insensitive (size/filter/exists/explode),
+    * which is also the ES contract: nested docs are a SET of
+    * sub-documents, not a sequence. */
+  private def nestedOrders(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val items = Tables.lineitem(s, d)
+      .select($"l_orderkey",
+        struct(
+          $"l_linenumber".cast("long").as("ln"),
+          $"l_quantity".cast("double").as("qty"),
+          expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+            .as("price_cents")).as("item"))
+      .groupBy($"l_orderkey").agg(collect_list($"item").as("items"))
+    Tables.orders(s, d)
+      .select($"o_orderkey",
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("tp_cents"))
+      .join(items, $"o_orderkey" === $"l_orderkey")
+      .select($"o_orderkey", $"tp_cents", $"items")
+  }
+
+  // ---------- j164 nested query ----------
+
+  /** j164_nested_query — the ES `nested` query vs the flat
+    * object-mapping trap, side by side: find orders containing a
+    * lineitem with quantity ≥ 45 AND extendedprice ≥ $50,000. Under a
+    * nested mapping both conditions must hit the SAME sub-document
+    * (`n_nested_hits` counts them); under a flat object mapping ES
+    * cross-matches fields across sub-documents (`exists(qty) AND
+    * exists(price)` — the classic false-positive). The output is every
+    * flat-matching order with its nested verdict, so the 1,894 orders
+    * (sf0.01) where flat says yes but nested says no are visible — the
+    * exact rows the mapping choice gets wrong.
+    *
+    * Scale shape: after [[nestedOrders]], the predicate is a row-local
+    * `filter`/`exists` over a ≤7-element array inside whole-stage
+    * codegen — zero additional exchanges; the fixture-only construction
+    * join is order-keyed. On a natively nested lake table this is a
+    * single scan with a row-local predicate, which is also how ES
+    * executes it (block-join against co-located nested docs). */
+  def j164(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    nestedOrders(s, d)
+      .withColumn("n_items", size($"items").cast("long"))
+      .withColumn("n_nested_hits", expr(
+        """CAST(size(filter(items,
+          |  it -> it.qty >= 45 AND it.price_cents >= 5000000)) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("flat_match", expr(
+        """exists(items, it -> it.qty >= 45)
+          |AND exists(items, it -> it.price_cents >= 5000000)""".stripMargin))
+      .filter($"flat_match")
+      .select($"o_orderkey", $"n_items", $"n_nested_hits",
+        ($"n_nested_hits" > 0).as("nested_match"))
+      .orderBy($"o_orderkey")
+  }
+
+  // ---------- j165 nested + reverse_nested aggregation ----------
+
+  /** j165_reverse_nested_agg — the ES `nested` aggregation with a
+    * `reverse_nested` step: bucket the NESTED lineitems by quantity band
+    * (floor(qty/10) — 6 bands), and per band report the nested doc count
+    * (what `nested`+`terms` counts), the PARENT order count
+    * (`reverse_nested`'s doc_count — each parent counted once however
+    * many of its items land in the band), and the parent totalprice sum
+    * over those distinct parents (the metric `reverse_nested` exists to
+    * make well-defined: summing the parent field per nested doc would
+    * multiply-count it).
+    *
+    * Scale shape: explode of the bounded item arrays, then TWO keyed
+    * aggregations — (band, order) dedups parents (max(tp) is constant
+    * per parent), then band reduces to ≤6 groups; both map-combine. No
+    * window, no distinct-on-corpus. */
+  def j165(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val x = nestedOrders(s, d)
+      .select($"o_orderkey", $"tp_cents", explode($"items").as("it"))
+      .withColumn("band", expr("CAST(floor(it.qty / 10) AS BIGINT)"))
+    x.groupBy($"band", $"o_orderkey")
+      .agg(count(lit(1)).as("nd"), max($"tp_cents").as("tp"))
+      .groupBy($"band")
+      .agg(sum($"nd").as("nested_doc_count"),
+        count(lit(1)).as("parent_doc_count"),
+        sum($"tp").as("parent_totalprice_cents"))
+      .orderBy($"band")
+  }
+
+  // ---------- j167 terms agg ordered by sub-aggregation metric ----------
+
+  /** j167_terms_order_metric — ES `terms` aggregation ordered by a
+    * sub-aggregation metric (`"order": {"revenue": "desc"}`), the
+    * dashboard staple j81 (doc_count order) doesn't cover, with j45's
+    * sharded coordinator-merge discipline applied to the METRIC: each
+    * shard (deterministic `l_orderkey % 4` routing) returns its local
+    * top-5 suppliers by revenue, the coordinator sums the returning
+    * shards' revenue, and the error bound is Σ (5th-place revenue) over
+    * the shards that did NOT return the term — the most revenue the
+    * term could have hidden there. ES itself reports
+    * `doc_count_error_upper_bound: -1` for metric ordering (doc-count
+    * error is unbounded when the cut is by metric); the bound that IS
+    * constructible is the metric-mass bound, reported here beside the
+    * exact revenue and count (the d3/j45 estimate-beside-exact
+    * discipline) so the approximation error is measurable, not assumed.
+    *
+    * Scale shape: two keyed aggregations (per-shard revenue, exact
+    * revenue — both map-combine over (shard, suppkey) ≈ shards ×
+    * cardinality rows, not corpus rows), a window over the per-shard
+    * AGGREGATE (never the raw stream — PlanSpec pins it), and two 1-row
+    * broadcasts. Identical dataflow to a real ES coordinator merge. */
+  def j167(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select(($"l_orderkey" % 4).as("shard"), $"l_suppkey",
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("rc"))
+    val cnt = li.groupBy($"shard", $"l_suppkey")
+      .agg(sum($"rc").as("rev"), count(lit(1)).as("c"))
+    val w = Window.partitionBy($"shard").orderBy($"rev".desc, $"l_suppkey".asc)
+    val local = cnt.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+    val shardMin = local.groupBy($"shard").agg(min($"rev").as("last_rev"))
+    val totLast = shardMin.agg(sum($"last_rev").as("all_last"))
+    val exact = li.groupBy($"l_suppkey")
+      .agg(sum($"rc").as("exact_revenue_cents"),
+        count(lit(1)).as("exact_doc_count"))
+    local.join(broadcast(shardMin), "shard")
+      .groupBy($"l_suppkey")
+      .agg(sum($"rev").as("merged_revenue_cents"),
+        sum($"c").as("merged_doc_count"),
+        sum($"last_rev").as("present_last"))
+      .crossJoin(broadcast(totLast))
+      .select($"l_suppkey", $"merged_revenue_cents", $"merged_doc_count",
+        ($"all_last" - $"present_last").as("metric_error_bound_cents"))
+      .join(exact, "l_suppkey")
+      .orderBy($"merged_revenue_cents".desc, $"l_suppkey".asc)
+      .limit(5)
+  }
+
+  // ---------- j168 EQL sequence ----------
+
+  /** j168_eql_sequence — EQL `sequence by user_id with maxspan=6h
+    * [view] [click] [purchase] until [error]`: the general ordered
+    * n-step sequence the fixed j153 funnel approximates. Semantics:
+    * strictly increasing timestamps across the steps, last−first ≤
+    * maxspan, and no `until` event strictly inside (first, last). Of a
+    * user's candidate sequences the EARLIEST-COMPLETING one is emitted
+    * (then tightest: latest start, earliest middle) — one row per user
+    * with the three step times and the whole-sequence span, matching
+    * EQL's one-hit-per-completed-sequence output. Fixture-measured at
+    * 6 h: 11 users complete a raw triple, 1 is killed by `until` —
+    * both clauses genuinely bind (the j116 discipline).
+    *
+    * Scale shape: every join is user-keyed (one exchange lineage), the
+    * type predicates push to the scans, and the maxspan bound prunes
+    * the pair set at the FIRST join (t2 < t1 + span), so the candidate
+    * set per user is bounded by events-in-window, not |view|·|click|·
+    * |purchase|. The `until` check is a user-keyed join + count, not a
+    * per-pair subquery. The pick-one window partitions by user. At
+    * 100 TB this is the standard sessionized-sequence shape: everything
+    * co-partitions on the `by` key. */
+  def j168(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spanUs = 21600000000L // 6 h
+    val e = Tables.eventsUs(s, d).select($"user_id", $"event_type", $"ts_us")
+    val v = e.filter($"event_type" === "view").select($"user_id", $"ts_us".as("t1"))
+    val c = e.filter($"event_type" === "click").select($"user_id", $"ts_us".as("t2"))
+    val p = e.filter($"event_type" === "purchase").select($"user_id", $"ts_us".as("t3"))
+    val err = e.filter($"event_type" === "error").select($"user_id", $"ts_us".as("te"))
+    val triples = v.join(c, "user_id")
+      .filter($"t2" > $"t1" && $"t2" < $"t1" + spanUs)
+      .join(p, "user_id")
+      .filter($"t3" > $"t2" && $"t3" - $"t1" <= spanUs)
+    val valid = triples.join(err, Seq("user_id"), "left_outer")
+      .withColumn("hit",
+        when($"te".isNotNull && $"te" > $"t1" && $"te" < $"t3", 1L).otherwise(0L))
+      .groupBy($"user_id", $"t1", $"t2", $"t3").agg(sum($"hit").as("n_until"))
+      .filter($"n_until" === 0)
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"t3".asc, $"t1".desc, $"t2".asc)
+    valid.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"t1".as("t1_us"), $"t2".as("t2_us"),
+        $"t3".as("t3_us"), expr("(t3 - t1) div 1000000").as("span_s"))
+      .orderBy($"user_id")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j164_nested_query" -> j164,
+    "j165_reverse_nested_agg" -> j165,
+    "j167_terms_order_metric" -> j167,
+    "j168_eql_sequence" -> j168)
+
+  val oracle: Map[String, String] = Map(
+    "j164_nested_query" ->
+      """WITH li AS (SELECT l_orderkey, l_quantity,
+        |              CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc
+        |            FROM 'lineitem.parquet'),
+        |agg AS (SELECT l_orderkey AS o_orderkey,
+        |          CAST(count(*) AS BIGINT) AS n_items,
+        |          CAST(count(*) FILTER (WHERE l_quantity >= 45
+        |                                  AND pc >= 5000000) AS BIGINT)
+        |            AS n_nested_hits,
+        |          (bool_or(l_quantity >= 45) AND bool_or(pc >= 5000000))
+        |            AS flat_match
+        |        FROM li GROUP BY 1)
+        |SELECT o_orderkey, n_items, n_nested_hits,
+        |       n_nested_hits > 0 AS nested_match
+        |FROM agg WHERE flat_match ORDER BY o_orderkey""".stripMargin,
+    "j165_reverse_nested_agg" ->
+      """WITH it AS (SELECT l_orderkey,
+        |              CAST(floor(l_quantity / 10) AS BIGINT) AS band
+        |            FROM 'lineitem.parquet'),
+        |o AS (SELECT o_orderkey,
+        |        CAST(round(o_totalprice * 100, 0) AS BIGINT) AS tp
+        |      FROM 'orders.parquet'),
+        |per AS (SELECT band, l_orderkey, count(*) AS nd, max(tp) AS tp
+        |        FROM it JOIN o ON o_orderkey = l_orderkey GROUP BY 1, 2)
+        |SELECT band, CAST(sum(nd) AS BIGINT) AS nested_doc_count,
+        |       CAST(count(*) AS BIGINT) AS parent_doc_count,
+        |       CAST(sum(tp) AS BIGINT) AS parent_totalprice_cents
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j167_terms_order_metric" ->
+      """WITH li AS (SELECT l_orderkey % 4 AS shard, l_suppkey,
+        |              CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS rc
+        |            FROM 'lineitem.parquet'),
+        |cnt AS (SELECT shard, l_suppkey, sum(rc) AS rev, count(*) AS c
+        |        FROM li GROUP BY 1, 2),
+        |loc AS (SELECT * FROM cnt
+        |        QUALIFY row_number() OVER (PARTITION BY shard
+        |          ORDER BY rev DESC, l_suppkey ASC) <= 5),
+        |sm AS (SELECT shard, min(rev) AS last_rev FROM loc GROUP BY 1),
+        |tl AS (SELECT sum(last_rev) AS all_last FROM sm),
+        |ex AS (SELECT l_suppkey,
+        |         CAST(sum(rc) AS BIGINT) AS exact_revenue_cents,
+        |         CAST(count(*) AS BIGINT) AS exact_doc_count
+        |       FROM li GROUP BY 1),
+        |mg AS (SELECT l.l_suppkey,
+        |         CAST(sum(l.rev) AS BIGINT) AS merged_revenue_cents,
+        |         CAST(sum(l.c) AS BIGINT) AS merged_doc_count,
+        |         CAST(sum(sm.last_rev) AS BIGINT) AS present_last
+        |       FROM loc l JOIN sm ON l.shard = sm.shard GROUP BY 1)
+        |SELECT mg.l_suppkey, merged_revenue_cents, merged_doc_count,
+        |       CAST(tl.all_last - present_last AS BIGINT)
+        |         AS metric_error_bound_cents,
+        |       exact_revenue_cents, exact_doc_count
+        |FROM mg CROSS JOIN tl JOIN ex ON mg.l_suppkey = ex.l_suppkey
+        |ORDER BY merged_revenue_cents DESC, mg.l_suppkey ASC
+        |LIMIT 5""".stripMargin,
+    "j168_eql_sequence" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |           FROM 'events.parquet'),
+        |v AS (SELECT user_id, ts_us AS t1 FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts_us AS t2 FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts_us AS t3 FROM e WHERE event_type = 'purchase'),
+        |err AS (SELECT user_id, ts_us AS te FROM e WHERE event_type = 'error'),
+        |tr AS (SELECT v.user_id, t1, t2, t3
+        |       FROM v JOIN c ON v.user_id = c.user_id
+        |         AND t2 > t1 AND t2 < t1 + 21600000000
+        |       JOIN p ON v.user_id = p.user_id
+        |         AND t3 > t2 AND t3 - t1 <= 21600000000),
+        |val AS (SELECT tr.user_id, t1, t2, t3,
+        |          sum(CASE WHEN te IS NOT NULL AND te > t1 AND te < t3
+        |                   THEN 1 ELSE 0 END) AS n_until
+        |        FROM tr LEFT JOIN err ON tr.user_id = err.user_id
+        |        GROUP BY 1, 2, 3, 4
+        |        HAVING sum(CASE WHEN te IS NOT NULL AND te > t1 AND te < t3
+        |                        THEN 1 ELSE 0 END) = 0)
+        |SELECT user_id, t1 AS t1_us, t2 AS t2_us, t3 AS t3_us,
+        |       (t3 - t1) // 1000000 AS span_s
+        |FROM val
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY t3 ASC, t1 DESC, t2 ASC) = 1
+        |ORDER BY user_id""".stripMargin)
+}

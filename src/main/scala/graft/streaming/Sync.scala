@@ -641,11 +641,18 @@ object Sync {
     * token array ([[graft.ops.CorpusQualityOps]]'s flag Columns, the SAME
     * definitions j115 reports on and j133 funnels by, so batch and stream
     * verdicts cannot drift); no watermark, no state store, any output
-    * mode. n_chars is derived as length(text) — on the fixture the two
-    * are identical (CurateSpec pins the invariant). */
+    * mode. The n_chars the rules consume is derived as length(text) —
+    * on the fixture the two are identical (CurateSpec pins the
+    * invariant) — but it is computed under a scratch name and a
+    * caller-supplied n_chars column survives untouched (r6 ADVICE: the
+    * gate must not consume columns it did not produce). */
   def gopherGateStream(docs: DataFrame): DataFrame = {
     import graft.ops.CorpusQualityOps._
-    docs
+    val hasNChars = docs.columns.contains("n_chars")
+    val base =
+      if (hasNChars) docs.withColumnRenamed("n_chars", "_gate_orig_n_chars")
+      else docs
+    val gated = base
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_chars", length(col("text")))
       .withColumn("wc_ok", wcOk)
@@ -654,6 +661,8 @@ object Sync {
       .withColumn("short_ok", shortOk)
       .filter(col("wc_ok") && col("mwl_ok") && col("stop_ok") && col("short_ok"))
       .drop("toks", "n_chars")
+    if (hasNChars) gated.withColumnRenamed("_gate_orig_n_chars", "n_chars")
+    else gated
   }
 
   case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
