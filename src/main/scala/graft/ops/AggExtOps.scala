@@ -210,8 +210,7 @@ object AggExtOps {
     Tables.documents(s, d)
       .select($"doc_id", split($"text", " ").as("toks"))
       .filter(size($"toks") >= 1)
-      .withColumn("all_hits", expr(
-        "filter(sequence(1, size(toks)), i -> element_at(toks, i) = 'spark')"))
+      .withColumn("all_hits", expr(TextOps.spanPos("spark")))
       .withColumn("n_first", expr("size(filter(all_hits, i -> i <= 5))").cast("long"))
       .withColumn("n_clean", expr(
         """size(filter(all_hits,

@@ -352,10 +352,8 @@ object AnalyticsOps {
     import s.implicits._
     Tables.documents(s, d)
       .withColumn("toks", split($"text", " "))
-      .withColumn("keys",
-        expr("filter(sequence(1, size(toks)), x -> toks[x - 1] = 'key')"))
-      .withColumn("tbls",
-        expr("filter(sequence(1, size(toks)), x -> toks[x - 1] = 'table')"))
+      .withColumn("keys", expr(TextOps.spanPos("key")))
+      .withColumn("tbls", expr(TextOps.spanPos("table")))
       .withColumn("n_within", expr(
         "size(filter(keys, x -> exists(tbls, y -> x > y AND x <= y + 5)))"))
       .select($"doc_id", explode(expr(

@@ -327,10 +327,12 @@ object BucketOps {
     Tables.documents(s, d)
       .select($"doc_id", split($"text", " ").as("toks"))
       .filter(size($"toks") >= 1) // sequence(1, 0) would infer step -1
+      // slop-3 in-order = ordered position pairs within distance 4,
+      // over the shared spanPos extraction (the j169 intervals algebra)
       .withColumn("hits", expr(
-        """filter(sequence(1, size(toks)),
-          |  i -> element_at(toks, i) = 'spark'
-          |       AND size(filter(slice(toks, i + 1, 4), t -> t = 'join')) > 0)""".stripMargin))
+        s"""filter(${TextOps.spanPos("spark")},
+           |  i -> exists(${TextOps.spanPos("join")},
+           |    j -> j > i AND j - i <= 4))""".stripMargin))
       // match predicate as a generate, NOT a Filter: a pushed Filter
       // re-evaluates the span scan beside the Project (j145's lesson)
       .select($"doc_id", explode(expr(

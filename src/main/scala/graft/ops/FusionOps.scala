@@ -281,9 +281,9 @@ object FusionOps {
     Tables.documents(s, d)
       .withColumn("toks", split($"text", " "))
       .withColumn("inc",
-        expr("filter(sequence(1, size(toks)), x -> toks[x - 1] = 'spark')"))
+        expr(TextOps.spanPos("spark")))
       .withColumn("exc",
-        expr("filter(sequence(1, size(toks)), x -> toks[x - 1] = 'slow')"))
+        expr(TextOps.spanPos("slow")))
       .withColumn("n_kept", expr(
         "size(filter(inc, x -> !exists(exc, y -> abs(x - y) <= 2)))"))
       .select($"doc_id", explode(expr(

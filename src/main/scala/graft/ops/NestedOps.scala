@@ -209,11 +209,67 @@ object NestedOps {
       .orderBy($"user_id")
   }
 
+  // ---------- j169 intervals query ----------
+
+  /** j169_intervals_query — the ES `intervals` query, the modern
+    * composable superset of the classic span family:
+    * `any_of( all_of(ordered: [spark, join], max_gaps: 2),
+    *          all_of(unordered: [vector, dup], max_gaps: 1) )`.
+    * Both legs follow ES's MINIMAL-interval semantics, not raw pair
+    * counting: an ordered interval is anchored at each 'join' position
+    * `j` with its start the LAST 'spark' before `j` (Lucene's interval
+    * iterator yields exactly these non-redundant intervals), matching
+    * when the gap `j − i* − 1 ≤ max_gaps`; the unordered leg anchors at
+    * each 'dup' with any 'vector' within `|i−j| − 1 ≤ max_gaps`. Per
+    * matching doc: each leg's interval count and the first ordered
+    * interval's start (0 when only the unordered leg fires).
+    *
+    * Scale shape: all position algebra is row-local HOFs over
+    * [[graft.ops.TextOps.spanPos]] lists (the span family's shared
+    * extraction — j36/j84/j99/j125/j145/j159 are expressed over the
+    * same fragment as of r7); the match predicate is an
+    * `explode(filter(array(...)))` generate, never a pushed Filter
+    * (the r6 single-evaluation rule); zero exchanges before the
+    * presentation sort. */
+  def j169(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("pa", expr(TextOps.spanPos("spark")))
+      .withColumn("pb", expr(TextOps.spanPos("join")))
+      .withColumn("pv", expr(TextOps.spanPos("vector")))
+      .withColumn("pd", expr(TextOps.spanPos("dup")))
+      // array_max(empty) is NULL -> NULL predicate -> filter drops: the
+      // size() guard keeps the semantics explicit, not load-bearing
+      .withColumn("ord_hits", expr(
+        """filter(pb, j -> size(filter(pa, i -> i < j)) > 0
+          |  AND j - array_max(filter(pa, i -> i < j)) <= 3)""".stripMargin))
+      .withColumn("n_ordered", expr("CAST(size(ord_hits) AS BIGINT)"))
+      .withColumn("first_start", expr(
+        """CAST(CASE WHEN size(ord_hits) > 0 THEN
+          |  array_max(filter(pa, i -> i < element_at(ord_hits, 1)))
+          |ELSE 0 END AS BIGINT)""".stripMargin))
+      .withColumn("n_unordered", expr(
+        """CAST(size(filter(pd,
+          |  j -> exists(pv, i -> i != j AND abs(i - j) <= 2))) AS BIGINT)"""
+          .stripMargin))
+      .select($"doc_id", explode(expr(
+        """filter(array(named_struct(
+          |  'n_ordered', n_ordered, 'n_unordered', n_unordered,
+          |  'first_start', first_start)),
+          |  s -> s.n_ordered > 0 OR s.n_unordered > 0)""".stripMargin)).as("r"))
+      .select($"doc_id", $"r.n_ordered".as("n_ordered"),
+        $"r.n_unordered".as("n_unordered"),
+        $"r.first_start".as("first_start"))
+      .orderBy($"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j164_nested_query" -> j164,
     "j165_reverse_nested_agg" -> j165,
     "j167_terms_order_metric" -> j167,
-    "j168_eql_sequence" -> j168)
+    "j168_eql_sequence" -> j168,
+    "j169_intervals_query" -> j169)
 
   val oracle: Map[String, String] = Map(
     "j164_nested_query" ->
@@ -295,5 +351,33 @@ object NestedOps {
         |FROM val
         |QUALIFY row_number() OVER (PARTITION BY user_id
         |  ORDER BY t3 ASC, t1 DESC, t2 ASC) = 1
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin,
+    "j169_intervals_query" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM 'documents.parquet'),
+        |p AS (SELECT doc_id,
+        |        list_filter(generate_series(1, len(toks)),
+        |          x -> toks[x] = 'spark') AS pa,
+        |        list_filter(generate_series(1, len(toks)),
+        |          x -> toks[x] = 'join') AS pb,
+        |        list_filter(generate_series(1, len(toks)),
+        |          x -> toks[x] = 'vector') AS pv,
+        |        list_filter(generate_series(1, len(toks)),
+        |          x -> toks[x] = 'dup') AS pd
+        |      FROM t),
+        |k AS (SELECT doc_id, pa,
+        |        list_filter(pb, j ->
+        |          len(list_filter(pa, i -> i < j)) > 0
+        |          AND j - list_max(list_filter(pa, i -> i < j)) <= 3) AS oh,
+        |        len(list_filter(pd, j ->
+        |          len(list_filter(pv, i -> i != j AND abs(i - j) <= 2)) > 0))
+        |          AS nu
+        |      FROM p)
+        |SELECT doc_id, CAST(len(oh) AS BIGINT) AS n_ordered,
+        |       CAST(nu AS BIGINT) AS n_unordered,
+        |       CAST(CASE WHEN len(oh) > 0 THEN
+        |              list_max(list_filter(pa, i -> i < oh[1]))
+        |            ELSE 0 END AS BIGINT) AS first_start
+        |FROM k WHERE len(oh) > 0 OR nu > 0
+        |ORDER BY doc_id""".stripMargin)
 }

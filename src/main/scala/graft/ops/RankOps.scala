@@ -135,24 +135,23 @@ object RankOps {
     * range bounds) against Spark's sequence(a, b<a)-descends trap. */
   def j125(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // big span = ordered ('table', 'key') pair within distance 5; the
+    // little 'row' span must sit strictly inside — all three position
+    // lists come from the shared spanPos extraction (the j169 algebra)
     val nBig = expr(
-      """aggregate(transform(sequence(1, size(toks)), i ->
-        |  CASE WHEN element_at(toks, i) = 'table' AND i < size(toks) THEN
-        |    size(filter(sequence(i + 1, least(i + 5, size(toks))), j ->
-        |      element_at(toks, j) = 'key'))
-        |  ELSE 0 END), CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin)
+      """CAST(aggregate(transform(tbls, i ->
+        |  size(filter(keyps, j -> j > i AND j - i <= 5))),
+        |  0, (a, x) -> a + x) AS BIGINT)""".stripMargin)
     val nCont = expr(
-      """aggregate(transform(sequence(1, size(toks)), i ->
-        |  CASE WHEN element_at(toks, i) = 'table' AND i < size(toks) THEN
-        |    size(filter(sequence(i + 1, least(i + 5, size(toks))), j ->
-        |      element_at(toks, j) = 'key' AND
-        |      CASE WHEN j > i + 1 THEN
-        |        size(filter(sequence(i + 1, j - 1), k ->
-        |          element_at(toks, k) = 'row')) > 0
-        |      ELSE false END))
-        |  ELSE 0 END), CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin)
+      """CAST(aggregate(transform(tbls, i ->
+        |  size(filter(keyps, j -> j > i AND j - i <= 5
+        |    AND exists(rws, k -> k > i AND k < j)))),
+        |  0, (a, x) -> a + x) AS BIGINT)""".stripMargin)
     Tables.documents(s, d)
       .select($"doc_id", split($"text", " ").as("toks"))
+      .withColumn("tbls", expr(graft.ops.TextOps.spanPos("table")))
+      .withColumn("keyps", expr(graft.ops.TextOps.spanPos("key")))
+      .withColumn("rws", expr(graft.ops.TextOps.spanPos("row")))
       .select($"doc_id", nBig.as("n_big"), nCont.as("n_containing"))
       // match predicate as a generate, NOT a Filter: a deterministic
       // Filter on these computed columns is pushed to the scan, where it

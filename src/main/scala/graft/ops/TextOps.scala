@@ -44,6 +44,18 @@ object TextOps {
   private[graft] def shingle3(toksCol: String): String =
     s"concat(element_at($toksCol, i), ' ', element_at($toksCol, i + 1), ' ', element_at($toksCol, i + 2))"
 
+  /** Span-family position algebra — THE canonical position-list
+    * extraction shared by j36/j84/j99/j125/j145/j159 and the `intervals`
+    * query (j169): a SQL fragment evaluating to the ascending 1-based
+    * positions where `toksCol` equals `term`. Every span operator
+    * derives its matching from these lists with row-local HOF
+    * combinators (exists/filter over position pairs), so the position
+    * convention lives in exactly one place. Caller contract: the array
+    * must be non-empty (sequence(1, 0) DESCENDS in Spark — split("",
+    * " ") returns [""], so any split-of-text array qualifies). */
+  private[graft] def spanPos(term: String, toksCol: String = "toks"): String =
+    s"filter(sequence(1, size($toksCol)), i -> element_at($toksCol, i) = '$term')"
+
   private def shingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
@@ -578,9 +590,11 @@ object TextOps {
       // guard sequence(1, size-1) would be sequence(1, 0) = [1, 0] (Spark
       // infers step −1), making element_at(toks, 0) throw
       .filter(size($"toks") >= 2)
+      // adjacency = the ordered position pair with zero gap, expressed
+      // over the shared spanPos extraction (the j169 intervals algebra)
       .withColumn("n_matches", expr(
-        """size(filter(sequence(1, size(toks) - 1),
-          |  i -> element_at(toks, i) = 'hash' AND element_at(toks, i + 1) = 'join'))"""
+        s"""size(filter(${spanPos("hash")},
+           |  i -> i < size(toks) AND element_at(toks, i + 1) = 'join'))"""
           .stripMargin).cast("long"))
       // match predicate as a generate, NOT a Filter: a pushed Filter
       // re-evaluates the adjacency scan beside the Project (j145's lesson)

@@ -81,6 +81,7 @@ class PlanSpec extends AnyFunSuite {
       "j37_significant_terms", // 1-row totals onto the token stats
       "j38_mlt_search", // 1-row corpus count onto the source doc's terms
       "j45_sharded_terms_agg", // 1-row error-bound total onto the merge
+      "j167_terms_order_metric", // 1-row metric-error total onto the merge (j45's shape)
       "j46_rescore", // 1-row corpus stats onto the candidate window
       "j48_term_suggest", // 3-row input list onto the vocab aggregate (banded)
       "j51_bool_msm", // 1-row corpus stats onto the term-filtered tf
@@ -862,6 +863,54 @@ class PlanSpec extends AnyFunSuite {
     val agg = p.indexOf("HashAggregate", win)
     assert(win >= 0 && agg > win, p) // aggregate sits under the window
     assert(p.contains("TakeOrderedAndProject(limit=1"), p)
+  }
+
+  test("j164: nested predicate is row-local HOF over the item arrays — no pair explosion") {
+    val p = plan("j164_nested_query")
+    // the only exchanges are the construction groupBy + the order-keyed
+    // join; the nested qty/price predicate must NOT become an explode +
+    // self-join (pair explosion) or a pushed re-evaluating Filter
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Generate explode"), "nested predicate must stay inside the array: " + p)
+  }
+
+  test("j165: reverse_nested dedups parents via a keyed aggregate, not distinct-on-corpus") {
+    val p = plan("j165_reverse_nested_agg")
+    // two-level aggregation: (band, order) then band — both partial-combine
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j167: metric-ordered merge windows over the (shard, key) AGGREGATE, never the raw stream") {
+    val p = plan("j167_terms_order_metric")
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("shard")), p)
+    // the window's input is the per-shard aggregate: a HashAggregate must
+    // appear below the Window in the plan
+    val win = p.indexOf("Window [")
+    assert(p.indexOf("HashAggregate", win) > win, p)
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("j168: sequence step predicates push to the scans; all joins are user-keyed") {
+    val p = plan("j168_eql_sequence")
+    // each step's event_type predicate reaches the parquet scan
+    assert(p.contains("EqualTo(event_type,view)"), p)
+    assert(p.contains("EqualTo(event_type,purchase)"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the pick-one window partitions by the sequence key
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.forall(_.contains("user_id")), p)
+  }
+
+  test("j169: intervals position algebra is row-local — zero hash exchanges, no join") {
+    val p = plan("j169_intervals_query")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
   }
 
   test("whole-stage codegen covers the flagship plan") {
