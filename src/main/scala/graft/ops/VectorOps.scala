@@ -205,12 +205,101 @@ object VectorOps {
       .orderBy($"probe_id", $"rank")
   }
 
+  // ---------- j166 product quantization + ADC ----------
+
+  /** j166_pq_adc — Product Quantization (Jégou et al. 2011) with
+    * Asymmetric Distance Computation: the vector-compression layer a
+    * real 100 TB ANN deployment runs between IVF cell pruning (j20) and
+    * full-precision rescoring. M=16 sub-quantizers over 4-dim blocks,
+    * k=4 centroids each (64 dims → 16 bytes/vector at production k=256;
+    * k is fixture-sized so every centroid owns multiple members).
+    * Codebook training is j53's deterministic discipline: seeds = the 4
+    * smallest vec_ids' sub-vectors (code = seed id), ONE Lloyd
+    * refinement with sorted-fold per-dimension means, final assignment
+    * with (distance, code) tiebreak. Scoring: the query (the corpus's
+    * smallest vec_id — a deterministic audit probe) builds a 16×4 LUT
+    * of block L2² distances; each vector's ADC distance is the sum of
+    * its codes' LUT entries — 16 lookups instead of 64 multiplies.
+    * Output: ADC top-10 with the TRUE L2² and the per-vector
+    * reconstruction error beside it (the d3/j111 estimate-beside-exact
+    * discipline — rank inversions and the recon floor are visible, not
+    * assumed).
+    *
+    * Scale shape: the codebook (16·4 centroids × 4 dims) and LUT are
+    * tiny at ANY corpus size and ride broadcasts; both assignment
+    * passes and ADC scoring are per-row folds + a vec-keyed aggregate;
+    * the only corpus-wide exchanges are the (vec, block)-keyed argmin
+    * aggregates. Distance folds run in index order and cross-block sums
+    * are sorted folds, so both engines produce bit-identical doubles
+    * (the j83 IEEE rule). */
+  def j166(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val sub = e.select($"vec_id", explode(expr(
+      """transform(sequence(0, 15), b -> named_struct(
+        |  'block', CAST(b AS BIGINT),
+        |  'sub', transform(sequence(1, 4),
+        |    k -> CAST(element_at(embedding, 4 * b + k) AS DOUBLE))))"""
+        .stripMargin)).as("x"))
+      .select($"vec_id", $"x.block".as("block"), $"x.sub".as("sub"))
+    val sids = e.orderBy($"vec_id").limit(4).select($"vec_id".as("sid"))
+    val seeds = sub.join(broadcast(sids), $"vec_id" === $"sid")
+      .select($"block", $"sid".as("code"), $"sub".as("cv"))
+    val d2 = expr(
+      """aggregate(zip_with(sub, cv, (x, y) -> (x - y) * (x - y)),
+        |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin)
+    val asg1 = sub.join(broadcast(seeds), "block")
+      .withColumn("d2", d2)
+      .groupBy($"vec_id", $"block")
+      .agg(min(struct($"d2", $"code")).as("m"))
+      .select($"vec_id", $"block", $"m.code".as("code"))
+    val cent = asg1.join(sub, Seq("vec_id", "block"))
+      .select($"block", $"code", posexplode($"sub").as(Seq("pos", "v")))
+      .groupBy($"block", $"code", $"pos")
+      .agg((Parity.sortedFoldSum($"v") / count(lit(1))).as("m"))
+      .groupBy($"block", $"code")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)")
+        .as("cv"))
+    val codes = sub.join(broadcast(cent), "block")
+      .withColumn("d2", d2)
+      .groupBy($"vec_id", $"block")
+      .agg(min(struct($"d2", $"code")).as("m"))
+      .select($"vec_id", $"block", $"m.code".as("code"), $"m.d2".as("rd2"))
+    val qid = e.orderBy($"vec_id").limit(1)
+    val qsub = sub.join(broadcast(qid.select($"vec_id".as("qid"))),
+        $"vec_id" === $"qid")
+      .select($"block", $"sub".as("qv"))
+    val lut = cent.join(broadcast(qsub), "block")
+      .withColumn("l", expr(
+        """aggregate(zip_with(cv, qv, (x, y) -> (x - y) * (x - y)),
+          |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin))
+      .select($"block", $"code", $"l")
+    val adc = codes.join(broadcast(lut), Seq("block", "code"))
+      .groupBy($"vec_id")
+      .agg(Parity.sortedFoldSum($"l").as("adc_raw"),
+        Parity.sortedFoldSum($"rd2").as("recon_raw"))
+    val exact = e.crossJoin(broadcast(qid.select($"embedding".as("qe"))))
+      .withColumn("exact_raw", expr(
+        """aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (a, i) ->
+          |  a + (CAST(element_at(embedding, i) AS DOUBLE) -
+          |       CAST(element_at(qe, i) AS DOUBLE)) *
+          |      (CAST(element_at(embedding, i) AS DOUBLE) -
+          |       CAST(element_at(qe, i) AS DOUBLE)))""".stripMargin))
+      .select($"vec_id", $"exact_raw")
+    adc.join(exact, "vec_id")
+      .orderBy($"adc_raw".asc, $"vec_id".asc)
+      .limit(10)
+      .select($"vec_id", round($"adc_raw", 6).as("adc_d2"),
+        round($"exact_raw", 6).as("exact_d2"),
+        round($"recon_raw", 6).as("recon_d2"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j3_cosine_score" -> j3, "j4_topk_nn" -> j4, "j5_knn_per_label" -> j5,
     "j9_embedding_norm" -> j9, "j10_label_centroid" -> j10,
     "j11_multimodal_cols" -> j11,
     "j122_knn_prefilter" -> j122, "j123_maxsim" -> j123,
-    "j134_hard_negatives" -> j134)
+    "j134_hard_negatives" -> j134, "j166_pq_adc" -> j166)
 
   private val dotSelfSql =
     "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
@@ -297,5 +386,68 @@ object VectorOps {
         |         ORDER BY cos_pn DESC, vec_id ASC) AS BIGINT) AS rank
         |FROM cand
         |QUALIFY rank <= 2
-        |ORDER BY probe_id, rank""".stripMargin)
+        |ORDER BY probe_id, rank""".stripMargin,
+    "j166_pq_adc" ->
+      """WITH e AS (SELECT vec_id, embedding FROM 'embeddings.parquet'),
+        |sub AS (SELECT vec_id, x.block AS block, x.sub AS sub FROM (
+        |  SELECT vec_id, unnest(list_transform(generate_series(0, 15), b -> {
+        |    'block': CAST(b AS BIGINT),
+        |    'sub': list_transform(generate_series(1, 4),
+        |      k -> CAST(embedding[4 * b + k] AS DOUBLE))})) AS x
+        |  FROM e)),
+        |sids AS (SELECT vec_id AS sid FROM e ORDER BY vec_id LIMIT 4),
+        |seeds AS (SELECT s.block, d.sid AS code, s.sub AS cv
+        |          FROM sub s JOIN sids d ON s.vec_id = d.sid),
+        |a1 AS (SELECT s.vec_id, s.block, c.code,
+        |         list_sum(list_transform(generate_series(1, 4),
+        |           i -> (s.sub[i] - c.cv[i]) * (s.sub[i] - c.cv[i]))) AS d2
+        |       FROM sub s JOIN seeds c ON s.block = c.block),
+        |asg1 AS (SELECT vec_id, block, code FROM a1
+        |         QUALIFY row_number() OVER (PARTITION BY vec_id, block
+        |           ORDER BY d2, code) = 1),
+        |mem AS (SELECT block, code, u.pos AS pos, u.v AS v FROM (
+        |          SELECT a.block, a.code,
+        |            unnest(list_transform(generate_series(1, 4),
+        |              i -> {'pos': i, 'v': s.sub[i]})) AS u
+        |          FROM asg1 a JOIN sub s
+        |            ON a.vec_id = s.vec_id AND a.block = s.block)),
+        |cm AS (SELECT block, code, pos,
+        |         list_sum(list_sort(list(v))) / count(*) AS m
+        |       FROM mem GROUP BY 1, 2, 3),
+        |cent AS (SELECT block, code,
+        |           list_transform(list_sort(list({'p': pos, 'm': m})),
+        |             t -> t.m) AS cv
+        |         FROM cm GROUP BY 1, 2),
+        |a2 AS (SELECT s.vec_id, s.block, c.code,
+        |         list_sum(list_transform(generate_series(1, 4),
+        |           i -> (s.sub[i] - c.cv[i]) * (s.sub[i] - c.cv[i]))) AS d2
+        |       FROM sub s JOIN cent c ON s.block = c.block),
+        |codes AS (SELECT vec_id, block, code, d2 AS rd2 FROM a2
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id, block
+        |            ORDER BY d2, code) = 1),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM e
+        |      ORDER BY vec_id LIMIT 1),
+        |qsub AS (SELECT s.block, s.sub AS qv
+        |         FROM sub s JOIN q ON s.vec_id = q.qid),
+        |lut AS (SELECT c.block, c.code,
+        |          list_sum(list_transform(generate_series(1, 4),
+        |            i -> (c.cv[i] - u.qv[i]) * (c.cv[i] - u.qv[i]))) AS l
+        |        FROM cent c JOIN qsub u ON c.block = u.block),
+        |adc AS (SELECT k.vec_id, list_sum(list_sort(list(l))) AS adc_raw,
+        |          list_sum(list_sort(list(rd2))) AS recon_raw
+        |        FROM codes k JOIN lut
+        |          ON k.block = lut.block AND k.code = lut.code
+        |        GROUP BY 1),
+        |ex AS (SELECT e.vec_id,
+        |         list_sum(list_transform(generate_series(1, 64),
+        |           i -> (CAST(e.embedding[i] AS DOUBLE) -
+        |                 CAST(q.qe[i] AS DOUBLE)) *
+        |                (CAST(e.embedding[i] AS DOUBLE) -
+        |                 CAST(q.qe[i] AS DOUBLE)))) AS exact_raw
+        |       FROM e CROSS JOIN q)
+        |SELECT a.vec_id, round(adc_raw, 6) AS adc_d2,
+        |       round(exact_raw, 6) AS exact_d2,
+        |       round(recon_raw, 6) AS recon_d2
+        |FROM adc a JOIN ex ON a.vec_id = ex.vec_id
+        |ORDER BY a.adc_raw ASC, a.vec_id ASC LIMIT 10""".stripMargin)
 }

@@ -82,6 +82,7 @@ class PlanSpec extends AnyFunSuite {
       "j38_mlt_search", // 1-row corpus count onto the source doc's terms
       "j45_sharded_terms_agg", // 1-row error-bound total onto the merge
       "j167_terms_order_metric", // 1-row metric-error total onto the merge (j45's shape)
+      "j166_pq_adc", // 1-row query vector onto the corpus scan (j4's probe shape)
       "j46_rescore", // 1-row corpus stats onto the candidate window
       "j48_term_suggest", // 3-row input list onto the vocab aggregate (banded)
       "j51_bool_msm", // 1-row corpus stats onto the term-filtered tf
@@ -905,6 +906,16 @@ class PlanSpec extends AnyFunSuite {
     // the pick-one window partitions by the sequence key
     val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
     assert(winLines.forall(_.contains("user_id")), p)
+  }
+
+  test("j166: PQ codebook and LUT ride broadcasts — corpus side never shuffles for scoring") {
+    val p = plan("j166_pq_adc")
+    // seeds, refined centroids, LUT, and the query probe all join as
+    // broadcasts; the only corpus-keyed exchanges are the per-(vec, block)
+    // argmin aggregates and the final vec-keyed rescoring join
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
   }
 
   test("j169: intervals position algebra is row-local — zero hash exchanges, no join") {
