@@ -244,8 +244,10 @@ object AggExtOps {
     val vocab = Tables.documents(s, d)
       .select(explode(split($"text", " ")).as("token"))
       .groupBy($"token").agg(count(lit(1)).as("freq"))
-    val w = Window.orderBy($"freq".desc, $"token".asc) // vocab-bounded frame
-    val xy = vocab.withColumn("rank", row_number().over(w))
+    // rank via the banded two-pass prefix (Dist) — no single-partition
+    // window over the vocab frame, which at web-corpus scale is 10⁸⁺ rows
+    val xy = Dist.bandedPrefix(vocab, Dist.freqBands($"freq", $"token"),
+        Seq($"freq".desc, $"token".asc), Nil)
       .select(log($"rank".cast("double")).as("x"),
         log($"freq".cast("double")).as("y"))
     xy.agg(count(lit(1)).cast("double").as("n"),

@@ -268,11 +268,10 @@ object AnalyticsOps {
       .groupBy($"t").agg(count(lit(1)).as("cnt"))
     val stats = counts.agg(sum($"cnt").as("total"),
       count(lit(1)).as("n_types"))
-    val w = Window.orderBy($"cnt".desc, $"t".asc)
-    counts
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("cum", sum($"cnt").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // rank + running coverage via the banded two-pass prefix (Dist) —
+    // no single-partition window over the vocab frame
+    Dist.bandedPrefix(counts, Dist.freqBands($"cnt", $"t"),
+        Seq($"cnt".desc, $"t".asc), Seq("cum" -> $"cnt"))
       .crossJoin(broadcast(stats))
       .filter($"rank".isin(1L, 2L, 4L, 8L, 16L) || $"rank" === $"n_types")
       .select($"rank", $"t".as("token"), $"cnt", $"cum",
@@ -423,12 +422,12 @@ object AnalyticsOps {
     val byV = e.groupBy($"cents")
       .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("c1"),
         sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c2"))
-    val w = Window.orderBy($"cents".asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val n = byV.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
-    byV
-      .withColumn("cum1", sum($"c1").over(w))
-      .withColumn("cum2", sum($"c2").over(w))
+    // ECDF running counts via the banded two-pass prefix (Dist) — no
+    // single-partition window; bands are integer ten-dollar ranges of
+    // the cents domain (consistent with cents ASC by construction)
+    Dist.bandedPrefix(byV, Seq(expr("cents div 1000")), Seq($"cents".asc),
+        Seq("cum1" -> $"c1", "cum2" -> $"c2"))
       .crossJoin(broadcast(n))
       .withColumn("dv",
         abs($"cum1".cast("double") / $"n1" - $"cum2".cast("double") / $"n2"))

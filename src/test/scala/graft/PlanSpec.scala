@@ -577,12 +577,17 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
   }
 
-  test("j100: OLS moments run over the vocab AGGREGATE, never the token stream") {
+  test("j100: OLS moments run over the vocab AGGREGATE; rank is the banded two-pass prefix") {
     val p = plan("j100_zipf_fit")
     // token counts partial-combine before the vocab exchange; the rank
     // window and the moment folds then consume the (≪ corpus) aggregate
     assert(p.contains("partial_count"), p)
-    assert(!p.contains("Join"), p)
+    // no single-partition window over the vocab frame: the in-band
+    // window partitions by the _b* band columns, and the only join is
+    // the broadcast of the band-offset frame (#bands rows)
+    assert(p.contains("_b0"), "banded prefix structure missing: " + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("j103: the quartile row broadcasts back — the corpus never shuffle-joins") {
@@ -823,13 +828,16 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
 
-  test("j157: the rank window runs over the vocab AGGREGATE, never the token stream") {
+  test("j157: the rank window runs over the vocab AGGREGATE via the banded two-pass prefix") {
     val p = plan("j157_vocab_coverage")
     // the window's child must be the aggregated count frame: the plan has
     // a HashAggregate between the scan and the Window
     val win = p.indexOf("Window ")
-    val agg = p.indexOf("HashAggregate")
+    val agg = p.indexOf("HashAggregate", win)
     assert(win >= 0 && agg > win, p)
+    // and the vocab-frame window is band-partitioned (no single-partition
+    // window over the vocabulary — the r6 verdict's web-corpus hazard)
+    assert(p.contains("_b0"), "banded prefix structure missing: " + p)
   }
 
   test("j158: the band join is increment×corpus — the increment filter sits under the join") {
@@ -864,6 +872,9 @@ class PlanSpec extends AnyFunSuite {
     val agg = p.indexOf("HashAggregate", win)
     assert(win >= 0 && agg > win, p) // aggregate sits under the window
     assert(p.contains("TakeOrderedAndProject(limit=1"), p)
+    // cumulative counts come from the banded two-pass prefix — no
+    // single-partition window over the cents frame
+    assert(p.contains("_b0"), "banded prefix structure missing: " + p)
   }
 
   test("j164: nested predicate is row-local HOF over the item arrays — no pair explosion") {
