@@ -535,6 +535,100 @@ object AnalyticsOps {
         round($"delta", 6).as("delta"))
   }
 
+  // ---------- j170 moving z-score anomaly detection ----------
+
+  /** j170_moving_zscore — the classic series anomaly monitor (ES x-pack
+    * anomaly detection's simplest baseline, and what most alerting
+    * rules actually compute): each day's event count scored against the
+    * TRAILING 7-day window — mean and sample stddev from the exact
+    * integer sums Σx/Σx², the window EXCLUDING the day under test (a
+    * self-contaminated baseline shrinks every spike's score). Flags
+    * |z| > 1.5 — fixture-measured (j116 discipline): the synthetic
+    * series is stationary Poisson-ish noise, max |z| ≈ 1.9/2.9/2.9
+    * across the three SFs, so 1.5 exercises the flag path with 3–5
+    * flagged days; a production monitor would use 3.
+    *
+    * Parity: z is composed from integer window sums with the identical
+    * IEEE expression in both engines (the j83/j160 rule — never a
+    * streaming stddev_samp). Scale shape: the day frame is
+    * calendar-bounded (j58's argument), its trailing window 7 rows. */
+  def j170(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"day").rowsBetween(-7, -1)
+    BucketOps.dailyFrame(s, d)
+      .select($"day", $"total".as("cnt"))
+      .withColumn("n7", count($"cnt").over(w))
+      .withColumn("s7", sum($"cnt").over(w))
+      .withColumn("ss7", sum($"cnt" * $"cnt").over(w))
+      .filter($"n7" === 7)
+      .withColumn("mean7", $"s7".cast("double") / 7.0d)
+      .withColumn("sd7", sqrt(($"ss7".cast("double") -
+        $"s7".cast("double") * $"s7".cast("double") / 7.0d) / 6.0d))
+      .withColumn("z", ($"cnt".cast("double") - $"mean7") / $"sd7")
+      .select($"day", $"cnt", round($"mean7", 6).as("mean7"),
+        round($"sd7", 6).as("sd7"), round($"z", 6).as("z"),
+        (abs($"z") > 1.5d).as("anomaly"))
+      .orderBy($"day")
+  }
+
+  // ---------- j171 HyperLogLog cardinality sketch ----------
+
+  /** j171_hll_cardinality — ES `cardinality` aggregation's actual
+    * mechanism, audited: a HyperLogLog sketch (Flajolet 2007) with m=16
+    * registers — UNDERSIZED on purpose, the j32/j95 sketch discipline —
+    * beside the exact distinct count, per event type. Register index =
+    * the first md5 nibble of the user key; ρ = leading zero BITS of the
+    * remaining 120 bits + 1 (computed from the hex digits: zero-nibble
+    * run length ×4 plus the first non-zero nibble's 4−bitlen, all
+    * string/integer ops mirrored operator-for-operator in the oracle —
+    * the md5-nibble draw discipline). Estimate = α₁₆m²/Σ2^(−Mⱼ) with
+    * the small-range linear-counting correction (E ≤ 2.5m and empty
+    * registers present → m·ln(m/V)); both paths exercised across the
+    * SFs (15 users/type at sf0.001 leaves empty registers). The
+    * relative error column is the answer to "is m=16 enough here" —
+    * measured, not assumed.
+    *
+    * Scale shape: ONE map-combined (type, register) max-aggregate over
+    * the event stream — 16·|types| groups; the register→estimate fold
+    * runs on that bounded frame (2^(−Mⱼ) is a power of two, exact in
+    * IEEE, so the Σ is engine-identical after the sorted fold). This is
+    * THE bounded-state distinct counter: at 100 TB the exact
+    * countDistinct beside it is the expensive audit leg, the sketch is
+    * the production leg. */
+  def j171(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select($"event_type",
+        md5(concat(lit("u"), $"user_id".cast("string"))).as("h"))
+      .withColumn("reg",
+        (expr("instr('0123456789abcdef', substring(h, 1, 1))") - 1).cast("long"))
+      .withColumn("rest", expr("substring(h, 2, 30)"))
+      .withColumn("zn", length(regexp_extract($"rest", "^(0*)", 1)))
+      .withColumn("rho", when($"zn" === 30, lit(121L)).otherwise(
+        $"zn" * 4 +
+          (lit(5) - length(expr(
+            "bin(instr('0123456789abcdef', substring(rest, zn + 1, 1)) - 1)")))
+          .cast("long")))
+    val regs = e.groupBy($"event_type", $"reg").agg(max($"rho").as("m"))
+    val sk = regs.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_regs"),
+        Parity.sortedFoldSum(pow(lit(2.0d), -$"m".cast("double"))).as("s_present"))
+      .withColumn("v_zero", lit(16L) - $"n_regs")
+      .withColumn("s", $"s_present" + $"v_zero".cast("double"))
+      .withColumn("e_raw", lit(0.673d * 256.0d) / $"s")
+      .withColumn("e_est", when($"e_raw" <= 40.0d && $"v_zero" > 0,
+        lit(16.0d) * log(lit(16.0d) / $"v_zero".cast("double")))
+        .otherwise($"e_raw"))
+    val exact = Tables.events(s, d).groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_exact"))
+    sk.join(exact, "event_type")
+      .select($"event_type", $"n_exact", $"n_regs", $"v_zero",
+        round($"e_raw", 4).as("e_raw"), round($"e_est", 4).as("e_est"),
+        round(($"e_est" - $"n_exact".cast("double")) /
+          $"n_exact".cast("double"), 4).as("rel_err"))
+      .orderBy($"event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j151_stupid_backoff" -> j151, "j152_source_card" -> j152,
     "j153_event_funnel" -> j153, "j154_hourly_profile" -> j154,
@@ -542,7 +636,8 @@ object AnalyticsOps {
     "j157_vocab_coverage" -> j157, "j158_incremental_dedup" -> j158,
     "j159_span_within" -> j159, "j160_bucket_correlation" -> j160,
     "j161_ks_test" -> j161, "j162_drift_psi" -> j162,
-    "j163_change_point" -> j163)
+    "j163_change_point" -> j163,
+    "j170_moving_zscore" -> j170, "j171_hll_cardinality" -> j171)
 
   val oracle: Map[String, String] = Map(
     "j151_stupid_backoff" ->
@@ -816,5 +911,72 @@ object AnalyticsOps {
         |       round(CAST(n_events AS DOUBLE) /
         |             sum(n_events) OVER (PARTITION BY event_type), 6)
         |         AS type_share
-        |FROM a ORDER BY event_type, hour_utc""".stripMargin)
+        |FROM a ORDER BY event_type, hour_utc""".stripMargin,
+    "j170_moving_zscore" ->
+      """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |           FROM 'events.parquet'),
+        |bnd AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |spine AS (SELECT CAST(unnest(generate_series(
+        |            CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+        |            INTERVAL 1 DAY)) AS DATE) AS day FROM bnd),
+        |h AS (SELECT day, count(*) AS c FROM e GROUP BY 1),
+        |f AS (SELECT s.day, CAST(coalesce(h.c, 0) AS BIGINT) AS cnt
+        |      FROM spine s LEFT JOIN h ON s.day = h.day),
+        |w AS (SELECT day, cnt,
+        |        count(*) OVER win AS n7,
+        |        sum(cnt) OVER win AS s7,
+        |        sum(cnt * cnt) OVER win AS ss7
+        |      FROM f WINDOW win AS (ORDER BY day
+        |        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT day, cnt, CAST(s7 AS DOUBLE) / 7.0 AS mean7,
+        |        sqrt((CAST(ss7 AS DOUBLE) -
+        |              CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE) / 7.0) / 6.0)
+        |          AS sd7
+        |      FROM w WHERE n7 = 7)
+        |SELECT day, cnt, round(mean7, 6) AS mean7, round(sd7, 6) AS sd7,
+        |       round((CAST(cnt AS DOUBLE) - mean7) / sd7, 6) AS z,
+        |       abs((CAST(cnt AS DOUBLE) - mean7) / sd7) > 1.5 AS anomaly
+        |FROM z ORDER BY day""".stripMargin,
+    "j171_hll_cardinality" ->
+      """WITH e AS (SELECT event_type,
+        |             md5(concat('u', CAST(user_id AS VARCHAR))) AS h
+        |           FROM 'events.parquet'),
+        |r AS (SELECT event_type,
+        |        CAST(strpos('0123456789abcdef', substring(h, 1, 1)) - 1
+        |          AS BIGINT) AS reg,
+        |        substring(h, 2, 30) AS rest,
+        |        length(regexp_extract(substring(h, 2, 30), '^(0*)', 1)) AS zn
+        |      FROM e),
+        |rho AS (SELECT event_type, reg,
+        |          CASE WHEN zn = 30 THEN 121
+        |               ELSE zn * 4 + 5 - length(bin(
+        |                 strpos('0123456789abcdef',
+        |                   substring(rest, zn + 1, 1)) - 1))
+        |          END AS rho
+        |        FROM r),
+        |regs AS (SELECT event_type, reg, max(rho) AS m
+        |         FROM rho GROUP BY 1, 2),
+        |sk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_regs,
+        |         list_sum(list_sort(list(power(2.0, -CAST(m AS DOUBLE)))))
+        |           AS s_present
+        |       FROM regs GROUP BY 1),
+        |est AS (SELECT event_type, n_regs, 16 - n_regs AS v_zero,
+        |          0.673 * 256.0 / (s_present + CAST(16 - n_regs AS DOUBLE))
+        |            AS e_raw
+        |        FROM sk),
+        |fin AS (SELECT event_type, n_regs, CAST(v_zero AS BIGINT) AS v_zero,
+        |          e_raw,
+        |          CASE WHEN e_raw <= 40.0 AND v_zero > 0
+        |               THEN 16.0 * ln(16.0 / CAST(v_zero AS DOUBLE))
+        |               ELSE e_raw END AS e_est
+        |        FROM est),
+        |ex AS (SELECT event_type,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        |       FROM 'events.parquet' GROUP BY 1)
+        |SELECT f.event_type, ex.n_exact, f.n_regs, f.v_zero,
+        |       round(f.e_raw, 4) AS e_raw, round(f.e_est, 4) AS e_est,
+        |       round((f.e_est - CAST(ex.n_exact AS DOUBLE)) /
+        |             CAST(ex.n_exact AS DOUBLE), 4) AS rel_err
+        |FROM fin f JOIN ex ON f.event_type = ex.event_type
+        |ORDER BY f.event_type""".stripMargin)
 }

@@ -721,6 +721,76 @@ object Sync {
       }.toDF()
   }
 
+  case class SeqSt(done: Boolean, views: List[Long], clicks: List[Long],
+      errors: List[Long])
+  case class SeqMatch(user_id: Long, t1_us: Long, t2_us: Long, t3_us: Long,
+      span_s: Long)
+
+  /** j168 streaming form — EQL `sequence by user_id with maxspan [view]
+    * [click] [purchase] until [error]` as a live per-user NFA
+    * (flatMapGroupsWithState, Update mode). Unlike [[funnelStream]]'s
+    * greedy first-step machine, EQL's earliest-COMPLETION semantics
+    * needs candidate tracking: the state holds the user's view/click/
+    * error timestamps inside the trailing maxspan horizon (pruned every
+    * event — the state bound is events-per-maxspan-window, exactly the
+    * bound a real EQL engine carries). Each arriving purchase is tested
+    * against the candidates (some view with a click strictly between,
+    * span within maxspan, no error inside the open interval); the first
+    * purchase that completes emits the j168 row (latest start, then
+    * earliest middle — the batch tiebreak verbatim) and the user's
+    * machine parks. StreamingSpec replays the full fixture log and pins
+    * the emission set equal to batch j168 row for row.
+    *
+    * Ordering contract: intra-batch rows are sorted before folding;
+    * across batches the per-key feed must be event-time ordered (the
+    * funnelStream contract). */
+  def sequenceStream(events: DataFrame,
+      spanUs: Long = 21600000000L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type"), col("ts_us"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqSt, SeqMatch](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[FunnelEvent], state: GroupState[SeqSt]) =>
+          var st = state.getOption.getOrElse(SeqSt(false, Nil, Nil, Nil))
+          var out: Option[SeqMatch] = None
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
+            if (!st.done) {
+              e.event_type match {
+                case "view" => st = st.copy(views = e.ts_us :: st.views)
+                case "click" => st = st.copy(clicks = e.ts_us :: st.clicks)
+                case "error" => st = st.copy(errors = e.ts_us :: st.errors)
+                case "purchase" =>
+                  val p = e.ts_us
+                  val valid = st.views.filter(v => p - v <= spanUs &&
+                    st.clicks.exists(c => c > v && c < p) &&
+                    !st.errors.exists(te => te > v && te < p))
+                  if (valid.nonEmpty) {
+                    val t1 = valid.max
+                    val t2 = st.clicks.filter(c => c > t1 && c < p).min
+                    out = Some(SeqMatch(key, t1, t2, p, (p - t1) / 1000000L))
+                    st = SeqSt(done = true, Nil, Nil, Nil)
+                  }
+                case _ => ()
+              }
+              if (!st.done) {
+                // prune to the maxspan horizon: a candidate older than
+                // ts − maxspan can never satisfy p − v ≤ maxspan for any
+                // later purchase (bounded state at any stream length)
+                val h = e.ts_us - spanUs
+                st = st.copy(views = st.views.filter(_ >= h),
+                  clicks = st.clicks.filter(_ >= h),
+                  errors = st.errors.filter(_ >= h))
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }.toDF()
+  }
+
   /** Streaming twin of i13 — CONTINUOUS reconciliation: each change
     * arriving on the source feed is checked against the replica snapshot
     * and emitted with its divergence class, instead of waiting for the

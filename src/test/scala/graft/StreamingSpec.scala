@@ -726,6 +726,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming EQL sequence emits exactly the batch j168 rows (maxspan + until across batches)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.eventsUs(spark, TestSpark.sf001)
+      .select($"user_id", $"event_type", $"ts_us")
+      .orderBy($"ts_us")
+      .as[Sync.FunnelEvent].collect()
+    val batch = SparkEntry.queries("j168_eql_sequence")(spark, TestSpark.sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+    val mem = MemoryStream[Sync.FunnelEvent]
+    val q = Sync.sequenceStream(mem.toDF())
+      .writeStream.format("memory").queryName("seq_out")
+      .outputMode("update").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 3)).foreach { chunk =>
+        mem.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      // a completed user emits exactly ONE row — the set, not just the
+      // last emission, must equal the batch result
+      val got = spark.table("seq_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .sortBy(_._1)
+      assert(got.toSeq === batch.toSeq)
+      assert(got.nonEmpty) // 10 completing users at sf0.01 — not vacuous
+    } finally q.stop()
+  }
+
   test("a5: parquet directory consumed as an unbounded stream") {
     val spark = TestSpark.spark
     import spark.implicits._

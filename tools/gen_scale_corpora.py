@@ -18,7 +18,7 @@ import duckdb
 out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale"
 src = "/root/testdata/sf0.1/documents.parquet"
 con = duckdb.connect()
-for name, copies in [("x1", 1), ("x2", 2), ("x4", 4)]:
+for name, copies in [("x1", 1), ("x2", 2), ("x4", 4), ("x10", 10)]:
     d = os.path.join(out, name)
     os.makedirs(d, exist_ok=True)
     selects = []
