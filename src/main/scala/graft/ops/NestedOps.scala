@@ -264,12 +264,47 @@ object NestedOps {
       .orderBy($"doc_id")
   }
 
+  // ---------- j173 span_or + span_multi ----------
+
+  /** j173_span_or_multi — ES `span_or` over a `span_multi` leg: the
+    * union of a multi-term expansion (every token with prefix 'sp' —
+    * Lucene rewrites the wildcard into a term disjunction before span
+    * matching) and the exact term 'key'. Per matching doc: each leg's
+    * occurrence count, the union count (distinct positions — a token
+    * can't match both legs here, but the union dedups by contract), and
+    * the first matching position.
+    *
+    * Scale shape: the span family's row-local discipline over the
+    * shared [[graft.ops.TextOps.spanPos]]/`spanPosPrefix` extractions;
+    * match predicate is a generate; zero exchanges before the
+    * presentation sort. */
+  def j173(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("psp", expr(TextOps.spanPosPrefix("sp")))
+      .withColumn("pk", expr(TextOps.spanPos("key")))
+      .withColumn("pu", expr("array_sort(array_union(psp, pk))"))
+      .select($"doc_id", explode(expr(
+        """filter(array(named_struct(
+          |  'n_prefix', CAST(size(psp) AS BIGINT),
+          |  'n_key', CAST(size(pk) AS BIGINT),
+          |  'n_or', CAST(size(pu) AS BIGINT),
+          |  'first_pos', CAST(if(size(pu) > 0, element_at(pu, 1), 0) AS BIGINT))),
+          |  s -> s.n_or > 0)""".stripMargin)).as("r"))
+      .select($"doc_id", $"r.n_prefix".as("n_prefix"),
+        $"r.n_key".as("n_key"), $"r.n_or".as("n_or"),
+        $"r.first_pos".as("first_pos"))
+      .orderBy($"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j164_nested_query" -> j164,
     "j165_reverse_nested_agg" -> j165,
     "j167_terms_order_metric" -> j167,
     "j168_eql_sequence" -> j168,
-    "j169_intervals_query" -> j169)
+    "j169_intervals_query" -> j169,
+    "j173_span_or_multi" -> j173)
 
   val oracle: Map[String, String] = Map(
     "j164_nested_query" ->
@@ -379,5 +414,23 @@ object NestedOps {
         |              list_max(list_filter(pa, i -> i < oh[1]))
         |            ELSE 0 END AS BIGINT) AS first_start
         |FROM k WHERE len(oh) > 0 OR nu > 0
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "j173_span_or_multi" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM 'documents.parquet'),
+        |p AS (SELECT doc_id,
+        |        list_filter(generate_series(1, len(toks)),
+        |          x -> starts_with(toks[x], 'sp')) AS psp,
+        |        list_filter(generate_series(1, len(toks)),
+        |          x -> toks[x] = 'key') AS pk
+        |      FROM t),
+        |k AS (SELECT doc_id, psp, pk,
+        |        list_sort(list_distinct(list_concat(psp, pk))) AS pu
+        |      FROM p)
+        |SELECT doc_id, CAST(len(psp) AS BIGINT) AS n_prefix,
+        |       CAST(len(pk) AS BIGINT) AS n_key,
+        |       CAST(len(pu) AS BIGINT) AS n_or,
+        |       CAST(CASE WHEN len(pu) > 0 THEN pu[1] ELSE 0 END AS BIGINT)
+        |         AS first_pos
+        |FROM k WHERE len(pu) > 0 ORDER BY doc_id""".stripMargin)
 }

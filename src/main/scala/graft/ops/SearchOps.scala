@@ -779,6 +779,100 @@ object SearchOps {
       .orderBy($"range_key")
   }
 
+  /** Mini Lucene `query_string` parser (j172) — the full-syntax surface
+    * beside j120's simple_query_string: explicit AND/OR/NOT with
+    * NOT > AND > OR precedence, parentheses, `field:term`, trailing-`*`
+    * prefix terms, and quoted phrases on the default `text` field. The
+    * parse happens at PLAN BUILD time (the query is a constant): the
+    * AST compiles to one boolean Column, so the executed plan is a plain
+    * pushable filter — parsing never runs per row, exactly as ES parses
+    * once at the coordinator. Unfielded bare terms hit the default
+    * field as whole-token matches; phrases use the space-delimited
+    * adjacency trick (tokens are single-space separated by fixture
+    * contract, so ' a b ' containment IS the 2-token phrase match). */
+  private[graft] object QueryString {
+    sealed trait Node
+    case class Clause(field: Option[String], value: String,
+        prefix: Boolean, phrase: Boolean) extends Node
+    case class Not(n: Node) extends Node
+    case class And(l: Node, r: Node) extends Node
+    case class Or(l: Node, r: Node) extends Node
+
+    def parse(q: String): Node = {
+      val toks = """\(|\)|"[^"]*"|[^\s()]+""".r.findAllIn(q).toList
+      var rest = toks
+      def peek = rest.headOption
+      def eat(): String = { val h = rest.head; rest = rest.tail; h }
+      def primary(): Node = eat() match {
+        case "(" =>
+          val n = or()
+          require(eat() == ")", s"expected ) in: $q")
+          n
+        case "NOT" => Not(primary())
+        case t if t.startsWith("\"") =>
+          Clause(None, t.stripPrefix("\"").stripSuffix("\""),
+            prefix = false, phrase = true)
+        case t =>
+          val (f, v) = t.indexOf(':') match {
+            case -1 => (None, t)
+            case i => (Some(t.take(i)), t.drop(i + 1))
+          }
+          if (v.endsWith("*"))
+            Clause(f, v.dropRight(1), prefix = true, phrase = false)
+          else Clause(f, v, prefix = false, phrase = false)
+      }
+      def and(): Node = {
+        var n = primary()
+        while (peek.contains("AND")) { eat(); n = And(n, primary()) }
+        n
+      }
+      def or(): Node = {
+        var n = and()
+        while (peek.contains("OR")) { eat(); n = Or(n, and()) }
+        n
+      }
+      val n = or()
+      require(rest.isEmpty, s"trailing tokens in: $q")
+      n
+    }
+
+    def compile(n: Node): org.apache.spark.sql.Column = n match {
+      case Clause(None, v, false, true) =>
+        concat(lit(" "), col("text"), lit(" ")).contains(s" $v ")
+      case Clause(None, v, false, false) =>
+        array_contains(split(col("text"), " "), v)
+      case Clause(None, v, true, _) =>
+        exists(split(col("text"), " "), t => t.startsWith(v))
+      case Clause(Some(f), v, true, _) => col(f).startsWith(v)
+      case Clause(Some(f), v, _, _) => col(f) === v
+      case Not(x) => !compile(x)
+      case And(l, r) => compile(l) && compile(r)
+      case Or(l, r) => compile(l) || compile(r)
+    }
+  }
+
+  /** j172_query_string — the ES `query_string` query (full Lucene
+    * syntax) for `("spark join" OR dup) AND lang:en AND NOT
+    * source:src1*`: a quoted default-field phrase, a bare term, a
+    * fielded keyword equality, a NOT-negated trailing-wildcard (which
+    * prunes src1 AND src10–src19 — the prefix semantics users actually
+    * get bitten by), under explicit precedence and parentheses —
+    * parsed by [[QueryString]] into one Column.
+    *
+    * Scale shape: the compiled predicate is a single conjunctive filter
+    * over one scan — the keyword legs (lang/source) are
+    * pushdown-eligible comparisons, the text legs row-local; no joins,
+    * no shuffles before the presentation sort. */
+  def j172(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pred = QueryString.compile(QueryString.parse(
+      """("spark join" OR dup) AND lang:en AND NOT source:src1*"""))
+    Tables.documents(s, d)
+      .filter(pred)
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j67_percentile_ranks" -> j67, "j68_mad" -> j68, "j69_boxplot" -> j69,
     "j70_boosting_query" -> j70, "j71_extended_stats" -> j71,
@@ -792,9 +886,16 @@ object SearchOps {
     "j42_decay_rank" -> j42, "j43_percolate" -> j43,
     "j44_composite_agg" -> j44, "j45_sharded_terms_agg" -> j45,
     "j46_rescore" -> j46, "j47_date_histogram" -> j47,
-    "j48_term_suggest" -> j48, "j51_bool_msm" -> j51)
+    "j48_term_suggest" -> j48, "j51_bool_msm" -> j51,
+    "j172_query_string" -> j172)
 
   val oracle: Map[String, String] = Map(
+    "j172_query_string" ->
+      """SELECT doc_id, lang, source FROM 'documents.parquet'
+        |WHERE ((contains(' ' || text || ' ', ' spark join ')
+        |        OR list_contains(string_split(text, ' '), 'dup'))
+        |  AND lang = 'en' AND NOT starts_with(source, 'src1'))
+        |ORDER BY doc_id""".stripMargin,
     "j71_extended_stats" ->
       """WITH a AS (SELECT l_returnflag, count(*) AS n,
         |             min(l_quantity) AS min_q, max(l_quantity) AS max_q,

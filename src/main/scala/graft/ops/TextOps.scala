@@ -56,6 +56,12 @@ object TextOps {
   private[graft] def spanPos(term: String, toksCol: String = "toks"): String =
     s"filter(sequence(1, size($toksCol)), i -> element_at($toksCol, i) = '$term')"
 
+  /** [[spanPos]]'s multi-term-expansion sibling (span_multi / j173):
+    * positions of every token with the given PREFIX — the row-local
+    * analog of Lucene's rewritten term disjunction. */
+  private[graft] def spanPosPrefix(prefix: String, toksCol: String = "toks"): String =
+    s"filter(sequence(1, size($toksCol)), i -> startswith(element_at($toksCol, i), '$prefix'))"
+
   private def shingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)

@@ -110,4 +110,31 @@ class SearchOpsSpec extends AnyFunSuite {
       assert(r.getLong(0) !== 1L, "MLT returned its own source doc")
     }
   }
+
+  test("j172: query_string parser — precedence, parens, phrase, prefix, NOT") {
+    import graft.ops.SearchOps.QueryString._
+    // NOT binds tighter than AND, AND tighter than OR
+    assert(parse("a OR b AND NOT c") ===
+      Or(Clause(None, "a", false, false),
+        And(Clause(None, "b", false, false),
+          Not(Clause(None, "c", false, false)))))
+    // parens override; fielded, prefix, and phrase clauses parse
+    assert(parse("""(lang:en OR source:src1*) AND "x y"""") ===
+      And(Or(Clause(Some("lang"), "en", false, false),
+        Clause(Some("source"), "src1", true, false)),
+        Clause(None, "x y", false, true)))
+    // compiled semantics on a tiny frame: phrase is adjacency, bare term
+    // is whole-token, NOT prefix excludes the whole family
+    val df = Seq(
+      (1L, "spark join fast", "en", "src1"),
+      (2L, "join spark", "en", "src19"),
+      (3L, "spark join", "de", "src2"),
+      (4L, "dup row", "en", "src2"),
+      (5L, "dupx row", "en", "src2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val pred = compile(parse(
+      """("spark join" OR dup) AND lang:en AND NOT source:src1*"""))
+    assert(df.filter(pred).select($"doc_id").as[Long].collect().sorted
+      === Array(4L)) // 1/2 killed by src1*, 3 by lang, 5 is not token 'dup'
+  }
 }
