@@ -321,6 +321,33 @@ object AggExtOps {
       .orderBy($"day")
   }
 
+  /** j175_moving_ewma — ES `moving_fn: MovingFunctions.ewma` (and every
+    * alerting smoother): exponentially weighted moving average of the
+    * daily purchase series, α = 0.3, over the full prefix (ES's ewma
+    * seeds s₁ = x₁ and folds sₜ = αxₜ + (1−α)sₜ₋₁ — evaluated here as
+    * EXACTLY that left fold over the windowed prefix list, in day
+    * order, in both engines: no closed-form powers, no libm pow, so the
+    * doubles are bit-identical before rounding).
+    *
+    * Scale shape: j102's argument — the unpartitioned window is bounded
+    * by calendar days; the per-row fold is O(days) on that bounded
+    * frame (ES evaluates the same recurrence per bucket). */
+  def j175(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    BucketOps.dailyFrame(s, d)
+      .select($"day", $"purchases".as("doc_count"))
+      .withColumn("arr", collect_list($"doc_count".cast("double")).over(w))
+      .withColumn("ewma", round(expr(
+        """aggregate(slice(arr, 2, size(arr) - 1),
+          |  CAST(element_at(arr, 1) AS DOUBLE),
+          |  (s, x) -> CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * s)"""
+          .stripMargin), 6))
+      .select($"day", $"doc_count", $"ewma")
+      .orderBy($"day")
+  }
+
   /** j103_variable_width_histogram — ES `variable_width_histogram`: data-
     * driven bucket boundaries instead of a fixed interval. ES streams a
     * one-pass clustering; the deterministic shuffle-engine equivalent is
@@ -612,7 +639,7 @@ object AggExtOps {
     "j96_categorize_text" -> j96, "j97_distance_feature" -> j97,
     "j98_rank_feature" -> j98, "j99_span_first" -> j99,
     "j100_zipf_fit" -> j100, "j101_length_buckets" -> j101,
-    "j102_moving_percentiles" -> j102,
+    "j102_moving_percentiles" -> j102, "j175_moving_ewma" -> j175,
     "j103_variable_width_histogram" -> j103)
 
   /** The j58 parent frame restated for the oracles that consume it —
@@ -936,6 +963,17 @@ object AggExtOps {
          |         ELSE (arr[CAST(len(arr) / 2 AS INTEGER)] +
          |               arr[CAST(len(arr) / 2 AS INTEGER) + 1]) / 2.0 END, 6)
          |         AS moving_med7
+         |FROM w ORDER BY day""".stripMargin,
+    "j175_moving_ewma" ->
+      s"""WITH $dailySql,
+         |w AS (SELECT day, doc_count,
+         |        list(CAST(doc_count AS DOUBLE)) OVER (ORDER BY day
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS arr
+         |      FROM b)
+         |SELECT day, CAST(doc_count AS BIGINT) AS doc_count,
+         |       round(list_reduce(arr,
+         |         (s, x) -> CAST(0.3 AS DOUBLE) * x +
+         |                   CAST(0.7 AS DOUBLE) * s), 6) AS ewma
          |FROM w ORDER BY day""".stripMargin,
     "j103_variable_width_histogram" ->
       """WITH e AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents

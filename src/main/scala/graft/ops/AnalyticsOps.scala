@@ -629,6 +629,87 @@ object AnalyticsOps {
       .orderBy($"event_type")
   }
 
+  // ---------- j174 batch sessionization ----------
+
+  /** j174_sessionize — gap-based sessionization, the batch twin of the
+    * i8 streaming sessionizer and the precursor of every session-level
+    * metric (j142's cohorts, j153's funnels): a user's events split into
+    * sessions at inactivity gaps > 30 min; per session — ordinal, event
+    * count, start/end, duration, purchases. The 30-min gap is the
+    * industry default; the fixture's inter-arrival spread (j146) makes
+    * it bind.
+    *
+    * Determinism: events are ordered (ts, type, id) so same-timestamp
+    * ties can't flip the lag; the gap flag is order-insensitive within a
+    * tie (gap 0 ⇒ same session either way), but the PIN is structural.
+    *
+    * Scale shape: ONE user-keyed exchange carries everything — the lag
+    * window, the running session counter, and the (user, session)
+    * aggregate are all partitioned by user_id and co-partition (the
+    * j146 shared-exchange discipline). No global windows, no joins. */
+  def j174(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gapUs = 1800000000L // 30 min
+    val wU = Window.partitionBy($"user_id")
+      .orderBy($"ts_us".asc, $"event_type".asc, $"event_id".asc)
+    Tables.eventsUs(s, d)
+      .select($"user_id", $"event_id", $"event_type", $"ts_us")
+      .withColumn("gap_us", $"ts_us" - lag($"ts_us", 1).over(wU))
+      .withColumn("new_s",
+        when($"gap_us".isNull || $"gap_us" > gapUs, 1L).otherwise(0L))
+      .withColumn("session", sum($"new_s").over(
+        wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts_us").as("start_us"), max($"ts_us").as("end_us"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+      .select($"user_id", $"session", $"n_events", $"start_us", $"end_us",
+        expr("(end_us - start_us) div 1000000").as("duration_s"),
+        $"n_purchases")
+      .orderBy($"user_id", $"session")
+  }
+
+  // ---------- j176 graph explore ----------
+
+  /** j176_graph_explore — the ES x-pack Graph `_explore` API: breadth-
+    * first expansion over the term co-occurrence graph. Seed 'spark' →
+    * hop 1: its top-5 co-occurring terms (document-level co-occurrence
+    * count, term tiebreak); hop 2: each hop-1 vertex's top-3 neighbors,
+    * EXCLUDING all already-discovered vertices (the API's dedup rule).
+    * Output: the explored edges (hop, from, to, cooc).
+    *
+    * Scale shape: BFS over an implicit graph, the way it must run on a
+    * shuffle engine — each hop's frontier is a tiny broadcast; edge
+    * formation is a doc-keyed join RESTRICTED to frontier-containing
+    * documents (never all-pairs co-occurrence); per-vertex cuts are
+    * windows over the (vertex, term) AGGREGATE. Hop count is the loop
+    * bound, frontier size the broadcast bound — exactly how graph
+    * exploration composes with Catalyst. */
+  def j176(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val seed = "spark"
+    val dt = Tables.documents(s, d)
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("t"))
+    val h1 = dt.filter($"t" === seed).select($"doc_id")
+      .join(dt, "doc_id").filter($"t" =!= seed)
+      .groupBy($"t").agg(count(lit(1)).as("cooc"))
+      .orderBy($"cooc".desc, $"t".asc).limit(5)
+    val frontier = h1.select($"t".as("v"))
+    val seen = frontier.union(Seq(seed).toDF("v"))
+    val wV = Window.partitionBy($"v").orderBy($"cooc".desc, $"t".asc)
+    val h2 = dt.join(broadcast(frontier), $"t" === $"v").select($"doc_id", $"v")
+      .join(dt, "doc_id").filter($"t" =!= $"v")
+      .join(broadcast(seen.select($"v".as("sv"))), $"t" === $"sv", "left_anti")
+      .groupBy($"v", $"t").agg(count(lit(1)).as("cooc"))
+      .withColumn("rn", row_number().over(wV)).filter($"rn" <= 3)
+    h1.select(lit(1L).as("hop"), lit(seed).as("from_t"),
+        $"t".as("to_t"), $"cooc")
+      .unionByName(h2.select(lit(2L).as("hop"), $"v".as("from_t"),
+        $"t".as("to_t"), $"cooc"))
+      .orderBy($"hop", $"from_t", $"cooc".desc, $"to_t".asc)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j151_stupid_backoff" -> j151, "j152_source_card" -> j152,
     "j153_event_funnel" -> j153, "j154_hourly_profile" -> j154,
@@ -637,7 +718,8 @@ object AnalyticsOps {
     "j159_span_within" -> j159, "j160_bucket_correlation" -> j160,
     "j161_ks_test" -> j161, "j162_drift_psi" -> j162,
     "j163_change_point" -> j163,
-    "j170_moving_zscore" -> j170, "j171_hll_cardinality" -> j171)
+    "j170_moving_zscore" -> j170, "j171_hll_cardinality" -> j171,
+    "j174_sessionize" -> j174, "j176_graph_explore" -> j176)
 
   val oracle: Map[String, String] = Map(
     "j151_stupid_backoff" ->
@@ -978,5 +1060,48 @@ object AnalyticsOps {
         |       round((f.e_est - CAST(ex.n_exact AS DOUBLE)) /
         |             CAST(ex.n_exact AS DOUBLE), 4) AS rel_err
         |FROM fin f JOIN ex ON f.event_type = ex.event_type
-        |ORDER BY f.event_type""".stripMargin)
+        |ORDER BY f.event_type""".stripMargin,
+    "j174_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |           FROM 'events.parquet'),
+        |g AS (SELECT *, ts_us - lag(ts_us) OVER w AS gap_us FROM e
+        |      WINDOW w AS (PARTITION BY user_id
+        |        ORDER BY ts_us, event_type, event_id)),
+        |f AS (SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+        |                     THEN 1 ELSE 0 END AS new_s FROM g),
+        |c AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_type, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session FROM f)
+        |SELECT user_id, CAST(session AS BIGINT) AS session,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |       (max(ts_us) - min(ts_us)) // 1000000 AS duration_s,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_purchases
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "j176_graph_explore" ->
+      """WITH dt AS (SELECT doc_id,
+        |              unnest(list_distinct(string_split(text, ' '))) AS t
+        |            FROM 'documents.parquet'),
+        |sd AS (SELECT doc_id FROM dt WHERE t = 'spark'),
+        |h1 AS (SELECT dt.t, CAST(count(*) AS BIGINT) AS cooc
+        |       FROM sd JOIN dt USING (doc_id)
+        |       WHERE dt.t <> 'spark' GROUP BY 1
+        |       ORDER BY cooc DESC, t ASC LIMIT 5),
+        |seen AS (SELECT t AS v FROM h1 UNION ALL SELECT 'spark'),
+        |fd AS (SELECT dt.doc_id, h1.t AS v FROM dt JOIN h1 ON dt.t = h1.t),
+        |h2 AS (SELECT * FROM (
+        |         SELECT fd.v, dt.t, CAST(count(*) AS BIGINT) AS cooc
+        |         FROM fd JOIN dt ON fd.doc_id = dt.doc_id
+        |         WHERE dt.t <> fd.v
+        |           AND dt.t NOT IN (SELECT v FROM seen)
+        |         GROUP BY 1, 2)
+        |       QUALIFY row_number() OVER (PARTITION BY v
+        |         ORDER BY cooc DESC, t ASC) <= 3)
+        |SELECT CAST(1 AS BIGINT) AS hop, 'spark' AS from_t, t AS to_t, cooc
+        |FROM h1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), v, t, cooc FROM h2
+        |ORDER BY hop, from_t, cooc DESC, to_t ASC""".stripMargin)
 }
