@@ -710,6 +710,81 @@ object AnalyticsOps {
       .orderBy($"hop", $"from_t", $"cooc".desc, $"to_t".asc)
   }
 
+  // ---------- j178 day-of-week seasonality profile ----------
+
+  /** j178_dow_seasonality — the diurnal/weekly decomposition every
+    * anomaly detector (x-pack's "multi-bucket" modeling) conditions on:
+    * the daily event-count series profiled by day of week — per dow the
+    * day count, total events, mean, and the deviation from the global
+    * daily mean. A flat profile (this synthetic fixture) means j170's
+    * unconditional z-score is the right monitor; a real weekday/weekend
+    * corpus would show it immediately, and the residual (cnt − dow
+    * mean) is what j170 would then score. Day-of-week from pure integer
+    * arithmetic — (days since 1970-01-01 + 4) mod 7, 0 = Monday — no
+    * calendar/locale functions (the j64/j97 epoch discipline).
+    *
+    * Parity: means are one double division from exact integer sums
+    * (j83 rule). Scale shape: the day frame is calendar-bounded; the
+    * dow aggregate has ≤7 groups; the global mean is a 1-row
+    * broadcast. */
+  def j178(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val f = BucketOps.dailyFrame(s, d)
+      .withColumn("dow",
+        (datediff($"day", lit("1970-01-01").cast("date")) + 4) % 7)
+    val g = f.agg(sum($"total").as("gt"), count(lit(1)).as("gn"))
+    f.groupBy($"dow")
+      .agg(count(lit(1)).as("n_days"), sum($"total").as("cnt_total"))
+      .crossJoin(broadcast(g))
+      .select($"dow".cast("long").as("dow"), $"n_days", $"cnt_total",
+        round($"cnt_total".cast("double") / $"n_days".cast("double"), 6)
+          .as("mean_cnt"),
+        round($"cnt_total".cast("double") / $"n_days".cast("double") -
+          $"gt".cast("double") / $"gn".cast("double"), 6).as("dev_from_global"))
+      .orderBy($"dow")
+  }
+
+  // ---------- j180 Holt linear-trend forecast ----------
+
+  /** j180_holt_forecast — Holt's linear-trend double exponential
+    * smoothing (the `holt` model of ES `moving_fn` and the core of
+    * x-pack forecasting): level/trend recurrences lₜ = αxₜ +
+    * (1−α)(lₜ₋₁+bₜ₋₁), bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁ with the standard
+    * init l₁=x₁, b₁=x₂−x₁, α=0.5 β=0.3, folded over the daily purchase
+    * series IN DAY ORDER as the identical struct-accumulator left fold
+    * in both engines (j175's no-closed-form rule — coupled recurrences
+    * have no pow-free closed form at all, so the fold IS the only
+    * parity-safe evaluation). Output: the final level/trend and the
+    * h = 1..3 day-ahead forecasts ŷ = l + h·b.
+    *
+    * Scale shape: the series is the calendar-bounded day frame reduced
+    * to ONE row (sorted collect — bounded by days, not data); the fold
+    * and forecasts are row-local arithmetic on it. */
+  def j180(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val series = BucketOps.dailyFrame(s, d)
+      .agg(expr(
+        """transform(array_sort(collect_list(struct(day, purchases))),
+          |  t -> CAST(t.purchases AS DOUBLE))""".stripMargin).as("xs"))
+    val folded = series.withColumn("st", expr(
+      """aggregate(slice(xs, 3, size(xs) - 2),
+        |  named_struct('l', element_at(xs, 1),
+        |    'b', element_at(xs, 2) - element_at(xs, 1)),
+        |  (s, x) -> named_struct(
+        |    'l', CAST(0.5 AS DOUBLE) * x +
+        |         CAST(0.5 AS DOUBLE) * (s.l + s.b),
+        |    'b', CAST(0.3 AS DOUBLE) *
+        |           ((CAST(0.5 AS DOUBLE) * x +
+        |             CAST(0.5 AS DOUBLE) * (s.l + s.b)) - s.l) +
+        |         CAST(0.7 AS DOUBLE) * s.b))""".stripMargin))
+    folded.select(explode(expr("sequence(1, 3)")).as("h"),
+        $"st.l".as("l"), $"st.b".as("b"))
+      .select($"h".cast("long").as("h"),
+        round($"l", 6).as("level"), round($"b", 6).as("trend"),
+        round($"l" + $"h" * $"b", 6).as("forecast"))
+      .orderBy($"h")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j151_stupid_backoff" -> j151, "j152_source_card" -> j152,
     "j153_event_funnel" -> j153, "j154_hourly_profile" -> j154,
@@ -719,7 +794,8 @@ object AnalyticsOps {
     "j161_ks_test" -> j161, "j162_drift_psi" -> j162,
     "j163_change_point" -> j163,
     "j170_moving_zscore" -> j170, "j171_hll_cardinality" -> j171,
-    "j174_sessionize" -> j174, "j176_graph_explore" -> j176)
+    "j174_sessionize" -> j174, "j176_graph_explore" -> j176,
+    "j178_dow_seasonality" -> j178, "j180_holt_forecast" -> j180)
 
   val oracle: Map[String, String] = Map(
     "j151_stupid_backoff" ->
@@ -1103,5 +1179,57 @@ object AnalyticsOps {
         |FROM h1
         |UNION ALL
         |SELECT CAST(2 AS BIGINT), v, t, cooc FROM h2
-        |ORDER BY hop, from_t, cooc DESC, to_t ASC""".stripMargin)
+        |ORDER BY hop, from_t, cooc DESC, to_t ASC""".stripMargin,
+    "j178_dow_seasonality" ->
+      """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |           FROM 'events.parquet'),
+        |bnd AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |spine AS (SELECT CAST(unnest(generate_series(
+        |            CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+        |            INTERVAL 1 DAY)) AS DATE) AS day FROM bnd),
+        |h AS (SELECT day, count(*) AS c FROM e GROUP BY 1),
+        |f AS (SELECT s.day, CAST(coalesce(h.c, 0) AS BIGINT) AS cnt
+        |      FROM spine s LEFT JOIN h ON s.day = h.day),
+        |dw AS (SELECT (day - DATE '1970-01-01' + 4) % 7 AS dow, cnt FROM f),
+        |g AS (SELECT sum(cnt) AS gt, count(*) AS gn FROM f)
+        |SELECT CAST(dow AS BIGINT) AS dow,
+        |       CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(cnt) AS BIGINT) AS cnt_total,
+        |       round(CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |         AS mean_cnt,
+        |       round(CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) -
+        |             CAST(g.gt AS DOUBLE) / CAST(g.gn AS DOUBLE), 6)
+        |         AS dev_from_global
+        |FROM dw CROSS JOIN g GROUP BY dow, g.gt, g.gn
+        |ORDER BY dow""".stripMargin,
+    "j180_holt_forecast" ->
+      """WITH RECURSIVE e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |             event_type
+        |           FROM 'events.parquet'),
+        |bnd AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |spine AS (SELECT CAST(unnest(generate_series(
+        |            CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+        |            INTERVAL 1 DAY)) AS DATE) AS day FROM bnd),
+        |h AS (SELECT day, count(*) AS doc_count FROM e
+        |      WHERE event_type = 'purchase' GROUP BY 1),
+        |b AS (SELECT spine.day, coalesce(h.doc_count, 0) AS doc_count
+        |      FROM spine LEFT JOIN h USING (day)),
+        |ser AS (SELECT list(CAST(doc_count AS DOUBLE) ORDER BY day) AS xs
+        |        FROM b),
+        |f(i, l, tr) AS (
+        |  SELECT 2, xs[1], xs[2] - xs[1] FROM ser
+        |  UNION ALL
+        |  SELECT i + 1,
+        |    CAST(0.5 AS DOUBLE) * xs[i + 1] +
+        |      CAST(0.5 AS DOUBLE) * (l + tr),
+        |    CAST(0.3 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * xs[i + 1] +
+        |      CAST(0.5 AS DOUBLE) * (l + tr)) - l) +
+        |      CAST(0.7 AS DOUBLE) * tr
+        |  FROM f, ser WHERE i < len(xs)),
+        |st AS (SELECT l, tr FROM f, ser WHERE i = len(xs))
+        |SELECT CAST(t.h AS BIGINT) AS h, round(st.l, 6) AS level,
+        |       round(st.tr, 6) AS trend,
+        |       round(st.l + t.h * st.tr, 6) AS forecast
+        |FROM st, (SELECT unnest(generate_series(1, 3)) AS h) t
+        |ORDER BY h""".stripMargin)
 }

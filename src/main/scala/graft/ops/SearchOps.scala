@@ -873,6 +873,42 @@ object SearchOps {
       .orderBy($"doc_id")
   }
 
+  /** j179_leading_wildcard — the query j85 documents as impossible to
+    * prune (`*rc19*` — a leading wildcard can't use a prefix seek in
+    * parquet stats OR an ES term dictionary) answered the way ES's
+    * `wildcard` FIELD TYPE actually does it: a character-trigram index.
+    * Every distinct keyword value posts its 3-grams; the pattern's
+    * trigrams ('rc1', 'c19') intersect posting lists to a candidate set
+    * (necessary, not sufficient — trigram collisions happen), and a
+    * final contains() verifies. Matching sources report doc_count +
+    * char sum.
+    *
+    * Scale shape: the index is built over DISTINCT values (the value
+    * dictionary, ≪ corpus — at 100 TB it's a stored index updated
+    * incrementally, as in ES); candidate intersection is a grouped
+    * count over the pattern's ≤|pattern| trigrams; the verified set
+    * rides a broadcast back onto the corpus scan. The corpus itself is
+    * never substring-scanned — that is the entire point. */
+  def j179(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pattern = "rc19"
+    val qgrams = pattern.sliding(3).toSeq // rc1, c19
+    val docs = Tables.documents(s, d)
+    val srcs = docs.select($"source").distinct()
+      .filter(length($"source") >= 3) // sequence(1, len-2) must ascend
+    val tri = srcs.select($"source", explode(expr(
+      "transform(sequence(1, length(source) - 2), i -> substring(source, i, 3))"))
+      .as("g"))
+    val cands = tri.filter($"g".isin(qgrams: _*))
+      .groupBy($"source").agg(countDistinct($"g").as("ng"))
+      .filter($"ng" === qgrams.size)
+    val verified = cands.filter($"source".contains(pattern)).select($"source")
+    docs.join(broadcast(verified), "source")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("doc_count"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"source")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j67_percentile_ranks" -> j67, "j68_mad" -> j68, "j69_boxplot" -> j69,
     "j70_boosting_query" -> j70, "j71_extended_stats" -> j71,
@@ -887,9 +923,24 @@ object SearchOps {
     "j44_composite_agg" -> j44, "j45_sharded_terms_agg" -> j45,
     "j46_rescore" -> j46, "j47_date_histogram" -> j47,
     "j48_term_suggest" -> j48, "j51_bool_msm" -> j51,
-    "j172_query_string" -> j172)
+    "j172_query_string" -> j172, "j179_leading_wildcard" -> j179)
 
   val oracle: Map[String, String] = Map(
+    "j179_leading_wildcard" ->
+      """WITH srcs AS (SELECT DISTINCT source FROM 'documents.parquet'
+        |              WHERE length(source) >= 3),
+        |tri AS (SELECT source, unnest(list_transform(
+        |          generate_series(1, length(source) - 2),
+        |          i -> substring(source, i, 3))) AS g
+        |        FROM srcs),
+        |cands AS (SELECT source, count(DISTINCT g) AS ng FROM tri
+        |          WHERE g IN ('rc1', 'c19') GROUP BY 1),
+        |ver AS (SELECT source FROM cands
+        |        WHERE ng = 2 AND contains(source, 'rc19'))
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS doc_count,
+        |       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+        |FROM 'documents.parquet' d JOIN ver ON d.source = ver.source
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j172_query_string" ->
       """SELECT doc_id, lang, source FROM 'documents.parquet'
         |WHERE ((contains(' ' || text || ' ', ' spark join ')

@@ -294,12 +294,64 @@ object VectorOps {
         round($"recon_raw", 6).as("recon_d2"))
   }
 
+  // ---------- j177 1-bit vector quantization + Hamming search ----------
+
+  /** j177_bit_hamming — ES `dense_vector` `bit` quantization (the BBQ /
+    * binary-quantization path): each 64-dim embedding packs to its SIGN
+    * BITS — two 32-bit halves stored as longs (not one 64-bit word: a
+    * set top bit would overflow DuckDB's checked BIGINT multiply; the
+    * shift-sum form is exact in both engines) — and search is Hamming
+    * distance `bit_count(h1⊕q1) + bit_count(h2⊕q2)`: 2 XORs + popcounts
+    * per candidate instead of 64 float multiplies, the 32× memory /
+    * ~40× speed trade ES quotes for bit vectors. Top-10 by (hamming,
+    * vec_id) with the TRUE cosine beside it and membership in the exact
+    * cosine top-10 (estimate-beside-exact + recall accounting, the
+    * j122/j135 discipline — the rank damage of 1-bit quantization is
+    * measured, not assumed).
+    *
+    * Scale shape: packing is a per-row index-order fold (exact integer
+    * shift sums); the query halves and the exact top-10 membership set
+    * ride broadcasts; scoring is row-local integer ops + one
+    * TakeOrdered. The exact-cosine leg exists as the audit; production
+    * serves from the bits. */
+  def j177(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def half(lo: Int): String =
+      s"""aggregate(sequence($lo, ${lo + 31}), CAST(0 AS BIGINT), (a, i) ->
+         |  a + IF(CAST(element_at(embedding, i) AS DOUBLE) > 0,
+         |         shiftleft(CAST(1 AS BIGINT), ${lo + 31} - i), CAST(0 AS BIGINT)))"""
+        .stripMargin
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding",
+        expr(half(1)).as("h1"), expr(half(33)).as("h2"))
+    val q = e.orderBy($"vec_id").limit(1)
+      .select($"embedding".as("qe"), $"h1".as("q1"), $"h2".as("q2"))
+    val dot = (a: String, b: String) => expr(
+      s"""aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (a, i) ->
+         |  a + CAST(element_at($a, i) AS DOUBLE) *
+         |      CAST(element_at($b, i) AS DOUBLE))""".stripMargin)
+    val scored = e.crossJoin(broadcast(q))
+      .withColumn("hamming",
+        expr("bit_count(h1 ^ q1) + bit_count(h2 ^ q2)").cast("long"))
+      .withColumn("cos_exact",
+        dot("embedding", "qe") /
+          (sqrt(dot("embedding", "embedding")) * sqrt(dot("qe", "qe"))))
+    val exactTop = scored.orderBy($"cos_exact".desc, $"vec_id".asc).limit(10)
+      .select($"vec_id".as("xv"))
+    scored.join(broadcast(exactTop), $"vec_id" === $"xv", "left_outer")
+      .withColumn("in_exact_top10", $"xv".isNotNull)
+      .orderBy($"hamming".asc, $"vec_id".asc).limit(10)
+      .select($"vec_id", $"hamming", round($"cos_exact", 6).as("cos_exact"),
+        $"in_exact_top10")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j3_cosine_score" -> j3, "j4_topk_nn" -> j4, "j5_knn_per_label" -> j5,
     "j9_embedding_norm" -> j9, "j10_label_centroid" -> j10,
     "j11_multimodal_cols" -> j11,
     "j122_knn_prefilter" -> j122, "j123_maxsim" -> j123,
-    "j134_hard_negatives" -> j134, "j166_pq_adc" -> j166)
+    "j134_hard_negatives" -> j134, "j166_pq_adc" -> j166,
+    "j177_bit_hamming" -> j177)
 
   private val dotSelfSql =
     "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
@@ -449,5 +501,35 @@ object VectorOps {
         |       round(exact_raw, 6) AS exact_d2,
         |       round(recon_raw, 6) AS recon_d2
         |FROM adc a JOIN ex ON a.vec_id = ex.vec_id
-        |ORDER BY a.adc_raw ASC, a.vec_id ASC LIMIT 10""".stripMargin)
+        |ORDER BY a.adc_raw ASC, a.vec_id ASC LIMIT 10""".stripMargin,
+    "j177_bit_hamming" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |  list_sum(list_transform(generate_series(1, 32), i ->
+        |    CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+        |         THEN CAST(1 AS BIGINT) << (32 - i) ELSE 0 END)) AS h1,
+        |  list_sum(list_transform(generate_series(33, 64), i ->
+        |    CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+        |         THEN CAST(1 AS BIGINT) << (64 - i) ELSE 0 END)) AS h2
+        |  FROM 'embeddings.parquet'),
+        |q AS (SELECT embedding AS qe, h1 AS q1, h2 AS q2 FROM e
+        |      ORDER BY vec_id LIMIT 1),
+        |sc AS (SELECT e.vec_id,
+        |         CAST(bit_count(xor(e.h1, q.q1)) +
+        |              bit_count(xor(e.h2, q.q2)) AS BIGINT) AS hamming,
+        |         list_sum(list_transform(generate_series(1, 64), i ->
+        |           CAST(e.embedding[i] AS DOUBLE) *
+        |           CAST(q.qe[i] AS DOUBLE))) /
+        |         (sqrt(list_sum(list_transform(generate_series(1, 64), i ->
+        |            CAST(e.embedding[i] AS DOUBLE) *
+        |            CAST(e.embedding[i] AS DOUBLE)))) *
+        |          sqrt(list_sum(list_transform(generate_series(1, 64), i ->
+        |            CAST(q.qe[i] AS DOUBLE) *
+        |            CAST(q.qe[i] AS DOUBLE))))) AS cos_exact
+        |       FROM e CROSS JOIN q),
+        |xt AS (SELECT vec_id FROM sc
+        |       ORDER BY cos_exact DESC, vec_id ASC LIMIT 10)
+        |SELECT sc.vec_id, sc.hamming, round(sc.cos_exact, 6) AS cos_exact,
+        |       xt.vec_id IS NOT NULL AS in_exact_top10
+        |FROM sc LEFT JOIN xt ON sc.vec_id = xt.vec_id
+        |ORDER BY sc.hamming ASC, sc.vec_id ASC LIMIT 10""".stripMargin)
 }
