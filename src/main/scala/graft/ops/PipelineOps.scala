@@ -1190,7 +1190,59 @@ object PipelineOps {
     out
   }
 
+  // ---------- j183 T5/UL2 span corruption ----------
+
+  /** j183_span_corruption — the T5/UL2 denoising-objective data prep
+    * (Raffel et al. 2020): deterministic span masking over each
+    * document's tokens. Tokens group into 3-token blocks; a block masks
+    * when its md5-nibble draw (keyed `doc_id_block`, the j23/j30
+    * cross-engine pseudo-randomness device) is < 3/16 ≈ 18.75% — near
+    * T5's 15% corruption rate. The input replaces each masked block
+    * with `<extra_id_K>` (K = the block's rank among the doc's masked
+    * blocks, T5's sentinel numbering); the target lists each sentinel
+    * followed by the tokens it hides. Emitted per doc with token/mask
+    * counts and the realized ratio — the dataloader-ready pair.
+    *
+    * Scale shape: entirely row-local HOF string algebra after the scan
+    * (draws, block slicing, sentinel numbering) — zero exchanges
+    * before the presentation sort; at 100 TB this is a map-only pass,
+    * which is why the masking draw must be hash-keyed, not RNG-state. */
+  def j183(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val draw = Hashing.nibbleInt(
+      "md5(concat(CAST(doc_id AS STRING), '_', CAST(b AS STRING)))", 1)
+    Tables.documents(s, d)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("nb", expr("CAST(ceil(size(toks) / 3.0) AS INT)"))
+      .withColumn("mblocks",
+        expr(s"filter(sequence(0, nb - 1), b -> $draw < 3)"))
+      .withColumn("input_text", expr(
+        """array_join(transform(sequence(0, nb - 1), b ->
+          |  CASE WHEN array_position(mblocks, b) > 0
+          |    THEN concat('<extra_id_',
+          |                CAST(array_position(mblocks, b) - 1 AS STRING), '>')
+          |    ELSE array_join(slice(toks, 3 * b + 1, 3), ' ') END), ' ')"""
+          .stripMargin))
+      .withColumn("target_text", expr(
+        """array_join(transform(mblocks, b ->
+          |  concat('<extra_id_',
+          |         CAST(array_position(mblocks, b) - 1 AS STRING), '> ',
+          |         array_join(slice(toks, 3 * b + 1, 3), ' '))), ' ')"""
+          .stripMargin))
+      .withColumn("n_masked", expr(
+        """CAST(aggregate(mblocks, 0,
+          |  (a, b) -> a + size(slice(toks, 3 * b + 1, 3))) AS BIGINT)"""
+          .stripMargin))
+      .select($"doc_id", size($"toks").cast("long").as("n_tokens"),
+        $"n_masked",
+        round($"n_masked".cast("double") / size($"toks").cast("double"), 6)
+          .as("mask_ratio"),
+        $"input_text", $"target_text")
+      .orderBy($"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j183_span_corruption" -> j183,
     "j66_bpe_vocab" -> j66, "j88_bpe_encode" -> j88,
     "j124_token_fertility" -> j124,
     "j12_minhash_lsh" -> j12, "j111_minhash_accuracy" -> j111,
@@ -1208,6 +1260,36 @@ object PipelineOps {
     "j52_dsir_score" -> j52, "j53_semdedup" -> j53)
 
   val oracle: Map[String, String] = Map(
+    "j183_span_corruption" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM 'documents.parquet'),
+        |n AS (SELECT doc_id, toks,
+        |        CAST(ceil(len(toks) / 3.0) AS INT) AS nb FROM t),
+        |m AS (SELECT doc_id, toks, nb,
+        |        list_filter(generate_series(0, nb - 1), b ->
+        |          (strpos('0123456789abcdef', substr(
+        |             md5(CAST(doc_id AS VARCHAR) || '_' ||
+        |                 CAST(b AS VARCHAR)), 1, 1)) - 1) < 3) AS mblocks
+        |      FROM n)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(list_sum(list_transform(mblocks,
+        |         b -> len(toks[3 * b + 1 : 3 * b + 3]))), 0) AS BIGINT)
+        |         AS n_masked,
+        |       round(CAST(coalesce(list_sum(list_transform(mblocks,
+        |           b -> len(toks[3 * b + 1 : 3 * b + 3]))), 0) AS DOUBLE) /
+        |         CAST(len(toks) AS DOUBLE), 6) AS mask_ratio,
+        |       array_to_string(list_transform(generate_series(0, nb - 1), b ->
+        |         CASE WHEN list_position(mblocks, b) > 0
+        |           THEN '<extra_id_' ||
+        |                CAST(list_position(mblocks, b) - 1 AS VARCHAR) || '>'
+        |           ELSE array_to_string(toks[3 * b + 1 : 3 * b + 3], ' ')
+        |         END), ' ') AS input_text,
+        |       coalesce(array_to_string(list_transform(mblocks, b ->
+        |         '<extra_id_' ||
+        |         CAST(list_position(mblocks, b) - 1 AS VARCHAR) || '> ' ||
+        |         array_to_string(toks[3 * b + 1 : 3 * b + 3], ' ')), ' '), '')
+        |         AS target_text
+        |FROM m ORDER BY doc_id""".stripMargin,
     "j88_bpe_encode" ->
       """WITH w AS (SELECT word, count(*) AS cnt
         |           FROM (SELECT unnest(string_split(text, ' ')) AS word

@@ -308,8 +308,28 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** j181_pivot — the relational PIVOT (h11's unpivot inverse, and what
+    * ES clients hand-roll with filters-per-column): per user decile
+    * (user_id % 10), event counts pivoted into one column per event
+    * type via Spark's `pivot` API with the value list EXPLICIT — an
+    * unlisted pivot would scan once to discover values (an extra job)
+    * and make the output schema data-dependent, both wrong at scale.
+    *
+    * Scale shape: one map-combined (band, type) aggregation; the pivot
+    * is a projection of the ≤10×|types| aggregate, not a second scan. */
+  def j181(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.events(s, d)
+      .select(($"user_id" % 10).as("band"), $"event_type")
+      .groupBy($"band")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"band")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "g5_union_schema_drift" -> g5,
+    "g5_union_schema_drift" -> g5, "j181_pivot" -> j181,
     "b1_project" -> b1, "b2_filter_predicates" -> b2,
     "b3_null_semantics" -> b3, "b4_case_when" -> b4,
     "c1_join_broadcast" -> c1, "c2_join_shuffle" -> c2,
@@ -322,6 +342,19 @@ object Relational {
     "g3_intersect" -> g3, "g4_except" -> g4)
 
   val oracle: Map[String, String] = Map(
+    "j181_pivot" ->
+      """SELECT user_id % 10 AS band,
+        |       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+        |         AS click,
+        |       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+        |         AS error,
+        |       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+        |         AS purchase,
+        |       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+        |         AS signup,
+        |       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+        |         AS view
+        |FROM 'events.parquet' GROUP BY 1 ORDER BY 1""".stripMargin,
     "b1_project" ->
       """SELECT c_custkey,
         |concat_ws('#', 'cust', c_custkey) AS row_id,

@@ -334,6 +334,44 @@ object TextOps {
       .orderBy($"cluster_id")
   }
 
+  /** j182_preference_pairs — DPO/RLHF preference-pair preparation from
+    * the near-dup structure: within each j21 cluster (documents saying
+    * the same thing), pair the HIGHEST-quality member (chosen) with the
+    * LOWEST (rejected) by the shared qualityLogit, with the score gap —
+    * the "same content, different quality" pairs preference-tuning data
+    * engineers mine from dedup clusters precisely because content is
+    * controlled. Pair selection tiebreaks are pinned on both ends
+    * (chosen: q desc, id asc; rejected: q asc, id desc — so an all-tied
+    * cluster still yields a deterministic, distinct pair). The gap
+    * column is the trainer's threshold knob, emitted rather than
+    * pre-filtered.
+    *
+    * Scale shape: j21's fixpoint is the cost (invoked, not restated —
+    * the j135/j138 audit discipline); the pairing adds one doc-keyed
+    * join and two cluster-partitioned windows over cluster-sized
+    * partitions. */
+  def j182(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val clusters = j21(s, d)
+    val q = Tables.documents(s, d)
+      .select($"doc_id", CurationOps.qualityLogit($"text").as("q"))
+    val wBest = Window.partitionBy($"cluster_id").orderBy($"q".desc, $"doc_id".asc)
+    val wWorst = Window.partitionBy($"cluster_id").orderBy($"q".asc, $"doc_id".desc)
+    clusters.join(q, "doc_id")
+      .withColumn("rk1", row_number().over(wBest))
+      .withColumn("rk2", row_number().over(wWorst))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(when($"rk1" === 1, $"doc_id")).as("chosen_doc"),
+        max(when($"rk1" === 1, $"q")).as("cq"),
+        max(when($"rk2" === 1, $"doc_id")).as("rejected_doc"),
+        max(when($"rk2" === 1, $"q")).as("rq"))
+      .select($"cluster_id", $"n_members", $"chosen_doc", $"rejected_doc",
+        round($"cq", 6).as("chosen_q"), round($"rq", 6).as("rejected_q"),
+        round($"cq" - $"rq", 6).as("gap"))
+      .orderBy($"cluster_id")
+  }
+
   /** Connected components over an undirected pair list `(d1, d2)` of Long
     * node ids (the reusable core of j21): returns one `(node, label)` row
     * per node appearing in any pair, where label = the component's minimum
@@ -660,6 +698,7 @@ object TextOps {
     "j1_dedup_exact" -> j1, "j2_dedup_near_jaccard" -> j2,
     "j127_containment_dedup" -> j127, "j130_shingle_novelty" -> j130,
     "j21_dedup_clusters" -> j21, "j138_dedup_keep_best" -> j138,
+    "j182_preference_pairs" -> j182,
     "j55_sorted_neighbor_dedup" -> j55,
     "j6_wordcount" -> j6, "j7_tfidf" -> j7, "j8_pivot_stats" -> j8,
     "j34_bm25_search" -> j34, "j35_fuzzy_search" -> j35,
@@ -802,6 +841,52 @@ object TextOps {
         |       CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS kept_doc_id,
         |       max(CASE WHEN rk = 1 THEN q END) AS kept_quality,
         |       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+        |FROM rk GROUP BY 1 ORDER BY cluster_id""".stripMargin,
+    "j182_preference_pairs" ->
+      """WITH RECURSIVE s0 AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
+        |  FROM 'documents.parquet' WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id, sh FROM s0 QUALIFY count(*) OVER (PARTITION BY sh) <= 1000),
+        |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pr AS (SELECT d1, d2 FROM p JOIN n na ON p.d1 = na.doc_id
+        |       JOIN n nb ON p.d2 = nb.doc_id
+        |       WHERE inter / (na.ns + nb.ns - inter) >= 0.5),
+        |e AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |       FROM reach GROUP BY a),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks, n_chars
+        |      FROM 'documents.parquet'),
+        |ql AS (SELECT doc_id,
+        |         round(-3.0 + 0.01 * len(toks)
+        |           + 4.0 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+        |           + 0.5 * ((n_chars - len(toks) + 1) / CAST(len(toks) AS DOUBLE))
+        |           - 6.0 * (len(list_filter(toks, x -> x IN ('a', 'the')))
+        |                    / CAST(len(toks) AS DOUBLE)), 6) AS q
+        |       FROM t),
+        |rk AS (SELECT cl.cluster_id, cl.doc_id, ql.q,
+        |         row_number() OVER (PARTITION BY cl.cluster_id
+        |           ORDER BY ql.q DESC, cl.doc_id ASC) AS rk1,
+        |         row_number() OVER (PARTITION BY cl.cluster_id
+        |           ORDER BY ql.q ASC, cl.doc_id DESC) AS rk2
+        |       FROM cl JOIN ql USING (doc_id))
+        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+        |       CAST(max(CASE WHEN rk1 = 1 THEN doc_id END) AS BIGINT)
+        |         AS chosen_doc,
+        |       CAST(max(CASE WHEN rk2 = 1 THEN doc_id END) AS BIGINT)
+        |         AS rejected_doc,
+        |       round(max(CASE WHEN rk1 = 1 THEN q END), 6) AS chosen_q,
+        |       round(max(CASE WHEN rk2 = 1 THEN q END), 6) AS rejected_q,
+        |       round(max(CASE WHEN rk1 = 1 THEN q END) -
+        |             max(CASE WHEN rk2 = 1 THEN q END), 6) AS gap
         |FROM rk GROUP BY 1 ORDER BY cluster_id""".stripMargin,
     "j6_wordcount" ->
       """SELECT token, count(*) AS n FROM (
