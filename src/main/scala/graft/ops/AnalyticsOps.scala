@@ -564,10 +564,15 @@ object AnalyticsOps {
       .withColumn("mean7", $"s7".cast("double") / 7.0d)
       .withColumn("sd7", sqrt(($"ss7".cast("double") -
         $"s7".cast("double") * $"s7".cast("double") / 7.0d) / 6.0d))
-      .withColumn("z", ($"cnt".cast("double") - $"mean7") / $"sd7")
+      // zero-variance guard (r7 review): a constant baseline makes sd7=0
+      // and z undefined — the spike must still flag, so anomaly falls
+      // back to "differs from the flat baseline at all"
+      .withColumn("z", when($"sd7" > 0.0d,
+        ($"cnt".cast("double") - $"mean7") / $"sd7"))
       .select($"day", $"cnt", round($"mean7", 6).as("mean7"),
         round($"sd7", 6).as("sd7"), round($"z", 6).as("z"),
-        (abs($"z") > 1.5d).as("anomaly"))
+        when($"sd7" > 0.0d, abs($"z") > 1.5d)
+          .otherwise($"cnt".cast("double") =!= $"mean7").as("anomaly"))
       .orderBy($"day")
   }
 
@@ -730,8 +735,10 @@ object AnalyticsOps {
   def j178(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val f = BucketOps.dailyFrame(s, d)
+      // 1970-01-01 was a Thursday: +3 makes Monday ≡ 0 (r7 review
+      // caught the original +4, which mapped 0 to Sunday)
       .withColumn("dow",
-        (datediff($"day", lit("1970-01-01").cast("date")) + 4) % 7)
+        (datediff($"day", lit("1970-01-01").cast("date")) + 3) % 7)
     val g = f.agg(sum($"total").as("gt"), count(lit(1)).as("gn"))
     f.groupBy($"dow")
       .agg(count(lit(1)).as("n_days"), sum($"total").as("cnt_total"))
@@ -1092,8 +1099,12 @@ object AnalyticsOps {
         |          AS sd7
         |      FROM w WHERE n7 = 7)
         |SELECT day, cnt, round(mean7, 6) AS mean7, round(sd7, 6) AS sd7,
-        |       round((CAST(cnt AS DOUBLE) - mean7) / sd7, 6) AS z,
-        |       abs((CAST(cnt AS DOUBLE) - mean7) / sd7) > 1.5 AS anomaly
+        |       CASE WHEN sd7 > 0
+        |            THEN round((CAST(cnt AS DOUBLE) - mean7) / sd7, 6)
+        |       END AS z,
+        |       CASE WHEN sd7 > 0
+        |            THEN abs((CAST(cnt AS DOUBLE) - mean7) / sd7) > 1.5
+        |            ELSE CAST(cnt AS DOUBLE) <> mean7 END AS anomaly
         |FROM z ORDER BY day""".stripMargin,
     "j171_hll_cardinality" ->
       """WITH e AS (SELECT event_type,
@@ -1190,7 +1201,7 @@ object AnalyticsOps {
         |h AS (SELECT day, count(*) AS c FROM e GROUP BY 1),
         |f AS (SELECT s.day, CAST(coalesce(h.c, 0) AS BIGINT) AS cnt
         |      FROM spine s LEFT JOIN h ON s.day = h.day),
-        |dw AS (SELECT (day - DATE '1970-01-01' + 4) % 7 AS dow, cnt FROM f),
+        |dw AS (SELECT (day - DATE '1970-01-01' + 3) % 7 AS dow, cnt FROM f),
         |g AS (SELECT sum(cnt) AS gt, count(*) AS gn FROM f)
         |SELECT CAST(dow AS BIGINT) AS dow,
         |       CAST(count(*) AS BIGINT) AS n_days,

@@ -648,10 +648,14 @@ object Sync {
     * gate must not consume columns it did not produce). */
   def gopherGateStream(docs: DataFrame): DataFrame = {
     import graft.ops.CorpusQualityOps._
-    val hasNChars = docs.columns.contains("n_chars")
-    val base =
-      if (hasNChars) docs.withColumnRenamed("n_chars", "_gate_orig_n_chars")
-      else docs
+    // every derived column the rules consume is computed under a scratch
+    // name: caller-supplied columns of the same names survive untouched
+    // (r6 ADVICE + r7 review — the first fix protected only n_chars)
+    val scratch = Seq("toks", "n_chars")
+    val present = scratch.filter(docs.columns.contains)
+    val base = present.foldLeft(docs) { (f, c) =>
+      f.withColumnRenamed(c, s"_gate_orig_$c")
+    }
     val gated = base
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_chars", length(col("text")))
@@ -661,8 +665,9 @@ object Sync {
       .withColumn("short_ok", shortOk)
       .filter(col("wc_ok") && col("mwl_ok") && col("stop_ok") && col("short_ok"))
       .drop("toks", "n_chars")
-    if (hasNChars) gated.withColumnRenamed("_gate_orig_n_chars", "n_chars")
-    else gated
+    present.foldLeft(gated) { (f, c) =>
+      f.withColumnRenamed(s"_gate_orig_$c", c)
+    }
   }
 
   case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
