@@ -328,8 +328,84 @@ object Relational {
       .orderBy($"band")
   }
 
+  /** j184_shipping_priority — the TPC-H Q3 composite shape: segment-
+    * filtered customers × date-bounded orders × post-date lineitems,
+    * top-10 orders by discounted revenue. Declared exactly as written —
+    * the POINT of the query is that Catalyst makes the physical calls:
+    * both date predicates push to the parquet scans, the segment-
+    * filtered customer side auto-broadcasts at fixture scale and
+    * gracefully degrades to a shuffle join when a 100 TB segment
+    * exceeds the broadcast threshold (no forced hint — AQE owns the
+    * decision), and the top-10 is a per-partition heap. Revenue is the
+    * exact-DECIMAL money discipline (Parity.dec2/money).
+    *
+    * Scale shape: fact-fact join keyed on orderkey (co-partitionable /
+    * bucketable), dims reduced before joining; the final cut is
+    * TakeOrderedAndProject. */
+  def j184(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cut = lit("1998-01-01").cast("timestamp")
+    val cust = graft.Tables.customer(s, d)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val ord = graft.Tables.orders(s, d)
+      .filter($"o_orderdate" < cut)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val li = graft.Tables.lineitem(s, d)
+      .filter($"l_shipdate" > cut)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .groupBy($"o_orderkey", $"o_orderdate")
+      .agg(Parity.money(sum(Parity.dec2($"l_extendedprice") *
+        (lit(1) - Parity.dec2($"l_discount")))).as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderkey".asc)
+      .limit(10)
+      .select($"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
+        $"revenue")
+  }
+
+  /** j185_local_volume — the TPC-H Q5 composite shape: six-table join
+    * (region → nation → customer/supplier → orders → lineitem) with the
+    * customer-nation ≡ supplier-nation "local volume" constraint,
+    * revenue per nation in the ASIA region. The join graph is the
+    * optimizer exercise: region/nation are 1-row/5-row broadcasts,
+    * customer and supplier reduce to (key, nationkey) before joining,
+    * and the nation-equality constraint applies as a post-join filter
+    * on two small columns — never a theta join.
+    *
+    * Scale shape: the two fact joins key on orderkey/suppkey; every
+    * dimension is broadcast-sized by construction (nation×region
+    * pre-joined); final agg has ≤|nations| groups. */
+  def j185(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val asiaNations = graft.Tables.nation(s, d)
+      .join(graft.Tables.region(s, d).filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val cust = graft.Tables.customer(s, d)
+      .join(broadcast(asiaNations), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_nationkey")
+    val supp = graft.Tables.supplier(s, d)
+      .join(broadcast(asiaNations), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_nationkey")
+    graft.Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .join(graft.Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .filter($"c_nationkey" === $"s_nationkey")
+      .join(broadcast(asiaNations), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(Parity.money(sum(Parity.dec2($"l_extendedprice") *
+        (lit(1) - Parity.dec2($"l_discount")))).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name".asc)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g5_union_schema_drift" -> g5, "j181_pivot" -> j181,
+    "j184_shipping_priority" -> j184, "j185_local_volume" -> j185,
     "b1_project" -> b1, "b2_filter_predicates" -> b2,
     "b3_null_semantics" -> b3, "b4_case_when" -> b4,
     "c1_join_broadcast" -> c1, "c2_join_shuffle" -> c2,
@@ -355,6 +431,34 @@ object Relational {
         |       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
         |         AS view
         |FROM 'events.parquet' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j184_shipping_priority" ->
+      """SELECT l.l_orderkey AS o_orderkey,
+        |       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |         (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+        |         AS revenue
+        |FROM 'lineitem.parquet' l
+        |JOIN 'orders.parquet' o ON l.l_orderkey = o.o_orderkey
+        |JOIN 'customer.parquet' c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "j185_local_volume" ->
+      """SELECT n.n_name,
+        |       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |         (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+        |         AS revenue
+        |FROM 'lineitem.parquet' l
+        |JOIN 'orders.parquet' o ON l.l_orderkey = o.o_orderkey
+        |JOIN 'customer.parquet' c ON o.o_custkey = c.c_custkey
+        |JOIN 'supplier.parquet' s ON l.l_suppkey = s.s_suppkey
+        |  AND c.c_nationkey = s.s_nationkey
+        |JOIN 'nation.parquet' n ON s.s_nationkey = n.n_nationkey
+        |JOIN 'region.parquet' r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name ASC""".stripMargin,
     "b1_project" ->
       """SELECT c_custkey,
         |concat_ws('#', 'cust', c_custkey) AS row_id,

@@ -937,6 +937,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("j184: Q3 shape — date predicates pushed, dims broadcast, top-10 is a heap") {
+    val p = plan("j184_shipping_priority")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("l_shipdate"), p) // the lineitem date bound reaches its scan
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j185: Q5 shape — six-table join plans broadcasts for every dim, no cartesian") {
+    val p = plan("j185_local_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p) // revenue agg map-combines
+  }
+
   test("whole-stage codegen covers the flagship plan") {
     // AQE finalizes stages lazily — execute first, then inspect
     val df = SparkEntry.queries("d1_agg_group")(TestSpark.spark, TestSpark.sf0001)
