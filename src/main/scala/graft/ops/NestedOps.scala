@@ -298,13 +298,90 @@ object NestedOps {
       .orderBy($"doc_id")
   }
 
+  // ---------- j186 rollup / downsampling ----------
+
+  /** j186_rollup — the ES `_rollup` / TSDB downsampling pattern: a
+    * compact hourly rollup table (per (type, hour): count, cents sum,
+    * min, max) answers the day-grain query INSTEAD of the raw event
+    * stream, and the answer is proved identical against the raw-served
+    * leg per (type, day) — count/sum/min/max compose losslessly across
+    * rollup boundaries (avg derives as Σ/n), which is exactly why
+    * rollup jobs store THOSE aggregates and not e.g. medians. Output
+    * per (type, day): the rollup-served numbers, the served-vs-raw
+    * equality flag (structurally true — the point of the audit), and
+    * the hour-bucket count the day answer was composed from.
+    *
+    * Scale shape: at 100 TB the rollup is a stored table updated
+    * incrementally and queries NEVER touch the raw stream — here both
+    * legs run to prove equivalence (estimate-beside-exact discipline,
+    * except the "estimate" is exact by construction). Both are
+    * map-combined keyed aggregations; the compare join is keyed on
+    * (type, day), rollup-side ≤ types × days rows. */
+  def j186(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.eventsUs(s, d)
+      .select($"event_type", expr("ts_us div 3600000000").as("hour"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val rollup = e.groupBy($"event_type", $"hour")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sc"),
+        min($"cents").as("mn"), max($"cents").as("mx"))
+    val served = rollup
+      .withColumn("day", expr("hour div 24"))
+      .groupBy($"event_type", $"day")
+      .agg(sum($"n").as("doc_count"), sum($"sc").as("value_cents"),
+        min($"mn").as("min_cents"), max($"mx").as("max_cents"),
+        count(lit(1)).as("n_hour_buckets"))
+    val raw = Tables.eventsUs(s, d)
+      .select($"event_type", expr("(ts_us div 3600000000) div 24").as("day"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("rn"), sum($"cents").as("rsc"),
+        min($"cents").as("rmn"), max($"cents").as("rmx"))
+    served.join(raw, Seq("event_type", "day"))
+      .select($"event_type", $"day", $"doc_count", $"value_cents",
+        $"min_cents", $"max_cents", $"n_hour_buckets",
+        ($"doc_count" === $"rn" && $"value_cents" === $"rsc" &&
+          $"min_cents" === $"rmn" && $"max_cents" === $"rmx")
+          .as("rollup_vs_raw_ok"))
+      .orderBy($"event_type", $"day")
+  }
+
+  // ---------- j187 partitioned terms enumeration ----------
+
+  /** j187_terms_partition — the ES `terms` aggregation's
+    * `include.partition / num_partitions` protocol: full-cardinality
+    * enumeration without one oversized response, by hashing the key
+    * space into partitions the client pages through. Here partition 2
+    * of 4 over suppliers (`l_suppkey % 4` — ES hashes the term; the
+    * fixture key is already dense) with revenue + count per term, plus
+    * the partition ordinal so pages compose.
+    *
+    * Scale shape: the partition predicate applies BEFORE the aggregate
+    * (only partition-2 groups reduce); at 100 TB each page touches
+    * ~1/num_partitions of the group space — that is the API's entire
+    * purpose. One map-combined keyed agg. */
+  def j187(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_suppkey" % 4 === 2)
+      .select($"l_suppkey",
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("rc"))
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("doc_count"), sum($"rc").as("revenue_cents"))
+      .select(lit(2L).as("partition"), $"l_suppkey", $"doc_count",
+        $"revenue_cents")
+      .orderBy($"l_suppkey")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j164_nested_query" -> j164,
     "j165_reverse_nested_agg" -> j165,
     "j167_terms_order_metric" -> j167,
     "j168_eql_sequence" -> j168,
     "j169_intervals_query" -> j169,
-    "j173_span_or_multi" -> j173)
+    "j173_span_or_multi" -> j173,
+    "j186_rollup" -> j186,
+    "j187_terms_partition" -> j187)
 
   val oracle: Map[String, String] = Map(
     "j164_nested_query" ->
@@ -432,5 +509,42 @@ object NestedOps {
         |       CAST(len(pu) AS BIGINT) AS n_or,
         |       CAST(CASE WHEN len(pu) > 0 THEN pu[1] ELSE 0 END AS BIGINT)
         |         AS first_pos
-        |FROM k WHERE len(pu) > 0 ORDER BY doc_id""".stripMargin)
+        |FROM k WHERE len(pu) > 0 ORDER BY doc_id""".stripMargin,
+    "j186_rollup" ->
+      """WITH e AS (SELECT event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |           FROM 'events.parquet'),
+        |rollup AS (SELECT event_type, hour, count(*) AS n, sum(cents) AS sc,
+        |             min(cents) AS mn, max(cents) AS mx
+        |           FROM e GROUP BY 1, 2),
+        |served AS (SELECT event_type, hour // 24 AS day,
+        |             CAST(sum(n) AS BIGINT) AS doc_count,
+        |             CAST(sum(sc) AS BIGINT) AS value_cents,
+        |             CAST(min(mn) AS BIGINT) AS min_cents,
+        |             CAST(max(mx) AS BIGINT) AS max_cents,
+        |             CAST(count(*) AS BIGINT) AS n_hour_buckets
+        |           FROM rollup GROUP BY 1, 2),
+        |raw AS (SELECT event_type, hour // 24 AS day,
+        |          CAST(count(*) AS BIGINT) AS rn,
+        |          CAST(sum(cents) AS BIGINT) AS rsc,
+        |          CAST(min(cents) AS BIGINT) AS rmn,
+        |          CAST(max(cents) AS BIGINT) AS rmx
+        |        FROM e GROUP BY 1, 2)
+        |SELECT s.event_type, s.day, s.doc_count, s.value_cents,
+        |       s.min_cents, s.max_cents, s.n_hour_buckets,
+        |       (s.doc_count = r.rn AND s.value_cents = r.rsc AND
+        |        s.min_cents = r.rmn AND s.max_cents = r.rmx)
+        |         AS rollup_vs_raw_ok
+        |FROM served s JOIN raw r
+        |  ON s.event_type = r.event_type AND s.day = r.day
+        |ORDER BY s.event_type, s.day""".stripMargin,
+    "j187_terms_partition" ->
+      """SELECT CAST(2 AS BIGINT) AS partition, l_suppkey,
+        |       CAST(count(*) AS BIGINT) AS doc_count,
+        |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |         AS BIGINT) AS revenue_cents
+        |FROM 'lineitem.parquet'
+        |WHERE l_suppkey % 4 = 2
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)
 }
