@@ -17,7 +17,7 @@ object SparkEntry {
       ops.AggExtOps.defs ++ ops.SyncOps.defs ++
       ops.StreamingOps.defs ++ ops.PipelineOps.defs ++ ops.CurationOps.defs ++
       ops.CorpusQualityOps.defs ++ ops.RankOps.defs ++ ops.FusionOps.defs ++
-      ops.AnalyticsOps.defs ++ ops.NestedOps.defs
+      ops.AnalyticsOps.defs ++ ops.NestedOps.defs ++ ops.Esql.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +31,5 @@ object SparkEntry {
       ops.AggExtOps.oracle ++ ops.SyncOps.oracle ++
       ops.StreamingOps.oracle ++ ops.PipelineOps.oracle ++ ops.CurationOps.oracle ++
       ops.CorpusQualityOps.oracle ++ ops.RankOps.oracle ++ ops.FusionOps.oracle ++
-      ops.AnalyticsOps.oracle ++ ops.NestedOps.oracle
+      ops.AnalyticsOps.oracle ++ ops.NestedOps.oracle ++ ops.Esql.oracle
 }
