@@ -373,6 +373,109 @@ object NestedOps {
       .orderBy($"l_suppkey")
   }
 
+  // ---------- j189 gap-fill interpolation ----------
+
+  /** j189_interpolate — TSDB gap filling beyond j47's zero-fill: days
+    * with no purchases are LINEARLY INTERPOLATED between the nearest
+    * non-empty neighbors (ES|QL's planned `FILL`, PromQL-style series
+    * hygiene before rate/forecast math — a zero is a claim, an
+    * interpolation is an estimate, and monitors care which). Edge gaps
+    * hold the single available anchor; an all-empty series fills 0.
+    *
+    * The series is ONE user's daily purchases (the smallest user_id —
+    * the per-entity series of the TSDB use case): per-user event
+    * density is SF-INVARIANT in this fixture (users scale with the
+    * corpus, events-per-user don't), so gap days exist at every SF —
+    * the aggregate daily series has none at any SF (measured first,
+    * j116 discipline; an interpolator whose interpolation path never
+    * runs is vacuous).
+    *
+    * Parity: anchors carry exact integer (epoch-day, count) pairs; the
+    * interpolation is one double expression of four integers —
+    * identical cross-engine (j83 rule). Scale shape: the day frame and
+    * its non-empty subset are both calendar-bounded; the anchor lookup
+    * is a bounded inequality join (≤ days × non-empty-days) — the
+    * 1-row-broadcast family, never the event stream. */
+  def j189(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select(to_date($"ts").as("day"), $"event_type", $"user_id")
+    val u0 = e.agg(min($"user_id").as("u0"))
+    val spine = e.agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select(explode(sequence($"d0", $"d1")).as("day"))
+    val h = e.crossJoin(broadcast(u0))
+      .filter($"event_type" === "purchase" && $"user_id" === $"u0")
+      .groupBy($"day").agg(count(lit(1)).as("p"))
+    val f = spine.join(broadcast(h), Seq("day"), "left_outer")
+      .select($"day", coalesce($"p", lit(0L)).as("purchases"),
+        datediff($"day", lit("1970-01-01").cast("date")).cast("long").as("di"))
+    val nz = f.filter($"purchases" > 0)
+      .select($"di".as("adi"), $"purchases".as("av"))
+    val prev = f.join(nz, $"adi" < $"di", "left_outer")
+      .groupBy($"day", $"di", $"purchases")
+      .agg(max($"adi").as("pi"), max_by($"av", $"adi").as("pv"))
+    val both = prev.join(nz, $"adi" > $"di", "left_outer")
+      .groupBy($"day", $"di", $"purchases", $"pi", $"pv")
+      .agg(min($"adi").as("ni"), min_by($"av", $"adi").as("nv"))
+    both.withColumn("filled",
+        when($"purchases" > 0, $"purchases".cast("double"))
+          .when($"pi".isNotNull && $"ni".isNotNull,
+            $"pv".cast("double") +
+              ($"nv" - $"pv").cast("double") * ($"di" - $"pi").cast("double") /
+              ($"ni" - $"pi").cast("double"))
+          .when($"pi".isNotNull, $"pv".cast("double"))
+          .when($"ni".isNotNull, $"nv".cast("double"))
+          .otherwise(lit(0.0d)))
+      .select($"day", $"purchases", round($"filled", 6).as("filled"),
+        ($"purchases" === 0).as("interpolated"))
+      .orderBy($"day")
+  }
+
+  // ---------- j190 content-defined chunk dedup ----------
+
+  /** j190_cdc_chunks — content-defined chunking (the Rabin-style
+    * boundary device behind dedup storage and long-document near-dup):
+    * a chunk boundary falls after token i+2 wherever the md5 draw of
+    * the 3-gram at i (the engine-wide [[TextOps.shingle3]] fragment)
+    * lands < 2/16 — boundaries move WITH content, so an insertion
+    * reshuffles only its own chunk, not every downstream window (the
+    * property fixed-width chunking lacks and the entire reason CDC
+    * exists). Chunks hash (md5) and duplicate chunks — same content
+    * appearing in ≥2 documents — are reported with occurrence/doc
+    * counts and length, top-20 by occurrence.
+    *
+    * Scale shape: boundary detection and chunk assembly are row-local
+    * HOFs; the dedup reduce is one map-combined hash-keyed aggregate
+    * (chunk-hash cardinality ≪ corpus tokens); the cut is a
+    * TakeOrdered. */
+  def j190(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val draw = graft.ops.Hashing.nibbleInt(
+      s"md5(${TextOps.shingle3("toks")})", 1)
+    Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 3)
+      .withColumn("cuts", expr(
+        s"""array_sort(array_distinct(concat(array(0),
+           |  transform(filter(sequence(1, size(toks) - 2),
+           |    i -> $draw < 2), i -> i + 2),
+           |  array(size(toks)))))""".stripMargin))
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, size(cuts) - 1), k ->
+          |  array_join(slice(toks, element_at(cuts, k) + 1,
+          |    element_at(cuts, k + 1) - element_at(cuts, k)), ' '))"""
+          .stripMargin)).as("chunk"))
+      .groupBy($"chunk")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct($"doc_id").as("n_docs"))
+      .filter($"n_docs" >= 2)
+      .select(md5($"chunk").as("chunk_hash"),
+        length($"chunk").cast("long").as("chunk_len"),
+        $"n_occ", $"n_docs")
+      .orderBy($"n_occ".desc, $"chunk_hash".asc)
+      .limit(20)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j164_nested_query" -> j164,
     "j165_reverse_nested_agg" -> j165,
@@ -381,7 +484,9 @@ object NestedOps {
     "j169_intervals_query" -> j169,
     "j173_span_or_multi" -> j173,
     "j186_rollup" -> j186,
-    "j187_terms_partition" -> j187)
+    "j187_terms_partition" -> j187,
+    "j189_interpolate" -> j189,
+    "j190_cdc_chunks" -> j190)
 
   val oracle: Map[String, String] = Map(
     "j164_nested_query" ->
@@ -546,5 +651,68 @@ object NestedOps {
         |         AS BIGINT) AS revenue_cents
         |FROM 'lineitem.parquet'
         |WHERE l_suppkey % 4 = 2
-        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "j189_interpolate" ->
+      """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |             event_type
+        |           FROM 'events.parquet'),
+        |bnd AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |spine AS (SELECT CAST(unnest(generate_series(
+        |            CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+        |            INTERVAL 1 DAY)) AS DATE) AS day FROM bnd),
+        |h AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |             count(*) AS c
+        |      FROM 'events.parquet'
+        |      WHERE event_type = 'purchase'
+        |        AND user_id = (SELECT min(user_id) FROM 'events.parquet')
+        |      GROUP BY 1),
+        |f AS (SELECT s.day, CAST(coalesce(h.c, 0) AS BIGINT) AS purchases,
+        |        CAST(s.day - DATE '1970-01-01' AS BIGINT) AS di
+        |      FROM spine s LEFT JOIN h ON s.day = h.day),
+        |nz AS (SELECT di AS adi, purchases AS av FROM f WHERE purchases > 0),
+        |prev AS (SELECT f.day, f.di, f.purchases,
+        |           max(nz.adi) AS pi, max_by(nz.av, nz.adi) AS pv
+        |         FROM f LEFT JOIN nz ON nz.adi < f.di GROUP BY 1, 2, 3),
+        |bth AS (SELECT p.day, p.di, p.purchases, p.pi, p.pv,
+        |          min(nz.adi) AS ni, min_by(nz.av, nz.adi) AS nv
+        |        FROM prev p LEFT JOIN nz ON nz.adi > p.di
+        |        GROUP BY 1, 2, 3, 4, 5)
+        |SELECT day, purchases,
+        |       round(CASE
+        |         WHEN purchases > 0 THEN CAST(purchases AS DOUBLE)
+        |         WHEN pi IS NOT NULL AND ni IS NOT NULL THEN
+        |           CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) *
+        |             CAST(di - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE)
+        |         WHEN pi IS NOT NULL THEN CAST(pv AS DOUBLE)
+        |         WHEN ni IS NOT NULL THEN CAST(nv AS DOUBLE)
+        |         ELSE 0.0 END, 6) AS filled,
+        |       purchases = 0 AS interpolated
+        |FROM bth ORDER BY day""".stripMargin,
+    "j190_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM 'documents.parquet'
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |c AS (SELECT doc_id, toks,
+        |        list_sort(list_distinct(list_concat(list_concat(
+        |          [0],
+        |          list_transform(list_filter(
+        |            generate_series(1, len(toks) - 2),
+        |            i -> (strpos('0123456789abcdef', substr(
+        |              md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+        |              1, 1)) - 1) < 2), i -> i + 2)),
+        |          [len(toks)]))) AS cuts
+        |      FROM t),
+        |ch AS (SELECT doc_id, unnest(list_transform(
+        |         generate_series(1, len(cuts) - 1),
+        |         k -> array_to_string(toks[cuts[k] + 1 : cuts[k + 1]], ' ')))
+        |         AS chunk
+        |       FROM c),
+        |g AS (SELECT chunk, count(*) AS n_occ,
+        |        count(DISTINCT doc_id) AS n_docs
+        |      FROM ch GROUP BY 1)
+        |SELECT md5(chunk) AS chunk_hash,
+        |       CAST(length(chunk) AS BIGINT) AS chunk_len,
+        |       CAST(n_occ AS BIGINT) AS n_occ, CAST(n_docs AS BIGINT) AS n_docs
+        |FROM g WHERE n_docs >= 2
+        |ORDER BY n_occ DESC, chunk_hash ASC LIMIT 20""".stripMargin)
 }

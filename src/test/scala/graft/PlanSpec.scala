@@ -85,6 +85,7 @@ class PlanSpec extends AnyFunSuite {
       "j166_pq_adc", // 1-row query vector onto the corpus scan (j4's probe shape)
       "j177_bit_hamming", // 1-row query halves onto the corpus scan (j166's shape)
       "j178_dow_seasonality", // 1-row global mean onto the ≤7-row dow frame
+      "j189_interpolate", // calendar-bounded day frame × non-empty days anchor joins + 1-row user/hist broadcasts
       "j46_rescore", // 1-row corpus stats onto the candidate window
       "j48_term_suggest", // 3-row input list onto the vocab aggregate (banded)
       "j51_bool_msm", // 1-row corpus stats onto the term-filtered tf
