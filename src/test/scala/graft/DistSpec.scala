@@ -38,6 +38,34 @@ class DistSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("randomized: bandedPrefix(freqBands) ≡ single-partition window on 30 seeded vocabularies") {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import scala.util.Random
+    val rnd = new Random(20260814L)
+    for (trial <- 1 to 30) {
+      val n = 1 + rnd.nextInt(40)
+      val rows = (1 to n).map { i =>
+        // skewed Zipf-ish freqs crossing every band edge; token collisions
+        // on purpose (distinct tokens enforced by suffix)
+        val freq = math.max(1L, (math.pow(2, rnd.nextInt(12)).toLong +
+          rnd.nextInt(3) - 1))
+        (rnd.alphanumeric.take(1 + rnd.nextInt(4)).mkString + s"_$i", freq)
+      }
+      val df = rows.toDF("token", "freq")
+      val got = Dist.bandedPrefix(df, Dist.freqBands($"freq", $"token"),
+          Seq($"freq".desc, $"token".asc), Seq("cum" -> $"freq"))
+        .select($"token", $"rank", $"cum").orderBy($"rank").collect().toSeq
+      val w = Window.orderBy($"freq".desc, $"token".asc)
+      val want = df
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum", sum($"freq").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select($"token", $"rank", $"cum").orderBy($"rank").collect().toSeq
+      assert(got == want, s"trial $trial (n=$n) diverged")
+    }
+  }
+
   test("bandedPrefix with integer range bands ≡ single-partition window (two sums)") {
     import s.implicits._
     val df = Seq((999L, 1L, 0L), (1000L, 2L, 1L), (1001L, 0L, 3L),
