@@ -25,7 +25,7 @@ object Aggregates {
       .agg(
         round(sum($"l_quantity"), 2).as("sum_qty"),
         round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-        Parity.money(sum(Parity.dec2($"l_extendedprice") * (lit(1) - Parity.dec2($"l_discount")))).as("sum_disc_price"),
+        Parity.discRevenue($"l_extendedprice", $"l_discount").as("sum_disc_price"),
         round(avg($"l_quantity"), 6).as("avg_qty"),
         round(avg($"l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))

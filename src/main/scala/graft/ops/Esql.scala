@@ -56,6 +56,7 @@ object Esql {
   private def primary(c: Cursor): Column = c.eat() match {
     case "(" => val e = orExpr(c); c.expect(")"); e
     case "-" => negate(primary(c))
+    case t if t.equalsIgnoreCase("NOT") => !primary(c)
     case t if t.startsWith("\"") => lit(t.stripPrefix("\"").stripSuffix("\""))
     case t if t.matches("""\d+\.\d+""") => lit(t.toDouble)
     case t if t.matches("""\d+""") => lit(t.toLong)
@@ -124,36 +125,86 @@ object Esql {
 
   private def andExpr(c: Cursor): Column = {
     var l = cmpExpr(c)
-    while (c.peek.exists(t => t == "AND" || t == "&&")) { c.eat(); l = l && cmpExpr(c) }
+    while (c.peek.exists(t => t.equalsIgnoreCase("AND") || t == "&&")) { c.eat(); l = l && cmpExpr(c) }
     l
   }
 
   private def orExpr(c: Cursor): Column = {
     var l = andExpr(c)
-    while (c.peek.exists(t => t == "OR" || t == "||")) { c.eat(); l = l || andExpr(c) }
+    while (c.peek.exists(t => t.equalsIgnoreCase("OR") || t == "||")) { c.eat(); l = l || andExpr(c) }
     l
   }
 
-  /** `name = expr` pairs separated by commas (EVAL / STATS / BY). A BY
-    * item may also be a bare column name. */
-  private def aliasedList(c: Cursor): Seq[(String, Column)] = {
+  /** Parse one full expression and REQUIRE every token consumed — an
+    * unrecognized trailing operator must be an error, never a silently
+    * truncated predicate (r7 review). */
+  private[graft] def parseExpr(src: String): Column = {
+    val c = new Cursor(lex(src))
+    val e = orExpr(c)
+    require(c.toks.isEmpty, s"unparsed ES|QL tokens: ${c.toks.mkString(" ")}")
+    e
+  }
+
+  private val identRe = "[A-Za-z_][A-Za-z_0-9.]*"
+
+  /** `name = expr` items separated by commas (EVAL / STATS / BY); an
+    * item may also be an UNALIASED expression — a bare column keeps its
+    * name, anything else gets an `exprN` auto-name (r7 review: the old
+    * parser silently dropped the tail of an unaliased `user_id % 10`).
+    * The list must consume the whole body. */
+  private def aliasedList(c: Cursor, autoPrefix: String = "expr"): Seq[(String, Column)] = {
     val out = scala.collection.mutable.ListBuffer.empty[(String, Column)]
     var more = true
+    var k = 0
     while (more) {
-      val name = c.eat()
-      if (c.peek.contains("=")) { c.eat(); out += name -> orExpr(c) }
-      else out += name -> col(name)
+      k += 1
+      if (c.toks.length >= 2 && c.toks(1) == "=" && c.toks.head.matches(identRe)) {
+        val n = c.eat(); c.eat()
+        out += n -> orExpr(c)
+      } else {
+        val before = c.toks
+        val e = orExpr(c)
+        val consumed = before.take(before.length - c.toks.length)
+        val n =
+          if (consumed.length == 1 && consumed.head.matches(identRe)) consumed.head
+          else s"$autoPrefix$k"
+        out += n -> e
+      }
       more = c.peek.contains(",")
       if (more) c.eat()
     }
+    require(c.toks.isEmpty, s"unparsed ES|QL tokens: ${c.toks.mkString(" ")}")
     out.toSeq
+  }
+
+  /** First top-level (outside quotes, whitespace-delimited,
+    * case-insensitive) occurrence of `word` in `body`, or -1 — indexOf
+    * would match inside string literals (r7 review). */
+  private def findTopLevel(body: String, word: String): Int = {
+    var i = 0
+    var inQ = false
+    while (i < body.length) {
+      val ch = body.charAt(i)
+      if (ch == '"') inQ = !inQ
+      else if (!inQ && i + word.length <= body.length &&
+        body.regionMatches(true, i, word, 0, word.length) &&
+        (i == 0 || body.charAt(i - 1).isWhitespace) &&
+        (i + word.length == body.length ||
+          body.charAt(i + word.length).isWhitespace))
+        return i
+      i += 1
+    }
+    -1
   }
 
   // ---------- pipeline compiler ----------
 
   /** Compile an ES|QL pipeline against the fixture tables in `d`. */
   def compile(s: SparkSession, d: String, query: String): DataFrame = {
-    val stages = query.split("\\|(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)")
+    // single '|' splits stages; '||' is the OR operator and must not
+    // (r7 review — the old regex split it into a bogus empty stage)
+    val stages = query.split(
+      "(?<!\\|)\\|(?!\\|)(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)")
       .map(_.trim).filter(_.nonEmpty)
     require(stages.head.toUpperCase.startsWith("FROM "),
       "ES|QL pipeline must start with FROM")
@@ -169,20 +220,21 @@ object Esql {
         if (sp < 0) (st.toUpperCase, "")
         else (st.take(sp).toUpperCase, st.drop(sp + 1).trim)
       kw match {
-        case "WHERE" => df = df.filter(orExpr(new Cursor(lex(body))))
+        case "WHERE" => df = df.filter(parseExpr(body))
         case "EVAL" =>
           for ((n, e) <- aliasedList(new Cursor(lex(body))))
             df = df.withColumn(n, e)
         case "STATS" =>
-          val byIdx = body.toUpperCase.indexOf(" BY ")
+          val byIdx = findTopLevel(body, "BY")
           val (aggPart, byPart) =
-            if (byIdx < 0) (body, "") else (body.take(byIdx), body.drop(byIdx + 4))
-          val aggs = aliasedList(new Cursor(lex(aggPart)))
+            if (byIdx < 0) (body, "")
+            else (body.take(byIdx), body.drop(byIdx + 2))
+          val aggs = aliasedList(new Cursor(lex(aggPart)), "agg")
             .map { case (n, e) => e.as(n) }
           df =
             if (byPart.isEmpty) df.agg(aggs.head, aggs.tail: _*)
             else {
-              val keys = aliasedList(new Cursor(lex(byPart)))
+              val keys = aliasedList(new Cursor(lex(byPart)), "key")
               val keyed = keys.foldLeft(df) { case (f, (n, e)) => f.withColumn(n, e) }
               keyed.groupBy(keys.map(k => col(k._1)): _*).agg(aggs.head, aggs.tail: _*)
             }

@@ -331,9 +331,10 @@ object NestedOps {
       .agg(sum($"n").as("doc_count"), sum($"sc").as("value_cents"),
         min($"mn").as("min_cents"), max($"mx").as("max_cents"),
         count(lit(1)).as("n_hour_buckets"))
-    val raw = Tables.eventsUs(s, d)
-      .select($"event_type", expr("(ts_us div 3600000000) div 24").as("day"),
-        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    // raw leg reuses the SAME projection `e` (r7 review: duplicated
+    // bucket/cents expressions could drift and fake a rollup mismatch)
+    val raw = e
+      .withColumn("day", expr("hour div 24"))
       .groupBy($"event_type", $"day")
       .agg(count(lit(1)).as("rn"), sum($"cents").as("rsc"),
         min($"cents").as("rmn"), max($"cents").as("rmx"))

@@ -30,6 +30,12 @@ object Parity {
   def csv(arr: Column): Column =
     array_join(transform(arr, x => x.cast("string")), ",")
 
+  /** Exact-DECIMAL discounted revenue Σ price·(1−discount) — the TPC-H
+    * money aggregate, single-sourced (r7 review: five byte-identical
+    * inline copies is five places a precision edit can diverge). */
+  def discRevenue(price: Column, discount: Column): Column =
+    money(sum(dec2(price) * (lit(1) - dec2(discount))))
+
   /** Order-deterministic double sum for a grouped aggregation: collect,
     * sort, THEN fold — plain sum() over doubles is order-nondeterministic
     * across shuffles, which breaks the oracle hash compare (j24/j33/j34

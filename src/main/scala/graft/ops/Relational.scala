@@ -91,7 +91,7 @@ object Relational {
       .groupBy($"o_orderkey", $"o_orderdate")
       .agg(
         count(lit(1)).as("n_lines"),
-        Parity.money(sum(Parity.dec2($"l_extendedprice") * (lit(1) - Parity.dec2($"l_discount")))).as("revenue"))
+        Parity.discRevenue($"l_extendedprice", $"l_discount").as("revenue"))
       .orderBy($"o_orderkey")
   }
 
@@ -184,7 +184,7 @@ object Relational {
       .filter($"r_name" === "ASIA")
       .groupBy($"n_name")
       .agg(
-        Parity.money(sum(Parity.dec2($"l_extendedprice") * (lit(1) - Parity.dec2($"l_discount")))).as("revenue"),
+        Parity.discRevenue($"l_extendedprice", $"l_discount").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy($"n_name")
   }
@@ -356,8 +356,7 @@ object Relational {
     li.join(ord, $"l_orderkey" === $"o_orderkey")
       .join(cust, $"o_custkey" === $"c_custkey")
       .groupBy($"o_orderkey", $"o_orderdate")
-      .agg(Parity.money(sum(Parity.dec2($"l_extendedprice") *
-        (lit(1) - Parity.dec2($"l_discount")))).as("revenue"))
+      .agg(Parity.discRevenue($"l_extendedprice", $"l_discount").as("revenue"))
       .orderBy($"revenue".desc, $"o_orderkey".asc)
       .limit(10)
       .select($"o_orderkey",
@@ -398,8 +397,7 @@ object Relational {
       .filter($"c_nationkey" === $"s_nationkey")
       .join(broadcast(asiaNations), $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
-      .agg(Parity.money(sum(Parity.dec2($"l_extendedprice") *
-        (lit(1) - Parity.dec2($"l_discount")))).as("revenue"))
+      .agg(Parity.discRevenue($"l_extendedprice", $"l_discount").as("revenue"))
       .orderBy($"revenue".desc, $"n_name".asc)
   }
 

@@ -23,24 +23,41 @@ class EsqlSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) > 0))
   }
 
-  test("expression precedence: AND binds tighter than OR; arithmetic before comparison") {
-    // value >= 0 is always true: OR short-circuits the false leg only if
-    // precedence groups as (a AND b) OR c
-    val n = Esql.compile(s, TestSpark.sf0001,
-      """FROM events
-        || WHERE event_type == "nope" AND value < 0 OR value >= 0
-        || STATS cnt = COUNT(*)""".stripMargin)
-      .head().getLong(0)
-    val all = Esql.compile(s, TestSpark.sf0001,
-      "FROM events | STATS cnt = COUNT(*)").head().getLong(0)
-    assert(n === all)
-    // (2 + 3) * nothing: 2 + 3 * value == 2 + (3 * value), checked via a
-    // filter that only holds under correct precedence on a known row set
-    val lo = Esql.compile(s, TestSpark.sf0001,
-      """FROM events
-        || WHERE value * 0 + 1 == 1
-        || STATS cnt = COUNT(*)""".stripMargin).head().getLong(0)
-    assert(lo === all)
+  test("expression precedence on a literal frame — fixture-independent (r7 review)") {
+    import s.implicits._
+    val df = Seq((1L, 5.0, "a"), (2L, -3.0, "nope"), (3L, 0.0, "b"))
+      .toDF("id", "v", "t")
+    def ids(e: String): Seq[Long] =
+      df.filter(Esql.parseExpr(e)).select($"id").as[Long].collect().sorted.toSeq
+    // AND binds tighter than OR: (t == "nope" AND v < 0) OR v >= 0
+    assert(ids("""t == "nope" AND v < 0 OR v >= 0""") === Seq(1L, 2L, 3L))
+    // multiplicative before additive before comparison
+    assert(ids("v * 0 + 1 == 1") === Seq(1L, 2L, 3L))
+    assert(ids("2 + 3 * 0 == 2") === Seq(1L, 2L, 3L))
+    // lowercase keywords and NOT parse (r7 review: lowercase 'and' was
+    // silently DROPPED before, truncating the predicate)
+    assert(ids("""t == "nope" and v < 0 or v >= 0""") === Seq(1L, 2L, 3L))
+    assert(ids("""NOT (v >= 0)""") === Seq(2L))
+    // the '||' spelling of OR survives stage splitting too
+    val both = Esql.compile(s, TestSpark.sf0001,
+      """FROM events | WHERE event_type == "click" || event_type == "view" | STATS cnt = COUNT(*) BY event_type""")
+      .collect()
+    assert(both.length === 2)
+    // trailing garbage is an ERROR, never a truncated predicate
+    intercept[IllegalArgumentException] {
+      Esql.parseExpr("""v >= 0 nonsense nonsense""")
+    }
+  }
+
+  test("unaliased BY expressions keep full expression; BY inside string literals is not a clause") {
+    // r7 review: 'BY user_id % 10' silently grouped by user_id alone
+    val bands = Esql.compile(s, TestSpark.sf0001,
+      "FROM events | STATS cnt = COUNT(*) BY user_id % 10")
+    assert(bands.count() === 10)
+    // a quoted " by " in an aggregate argument must not split the stage
+    val ok = Esql.compile(s, TestSpark.sf0001,
+      """FROM events | STATS n = COUNT(event_type == "sort by name") | LIMIT 1""")
+    assert(ok.columns.toSeq === Seq("n"))
   }
 
   test("KEEP projects and the declared query's WHERE pushes to the scan") {
