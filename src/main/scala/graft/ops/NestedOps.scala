@@ -477,6 +477,51 @@ object NestedOps {
       .limit(20)
   }
 
+  // ---------- j191 Poisson-bootstrap confidence interval ----------
+
+  /** j191_bootstrap_ci — the ONE-PASS Poisson bootstrap (Chamandy et al.
+    * 2012, the way production systems actually bootstrap at scale): each
+    * document gets an independent Poisson(1) resampling weight per
+    * replicate, drawn from a hash (md5-nibble 16-bit uniform against the
+    * INTEGER Poisson CDF thresholds 24109/48218/60273/64291/65296/
+    * 65497/65530 — bit-identical cross-engine, no RNG state), so the
+    * whole B=16 bootstrap is one map pass + a 16-group aggregation —
+    * never B shuffles of the corpus, never a multinomial that needs the
+    * global count. Reports the exact full-sample mean doc length beside
+    * the bootstrap envelope (min/max of the 16 replicate means — B is
+    * sketch-discipline small; production uses B≈200 with percentile
+    * cuts, the mechanism is unchanged).
+    *
+    * Scale shape: the explode is a row-local ×B map (B constant); each
+    * replicate mean is one double division of exact integer sums; the
+    * envelope is min/max over B rows (order-free). */
+  def j191(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val u = Hashing.nibbleInt(
+      "md5(concat('bs:', CAST(r AS STRING), ':', CAST(doc_id AS STRING)))", 4)
+    val w =
+      s"""CASE WHEN $u < 24109 THEN 0 WHEN $u < 48218 THEN 1
+         |WHEN $u < 60273 THEN 2 WHEN $u < 64291 THEN 3
+         |WHEN $u < 65296 THEN 4 WHEN $u < 65497 THEN 5
+         |WHEN $u < 65530 THEN 6 ELSE 7 END""".stripMargin
+    val reps = Tables.documents(s, d)
+      .select($"doc_id", $"n_chars", explode(expr("sequence(0, 15)")).as("r"))
+      .withColumn("w", expr(w).cast("long"))
+      .groupBy($"r")
+      .agg(sum($"w").as("nw"), sum($"w" * $"n_chars").as("sw"))
+      .withColumn("mean_r", $"sw".cast("double") / $"nw".cast("double"))
+    val full = Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sc"))
+    reps.agg(min($"mean_r").as("lo"), max($"mean_r").as("hi"),
+        count(lit(1)).as("n_reps"))
+      .crossJoin(broadcast(full))
+      .select($"n_docs",
+        round($"sc".cast("double") / $"n_docs".cast("double"), 6)
+          .as("full_mean"),
+        round($"lo", 6).as("boot_lo"), round($"hi", 6).as("boot_hi"),
+        $"n_reps")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j164_nested_query" -> j164,
     "j165_reverse_nested_agg" -> j165,
@@ -487,7 +532,8 @@ object NestedOps {
     "j186_rollup" -> j186,
     "j187_terms_partition" -> j187,
     "j189_interpolate" -> j189,
-    "j190_cdc_chunks" -> j190)
+    "j190_cdc_chunks" -> j190,
+    "j191_bootstrap_ci" -> j191)
 
   val oracle: Map[String, String] = Map(
     "j164_nested_query" ->
@@ -715,5 +761,38 @@ object NestedOps {
         |       CAST(length(chunk) AS BIGINT) AS chunk_len,
         |       CAST(n_occ AS BIGINT) AS n_occ, CAST(n_docs AS BIGINT) AS n_docs
         |FROM g WHERE n_docs >= 2
-        |ORDER BY n_occ DESC, chunk_hash ASC LIMIT 20""".stripMargin)
+        |ORDER BY n_occ DESC, chunk_hash ASC LIMIT 20""".stripMargin,
+    "j191_bootstrap_ci" ->
+      """WITH x AS (SELECT doc_id, n_chars,
+        |             unnest(generate_series(0, 15)) AS r
+        |           FROM 'documents.parquet'),
+        |wdf AS (SELECT r, n_chars,
+        |          (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+        |          (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+        |          (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+        |          (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS u
+        |        FROM (SELECT r, n_chars,
+        |                md5('bs:' || CAST(r AS VARCHAR) || ':' ||
+        |                    CAST(doc_id AS VARCHAR)) AS h
+        |              FROM x)),
+        |ws AS (SELECT r, n_chars,
+        |         CASE WHEN u < 24109 THEN 0 WHEN u < 48218 THEN 1
+        |              WHEN u < 60273 THEN 2 WHEN u < 64291 THEN 3
+        |              WHEN u < 65296 THEN 4 WHEN u < 65497 THEN 5
+        |              WHEN u < 65530 THEN 6 ELSE 7 END AS w
+        |       FROM wdf),
+        |reps AS (SELECT r, sum(w) AS nw, sum(w * n_chars) AS sw
+        |         FROM ws GROUP BY 1),
+        |env AS (SELECT min(CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE)) AS lo,
+        |          max(CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE)) AS hi,
+        |          CAST(count(*) AS BIGINT) AS n_reps
+        |        FROM reps),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |        sum(n_chars) AS sc FROM 'documents.parquet')
+        |SELECT f.n_docs,
+        |       round(CAST(f.sc AS DOUBLE) / CAST(f.n_docs AS DOUBLE), 6)
+        |         AS full_mean,
+        |       round(env.lo, 6) AS boot_lo, round(env.hi, 6) AS boot_hi,
+        |       env.n_reps
+        |FROM env CROSS JOIN f""".stripMargin)
 }

@@ -86,6 +86,7 @@ class PlanSpec extends AnyFunSuite {
       "j177_bit_hamming", // 1-row query halves onto the corpus scan (j166's shape)
       "j178_dow_seasonality", // 1-row global mean onto the ≤7-row dow frame
       "j189_interpolate", // calendar-bounded day frame × non-empty days anchor joins + 1-row user/hist broadcasts
+      "j191_bootstrap_ci", // 1-row full-sample stats onto the 16-row replicate envelope
       "j46_rescore", // 1-row corpus stats onto the candidate window
       "j48_term_suggest", // 3-row input list onto the vocab aggregate (banded)
       "j51_bool_msm", // 1-row corpus stats onto the term-filtered tf
