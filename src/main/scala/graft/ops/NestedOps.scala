@@ -522,6 +522,34 @@ object NestedOps {
         $"n_reps")
   }
 
+  // ---------- j193 Jaccard threshold sweep ----------
+
+  /** j193_jaccard_sweep — the dedup-threshold tuning table (j136's
+    * band-layout audit, applied to the VERIFY gate): over ALL candidate
+    * pairs (≥1 shared shingle, df-capped — TextOps.pairStats, the j2/
+    * j127 frame invoked, not restated), the pair count surviving each
+    * Jaccard cut 0.3/0.5/0.7/0.9 as ONE conditional reduce row (the
+    * j80/j90 discipline), plus the candidate total and the distinct
+    * docs touched at the production 0.5 cut. This is the evidence
+    * table behind j2's ≥0.5 default — how sharply the pair population
+    * thins as the cut rises. Thresholds compare the UNROUNDED jac in
+    * both engines (the j12 gate rule).
+    *
+    * Scale shape: pairStats' inverted-index cost IS the cost; the
+    * sweep adds one map-combined reduce over the pair frame. */
+  def j193(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stats = TextOps.pairStatsReleasable(s, d)._1
+    stats.agg(
+      count(lit(1)).as("n_candidates"),
+      sum(when($"jac" >= 0.3d, 1L).otherwise(0L)).as("ge_030"),
+      sum(when($"jac" >= 0.5d, 1L).otherwise(0L)).as("ge_050"),
+      sum(when($"jac" >= 0.7d, 1L).otherwise(0L)).as("ge_070"),
+      sum(when($"jac" >= 0.9d, 1L).otherwise(0L)).as("ge_090"),
+      countDistinct(when($"jac" >= 0.5d, $"d1")).as("d1_at_050"),
+      countDistinct(when($"jac" >= 0.5d, $"d2")).as("d2_at_050"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j164_nested_query" -> j164,
     "j165_reverse_nested_agg" -> j165,
@@ -533,7 +561,8 @@ object NestedOps {
     "j187_terms_partition" -> j187,
     "j189_interpolate" -> j189,
     "j190_cdc_chunks" -> j190,
-    "j191_bootstrap_ci" -> j191)
+    "j191_bootstrap_ci" -> j191,
+    "j193_jaccard_sweep" -> j193)
 
   val oracle: Map[String, String] = Map(
     "j164_nested_query" ->
@@ -794,5 +823,30 @@ object NestedOps {
         |         AS full_mean,
         |       round(env.lo, 6) AS boot_lo, round(env.hi, 6) AS boot_hi,
         |       env.n_reps
-        |FROM env CROSS JOIN f""".stripMargin)
+        |FROM env CROSS JOIN f""".stripMargin,
+    "j193_jaccard_sweep" ->
+      """WITH s0 AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
+        |  FROM 'documents.parquet' WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id, sh FROM s0
+        |      QUALIFY count(*) OVER (PARTITION BY sh) <= 1000),
+        |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |j AS (SELECT d1, d2, inter / (na.ns + nb.ns - inter) AS jac
+        |      FROM p JOIN n na ON p.d1 = na.doc_id
+        |      JOIN n nb ON p.d2 = nb.doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+        |       CAST(count(*) FILTER (WHERE jac >= 0.3) AS BIGINT) AS ge_030,
+        |       CAST(count(*) FILTER (WHERE jac >= 0.5) AS BIGINT) AS ge_050,
+        |       CAST(count(*) FILTER (WHERE jac >= 0.7) AS BIGINT) AS ge_070,
+        |       CAST(count(*) FILTER (WHERE jac >= 0.9) AS BIGINT) AS ge_090,
+        |       CAST(count(DISTINCT d1) FILTER (WHERE jac >= 0.5) AS BIGINT)
+        |         AS d1_at_050,
+        |       CAST(count(DISTINCT d2) FILTER (WHERE jac >= 0.5) AS BIGINT)
+        |         AS d2_at_050
+        |FROM j""".stripMargin)
 }

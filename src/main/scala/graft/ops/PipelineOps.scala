@@ -271,6 +271,70 @@ object PipelineOps {
       .orderBy($"doc_id")
   }
 
+  // ---------- j192 language-ID calibration ----------
+
+  /** j192_langid_calibration — is j15's classifier CALIBRATED? The
+    * top-1/top-2 log-likelihood margin is the classifier's confidence;
+    * this audit ranks documents by margin, cuts ten equal-count
+    * confidence deciles, and reports per-decile accuracy + mean margin.
+    * A calibrated ranker's accuracy rises monotonically with the
+    * decile; a flat curve means the margin carries no signal and
+    * abstention thresholds are theater. (The standard selective-
+    * prediction audit run before anyone trusts a lang filter's
+    * confidence cut.)
+    *
+    * Scale shape: j15's one-pass scoring (invoked conceptually — the
+    * scored frame is rebuilt from the same persisted tf aggregate
+    * shape); the decile RANK uses Dist.bandedPrefix with
+    * floor(margin) bands, NOT a single-partition ntile — the r6
+    * vocab-window hazard applies verbatim to corpus-sized doc frames;
+    * the decile aggregate is 10 groups, means via sorted folds. */
+  def j192(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val tf0 = docs
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("token"))
+      .groupBy($"doc_id", $"lang", $"token").agg(count(lit(1)).as("tf"))
+      .persist()
+    val tf = tf0.select($"doc_id", $"token", $"tf")
+    val ltf = tf0.groupBy($"lang", $"token").agg(sum($"tf").as("cnt_lt"))
+    val lcnt = tf0.groupBy($"lang").agg(sum($"tf").as("cnt_l"))
+    val vocab = tf0.agg(countDistinct($"token").as("v"))
+    val langs = langDictionary.toDF("cand_lang")
+    val scored = tf.crossJoin(broadcast(langs))
+      .join(ltf.withColumnRenamed("lang", "cand_lang"),
+        Seq("cand_lang", "token"), "left")
+      .join(broadcast(lcnt.withColumnRenamed("lang", "cand_lang")),
+        Seq("cand_lang"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("ll",
+        $"tf" * log((coalesce($"cnt_lt", lit(0L)) + 1) / ($"cnt_l" + $"v")))
+      .groupBy($"doc_id", $"cand_lang")
+      .agg(round(sum($"ll"), 6).as("score"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"cand_lang".asc)
+    val top2 = scored.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+      .groupBy($"doc_id")
+      .agg(max(when($"rn" === 1, $"cand_lang")).as("predicted"),
+        max(when($"rn" === 1, $"score")).as("s1"),
+        max(when($"rn" === 2, $"score")).as("s2"))
+      .withColumn("margin", $"s1" - $"s2")
+      .join(docs.select($"doc_id", $"lang".as("actual")), "doc_id")
+    val n = top2.agg(count(lit(1)).as("n_total"))
+    Dist.bandedPrefix(top2, Seq((-floor($"margin")).cast("long")),
+        Seq($"margin".desc, $"doc_id".asc), Nil)
+      .crossJoin(broadcast(n))
+      .withColumn("decile", expr("((rank - 1) * 10) div n_total"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"predicted" === $"actual", 1L).otherwise(0L)).as("n_correct"),
+        Parity.sortedFoldSum($"margin").as("sm"))
+      .select($"decile", $"n_docs", $"n_correct",
+        round($"n_correct".cast("double") / $"n_docs".cast("double"), 6)
+          .as("accuracy"),
+        round($"sm" / $"n_docs", 6).as("mean_margin"))
+      .orderBy($"decile")
+  }
+
   // ---------- j16 quality score ----------
 
   /** j16_quality_score — heuristic doc quality: length band, lexical
@@ -1248,6 +1312,7 @@ object PipelineOps {
     "j12_minhash_lsh" -> j12, "j111_minhash_accuracy" -> j111,
     "j13_simhash" -> j13,
     "j14_embed_neardup" -> j14, "j15_langid" -> j15,
+    "j192_langid_calibration" -> j192,
     "j16_quality_score" -> j16, "j17_token_stats" -> j17,
     "j18_rolling_fingerprint" -> j18, "j19_multimodal_binary" -> j19,
     "j20_ivf_topk" -> j20, "j135_ivf_recall" -> j135,
@@ -1713,6 +1778,49 @@ object PipelineOps {
         |       b.cand_lang = d.lang AS correct
         |FROM best b JOIN 'documents.parquet' d ON b.doc_id = d.doc_id
         |WHERE b.rn = 1 ORDER BY d.doc_id""".stripMargin,
+    "j192_langid_calibration" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |             FROM 'documents.parquet'),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |ltf AS (SELECT lang AS cand_lang, token, count(*) AS cnt_lt FROM tok GROUP BY 1, 2),
+        |lcnt AS (SELECT lang AS cand_lang, count(*) AS cnt_l FROM tok GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT token) AS v FROM tok),
+        |langs AS (SELECT DISTINCT lang AS cand_lang FROM 'documents.parquet'),
+        |scored AS (
+        |  SELECT tf.doc_id, langs.cand_lang,
+        |         round(sum(tf.tf * ln((coalesce(ltf.cnt_lt, 0) + 1) /
+        |           (lcnt.cnt_l + vocab.v))), 6) AS score
+        |  FROM tf CROSS JOIN langs
+        |  LEFT JOIN ltf ON ltf.cand_lang = langs.cand_lang AND ltf.token = tf.token
+        |  JOIN lcnt ON lcnt.cand_lang = langs.cand_lang
+        |  CROSS JOIN vocab
+        |  GROUP BY tf.doc_id, langs.cand_lang),
+        |rk AS (SELECT doc_id, cand_lang, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY score DESC, cand_lang ASC) AS rn
+        |       FROM scored),
+        |t2 AS (SELECT doc_id,
+        |         max(CASE WHEN rn = 1 THEN cand_lang END) AS predicted,
+        |         max(CASE WHEN rn = 1 THEN score END) AS s1,
+        |         max(CASE WHEN rn = 2 THEN score END) AS s2
+        |       FROM rk WHERE rn <= 2 GROUP BY 1),
+        |m AS (SELECT t2.doc_id, t2.predicted, d.lang AS actual,
+        |        t2.s1 - t2.s2 AS margin
+        |      FROM t2 JOIN 'documents.parquet' d ON t2.doc_id = d.doc_id),
+        |n AS (SELECT count(*) AS n_total FROM m),
+        |rkd AS (SELECT m.*, row_number() OVER
+        |          (ORDER BY margin DESC, doc_id ASC) AS rank
+        |        FROM m)
+        |SELECT CAST((rank - 1) * 10 // n.n_total AS BIGINT) AS decile,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_correct,
+        |       round(sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END) /
+        |             CAST(count(*) AS DOUBLE), 6) AS accuracy,
+        |       round(list_sum(list_sort(list(margin))) / count(*), 6)
+        |         AS mean_margin
+        |FROM rkd CROSS JOIN n GROUP BY 1, n.n_total
+        |ORDER BY decile""".stripMargin,
     "j16_quality_score" ->
       """WITH x AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
         |           FROM 'documents.parquet')

@@ -76,6 +76,7 @@ class PlanSpec extends AnyFunSuite {
     // broadcast idiom at any scale. (j31/j33 get their own targeted
     // plan tests below, so the exemption doesn't hide a degraded join.)
     val scalarBroadcast = Set("j7_tfidf", "j15_langid", "j26_embed_quantize",
+      "j192_langid_calibration", // j15's scalar broadcasts + 1-row total onto the margin frame
       "j31_embed_lsh_neardup", "j33_lm_score", "j34_bm25_search",
       "j35_fuzzy_search", // 3-row term list onto the vocab aggregate
       "j37_significant_terms", // 1-row totals onto the token stats
