@@ -53,7 +53,15 @@ object ScaleProbe {
         // two composed-dedup pipelines, and the pair-tag matrix
         "j140_cluster_split", "j145_span_not", "j148_source_overlap",
         "j155_pmi_collocations", "j158_incremental_dedup",
-        "j159_span_within")) {
+        "j159_span_within",
+        // round 7: the document-only additions worth scaled evidence —
+        // intervals/span_or position algebra, T5 masking, CDC chunking,
+        // bootstrap, preference pairs (pays j21), threshold sweep
+        // (pays pairStats), langid calibration (banded prefix at scale)
+        "j169_intervals_query", "j173_span_or_multi",
+        "j182_preference_pairs", "j183_span_corruption",
+        "j190_cdc_chunks", "j191_bootstrap_ci", "j192_langid_calibration",
+        "j193_jaccard_sweep")) {
       val missing = needs.get(q)
         .filterNot(f => new java.io.File(d, f).exists())
       if (missing.isDefined)
