@@ -171,8 +171,18 @@ object NestedOps {
     * maxspan, and no `until` event strictly inside (first, last). Of a
     * user's candidate sequences the EARLIEST-COMPLETING one is emitted
     * (then tightest: latest start, earliest middle) — one row per user
-    * with the three step times and the whole-sequence span, matching
-    * EQL's one-hit-per-completed-sequence output. Fixture-measured at
+    * with the three step times and the whole-sequence span.
+    *
+    * DELIBERATE RESTRICTION — at most ONE sequence per `by` key: real
+    * ES EQL resets its state machine after a match and emits EVERY
+    * completed sequence; this operator (and its streaming twin
+    * Sync.sequenceStream, which parks a matched key) reports only the
+    * first. The full reset-after-match emission — every greedy
+    * non-overlapping completion per key — is j199_eql_sequence_multi,
+    * whose bounded-fixpoint shape subsumes this one; j168 is kept as
+    * the cheaper single-shot variant (one window, no fixpoint), which
+    * is what alerting pipelines that only page once per entity want.
+    * Fixture-measured at
     * 6 h: 11 users complete a raw triple, 1 is killed by `until` —
     * both clauses genuinely bind (the j116 discipline).
     *
@@ -382,6 +392,11 @@ object NestedOps {
     * hygiene before rate/forecast math — a zero is a claim, an
     * interpolation is an estimate, and monitors care which). Edge gaps
     * hold the single available anchor; an all-empty series fills 0.
+    * The `fill_kind` column says WHICH claim each row makes — exact
+    * (observed non-zero), interpolated (two anchors), held (one
+    * anchor, edge gap), zero (no anchors at all) — so a consumer can
+    * distinguish an estimate from a held carry-forward from a
+    * zero-by-default.
     *
     * The series is ONE user's daily purchases (the smallest user_id —
     * the per-entity series of the TSDB use case): per-user event
@@ -427,8 +442,13 @@ object NestedOps {
           .when($"pi".isNotNull, $"pv".cast("double"))
           .when($"ni".isNotNull, $"nv".cast("double"))
           .otherwise(lit(0.0d)))
+      .withColumn("fill_kind",
+        when($"purchases" > 0, "exact")
+          .when($"pi".isNotNull && $"ni".isNotNull, "interpolated")
+          .when($"pi".isNotNull || $"ni".isNotNull, "held")
+          .otherwise("zero"))
       .select($"day", $"purchases", round($"filled", 6).as("filled"),
-        ($"purchases" === 0).as("interpolated"))
+        $"fill_kind")
       .orderBy($"day")
   }
 
@@ -536,11 +556,15 @@ object NestedOps {
     * both engines (the j12 gate rule).
     *
     * Scale shape: pairStats' inverted-index cost IS the cost; the
-    * sweep adds one map-combined reduce over the pair frame. */
+    * sweep adds one map-combined reduce over the pair frame. The op is
+    * a single terminal aggregate, so the 1-row result is materialized
+    * eagerly (localCheckpoint) and the persisted shingle relation
+    * released immediately — unlike j2/j127, whose returned frames still
+    * reference the cache and rely on the harness clearCache. */
   def j193(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val stats = TextOps.pairStatsReleasable(s, d)._1
-    stats.agg(
+    val (stats, release) = TextOps.pairStatsReleasable(s, d)
+    val out = stats.agg(
       count(lit(1)).as("n_candidates"),
       sum(when($"jac" >= 0.3d, 1L).otherwise(0L)).as("ge_030"),
       sum(when($"jac" >= 0.5d, 1L).otherwise(0L)).as("ge_050"),
@@ -548,6 +572,9 @@ object NestedOps {
       sum(when($"jac" >= 0.9d, 1L).otherwise(0L)).as("ge_090"),
       countDistinct(when($"jac" >= 0.5d, $"d1")).as("d1_at_050"),
       countDistinct(when($"jac" >= 0.5d, $"d2")).as("d2_at_050"))
+      .localCheckpoint()
+    release()
+    out
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -762,7 +789,10 @@ object NestedOps {
         |         WHEN pi IS NOT NULL THEN CAST(pv AS DOUBLE)
         |         WHEN ni IS NOT NULL THEN CAST(nv AS DOUBLE)
         |         ELSE 0.0 END, 6) AS filled,
-        |       purchases = 0 AS interpolated
+        |       CASE WHEN purchases > 0 THEN 'exact'
+        |            WHEN pi IS NOT NULL AND ni IS NOT NULL THEN 'interpolated'
+        |            WHEN pi IS NOT NULL OR ni IS NOT NULL THEN 'held'
+        |            ELSE 'zero' END AS fill_kind
         |FROM bth ORDER BY day""".stripMargin,
     "j190_cdc_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks

@@ -223,20 +223,22 @@ object PipelineOps {
   private[graft] val langDictionary: Seq[String] =
     Seq("de", "en", "es", "fr", "it", "ja", "ko", "pt", "ru", "zh")
 
-  /** j15_langid — naive-Bayes n-gram language ID, self-supervised: per-lang
-    * token profiles from the corpus itself, each doc classified by
-    * add-one-smoothed log-likelihood; reports predicted vs actual. */
-  def j15(s: SparkSession, d: String): DataFrame = {
+  /** Shared j15/j192 scoring core: the per-(doc_id, cand_lang) add-one-
+    * smoothed naive-Bayes log-likelihood frame. Single-sourced so the
+    * classifier and its calibration audit cannot drift (the same rule that
+    * single-sources Parity.discRevenue). ONE corpus pass: the (doc, lang,
+    * token) tf aggregate is persisted and every profile below derives from
+    * it — the previous shape ran four independent groupBys over the raw
+    * token explode, re-scanning the corpus four times. The persist is
+    * released by the harness clearCache between queries (the j2 shingle
+    * discipline).
+    *
+    * Broadcast discipline: langs/lcnt/vocab are O(#languages) or scalar —
+    * always broadcast; ltf is vocab-sized (huge at corpus scale) so it
+    * stays a shuffle join keyed on (cand_lang, token). */
+  private def langScored(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    // ONE corpus pass: per-(doc, lang, token) frequencies, materialized
-    // (persist — same discipline as the shingle table in j2/j12; the
-    // bench/harness clearCache releases it), with every profile below
-    // derived from the aggregate. The previous shape ran four independent
-    // groupBys over the raw token explode, re-scanning and re-exploding
-    // the corpus four times — the difference between one pass and four at
-    // 100 TB. (ReuseExchange alone can't dedupe these branches: column
-    // pruning gives each a different aggregate subtree.)
     val tf0 = docs
       .select($"doc_id", $"lang", explode(split($"text", " ")).as("token"))
       .groupBy($"doc_id", $"lang", $"token").agg(count(lit(1)).as("tf"))
@@ -248,20 +250,29 @@ object PipelineOps {
     // Candidate languages are a FIXED dictionary, not a corpus distinct():
     // a language-ID system knows its profile set up front, and at 100 TB a
     // corpus pass just to enumerate 5-10 candidates is a wasted stage. The
-    // inner join with lcnt below drops any dictionary language absent from
-    // the corpus profiles, so a superset dictionary is result-identical to
-    // the corpus-derived set (the oracle's DISTINCT lang form).
+    // inner join with lcnt drops any dictionary language absent from the
+    // corpus profiles, so a superset dictionary is result-identical to the
+    // corpus-derived set (the oracle's DISTINCT lang form).
     val langs = langDictionary.toDF("cand_lang")
-    // langs/lcnt/vocab are O(#languages) or scalar — always broadcast.
-    // ltf is vocab-sized (can be huge at corpus scale) so it stays a
-    // shuffle join keyed on (cand_lang, token); no hint there.
-    val scored = tf.crossJoin(broadcast(langs))
-      .join(ltf.withColumnRenamed("lang", "cand_lang"), Seq("cand_lang", "token"), "left")
-      .join(broadcast(lcnt.withColumnRenamed("lang", "cand_lang")), Seq("cand_lang"))
+    tf.crossJoin(broadcast(langs))
+      .join(ltf.withColumnRenamed("lang", "cand_lang"),
+        Seq("cand_lang", "token"), "left")
+      .join(broadcast(lcnt.withColumnRenamed("lang", "cand_lang")),
+        Seq("cand_lang"))
       .crossJoin(broadcast(vocab))
-      .withColumn("ll", $"tf" * log((coalesce($"cnt_lt", lit(0L)) + 1) / ($"cnt_l" + $"v")))
+      .withColumn("ll",
+        $"tf" * log((coalesce($"cnt_lt", lit(0L)) + 1) / ($"cnt_l" + $"v")))
       .groupBy($"doc_id", $"cand_lang")
       .agg(round(sum($"ll"), 6).as("score"))
+  }
+
+  /** j15_langid — naive-Bayes n-gram language ID, self-supervised: per-lang
+    * token profiles from the corpus itself, each doc classified by
+    * add-one-smoothed log-likelihood; reports predicted vs actual. */
+  def j15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val scored = langScored(s, d)
     val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"cand_lang".asc)
     scored
       .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
@@ -283,34 +294,16 @@ object PipelineOps {
     * prediction audit run before anyone trusts a lang filter's
     * confidence cut.)
     *
-    * Scale shape: j15's one-pass scoring (invoked conceptually — the
-    * scored frame is rebuilt from the same persisted tf aggregate
-    * shape); the decile RANK uses Dist.bandedPrefix with
+    * Scale shape: j15's one-pass scoring ([[langScored]] INVOKED, not
+    * restated — single-sourced so audit and classifier cannot drift);
+    * the decile RANK uses Dist.bandedPrefix with
     * floor(margin) bands, NOT a single-partition ntile — the r6
     * vocab-window hazard applies verbatim to corpus-sized doc frames;
     * the decile aggregate is 10 groups, means via sorted folds. */
   def j192(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val tf0 = docs
-      .select($"doc_id", $"lang", explode(split($"text", " ")).as("token"))
-      .groupBy($"doc_id", $"lang", $"token").agg(count(lit(1)).as("tf"))
-      .persist()
-    val tf = tf0.select($"doc_id", $"token", $"tf")
-    val ltf = tf0.groupBy($"lang", $"token").agg(sum($"tf").as("cnt_lt"))
-    val lcnt = tf0.groupBy($"lang").agg(sum($"tf").as("cnt_l"))
-    val vocab = tf0.agg(countDistinct($"token").as("v"))
-    val langs = langDictionary.toDF("cand_lang")
-    val scored = tf.crossJoin(broadcast(langs))
-      .join(ltf.withColumnRenamed("lang", "cand_lang"),
-        Seq("cand_lang", "token"), "left")
-      .join(broadcast(lcnt.withColumnRenamed("lang", "cand_lang")),
-        Seq("cand_lang"))
-      .crossJoin(broadcast(vocab))
-      .withColumn("ll",
-        $"tf" * log((coalesce($"cnt_lt", lit(0L)) + 1) / ($"cnt_l" + $"v")))
-      .groupBy($"doc_id", $"cand_lang")
-      .agg(round(sum($"ll"), 6).as("score"))
+    val scored = langScored(s, d)
     val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"cand_lang".asc)
     val top2 = scored.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
       .groupBy($"doc_id")

@@ -746,6 +746,12 @@ object Sync {
     * machine parks. StreamingSpec replays the full fixture log and pins
     * the emission set equal to batch j168 row for row.
     *
+    * DELIBERATE RESTRICTION (matches batch j168, NOT full ES EQL): the
+    * machine parks after its first match, so at most one sequence is
+    * emitted per key; real EQL clears its candidate lists and keeps
+    * matching. The reset-after-match twin is [[sequenceMultiStream]]
+    * (j199), which clears state instead of parking.
+    *
     * Ordering contract: intra-batch rows are sorted before folding;
     * across batches the per-key feed must be event-time ordered (the
     * funnelStream contract). */
