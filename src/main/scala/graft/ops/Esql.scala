@@ -4,9 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** ES|QL (j188) — a compiler for the useful core of Elasticsearch's
-  * piped query language: `FROM src | WHERE … | EVAL … | STATS … BY … |
-  * SORT … | LIMIT n`. Like j172's query_string parser, ALL parsing and
+/** ES|QL (j188/j194/j195) — a compiler for the useful core of
+  * Elasticsearch's piped query language: `FROM src | WHERE … | EVAL … |
+  * STATS … BY … | SORT … | LIMIT n | KEEP … | DISSECT col "pat" |
+  * GROK col "pat" | MV_EXPAND col`. Like j172's query_string parser, ALL parsing and
   * compilation happens at plan-build time: each pipe stage folds into
   * the DataFrame plan (WHERE → filter that Catalyst can push, EVAL →
   * projection, STATS → one keyed aggregation with map-side combine,
@@ -25,9 +26,16 @@ import graft.Tables
 object Esql {
 
   // ---------- lexer ----------
+  // """…""" (ES|QL's escape-free string form, needed for patterns that
+  // contain '"') must be tried before the plain "…" alternative
   private val tokenRe =
-    """\s*(>=|<=|==|!=|\|\||&&|[(),=%*/+\-<>|]|"[^"]*"|[A-Za-z_][A-Za-z_0-9.]*|\d+\.\d+|\d+)"""
+    """(?s)\s*(>=|<=|==|!=|\|\||&&|[(),=%*/+\-<>|]|"{3}.*?"{3}|"[^"]*"|[A-Za-z_][A-Za-z_0-9.]*|\d+\.\d+|\d+)"""
       .r
+
+  /** Strip one level of ES|QL string quoting (triple or plain). */
+  private def unquote(t: String): String =
+    if (t.startsWith("\"\"\"")) t.drop(3).dropRight(3)
+    else t.stripPrefix("\"").stripSuffix("\"")
 
   private def lex(q: String): List[String] = {
     var rest = q.trim
@@ -52,16 +60,18 @@ object Esql {
   }
 
   private val aggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG")
+  private val scalarFns =
+    Set("ROUND", "ABS", "SPLIT", "CONCAT", "TO_LONG", "TO_DOUBLE", "LENGTH")
 
   private def primary(c: Cursor): Column = c.eat() match {
     case "(" => val e = orExpr(c); c.expect(")"); e
     case "-" => negate(primary(c))
     case t if t.equalsIgnoreCase("NOT") => !primary(c)
-    case t if t.startsWith("\"") => lit(t.stripPrefix("\"").stripSuffix("\""))
+    case t if t.startsWith("\"") => lit(unquote(t))
     case t if t.matches("""\d+\.\d+""") => lit(t.toDouble)
     case t if t.matches("""\d+""") => lit(t.toLong)
     case fn if c.peek.contains("(") && (aggFns(fn.toUpperCase) ||
-        Set("ROUND", "ABS")(fn.toUpperCase)) =>
+        scalarFns(fn.toUpperCase)) =>
       c.expect("(")
       fn.toUpperCase match {
         case "COUNT" if c.peek.contains("*") =>
@@ -72,6 +82,23 @@ object Esql {
         case "MAX" => val a = orExpr(c); c.expect(")"); max(a)
         case "AVG" => val a = orExpr(c); c.expect(")"); avg(a)
         case "ABS" => val a = orExpr(c); c.expect(")"); abs(a)
+        case "TO_LONG" => val a = orExpr(c); c.expect(")"); a.cast("long")
+        case "TO_DOUBLE" => val a = orExpr(c); c.expect(")"); a.cast("double")
+        case "LENGTH" => val a = orExpr(c); c.expect(")"); length(a)
+        case "SPLIT" =>
+          // ES|QL SPLIT delimits on a LITERAL string — quote it so the
+          // regex-based Spark split can't misread ' ' vs '.' etc.
+          val a = orExpr(c)
+          c.expect(",")
+          val sepTok = c.eat()
+          require(sepTok.startsWith("\""), s"SPLIT needs a literal delimiter, got '$sepTok'")
+          c.expect(")")
+          split(a, java.util.regex.Pattern.quote(unquote(sepTok)))
+        case "CONCAT" =>
+          val args = scala.collection.mutable.ListBuffer(orExpr(c))
+          while (c.peek.contains(",")) { c.eat(); args += orExpr(c) }
+          c.expect(")")
+          concat(args.toSeq: _*)
         case "ROUND" =>
           val a = orExpr(c)
           if (c.peek.contains(",")) {
@@ -197,6 +224,91 @@ object Esql {
     -1
   }
 
+  // ---------- DISSECT / GROK pattern compilers ----------
+
+  /** Grok's built-in pattern dictionary (the subset a log pipeline
+    * actually uses). Every entry is written with NON-capturing groups
+    * only, so the group index of the i-th named key is exactly i+1 —
+    * the invariant the stage compiler relies on. The dialect subset
+    * (\d \w lazy quantifiers alternation) behaves identically under
+    * java.util.regex (Spark) and RE2 (DuckDB oracle). */
+  private val grokDict = Map(
+    "WORD" -> """\w+""",
+    "NOTSPACE" -> """\S+""",
+    "NUMBER" -> """(?:[+-]?\d+(?:\.\d+)?)""",
+    "INT" -> """(?:[+-]?\d+)""",
+    "DATA" -> """.*?""",
+    "GREEDYDATA" -> """.*""",
+    "IP" -> """(?:\d{1,3}(?:\.\d{1,3}){3})""",
+    "USERNAME" -> """[a-zA-Z0-9._-]+""",
+    "LOGLEVEL" -> """(?:INFO|WARN|ERROR|DEBUG|TRACE|FATAL)""")
+
+  private val grokKeyRe =
+    """%\{([A-Z0-9_]+)(?::([A-Za-z_][A-Za-z_0-9]*))?(?::(int|long|float|double|keyword))?\}""".r
+
+  /** Compile a grok pattern to (java+RE2-safe regex, named keys with
+    * optional cast). Text outside `%{…}` is passed through VERBATIM as
+    * regex — grok semantics (so `\{` spells a literal brace); unnamed
+    * `%{PATTERN}` keys match without capturing. Grok matches anywhere
+    * in the input unless the pattern itself anchors with ^/$. */
+  private[graft] def grokToRegex(pat: String): (String, Seq[(String, Option[String])]) = {
+    val sb = new StringBuilder
+    val keys = scala.collection.mutable.ListBuffer.empty[(String, Option[String])]
+    var last = 0
+    for (m <- grokKeyRe.findAllMatchIn(pat)) {
+      sb.append(pat.substring(last, m.start))
+      val rx = grokDict.getOrElse(m.group(1),
+        throw new IllegalArgumentException(s"unknown grok pattern %{${m.group(1)}}"))
+      Option(m.group(2)) match {
+        case None => sb.append("(?:").append(rx).append(")")
+        case Some(name) =>
+          sb.append("(").append(rx).append(")")
+          keys += name -> Option(m.group(3))
+      }
+      last = m.end
+    }
+    sb.append(pat.substring(last))
+    (sb.toString, keys.toSeq)
+  }
+
+  private val dissectKeyRe = """%\{([A-Za-z_][A-Za-z_0-9]*)?\}""".r
+
+  /** Compile a dissect pattern to (anchored regex, keys). Dissect is the
+    * regex-free cousin of grok: literal separators (regex-QUOTED here,
+    * unlike grok's verbatim pass-through) with `%{name}` keys between
+    * them; keys bind to the shortest span reaching the next literal
+    * (leftmost separator match — the lazy `(.*?)` under full ^…$
+    * anchoring reproduces exactly that). `%{}` is a skip key. */
+  private[graft] def dissectToRegex(pat: String): (String, Seq[String]) = {
+    val sb = new StringBuilder("^")
+    val keys = scala.collection.mutable.ListBuffer.empty[String]
+    var last = 0
+    for (m <- dissectKeyRe.findAllMatchIn(pat)) {
+      if (m.start > last)
+        sb.append(java.util.regex.Pattern.quote(pat.substring(last, m.start)))
+      Option(m.group(1)) match {
+        case None => sb.append("(?:.*?)")
+        case Some(name) => sb.append("(.*?)"); keys += name
+      }
+      last = m.end
+    }
+    if (last < pat.length)
+      sb.append(java.util.regex.Pattern.quote(pat.substring(last)))
+    sb.append("$")
+    (sb.toString, keys.toSeq)
+  }
+
+  /** Parse a `<input-column> "<pattern>"` stage body (DISSECT / GROK). */
+  private def colPattern(body: String): (String, String) = {
+    val c = new Cursor(lex(body))
+    val in = c.eat()
+    require(in.matches(identRe), s"expected input column, got '$in'")
+    val patTok = c.eat()
+    require(patTok.startsWith("\""), s"expected pattern string, got '$patTok'")
+    require(c.toks.isEmpty, s"unparsed ES|QL tokens: ${c.toks.mkString(" ")}")
+    (in, unquote(patTok))
+  }
+
   // ---------- pipeline compiler ----------
 
   /** Compile an ES|QL pipeline against the fixture tables in `d`. */
@@ -249,6 +361,32 @@ object Esql {
         case "LIMIT" => df = df.limit(body.trim.toInt)
         case "KEEP" =>
           df = df.select(body.split(",").map(_.trim).map(col).toIndexedSeq: _*)
+        case "DISSECT" =>
+          val (in, pat) = colPattern(body)
+          val (rx, keys) = dissectToRegex(pat)
+          for ((n, i) <- keys.zipWithIndex)
+            // regexp_extract returns '' on no-match in BOTH Spark and
+            // DuckDB — the parity form (ES emits null there; a consumer
+            // needing that distinction filters on the match first)
+            df = df.withColumn(n, regexp_extract(col(in), rx, i + 1))
+        case "GROK" =>
+          val (in, pat) = colPattern(body)
+          val (rx, keys) = grokToRegex(pat)
+          for (((n, cast), i) <- keys.zipWithIndex) {
+            val e0 = regexp_extract(col(in), rx, i + 1)
+            val e = cast match {
+              case Some("int") | Some("long") => e0.cast("long")
+              case Some("float") | Some("double") => e0.cast("double")
+              case _ => e0
+            }
+            df = df.withColumn(n, e)
+          }
+        case "MV_EXPAND" =>
+          val n = body.trim
+          require(n.matches(identRe), s"MV_EXPAND needs a column, got '$n'")
+          // inner explode: drops null/empty arrays — the unnest-parity
+          // choice (ES keeps a null row; DuckDB unnest does not)
+          df = df.withColumn(n, explode(col(n)))
         case other => throw new IllegalArgumentException(s"unknown stage: $other")
       }
     }
@@ -272,8 +410,50 @@ object Esql {
   def j188(s: SparkSession, d: String): DataFrame =
     compile(s, d, j188Query)
 
+  /** j194_esql_dissect_grok — the log-pattern-extraction stages, the
+    * single most common ES|QL workload (raw text → columns): DISSECT
+    * peels the numeric suffix off `source` (literal-separator parsing),
+    * GROK captures the two leading words of `text` (regex-dictionary
+    * parsing), and the extracted columns immediately feed EVAL / WHERE /
+    * STATS like any native column — the point of the stage design: an
+    * extraction is just a projection, so Catalyst still prunes and
+    * pushes around it. The oracle mirrors the generated regexes
+    * verbatim (both engines' regexp_extract return '' on no-match — the
+    * j49 deterministic-string discipline, applied to extraction). */
+  val j194Query: String =
+    """FROM documents
+      || DISSECT source "src%{idx}"
+      || GROK text "%{WORD:w1} %{WORD:w2}"
+      || EVAL idx_n = TO_LONG(idx)
+      || WHERE idx_n % 2 == 0
+      || STATS n = COUNT(*), chars = SUM(n_chars), nl = SUM(LENGTH(w2)) BY w1, idx_n
+      || SORT n DESC, w1, idx_n
+      || LIMIT 25""".stripMargin
+
+  def j194(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j194Query)
+
+  /** j195_esql_mv_expand — multivalue expansion: SPLIT builds an array
+    * column, MV_EXPAND explodes it to rows (ES|QL's unnest), and the
+    * pipeline aggregates the expanded rows — wordcount expressed in the
+    * pipe language. The explode is a generator in the physical plan
+    * (one pass, no shuffle until STATS), and STATS remains map-side
+    * combined on (tok, lang). */
+  val j195Query: String =
+    """FROM documents
+      || EVAL tok = SPLIT(text, " ")
+      || MV_EXPAND tok
+      || STATS n = COUNT(*) BY tok, lang
+      || SORT n DESC, tok, lang
+      || LIMIT 30""".stripMargin
+
+  def j195(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j195Query)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "j188_esql" -> j188)
+    "j188_esql" -> j188,
+    "j194_esql_dissect_grok" -> j194,
+    "j195_esql_mv_expand" -> j195)
 
   val oracle: Map[String, String] = Map(
     "j188_esql" ->
@@ -284,5 +464,23 @@ object Esql {
         |         AS max_cents
         |FROM 'events.parquet'
         |WHERE event_type = 'purchase' AND value >= 10
-        |GROUP BY 1 ORDER BY sum_cents DESC, band ASC LIMIT 5""".stripMargin)
+        |GROUP BY 1 ORDER BY sum_cents DESC, band ASC LIMIT 5""".stripMargin,
+    "j194_esql_dissect_grok" ->
+      """WITH d AS (
+        |  SELECT CAST(regexp_extract(source, '^src(.*?)$', 1) AS BIGINT)
+        |           AS idx_n,
+        |         regexp_extract(text, '(\w+) (\w+)', 1) AS w1,
+        |         regexp_extract(text, '(\w+) (\w+)', 2) AS w2,
+        |         n_chars
+        |  FROM 'documents.parquet')
+        |SELECT w1, idx_n, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars,
+        |       CAST(sum(length(w2)) AS BIGINT) AS nl
+        |FROM d WHERE idx_n % 2 = 0
+        |GROUP BY 1, 2 ORDER BY n DESC, w1, idx_n LIMIT 25""".stripMargin,
+    "j195_esql_mv_expand" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |           FROM 'documents.parquet')
+        |SELECT tok, lang, CAST(count(*) AS BIGINT) AS n
+        |FROM t GROUP BY 1, 2 ORDER BY n DESC, tok, lang LIMIT 30""".stripMargin)
 }

@@ -71,4 +71,61 @@ class EsqlSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p) // STATS map-combines
     assert(p.contains("TakeOrderedAndProject"), p) // SORT+LIMIT is a heap
   }
+
+  test("dissect compiles to anchored quoted-literal regex; grok to dictionary regex") {
+    val (drx, dkeys) = Esql.dissectToRegex("%{a} - %{}x%{b}")
+    assert(dkeys === Seq("a", "b"))
+    assert(drx === "^(.*?)\\Q - \\E(?:.*?)\\Qx\\E(.*?)$")
+    val (grx, gkeys) = Esql.grokToRegex("""%{WORD:u} %{INT:k:long} %{DATA}end""")
+    assert(gkeys === Seq("u" -> None, "k" -> Some("long")))
+    assert(grx === """(\w+) ((?:[+-]?\d+)) (?:.*?)end""")
+    intercept[IllegalArgumentException] { Esql.grokToRegex("%{NOSUCH:x}") }
+  }
+
+  test("DISSECT/GROK extraction semantics on a literal frame") {
+    import s.implicits._
+    val df = Seq("src12 INFO done", "src7 ERROR boom").toDF("line")
+      .createOrReplaceTempView("ignore_me")
+    val out = Seq("src12 INFO done", "src7 ERROR boom").toDF("line")
+    // dissect: leftmost-separator binding
+    val d = out.withColumn("x",
+      org.apache.spark.sql.functions.regexp_extract(
+        org.apache.spark.sql.functions.col("line"),
+        Esql.dissectToRegex("src%{n} %{rest}")._1, 1))
+    assert(d.orderBy("line").select("x").as[String].collect().toSeq === Seq("12", "7"))
+    // grok through the full pipeline machinery, incl. the :long cast and
+    // a triple-quoted pattern containing a literal double-quote
+    val tq = "\"\"\""
+    val piped = Esql.compile(s, TestSpark.sf0001,
+      "FROM events" +
+        " | GROK props " + tq + """\{"k": %{INT:k:long}\}""" + tq +
+        " | WHERE k >= 50" +
+        " | STATS n = COUNT(*), mx = MAX(k)" +
+        " | LIMIT 1")
+    val r = piped.collect()(0)
+    assert(r.getAs[Long]("n") > 0)
+    assert(r.getAs[Long]("mx") <= 99)
+  }
+
+  test("MV_EXPAND explodes SPLIT arrays; WHERE on a base column still pushes below DISSECT/GROK") {
+    val exp = Esql.compile(s, TestSpark.sf0001,
+      """FROM documents
+        || EVAL tok = SPLIT(text, " ")
+        || MV_EXPAND tok
+        || STATS n = COUNT(*)""".stripMargin).collect()(0).getAs[Long]("n")
+    val toks = Tables.documents(s, TestSpark.sf0001)
+      .selectExpr("sum(size(split(text, ' '))) AS n").collect()(0).getAs[Long]("n")
+    assert(exp === toks)
+    // extraction stages are projections — a filter on an UNTOUCHED base
+    // column must still reach the parquet scan beneath them
+    val p = Esql.compile(s, TestSpark.sf0001,
+      """FROM documents
+        || DISSECT source "src%{idx}"
+        || GROK text "%{WORD:w1}"
+        || WHERE lang == "en"
+        || STATS n = COUNT(*) BY w1""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("EqualTo(lang,en)"), p)
+  }
 }
