@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -345,13 +345,110 @@ object VectorOps {
         $"in_exact_top10")
   }
 
+  /** j196_graph_ann — HNSW-style graph ANN beside the IVF (j20) / PQ
+    * (j166) / LSH (j31) / bit (j177) ladder: a navigable-small-world
+    * search demo with every stage distributed and deterministic.
+    *
+    * Build (NSW-Descent-flavored): candidate edges come from TWO
+    * independent 4-plane hyperplane-LSH tables (16 buckets each — two
+    * tables because a single table's graph cannot cross bucket
+    * boundaries and greedy search would be trapped in the entry's
+    * component; the union of two independent bucketings is the standard
+    * multi-table recall device). Per (table, vector): top-M=4 out-edges
+    * by exact pair cosine; the adjacency is the distinct union. Real
+    * HNSW also diversifies/reverse-links neighbors — the bucketed top-M
+    * is the batch-buildable approximation.
+    *
+    * Entry (the layer trick): HNSW's upper layers ARE exponentially
+    * thinner random subsamples; here layer 1 = `vec_id % 16 == 0` and
+    * the entry point is its exact argmax-by-cos_q (greedy descent over
+    * a 6% sample, done exactly since the layer is small by design).
+    *
+    * Search: R=4 beam-search rounds, beam B=12 — each round broadcasts
+    * the beam into the adjacency (frontier-restricted join, j176's BFS
+    * discipline, never all-pairs), unions the neighbors into the
+    * explored set, and re-cuts the beam; per-round localCheckpoint
+    * keeps round k's plan O(1), not O(k) (j21's fixpoint discipline —
+    * the explored set is ≤ entry + R·B·2M rows, always tiny).
+    *
+    * Output (j135's estimate-beside-exact discipline): the brute-force
+    * top-10 with a `found` flag per rank marking whether graph search
+    * surfaced it, plus `n_explored` — the cost side of the
+    * recall/explored trade every ANN deployment tunes. All ranking and
+    * beam admission compares UNROUNDED doubles computed by the same
+    * left-to-right fold in both engines (j12's gate rule). */
+  def j196(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    val M = 4; val B = 12; val R = 4
+    val hp = s.range(1).select(expr(
+      s"""transform(sequence(0, 7), k -> transform(sequence(1, 64),
+         |  i -> (CAST(${Hashing.nibbleInt("md5(concat('hg:', k, ':', i))")} AS DOUBLE) / 65536.0) - 0.5))""".stripMargin)
+      .as("hps"))
+    def bucket(off: Int): Column = expr(
+      s"""aggregate(sequence(0, 3), CAST(0 AS BIGINT), (acc, k) ->
+         |  acc + CASE WHEN aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
+         |      (sm, i) -> sm + CAST(element_at(embedding, i) AS DOUBLE) *
+         |                 element_at(element_at(hps, $off + k + 1), i)) >= 0
+         |    THEN CAST(power(2, k) AS BIGINT) ELSE 0 END)""".stripMargin)
+    // one pass computes both table signatures, the norm, and the query
+    // cosine; persisted — it feeds the adjacency self-join (twice), the
+    // entry pick, and the truth leg (clearCache releases it, j2 rule)
+    val e = Tables.embeddings(s, d)
+      .crossJoin(broadcast(hp))
+      .withColumn("b0", bucket(0))
+      .withColumn("b1", bucket(4))
+      .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
+      .withColumn("cos_q", expr(sumAll) / ($"nrm" * lit(8.0d)))
+      .select($"vec_id", $"b0", $"b1", $"embedding", $"nrm", $"cos_q")
+      .persist()
+    val tb = e.select($"vec_id", $"embedding", $"nrm",
+        explode(expr("array(named_struct('t', 0, 'bkt', b0), named_struct('t', 1, 'bkt', b1))")).as("tbs"))
+      .select($"tbs.t".as("t"), $"tbs.bkt".as("bkt"), $"vec_id", $"embedding", $"nrm")
+    val src = tb.select($"t", $"bkt", $"vec_id".as("src"), $"embedding".as("va"), $"nrm".as("na"))
+    val dst = tb.select($"t", $"bkt", $"vec_id".as("dst"), $"embedding".as("vb"), $"nrm".as("nb"))
+    val wS = Window.partitionBy($"t", $"src").orderBy($"cos_ab".desc, $"dst".asc)
+    val adj = src.join(dst, Seq("t", "bkt")).filter($"src" =!= $"dst")
+      .withColumn("cos_ab", expr("vec_dot(va, vb)") / ($"na" * $"nb"))
+      .withColumn("rn", row_number().over(wS)).filter($"rn" <= M)
+      .select($"src", $"dst").distinct()
+      .persist()
+    val q = e.select($"vec_id", $"cos_q")
+    var cand = q.filter($"vec_id" % 16 === 0)
+      .orderBy($"cos_q".desc, $"vec_id".asc).limit(1)
+      .localCheckpoint()
+    for (_ <- 1 to R) {
+      val beam = cand.orderBy($"cos_q".desc, $"vec_id".asc).limit(B)
+        .select($"vec_id".as("src"))
+      val nbrs = adj.join(broadcast(beam), "src")
+        .select($"dst".as("vec_id")).distinct()
+        .join(q, "vec_id").select($"vec_id", $"cos_q")
+      val next = cand.unionByName(nbrs)
+        .groupBy($"vec_id").agg(max($"cos_q").as("cos_q"))
+        .localCheckpoint()
+      TextOps.releaseCheckpoint(cand)
+      cand = next
+    }
+    val explored = cand.agg(count(lit(1)).as("n_explored"))
+    val approx = cand.orderBy($"cos_q".desc, $"vec_id".asc).limit(10)
+      .select($"vec_id", lit(true).as("fnd"))
+    val truth = q.orderBy($"cos_q".desc, $"vec_id".asc).limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"cos_q".desc, $"vec_id".asc)).cast("long"))
+    truth.join(broadcast(approx), Seq("vec_id"), "left_outer")
+      .crossJoin(broadcast(explored))
+      .select($"rank", $"vec_id", round($"cos_q", 6).as("cos_q"),
+        coalesce($"fnd", lit(false)).as("found"), $"n_explored")
+      .orderBy($"rank")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j3_cosine_score" -> j3, "j4_topk_nn" -> j4, "j5_knn_per_label" -> j5,
     "j9_embedding_norm" -> j9, "j10_label_centroid" -> j10,
     "j11_multimodal_cols" -> j11,
     "j122_knn_prefilter" -> j122, "j123_maxsim" -> j123,
     "j134_hard_negatives" -> j134, "j166_pq_adc" -> j166,
-    "j177_bit_hamming" -> j177)
+    "j177_bit_hamming" -> j177, "j196_graph_ann" -> j196)
 
   private val dotSelfSql =
     "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
@@ -531,5 +628,59 @@ object VectorOps {
         |SELECT sc.vec_id, sc.hamming, round(sc.cos_exact, 6) AS cos_exact,
         |       xt.vec_id IS NOT NULL AS in_exact_top10
         |FROM sc LEFT JOIN xt ON sc.vec_id = xt.vec_id
-        |ORDER BY sc.hamming ASC, sc.vec_id ASC LIMIT 10""".stripMargin)
+        |ORDER BY sc.hamming ASC, sc.vec_id ASC LIMIT 10""".stripMargin,
+    "j196_graph_ann" ->
+      """WITH hp AS (SELECT k, list_transform(generate_series(1, 64), i ->
+        |      (((strpos('0123456789abcdef', substr(md5('hg:' || k || ':' || i), 1, 1)) - 1) * 4096 +
+        |        (strpos('0123456789abcdef', substr(md5('hg:' || k || ':' || i), 2, 1)) - 1) * 256 +
+        |        (strpos('0123456789abcdef', substr(md5('hg:' || k || ':' || i), 3, 1)) - 1) * 16 +
+        |        (strpos('0123456789abcdef', substr(md5('hg:' || k || ':' || i), 4, 1)) - 1)) / 65536.0) - 0.5) AS h
+        |    FROM generate_series(0, 7) t(k)),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM 'embeddings.parquet'),
+        |nr AS (SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |q AS (SELECT e.vec_id, list_sum(e.v) / (nr.nrm * 8.0) AS cos_q
+        |      FROM e JOIN nr ON e.vec_id = nr.vec_id),
+        |dots AS (SELECT e.vec_id, hp.k,
+        |        list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * hp.h[i])) AS dt
+        |        FROM e CROSS JOIN hp),
+        |sig AS (SELECT vec_id, k // 4 AS t,
+        |        CAST(sum(CASE WHEN dt >= 0 THEN CAST(power(2, k % 4) AS INT) ELSE 0 END) AS BIGINT) AS bkt
+        |        FROM dots GROUP BY 1, 2),
+        |adj AS (SELECT DISTINCT src, dst FROM (
+        |        SELECT a.t, a.vec_id AS src, b.vec_id AS dst,
+        |          list_sum(list_transform(generate_series(1, 64), i -> ea.v[i] * eb.v[i]))
+        |            / (na.nrm * nb.nrm) AS cos_ab
+        |        FROM sig a JOIN sig b ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id <> b.vec_id
+        |        JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+        |        JOIN nr na ON na.vec_id = a.vec_id JOIN nr nb ON nb.vec_id = b.vec_id
+        |        QUALIFY row_number() OVER (PARTITION BY a.t, a.vec_id
+        |                                   ORDER BY cos_ab DESC, b.vec_id) <= 4)),
+        |c0 AS (SELECT vec_id, cos_q FROM q WHERE vec_id % 16 = 0
+        |       ORDER BY cos_q DESC, vec_id LIMIT 1),
+        |b1 AS (SELECT vec_id FROM c0 ORDER BY cos_q DESC, vec_id LIMIT 12),
+        |c1 AS (SELECT vec_id, cos_q FROM c0 UNION
+        |       SELECT q.vec_id, q.cos_q FROM adj JOIN b1 ON adj.src = b1.vec_id
+        |       JOIN q ON q.vec_id = adj.dst),
+        |b2 AS (SELECT vec_id FROM c1 ORDER BY cos_q DESC, vec_id LIMIT 12),
+        |c2 AS (SELECT vec_id, cos_q FROM c1 UNION
+        |       SELECT q.vec_id, q.cos_q FROM adj JOIN b2 ON adj.src = b2.vec_id
+        |       JOIN q ON q.vec_id = adj.dst),
+        |b3 AS (SELECT vec_id FROM c2 ORDER BY cos_q DESC, vec_id LIMIT 12),
+        |c3 AS (SELECT vec_id, cos_q FROM c2 UNION
+        |       SELECT q.vec_id, q.cos_q FROM adj JOIN b3 ON adj.src = b3.vec_id
+        |       JOIN q ON q.vec_id = adj.dst),
+        |b4 AS (SELECT vec_id FROM c3 ORDER BY cos_q DESC, vec_id LIMIT 12),
+        |c4 AS (SELECT vec_id, cos_q FROM c3 UNION
+        |       SELECT q.vec_id, q.cos_q FROM adj JOIN b4 ON adj.src = b4.vec_id
+        |       JOIN q ON q.vec_id = adj.dst),
+        |ap AS (SELECT vec_id FROM c4 ORDER BY cos_q DESC, vec_id LIMIT 10),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_explored FROM c4),
+        |tr AS (SELECT vec_id, cos_q,
+        |         CAST(row_number() OVER (ORDER BY cos_q DESC, vec_id) AS BIGINT) AS rank
+        |       FROM q ORDER BY cos_q DESC, vec_id LIMIT 10)
+        |SELECT tr.rank, tr.vec_id, round(tr.cos_q, 6) AS cos_q,
+        |       ap.vec_id IS NOT NULL AS found, ex.n_explored
+        |FROM tr LEFT JOIN ap ON tr.vec_id = ap.vec_id CROSS JOIN ex
+        |ORDER BY rank""".stripMargin)
 }
