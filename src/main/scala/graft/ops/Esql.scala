@@ -204,20 +204,55 @@ object Esql {
     out.toSeq
   }
 
-  /** First top-level (outside quotes, whitespace-delimited,
-    * case-insensitive) occurrence of `word` in `body`, or -1 — indexOf
-    * would match inside string literals (r7 review). */
-  private def findTopLevel(body: String, word: String): Int = {
+  /** Same-length copy of `q` with every lexer-recognized string literal
+    * replaced by 's' filler — triple-quoted form FIRST, mirroring
+    * [[tokenRe]]'s alternative order, because the escape-free `"""…"""`
+    * form exists precisely to embed '"' characters. Structural scans
+    * (stage splitting, top-level keyword location) run over the mask, so
+    * quote PARITY never matters (r8 review: the old per-char '"' toggle
+    * broke on a triple-quoted pattern with an odd number of embedded
+    * quotes — exactly the inputs triple-quoting was added for). */
+  private val stringTokRe = """(?s)"{3}.*?"{3}|"[^"]*"""".r
+  private def maskStrings(q: String): String = {
+    val sb = new StringBuilder(q)
+    for (m <- stringTokRe.findAllMatchIn(q); i <- m.start until m.end)
+      sb.setCharAt(i, 's')
+    sb.toString
+  }
+
+  /** Split a pipeline on single top-level '|' (not '||', not inside any
+    * string literal) — scans [[maskStrings]] for structure, cuts the
+    * ORIGINAL text. */
+  private def splitStages(query: String): Seq[String] = {
+    val m = maskStrings(query)
+    val cuts = scala.collection.mutable.ListBuffer(-1)
     var i = 0
-    var inQ = false
-    while (i < body.length) {
-      val ch = body.charAt(i)
-      if (ch == '"') inQ = !inQ
-      else if (!inQ && i + word.length <= body.length &&
-        body.regionMatches(true, i, word, 0, word.length) &&
-        (i == 0 || body.charAt(i - 1).isWhitespace) &&
-        (i + word.length == body.length ||
-          body.charAt(i + word.length).isWhitespace))
+    while (i < m.length) {
+      if (m.charAt(i) == '|' &&
+          (i == 0 || m.charAt(i - 1) != '|') &&
+          (i + 1 >= m.length || m.charAt(i + 1) != '|'))
+        cuts += i
+      i += 1
+    }
+    cuts += query.length
+    cuts.toSeq.sliding(2).map { case Seq(a, b) => query.substring(a + 1, b) }
+      .map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** First top-level (outside string literals, whitespace-delimited,
+    * case-insensitive) occurrence of `word` in `body`, or -1 — indexOf
+    * would match inside string literals (r7 review). Scans the mask
+    * (same length as `body`, strings filled with 's'), so the returned
+    * index is valid for `body` and quote parity is irrelevant. */
+  private def findTopLevel(body: String, word: String): Int = {
+    val msk = maskStrings(body)
+    var i = 0
+    while (i < msk.length) {
+      if (i + word.length <= msk.length &&
+        msk.regionMatches(true, i, word, 0, word.length) &&
+        (i == 0 || msk.charAt(i - 1).isWhitespace) &&
+        (i + word.length == msk.length ||
+          msk.charAt(i + word.length).isWhitespace))
         return i
       i += 1
     }
@@ -314,10 +349,10 @@ object Esql {
   /** Compile an ES|QL pipeline against the fixture tables in `d`. */
   def compile(s: SparkSession, d: String, query: String): DataFrame = {
     // single '|' splits stages; '||' is the OR operator and must not
-    // (r7 review — the old regex split it into a bogus empty stage)
-    val stages = query.split(
-      "(?<!\\|)\\|(?!\\|)(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)")
-      .map(_.trim).filter(_.nonEmpty)
+    // (r7 review — the old regex split it into a bogus empty stage);
+    // string literals are masked out first, so a '|' inside a pattern
+    // never splits and quote parity never matters (r8 review)
+    val stages = splitStages(query)
     require(stages.head.toUpperCase.startsWith("FROM "),
       "ES|QL pipeline must start with FROM")
     val src = stages.head.drop(5).trim

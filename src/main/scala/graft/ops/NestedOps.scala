@@ -196,8 +196,24 @@ object NestedOps {
     * co-partitions on the `by` key. */
   def j168(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val spanUs = 21600000000L // 6 h
     val e = Tables.eventsUs(s, d).select($"user_id", $"event_type", $"ts_us")
+    seqEarliest(e)
+      .select($"user_id", $"t1".as("t1_us"), $"t2".as("t2_us"),
+        $"t3".as("t3_us"), expr("(t3 - t1) div 1000000").as("span_s"))
+      .orderBy($"user_id")
+  }
+
+  /** The shared EQL pick-one fragment (j168 verbatim, j199 per round):
+    * over an events frame (user_id, event_type, ts_us), the
+    * EARLIEST-COMPLETING valid `[view][click][purchase] until [error]`
+    * sequence per user — tiebreak latest start, then earliest middle —
+    * as (user_id, t1, t2, t3). Single-source discipline: j168 and every
+    * j199 fixpoint round invoke THIS, so the two operators cannot drift
+    * on sequence semantics. */
+  private def seqEarliest(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val spanUs = 21600000000L // 6 h
     val v = e.filter($"event_type" === "view").select($"user_id", $"ts_us".as("t1"))
     val c = e.filter($"event_type" === "click").select($"user_id", $"ts_us".as("t2"))
     val p = e.filter($"event_type" === "purchase").select($"user_id", $"ts_us".as("t3"))
@@ -214,9 +230,53 @@ object NestedOps {
     val w = Window.partitionBy($"user_id")
       .orderBy($"t3".asc, $"t1".desc, $"t2".asc)
     valid.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      .select($"user_id", $"t1".as("t1_us"), $"t2".as("t2_us"),
+      .select($"user_id", $"t1", $"t2", $"t3")
+  }
+
+  /** j199_eql_sequence_multi — the reset-after-match EQL twin j168's
+    * docstring promises: real ES EQL clears its state machine after a
+    * match and emits EVERY greedy non-overlapping completion per `by`
+    * key. Semantics (mirrors [[graft.streaming.Sync.sequenceMultiStream]]
+    * exactly — StreamingSpec pins batch ≡ stream): per user, round k's
+    * match is the earliest-completing valid sequence among events
+    * STRICTLY AFTER round k−1's purchase (the cleared candidate lists —
+    * nothing before a match can join a later sequence), with `seq_n`
+    * numbering the matches 1, 2, … per user.
+    *
+    * Shape: a bounded fixpoint (j21's discipline — per-round
+    * localCheckpoint keeps round k's plan O(1), not O(k)) where each
+    * round IS [[seqEarliest]] — j168 verbatim — over the remaining
+    * events of the users that matched last round. Users without a match
+    * drop out, so rounds shrink monotonically; the round count is the
+    * max sequences per key (fixture: 2), hard-capped at 64 as a runaway
+    * guard. Every join inside a round is user-keyed (one exchange
+    * lineage); the events frame is persisted once and released before
+    * the checkpointed result is returned. Fixture-measured at sf0.01:
+    * 10 users match round 1 (j168's exact row set), 1 survives to a
+    * round-2 sequence — the reset genuinely binds. */
+  def j199(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.eventsUs(s, d)
+      .select($"user_id", $"event_type", $"ts_us")
+      .filter($"event_type".isin("view", "click", "purchase", "error"))
+      .persist()
+    var matched = seqEarliest(e).withColumn("seq_n", lit(1L)).localCheckpoint()
+    var acc = matched
+    var round = 1
+    while (round < 64 && !matched.isEmpty) {
+      val lo = matched.select($"user_id", $"t3".as("lo_us"))
+      val rest = e.join(lo, "user_id").filter($"ts_us" > $"lo_us")
+        .select($"user_id", $"event_type", $"ts_us")
+      val next = seqEarliest(rest)
+        .withColumn("seq_n", lit(round + 1L)).localCheckpoint()
+      acc = acc.unionByName(next)
+      matched = next
+      round += 1
+    }
+    e.unpersist()
+    acc.select($"user_id", $"seq_n", $"t1".as("t1_us"), $"t2".as("t2_us"),
         $"t3".as("t3_us"), expr("(t3 - t1) div 1000000").as("span_s"))
-      .orderBy($"user_id")
+      .orderBy($"user_id", $"seq_n")
   }
 
   // ---------- j169 intervals query ----------
@@ -582,6 +642,7 @@ object NestedOps {
     "j165_reverse_nested_agg" -> j165,
     "j167_terms_order_metric" -> j167,
     "j168_eql_sequence" -> j168,
+    "j199_eql_sequence_multi" -> j199,
     "j169_intervals_query" -> j169,
     "j173_span_or_multi" -> j173,
     "j186_rollup" -> j186,
@@ -672,6 +733,48 @@ object NestedOps {
         |QUALIFY row_number() OVER (PARTITION BY user_id
         |  ORDER BY t3 ASC, t1 DESC, t2 ASC) = 1
         |ORDER BY user_id""".stripMargin,
+    // the greedy reset-after-match fixpoint as a recursive CTE: the
+    // anchor is j168's pick-one verbatim; each recursion step re-runs it
+    // over the matched user's events strictly after the previous t3
+    "j199_eql_sequence_multi" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM 'events.parquet'
+        |  WHERE event_type IN ('view', 'click', 'purchase', 'error')),
+        |m(user_id, seq_n, t1, t2, t3) AS (
+        |  (WITH tr AS (
+        |     SELECT v.user_id, v.ts_us AS t1, c.ts_us AS t2, p.ts_us AS t3
+        |     FROM e v JOIN e c ON v.user_id = c.user_id AND c.event_type = 'click'
+        |       AND c.ts_us > v.ts_us AND c.ts_us < v.ts_us + 21600000000
+        |     JOIN e p ON v.user_id = p.user_id AND p.event_type = 'purchase'
+        |       AND p.ts_us > c.ts_us AND p.ts_us - v.ts_us <= 21600000000
+        |     WHERE v.event_type = 'view'),
+        |   val AS (
+        |     SELECT tr.user_id, t1, t2, t3 FROM tr
+        |     WHERE NOT EXISTS (SELECT 1 FROM e x WHERE x.user_id = tr.user_id
+        |       AND x.event_type = 'error' AND x.ts_us > tr.t1 AND x.ts_us < tr.t3))
+        |   SELECT user_id, CAST(1 AS BIGINT) AS seq_n, t1, t2, t3 FROM val
+        |   QUALIFY row_number() OVER (PARTITION BY user_id
+        |     ORDER BY t3 ASC, t1 DESC, t2 ASC) = 1)
+        |  UNION ALL
+        |  (WITH tr AS (
+        |     SELECT m.user_id, m.seq_n, v.ts_us AS t1, c.ts_us AS t2, p.ts_us AS t3
+        |     FROM m JOIN e v ON v.user_id = m.user_id AND v.event_type = 'view'
+        |       AND v.ts_us > m.t3
+        |     JOIN e c ON c.user_id = m.user_id AND c.event_type = 'click'
+        |       AND c.ts_us > v.ts_us AND c.ts_us < v.ts_us + 21600000000
+        |     JOIN e p ON p.user_id = m.user_id AND p.event_type = 'purchase'
+        |       AND p.ts_us > c.ts_us AND p.ts_us - v.ts_us <= 21600000000),
+        |   val AS (
+        |     SELECT tr.user_id, tr.seq_n, t1, t2, t3 FROM tr
+        |     WHERE NOT EXISTS (SELECT 1 FROM e x WHERE x.user_id = tr.user_id
+        |       AND x.event_type = 'error' AND x.ts_us > tr.t1 AND x.ts_us < tr.t3))
+        |   SELECT user_id, seq_n + 1, t1, t2, t3 FROM val
+        |   QUALIFY row_number() OVER (PARTITION BY user_id, seq_n
+        |     ORDER BY t3 ASC, t1 DESC, t2 ASC) = 1))
+        |SELECT user_id, seq_n, t1 AS t1_us, t2 AS t2_us, t3 AS t3_us,
+        |       (t3 - t1) // 1000000 AS span_s
+        |FROM m ORDER BY user_id, seq_n""".stripMargin,
     "j169_intervals_query" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM 'documents.parquet'),

@@ -802,6 +802,66 @@ object Sync {
       }.toDF()
   }
 
+  case class SeqMultiSt(n: Long, views: List[Long], clicks: List[Long],
+      errors: List[Long])
+  case class SeqMultiMatch(user_id: Long, seq_n: Long, t1_us: Long,
+      t2_us: Long, t3_us: Long, span_s: Long)
+
+  /** j199 streaming form — [[sequenceStream]] with ES EQL's real
+    * reset-after-match semantics: a completed match CLEARS the candidate
+    * lists (nothing at or before the matching purchase can join a later
+    * sequence) instead of parking the key, so every greedy
+    * non-overlapping completion is emitted, numbered `seq_n` per key by
+    * the persisted counter. Semantics mirror batch
+    * [[graft.ops.NestedOps.j199]] exactly — each arriving purchase is
+    * tested against the candidates accumulated since the last match,
+    * which is precisely the batch fixpoint's "events strictly after the
+    * previous t3" restriction; StreamingSpec replays the fixture log
+    * multi-batch and pins the emission set equal to batch j199 row for
+    * row. State bound: the maxspan horizon prune (sequenceStream's) plus
+    * the clear on match — never larger than sequenceStream's state. */
+  def sequenceMultiStream(events: DataFrame,
+      spanUs: Long = 21600000000L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type"), col("ts_us"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqMultiSt, SeqMultiMatch](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[FunnelEvent], state: GroupState[SeqMultiSt]) =>
+          var st = state.getOption.getOrElse(SeqMultiSt(0L, Nil, Nil, Nil))
+          val out = scala.collection.mutable.ListBuffer.empty[SeqMultiMatch]
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
+            e.event_type match {
+              case "view" => st = st.copy(views = e.ts_us :: st.views)
+              case "click" => st = st.copy(clicks = e.ts_us :: st.clicks)
+              case "error" => st = st.copy(errors = e.ts_us :: st.errors)
+              case "purchase" =>
+                val p = e.ts_us
+                val valid = st.views.filter(v => p - v <= spanUs &&
+                  st.clicks.exists(c => c > v && c < p) &&
+                  !st.errors.exists(te => te > v && te < p))
+                if (valid.nonEmpty) {
+                  val t1 = valid.max
+                  val t2 = st.clicks.filter(c => c > t1 && c < p).min
+                  st = SeqMultiSt(st.n + 1L, Nil, Nil, Nil) // reset-after-match
+                  out += SeqMultiMatch(key, st.n, t1, t2, p, (p - t1) / 1000000L)
+                }
+              case _ => ()
+            }
+            // prune to the maxspan horizon: a candidate older than
+            // ts − maxspan can never satisfy p − v ≤ maxspan later
+            val h = e.ts_us - spanUs
+            st = st.copy(views = st.views.filter(_ >= h),
+              clicks = st.clicks.filter(_ >= h),
+              errors = st.errors.filter(_ >= h))
+          }
+          state.update(st)
+          out.iterator
+      }.toDF()
+  }
+
   /** Streaming twin of i13 — CONTINUOUS reconciliation: each change
     * arriving on the source feed is checked against the replica snapshot
     * and emitted with its divergence class, instead of waiting for the

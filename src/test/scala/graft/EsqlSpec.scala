@@ -107,6 +107,27 @@ class EsqlSpec extends AnyFunSuite {
     assert(r.getAs[Long]("mx") <= 99)
   }
 
+  test("stage split + BY location survive ODD embedded quotes and '|' inside string literals") {
+    import s.implicits._
+    val tq = "\"\"\""
+    // the grok pattern holds ONE '"' (odd count — flips naive quote
+    // parity for the whole remainder of the query) and the WHERE holds a
+    // literal '|' inside a plain string; both later '|' separators and
+    // the top-level BY must still be found (r8 review: the old per-char
+    // quote counters broke on exactly this)
+    val piped = Esql.compile(s, TestSpark.sf0001,
+      "FROM events" +
+        " | GROK props " + tq + """": %{INT:k:long}""" + tq +
+        " | WHERE k >= 50 AND event_type != \"a|b\"" +
+        " | STATS n = COUNT(*), mx = MAX(k) BY event_type" +
+        " | SORT n DESC, event_type" +
+        " | LIMIT 3")
+    val rows = piped.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("mx") >= 50 && r.getAs[Long]("mx") <= 99))
+    assert(piped.columns.toSeq === Seq("event_type", "n", "mx"))
+  }
+
   test("MV_EXPAND explodes SPLIT arrays; WHERE on a base column still pushes below DISSECT/GROK") {
     val exp = Esql.compile(s, TestSpark.sf0001,
       """FROM documents

@@ -124,6 +124,9 @@ class PlanSpec extends AnyFunSuite {
       "j155_pmi_collocations", // 1-row doc count onto the vocab²-bounded pair agg
       "j157_vocab_coverage", // 1-row total/type stats onto the vocab aggregate
       "j161_ks_test", // 1-row n1/n2 totals onto the distinct-cents frame
+      "j196_graph_ann", // 1-row hyperplane table (×2 via the persisted frame) + 1-row n_explored scalar — targeted test below pins these are the ONLY nested loops
+      "j197_combined_fields", // 1-row corpus stats onto the term-filtered combined tf (j34's shape)
+
       "j162_drift_psi", // 1-row span/range/totals/psi broadcasts onto bounded frames
       "j163_change_point") // 1-row series totals onto the calendar-bounded day frame
     val offenders = SparkEntry.queries.toSeq
@@ -202,6 +205,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       ("BroadcastHashJoin".r.findAllIn(p).nonEmpty), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j196: only nested loops are the 1-row hyperplane/n_explored broadcasts; candidates equi-join") {
+    val p = plan("j196_graph_ann")
+    // the adjacency candidates must come from the (t, bkt) equi-join —
+    // never vec×vec — and every BroadcastNestedLoopJoin in the plan must
+    // be a 1-row BuildRight broadcast (the hyperplane literal table via
+    // the persisted frame, and the n_explored scalar). Adjudicated in the
+    // r8 verdict: 3 such nodes, all benign; pin the shape so a refactor
+    // can't silently widen them into a real cartesian.
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = "BroadcastNestedLoopJoin BuildRight".r.findAllIn(p).size
+    assert(bnlj === "BroadcastNestedLoopJoin".r.findAllIn(p).size,
+      "every nested loop must be a BuildRight 1-row broadcast: " + p)
+    assert(bnlj <= 3, p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
   }
 
   test("j33: LM tables broadcast onto the bigram stream — no second big-side shuffle") {

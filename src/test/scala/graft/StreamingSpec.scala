@@ -760,6 +760,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming reset-after-match EQL emits exactly the batch j199 rows (every completion, multi-batch)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.eventsUs(spark, TestSpark.sf001)
+      .select($"user_id", $"event_type", $"ts_us")
+      .orderBy($"ts_us")
+      .as[Sync.FunnelEvent].collect()
+    val batch = SparkEntry.queries("j199_eql_sequence_multi")(spark, TestSpark.sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(t => (t._1, t._2))
+    val mem = MemoryStream[Sync.FunnelEvent]
+    val q = Sync.sequenceMultiStream(mem.toDF())
+      .writeStream.format("memory").queryName("seqm_out")
+      .outputMode("update").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 3)).foreach { chunk =>
+        mem.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("seqm_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+        .sortBy(t => (t._1, t._2))
+      assert(got.toSeq === batch.toSeq)
+      // the reset genuinely binds: at least one key emits a 2nd sequence,
+      // so this is a strict superset of what sequenceStream can emit
+      assert(got.exists(_._2 >= 2L), got.mkString(", "))
+    } finally q.stop()
+  }
+
   test("a5: parquet directory consumed as an unbounded stream") {
     val spark = TestSpark.spark
     import spark.implicits._
