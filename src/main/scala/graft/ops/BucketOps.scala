@@ -499,7 +499,63 @@ object BucketOps {
       .limit(20)
   }
 
+  /** j198_ip_range — the ES `ip_range` aggregation with CIDR masks (the
+    * network/security dashboard staple): bucket an IPv4 STRING field by
+    * explicit from/to ranges AND a `10.2.0.0/15` CIDR mask, including
+    * the unbounded edge buckets (`*-to` / `from-*` — j144's open-edge
+    * spine discipline), each with doc_count + an exact integer-cents
+    * metric. Ranges may OVERLAP (each is an independent predicate —
+    * the ES contract), which the fixture exercises: `10.3.0.0-*` sits
+    * inside the /15.
+    *
+    * The fixture carries no organic IPs, so each event synthesizes one
+    * deterministically from key arithmetic (j49's device):
+    * `10.(u%4).(u%256).((u·7)%256)` — built as a STRING, then parsed
+    * back to its numeric form octet-by-octet IN the query, which is
+    * exactly what ES does to an `ip`-typed field before range-testing
+    * (CIDR `a.b.c.d/p` = the numeric interval [base, base + 2^(32−p))).
+    *
+    * Scale shape: j80's — the whole response is ONE map-side-combinable
+    * global aggregate (conditional count/sum per bucket, a single
+    * reduce row at any corpus size) unpivoted by `stack`; no join, no
+    * per-range pass. Metric rides integer cents (j73). */
+  def j198(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val u = $"user_id"
+    val e = Tables.events(s, d)
+      .select(concat_ws(".", lit(10), u % 4, u % 256, (u * 7) % 256).as("ip"),
+        round($"value" * 100, 0).cast("long").as("cents"))
+      .withColumn("o", split($"ip", "\\."))
+      // numeric IPv4: the CIDR-comparable form ES derives for ip fields
+      .withColumn("ipn",
+        element_at($"o", 1).cast("long") * 16777216L +
+          element_at($"o", 2).cast("long") * 65536L +
+          element_at($"o", 3).cast("long") * 256L +
+          element_at($"o", 4).cast("long"))
+    // 10.0.1.0=167772416  10.2.0.0=167903232  10.4.0.0=168034304  10.3.0.0=167968768
+    val r1 = $"ipn" < 167772416L
+    val r2 = $"ipn" >= 167772416L && $"ipn" < 167903232L
+    val r3 = $"ipn" >= 167903232L && $"ipn" < 168034304L // 10.2.0.0/15
+    val r4 = $"ipn" >= 167968768L
+    e.agg(
+        count(when(r1, 1)).as("k1"), sum(when(r1, $"cents")).as("s1"),
+        count(when(r2, 1)).as("k2"), sum(when(r2, $"cents")).as("s2"),
+        count(when(r3, 1)).as("k3"), sum(when(r3, $"cents")).as("s3"),
+        count(when(r4, 1)).as("k4"), sum(when(r4, $"cents")).as("s4"))
+      .selectExpr(
+        """stack(4,
+          |  '*-10.0.1.0',        CAST(NULL AS STRING), '10.0.1.0', k1, s1,
+          |  '10.0.1.0-10.2.0.0', '10.0.1.0', '10.2.0.0',           k2, s2,
+          |  '10.2.0.0/15',       '10.2.0.0', '10.4.0.0',           k3, s3,
+          |  '10.3.0.0-*',        '10.3.0.0', CAST(NULL AS STRING), k4, s4)
+          |  AS (key, ip_from, ip_to, doc_count, sc)""".stripMargin)
+      .select($"key", $"ip_from", $"ip_to", $"doc_count",
+        coalesce($"sc", lit(0L)).as("sum_cents"))
+      .orderBy($"key")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j198_ip_range" -> j198,
     "j89_top_metrics" -> j89, "j90_t_test" -> j90,
     "j91_frequent_item_sets" -> j91,
     "j74_histogram" -> j74, "j75_top_hits" -> j75,
@@ -511,6 +567,36 @@ object BucketOps {
     "j86_rate_agg" -> j86, "j87_missing_agg" -> j87)
 
   val oracle: Map[String, String] = Map(
+    "j198_ip_range" ->
+      """WITH e AS (SELECT CAST(10 AS VARCHAR) || '.' ||
+        |             CAST(user_id % 4 AS VARCHAR) || '.' ||
+        |             CAST(user_id % 256 AS VARCHAR) || '.' ||
+        |             CAST(user_id * 7 % 256 AS VARCHAR) AS ip,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |           FROM 'events.parquet'),
+        |n AS (SELECT CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216 +
+        |             CAST(string_split(ip, '.')[2] AS BIGINT) * 65536 +
+        |             CAST(string_split(ip, '.')[3] AS BIGINT) * 256 +
+        |             CAST(string_split(ip, '.')[4] AS BIGINT) AS ipn, cents
+        |      FROM e),
+        |a AS (SELECT
+        |        count(*) FILTER (WHERE ipn < 167772416) AS k1,
+        |        sum(cents) FILTER (WHERE ipn < 167772416) AS s1,
+        |        count(*) FILTER (WHERE ipn >= 167772416 AND ipn < 167903232) AS k2,
+        |        sum(cents) FILTER (WHERE ipn >= 167772416 AND ipn < 167903232) AS s2,
+        |        count(*) FILTER (WHERE ipn >= 167903232 AND ipn < 168034304) AS k3,
+        |        sum(cents) FILTER (WHERE ipn >= 167903232 AND ipn < 168034304) AS s3,
+        |        count(*) FILTER (WHERE ipn >= 167968768) AS k4,
+        |        sum(cents) FILTER (WHERE ipn >= 167968768) AS s4
+        |      FROM n)
+        |SELECT key, ip_from, ip_to, doc_count,
+        |       CAST(coalesce(sc, 0) AS BIGINT) AS sum_cents FROM (
+        |  SELECT '*-10.0.1.0' AS key, CAST(NULL AS VARCHAR) AS ip_from,
+        |         '10.0.1.0' AS ip_to, k1 AS doc_count, s1 AS sc FROM a
+        |  UNION ALL SELECT '10.0.1.0-10.2.0.0', '10.0.1.0', '10.2.0.0', k2, s2 FROM a
+        |  UNION ALL SELECT '10.2.0.0/15', '10.2.0.0', '10.4.0.0', k3, s3 FROM a
+        |  UNION ALL SELECT '10.3.0.0-*', '10.3.0.0', CAST(NULL AS VARCHAR), k4, s4 FROM a)
+        |ORDER BY key""".stripMargin,
     "j91_frequent_item_sets" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
         |            FROM 'lineitem.parquet'),

@@ -313,7 +313,18 @@ object Esql {
     * unlike grok's verbatim pass-through) with `%{name}` keys between
     * them; keys bind to the shortest span reaching the next literal
     * (leftmost separator match — the lazy `(.*?)` under full ^…$
-    * anchoring reproduces exactly that). `%{}` is a skip key. */
+    * anchoring reproduces exactly that). `%{}` is a skip key.
+    *
+    * CROSS-ENGINE FIXTURE INVARIANT (r8 review, j194): the graded
+    * pipelines extract from `documents.source` / `documents.text`,
+    * which are single-line and always match (`src<digits>`, word-
+    * spaced text). Two latent divergences are fenced regardless:
+    * numeric casts on extractions use Spark TO_LONG ↔ DuckDB TRY_CAST
+    * (both degrade to null + filtered row on a non-match), and
+    * newline-bearing input would split Java's '$' (matches before a
+    * trailing '\n') from RE2's (end-of-string only) — patterns over
+    * multi-line columns must spell `\z`-style anchoring instead of
+    * relying on '$'. */
   private[graft] def dissectToRegex(pat: String): (String, Seq[String]) = {
     val sb = new StringBuilder("^")
     val keys = scala.collection.mutable.ListBuffer.empty[String]
@@ -500,9 +511,13 @@ object Esql {
         |FROM 'events.parquet'
         |WHERE event_type = 'purchase' AND value >= 10
         |GROUP BY 1 ORDER BY sum_cents DESC, band ASC LIMIT 5""".stripMargin,
+    // TRY_CAST, not CAST (r8 review): Spark's TO_LONG yields null on a
+    // non-numeric extraction and the row is filtered, while DuckDB's
+    // CAST would ERROR — TRY_CAST restores the same degrade-to-null
+    // behavior should the fixture invariant (see dissectToRegex) break
     "j194_esql_dissect_grok" ->
       """WITH d AS (
-        |  SELECT CAST(regexp_extract(source, '^src(.*?)$', 1) AS BIGINT)
+        |  SELECT TRY_CAST(regexp_extract(source, '^src(.*?)$', 1) AS BIGINT)
         |           AS idx_n,
         |         regexp_extract(text, '(\w+) (\w+)', 1) AS w1,
         |         regexp_extract(text, '(\w+) (\w+)', 2) AS w2,

@@ -909,7 +909,54 @@ object SearchOps {
       .orderBy($"source")
   }
 
+  /** j197_combined_fields — the ES `combined_fields` query (the modern
+    * recommended multi-field full-text query, term-CENTRIC where j77's
+    * `multi_match`/dis_max is field-centric): all fields are treated as
+    * ONE combined field, BM25F-style. Here `text` (weight 1.0) and
+    * `source` (weight 2.0) combine for the query terms (spark, src3):
+    * combined tf(doc, t) = Σ_f weight_f · tf_f(doc, t), combined doc
+    * length = Σ_f weight_f · len_f (source is single-token, so +2.0),
+    * df(t) = docs where ANY field matches t, corpus stats over the
+    * combined lengths — then the standard shared [[TextOps.bm25Tscore]]
+    * (same merged literals as j34, so the constants cannot drift),
+    * summed per doc via sorted-fold, top-15 on (rounded score, doc_id).
+    *
+    * Scale shape: j34's exact dataflow with a 2-leg tf union — the text
+    * explode is term-filtered BEFORE its shuffle, the source leg is a
+    * row-local filter (no explode), and the union groupBy moves
+    * O(matching docs × terms). df/stats ride one broadcast each; both
+    * field weights keep tf and dl integer-valued doubles, so every sum
+    * is exact and engine-order-independent. */
+  def j197(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq("spark", "src3") // one per field: text-only + keyword-only
+    val docs = Tables.documents(s, d)
+    val dl = docs.select($"doc_id",
+      (size(split($"text", " ")).cast("double") + lit(2.0)).as("dl"))
+    val tfText = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
+      .filter($"token".isin(terms: _*))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).cast("double").as("w"))
+    val tfSrc = docs.filter($"source".isin(terms: _*))
+      .select($"doc_id", $"source".as("token"), lit(2.0).as("w"))
+    val tfc = tfText.unionByName(tfSrc)
+      .groupBy($"doc_id", $"token").agg(sum($"w").as("tf"))
+    val dfreq = tfc.groupBy($"token").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg($"dl").as("avgdl"))
+    tfc.join(dl, "doc_id")
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore",
+        TextOps.bm25Tscore($"tf", $"df", $"dl", $"n_docs", $"avgdl"))
+      .groupBy($"doc_id")
+      .agg(Parity.sortedFoldSum($"tscore").as("sc"), count(lit(1)).as("n_terms"))
+      .select($"doc_id", round($"sc", 6).as("score"), $"n_terms")
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(15)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j197_combined_fields" -> j197,
     "j67_percentile_ranks" -> j67, "j68_mad" -> j68, "j69_boxplot" -> j69,
     "j70_boosting_query" -> j70, "j71_extended_stats" -> j71,
     "j72_weighted_avg" -> j72, "j73_range_agg" -> j73,
@@ -926,6 +973,29 @@ object SearchOps {
     "j172_query_string" -> j172, "j179_leading_wildcard" -> j179)
 
   val oracle: Map[String, String] = Map(
+    "j197_combined_fields" ->
+      """WITH dl AS (SELECT doc_id,
+        |              CAST(len(string_split(text, ' ')) AS DOUBLE) + 2.0 AS dl
+        |            FROM 'documents.parquet'),
+        |u AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS w FROM (
+        |        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM 'documents.parquet')
+        |      WHERE token IN ('spark', 'src3') GROUP BY 1, 2
+        |      UNION ALL
+        |      SELECT doc_id, source AS token, 2.0 AS w
+        |      FROM 'documents.parquet' WHERE source IN ('spark', 'src3')),
+        |tfc AS (SELECT doc_id, token, sum(w) AS tf FROM u GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tfc GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |sc AS (SELECT tfc.doc_id,
+        |         ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |           (tfc.tf * 2.2) / (tfc.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS tscore
+        |       FROM tfc JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN st),
+        |agg AS (SELECT doc_id, list_sum(list_sort(list(tscore))) AS s,
+        |               count(*) AS n_terms
+        |        FROM sc GROUP BY 1)
+        |SELECT doc_id, round(s, 6) AS score, n_terms
+        |FROM agg ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 15""".stripMargin,
     "j179_leading_wildcard" ->
       """WITH srcs AS (SELECT DISTINCT source FROM 'documents.parquet'
         |              WHERE length(source) >= 3),

@@ -116,12 +116,59 @@ object Sources {
       .orderBy($"event_id")
   }
 
+  /** The a8 store path — factored so SourcesFormatsSpec can open the
+    * written files' FOOTERS and prove the zone-map layout claim. */
+  private[graft] def a8Store(d: String): String =
+    graft.TempCleanup.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft-events-sorted-" +
+        java.lang.Integer.toHexString(d.hashCode) +
+        s"-p${ProcessHandle.current().pid()}")
+
+  /** a8_sorted_zonemap — the WRITE-side layout lever beyond a7's
+    * directory pruning: events land range-partitioned AND sorted by
+    * (event_type, ts) with a small parquet row-group size, so each row
+    * group's min/max statistics span (almost always) a SINGLE event
+    * type — zone maps. A type-filtered read can then skip whole row
+    * groups inside each file, the intra-file complement of partition
+    * pruning: at 100 TB the partition key is the DAY (a7) and the sort
+    * key is the type/ts, and this layout is the difference between
+    * reading a type's slice and decoding the whole day. Proofs live in
+    * the suite: SourcesFormatsSpec opens the parquet FOOTERS and
+    * asserts every file holds multiple row groups with at most
+    * (#types − 1) type-straddling groups (the sorted-layout guarantee),
+    * and PlanSpec pins the type+value predicates PUSHED to this scan.
+    * Build is once per JVM (a6's discipline) so timed reps measure the
+    * skipping read, not the write; at scale the same statement is a
+    * nightly compaction job (`repartitionByRange` = the cluster-wide
+    * sort shuffle, one sorted file set per range). */
+  def a8(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val store = a8Store(d)
+    buildOnce(store) {
+      Tables.events(s, d)
+        .repartitionByRange(2, $"event_type", $"ts")
+        .sortWithinPartitions($"event_type", $"ts")
+        .write
+        // tiny row groups so the fixture yields MANY zones (encoded
+        // pages are dictionary-compressed, so the threshold must sit
+        // well under the raw size); the 100 TB default (128 MB) gives
+        // the same structure per file
+        .option("parquet.block.size", 8 * 1024)
+        .mode("overwrite").parquet(store)
+    }
+    s.read.parquet(store)
+      .filter($"event_type" === "purchase" && $"value" >= 200.0)
+      .select($"event_id", $"user_id", $"value")
+      .orderBy($"event_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_scan_parquet" -> a1,
     "a2_scan_events_ns" -> a2,
     "a3_json_extract_source" -> a3,
     "a6_connector_roundtrip" -> a6,
-    "a7_partitioned_scan" -> a7)
+    "a7_partitioned_scan" -> a7,
+    "a8_sorted_zonemap" -> a8)
 
   val oracle: Map[String, String] = Map(
     "a1_scan_parquet" ->
@@ -143,5 +190,10 @@ object Sources {
       """SELECT event_id, event_type, value
         |FROM 'events.parquet'
         |WHERE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') = '2024-01-02'
+        |ORDER BY event_id""".stripMargin,
+    "a8_sorted_zonemap" ->
+      """SELECT event_id, user_id, value
+        |FROM 'events.parquet'
+        |WHERE event_type = 'purchase' AND value >= 200.0
         |ORDER BY event_id""".stripMargin)
 }

@@ -214,9 +214,10 @@ object VectorOps {
     * k=4 centroids each (64 dims → 16 bytes/vector at production k=256;
     * k is fixture-sized so every centroid owns multiple members).
     * Codebook training is j53's deterministic discipline: seeds = the 4
-    * smallest vec_ids' sub-vectors (code = seed id), ONE Lloyd
-    * refinement with sorted-fold per-dimension means, final assignment
-    * with (distance, code) tiebreak. Scoring: the query (the corpus's
+    * smallest vec_ids' sub-vectors (code = seed id), then Lloyd TO
+    * CONVERGENCE (r9) with sorted-fold per-dimension means and
+    * (distance, code)-tiebroken assignment — the code fixpoint is an
+    * exact integer test, mirrored by the oracle's recursive CTE. Scoring: the query (the corpus's
     * smallest vec_id — a deterministic audit probe) builds a 16×4 LUT
     * of block L2² distances; each vector's ADC distance is the sum of
     * its codes' LUT entries — 16 lookups instead of 64 multiplies.
@@ -232,39 +233,91 @@ object VectorOps {
     * aggregates. Distance folds run in index order and cross-block sums
     * are sorted folds, so both engines produce bit-identical doubles
     * (the j83 IEEE rule). */
+  /** The per-(vec, block) sub-vector frame j166 trains and scores over —
+    * shared by [[pqCodesFor]] and the scoring path so the two cannot
+    * drift on the block decomposition. */
+  private def pqSub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      .select($"vec_id", explode(expr(
+        """transform(sequence(0, 15), b -> named_struct(
+          |  'block', CAST(b AS BIGINT),
+          |  'sub', transform(sequence(1, 4),
+          |    k -> CAST(element_at(embedding, 4 * b + k) AS DOUBLE))))"""
+          .stripMargin)).as("x"))
+      .select($"vec_id", $"x.block".as("block"), $"x.sub".as("sub"))
+  }
+
+  private def pqD2 = expr(
+    """aggregate(zip_with(sub, cv, (x, y) -> (x - y) * (x - y)),
+      |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin)
+
+  /** Per-(block, code) sorted-fold centroid means from an assignment —
+    * one definition for every Lloyd round AND the final codebook. */
+  private def pqCents(a: DataFrame, sub: DataFrame): DataFrame =
+    a.join(sub, Seq("vec_id", "block"))
+      .select(col("block"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
+      .groupBy(col("block"), col("code"), col("pos"))
+      .agg((Parity.sortedFoldSum(col("v")) / count(lit(1))).as("m"))
+      .groupBy(col("block"), col("code"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)")
+        .as("cv"))
+
+  /** Train-once PQ codebook cache keyed by corpus dir (j53's semCache
+    * discipline — a production PQ trains offline once per corpus
+    * snapshot): the CONVERGED (vec_id, block, code, rd2) assignment as
+    * a pinned localCheckpoint. Lloyd runs per sub-quantizer to the
+    * exact-integer code fixpoint (per-round localCheckpoint, one scalar
+    * changed-count per round, superseded rounds released, cap 64 —
+    * mirrored by the oracle's recursive CTE, which stops at the
+    * identical round). All 16 blocks iterate inside the SAME frames;
+    * the round count is the max over blocks. */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def pqCodesFor(s: SparkSession, d: String): DataFrame =
+    pqCache.computeIfAbsent(d, _ => {
+      import s.implicits._
+      val sub = pqSub(s, d).persist()
+      val sids = Tables.embeddings(s, d).orderBy($"vec_id").limit(4)
+        .select($"vec_id".as("sid"))
+      val seeds = sub.join(broadcast(sids), $"vec_id" === $"sid")
+        .select($"block", $"sid".as("code"), $"sub".as("cv"))
+      var asg = sub.join(broadcast(seeds), "block")
+        .withColumn("d2", pqD2)
+        .groupBy($"vec_id", $"block")
+        .agg(min(struct($"d2", $"code")).as("m"))
+        .select($"vec_id", $"block", $"m.code".as("code"), $"m.d2".as("rd2"))
+        .localCheckpoint()
+      var changed = 1L
+      var lloydRound = 1
+      while (changed > 0 && lloydRound < 64) {
+        val next = sub.join(broadcast(pqCents(asg, sub)), "block")
+          .withColumn("d2", pqD2)
+          .groupBy($"vec_id", $"block")
+          .agg(min(struct($"d2", $"code")).as("m"))
+          .select($"vec_id", $"block", $"m.code".as("code"), $"m.d2".as("rd2"))
+          .localCheckpoint()
+        changed = next.select($"vec_id", $"block", $"code".as("cn"))
+          .join(asg.select($"vec_id", $"block", $"code".as("co")),
+            Seq("vec_id", "block"))
+          .filter($"cn" =!= $"co").count()
+        graft.ops.TextOps.releaseCheckpoint(asg)
+        asg = next
+        lloydRound += 1
+      }
+      sub.unpersist()
+      asg
+    })
+
   def j166(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-    val sub = e.select($"vec_id", explode(expr(
-      """transform(sequence(0, 15), b -> named_struct(
-        |  'block', CAST(b AS BIGINT),
-        |  'sub', transform(sequence(1, 4),
-        |    k -> CAST(element_at(embedding, 4 * b + k) AS DOUBLE))))"""
-        .stripMargin)).as("x"))
-      .select($"vec_id", $"x.block".as("block"), $"x.sub".as("sub"))
-    val sids = e.orderBy($"vec_id").limit(4).select($"vec_id".as("sid"))
-    val seeds = sub.join(broadcast(sids), $"vec_id" === $"sid")
-      .select($"block", $"sid".as("code"), $"sub".as("cv"))
-    val d2 = expr(
-      """aggregate(zip_with(sub, cv, (x, y) -> (x - y) * (x - y)),
-        |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin)
-    val asg1 = sub.join(broadcast(seeds), "block")
-      .withColumn("d2", d2)
-      .groupBy($"vec_id", $"block")
-      .agg(min(struct($"d2", $"code")).as("m"))
-      .select($"vec_id", $"block", $"m.code".as("code"))
-    val cent = asg1.join(sub, Seq("vec_id", "block"))
-      .select($"block", $"code", posexplode($"sub").as(Seq("pos", "v")))
-      .groupBy($"block", $"code", $"pos")
-      .agg((Parity.sortedFoldSum($"v") / count(lit(1))).as("m"))
-      .groupBy($"block", $"code")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)")
-        .as("cv"))
-    val codes = sub.join(broadcast(cent), "block")
-      .withColumn("d2", d2)
-      .groupBy($"vec_id", $"block")
-      .agg(min(struct($"d2", $"code")).as("m"))
-      .select($"vec_id", $"block", $"m.code".as("code"), $"m.d2".as("rd2"))
+    val sub = pqSub(s, d)
+    // converged codebook — at the fixpoint bit-identical to the frame
+    // that produced the final codes, so rd2 stays consistent with it
+    val codes = pqCodesFor(s, d)
+    val cent = pqCents(codes, sub)
     val qid = e.orderBy($"vec_id").limit(1)
     val qsub = sub.join(broadcast(qid.select($"vec_id".as("qid"))),
         $"vec_id" === $"qid")
@@ -350,14 +403,23 @@ object VectorOps {
     * search demo with every stage distributed and deterministic.
     *
     * Build (NSW-Descent-flavored): candidate edges come from TWO
-    * independent 4-plane hyperplane-LSH tables (16 buckets each — two
+    * independent p-plane hyperplane-LSH tables (2^p buckets each — two
     * tables because a single table's graph cannot cross bucket
     * boundaries and greedy search would be trapped in the entry's
     * component; the union of two independent bucketings is the standard
-    * multi-table recall device). Per (table, vector): top-M=4 out-edges
-    * by exact pair cosine; the adjacency is the distinct union. Real
-    * HNSW also diversifies/reverse-links neighbors — the bucketed top-M
-    * is the batch-buildable approximation.
+    * multi-table recall device). THE PLANE COUNT SCALES WITH THE
+    * CORPUS (the rule j53 documents as K→√N, here buckets ∝ N): p =
+    * min k with 125·2^k ≥ N, exact integer arithmetic mirrored in the
+    * oracle, clamped [4, 31] — target cell ≈ 125 vectors, so the
+    * per-cell candidate self-join is O(N·125) pairs at ANY corpus
+    * size, never quadratic in N (p=4 at every fixture SF — the r8
+    * layout bit-for-bit — widening to p=8 at the x10 probe corpus,
+    * where ScaleProbe pins the ~linear build slope). Per (table,
+    * vector):
+    * top-M=4 out-edges by exact pair cosine; the adjacency is the
+    * distinct union. Real HNSW also diversifies/reverse-links
+    * neighbors — the bucketed top-M is the batch-buildable
+    * approximation.
     *
     * Entry (the layer trick): HNSW's upper layers ARE exponentially
     * thinner random subsamples; here layer 1 = `vec_id % 16 == 0` and
@@ -381,12 +443,25 @@ object VectorOps {
     import s.implicits._
     graft.functions.VectorExpressions.register(s)
     val M = 4; val B = 12; val R = 4
+    // Plane count GROWS WITH THE CORPUS (the j31/j53 scaling discipline,
+    // promoted into the operator): p = min k with TARGET·2^k ≥ N, i.e.
+    // buckets ∝ N at a ~125-vector target cell, so the per-cell pair
+    // join stays O(N·cell) — NEVER the r8 fixed-16-bucket O(N²/32).
+    // Exact INTEGER arithmetic (no ceil(log2(·)) float boundary — both
+    // engines shift-compare), clamped to [4, 31] (31 planes keeps the
+    // bucket id in a BIGINT; 125·2³¹ ≈ 2.7e11 vectors — past that a
+    // deployment re-shards the build anyway). At every fixture SF this
+    // yields p=4, the exact r8 layout; the x10 probe corpus hits p=8.
+    val nVec = Tables.embeddings(s, d).count()
+    var pv = 0
+    while ((125L << pv) < nVec && pv < 40) pv += 1
+    val P = math.min(31, math.max(4, pv))
     val hp = s.range(1).select(expr(
-      s"""transform(sequence(0, 7), k -> transform(sequence(1, 64),
+      s"""transform(sequence(0, ${2 * P - 1}), k -> transform(sequence(1, 64),
          |  i -> (CAST(${Hashing.nibbleInt("md5(concat('hg:', k, ':', i))")} AS DOUBLE) / 65536.0) - 0.5))""".stripMargin)
       .as("hps"))
     def bucket(off: Int): Column = expr(
-      s"""aggregate(sequence(0, 3), CAST(0 AS BIGINT), (acc, k) ->
+      s"""aggregate(sequence(0, ${P - 1}), CAST(0 AS BIGINT), (acc, k) ->
          |  acc + CASE WHEN aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
          |      (sm, i) -> sm + CAST(element_at(embedding, i) AS DOUBLE) *
          |                 element_at(element_at(hps, $off + k + 1), i)) >= 0
@@ -397,7 +472,7 @@ object VectorOps {
     val e = Tables.embeddings(s, d)
       .crossJoin(broadcast(hp))
       .withColumn("b0", bucket(0))
-      .withColumn("b1", bucket(4))
+      .withColumn("b1", bucket(P))
       .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
       .withColumn("cos_q", expr(sumAll) / ($"nrm" * lit(8.0d)))
       .select($"vec_id", $"b0", $"b1", $"embedding", $"nrm", $"cos_q")
@@ -536,8 +611,12 @@ object VectorOps {
         |FROM cand
         |QUALIFY rank <= 2
         |ORDER BY probe_id, rank""".stripMargin,
+    // the codebook fixpoint as a recursive CTE (r9 — j53's device): one
+    // full Lloyd round per recursion step over ALL 16 blocks, emitted
+    // while any (vec, block) changed code; final rd2/codebook rebuilt
+    // from the converged codes (bit-identical at the fixpoint)
     "j166_pq_adc" ->
-      """WITH e AS (SELECT vec_id, embedding FROM 'embeddings.parquet'),
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding FROM 'embeddings.parquet'),
         |sub AS (SELECT vec_id, x.block AS block, x.sub AS sub FROM (
         |  SELECT vec_id, unnest(list_transform(generate_series(0, 15), b -> {
         |    'block': CAST(b AS BIGINT),
@@ -547,19 +626,52 @@ object VectorOps {
         |sids AS (SELECT vec_id AS sid FROM e ORDER BY vec_id LIMIT 4),
         |seeds AS (SELECT s.block, d.sid AS code, s.sub AS cv
         |          FROM sub s JOIN sids d ON s.vec_id = d.sid),
-        |a1 AS (SELECT s.vec_id, s.block, c.code,
-        |         list_sum(list_transform(generate_series(1, 4),
-        |           i -> (s.sub[i] - c.cv[i]) * (s.sub[i] - c.cv[i]))) AS d2
-        |       FROM sub s JOIN seeds c ON s.block = c.block),
-        |asg1 AS (SELECT vec_id, block, code FROM a1
-        |         QUALIFY row_number() OVER (PARTITION BY vec_id, block
-        |           ORDER BY d2, code) = 1),
-        |mem AS (SELECT block, code, u.pos AS pos, u.v AS v FROM (
+        |asg(r, vec_id, block, code) AS (
+        |  (SELECT 1, vec_id, block, code FROM (
+        |     SELECT s.vec_id, s.block, c.code,
+        |       list_sum(list_transform(generate_series(1, 4),
+        |         i -> (s.sub[i] - c.cv[i]) * (s.sub[i] - c.cv[i]))) AS d2
+        |     FROM sub s JOIN seeds c ON s.block = c.block)
+        |   QUALIFY row_number() OVER (PARTITION BY vec_id, block
+        |     ORDER BY d2, code) = 1)
+        |  UNION ALL
+        |  (WITH cur AS (SELECT r, vec_id, block, code FROM asg),
+        |   mem AS (SELECT a.block, a.code, u.pos AS pos, u.v AS v FROM (
+        |             SELECT a.block, a.code,
+        |               unnest(list_transform(generate_series(1, 4),
+        |                 i -> {'pos': i, 'v': s.sub[i]})) AS u
+        |             FROM cur a JOIN sub s
+        |               ON a.vec_id = s.vec_id AND a.block = s.block) a),
+        |   cm AS (SELECT block, code, pos,
+        |            list_sum(list_sort(list(v))) / count(*) AS m
+        |          FROM mem GROUP BY 1, 2, 3),
+        |   ct AS (SELECT block, code,
+        |            list_transform(list_sort(list({'p': pos, 'm': m})),
+        |              t -> t.m) AS cv
+        |          FROM cm GROUP BY 1, 2),
+        |   na AS (SELECT vec_id, block, code FROM (
+        |     SELECT s.vec_id, s.block, c.code,
+        |       list_sum(list_transform(generate_series(1, 4),
+        |         i -> (s.sub[i] - c.cv[i]) * (s.sub[i] - c.cv[i]))) AS d2
+        |     FROM sub s JOIN ct c ON s.block = c.block)
+        |     QUALIFY row_number() OVER (PARTITION BY vec_id, block
+        |       ORDER BY d2, code) = 1),
+        |   chg AS (SELECT count(*) AS nch FROM na JOIN cur
+        |           ON na.vec_id = cur.vec_id AND na.block = cur.block
+        |           AND na.code <> cur.code),
+        |   rr AS (SELECT DISTINCT r FROM cur)
+        |   SELECT rr.r + 1, na.vec_id, na.block, na.code
+        |   FROM na, rr, chg WHERE chg.nch > 0 AND rr.r < 64)
+        |),
+        |fa AS (SELECT vec_id, block, code FROM asg
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id, block
+        |         ORDER BY r DESC) = 1),
+        |mem AS (SELECT a.block, a.code, u.pos AS pos, u.v AS v FROM (
         |          SELECT a.block, a.code,
         |            unnest(list_transform(generate_series(1, 4),
         |              i -> {'pos': i, 'v': s.sub[i]})) AS u
-        |          FROM asg1 a JOIN sub s
-        |            ON a.vec_id = s.vec_id AND a.block = s.block)),
+        |          FROM fa a JOIN sub s
+        |            ON a.vec_id = s.vec_id AND a.block = s.block) a),
         |cm AS (SELECT block, code, pos,
         |         list_sum(list_sort(list(v))) / count(*) AS m
         |       FROM mem GROUP BY 1, 2, 3),
@@ -630,12 +742,15 @@ object VectorOps {
         |FROM sc LEFT JOIN xt ON sc.vec_id = xt.vec_id
         |ORDER BY sc.hamming ASC, sc.vec_id ASC LIMIT 10""".stripMargin,
     "j196_graph_ann" ->
-      """WITH hp AS (SELECT k, list_transform(generate_series(1, 64), i ->
+      """WITH n AS (SELECT count(*) AS n FROM 'embeddings.parquet'),
+        |pp AS (SELECT LEAST(31, GREATEST(4, CAST(min(k) AS INT))) AS p
+        |       FROM generate_series(0, 40) t(k), n WHERE (125::BIGINT << k) >= n.n),
+        |hp AS (SELECT k, list_transform(generate_series(1, 64), i ->
         |      (((strpos('0123456789abcdef', substr(md5('hg:' || k || ':' || i), 1, 1)) - 1) * 4096 +
         |        (strpos('0123456789abcdef', substr(md5('hg:' || k || ':' || i), 2, 1)) - 1) * 256 +
         |        (strpos('0123456789abcdef', substr(md5('hg:' || k || ':' || i), 3, 1)) - 1) * 16 +
         |        (strpos('0123456789abcdef', substr(md5('hg:' || k || ':' || i), 4, 1)) - 1)) / 65536.0) - 0.5) AS h
-        |    FROM generate_series(0, 7) t(k)),
+        |    FROM generate_series(0, 61) t(k), pp WHERE k < 2 * pp.p),
         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |      FROM 'embeddings.parquet'),
         |nr AS (SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
@@ -644,9 +759,9 @@ object VectorOps {
         |dots AS (SELECT e.vec_id, hp.k,
         |        list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * hp.h[i])) AS dt
         |        FROM e CROSS JOIN hp),
-        |sig AS (SELECT vec_id, k // 4 AS t,
-        |        CAST(sum(CASE WHEN dt >= 0 THEN CAST(power(2, k % 4) AS INT) ELSE 0 END) AS BIGINT) AS bkt
-        |        FROM dots GROUP BY 1, 2),
+        |sig AS (SELECT vec_id, k // p AS t,
+        |        CAST(sum(CASE WHEN dt >= 0 THEN CAST(power(2, k % p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bkt
+        |        FROM dots CROSS JOIN pp GROUP BY vec_id, k // p),
         |adj AS (SELECT DISTINCT src, dst FROM (
         |        SELECT a.t, a.vec_id AS src, b.vec_id AS dst,
         |          list_sum(list_transform(generate_series(1, 64), i -> ea.v[i] * eb.v[i]))

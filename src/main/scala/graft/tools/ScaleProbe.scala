@@ -15,7 +15,8 @@ object ScaleProbe {
     "j42_decay_rank" -> "events.parquet",
     "j47_date_histogram" -> "events.parquet",
     "j49_pii_redact" -> "customer.parquet",
-    "j53_semdedup" -> "embeddings.parquet")
+    "j53_semdedup" -> "embeddings.parquet",
+    "j196_graph_ann" -> "embeddings.parquet")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -61,7 +62,11 @@ object ScaleProbe {
         "j169_intervals_query", "j173_span_or_multi",
         "j182_preference_pairs", "j183_span_corruption",
         "j190_cdc_chunks", "j191_bootstrap_ci", "j192_langid_calibration",
-        "j193_jaccard_sweep")) {
+        "j193_jaccard_sweep",
+        // round 9: the graph-ANN build slope (the r8 verdict's fixed-
+        // bucket concern — plane count now grows with N, so the
+        // adjacency self-join must stay ~linear x1→x10)
+        "j196_graph_ann")) {
       val missing = needs.get(q)
         .filterNot(f => new java.io.File(d, f).exists())
       if (missing.isDefined)

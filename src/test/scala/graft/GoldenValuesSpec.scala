@@ -274,11 +274,15 @@ class GoldenValuesSpec extends AnyFunSuite {
 
   test("j53_semdedup first vectors at sf0.01 match DuckDB's clustering and drop rule") {
     val rows = q01("j53_semdedup").take(3)
-    // seeds 0/1/2 anchor their own clusters; 0 and 1 are themselves
-    // dropped (a cluster-mate sits FARTHER from the centroid), 2 survives
+    // seeds 0/1/2 still sit in their seed-numbered clusters after the
+    // r9 convergence upgrade; 0 and 1 are themselves dropped (a
+    // cluster-mate sits FARTHER from the centroid), 2 survives. cos_c
+    // is vs the CONVERGED centroid (18 Lloyd rounds at sf0.01) — the
+    // r8 one-step value was 0.834438; a regression to it means the
+    // fixpoint loop stopped iterating.
     assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
     assert(rows.map(r => r.getLong(r.fieldIndex("cluster"))).toSeq === Seq(0L, 1L, 2L))
-    assert(rows(0).getDouble(rows(0).fieldIndex("cos_c")) === 0.834438)
+    assert(rows(0).getDouble(rows(0).fieldIndex("cos_c")) === 0.619397)
     assert(rows.map(r => r.getInt(r.fieldIndex("keep"))).toSeq === Seq(0, 0, 1))
   }
 

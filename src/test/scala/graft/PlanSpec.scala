@@ -41,6 +41,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<event_id:bigint,event_type:string,value:double>"), p)
   }
 
+  test("a8: type + value predicates are PUSHED to the sorted scan (the zone-map read path)") {
+    // a8's pushed-filter list is longer than the default 100-char
+    // metadata rendering budget, which would cut the value predicate
+    // mid-literal — widen it for this assertion only
+    val conf = TestSpark.spark.conf
+    val saved = conf.get("spark.sql.maxMetadataStringLength", "100")
+    conf.set("spark.sql.maxMetadataStringLength", "1000")
+    val p = try plan("a8_sorted_zonemap")
+            finally conf.set("spark.sql.maxMetadataStringLength", saved)
+    // pushdown is what turns the sorted layout's row-group min/max into
+    // actual skipping: both predicates must reach the parquet reader
+    // (SourcesFormatsSpec proves the footer side of the claim)
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("EqualTo(event_type,purchase)"), p)
+    assert(p.contains("GreaterThanOrEqual(value,200.0)"), p)
+    assert(p.contains("ReadSchema: struct<event_id:bigint"), p)
+  }
+
   test("c1: small dimension is broadcast — no shuffle of the fact side") {
     val p = plan("c1_join_broadcast")
     assert(p.contains("BroadcastHashJoin"), p)
@@ -946,10 +964,12 @@ class PlanSpec extends AnyFunSuite {
 
   test("j166: PQ codebook and LUT ride broadcasts — corpus side never shuffles for scoring") {
     val p = plan("j166_pq_adc")
-    // seeds, refined centroids, LUT, and the query probe all join as
-    // broadcasts; the only corpus-keyed exchanges are the per-(vec, block)
-    // argmin aggregates and the final vec-keyed rescoring join
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    // the Lloyd rounds live in checkpointed frames (r9 fixpoint), so the
+    // FINAL plan holds the scoring path: the LUT and the query probe
+    // must still join as broadcasts, the top-10 stays a heap, and no
+    // stage degrades to a cartesian; the only corpus-keyed exchanges are
+    // the per-(vec, block) argmin aggregates and the vec-keyed rescore
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }

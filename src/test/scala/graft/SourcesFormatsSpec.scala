@@ -145,6 +145,40 @@ class SourcesFormatsSpec extends AnyFunSuite {
     assert(viaFlatMap === viaExplode)
   }
 
+  test("a8: sorted write yields zone-mapped row groups — min/max stats single-type almost everywhere") {
+    val s = TestSpark.spark
+    // building the store is a side effect of the query itself
+    assert(SparkEntry.queries("a8_sorted_zonemap")(s, TestSpark.sf0001).count() > 0)
+    val store = graft.ops.Sources.a8Store(TestSpark.sf0001)
+    val files = new java.io.File(store).listFiles
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(files.nonEmpty, s"no parquet files in $store")
+    val conf = s.sparkContext.hadoopConfiguration
+    var totalGroups = 0
+    files.foreach { f =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        val blocks = rd.getFooter.getBlocks.asScala.toSeq
+        totalGroups += blocks.size
+        val straddling = blocks.count { b =>
+          val st = b.getColumns.asScala
+            .find(_.getPath.toDotString == "event_type").get.getStatistics
+          st.genericGetMin != st.genericGetMax
+        }
+        // the sorted-layout guarantee: only the ≤ (#types − 1) groups
+        // containing a type TRANSITION may straddle; every other group's
+        // zone map pins one type, so a type filter skips it outright
+        assert(straddling <= 4,
+          s"${f.getName}: $straddling of ${blocks.size} row groups straddle types — not sorted")
+      } finally rd.close()
+    }
+    // skipping is only meaningful with several zones to skip
+    assert(totalGroups >= 6, s"only $totalGroups row groups — block size too large for the fixture")
+  }
+
   test("salted two-level aggregation equals the direct aggregation") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -34,3 +34,20 @@ for name, copies in [("x1", 1), ("x2", 2), ("x4", 4), ("x10", 10)]:
     con.execute(f"COPY ({q}) TO '{d}/documents.parquet' (FORMAT PARQUET)")
     n = con.execute(f"SELECT count(*) FROM '{d}/documents.parquet'").fetchone()[0]
     print(name, n, "docs")
+    # embeddings for the ANN-build probes (j53/j196): each extra copy
+    # ROTATES the vector by c dims so copies land in different LSH
+    # buckets — growth measures the engine, not duplicate pileup
+    esrc = "/root/testdata/sf0.1/embeddings.parquet"
+    eselects = []
+    for c in range(copies):
+        if c == 0:
+            eselects.append(f"SELECT vec_id, embedding, label FROM '{esrc}'")
+        else:
+            eselects.append(
+                f"SELECT vec_id + {c * 1000000}, "
+                f"embedding[{c + 1}:] || embedding[:{c}] AS embedding, "
+                f"label FROM '{esrc}'")
+    eq = " UNION ALL ".join(eselects)
+    con.execute(f"COPY ({eq}) TO '{d}/embeddings.parquet' (FORMAT PARQUET)")
+    en = con.execute(f"SELECT count(*) FROM '{d}/embeddings.parquet'").fetchone()[0]
+    print(name, en, "vecs")
