@@ -554,8 +554,43 @@ object BucketOps {
       .orderBy($"key")
   }
 
+  /** j203_ip_prefix — the ES `ip_prefix` bucket aggregation (8.6+): one
+    * bucket per network prefix at a fixed prefix_length (here /24),
+    * keyed by the network ADDRESS — the subnet-rollup view of the same
+    * traffic j198's explicit ranges slice. The IPv4 is synthesized from
+    * key arithmetic exactly as j198/j49 (`10.(u%4).(u%256).((u·7)%256)`)
+    * but directly in numeric form — bucket = ipn − ipn mod 2^(32−p),
+    * rendered back to the dotted `a.b.c.0/24` key ES returns. Octet
+    * arithmetic stays in exact integers end-to-end; the metric rides
+    * integer cents (j73). Bucket count is bounded by the /24 space
+    * actually occupied (≤256 with this derivation — u%256 determines
+    * both variable octets), so the response is small at any corpus
+    * size.
+    *
+    * Scale shape: ONE map-side-combinable keyed aggregate over the
+    * event stream — no join, no window; the prefix key is row-local
+    * integer math. The same plan at 100 TB shuffles only
+    * (#prefixes × #partitions) partial rows. */
+  def j203(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val u = $"user_id"
+    Tables.events(s, d)
+      .select((lit(10L) * 16777216L + (u % 4) * 65536L +
+          (u % 256) * 256L + (u * 7) % 256).as("ipn"),
+        round($"value" * 100, 0).cast("long").as("cents"))
+      .withColumn("net", $"ipn" - $"ipn" % 256)
+      .groupBy($"net")
+      .agg(count(lit(1)).as("doc_count"), sum($"cents").as("sum_cents"))
+      .select(
+        concat(lit("10."), expr("net DIV 65536 % 256").cast("string"), lit("."),
+          expr("net DIV 256 % 256").cast("string"), lit(".0/24")).as("prefix"),
+        lit(24).as("prefix_length"), $"doc_count", $"sum_cents")
+      .orderBy($"prefix")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j198_ip_range" -> j198,
+    "j203_ip_prefix" -> j203,
     "j89_top_metrics" -> j89, "j90_t_test" -> j90,
     "j91_frequent_item_sets" -> j91,
     "j74_histogram" -> j74, "j75_top_hits" -> j75,
@@ -567,6 +602,18 @@ object BucketOps {
     "j86_rate_agg" -> j86, "j87_missing_agg" -> j87)
 
   val oracle: Map[String, String] = Map(
+    "j203_ip_prefix" ->
+      """WITH e AS (SELECT 10 * 16777216 + (user_id % 4) * 65536 +
+        |             (user_id % 256) * 256 + (user_id * 7 % 256) AS ipn,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |           FROM 'events.parquet'),
+        |p AS (SELECT ipn - ipn % 256 AS net, cents FROM e)
+        |SELECT '10.' || CAST(net // 65536 % 256 AS VARCHAR) || '.' ||
+        |       CAST(net // 256 % 256 AS VARCHAR) || '.0/24' AS prefix,
+        |       CAST(24 AS INT) AS prefix_length,
+        |       CAST(count(*) AS BIGINT) AS doc_count,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM p GROUP BY 1 ORDER BY prefix""".stripMargin,
     "j198_ip_range" ->
       """WITH e AS (SELECT CAST(10 AS VARCHAR) || '.' ||
         |             CAST(user_id % 4 AS VARCHAR) || '.' ||

@@ -433,6 +433,51 @@ object Esql {
           // inner explode: drops null/empty arrays — the unnest-parity
           // choice (ES keeps a null row; DuckDB unnest does not)
           df = df.withColumn(n, explode(col(n)))
+        case "LOOKUP" =>
+          // LOOKUP JOIN <lookup_index> ON <field> — ES|QL's lookup-index
+          // join (8.18+): LEFT join on the shared field name, adding every
+          // lookup column. The lookup side is a dimension table by
+          // contract (ES enforces `index.mode: lookup`, a single-shard
+          // index), so it rides a broadcast — the fact stream never
+          // shuffles, at any corpus size.
+          val c = new Cursor(lex(body))
+          require(c.toks.length == 4, s"LOOKUP expects JOIN <table> ON <col>, got '$body'")
+          val j = c.eat(); require(j.equalsIgnoreCase("JOIN"),
+            s"LOOKUP must be followed by JOIN, got '$j'")
+          val tbl = c.eat(); require(tbl.matches(identRe),
+            s"LOOKUP JOIN needs a table, got '$tbl'")
+          val on = c.eat(); require(on.equalsIgnoreCase("ON"),
+            s"LOOKUP JOIN needs ON, got '$on'")
+          val key = c.eat(); require(key.matches(identRe),
+            s"LOOKUP JOIN ON needs a column, got '$key'")
+          require(c.toks.isEmpty, s"unparsed ES|QL tokens: ${c.toks.mkString(" ")}")
+          df = df.join(broadcast(Tables.read(s, d, tbl)), Seq(key), "left")
+        case "ENRICH" =>
+          // ENRICH <policy> ON <match_field> WITH f1, f2, … — the enrich
+          // processor's query-time twin: the policy name is modeled as
+          // the enrich-source table, WITH lists the fields to append.
+          // Same broadcast-left-join shape as LOOKUP JOIN (an ES enrich
+          // index is a system lookup index), but only the listed fields
+          // survive — the projection prunes BEFORE the broadcast.
+          val c = new Cursor(lex(body))
+          val tbl = c.eat(); require(tbl.matches(identRe),
+            s"ENRICH needs a policy table, got '$tbl'")
+          val on = c.eat(); require(on.equalsIgnoreCase("ON"),
+            s"ENRICH needs ON, got '$on'")
+          val key = c.eat(); require(key.matches(identRe),
+            s"ENRICH ON needs a column, got '$key'")
+          require(c.toks.nonEmpty, "ENRICH needs WITH <fields>")
+          val w = c.eat(); require(w.equalsIgnoreCase("WITH"),
+            s"ENRICH needs WITH, got '$w'")
+          require(c.toks.nonEmpty, "ENRICH WITH needs at least one field")
+          val fields = scala.collection.mutable.ListBuffer(c.eat())
+          while (c.peek.contains(",")) { c.eat(); fields += c.eat() }
+          require(fields.forall(_.matches(identRe)),
+            s"ENRICH WITH needs columns, got '${fields.mkString(", ")}'")
+          require(c.toks.isEmpty, s"unparsed ES|QL tokens: ${c.toks.mkString(" ")}")
+          val lk = Tables.read(s, d, tbl)
+            .select((key +: fields.toSeq).map(col): _*)
+          df = df.join(broadcast(lk), Seq(key), "left")
         case other => throw new IllegalArgumentException(s"unknown stage: $other")
       }
     }
@@ -496,10 +541,54 @@ object Esql {
   def j195(s: SparkSession, d: String): DataFrame =
     compile(s, d, j195Query)
 
+  /** j200_esql_lookup_join — ES|QL `LOOKUP JOIN` (the 8.18 flagship
+    * stage: enrich the stream from a lookup index mid-pipeline): rename
+    * the key onto the lookup's field name with EVAL (the ES|QL
+    * contract — the join field must exist on both sides), LOOKUP JOIN
+    * `nation`, then aggregate over a looked-up attribute. The stage
+    * compiles to a broadcast LEFT equi-join (PlanSpec pins
+    * BroadcastHashJoin — a lookup index is single-shard/dimension-sized
+    * by ES contract, so the fact side never shuffles for it), and the
+    * WHERE on the base table still pushes to the parquet scan beneath
+    * the join. Money rides ROUND(·100)'s integer-cents cast (j188). */
+  val j200Query: String =
+    """FROM customer
+      || WHERE c_mktsegment == "BUILDING"
+      || EVAL n_nationkey = c_nationkey
+      || LOOKUP JOIN nation ON n_nationkey
+      || EVAL cents = ROUND(c_acctbal * 100)
+      || STATS cnt = COUNT(*), bal_cents = SUM(cents) BY n_name
+      || SORT cnt DESC, n_name
+      || LIMIT 10""".stripMargin
+
+  def j200(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j200Query)
+
+  /** j201_esql_enrich — ES|QL `ENRICH <policy> ON <field> WITH …`: the
+    * enrich-processor twin of LOOKUP JOIN, with the policy modeled as
+    * its enrich-source table and WITH pruning to the listed fields
+    * BEFORE the broadcast (an enrich index materializes exactly those
+    * fields). The synthetic match key (user_id % 25 → nationkey) is the
+    * j49 deterministic-derivation device; the long%int key coerces
+    * through the join the way ES coerces match_field types. */
+  val j201Query: String =
+    """FROM events
+      || WHERE event_type == "click"
+      || EVAL n_nationkey = user_id % 25
+      || ENRICH nation ON n_nationkey WITH n_name, n_regionkey
+      || STATS clicks = COUNT(*), v = SUM(ROUND(value * 100)) BY n_name, n_regionkey
+      || SORT clicks DESC, n_name
+      || LIMIT 12""".stripMargin
+
+  def j201(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j201Query)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j188_esql" -> j188,
     "j194_esql_dissect_grok" -> j194,
-    "j195_esql_mv_expand" -> j195)
+    "j195_esql_mv_expand" -> j195,
+    "j200_esql_lookup_join" -> j200,
+    "j201_esql_enrich" -> j201)
 
   val oracle: Map[String, String] = Map(
     "j188_esql" ->
@@ -532,5 +621,19 @@ object Esql {
       """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
         |           FROM 'documents.parquet')
         |SELECT tok, lang, CAST(count(*) AS BIGINT) AS n
-        |FROM t GROUP BY 1, 2 ORDER BY n DESC, tok, lang LIMIT 30""".stripMargin)
+        |FROM t GROUP BY 1, 2 ORDER BY n DESC, tok, lang LIMIT 30""".stripMargin,
+    "j200_esql_lookup_join" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS bal_cents
+        |FROM 'customer.parquet' JOIN 'nation.parquet' ON c_nationkey = n_nationkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY cnt DESC, n_name LIMIT 10""".stripMargin,
+    "j201_esql_enrich" ->
+      """SELECT n_name, n_regionkey, CAST(count(*) AS BIGINT) AS clicks,
+        |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+        |FROM 'events.parquet' e JOIN 'nation.parquet' n
+        |  ON e.user_id % 25 = n.n_nationkey
+        |WHERE event_type = 'click'
+        |GROUP BY 1, 2 ORDER BY clicks DESC, n_name LIMIT 12""".stripMargin)
 }

@@ -955,8 +955,84 @@ object SearchOps {
       .limit(15)
   }
 
+  /** j202_sparse_vector — the ES `sparse_vector` query (the SPLADE /
+    * ELSER learned-sparse-retrieval shape): every document carries a
+    * SPARSE term→weight vector, the query carries its own, and the
+    * score is their dot product over shared terms. The container has no
+    * learned expansion model, so doc weights are the deterministic
+    * stand-in tf·idf (w = tf · ln(N/df), the j38 formula) pruned to the
+    * TOP-8 terms per doc — exactly the index-time weight pruning ES
+    * applies to ELSER vectors (`prune: true`) — and the query vector is
+    * a 5-term literal frame. Score = Σ w_doc(t)·w_query(t) via the
+    * inverted term join, sorted-fold summed (j24 discipline), top-15 on
+    * (rounded score, doc_id); n_terms counts the matched overlap.
+    *
+    * Scale shape: tf/df are map-combined token aggregates; the top-8
+    * pruning is a per-doc window (doc-bounded partitions, never
+    * corpus-wide); the query vector and the 1-row corpus count ride
+    * broadcasts, so scoring joins move O(docs containing a query term)
+    * — the posting-list bound, same as j34. The per-doc weight cut also
+    * bounds index size linearly in docs at 100 TB (8 postings/doc),
+    * which is the point of ELSER's pruning. Rank order keys on
+    * ROUND(w, 6) before the tie-break (the r6 lesson at j38: unrounded
+    * tf·idf order can differ between engines at repr boundaries). */
+  def j202(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val tf = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy($"token").agg(count(lit(1)).cast("double").as("df"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val wk = Window.partitionBy($"doc_id")
+      .orderBy(round($"w", 6).desc, $"token".asc)
+    val topk = tf.join(dfreq, "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("w", $"tf" * log($"n_docs" / $"df"))
+      .withColumn("rn", row_number().over(wk)).filter($"rn" <= 8)
+    val qv = Seq(("spark", 3.0), ("vector", 2.0), ("stream", 1.5),
+      ("slow", 1.0), ("hash", 1.0)).toDF("token", "qw")
+    topk.join(broadcast(qv), "token")
+      .groupBy($"doc_id")
+      .agg(Parity.sortedFoldSum($"w" * $"qw").as("sc"),
+        count(lit(1)).as("n_terms"))
+      .select($"doc_id", round($"sc", 6).as("score"), $"n_terms")
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(15)
+  }
+
+  /** j204_diversified_sampler — the ES `diversified_sampler` agg: a
+    * best-N sample (shard_size=40 by relevance, here the deterministic
+    * (n_chars DESC, doc_id) order) that first caps each dedup-key's
+    * contribution (`field: source`, max_docs_per_value=3) so one
+    * dominant source can't monopolize the sample, then feeds downstream
+    * aggs — the "cheap diverse preview" device for expensive analyses.
+    * Downstream: per-lang count / char mass / first doc over the
+    * sample.
+    *
+    * Scale shape: the diversity cap is a per-source window
+    * (source-bounded partitions); the best-N cut plans as
+    * TakeOrderedAndProject (a per-partition heap + 40-row merge, never
+    * a global sort); the final agg runs over ≤40 rows. At 100 TB the
+    * sample stays 40 rows — the whole point of sampler aggs. */
+  def j204(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wdiv = Window.partitionBy($"source")
+      .orderBy($"n_chars".desc, $"doc_id".asc)
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(wdiv)).filter($"rn" <= 3)
+      .orderBy($"n_chars".desc, $"doc_id".asc).limit(40)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_sampled"), sum($"n_chars").as("sum_chars"),
+        min($"doc_id").as("first_doc"))
+      .orderBy($"n_sampled".desc, $"lang")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j197_combined_fields" -> j197,
+    "j202_sparse_vector" -> j202,
+    "j204_diversified_sampler" -> j204,
     "j67_percentile_ranks" -> j67, "j68_mad" -> j68, "j69_boxplot" -> j69,
     "j70_boosting_query" -> j70, "j71_extended_stats" -> j71,
     "j72_weighted_avg" -> j72, "j73_range_agg" -> j73,
@@ -973,6 +1049,37 @@ object SearchOps {
     "j172_query_string" -> j172, "j179_leading_wildcard" -> j179)
 
   val oracle: Map[String, String] = Map(
+    "j202_sparse_vector" ->
+      """WITH tf AS (SELECT doc_id, tok AS token, CAST(count(*) AS DOUBLE) AS tf
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |                  FROM 'documents.parquet')
+        |            GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM 'documents.parquet'),
+        |w AS (SELECT tf.doc_id, tf.token, tf.tf * ln(st.n_docs / df.df) AS w
+        |      FROM tf JOIN df ON tf.token = df.token CROSS JOIN st),
+        |topk AS (SELECT doc_id, token, w FROM w
+        |         QUALIFY row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY round(w, 6) DESC, token ASC) <= 8),
+        |qv AS (SELECT * FROM (VALUES ('spark', 3.0), ('vector', 2.0),
+        |         ('stream', 1.5), ('slow', 1.0), ('hash', 1.0)) AS t(token, qw)),
+        |sc AS (SELECT k.doc_id, list_sum(list_sort(list(k.w * qv.qw))) AS score,
+        |              CAST(count(*) AS BIGINT) AS n_terms
+        |       FROM topk k JOIN qv ON k.token = qv.token GROUP BY 1)
+        |SELECT doc_id, round(score, 6) AS score, n_terms
+        |FROM sc ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 15""".stripMargin,
+    "j204_diversified_sampler" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM 'documents.parquet'),
+        |div AS (SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= 3
+        |        ORDER BY n_chars DESC, doc_id ASC LIMIT 40)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM div GROUP BY 1 ORDER BY n_sampled DESC, lang""".stripMargin,
     "j197_combined_fields" ->
       """WITH dl AS (SELECT doc_id,
         |              CAST(len(string_split(text, ' ')) AS DOUBLE) + 2.0 AS dl

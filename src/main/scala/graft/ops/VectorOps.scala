@@ -217,7 +217,10 @@ object VectorOps {
     * smallest vec_ids' sub-vectors (code = seed id), then Lloyd TO
     * CONVERGENCE (r9) with sorted-fold per-dimension means and
     * (distance, code)-tiebroken assignment — the code fixpoint is an
-    * exact integer test, mirrored by the oracle's recursive CTE. Scoring: the query (the corpus's
+    * exact integer test, mirrored by the oracle's recursive CTE; the
+    * published codebook/codes pair is rebuilt after the loop so the two
+    * stay consistent even when the 64-round cap fires first (see
+    * [[pqModelFor]]). Scoring: the query (the corpus's
     * smallest vec_id — a deterministic audit probe) builds a 16×4 LUT
     * of block L2² distances; each vector's ADC distance is the sum of
     * its codes' LUT entries — 16 lookups instead of 64 multiplies.
@@ -234,7 +237,7 @@ object VectorOps {
     * are sorted folds, so both engines produce bit-identical doubles
     * (the j83 IEEE rule). */
   /** The per-(vec, block) sub-vector frame j166 trains and scores over —
-    * shared by [[pqCodesFor]] and the scoring path so the two cannot
+    * shared by [[pqModelFor]] and the scoring path so the two cannot
     * drift on the block decomposition. */
   private def pqSub(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -263,19 +266,27 @@ object VectorOps {
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)")
         .as("cv"))
 
-  /** Train-once PQ codebook cache keyed by corpus dir (j53's semCache
+  /** Train-once PQ model cache keyed by corpus dir (j53's semCache
     * discipline — a production PQ trains offline once per corpus
-    * snapshot): the CONVERGED (vec_id, block, code, rd2) assignment as
-    * a pinned localCheckpoint. Lloyd runs per sub-quantizer to the
-    * exact-integer code fixpoint (per-round localCheckpoint, one scalar
-    * changed-count per round, superseded rounds released, cap 64 —
-    * mirrored by the oracle's recursive CTE, which stops at the
+    * snapshot): the (vec_id, block, code, rd2) assignment AND its
+    * codebook as pinned localCheckpoints. Lloyd runs per sub-quantizer
+    * to the exact-integer code fixpoint (per-round localCheckpoint, one
+    * scalar changed-count per round, superseded rounds released, cap 64
+    * — mirrored by the oracle's recursive CTE, which stops at the
     * identical round). All 16 blocks iterate inside the SAME frames;
-    * the round count is the max over blocks. */
+    * the round count is the max over blocks. The returned pair is
+    * rebuilt AFTER the loop — codebook from the last round's codes,
+    * then one re-assignment under that codebook — so codes/rd2 and the
+    * published centroids are mutually consistent even if the 64-round
+    * cap stopped a float-oscillating block short of the fixpoint (the
+    * sf0.1 corpus does exactly that; at a true fixpoint the rebuild is
+    * bit-identical to the loop's own frame). The oracle constructs its
+    * `cent`/`codes` CTEs the same way, so the two engines agree in both
+    * regimes. */
   private val pqCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
 
-  private def pqCodesFor(s: SparkSession, d: String): DataFrame =
+  private def pqModelFor(s: SparkSession, d: String): (DataFrame, DataFrame) =
     pqCache.computeIfAbsent(d, _ => {
       import s.implicits._
       val sub = pqSub(s, d).persist()
@@ -306,18 +317,26 @@ object VectorOps {
         asg = next
         lloydRound += 1
       }
+      val cent = pqCents(asg, sub).localCheckpoint()
+      val fin = sub.join(broadcast(cent), "block")
+        .withColumn("d2", pqD2)
+        .groupBy(col("vec_id"), col("block"))
+        .agg(min(struct(col("d2"), col("code"))).as("m"))
+        .select(col("vec_id"), col("block"),
+          col("m.code").as("code"), col("m.d2").as("rd2"))
+        .localCheckpoint()
+      graft.ops.TextOps.releaseCheckpoint(asg)
       sub.unpersist()
-      asg
+      (fin, cent)
     })
 
   def j166(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
     val sub = pqSub(s, d)
-    // converged codebook — at the fixpoint bit-identical to the frame
-    // that produced the final codes, so rd2 stays consistent with it
-    val codes = pqCodesFor(s, d)
-    val cent = pqCents(codes, sub)
+    // codes + codebook from the SAME post-loop rebuild (cap-robust —
+    // see pqModelFor): rd2 and the LUT measure against one centroid set
+    val (codes, cent) = pqModelFor(s, d)
     val qid = e.orderBy($"vec_id").limit(1)
     val qsub = sub.join(broadcast(qid.select($"vec_id".as("qid"))),
         $"vec_id" === $"qid")
@@ -517,7 +536,144 @@ object VectorOps {
       .orderBy($"rank")
   }
 
+  /** j205_pca_power — top principal component of the embedding corpus
+    * by POWER ITERATION (the embedding-drift / whitening primitive a
+    * curation pipeline runs before SemDeDup or ABBA-style filtering):
+    * 8 fixed matvec rounds on the 64×64 covariance, then the top-8
+    * loadings + the Rayleigh eigenvalue estimate.
+    *
+    * Cross-engine float discipline is the j83 moments rule taken to its
+    * limit: embeddings quantize to EXACT integer micro-units
+    * (q = round(x·10⁶), the j49 round-cast device), so Σq and Σq·q are
+    * order-independent BIGINT sums; the centered scatter matrix
+    * n·Σqᵢqⱼ − Σqᵢ·Σqⱼ is composed in DECIMAL(38,0) (exact — the 19+19
+    * digit product overflows BIGINT at fixture n already) and cast to
+    * DOUBLE once. From there both engines run the IDENTICAL IEEE
+    * composition: matvec folds in j order, norm folds in i order, one
+    * division per entry — so after 8 rounds the unit vector is
+    * bit-identical and hash-comparable at 6dp. Sign is fixed by the
+    * largest-|loading| dimension (first on ties, a row-local fold —
+    * no window); the eigenvalue converts back to real units via
+    * /n²/10¹² at the end.
+    *
+    * Scale shape: the quantized corpus is touched twice (Σq and the
+    * outer-product pass) — both map-side-combined keyed aggregates; the
+    * outer-product explode walks only the upper triangle (2080
+    * structs/row; i>j mirrors from the exact summed integers) and
+    * multiplies CPU, not shuffle (the partial aggregate reduces each
+    * partition to ≤2080 rows before the exchange). The trained (cm, n)
+    * frame is cached per corpus dir ([[pcaCmatFor]] — the j53/j166
+    * train-once discipline). The iteration runs on 1-ROW frames (the
+    * 64×64 matrix as
+    * a nested array) with a localCheckpoint per round — j21's fixpoint
+    * discipline, preventing CollapseProject from inlining round k's
+    * expression into round k+1 (the plan would grow 65× per round).
+    * At ≥10⁷ vectors the BIGINT Σq·q headroom runs out (n·qmax² vs
+    * 2⁶³); the documented scale move is the same sums in DECIMAL(38,0),
+    * which Spark aggregates exactly. No collect — the matrix never
+    * leaves the cluster. */
+  /** Train-once cache for [[j205]]'s scatter matrix, keyed by corpus
+    * dir (the j53/j166 semCache discipline — a production pipeline
+    * computes the corpus covariance ONCE per snapshot, offline): the
+    * 1-row (cm, n) frame as a pinned localCheckpoint. The outer-product
+    * pass explodes only the UPPER TRIANGLE (2080 structs/row, not 4096)
+    * and mirrors i>j from the summed BIGINTs — exact integers, so the
+    * mirror is bit-identical to summing the lower triangle itself (the
+    * oracle sums the full square; same values). */
+  private val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def pcaCmatFor(s: SparkSession, d: String): DataFrame =
+    pcaCache.computeIfAbsent(d, _ => {
+      import s.implicits._
+      val e2 = Tables.embeddings(s, d).select($"vec_id", expr(
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
+          .as("q"))
+        .persist()
+      val st = e2.agg(count(lit(1)).as("n"))
+      val sq = e2.select(posexplode($"q").as(Seq("p", "qi")))
+        .select(($"p" + 1).as("i"), $"qi")
+        .groupBy($"i").agg(sum($"qi").as("s"))
+      val pr0 = e2.select(explode(expr(
+          """flatten(transform(sequence(1, 64), i -> transform(sequence(i, 64), j ->
+            |  named_struct('i', i, 'j', j, 'p',
+            |    element_at(q, i) * element_at(q, j)))))""".stripMargin)).as("u"))
+        .select($"u.i".as("i"), $"u.j".as("j"), $"u.p".as("p"))
+        .groupBy($"i", $"j").agg(sum($"p").as("sqq"))
+      val pr = pr0.unionByName(pr0.filter($"i" =!= $"j")
+        .select($"j".as("i"), $"i".as("j"), $"sqq"))
+      val c = pr.join(sq.select($"i", $"s".as("si")), "i")
+        .join(sq.select($"i".as("j"), $"s".as("sj")), "j")
+        .crossJoin(broadcast(st))
+        .select($"i", $"j",
+          ($"n".cast("decimal(19,0)") * $"sqq".cast("decimal(19,0)") -
+            $"si".cast("decimal(19,0)") * $"sj".cast("decimal(19,0)"))
+            .cast("double").as("cd"))
+      val cmat = c.groupBy($"i")
+        .agg(expr("transform(array_sort(collect_list(struct(j, cd))), t -> t.cd)")
+          .as("carr"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, carr))), t -> t.carr)")
+          .as("cm"))
+        .crossJoin(broadcast(st))
+        .localCheckpoint()
+      e2.unpersist()
+      cmat
+    })
+
+  def j205(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    var v = pcaCmatFor(s, d)
+      .withColumn("v", expr("transform(sequence(1, 64), i -> CAST(0.125 AS DOUBLE))"))
+      .localCheckpoint()
+    for (_ <- 1 to 8) {
+      v = v.withColumn("w", expr(
+          """transform(sequence(1, 64), i ->
+            |  aggregate(zip_with(element_at(cm, i), v, (x, y) -> x * y),
+            |    CAST(0 AS DOUBLE), (a, p) -> a + p))""".stripMargin))
+        .withColumn("v", expr(
+          """transform(w, x -> x / sqrt(aggregate(transform(w, y -> y * y),
+            |  CAST(0 AS DOUBLE), (a, p) -> a + p)))""".stripMargin))
+        .drop("w")
+        .localCheckpoint()
+    }
+    val fin = v.withColumn("lam",
+        expr("""aggregate(transform(sequence(1, 64), i -> element_at(v, i) *
+               |  aggregate(zip_with(element_at(cm, i), v, (x, y) -> x * y),
+               |    CAST(0 AS DOUBLE), (a, p) -> a + p)),
+               |  CAST(0 AS DOUBLE), (a, p) -> a + p)""".stripMargin)
+          / $"n".cast("double") / $"n".cast("double") / lit(1e12))
+      .withColumn("am", expr(
+        """aggregate(sequence(1, 64), named_struct('a', CAST(-1 AS DOUBLE), 'k', 0),
+          |  (acc, k) -> IF(abs(element_at(v, k)) > acc.a,
+          |    named_struct('a', abs(element_at(v, k)), 'k', k), acc))""".stripMargin))
+      .withColumn("sgn",
+        when(expr("element_at(v, am.k)") < 0, lit(-1.0)).otherwise(lit(1.0)))
+    fin.select(explode(expr(
+        """transform(sequence(1, 64), i ->
+          |  named_struct('dim', CAST(i AS BIGINT), 'l', sgn * element_at(v, i)))"""
+          .stripMargin)).as("u"), $"lam")
+      .select($"u.dim".as("dim"), round($"u.l", 6).as("loading"),
+        round($"lam", 6).as("eigenvalue"))
+      .orderBy(abs($"loading").desc, $"dim".asc)
+      .limit(8)
+  }
+
+  /** The 8 unrolled power-iteration rounds of [[j205]]'s oracle — built
+    * by the same loop shape the Spark side runs, so the two cannot
+    * drift on round count or composition order. */
+  private val j205OracleRounds: String = (1 to 8).map { k =>
+    val prev = if (k == 1) "v0" else s"v${k - 1}"
+    s"""w$k AS (SELECT list_transform(generate_series(1, 64), i ->
+       |          list_sum(list_transform(generate_series(1, 64), j ->
+       |            cm[i][j] * v[j]))) AS w
+       |        FROM cmat, $prev),
+       |v$k AS (SELECT list_transform(w, x ->
+       |          x / sqrt(list_sum(list_transform(w, y -> y * y)))) AS v
+       |        FROM w$k),""".stripMargin
+  }.mkString("\n")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j205_pca_power" -> j205,
     "j3_cosine_score" -> j3, "j4_topk_nn" -> j4, "j5_knn_per_label" -> j5,
     "j9_embedding_norm" -> j9, "j10_label_centroid" -> j10,
     "j11_multimodal_cols" -> j11,
@@ -529,6 +685,51 @@ object VectorOps {
     "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
   val oracle: Map[String, String] = Map(
+    "j205_pca_power" ->
+      s"""WITH e2 AS (SELECT vec_id,
+         |  list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+         |  FROM 'embeddings.parquet'),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e2),
+         |pr AS (SELECT u.i AS i, u.j AS j, u.p AS p FROM (
+         |  SELECT unnest(flatten(list_transform(generate_series(1, 64), i ->
+         |    list_transform(generate_series(1, 64), j ->
+         |      {'i': i, 'j': j, 'p': q[i] * q[j]})))) AS u FROM e2)),
+         |sqq AS (SELECT i, j, CAST(sum(p) AS BIGINT) AS sqq FROM pr GROUP BY 1, 2),
+         |sq AS (SELECT i, CAST(sum(q[i]) AS BIGINT) AS s
+         |       FROM e2, generate_series(1, 64) AS g(i) GROUP BY 1),
+         |c AS (SELECT sqq.i, sqq.j,
+         |        CAST(CAST(st.n AS DECIMAL(19,0)) * CAST(sqq.sqq AS DECIMAL(19,0)) -
+         |             CAST(si.s AS DECIMAL(19,0)) * CAST(sj.s AS DECIMAL(19,0))
+         |          AS DOUBLE) AS cd
+         |      FROM sqq JOIN sq si ON sqq.i = si.i JOIN sq sj ON sqq.j = sj.i
+         |      CROSS JOIN st),
+         |crow AS (SELECT i, list_transform(list_sort(list({'j': j, 'c': cd})),
+         |           t -> t.c) AS carr
+         |         FROM c GROUP BY 1),
+         |cmat AS (SELECT list_transform(list_sort(list({'i': i, 'c': carr})),
+         |           t -> t.c) AS cm
+         |         FROM crow),
+         |v0 AS (SELECT list_transform(generate_series(1, 64), i -> 0.125) AS v),
+         |$j205OracleRounds
+         |lam AS (SELECT v, n,
+         |          list_sum(list_transform(generate_series(1, 64), i -> v[i] *
+         |            list_sum(list_transform(generate_series(1, 64), j ->
+         |              cm[i][j] * v[j]))))
+         |          / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000.0 AS lam
+         |        FROM cmat, v8, st),
+         |am AS (SELECT v, lam,
+         |         (SELECT g.i FROM generate_series(1, 64) AS g(i), lam l
+         |          ORDER BY abs(l.v[g.i]) DESC, g.i ASC LIMIT 1) AS ai
+         |       FROM lam),
+         |sgn AS (SELECT v, lam, CASE WHEN v[ai] < 0 THEN -1.0 ELSE 1.0 END AS s
+         |        FROM am),
+         |ld AS (SELECT u.i AS dim, u.l AS loading, lam FROM (
+         |  SELECT unnest(list_transform(generate_series(1, 64), i ->
+         |    {'i': i, 'l': s * v[i]})) AS u, lam FROM sgn))
+         |SELECT CAST(dim AS BIGINT) AS dim, round(loading, 6) AS loading,
+         |       round(lam, 6) AS eigenvalue
+         |FROM ld ORDER BY abs(loading) DESC, dim ASC LIMIT 8""".stripMargin,
     "j3_cosine_score" ->
       s"""SELECT vec_id, label, $cosSql AS cos_q
          |FROM 'embeddings.parquet' ORDER BY vec_id""".stripMargin,

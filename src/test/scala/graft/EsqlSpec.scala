@@ -149,4 +149,46 @@ class EsqlSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters"), p)
     assert(p.contains("EqualTo(lang,en)"), p)
   }
+
+  test("LOOKUP JOIN keeps unmatched rows (LEFT) and adds every lookup column") {
+    // a key outside nation's 0..24 range must survive with null n_name —
+    // the LEFT-join contract real ES|QL LOOKUP JOIN has. sf0.001 has
+    // user_ids 0..14, so ·7 % 100 straddles the range: {0,7,14,21} hit,
+    // {28..98} miss — both sides of the contract exercised
+    val out = Esql.compile(s, TestSpark.sf0001,
+      """FROM events
+        || EVAL n_nationkey = user_id * 7 % 100
+        || LOOKUP JOIN nation ON n_nationkey
+        || STATS matched = COUNT(n_name), total = COUNT(*)""".stripMargin)
+      .collect()(0)
+    assert(out.getAs[Long]("matched") > 0L, "some keys must hit the lookup")
+    assert(out.getAs[Long]("total") > out.getAs[Long]("matched"),
+      "keys ≥ 25 must keep their rows with a null lookup side")
+    // every lookup column is visible downstream
+    val cols = Esql.compile(s, TestSpark.sf0001,
+      """FROM customer
+        || EVAL n_nationkey = c_nationkey
+        || LOOKUP JOIN nation ON n_nationkey
+        || LIMIT 1""".stripMargin).columns.toSet
+    assert(Set("n_name", "n_regionkey").subsetOf(cols), cols.toString)
+  }
+
+  test("ENRICH prunes to the WITH fields; malformed stages are errors, not truncations") {
+    val cols = Esql.compile(s, TestSpark.sf0001,
+      """FROM events
+        || EVAL n_nationkey = user_id % 25
+        || ENRICH nation ON n_nationkey WITH n_name
+        || LIMIT 1""".stripMargin).columns.toSet
+    assert(cols.contains("n_name"))
+    assert(!cols.contains("n_regionkey"),
+      "ENRICH must only append the WITH-listed fields")
+    intercept[IllegalArgumentException] {
+      Esql.compile(s, TestSpark.sf0001,
+        "FROM events | LOOKUP nation ON user_id")
+    }
+    intercept[IllegalArgumentException] {
+      Esql.compile(s, TestSpark.sf0001,
+        "FROM events | ENRICH nation ON user_id")
+    }
+  }
 }

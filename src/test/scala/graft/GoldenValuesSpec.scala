@@ -1034,4 +1034,21 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(r0.getDouble(r0.fieldIndex("median_gap_s")) === 21463.0)
     assert(r0.getLong(r0.fieldIndex("max_gap_s")) === 129645L)
   }
+
+  test("j205_pca_power top loading + eigenvalue match DuckDB (8 IEEE-identical rounds)") {
+    // the whole integer-quantized scatter + unrolled-iteration design
+    // exists to make these doubles BIT-identical cross-engine — pin the
+    // top loading and the Rayleigh eigenvalue, not just row counts
+    val r = q("j205_pca_power").head()
+    assert(r.getLong(0) === 8L)
+    assert(r.getDouble(r.fieldIndex("loading")) === 0.332684)
+    assert(r.getDouble(r.fieldIndex("eigenvalue")) === 0.026124)
+  }
+
+  test("j202_sparse_vector best doc matches DuckDB (sorted-fold dot product)") {
+    val r = q("j202_sparse_vector").head()
+    assert(r.getLong(0) === 343L)
+    assert(r.getDouble(r.fieldIndex("score")) === 10.692119)
+    assert(r.getLong(r.fieldIndex("n_terms")) === 3L)
+  }
 }

@@ -144,6 +144,7 @@ class PlanSpec extends AnyFunSuite {
       "j161_ks_test", // 1-row n1/n2 totals onto the distinct-cents frame
       "j196_graph_ann", // 1-row hyperplane table (×2 via the persisted frame) + 1-row n_explored scalar — targeted test below pins these are the ONLY nested loops
       "j197_combined_fields", // 1-row corpus stats onto the term-filtered combined tf (j34's shape)
+      "j202_sparse_vector", // 1-row corpus count onto the tf·idf weight frame (j38's shape)
 
       "j162_drift_psi", // 1-row span/range/totals/psi broadcasts onto bounded frames
       "j163_change_point") // 1-row series totals onto the calendar-bounded day frame
@@ -240,6 +241,23 @@ class PlanSpec extends AnyFunSuite {
     assert(bnlj <= 3, p)
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("j200: LOOKUP JOIN compiles to a broadcast hash join; base WHERE still pushes to the scan") {
+    val p = plan("j200_esql_lookup_join")
+    // the lookup index is dimension-sized by ES contract — the fact
+    // side must never shuffle for it, and the stage compiler must not
+    // block pushdown of the WHERE beneath the join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+  }
+
+  test("j204: diversity cap is a per-source window and the best-N cut is a TakeOrdered heap") {
+    val p = plan("j204_diversified_sampler")
+    // shard_size=40 must plan as TakeOrderedAndProject (per-partition
+    // heap + 40-row merge), never a global sort of the corpus
+    assert(p.contains("TakeOrderedAndProject"), p)
   }
 
   test("j33: LM tables broadcast onto the bigram stream — no second big-side shuffle") {
