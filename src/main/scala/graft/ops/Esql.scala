@@ -57,6 +57,14 @@ object Esql {
       val h = eat()
       require(h == t, s"expected '$t', got '$h'")
     }
+    /** Per-aggregate filter (ES|QL `STATS agg WHERE cond`, 8.16+): set
+      * by [[statsList]] BEFORE the item's expression is parsed, so every
+      * aggregate call built inside the item wraps its argument in
+      * `IF(cond, arg, NULL)` — null-skipping aggregation makes that
+      * exactly the FILTER semantics for COUNT/SUM/MIN/MAX/AVG. */
+    var aggFilter: Option[Column] = None
+    def filt(a: Column): Column =
+      aggFilter.map(f => when(f, a)).getOrElse(a)
   }
 
   private val aggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG")
@@ -75,12 +83,12 @@ object Esql {
       c.expect("(")
       fn.toUpperCase match {
         case "COUNT" if c.peek.contains("*") =>
-          c.eat(); c.expect(")"); count(lit(1))
-        case "COUNT" => val a = orExpr(c); c.expect(")"); count(a)
-        case "SUM" => val a = orExpr(c); c.expect(")"); sum(a)
-        case "MIN" => val a = orExpr(c); c.expect(")"); min(a)
-        case "MAX" => val a = orExpr(c); c.expect(")"); max(a)
-        case "AVG" => val a = orExpr(c); c.expect(")"); avg(a)
+          c.eat(); c.expect(")"); count(c.filt(lit(1)))
+        case "COUNT" => val a = orExpr(c); c.expect(")"); count(c.filt(a))
+        case "SUM" => val a = orExpr(c); c.expect(")"); sum(c.filt(a))
+        case "MIN" => val a = orExpr(c); c.expect(")"); min(c.filt(a))
+        case "MAX" => val a = orExpr(c); c.expect(")"); max(c.filt(a))
+        case "AVG" => val a = orExpr(c); c.expect(")"); avg(c.filt(a))
         case "ABS" => val a = orExpr(c); c.expect(")"); abs(a)
         case "TO_LONG" => val a = orExpr(c); c.expect(")"); a.cast("long")
         case "TO_DOUBLE" => val a = orExpr(c); c.expect(")"); a.cast("double")
@@ -201,6 +209,63 @@ object Esql {
       if (more) c.eat()
     }
     require(c.toks.isEmpty, s"unparsed ES|QL tokens: ${c.toks.mkString(" ")}")
+    out.toSeq
+  }
+
+  /** STATS-item list: `alias = agg [WHERE cond]` items separated by
+    * commas (the per-aggregate WHERE is ES|QL 8.16's filtered-stats
+    * syntax). Each item's tokens are collected to the next top-level
+    * comma, split on a top-level WHERE, and the condition (parsed
+    * FIRST) is installed as the cursor's aggFilter so every aggregate
+    * call in the item builds as `agg(IF(cond, arg, NULL))`. */
+  private def statsList(c: Cursor): Seq[(String, Column)] = {
+    val out = scala.collection.mutable.ListBuffer.empty[(String, Column)]
+    var more = true
+    var k = 0
+    while (more) {
+      k += 1
+      val item = scala.collection.mutable.ListBuffer.empty[String]
+      var depth = 0
+      while (c.toks.nonEmpty && !(depth == 0 && c.peek.contains(","))) {
+        val t = c.eat()
+        if (t == "(") depth += 1
+        if (t == ")") depth -= 1
+        item += t
+      }
+      var d2 = 0
+      val wIdx = item.indexWhere { t =>
+        val hit = d2 == 0 && t.equalsIgnoreCase("WHERE")
+        if (t == "(") d2 += 1
+        if (t == ")") d2 -= 1
+        hit
+      }
+      val (aggToks, filter) =
+        if (wIdx < 0) (item.toList, None)
+        else {
+          val cc = new Cursor(item.drop(wIdx + 1).toList)
+          val f = orExpr(cc)
+          require(cc.toks.isEmpty,
+            s"unparsed ES|QL tokens after WHERE: ${cc.toks.mkString(" ")}")
+          (item.take(wIdx).toList, Some(f))
+        }
+      val ic = new Cursor(aggToks)
+      ic.aggFilter = filter
+      if (ic.toks.length >= 2 && ic.toks(1) == "=" && ic.toks.head.matches(identRe)) {
+        val n = ic.eat(); ic.eat()
+        out += n -> orExpr(ic)
+      } else {
+        val before = ic.toks
+        val e = orExpr(ic)
+        val consumed = before.take(before.length - ic.toks.length)
+        val n =
+          if (consumed.length == 1 && consumed.head.matches(identRe)) consumed.head
+          else s"agg$k"
+        out += n -> e
+      }
+      require(ic.toks.isEmpty, s"unparsed ES|QL tokens: ${ic.toks.mkString(" ")}")
+      more = c.peek.contains(",")
+      if (more) c.eat()
+    }
     out.toSeq
   }
 
@@ -387,7 +452,7 @@ object Esql {
           val (aggPart, byPart) =
             if (byIdx < 0) (body, "")
             else (body.take(byIdx), body.drop(byIdx + 2))
-          val aggs = aliasedList(new Cursor(lex(aggPart)), "agg")
+          val aggs = statsList(new Cursor(lex(aggPart)))
             .map { case (n, e) => e.as(n) }
           df =
             if (byPart.isEmpty) df.agg(aggs.head, aggs.tail: _*)
@@ -396,6 +461,37 @@ object Esql {
               val keyed = keys.foldLeft(df) { case (f, (n, e)) => f.withColumn(n, e) }
               keyed.groupBy(keys.map(k => col(k._1)): _*).agg(aggs.head, aggs.tail: _*)
             }
+        case "INLINESTATS" =>
+          // ES|QL INLINESTATS: the grouped aggregate JOINED BACK onto
+          // every row (rows and columns all survive; the agg lands as a
+          // new column) — compiled as window aggregates partitioned by
+          // the BY keys, which is the join-free plan for it. BY is
+          // required here: the windows stay key-bounded, never the
+          // single-partition global window (the r6 hazard).
+          val byIdx2 = findTopLevel(body, "BY")
+          require(byIdx2 >= 0, "INLINESTATS requires BY <keys> (key-bounded windows)")
+          val aggs2 = statsList(new Cursor(lex(body.take(byIdx2))))
+          val keys2 = aliasedList(new Cursor(lex(body.drop(byIdx2 + 2))), "key")
+          df = keys2.foldLeft(df) { case (f, (n, e)) => f.withColumn(n, e) }
+          val wspec = org.apache.spark.sql.expressions.Window
+            .partitionBy(keys2.map(k => col(k._1)): _*)
+          for ((n, e) <- aggs2) df = df.withColumn(n, e.over(wspec))
+        case "SAMPLE" =>
+          // ES|QL SAMPLE <probability> — deterministic twin: ES samples
+          // with an RNG; a cross-engine-reproducible engine cannot, so
+          // the row draw is the salted md5-nibble fraction over an
+          // EXPLICIT id column (`SAMPLE <p> <id_col>`, the j28/j54
+          // device; the extra operand is the documented deviation from
+          // the 1-arg ES form). Filter-only — pushes like any predicate.
+          val parts = body.trim.split("\\s+")
+          require(parts.length == 2 && parts(1).matches(identRe),
+            s"SAMPLE expects <probability> <id_col>, got '$body'")
+          val p = parts(0).toDouble
+          require(p > 0 && p < 1, s"SAMPLE probability must be in (0,1), got $p")
+          df = df.withColumn("__h",
+              md5(concat(lit("sample:"), col(parts(1)).cast("string"))))
+            .filter(expr(Hashing.nibbleInt("__h")) / lit(65536.0) < p)
+            .drop("__h")
         case "SORT" =>
           val items = body.split(",").map(_.trim).map { it =>
             val parts = it.split("\\s+")
@@ -583,12 +679,68 @@ object Esql {
   def j201(s: SparkSession, d: String): DataFrame =
     compile(s, d, j201Query)
 
+  /** j208_esql_stats_where — ES|QL filtered stats (8.16): per-aggregate
+    * `WHERE` inside one STATS — the "many conditional metrics in one
+    * pass" idiom that otherwise needs N pipelines. Compiled as
+    * `agg(IF(cond, arg, NULL))`, which null-skipping aggregation makes
+    * exactly FILTER semantics; the whole STATS stays ONE map-combined
+    * aggregate (j80's conditional-counts shape) — no extra scan per
+    * condition. A group with no qualifying rows yields NULL for its
+    * SUM/MAX exactly as ES and DuckDB FILTER do. */
+  val j208Query: String =
+    """FROM events
+      || EVAL cents = ROUND(value * 100)
+      || STATS n_all = COUNT(*), n_big = COUNT(*) WHERE cents >= 5000, big_cents = SUM(cents) WHERE cents >= 5000, mx_small = MAX(cents) WHERE cents < 5000 BY event_type
+      || SORT event_type""".stripMargin
+
+  def j208(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j208Query)
+
+  /** j209_esql_inlinestats — ES|QL INLINESTATS: the grouped aggregate
+    * joined back onto every row, here finding each (user, type) pair's
+    * peak-valued events (`cents == mx` needs the group max ON the row —
+    * precisely what INLINESTATS exists for), then aggregating the peaks
+    * per type. Compiled as a key-bounded window aggregate (no join, no
+    * second scan); the downstream STATS stays map-combined. Integer
+    * cents end-to-end, so every sum is exact. */
+  val j209Query: String =
+    """FROM events
+      || EVAL cents = ROUND(value * 100)
+      || INLINESTATS mx = MAX(cents) BY user_id, event_type
+      || WHERE cents == mx
+      || STATS n_peaks = COUNT(*), peak_cents = SUM(cents) BY event_type
+      || SORT event_type""".stripMargin
+
+  def j209(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j209Query)
+
+  /** j210_esql_sample — ES|QL SAMPLE (9.1): probabilistic row sampling
+    * mid-pipeline. The deterministic twin draws the salted md5-nibble
+    * fraction per event_id (j28's device — bit-reproducible across
+    * engines, runs, and cluster layouts, unlike ES's RNG sampling, and
+    * the reason this form takes the id column as an explicit operand).
+    * The stage is a pure filter, so it pushes/prunes like any predicate
+    * and composes with every downstream stage; EsqlSpec pins the
+    * sampled fraction against the full count (~p, the j54 audit). */
+  val j210Query: String =
+    """FROM events
+      || SAMPLE 0.25 event_id
+      || EVAL cents = ROUND(value * 100)
+      || STATS n_sampled = COUNT(*), cents_sampled = SUM(cents) BY event_type
+      || SORT event_type""".stripMargin
+
+  def j210(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j210Query)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j188_esql" -> j188,
     "j194_esql_dissect_grok" -> j194,
     "j195_esql_mv_expand" -> j195,
     "j200_esql_lookup_join" -> j200,
-    "j201_esql_enrich" -> j201)
+    "j201_esql_enrich" -> j201,
+    "j208_esql_stats_where" -> j208,
+    "j209_esql_inlinestats" -> j209,
+    "j210_esql_sample" -> j210)
 
   val oracle: Map[String, String] = Map(
     "j188_esql" ->
@@ -635,5 +787,36 @@ object Esql {
         |FROM 'events.parquet' e JOIN 'nation.parquet' n
         |  ON e.user_id % 25 = n.n_nationkey
         |WHERE event_type = 'click'
-        |GROUP BY 1, 2 ORDER BY clicks DESC, n_name LIMIT 12""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY clicks DESC, n_name LIMIT 12""".stripMargin,
+    "j208_esql_stats_where" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |           FROM 'events.parquet')
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_all,
+        |       CAST(count(*) FILTER (WHERE cents >= 5000) AS BIGINT) AS n_big,
+        |       CAST(sum(cents) FILTER (WHERE cents >= 5000) AS BIGINT) AS big_cents,
+        |       CAST(max(cents) FILTER (WHERE cents < 5000) AS BIGINT) AS mx_small
+        |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "j209_esql_inlinestats" ->
+      """WITH w AS (SELECT event_type,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |             max(CAST(round(value * 100, 0) AS BIGINT))
+        |               OVER (PARTITION BY user_id, event_type) AS mx
+        |           FROM 'events.parquet')
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_peaks,
+        |       CAST(sum(cents) AS BIGINT) AS peak_cents
+        |FROM w WHERE cents = mx GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "j210_esql_sample" -> {
+      val h = "md5('sample:' || CAST(event_id AS VARCHAR))"
+      val nib = s"""((strpos('0123456789abcdef', substr($h, 1, 1)) - 1) * 4096 +
+                   | (strpos('0123456789abcdef', substr($h, 2, 1)) - 1) * 256 +
+                   | (strpos('0123456789abcdef', substr($h, 3, 1)) - 1) * 16 +
+                   | (strpos('0123456789abcdef', substr($h, 4, 1)) - 1))""".stripMargin
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_sampled,
+         |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         |         AS cents_sampled
+         |FROM 'events.parquet'
+         |WHERE $nib / 65536.0 < 0.25
+         |GROUP BY 1 ORDER BY event_type""".stripMargin
+    })
 }

@@ -1346,7 +1346,46 @@ object PipelineOps {
       .orderBy($"doc_id")
   }
 
+  /** j206_pack_sequences — concat-and-chunk sequence packing (the
+    * GPT-style dataloader transform between curation and training):
+    * documents concatenate in doc_id order into one token stream,
+    * chunked into fixed 256-token training windows; the output is the
+    * packing MANIFEST — per chunk, how many documents contribute
+    * (`n_docs`), how many start there (`n_starts`), and the occupied
+    * token count (`fill` = 256 except the final chunk) — n_docs −
+    * n_starts is the boundary-crossing count the attention-mask /
+    * best-fit packing debate is about.
+    *
+    * The global running token offset is [[Dist.bandedPrefix]] — doc_id
+    * range bands (div 64), fully order-consistent — NOT a
+    * single-partition window (the r6 hazard; at 100 TB the offset pass
+    * is the classic two-pass distributed prefix sum). Each doc then
+    * explodes to exactly the chunks it touches (sequence(first, last) —
+    * ⌈nt/256⌉ rows, row-local) and the manifest is one map-combined
+    * keyed aggregate. All arithmetic is exact integers; the manifest at
+    * 100 TB is itself a dataset (what the dataloader consumes) and
+    * would write partitioned on chunk ranges — the query form orders it
+    * for the oracle. */
+  def j206(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val d0 = Tables.documents(s, d)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("nt"))
+    val o = Dist.bandedPrefix(d0, Seq(expr("doc_id div 64")),
+        Seq($"doc_id".asc), Seq("run" -> $"nt"))
+      .withColumn("off", $"run" - $"nt")
+    o.select($"doc_id", $"nt", $"off",
+        explode(expr("sequence(off div 256, (off + nt - 1) div 256)")).as("chunk"))
+      .groupBy($"chunk")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(expr("off div 256") === $"chunk", 1)).as("n_starts"),
+        sum(least($"off" + $"nt", ($"chunk" + 1) * 256) -
+          greatest($"off", $"chunk" * 256)).as("fill"))
+      .select($"chunk".as("chunk_id"), $"n_docs", $"n_starts", $"fill")
+      .orderBy($"chunk_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j206_pack_sequences" -> j206,
     "j183_span_corruption" -> j183,
     "j66_bpe_vocab" -> j66, "j88_bpe_encode" -> j88,
     "j124_token_fertility" -> j124,
@@ -1366,6 +1405,22 @@ object PipelineOps {
     "j52_dsir_score" -> j52, "j53_semdedup" -> j53)
 
   val oracle: Map[String, String] = Map(
+    "j206_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |           FROM 'documents.parquet'),
+        |o AS (SELECT doc_id, nt,
+        |        CAST(sum(nt) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW) - nt AS BIGINT) AS off
+        |      FROM d),
+        |ch AS (SELECT doc_id, nt, off,
+        |         unnest(generate_series(off // 256, (off + nt - 1) // 256)) AS chunk
+        |       FROM o)
+        |SELECT CAST(chunk AS BIGINT) AS chunk_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(*) FILTER (WHERE off // 256 = chunk) AS BIGINT) AS n_starts,
+        |       CAST(sum(least(off + nt, (chunk + 1) * 256) -
+        |                greatest(off, chunk * 256)) AS BIGINT) AS fill
+        |FROM ch GROUP BY 1 ORDER BY chunk_id""".stripMargin,
     "j183_span_corruption" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM 'documents.parquet'),

@@ -672,8 +672,55 @@ object VectorOps {
        |        FROM w$k),""".stripMargin
   }.mkString("\n")
 
+  /** j207_matryoshka_eval — Matryoshka (MRL) truncation audit: retrieve
+    * with only the FIRST d dimensions (d ∈ {8, 16, 32}) of the 64-dim
+    * embedding — the memory/latency lever MRL-trained models expose —
+    * and measure the damage against the full-dimension ranking:
+    * recall@10 of the truncated top-10 vs the exact top-10, plus the
+    * mean FULL cosine of what the truncated index returns. On this
+    * synthetic corpus the prefixes carry no concentrated signal, so
+    * recall decays hard — which is the point of shipping the audit (an
+    * MRL-trained embedding would hold recall; j135's measured-recall
+    * discipline, applied to the truncation axis).
+    *
+    * Scale shape: the 1-row query and 3-row dim frame broadcast onto
+    * ONE corpus scan (j123's probe shape); per-dim cosines are row-local
+    * prefix folds; the per-dim top-10 is a dim-partitioned window
+    * (WindowGroupLimit prunes per partition) and the exact top-10 a
+    * TakeOrdered; the final agg runs over 30 rows. Rank order keys on
+    * round(cos, 6) before the vec_id tie-break (j38's rule). */
+  def j207(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val q = e.orderBy($"vec_id").limit(1).select($"embedding".as("qe"))
+    val dims = Seq(8, 16, 32).toDF("dim")
+    def dot(a: String, b: String, n: String) =
+      s"""aggregate(sequence(1, $n), CAST(0 AS DOUBLE), (acc, i) ->
+         |  acc + CAST(element_at($a, i) AS DOUBLE) *
+         |        CAST(element_at($b, i) AS DOUBLE))""".stripMargin
+    def cos(n: String) = expr(dot("embedding", "qe", n)) /
+      (sqrt(expr(dot("embedding", "embedding", n))) *
+        sqrt(expr(dot("qe", "qe", n))))
+    val sc = e.crossJoin(broadcast(q)).crossJoin(broadcast(dims))
+      .withColumn("cos_d", cos("dim"))
+      .withColumn("cos_full", cos("64"))
+      .select($"vec_id", $"dim", $"cos_d", $"cos_full")
+    val wd = Window.partitionBy($"dim")
+      .orderBy(round($"cos_d", 6).desc, $"vec_id".asc)
+    val topd = sc.withColumn("rn", row_number().over(wd)).filter($"rn" <= 10)
+    val exact = sc.filter($"dim" === 8)
+      .orderBy(round($"cos_full", 6).desc, $"vec_id".asc).limit(10)
+      .select($"vec_id".as("xv"))
+    topd.join(broadcast(exact), $"vec_id" === $"xv", "left_outer")
+      .groupBy($"dim")
+      .agg(round(count($"xv").cast("double") / 10.0, 6).as("recall"),
+        round(Parity.sortedFoldSum($"cos_full") / 10.0, 6).as("mean_full_cos"))
+      .orderBy($"dim")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j205_pca_power" -> j205,
+    "j207_matryoshka_eval" -> j207,
     "j3_cosine_score" -> j3, "j4_topk_nn" -> j4, "j5_knn_per_label" -> j5,
     "j9_embedding_norm" -> j9, "j10_label_centroid" -> j10,
     "j11_multimodal_cols" -> j11,
@@ -685,6 +732,35 @@ object VectorOps {
     "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
   val oracle: Map[String, String] = Map(
+    "j207_matryoshka_eval" ->
+      """WITH e AS (SELECT vec_id, embedding FROM 'embeddings.parquet'),
+        |q AS (SELECT embedding AS qe FROM e ORDER BY vec_id LIMIT 1),
+        |dims AS (SELECT unnest([8, 16, 32]) AS dim),
+        |sc AS (SELECT e.vec_id, dims.dim AS dim,
+        |         list_sum(list_transform(generate_series(1, CAST(dims.dim AS BIGINT)), i ->
+        |           CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) /
+        |         (sqrt(list_sum(list_transform(generate_series(1, CAST(dims.dim AS BIGINT)), i ->
+        |            CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+        |          sqrt(list_sum(list_transform(generate_series(1, CAST(dims.dim AS BIGINT)), i ->
+        |            CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))) AS cos_d,
+        |         list_sum(list_transform(generate_series(1, 64), i ->
+        |           CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) /
+        |         (sqrt(list_sum(list_transform(generate_series(1, 64), i ->
+        |            CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+        |          sqrt(list_sum(list_transform(generate_series(1, 64), i ->
+        |            CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))) AS cos_full
+        |       FROM e CROSS JOIN q CROSS JOIN dims),
+        |topd AS (SELECT dim, vec_id, cos_full FROM sc
+        |         QUALIFY row_number() OVER (PARTITION BY dim
+        |           ORDER BY round(cos_d, 6) DESC, vec_id ASC) <= 10),
+        |ex AS (SELECT vec_id FROM sc WHERE dim = 8
+        |       QUALIFY row_number() OVER
+        |         (ORDER BY round(cos_full, 6) DESC, vec_id ASC) <= 10)
+        |SELECT CAST(t.dim AS INT) AS dim,
+        |       round(CAST(count(e.vec_id) AS DOUBLE) / 10.0, 6) AS recall,
+        |       round(list_sum(list_sort(list(t.cos_full))) / 10.0, 6) AS mean_full_cos
+        |FROM topd t LEFT JOIN ex e ON t.vec_id = e.vec_id
+        |GROUP BY 1 ORDER BY dim""".stripMargin,
     "j205_pca_power" ->
       s"""WITH e2 AS (SELECT vec_id,
          |  list_transform(embedding,

@@ -191,4 +191,43 @@ class EsqlSpec extends AnyFunSuite {
         "FROM events | ENRICH nation ON user_id")
     }
   }
+
+  test("STATS WHERE filters per aggregate; unfiltered siblings see every row") {
+    val r = Esql.compile(s, TestSpark.sf0001,
+      """FROM events
+        || STATS n = COUNT(*), nc = COUNT(*) WHERE event_type == "click",
+        |        mx = MAX(user_id) WHERE user_id < 5""".stripMargin)
+      .collect()(0)
+    val full = Tables.events(s, TestSpark.sf0001).count()
+    val clicks = Tables.events(s, TestSpark.sf0001)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click").count()
+    assert(r.getAs[Long]("n") === full)
+    assert(r.getAs[Long]("nc") === clicks)
+    assert(r.getAs[Long]("mx") === 4L)
+  }
+
+  test("INLINESTATS adds the group aggregate to every row; no BY is an error") {
+    val df = Esql.compile(s, TestSpark.sf0001,
+      """FROM events
+        || INLINESTATS n_in_type = COUNT(*) BY event_type
+        || LIMIT 2000""".stripMargin)
+    assert(df.columns.contains("n_in_type"))
+    assert(df.count() === Tables.events(s, TestSpark.sf0001).count(),
+      "INLINESTATS must keep every row")
+    intercept[IllegalArgumentException] {
+      Esql.compile(s, TestSpark.sf0001,
+        "FROM events | INLINESTATS n = COUNT(*)")
+    }
+  }
+
+  test("SAMPLE keeps ~p of the rows, deterministically") {
+    val full = Tables.events(s, TestSpark.sf0001).count()
+    val a = Esql.compile(s, TestSpark.sf0001,
+      "FROM events | SAMPLE 0.25 event_id").count()
+    val b = Esql.compile(s, TestSpark.sf0001,
+      "FROM events | SAMPLE 0.25 event_id").count()
+    assert(a === b, "the md5 draw must be run-stable")
+    val frac = a.toDouble / full
+    assert(frac > 0.18 && frac < 0.32, s"sampled fraction $frac far from 0.25")
+  }
 }

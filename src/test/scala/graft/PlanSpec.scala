@@ -145,6 +145,7 @@ class PlanSpec extends AnyFunSuite {
       "j196_graph_ann", // 1-row hyperplane table (×2 via the persisted frame) + 1-row n_explored scalar — targeted test below pins these are the ONLY nested loops
       "j197_combined_fields", // 1-row corpus stats onto the term-filtered combined tf (j34's shape)
       "j202_sparse_vector", // 1-row corpus count onto the tf·idf weight frame (j38's shape)
+      "j207_matryoshka_eval", // 1-row query + 3-row dim frame onto one corpus scan (j123's probe shape)
 
       "j162_drift_psi", // 1-row span/range/totals/psi broadcasts onto bounded frames
       "j163_change_point") // 1-row series totals onto the calendar-bounded day frame
