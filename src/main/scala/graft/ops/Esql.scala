@@ -69,7 +69,8 @@ object Esql {
 
   private val aggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG")
   private val scalarFns =
-    Set("ROUND", "ABS", "SPLIT", "CONCAT", "TO_LONG", "TO_DOUBLE", "LENGTH")
+    Set("ROUND", "ABS", "SPLIT", "CONCAT", "TO_LONG", "TO_DOUBLE", "LENGTH",
+      "DATE_TRUNC", "CASE", "COALESCE")
 
   private def primary(c: Cursor): Column = c.eat() match {
     case "(" => val e = orExpr(c); c.expect(")"); e
@@ -120,6 +121,36 @@ object Esql {
             // so the integer semantics survive the hash compare
             round(a, 0).cast("long")
           }
+        case "DATE_TRUNC" =>
+          // DATE_TRUNC(1 hour, ts) — the ES|QL duration-literal form;
+          // only 1-unit durations map onto trunc semantics (ES itself
+          // delegates multi-unit rounding to BUCKET)
+          val n = c.eat()
+          require(n == "1", s"DATE_TRUNC supports 1-unit durations, got '$n'")
+          val unit = c.eat()
+          require(Set("minute", "hour", "day", "week", "month", "year")(
+            unit.toLowerCase), s"unknown DATE_TRUNC unit '$unit'")
+          c.expect(",")
+          val a = orExpr(c); c.expect(")")
+          date_trunc(unit.toUpperCase, a)
+        case "CASE" =>
+          // CASE(cond1, v1, cond2, v2, …, default) — ES|QL's variadic
+          // conditional, folded to a when-chain
+          val args = scala.collection.mutable.ListBuffer(orExpr(c))
+          while (c.peek.contains(",")) { c.eat(); args += orExpr(c) }
+          c.expect(")")
+          require(args.length >= 3 && args.length % 2 == 1,
+            s"CASE needs cond/value pairs + a default, got ${args.length} args")
+          val default = args.last
+          val pairs = args.dropRight(1).grouped(2).map(g => (g(0), g(1))).toSeq
+          pairs.tail.foldLeft(when(pairs.head._1, pairs.head._2)) {
+            case (acc, (cond, v)) => acc.when(cond, v)
+          }.otherwise(default)
+        case "COALESCE" =>
+          val args = scala.collection.mutable.ListBuffer(orExpr(c))
+          while (c.peek.contains(",")) { c.eat(); args += orExpr(c) }
+          c.expect(")")
+          coalesce(args.toSeq: _*)
       }
     case id => col(id)
   }
@@ -145,6 +176,12 @@ object Esql {
     l
   }
 
+  /** ES|QL wildcard pattern → SQL LIKE pattern: `*`/`?` are the
+    * wildcards, so literal `%`/`_` must be escaped first. */
+  private def wildcardToLike(p: String): String =
+    p.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+      .replace("*", "%").replace("?", "_")
+
   private def cmpExpr(c: Cursor): Column = {
     val l = addExpr(c)
     c.peek match {
@@ -154,6 +191,43 @@ object Esql {
       case Some("<=") => c.eat(); l <= addExpr(c)
       case Some(">") => c.eat(); l > addExpr(c)
       case Some("<") => c.eat(); l < addExpr(c)
+      case Some(t) if t.equalsIgnoreCase("LIKE") =>
+        // ES|QL LIKE: * / ? wildcards against a string literal
+        c.eat()
+        val p = c.eat()
+        require(p.startsWith("\""), s"LIKE needs a string pattern, got '$p'")
+        l.like(wildcardToLike(unquote(p)))
+      case Some(t) if t.equalsIgnoreCase("RLIKE") =>
+        c.eat()
+        val p = c.eat()
+        require(p.startsWith("\""), s"RLIKE needs a string pattern, got '$p'")
+        l.rlike(unquote(p))
+      case Some(t) if t.equalsIgnoreCase("IN") =>
+        // value IN (e1, e2, …) — an all-literal list builds a true In
+        // expression (which reaches the scan as an In pushdown; an
+        // OR-of-equalities would not fold to one), mixed lists fall
+        // back to the OR chain
+        c.eat(); c.expect("(")
+        def litVal(tok: String): Option[Any] =
+          if (tok.startsWith("\"")) Some(unquote(tok))
+          else if (tok.matches("""\d+\.\d+""")) Some(tok.toDouble)
+          else if (tok.matches("""\d+""")) Some(tok.toLong)
+          else None
+        val lits = scala.collection.mutable.ListBuffer.empty[Any]
+        val exprs = scala.collection.mutable.ListBuffer.empty[Column]
+        var done = false
+        while (!done) {
+          (c.peek.flatMap(litVal), c.toks.drop(1).headOption) match {
+            case (Some(v), next) if next.contains(",") || next.contains(")") =>
+              lits += v; c.eat()
+            case _ => exprs += addExpr(c)
+          }
+          if (c.peek.contains(",")) c.eat()
+          else { c.expect(")"); done = true }
+        }
+        if (exprs.isEmpty) l.isin(lits.toSeq: _*)
+        else (exprs.toSeq ++ lits.map(lit(_)))
+          .map(v => l === v).reduce(_ || _)
       case _ => l
     }
   }
@@ -529,6 +603,25 @@ object Esql {
           // inner explode: drops null/empty arrays — the unnest-parity
           // choice (ES keeps a null row; DuckDB unnest does not)
           df = df.withColumn(n, explode(col(n)))
+        case "RENAME" =>
+          // RENAME old AS new [, old AS new …] — pure metadata; Catalyst
+          // aliases through it, so pushdown/pruning are unaffected
+          val c = new Cursor(lex(body))
+          var more = true
+          while (more) {
+            val old = c.eat(); require(old.matches(identRe),
+              s"RENAME needs a column, got '$old'")
+            val as = c.eat(); require(as.equalsIgnoreCase("AS"),
+              s"RENAME needs AS, got '$as'")
+            val nw = c.eat(); require(nw.matches(identRe),
+              s"RENAME AS needs a name, got '$nw'")
+            df = df.withColumnRenamed(old, nw)
+            more = c.peek.contains(",")
+            if (more) c.eat()
+          }
+          require(c.toks.isEmpty, s"unparsed ES|QL tokens: ${c.toks.mkString(" ")}")
+        case "DROP" =>
+          df = df.drop(body.split(",").map(_.trim).toIndexedSeq: _*)
         case "LOOKUP" =>
           // LOOKUP JOIN <lookup_index> ON <field> — ES|QL's lookup-index
           // join (8.18+): LEFT join on the shared field name, adding every
@@ -732,6 +825,73 @@ object Esql {
   def j210(s: SparkSession, d: String): DataFrame =
     compile(s, d, j210Query)
 
+  /** j211_esql_date_trunc — ES|QL DATE_TRUNC + time-keyed STATS (the
+    * dashboard date-histogram written in the pipe language): purchases
+    * rolled to hour starts. DATE_TRUNC folds to Spark's `date_trunc`
+    * projection, so the pipeline stays scan → map-combined agg → heap;
+    * the timestamp key hash-compares via the a2 ns→µs discipline. */
+  val j211Query: String =
+    """FROM events
+      || WHERE event_type == "purchase"
+      || EVAL hour = DATE_TRUNC(1 hour, ts)
+      || STATS n = COUNT(*), cents = SUM(ROUND(value * 100)) BY hour
+      || SORT hour
+      || LIMIT 48""".stripMargin
+
+  def j211(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j211Query)
+
+  /** j212_esql_case — ES|QL CASE + COALESCE over an ENRICH miss: the
+    * lookup key (user_id·7 % 100, j49 derivation) straddles nation's
+    * 0..24 range, so COALESCE's "unknown" arm is exercised by real
+    * unmatched rows (not a synthetic null), and CASE bands the value —
+    * the two workhorse conditioning functions in one conditional
+    * rollup. CASE folds to a when-chain, COALESCE to coalesce; both are
+    * projections, the STATS stays one map-combined pass. */
+  val j212Query: String =
+    """FROM events
+      || EVAL n_nationkey = user_id * 7 % 100
+      || ENRICH nation ON n_nationkey WITH n_name
+      || EVAL nation = COALESCE(n_name, "unknown")
+      || EVAL band = CASE(value < 10, "low", value < 100, "mid", "high")
+      || STATS n = COUNT(*) BY nation, band
+      || SORT nation, band
+      || LIMIT 40""".stripMargin
+
+  def j212(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j212Query)
+
+  /** j213_esql_drop_rename — ES|QL RENAME/DROP projection stages: both
+    * are metadata-only, so the WHERE on the RENAMED column still pushes
+    * to the parquet scan as a predicate on the ORIGINAL column, and the
+    * DROPped columns never reach the read schema (EsqlSpec pins both —
+    * the point of compiling stages to Catalyst projections instead of
+    * materializing between them). */
+  val j213Query: String =
+    """FROM events
+      || RENAME value AS v
+      || DROP props, ts
+      || WHERE v >= 100
+      || STATS n = COUNT(*), mx = MAX(ROUND(v * 100)) BY event_type
+      || SORT event_type""".stripMargin
+
+  def j213(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j213Query)
+
+  /** j214_esql_like_in — ES|QL LIKE (wildcards `*` and `?`) and IN list
+    * predicates: the two most common WHERE forms after plain
+    * comparison. LIKE's prefix pattern pushes to the scan as a
+    * StartsWith filter; IN compiles to an OR-of-equalities Catalyst
+    * folds to an In pushdown (EsqlSpec pins both). */
+  val j214Query: String =
+    """FROM documents
+      || WHERE source LIKE "src1*" AND lang IN ("en", "de")
+      || STATS n = COUNT(*), chars = SUM(n_chars) BY source, lang
+      || SORT source, lang""".stripMargin
+
+  def j214(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j214Query)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j188_esql" -> j188,
     "j194_esql_dissect_grok" -> j194,
@@ -740,7 +900,11 @@ object Esql {
     "j201_esql_enrich" -> j201,
     "j208_esql_stats_where" -> j208,
     "j209_esql_inlinestats" -> j209,
-    "j210_esql_sample" -> j210)
+    "j210_esql_sample" -> j210,
+    "j211_esql_date_trunc" -> j211,
+    "j212_esql_case" -> j212,
+    "j213_esql_drop_rename" -> j213,
+    "j214_esql_like_in" -> j214)
 
   val oracle: Map[String, String] = Map(
     "j188_esql" ->
@@ -806,6 +970,35 @@ object Esql {
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_peaks,
         |       CAST(sum(cents) AS BIGINT) AS peak_cents
         |FROM w WHERE cents = mx GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "j211_esql_date_trunc" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM 'events.parquet'
+        |WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY hour LIMIT 48""".stripMargin,
+    "j212_esql_case" ->
+      """WITH e AS (SELECT coalesce(n.n_name, 'unknown') AS nation,
+        |             CASE WHEN value < 10 THEN 'low'
+        |                  WHEN value < 100 THEN 'mid'
+        |                  ELSE 'high' END AS band
+        |           FROM 'events.parquet' ev
+        |           LEFT JOIN 'nation.parquet' n
+        |             ON ev.user_id * 7 % 100 = n.n_nationkey)
+        |SELECT nation, band, CAST(count(*) AS BIGINT) AS n
+        |FROM e GROUP BY 1, 2 ORDER BY nation, band LIMIT 40""".stripMargin,
+    "j213_esql_drop_rename" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(max(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS mx
+        |FROM 'events.parquet'
+        |WHERE value >= 100
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "j214_esql_like_in" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM 'documents.parquet'
+        |WHERE source LIKE 'src1%' AND lang IN ('en', 'de')
+        |GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
     "j210_esql_sample" -> {
       val h = "md5('sample:' || CAST(event_id AS VARCHAR))"
       val nib = s"""((strpos('0123456789abcdef', substr($h, 1, 1)) - 1) * 4096 +

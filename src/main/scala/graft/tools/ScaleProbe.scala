@@ -16,9 +16,16 @@ object ScaleProbe {
     "j47_date_histogram" -> "events.parquet",
     "j49_pii_redact" -> "customer.parquet",
     "j53_semdedup" -> "embeddings.parquet",
-    "j196_graph_ann" -> "embeddings.parquet")
+    "j196_graph_ann" -> "embeddings.parquet",
+    "j205_pca_power" -> "embeddings.parquet",
+    "j207_matryoshka_eval" -> "embeddings.parquet")
 
-  def main(args: Array[String]): Unit = {
+  def main(args0: Array[String]): Unit = {
+    // optional trailing `only=q1,q2` arg restricts the probe list —
+    // per-round runs probe the round's additions, not the full history
+    val (onlyArgs, args) = args0.partition(_.startsWith("only="))
+    val only: Option[Set[String]] =
+      onlyArgs.headOption.map(_.stripPrefix("only=").split(",").toSet)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       // UTC like every other entry point: events probes go through
@@ -66,7 +73,15 @@ object ScaleProbe {
         // round 9: the graph-ANN build slope (the r8 verdict's fixed-
         // bucket concern — plane count now grows with N, so the
         // adjacency self-join must stay ~linear x1→x10)
-        "j196_graph_ann")) {
+        "j196_graph_ann",
+        // round 9 (second session): sparse retrieval (posting-bound
+        // join), the PCA covariance pass (×2080 explode must stay
+        // linear — it's map-combined CPU, not shuffle), the packing
+        // prefix sum (banded, never single-partition), and the
+        // truncation audit's triple-scored corpus scan
+        "j202_sparse_vector", "j205_pca_power", "j206_pack_sequences",
+        "j207_matryoshka_eval")
+        if only.forall(_.contains(q))) {
       val missing = needs.get(q)
         .filterNot(f => new java.io.File(d, f).exists())
       if (missing.isDefined)

@@ -220,6 +220,52 @@ class EsqlSpec extends AnyFunSuite {
     }
   }
 
+  test("RENAME/DROP are metadata-only: WHERE on the renamed column pushes as the original; dropped columns leave the read schema") {
+    val p = ops.Esql.j213(s, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    // the filter arrived through RENAME value AS v — it must reach the
+    // scan as a predicate on the ORIGINAL column name
+    assert(p.contains("GreaterThanOrEqual(value,100.0)"), p)
+    // DROPped columns must not be read at all
+    assert(!p.contains("props"), "dropped column still in the scan: " + p)
+  }
+
+  test("LIKE prefix pushes as StartsWith; IN folds to an In pushdown") {
+    val p = ops.Esql.j214(s, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("StringStartsWith(source,src1)"), p)
+    assert(p.contains("In(lang"), p)
+    // semantics: * is a wildcard, % is a literal — a doc source never
+    // contains '%', so a literal-% pattern matches nothing
+    val none = Esql.compile(s, TestSpark.sf0001,
+      """FROM documents | WHERE source LIKE "src%" | STATS n = COUNT(*)""")
+      .collect()(0).getAs[Long]("n")
+    assert(none === 0L, "'%' must be literal in ES|QL patterns")
+    val some = Esql.compile(s, TestSpark.sf0001,
+      """FROM documents | WHERE source LIKE "src*" | STATS n = COUNT(*)""")
+      .collect()(0).getAs[Long]("n")
+    assert(some > 0L)
+  }
+
+  test("DATE_TRUNC/CASE/COALESCE fold to projections on a literal frame") {
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 5.0), (2L, 50.0), (3L, 500.0)).toDF("id", "v")
+    val banded = df.withColumn("band", Esql.parseExpr(
+      """CASE(v < 10, "low", v < 100, "mid", "high")"""))
+    assert(banded.orderBy(col("id")).select(col("band"))
+      .collect().map(_.getString(0)).toSeq === Seq("low", "mid", "high"))
+    val co = df.withColumn("c", Esql.parseExpr("""COALESCE(v, 0.0)"""))
+    assert(co.count() === 3)
+    intercept[IllegalArgumentException] {
+      Esql.parseExpr("""CASE(v < 10, "low")""") // no default
+    }
+    intercept[IllegalArgumentException] {
+      Esql.compile(s, TestSpark.sf0001,
+        "FROM events | EVAL h = DATE_TRUNC(3 hour, ts)") // multi-unit
+    }
+  }
+
   test("SAMPLE keeps ~p of the rows, deterministically") {
     val full = Tables.events(s, TestSpark.sf0001).count()
     val a = Esql.compile(s, TestSpark.sf0001,
