@@ -360,17 +360,24 @@ object Esql {
   }
 
   /** Split a pipeline on single top-level '|' (not '||', not inside any
-    * string literal) — scans [[maskStrings]] for structure, cuts the
-    * ORIGINAL text. */
+    * string literal, not inside parentheses — a FORK branch is a whole
+    * sub-pipeline inside parens) — scans [[maskStrings]] for structure,
+    * cuts the ORIGINAL text. */
   private def splitStages(query: String): Seq[String] = {
     val m = maskStrings(query)
     val cuts = scala.collection.mutable.ListBuffer(-1)
     var i = 0
+    var depth = 0
     while (i < m.length) {
-      if (m.charAt(i) == '|' &&
-          (i == 0 || m.charAt(i - 1) != '|') &&
-          (i + 1 >= m.length || m.charAt(i + 1) != '|'))
-        cuts += i
+      m.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '|' if depth == 0 &&
+            (i == 0 || m.charAt(i - 1) != '|') &&
+            (i + 1 >= m.length || m.charAt(i + 1) != '|') =>
+          cuts += i
+        case _ =>
+      }
       i += 1
     }
     cuts += query.length
@@ -496,6 +503,30 @@ object Esql {
 
   // ---------- pipeline compiler ----------
 
+  /** Top-level parenthesized groups of `body` (FORK branches) — scans
+    * the string mask so parens inside literals don't count. */
+  private def parenGroups(body: String): Seq[String] = {
+    val m = maskStrings(body)
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var depth = 0
+    var start = -1
+    for (i <- 0 until m.length) m.charAt(i) match {
+      case '(' =>
+        if (depth == 0) start = i + 1
+        depth += 1
+      case ')' =>
+        depth -= 1
+        require(depth >= 0, s"unbalanced parens in: $body")
+        if (depth == 0) out += body.substring(start, i)
+      case c if depth == 0 && !c.isWhitespace =>
+        throw new IllegalArgumentException(
+          s"expected only parenthesized branches, found '$c' in: $body")
+      case _ =>
+    }
+    require(depth == 0, s"unbalanced parens in: $body")
+    out.toSeq
+  }
+
   /** Compile an ES|QL pipeline against the fixture tables in `d`. */
   def compile(s: SparkSession, d: String, query: String): DataFrame = {
     // single '|' splits stages; '||' is the OR operator and must not
@@ -506,12 +537,21 @@ object Esql {
     require(stages.head.toUpperCase.startsWith("FROM "),
       "ES|QL pipeline must start with FROM")
     val src = stages.head.drop(5).trim
-    var df: DataFrame = src match {
+    val df: DataFrame = src match {
       case "events" => Tables.events(s, d)
       case "events_us" => Tables.eventsUs(s, d)
       case other => Tables.read(s, d, other)
     }
-    for (st <- stages.tail) {
+    applyStages(s, d, df, stages.tail)
+  }
+
+  /** Fold pipe stages onto a frame — the whole compiler; recursion
+    * point for FORK branches (each branch is a sub-pipeline applied to
+    * the frame FORK received). */
+  private def applyStages(s: SparkSession, d: String, df0: DataFrame,
+      stages: Seq[String]): DataFrame = {
+    var df = df0
+    for (st <- stages) {
       val sp = st.indexOf(' ')
       val (kw, body) =
         if (sp < 0) (st.toUpperCase, "")
@@ -667,6 +707,21 @@ object Esql {
           val lk = Tables.read(s, d, tbl)
             .select((key +: fields.toSeq).map(col): _*)
           df = df.join(broadcast(lk), Seq(key), "left")
+        case "FORK" =>
+          // FORK ( sub-pipeline ) ( sub-pipeline ) … — ES|QL 9.x's
+          // branch-and-union: every branch continues from THIS frame,
+          // results union by name with the `_fork` discriminator column
+          // (fork1, fork2, … in branch order — the ES contract). The
+          // source scan is shared by reference; Catalyst/AQE handle
+          // exchange reuse, and each branch's own filters still push
+          // to its copy of the scan.
+          val branches = parenGroups(body)
+          require(branches.length >= 2, "FORK needs at least two branches")
+          val outs = branches.zipWithIndex.map { case (b, i) =>
+            applyStages(s, d, df, splitStages(b))
+              .withColumn("_fork", lit(s"fork${i + 1}"))
+          }
+          df = outs.reduce(_.unionByName(_, allowMissingColumns = true))
         case other => throw new IllegalArgumentException(s"unknown stage: $other")
       }
     }
@@ -892,7 +947,27 @@ object Esql {
   def j214(s: SparkSession, d: String): DataFrame =
     compile(s, d, j214Query)
 
+  /** j215_esql_fork — ES|QL FORK (9.x): one pipeline splits into
+    * branches that each continue from the shared frame, then union with
+    * the `_fork` discriminator — the "several views of one scan" device
+    * that otherwise needs N separate queries. Here the two branches
+    * aggregate different event types over different keys (user band vs
+    * hour), exercising the allowMissingColumns union ES performs when
+    * branch schemas differ (each branch's absent columns are NULL).
+    * Branch filters still push to their scan copies; both STATS stay
+    * map-combined. */
+  val j215Query: String =
+    """FROM events
+      || EVAL cents = ROUND(value * 100)
+      || FORK (WHERE event_type == "purchase" | STATS n = COUNT(*), m = SUM(cents) BY band = user_id % 5)
+      |       (WHERE event_type == "click" | EVAL hour = DATE_TRUNC(1 hour, ts) | STATS n = COUNT(*), m = SUM(cents) BY hour | SORT hour | LIMIT 10)
+      || SORT _fork, band, hour""".stripMargin
+
+  def j215(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j215Query)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j215_esql_fork" -> j215,
     "j188_esql" -> j188,
     "j194_esql_dissect_grok" -> j194,
     "j195_esql_mv_expand" -> j195,
@@ -970,6 +1045,23 @@ object Esql {
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_peaks,
         |       CAST(sum(cents) AS BIGINT) AS peak_cents
         |FROM w WHERE cents = mx GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "j215_esql_fork" ->
+      """WITH e AS (SELECT event_type, user_id, ts,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |           FROM 'events.parquet'),
+        |f1 AS (SELECT user_id % 5 AS band, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(cents) AS BIGINT) AS m
+        |       FROM e WHERE event_type = 'purchase' GROUP BY 1),
+        |f2 AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |         CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS m
+        |       FROM e WHERE event_type = 'click'
+        |       GROUP BY 1 ORDER BY hour LIMIT 10)
+        |SELECT band, n, m, 'fork1' AS _fork, CAST(NULL AS TIMESTAMP) AS hour
+        |FROM f1
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT) AS band, n, m, 'fork2' AS _fork, hour
+        |FROM f2
+        |ORDER BY _fork, band, hour""".stripMargin,
     "j211_esql_date_trunc" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
         |       CAST(count(*) AS BIGINT) AS n,

@@ -220,6 +220,34 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** c14_join_salted — the skew-salted join (d13's salting discipline
+    * applied to a JOIN): the fact side's key space is 3 heavy keys by
+    * construction (user_id % 3 — every row lands on one of three
+    * values, the hot-key regime where a plain hash join puts a third of
+    * the corpus on one reducer). Salting appends salt = event_id % 8 to
+    * the fact side and REPLICATES the dimension ×8, so the exchange
+    * keys on (k, salt) — 24 balanced partitions instead of 3 hot ones.
+    * A `merge` hint forces the shuffle join: at fixture scale Spark
+    * would broadcast the dimension (which also defeats skew, and is the
+    * right plan when one side IS small); the salted form is the one
+    * that survives when BOTH sides are too big to broadcast. PlanSpec
+    * pins the salt in the exchange keys. The oracle is the UNSALTED
+    * join — salting must be invisible in the result. */
+  def c14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val facts = Tables.events(s, d)
+      .select(($"user_id" % 3).as("k"),
+        round($"value" * 100, 0).cast("long").as("cents"),
+        ($"event_id" % 8).cast("int").as("salt"))
+    val dim = Tables.nation(s, d).filter($"n_nationkey" < 3)
+      .select($"n_nationkey".cast("long").as("k"), $"n_name",
+        explode(expr("sequence(0, 7)")).as("salt"))
+    facts.hint("merge").join(dim, Seq("k", "salt"))
+      .groupBy($"k", $"n_name")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+      .orderBy($"k")
+  }
+
   // ---------- F ----------
 
   /** f1_sort_multikey — global sort, mixed direction, explicit null placement
@@ -411,11 +439,21 @@ object Relational {
     "c6_join_semi" -> c6, "c7_join_anti" -> c7,
     "c8_join_cross" -> c8, "c9_join_range" -> c9,
     "c11_join_star" -> c11, "c13_subquery_decorrelated" -> c13,
+    "c14_join_salted" -> c14,
     "f1_sort_multikey" -> f1, "f2_topk" -> f2, "f3_distinct" -> f3,
     "g1_union_all" -> g1, "g2_union_distinct" -> g2,
     "g3_intersect" -> g3, "g4_except" -> g4)
 
   val oracle: Map[String, String] = Map(
+    "c14_join_salted" ->
+      """SELECT e.user_id % 3 AS k, n.n_name,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM 'events.parquet' e
+        |JOIN 'nation.parquet' n ON e.user_id % 3 = n.n_nationkey
+        |WHERE n.n_nationkey < 3
+        |GROUP BY 1, 2 ORDER BY k""".stripMargin,
     "j181_pivot" ->
       """SELECT user_id % 10 AS band,
         |       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)

@@ -266,6 +266,25 @@ class EsqlSpec extends AnyFunSuite {
     }
   }
 
+  test("FORK branches continue from the shared frame and union with _fork; mismatched schemas null-fill") {
+    val df = Esql.compile(s, TestSpark.sf0001,
+      """FROM events
+        || FORK (WHERE event_type == "click" | STATS n = COUNT(*))
+        |       (WHERE event_type == "view" | STATS n = COUNT(*), mx = MAX(user_id))""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length === 2)
+    val byFork = rows.map(r => r.getAs[String]("_fork") -> r).toMap
+    assert(byFork.keySet === Set("fork1", "fork2"))
+    // fork1 lacks mx — allowMissingColumns must null-fill it
+    assert(byFork("fork1").isNullAt(byFork("fork1").fieldIndex("mx")))
+    assert(!byFork("fork2").isNullAt(byFork("fork2").fieldIndex("mx")))
+    // a single fork is an error, not a silent pass-through
+    intercept[IllegalArgumentException] {
+      Esql.compile(s, TestSpark.sf0001,
+        """FROM events | FORK (WHERE event_type == "click" | STATS n = COUNT(*))""")
+    }
+  }
+
   test("SAMPLE keeps ~p of the rows, deterministically") {
     val full = Tables.events(s, TestSpark.sf0001).count()
     val a = Esql.compile(s, TestSpark.sf0001,

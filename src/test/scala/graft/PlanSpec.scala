@@ -244,6 +244,18 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("c14: the salted join exchanges on (k, salt) — the skew spread is in the plan") {
+    val p = plan("c14_join_salted")
+    // the whole point of salting: the fact exchange keys on BOTH the
+    // join key and the salt (24 balanced partitions, not 3 hot ones),
+    // and the merge hint keeps it a shuffle join (the regime where
+    // salting matters — broadcast would defeat skew by other means)
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    val exch = "Exchange hashpartitioning\\(k#\\d+L?, salt#\\d+".r
+    assert(exch.findFirstIn(p).isDefined, p)
+  }
+
   test("j200: LOOKUP JOIN compiles to a broadcast hash join; base WHERE still pushes to the scan") {
     val p = plan("j200_esql_lookup_join")
     // the lookup index is dimension-sized by ES contract — the fact
