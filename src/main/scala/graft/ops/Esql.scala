@@ -70,7 +70,8 @@ object Esql {
   private val aggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG")
   private val scalarFns =
     Set("ROUND", "ABS", "SPLIT", "CONCAT", "TO_LONG", "TO_DOUBLE", "LENGTH",
-      "DATE_TRUNC", "CASE", "COALESCE")
+      "DATE_TRUNC", "CASE", "COALESCE",
+      "SUBSTRING", "TO_UPPER", "TO_LOWER", "TRIM", "STARTS_WITH", "ENDS_WITH")
 
   private def primary(c: Cursor): Column = c.eat() match {
     case "(" => val e = orExpr(c); c.expect(")"); e
@@ -151,6 +152,26 @@ object Esql {
           while (c.peek.contains(",")) { c.eat(); args += orExpr(c) }
           c.expect(")")
           coalesce(args.toSeq: _*)
+        case "SUBSTRING" =>
+          // SUBSTRING(str, start[, length]) — 1-based, ES|QL contract
+          val a = orExpr(c); c.expect(",")
+          val from = c.eat().toInt
+          val out =
+            if (c.peek.contains(",")) { c.eat(); val len = c.eat().toInt
+              c.expect(")"); substring(a, from, len) }
+            else { c.expect(")"); a.substr(lit(from), length(a)) }
+          out
+        case "TO_UPPER" => val a = orExpr(c); c.expect(")"); upper(a)
+        case "TO_LOWER" => val a = orExpr(c); c.expect(")"); lower(a)
+        case "TRIM" => val a = orExpr(c); c.expect(")"); trim(a)
+        case "STARTS_WITH" =>
+          val a = orExpr(c); c.expect(",")
+          val b = orExpr(c); c.expect(")")
+          a.startsWith(b)
+        case "ENDS_WITH" =>
+          val a = orExpr(c); c.expect(",")
+          val b = orExpr(c); c.expect(")")
+          a.endsWith(b)
       }
     case id => col(id)
   }
@@ -191,6 +212,15 @@ object Esql {
       case Some("<=") => c.eat(); l <= addExpr(c)
       case Some(">") => c.eat(); l > addExpr(c)
       case Some("<") => c.eat(); l < addExpr(c)
+      case Some(t) if t.equalsIgnoreCase("IS") =>
+        // IS NULL / IS NOT NULL — the null predicates ES|QL pairs with
+        // its left joins (an unmatched LOOKUP JOIN/ENRICH row)
+        c.eat()
+        val neg = c.peek.exists(_.equalsIgnoreCase("NOT"))
+        if (neg) c.eat()
+        val nul = c.eat()
+        require(nul.equalsIgnoreCase("NULL"), s"IS needs NULL, got '$nul'")
+        if (neg) l.isNotNull else l.isNull
       case Some(t) if t.equalsIgnoreCase("LIKE") =>
         // ES|QL LIKE: * / ? wildcards against a string literal
         c.eat()
@@ -966,8 +996,27 @@ object Esql {
   def j215(s: SparkSession, d: String): DataFrame =
     compile(s, d, j215Query)
 
+  /** j217_esql_strings — the everyday ES|QL string functions
+    * (SUBSTRING / TO_UPPER / TO_LOWER / TRIM / STARTS_WITH /
+    * ENDS_WITH) plus the IS [NOT] NULL predicates: prefix/suffix
+    * filters on the keyword field, case-normalized grouping, first-char
+    * bucketing. All compile to codegen'd string expressions —
+    * projections and filters only; STARTS_WITH pushes to the scan as
+    * StringStartsWith (same path EsqlSpec pins for LIKE). */
+  val j217Query: String =
+    """FROM documents
+      || WHERE STARTS_WITH(source, "src1") AND NOT ENDS_WITH(source, "3")
+      || EVAL up = TO_UPPER(lang), head = SUBSTRING(text, 1, 1)
+      || STATS n = COUNT(*), chars = SUM(n_chars) BY up, head
+      || SORT n DESC, up, head
+      || LIMIT 20""".stripMargin
+
+  def j217(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j217Query)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j215_esql_fork" -> j215,
+    "j217_esql_strings" -> j217,
     "j188_esql" -> j188,
     "j194_esql_dissect_grok" -> j194,
     "j195_esql_mv_expand" -> j195,
@@ -1045,6 +1094,13 @@ object Esql {
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_peaks,
         |       CAST(sum(cents) AS BIGINT) AS peak_cents
         |FROM w WHERE cents = mx GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "j217_esql_strings" ->
+      """SELECT upper(lang) AS up, substring(text, 1, 1) AS head,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM 'documents.parquet'
+        |WHERE starts_with(source, 'src1') AND NOT ends_with(source, '3')
+        |GROUP BY 1, 2 ORDER BY n DESC, up, head LIMIT 20""".stripMargin,
     "j215_esql_fork" ->
       """WITH e AS (SELECT event_type, user_id, ts,
         |             CAST(round(value * 100, 0) AS BIGINT) AS cents

@@ -285,6 +285,38 @@ class EsqlSpec extends AnyFunSuite {
     }
   }
 
+  test("IS NULL / IS NOT NULL work against real LOOKUP JOIN misses") {
+    val r = Esql.compile(s, TestSpark.sf0001,
+      """FROM events
+        || EVAL n_nationkey = user_id * 7 % 100
+        || LOOKUP JOIN nation ON n_nationkey
+        || FORK (WHERE n_name IS NULL | STATS n = COUNT(*))
+        |       (WHERE n_name IS NOT NULL | STATS n = COUNT(*))""".stripMargin)
+      .collect().map(r => r.getAs[String]("_fork") -> r.getAs[Long]("n")).toMap
+    val total = Tables.events(s, TestSpark.sf0001).count()
+    assert(r("fork1") > 0 && r("fork2") > 0)
+    assert(r("fork1") + r("fork2") === total)
+  }
+
+  test("string functions fold on a literal frame; SUBSTRING is 1-based") {
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("  Spark  ", "abcdef")).toDF("a", "b")
+    val out = df.select(
+      Esql.parseExpr("TRIM(a)").as("t"),
+      Esql.parseExpr("TO_UPPER(b)").as("u"),
+      Esql.parseExpr("TO_LOWER(TO_UPPER(b))").as("l"),
+      Esql.parseExpr("""SUBSTRING(b, 2, 3)""").as("s"),
+      Esql.parseExpr("""STARTS_WITH(b, "abc")""").as("p"),
+      Esql.parseExpr("""ENDS_WITH(b, "xyz")""").as("e")).head()
+    assert(out.getString(0) === "Spark")
+    assert(out.getString(1) === "ABCDEF")
+    assert(out.getString(2) === "abcdef")
+    assert(out.getString(3) === "bcd")
+    assert(out.getBoolean(4) === true)
+    assert(out.getBoolean(5) === false)
+  }
+
   test("SAMPLE keeps ~p of the rows, deterministically") {
     val full = Tables.events(s, TestSpark.sf0001).count()
     val a = Esql.compile(s, TestSpark.sf0001,
