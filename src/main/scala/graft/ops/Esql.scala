@@ -71,7 +71,8 @@ object Esql {
   private val scalarFns =
     Set("ROUND", "ABS", "SPLIT", "CONCAT", "TO_LONG", "TO_DOUBLE", "LENGTH",
       "DATE_TRUNC", "CASE", "COALESCE",
-      "SUBSTRING", "TO_UPPER", "TO_LOWER", "TRIM", "STARTS_WITH", "ENDS_WITH")
+      "SUBSTRING", "TO_UPPER", "TO_LOWER", "TRIM", "STARTS_WITH", "ENDS_WITH",
+      "MV_COUNT", "MV_DEDUPE", "MV_MIN", "MV_MAX")
 
   private def primary(c: Cursor): Column = c.eat() match {
     case "(" => val e = orExpr(c); c.expect(")"); e
@@ -172,6 +173,16 @@ object Esql {
           val a = orExpr(c); c.expect(",")
           val b = orExpr(c); c.expect(")")
           a.endsWith(b)
+        // multivalue functions — row-local array folds. MV_DEDUPE's
+        // ELEMENT ORDER is engine-specific (Spark array_distinct keeps
+        // first-seen order, DuckDB list_distinct does not), so it may
+        // only feed order-insensitive consumers (MV_COUNT/MV_MIN/
+        // MV_MAX) in oracled queries — the no-array-output rule keeps
+        // the raw array out of results anyway
+        case "MV_COUNT" => val a = orExpr(c); c.expect(")"); size(a)
+        case "MV_DEDUPE" => val a = orExpr(c); c.expect(")"); array_distinct(a)
+        case "MV_MIN" => val a = orExpr(c); c.expect(")"); array_min(a)
+        case "MV_MAX" => val a = orExpr(c); c.expect(")"); array_max(a)
       }
     case id => col(id)
   }
@@ -1014,9 +1025,29 @@ object Esql {
   def j217(s: SparkSession, d: String): DataFrame =
     compile(s, d, j217Query)
 
+  /** j218_esql_mv — ES|QL multivalue functions (MV_COUNT / MV_DEDUPE /
+    * MV_MIN / MV_MAX) over SPLIT arrays: token count, distinct-token
+    * count (type count — MV_DEDUPE feeds only the order-insensitive
+    * MV_COUNT, since dedupe ORDER is engine-specific), lexicographic
+    * first token as a grouping key. All row-local array folds —
+    * projections into one map-combined STATS; nothing corpus-wide but
+    * the aggregate itself. */
+  val j218Query: String =
+    """FROM documents
+      || EVAL toks = SPLIT(text, " ")
+      || EVAL n_toks = MV_COUNT(toks), n_uniq = MV_COUNT(MV_DEDUPE(toks)), first_tok = MV_MIN(toks)
+      || WHERE n_toks >= 40
+      || STATS docs = COUNT(*), sum_toks = SUM(n_toks), sum_uniq = SUM(n_uniq) BY lang, first_tok
+      || SORT docs DESC, lang, first_tok
+      || LIMIT 25""".stripMargin
+
+  def j218(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j218Query)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j215_esql_fork" -> j215,
     "j217_esql_strings" -> j217,
+    "j218_esql_mv" -> j218,
     "j188_esql" -> j188,
     "j194_esql_dissect_grok" -> j194,
     "j195_esql_mv_expand" -> j195,
@@ -1094,6 +1125,17 @@ object Esql {
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_peaks,
         |       CAST(sum(cents) AS BIGINT) AS peak_cents
         |FROM w WHERE cents = mx GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "j218_esql_mv" ->
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS toks
+        |           FROM 'documents.parquet'),
+        |e AS (SELECT lang, len(toks) AS n_toks,
+        |        len(list_distinct(toks)) AS n_uniq,
+        |        list_min(toks) AS first_tok FROM t)
+        |SELECT lang, first_tok, CAST(count(*) AS BIGINT) AS docs,
+        |       CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+        |       CAST(sum(n_uniq) AS BIGINT) AS sum_uniq
+        |FROM e WHERE n_toks >= 40
+        |GROUP BY 1, 2 ORDER BY docs DESC, lang, first_tok LIMIT 25""".stripMargin,
     "j217_esql_strings" ->
       """SELECT upper(lang) AS up, substring(text, 1, 1) AS head,
         |       CAST(count(*) AS BIGINT) AS n,

@@ -126,6 +126,30 @@ object Sync {
       .select(col("key"), col("l_ts"), col("l_uid"), col("r_ts"), col("r_uid"))
   }
 
+  /** i15 — the LEFT OUTER twin of [[intervalJoin]]: unmatched left rows
+    * ARE emitted, but only once the right-side watermark proves no
+    * match can still arrive (r_ts ≤ l_ts is the match's upper bound, so
+    * a left row is closable when the watermark passes l_ts + lateness)
+    * — Structured Streaming's outer stream-stream join contract. Until
+    * then the row sits in the join state; the null-extended output is
+    * therefore watermark-delayed, never speculative (StreamingSpec
+    * drives this with a watermark-advancing later batch). State per
+    * side is bounded by the interval + lateness horizon, keyed in the
+    * state store — same bound as the inner form. */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame,
+      windowMinutes: Int = 60, lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", lateness)
+      .select(col("key"), col("ts").as("l_ts"), col("uid").as("l_uid"))
+    val r = right.withWatermark("ts", lateness)
+      .select(col("key").as("r_key"), col("ts").as("r_ts"), col("uid").as("r_uid"))
+    l.join(r,
+      col("key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("r_ts") <= col("l_ts"),
+      "left_outer")
+      .select(col("key"), col("l_ts"), col("l_uid"), col("r_ts"), col("r_uid"))
+  }
+
   /** i8 — arbitrary-state sessionization via flatMapGroupsWithState: per-key
     * gap sessions, finalized ONLY when the event-time watermark passes a
     * session's end + gap (EventTimeTimeout). This is the custom-state

@@ -646,6 +646,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("i15: outer stream-stream join emits unmatched left rows only after the watermark closes them") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[Change]
+    val memR = MemoryStream[Change]
+    val q = Sync.intervalJoinOuter(memL.toDF(), memR.toDF(), windowMinutes = 60)
+      .writeStream.format("memory").queryName("i15_out").outputMode("append").start()
+    try {
+      memL.addData(
+        Change(1, ts("2024-01-01 12:00:00"), 10, "matched"),
+        Change(2, ts("2024-01-01 12:00:00"), 11, "no-match"))
+      memR.addData(
+        Change(1, ts("2024-01-01 11:30:00"), 20, "in-window"))
+      q.processAllAvailable()
+      // before the watermark closes key 2's row, it must NOT be emitted
+      // null-extended — an early null would be speculative and wrong
+      val early = spark.table("i15_out")
+        .filter($"key" === 2).count()
+      assert(early === 0L, "null-extended row emitted before the watermark proved no match")
+      // advance both watermarks far past 12:00 + lateness; the extra
+      // batch lets the join evict and emit the closed left row
+      memL.addData(Change(9, ts("2024-01-01 15:00:00"), 90, "wm"))
+      memR.addData(Change(9, ts("2024-01-01 15:00:00"), 91, "wm"))
+      q.processAllAvailable()
+      memL.addData(Change(9, ts("2024-01-01 16:00:00"), 92, "wm2"))
+      memR.addData(Change(9, ts("2024-01-01 16:00:00"), 93, "wm2"))
+      q.processAllAvailable()
+      val got = spark.table("i15_out")
+        .select($"key", $"l_uid",
+          coalesce($"r_uid", lit(-1L)).as("r_uid"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got.contains((1L, 10L, 20L)), s"matched pair missing: $got")
+      assert(got.contains((2L, 11L, -1L)), s"null-extended left row missing: $got")
+    } finally q.stop()
+  }
+
   test("i10: transformWithState sessionizer (RocksDB state store) matches i8 semantics") {
     val spark = TestSpark.spark
     import spark.implicits._
