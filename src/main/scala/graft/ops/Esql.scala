@@ -67,12 +67,13 @@ object Esql {
       aggFilter.map(f => when(f, a)).getOrElse(a)
   }
 
-  private val aggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG")
+  private val aggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG",
+    "COUNT_DISTINCT", "PERCENTILE", "MEDIAN")
   private val scalarFns =
     Set("ROUND", "ABS", "SPLIT", "CONCAT", "TO_LONG", "TO_DOUBLE", "LENGTH",
       "DATE_TRUNC", "CASE", "COALESCE",
       "SUBSTRING", "TO_UPPER", "TO_LOWER", "TRIM", "STARTS_WITH", "ENDS_WITH",
-      "MV_COUNT", "MV_DEDUPE", "MV_MIN", "MV_MAX")
+      "MV_COUNT", "MV_DEDUPE", "MV_MIN", "MV_MAX", "BUCKET")
 
   private def primary(c: Cursor): Column = c.eat() match {
     case "(" => val e = orExpr(c); c.expect(")"); e
@@ -92,6 +93,22 @@ object Esql {
         case "MIN" => val a = orExpr(c); c.expect(")"); min(c.filt(a))
         case "MAX" => val a = orExpr(c); c.expect(")"); max(c.filt(a))
         case "AVG" => val a = orExpr(c); c.expect(")"); avg(c.filt(a))
+        case "COUNT_DISTINCT" =>
+          // exact distinct count (ES|QL's is approximate HLL++ by
+          // default; the exact form is the oracle-comparable choice and
+          // what ES emits at low cardinality anyway)
+          val a = orExpr(c); c.expect(")"); count_distinct(c.filt(a))
+        case "PERCENTILE" =>
+          // PERCENTILE(field, p) with p in 0..100 (the ES scale);
+          // compiles to Spark's exact interpolating percentile, the
+          // j69-proven cross-engine form (DuckDB quantile_cont)
+          val a = orExpr(c); c.expect(",")
+          val p = c.eat().toDouble; c.expect(")")
+          require(p >= 0 && p <= 100, s"PERCENTILE needs 0..100, got $p")
+          percentile(c.filt(a), lit(p / 100.0))
+        case "MEDIAN" =>
+          val a = orExpr(c); c.expect(")")
+          percentile(c.filt(a), lit(0.5))
         case "ABS" => val a = orExpr(c); c.expect(")"); abs(a)
         case "TO_LONG" => val a = orExpr(c); c.expect(")"); a.cast("long")
         case "TO_DOUBLE" => val a = orExpr(c); c.expect(")"); a.cast("double")
@@ -179,6 +196,21 @@ object Esql {
         // only feed order-insensitive consumers (MV_COUNT/MV_MIN/
         // MV_MAX) in oracled queries — the no-array-output rule keeps
         // the raw array out of results anyway
+        case "BUCKET" =>
+          // BUCKET(field, count, min, max) — the numeric-histogram
+          // form: integer buckets of width ceil((max−min)/count)
+          // anchored at min. ES additionally "nices" the width to a
+          // 1/2/5·10^k ladder; the exact-width form here is the
+          // deterministic cross-engine choice (documented deviation).
+          // The duration form is DATE_TRUNC's job (as in ES pre-nice).
+          val a = orExpr(c); c.expect(",")
+          val n = c.eat().toLong; c.expect(",")
+          val lo = c.eat().toLong; c.expect(",")
+          val hi = c.eat().toLong; c.expect(")")
+          require(n > 0 && hi > lo, s"BUCKET needs count>0 and max>min")
+          val width = (hi - lo + n - 1) / n
+          (floor((a - lit(lo)) / lit(width)).cast("long") * width + lo)
+            .as(s"bucket")
         case "MV_COUNT" => val a = orExpr(c); c.expect(")"); size(a)
         case "MV_DEDUPE" => val a = orExpr(c); c.expect(")"); array_distinct(a)
         case "MV_MIN" => val a = orExpr(c); c.expect(")"); array_min(a)
@@ -1044,10 +1076,48 @@ object Esql {
   def j218(s: SparkSession, d: String): DataFrame =
     compile(s, d, j218Query)
 
+  /** j219_esql_stats_fns — the ES|QL statistical aggregates beyond
+    * SUM/AVG: COUNT_DISTINCT (exact — ES's default HLL++ approximation
+    * is not oracle-comparable; ES itself is exact at low cardinality),
+    * PERCENTILE on the 0..100 ES scale and MEDIAN, both compiling to
+    * Spark's exact interpolating percentile (the j69-proven
+    * quantile_cont parity, here over integer cents so the interpolation
+    * inputs are exact), rounded at 6dp in the QUERY (the pipe language
+    * owns presentation). One map-combined pass per group — percentile
+    * is the only non-algebraic agg and Spark buffers per (group, agg),
+    * bounded here by the 5-type group space. */
+  val j219Query: String =
+    """FROM events
+      || EVAL cents = ROUND(value * 100)
+      || STATS users = COUNT_DISTINCT(user_id), p50 = ROUND(PERCENTILE(cents, 50), 6), p90 = ROUND(PERCENTILE(cents, 90), 6), med = ROUND(MEDIAN(cents), 6) BY event_type
+      || SORT event_type""".stripMargin
+
+  def j219(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j219Query)
+
+  /** j220_esql_bucket — ES|QL BUCKET, the pipe language's histogram
+    * workhorse, in its numeric 4-arg form BUCKET(field, count, min,
+    * max): integer buckets of width ceil((max−min)/count) anchored at
+    * min (ES additionally snaps the width to a 1/2/5·10^k ladder — the
+    * exact-width form is the deterministic cross-engine choice, noted
+    * in the compiler; values past max extend into higher buckets
+    * exactly as ES's do). The bucket key is row-local integer math, the
+    * STATS one map-combined pass over ≤ a few dozen buckets. */
+  val j220Query: String =
+    """FROM events
+      || EVAL cents = ROUND(value * 100)
+      || STATS n = COUNT(*), sum_cents = SUM(cents) BY b = BUCKET(cents, 20, 0, 50000)
+      || SORT b""".stripMargin
+
+  def j220(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j220Query)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j215_esql_fork" -> j215,
     "j217_esql_strings" -> j217,
     "j218_esql_mv" -> j218,
+    "j219_esql_stats_fns" -> j219,
+    "j220_esql_bucket" -> j220,
     "j188_esql" -> j188,
     "j194_esql_dissect_grok" -> j194,
     "j195_esql_mv_expand" -> j195,
@@ -1125,6 +1195,22 @@ object Esql {
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_peaks,
         |       CAST(sum(cents) AS BIGINT) AS peak_cents
         |FROM w WHERE cents = mx GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "j220_esql_bucket" ->
+      """WITH e AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |           FROM 'events.parquet')
+        |SELECT CAST(floor((cents - 0) / 2500) AS BIGINT) * 2500 + 0 AS b,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM e GROUP BY 1 ORDER BY b""".stripMargin,
+    "j219_esql_stats_fns" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |           FROM 'events.parquet')
+        |SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+        |       round(quantile_cont(cents, 0.5), 6) AS p50,
+        |       round(quantile_cont(cents, 0.9), 6) AS p90,
+        |       round(quantile_cont(cents, 0.5), 6) AS med
+        |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin,
     "j218_esql_mv" ->
       """WITH t AS (SELECT lang, string_split(text, ' ') AS toks
         |           FROM 'documents.parquet'),
