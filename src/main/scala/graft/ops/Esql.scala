@@ -4,25 +4,31 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** ES|QL (j188/j194/j195) — a compiler for the useful core of
-  * Elasticsearch's piped query language: `FROM src | WHERE … | EVAL … |
-  * STATS … BY … | SORT … | LIMIT n | KEEP … | DISSECT col "pat" |
-  * GROK col "pat" | MV_EXPAND col`. Like j172's query_string parser, ALL parsing and
+/** ES|QL (j188, j194/j195, j200/j201, j208–j220) — a compiler for the
+  * everyday core of Elasticsearch's piped query language. Stages:
+  * `FROM src | WHERE … | EVAL … | STATS … [WHERE …] … BY … |
+  * INLINESTATS … BY … | SORT … | LIMIT n | KEEP … | DROP … |
+  * RENAME a AS b | DISSECT col "pat" | GROK col "pat" | MV_EXPAND col |
+  * LOOKUP JOIN idx ON f | ENRICH policy ON f WITH … | SAMPLE p id |
+  * FORK (…) (…)`. Like j172's query_string parser, ALL parsing and
   * compilation happens at plan-build time: each pipe stage folds into
   * the DataFrame plan (WHERE → filter that Catalyst can push, EVAL →
   * projection, STATS → one keyed aggregation with map-side combine,
-  * SORT+LIMIT → TakeOrderedAndProject), so the executed plan is
-  * indistinguishable from the hand-written DataFrame program — the
+  * INLINESTATS → key-bounded window aggregates, SORT+LIMIT →
+  * TakeOrderedAndProject, LOOKUP/ENRICH → broadcast left equi-joins,
+  * FORK → null-filling union of sub-pipelines), so the executed plan
+  * is indistinguishable from the hand-written DataFrame program — the
   * language is surface, Catalyst is the optimizer, exactly the ES|QL
   * architecture (its own engine compiles to a physical plan the same
   * way).
   *
   * Expression grammar (Pratt-style precedence): OR < AND < comparisons
-  * (== != >= <= > <) < additive < multiplicative < unary/primary;
-  * primaries are numbers, "strings", identifiers, parens, and a
-  * whitelisted function set (scalar: ROUND, ABS; aggregate: COUNT(*),
-  * COUNT, SUM, MIN, MAX, AVG). `%` is multiplicative. Aliases bind with
-  * `name = expr` in EVAL/STATS/BY. */
+  * (== != >= <= > < LIKE RLIKE IN IS [NOT] NULL) < additive <
+  * multiplicative < unary/primary; primaries are numbers, "strings",
+  * identifiers, parens, and the whitelisted function sets in [[aggFns]]
+  * / [[scalarFns]]. `%` is multiplicative. Aliases bind with
+  * `name = expr` in EVAL/STATS/BY; STATS items take a per-aggregate
+  * trailing `WHERE cond` (8.16 filtered stats). */
 object Esql {
 
   // ---------- lexer ----------
