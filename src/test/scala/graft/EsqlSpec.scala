@@ -317,6 +317,27 @@ class EsqlSpec extends AnyFunSuite {
     assert(out.getBoolean(5) === false)
   }
 
+  test("FORK branch filters push to each branch's scan copy") {
+    val p = ops.Esql.j215(s, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    // both branches' WHERE predicates must reach their parquet scans —
+    // the SURVEY row's claim, pinned
+    assert(p.contains("EqualTo(event_type,purchase)"), p)
+    assert(p.contains("EqualTo(event_type,click)"), p)
+  }
+
+  test("BUCKET buckets by exact width anchored at min; values past max extend") {
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(5L, 10L, 99L, 250L).toDF("x")
+    val out = df.select(Esql.parseExpr("BUCKET(x, 10, 0, 100)").as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(0L, 10L, 90L, 250L))
+    intercept[IllegalArgumentException] {
+      Esql.parseExpr("BUCKET(x, 0, 0, 100)")
+    }
+  }
+
   test("SAMPLE keeps ~p of the rows, deterministically") {
     val full = Tables.events(s, TestSpark.sf0001).count()
     val a = Esql.compile(s, TestSpark.sf0001,
