@@ -74,7 +74,7 @@ object Esql {
   }
 
   private val aggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG",
-    "COUNT_DISTINCT", "PERCENTILE", "MEDIAN")
+    "COUNT_DISTINCT", "PERCENTILE", "MEDIAN", "WEIGHTED_AVG")
   private val scalarFns =
     Set("ROUND", "ABS", "SPLIT", "CONCAT", "TO_LONG", "TO_DOUBLE", "LENGTH",
       "DATE_TRUNC", "CASE", "COALESCE",
@@ -115,6 +115,13 @@ object Esql {
         case "MEDIAN" =>
           val a = orExpr(c); c.expect(")")
           percentile(c.filt(a), lit(0.5))
+        case "WEIGHTED_AVG" =>
+          // WEIGHTED_AVG(value, weight) = Σ(v·w)/Σw — over integer
+          // inputs both sums are exact, then ONE double division (the
+          // j72/j83 composition rule), so the result hash-compares
+          val a = orExpr(c); c.expect(",")
+          val w = orExpr(c); c.expect(")")
+          sum(c.filt(a * w)) / sum(c.filt(w))
         case "ABS" => val a = orExpr(c); c.expect(")"); abs(a)
         case "TO_LONG" => val a = orExpr(c); c.expect(")"); a.cast("long")
         case "TO_DOUBLE" => val a = orExpr(c); c.expect(")"); a.cast("double")
@@ -1118,12 +1125,28 @@ object Esql {
   def j220(s: SparkSession, d: String): DataFrame =
     compile(s, d, j220Query)
 
+  /** j221_esql_weighted_avg — ES|QL WEIGHTED_AVG (the j72 `weighted_avg`
+    * agg surfaced in the pipe language): Σ(v·w)/Σw with both sums exact
+    * over integer cents × integer weights (weight = user_id + 1, the
+    * j49 deterministic derivation) and ONE double division at the end,
+    * rounded in the query; the filtered variant exercises the 8.16
+    * per-agg WHERE against the same weights. One map-combined pass. */
+  val j221Query: String =
+    """FROM events
+      || EVAL cents = ROUND(value * 100), w = user_id + 1
+      || STATS wavg = ROUND(WEIGHTED_AVG(cents, w), 6), wavg_big = ROUND(WEIGHTED_AVG(cents, w), 6) WHERE cents >= 5000, n = COUNT(*) BY event_type
+      || SORT event_type""".stripMargin
+
+  def j221(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j221Query)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j215_esql_fork" -> j215,
     "j217_esql_strings" -> j217,
     "j218_esql_mv" -> j218,
     "j219_esql_stats_fns" -> j219,
     "j220_esql_bucket" -> j220,
+    "j221_esql_weighted_avg" -> j221,
     "j188_esql" -> j188,
     "j194_esql_dissect_grok" -> j194,
     "j195_esql_mv_expand" -> j195,
@@ -1201,6 +1224,19 @@ object Esql {
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_peaks,
         |       CAST(sum(cents) AS BIGINT) AS peak_cents
         |FROM w WHERE cents = mx GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "j221_esql_weighted_avg" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |             user_id + 1 AS w
+        |           FROM 'events.parquet')
+        |SELECT event_type,
+        |       round(CAST(sum(cents * w) AS DOUBLE) /
+        |             CAST(sum(w) AS DOUBLE), 6) AS wavg,
+        |       round(CAST(sum(cents * w) FILTER (WHERE cents >= 5000) AS DOUBLE) /
+        |             CAST(sum(w) FILTER (WHERE cents >= 5000) AS DOUBLE), 6)
+        |         AS wavg_big,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin,
     "j220_esql_bucket" ->
       """WITH e AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents
         |           FROM 'events.parquet')
