@@ -79,7 +79,8 @@ object Esql {
     Set("ROUND", "ABS", "SPLIT", "CONCAT", "TO_LONG", "TO_DOUBLE", "LENGTH",
       "DATE_TRUNC", "CASE", "COALESCE",
       "SUBSTRING", "TO_UPPER", "TO_LOWER", "TRIM", "STARTS_WITH", "ENDS_WITH",
-      "MV_COUNT", "MV_DEDUPE", "MV_MIN", "MV_MAX", "BUCKET")
+      "MV_COUNT", "MV_DEDUPE", "MV_MIN", "MV_MAX", "BUCKET",
+      "TO_STRING", "CIDR_MATCH")
 
   private def primary(c: Cursor): Column = c.eat() match {
     case "(" => val e = orExpr(c); c.expect(")"); e
@@ -224,6 +225,42 @@ object Esql {
           val width = (hi - lo + n - 1) / n
           (floor((a - lit(lo)) / lit(width)).cast("long") * width + lo)
             .as(s"bucket")
+        case "TO_STRING" => val a = orExpr(c); c.expect(")"); a.cast("string")
+        case "CIDR_MATCH" =>
+          // CIDR_MATCH(ip, "A.B.C.D/p" [, …]) — true if the IPv4 string
+          // falls in ANY of the literal blocks. Each block folds to the
+          // j198 device at COMPILE time: the string parses octet-wise
+          // to its numeric form and range-checks [base, base+2^(32−p))
+          // — row-local exact-integer math, no UDF, pushable like any
+          // predicate.
+          val a = orExpr(c)
+          val ipn = {
+            val o = split(a, "\\.")
+            element_at(o, 1).cast("long") * 16777216L +
+              element_at(o, 2).cast("long") * 65536L +
+              element_at(o, 3).cast("long") * 256L +
+              element_at(o, 4).cast("long")
+          }
+          val blocks = scala.collection.mutable.ListBuffer.empty[Column]
+          while (c.peek.contains(",")) {
+            c.eat()
+            val t = c.eat()
+            require(t.startsWith("\""), s"CIDR_MATCH needs literal blocks, got '$t'")
+            val cidr = unquote(t)
+            val Array(addr, pfx) = cidr.split("/")
+            val oct = addr.split("\\.").map(_.toLong)
+            require(oct.length == 4 && oct.forall(x => x >= 0 && x <= 255),
+              s"bad IPv4 in CIDR '$cidr'")
+            val p = pfx.toInt
+            require(p >= 0 && p <= 32, s"bad prefix length in CIDR '$cidr'")
+            val base0 = oct(0) * 16777216L + oct(1) * 65536L + oct(2) * 256L + oct(3)
+            val span = 1L << (32 - p)
+            val base = base0 - base0 % span // network address of the block
+            blocks += (ipn >= base && ipn < base + span)
+          }
+          c.expect(")")
+          require(blocks.nonEmpty, "CIDR_MATCH needs at least one block")
+          blocks.reduce(_ || _)
         case "MV_COUNT" => val a = orExpr(c); c.expect(")"); size(a)
         case "MV_DEDUPE" => val a = orExpr(c); c.expect(")"); array_distinct(a)
         case "MV_MIN" => val a = orExpr(c); c.expect(")"); array_min(a)
@@ -1140,6 +1177,24 @@ object Esql {
   def j221(s: SparkSession, d: String): DataFrame =
     compile(s, d, j221Query)
 
+  /** j222_esql_cidr — ES|QL CIDR_MATCH (the security-dashboard staple,
+    * closing the IP family beside j198 ip_range / j203 ip_prefix) +
+    * TO_STRING: the IPv4 synthesizes from key arithmetic (the shared
+    * j49/j198 derivation, built as a STRING exactly as an ES `ip` field
+    * arrives), then CIDR_MATCH range-tests it against two literal
+    * blocks — one /15, one /22 inside it, so the OR's short-circuit
+    * overlap is exercised — and CASE bands the verdict. All row-local
+    * exact-integer math; ONE map-combined STATS. */
+  val j222Query: String =
+    """FROM events
+      || EVAL ip = CONCAT("10.", TO_STRING(user_id % 4), ".", TO_STRING(user_id % 256), ".", TO_STRING(user_id * 7 % 256))
+      || EVAL net = CASE(CIDR_MATCH(ip, "10.2.0.0/15", "10.0.4.0/22"), "in", "out")
+      || STATS n = COUNT(*), cents = SUM(ROUND(value * 100)) BY net, event_type
+      || SORT net, event_type""".stripMargin
+
+  def j222(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j222Query)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j215_esql_fork" -> j215,
     "j217_esql_strings" -> j217,
@@ -1147,6 +1202,7 @@ object Esql {
     "j219_esql_stats_fns" -> j219,
     "j220_esql_bucket" -> j220,
     "j221_esql_weighted_avg" -> j221,
+    "j222_esql_cidr" -> j222,
     "j188_esql" -> j188,
     "j194_esql_dissect_grok" -> j194,
     "j195_esql_mv_expand" -> j195,
@@ -1224,6 +1280,20 @@ object Esql {
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_peaks,
         |       CAST(sum(cents) AS BIGINT) AS peak_cents
         |FROM w WHERE cents = mx GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "j222_esql_cidr" ->
+      """WITH e AS (SELECT event_type,
+        |             10 * 16777216 + (user_id % 4) * 65536 +
+        |               (user_id % 256) * 256 + (user_id * 7 % 256) AS ipn,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |           FROM 'events.parquet'),
+        |b AS (SELECT event_type, cents,
+        |        CASE WHEN (ipn >= 167903232 AND ipn < 168034304)
+        |               OR (ipn >= 167773184 AND ipn < 167774208)
+        |             THEN 'in' ELSE 'out' END AS net
+        |      FROM e)
+        |SELECT net, event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(cents) AS BIGINT) AS cents
+        |FROM b GROUP BY 1, 2 ORDER BY net, event_type""".stripMargin,
     "j221_esql_weighted_avg" ->
       """WITH e AS (SELECT event_type,
         |             CAST(round(value * 100, 0) AS BIGINT) AS cents,
