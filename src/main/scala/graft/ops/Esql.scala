@@ -80,12 +80,29 @@ object Esql {
       "DATE_TRUNC", "CASE", "COALESCE",
       "SUBSTRING", "TO_UPPER", "TO_LOWER", "TRIM", "STARTS_WITH", "ENDS_WITH",
       "MV_COUNT", "MV_DEDUPE", "MV_MIN", "MV_MAX", "BUCKET",
-      "TO_STRING", "CIDR_MATCH")
+      "TO_STRING", "CIDR_MATCH",
+      "DATE_DIFF", "DATE_FORMAT", "DATE_PARSE", "DATE_EXTRACT", "NOW")
+
+  /** Deterministic NOW(): ES|QL's NOW() is query-evaluation wall-clock —
+    * unusable in a bit-reproducible engine — so it compiles to this
+    * PINNED instant (the frozen-clock device; just past the fixture's
+    * 2024-01 event window so every age is positive). The documented
+    * deviation mirrors SAMPLE's: determinism over wall-clock truth. */
+  private[graft] val pinnedNowNtz = "2024-02-01 00:00:00"
+
+  /** epoch-µs of a timestamp-typed column — the shared integer domain
+    * every DATE_DIFF runs in (= DuckDB `epoch_us`; UTC sessions only,
+    * the [[graft.Tables.eventsUs]] contract). */
+  private def usOf(x: Column): Column =
+    unix_micros(x.cast("timestamp"))
+
+  private val dateDiffUnitUs = Map(
+    "second" -> 1000000L, "minute" -> 60000000L,
+    "hour" -> 3600000000L, "day" -> 86400000000L)
 
   private def primary(c: Cursor): Column = c.eat() match {
     case "(" => val e = orExpr(c); c.expect(")"); e
     case "-" => negate(primary(c))
-    case t if t.equalsIgnoreCase("NOT") => !primary(c)
     case t if t.startsWith("\"") => lit(unquote(t))
     case t if t.matches("""\d+\.\d+""") => lit(t.toDouble)
     case t if t.matches("""\d+""") => lit(t.toLong)
@@ -185,11 +202,23 @@ object Esql {
           c.expect(")")
           coalesce(args.toSeq: _*)
         case "SUBSTRING" =>
-          // SUBSTRING(str, start[, length]) — 1-based, ES|QL contract
+          // SUBSTRING(str, start[, length]) — 1-based; a negative start
+          // counts from the END (the ES|QL contract, same in Spark's
+          // substring). '-' lexes as its own token, so the sign is
+          // re-attached here; a non-literal start is a clear compile
+          // error, not a NumberFormatException (r9 advice).
+          def intLit(what: String): Int = {
+            val neg = c.peek.contains("-")
+            if (neg) c.eat()
+            val t = c.eat()
+            require(t.matches("""\d+"""),
+              s"SUBSTRING $what must be an integer literal, got '$t'")
+            if (neg) -t.toInt else t.toInt
+          }
           val a = orExpr(c); c.expect(",")
-          val from = c.eat().toInt
+          val from = intLit("start")
           val out =
-            if (c.peek.contains(",")) { c.eat(); val len = c.eat().toInt
+            if (c.peek.contains(",")) { c.eat(); val len = intLit("length")
               c.expect(")"); substring(a, from, len) }
             else { c.expect(")"); a.substr(lit(from), length(a)) }
           out
@@ -265,8 +294,84 @@ object Esql {
         case "MV_DEDUPE" => val a = orExpr(c); c.expect(")"); array_distinct(a)
         case "MV_MIN" => val a = orExpr(c); c.expect(")"); array_min(a)
         case "MV_MAX" => val a = orExpr(c); c.expect(")"); array_max(a)
+        case "NOW" =>
+          c.expect(")")
+          to_timestamp_ntz(lit(pinnedNowNtz))
+        case "DATE_DIFF" =>
+          // DATE_DIFF("unit", start, end) — elapsed COMPLETE units from
+          // start to end (the ES contract: elapsed-time multiples, NOT
+          // DuckDB-style boundary crossings — date_diff('hour', 10:59,
+          // 11:01) is 0 here, 1 there). Compiled to exact integer µs
+          // arithmetic: (µs(end)−µs(start)) is a long, the division is
+          // made exact by subtracting the modulus first, so the double
+          // quotient is an exact integer (< 2^53) — floor division,
+          // spelled `//` over epoch_us in the oracle.
+          val uTok = c.eat()
+          require(uTok.startsWith("\""), s"DATE_DIFF needs a literal unit, got '$uTok'")
+          val unitUs = dateDiffUnitUs.getOrElse(unquote(uTok).toLowerCase,
+            throw new IllegalArgumentException(
+              s"unsupported DATE_DIFF unit '${unquote(uTok)}' " +
+                s"(supported: ${dateDiffUnitUs.keys.toSeq.sorted.mkString("/")})"))
+          c.expect(",")
+          val from = orExpr(c); c.expect(",")
+          val to = orExpr(c); c.expect(")")
+          val d = usOf(to) - usOf(from)
+          ((d - pmod(d, lit(unitUs))) / lit(unitUs)).cast("long")
+        case "DATE_FORMAT" =>
+          // DATE_FORMAT("pattern", ts) — format first, the ES|QL arg
+          // order. Pattern restricted to the locale-free numeric subset
+          // (y M d H m s + separators): identical under Spark's
+          // DateTimeFormatter and the strftime translation the oracle
+          // spells, with no month-name/era locale hazard.
+          val fTok = c.eat()
+          require(fTok.startsWith("\""), s"DATE_FORMAT needs a literal pattern, got '$fTok'")
+          val fmt = unquote(fTok)
+          require(fmt.matches("""[yMdHms\-:/ .]+""") && !fmt.contains("MMM"),
+            s"DATE_FORMAT pattern '$fmt' outside the locale-free y/M/d/H/m/s " +
+              "subset (MMM+ spells LOCALE month names — rejected)")
+          c.expect(",")
+          val a = orExpr(c); c.expect(")")
+          date_format(a, fmt)
+        case "DATE_PARSE" =>
+          // DATE_PARSE("pattern", str) — same restricted pattern subset;
+          // yields a µs TimestampNTZ (the canonical engine shape), which
+          // is exactly DuckDB strptime's TIMESTAMP
+          val fTok = c.eat()
+          require(fTok.startsWith("\""), s"DATE_PARSE needs a literal pattern, got '$fTok'")
+          val fmt = unquote(fTok)
+          require(fmt.matches("""[yMdHms\-:/ .]+""") && !fmt.contains("MMM"),
+            s"DATE_PARSE pattern '$fmt' outside the locale-free y/M/d/H/m/s " +
+              "subset (MMM+ spells LOCALE month names — rejected)")
+          c.expect(",")
+          val a = orExpr(c); c.expect(")")
+          to_timestamp_ntz(a, lit(fmt))
+        case "DATE_EXTRACT" =>
+          // DATE_EXTRACT("part", ts) — ChronoField names, long result.
+          // day_of_week is ISO (Mon=1..Sun=7, = DuckDB isodow): Spark's
+          // dayofweek() is Sun=1, so it compiles via weekday()+1.
+          val pTok = c.eat()
+          require(pTok.startsWith("\""), s"DATE_EXTRACT needs a literal part, got '$pTok'")
+          c.expect(",")
+          val a = orExpr(c); c.expect(")")
+          val e = unquote(pTok).toLowerCase match {
+            case "year" => year(a)
+            case "month_of_year" => month(a)
+            case "day_of_month" => dayofmonth(a)
+            case "day_of_week" => weekday(a) + lit(1)
+            case "hour_of_day" => hour(a)
+            case "minute_of_hour" => minute(a)
+            case "second_of_minute" => second(a)
+            case p => throw new IllegalArgumentException(
+              s"unsupported DATE_EXTRACT part '$p'")
+          }
+          e.cast("long")
       }
-    case id => col(id)
+    case id =>
+      // an unrecognized operator/punctuation token must be a PARSE
+      // error, not a bogus col(")") surfacing as a Catalyst analysis
+      // failure three layers later (r9 advice)
+      require(id.matches(identRe), s"unexpected ES|QL token '$id'")
+      col(id)
   }
 
   private def negate(c: Column): Column = lit(0) - c
@@ -355,9 +460,17 @@ object Esql {
     }
   }
 
+  /** NOT binds between AND and the comparisons (the ES|QL precedence):
+    * `NOT x LIKE "p*"` is NOT(x LIKE "p*"), never (NOT x) LIKE …. The
+    * old parser handled NOT inside primary — TIGHTER than comparisons —
+    * which silently inverted that reading (r9 advice). */
+  private def notExpr(c: Cursor): Column =
+    if (c.peek.exists(_.equalsIgnoreCase("NOT"))) { c.eat(); !notExpr(c) }
+    else cmpExpr(c)
+
   private def andExpr(c: Cursor): Column = {
-    var l = cmpExpr(c)
-    while (c.peek.exists(t => t.equalsIgnoreCase("AND") || t == "&&")) { c.eat(); l = l && cmpExpr(c) }
+    var l = notExpr(c)
+    while (c.peek.exists(t => t.equalsIgnoreCase("AND") || t == "&&")) { c.eat(); l = l && notExpr(c) }
     l
   }
 
@@ -659,14 +772,41 @@ object Esql {
     val stages = splitStages(query)
     require(stages.head.toUpperCase.startsWith("FROM "),
       "ES|QL pipeline must start with FROM")
-    val src = stages.head.drop(5).trim
-    val df: DataFrame = src match {
-      case "events" => Tables.events(s, d)
-      case "events_us" => Tables.eventsUs(s, d)
-      case other => Tables.read(s, d, other)
+    // FROM idx1[, idx2, …] [METADATA _index] — ES|QL's multi-index FROM
+    // unions the named indices BY NAME (a column absent from one index
+    // is null there — the g5 union discipline), and METADATA _index
+    // materializes the source-index tag per row. Each index keeps its
+    // OWN parquet scan, so a WHERE on a shared column pushes into every
+    // scan independently (EsqlSpec pins both PushedFilters).
+    var srcBody = stages.head.drop(5).trim
+    val mIdx = findTopLevel(srcBody, "METADATA")
+    val withMeta = mIdx >= 0
+    if (withMeta) {
+      val metaCols = srcBody.drop(mIdx + "METADATA".length).trim
+      require(metaCols == "_index",
+        s"only METADATA _index is supported, got '$metaCols'")
+      srcBody = srcBody.take(mIdx).trim
     }
+    val names = srcBody.split(",").map(_.trim).toSeq
+    require(names.nonEmpty && names.forall(_.matches(identRe)),
+      s"FROM needs index names, got '$srcBody'")
+    def one(name: String): DataFrame = {
+      val base = name match {
+        case "events" => Tables.events(s, d)
+        case "events_us" => Tables.eventsUs(s, d)
+        case other => Tables.read(s, d, other)
+      }
+      if (withMeta) base.withColumn("_index", lit(name)) else base
+    }
+    val df = names.map(one).reduce(_.unionByName(_, allowMissingColumns = true))
     applyStages(s, d, df, stages.tail)
   }
+
+  /** Test hook: run a stage pipeline (no FROM) against a given frame —
+    * lets specs pin stage semantics on literal data, fixture-free. */
+  private[graft] def applyPipe(s: SparkSession, d: String, df: DataFrame,
+      pipeline: String): DataFrame =
+    applyStages(s, d, df, splitStages(pipeline))
 
   /** Fold pipe stages onto a frame — the whole compiler; recursion
     * point for FORK branches (each branch is a sub-pipeline applied to
@@ -845,6 +985,60 @@ object Esql {
               .withColumn("_fork", lit(s"fork${i + 1}"))
           }
           df = outs.reduce(_.unionByName(_, allowMissingColumns = true))
+        case "CHANGE_POINT" =>
+          // CHANGE_POINT <value> ON <key> AS <type_col>, <stat_col> —
+          // ES|QL 9.x's change-point stage. ES runs a p-value test from
+          // its ML library; the deterministic twin is the max-CUSUM
+          // split: with S_i the prefix sum of the first i values, the
+          // change point maximizes |S_i − i·mean| (tiebreak earliest
+          // key), and every row passes through with <type_col> =
+          // 'step_change' / <stat_col> = the CUSUM statistic ON the
+          // split row, null elsewhere (the ES output shape). The
+          // statistic is kept EXACT: |cnt·S_i − i·S_n| is pure long
+          // arithmetic, divided by cnt (one double op) only for the
+          // reported stat — argmax is taken on the scaled integer.
+          //
+          // BOUNDED-FRAME CONTRACT (the j58/j76 discipline): the stage
+          // windows over the WHOLE frame unpartitioned, so it must run
+          // on a bucketed STATS output (≤ calendar-days rows), never a
+          // raw event stream — same contract as ES, whose change_point
+          // agg consumes a date_histogram and caps at 1000 buckets.
+          val c = new Cursor(lex(body))
+          val v = c.eat(); require(v.matches(identRe),
+            s"CHANGE_POINT needs a value column, got '$v'")
+          val on = c.eat(); require(on.equalsIgnoreCase("ON"),
+            s"CHANGE_POINT needs ON, got '$on'")
+          val k = c.eat(); require(k.matches(identRe),
+            s"CHANGE_POINT ON needs a key column, got '$k'")
+          val as = c.eat(); require(as.equalsIgnoreCase("AS"),
+            s"CHANGE_POINT needs AS <type_col>, <stat_col>, got '$as'")
+          val tName = c.eat(); require(tName.matches(identRe),
+            s"CHANGE_POINT AS needs a type column name, got '$tName'")
+          c.expect(",")
+          val sName = c.eat(); require(sName.matches(identRe),
+            s"CHANGE_POINT AS needs a stat column name, got '$sName'")
+          require(c.toks.isEmpty, s"unparsed ES|QL tokens: ${c.toks.mkString(" ")}")
+          val w = org.apache.spark.sql.expressions.Window.orderBy(col(k))
+          val wCum = w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+          val wAll = w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+          df = df
+            .withColumn("__pre", sum(col(v)).over(wCum))
+            .withColumn("__tot", sum(col(v)).over(wAll))
+            .withColumn("__cnt", count(lit(1)).over(wAll))
+            .withColumn("__rn", row_number().over(w).cast("long"))
+            .withColumn("__sc",
+              abs(col("__cnt") * col("__pre") - col("__rn") * col("__tot")))
+            .withColumn("__mx", max(col("__sc")).over(wAll))
+            .withColumn("__cpk",
+              min(when(col("__sc") === col("__mx"), col(k))).over(wAll))
+            .withColumn(tName, when(col(k) === col("__cpk"), lit("step_change")))
+            .withColumn(sName, when(col(k) === col("__cpk"),
+              round(col("__sc").cast("double") / col("__cnt").cast("double"), 6)))
+            .drop("__pre", "__tot", "__cnt", "__rn", "__sc", "__mx", "__cpk")
         case other => throw new IllegalArgumentException(s"unknown stage: $other")
       }
     }
@@ -1181,9 +1375,11 @@ object Esql {
     * closing the IP family beside j198 ip_range / j203 ip_prefix) +
     * TO_STRING: the IPv4 synthesizes from key arithmetic (the shared
     * j49/j198 derivation, built as a STRING exactly as an ES `ip` field
-    * arrives), then CIDR_MATCH range-tests it against two literal
-    * blocks — one /15, one /22 inside it, so the OR's short-circuit
-    * overlap is exercised — and CASE bands the verdict. All row-local
+    * arrives), then CIDR_MATCH range-tests it against two DISJOINT
+    * literal blocks — the /15 covers 10.2.0.0–10.3.255.255, the /22
+    * covers 10.0.4.0–10.0.7.255, so each OR leg matches rows the other
+    * cannot (r9 advice: an earlier comment mis-described the /22 as
+    * nested inside the /15) — and CASE bands the verdict. All row-local
     * exact-integer math; ONE map-combined STATS. */
   val j222Query: String =
     """FROM events
@@ -1195,7 +1391,93 @@ object Esql {
   def j222(s: SparkSession, d: String): DataFrame =
     compile(s, d, j222Query)
 
+  /** j223_esql_date_diff — ES|QL DATE_DIFF + NOW(): the age-bucketing
+    * idiom every retention dashboard runs (`how long ago did this
+    * happen, in days/hours`). NOW() is the pinned frozen clock
+    * ([[pinnedNowNtz]] — determinism over wall-clock truth, the SAMPLE
+    * deviation discipline); DATE_DIFF compiles to exact integer-µs
+    * floor division (ES's elapsed-complete-units contract, NOT DuckDB
+    * date_diff's boundary counting — the oracle spells `//` over
+    * epoch_us, the same arithmetic). age_d keys the STATS (≤ 31
+    * groups), age_h exercises DATE_DIFF inside an aggregate argument.
+    * Scan → one map-combined agg → bounded sort. */
+  val j223Query: String =
+    """FROM events
+      || WHERE event_type == "purchase"
+      || EVAL age_d = DATE_DIFF("day", ts, NOW())
+      || EVAL cents = ROUND(value * 100)
+      || STATS n = COUNT(*), cents = SUM(cents), min_h = MIN(DATE_DIFF("hour", ts, NOW())), max_h = MAX(DATE_DIFF("hour", ts, NOW())) BY age_d
+      || SORT age_d""".stripMargin
+
+  def j223(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j223Query)
+
+  /** j224_esql_date_fns — the rest of the everyday ES|QL date family:
+    * DATE_FORMAT (→ locale-free pattern string), DATE_PARSE (the
+    * round-trip back to a midnight timestamp — the log-ingest idiom),
+    * DATE_EXTRACT with ISO day_of_week (Mon=1, = DuckDB isodow; Spark
+    * compiles via weekday()+1 because its dayofweek() is Sun=1) and
+    * hour_of_day gating a business-hours filter. All four fold to
+    * projections, so the pipeline stays scan → filter → one
+    * map-combined STATS; the parsed timestamp survives to the result
+    * via MIN (the j211 timestamp-key hash discipline). */
+  val j224Query: String =
+    """FROM events
+      || EVAL day_str = DATE_FORMAT("yyyy-MM-dd", ts)
+      || EVAL hr = DATE_EXTRACT("hour_of_day", ts), dow = DATE_EXTRACT("day_of_week", ts)
+      || WHERE hr >= 6 AND hr < 18
+      || EVAL day2 = DATE_PARSE("yyyy-MM-dd", day_str)
+      || STATS n = COUNT(*), days = COUNT_DISTINCT(day_str), first_day = MIN(day2) BY dow
+      || SORT dow""".stripMargin
+
+  def j224(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j224Query)
+
+  /** j225_esql_multi_index — multi-index FROM + METADATA _index: ES|QL
+    * reads `FROM idx1, idx2` as the by-name union of the indices (a
+    * column absent from one is null there) and METADATA _index tags
+    * each row's source index — the cross-cluster/daily-indices idiom.
+    * Here the µs-view of events unions the raw view: ts_us exists only
+    * on events_us, so COUNT(ts_us) counts 0 vs n per _index — the
+    * null-fill genuinely observable in the result. Each index keeps its
+    * own parquet scan and the WHERE pushes into BOTH (EsqlSpec pins two
+    * PushedFilters); the union is plan-level (no materialization), the
+    * STATS one map-combined pass over both scans. */
+  val j225Query: String =
+    """FROM events, events_us METADATA _index
+      || WHERE value >= 250
+      || EVAL cents = ROUND(value * 100)
+      || STATS n = COUNT(*), sum_cents = SUM(cents), us_rows = COUNT(ts_us) BY _index, event_type
+      || SORT _index, event_type""".stripMargin
+
+  def j225(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j225Query)
+
+  /** j226_esql_change_point — ES|QL CHANGE_POINT over a STATS-by-day
+    * frame: the ops-dashboard "when did the metric shift" stage. The
+    * deterministic twin of ES's ML p-value test is the max-CUSUM split
+    * (argmax |S_i − i·mean|, tiebreak earliest day) — argmax taken on
+    * the EXACT scaled-integer statistic |cnt·S_i − i·S_n|, one double
+    * division only for the reported stat. Runs on the bucketed daily
+    * frame (≤ calendar-days rows — the j58/j76 bounded-frame contract;
+    * ES likewise feeds change_point from a date_histogram, capped at
+    * 1000 buckets), so the unpartitioned window moves ~30 rows. */
+  val j226Query: String =
+    """FROM events
+      || WHERE event_type == "purchase"
+      || EVAL day = DATE_TRUNC(1 day, ts)
+      || STATS n = COUNT(*) BY day
+      || CHANGE_POINT n ON day AS cp_type, cp_stat
+      || SORT day""".stripMargin
+
+  def j226(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j226Query)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j223_esql_date_diff" -> j223,
+    "j224_esql_date_fns" -> j224,
+    "j225_esql_multi_index" -> j225,
+    "j226_esql_change_point" -> j226,
     "j215_esql_fork" -> j215,
     "j217_esql_strings" -> j217,
     "j218_esql_mv" -> j218,
@@ -1217,6 +1499,71 @@ object Esql {
     "j214_esql_like_in" -> j214)
 
   val oracle: Map[String, String] = Map(
+    // `//` (floor division) over epoch_us mirrors the compiler's exact
+    // integer-µs arithmetic; ages are non-negative by the pinned-NOW
+    // construction, so floor == ES's truncation toward zero
+    "j223_esql_date_diff" ->
+      """WITH e AS (SELECT
+        |    (epoch_us(TIMESTAMP '2024-02-01 00:00:00') -
+        |     epoch_us(CAST(ts AS TIMESTAMP))) // 86400000000 AS age_d,
+        |    (epoch_us(TIMESTAMP '2024-02-01 00:00:00') -
+        |     epoch_us(CAST(ts AS TIMESTAMP))) // 3600000000 AS age_h,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM 'events.parquet' WHERE event_type = 'purchase')
+        |SELECT age_d, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(cents) AS BIGINT) AS cents,
+        |       CAST(min(age_h) AS BIGINT) AS min_h,
+        |       CAST(max(age_h) AS BIGINT) AS max_h
+        |FROM e GROUP BY 1 ORDER BY age_d""".stripMargin,
+    "j224_esql_date_fns" ->
+      """WITH e AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day_str,
+        |             isodow(CAST(ts AS TIMESTAMP)) AS dow,
+        |             hour(CAST(ts AS TIMESTAMP)) AS hr
+        |           FROM 'events.parquet'),
+        |f AS (SELECT day_str, dow, strptime(day_str, '%Y-%m-%d') AS day2
+        |      FROM e WHERE hr >= 6 AND hr < 18)
+        |SELECT CAST(dow AS BIGINT) AS dow, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT day_str) AS BIGINT) AS days,
+        |       min(day2) AS first_day
+        |FROM f GROUP BY 1 ORDER BY dow""".stripMargin,
+    "j225_esql_multi_index" ->
+      """WITH u AS (
+        |  SELECT 'events' AS _index, event_type, value,
+        |         CAST(NULL AS BIGINT) AS ts_us
+        |  FROM 'events.parquet'
+        |  UNION ALL
+        |  SELECT 'events_us' AS _index, event_type, value,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM 'events.parquet')
+        |SELECT _index, event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents,
+        |       CAST(count(ts_us) AS BIGINT) AS us_rows
+        |FROM u WHERE value >= 250
+        |GROUP BY 1, 2 ORDER BY _index, event_type""".stripMargin,
+    // scaled-integer CUSUM (cnt·prefix − rn·total) mirrors the stage
+    // compiler exactly; the one double division happens only on the
+    // reported stat, after the integer argmax
+    "j226_esql_change_point" ->
+      """WITH h AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+        |                        AS TIMESTAMP) AS day,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM 'events.parquet' WHERE event_type = 'purchase'
+        |           GROUP BY 1),
+        |c AS (SELECT day, n,
+        |        sum(n) OVER (ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre,
+        |        sum(n) OVER () AS tot, count(*) OVER () AS cnt,
+        |        row_number() OVER (ORDER BY day) AS rn
+        |      FROM h),
+        |s AS (SELECT day, n, cnt, abs(cnt * pre - rn * tot) AS sc FROM c),
+        |m AS (SELECT day AS cp_day, sc AS cp_sc, cnt AS cp_cnt
+        |      FROM s ORDER BY sc DESC, day ASC LIMIT 1)
+        |SELECT day, n,
+        |       CASE WHEN day = cp_day THEN 'step_change' END AS cp_type,
+        |       CASE WHEN day = cp_day
+        |            THEN round(CAST(sc AS DOUBLE) / cnt, 6) END AS cp_stat
+        |FROM s, m ORDER BY day""".stripMargin,
     "j188_esql" ->
       """SELECT user_id % 10 AS band, CAST(count(*) AS BIGINT) AS cnt,
         |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)

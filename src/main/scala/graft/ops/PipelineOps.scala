@@ -1095,11 +1095,11 @@ object PipelineOps {
     * localCheckpoints (tiny: N assignment rows + K centroids), pinned
     * for the JVM session's lifetime; clearCache() doesn't touch them. */
   private val semCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, DataFrame)]()
 
   private[graft] def semClusterAssignFor(
       s: SparkSession, d: String): (DataFrame, DataFrame) =
-    semCache.computeIfAbsent(d, _ => {
+    TextOps.sessionCached(semCache, s, d)(_._1)({
       graft.functions.VectorExpressions.register(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),

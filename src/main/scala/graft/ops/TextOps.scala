@@ -477,6 +477,28 @@ object TextOps {
       case _ => ()
     }
 
+  /** Session-validated train-once cache lookup (the Tables.read
+    * discipline applied to the pq/pca/sem model caches, r9 advice): a
+    * localCheckpoint'd frame is bound to the session that built it, so
+    * the key carries the session identity AND the hit is re-validated
+    * with `eq` via `live` (identityHashCode can be reused after a GC'd
+    * session — a stale hit would hand a dead session's frame to a new
+    * one and fail confusingly; worst case here is a recompute). */
+  private[ops] def sessionCached[V](
+      cache: java.util.concurrent.ConcurrentHashMap[(Int, String), V],
+      s: org.apache.spark.sql.SparkSession, d: String)(
+      live: V => DataFrame)(build: => V): V = {
+    val key = (System.identityHashCode(s), d)
+    val cached = cache.get(key)
+    if (cached != null && (live(cached).sparkSession eq s)) cached
+    else {
+      if (cache.size > 64) cache.clear() // bound stale-session pins
+      val built = build
+      cache.put(key, built)
+      built
+    }
+  }
+
   /** j6_wordcount — token frequency over the corpus. */
   def j6(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

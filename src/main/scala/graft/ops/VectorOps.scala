@@ -284,10 +284,10 @@ object VectorOps {
     * `cent`/`codes` CTEs the same way, so the two engines agree in both
     * regimes. */
   private val pqCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, DataFrame)]()
 
   private def pqModelFor(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    pqCache.computeIfAbsent(d, _ => {
+    TextOps.sessionCached(pqCache, s, d)(_._1)({
       import s.implicits._
       val sub = pqSub(s, d).persist()
       val sids = Tables.embeddings(s, d).orderBy($"vec_id").limit(4)
@@ -581,10 +581,10 @@ object VectorOps {
     * mirror is bit-identical to summing the lower triangle itself (the
     * oracle sums the full square; same values). */
   private val pcaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
 
   private def pcaCmatFor(s: SparkSession, d: String): DataFrame =
-    pcaCache.computeIfAbsent(d, _ => {
+    TextOps.sessionCached(pcaCache, s, d)(identity)({
       import s.implicits._
       val e2 = Tables.embeddings(s, d).select($"vec_id", expr(
           "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")

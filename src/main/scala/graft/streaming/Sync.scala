@@ -780,7 +780,14 @@ object Sync {
     * across batches the per-key feed must be event-time ordered (the
     * funnelStream contract). */
   def sequenceStream(events: DataFrame,
-      spanUs: Long = 21600000000L): DataFrame = {
+      spanUs: Long = 21600000000L,
+      untilType: String = "error"): DataFrame = {
+    // maxspan + until are the rule's parameters here exactly as in the
+    // batch fragment (NestedOps.seqEarliest) — StreamingSpec pins batch
+    // ≡ stream at NON-default values (j228: 8h/signup), so the knobs
+    // cannot drift between the two engines
+    require(!Set("view", "click", "purchase")(untilType),
+      s"until type '$untilType' collides with a sequence step")
     val spark = events.sparkSession
     import spark.implicits._
     events.select(col("user_id"), col("event_type"), col("ts_us"))
@@ -796,7 +803,8 @@ object Sync {
               e.event_type match {
                 case "view" => st = st.copy(views = e.ts_us :: st.views)
                 case "click" => st = st.copy(clicks = e.ts_us :: st.clicks)
-                case "error" => st = st.copy(errors = e.ts_us :: st.errors)
+                case t if t == untilType =>
+                  st = st.copy(errors = e.ts_us :: st.errors)
                 case "purchase" =>
                   val p = e.ts_us
                   val valid = st.views.filter(v => p - v <= spanUs &&
@@ -845,7 +853,10 @@ object Sync {
     * row. State bound: the maxspan horizon prune (sequenceStream's) plus
     * the clear on match — never larger than sequenceStream's state. */
   def sequenceMultiStream(events: DataFrame,
-      spanUs: Long = 21600000000L): DataFrame = {
+      spanUs: Long = 21600000000L,
+      untilType: String = "error"): DataFrame = {
+    require(!Set("view", "click", "purchase")(untilType),
+      s"until type '$untilType' collides with a sequence step")
     val spark = events.sparkSession
     import spark.implicits._
     events.select(col("user_id"), col("event_type"), col("ts_us"))
@@ -860,7 +871,8 @@ object Sync {
             e.event_type match {
               case "view" => st = st.copy(views = e.ts_us :: st.views)
               case "click" => st = st.copy(clicks = e.ts_us :: st.clicks)
-              case "error" => st = st.copy(errors = e.ts_us :: st.errors)
+              case t if t == untilType =>
+                st = st.copy(errors = e.ts_us :: st.errors)
               case "purchase" =>
                 val p = e.ts_us
                 val valid = st.views.filter(v => p - v <= spanUs &&

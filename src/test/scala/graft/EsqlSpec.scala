@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.to_timestamp_ntz
 import graft.ops.Esql
 
 /** The ES|QL compiler must fold pipe stages into ordinary Catalyst
@@ -336,6 +337,102 @@ class EsqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Esql.parseExpr("BUCKET(x, 0, 0, 100)")
     }
+  }
+
+  test("NOT binds between AND and the comparisons: NOT x LIKE p is NOT(x LIKE p) (r9 advice)") {
+    import s.implicits._
+    val df = Seq(("alpha", 1L), ("beta", 2L)).toDF("t", "id")
+    def ids(e: String): Seq[Long] =
+      df.filter(Esql.parseExpr(e)).select($"id").as[Long].collect().sorted.toSeq
+    // the old primary-level NOT compiled (NOT t) LIKE "a*" — inverted
+    assert(ids("""NOT t LIKE "a*"""") === Seq(2L))
+    assert(ids("""NOT NOT t LIKE "a*"""") === Seq(1L))
+    assert(ids("""NOT t IN ("beta")""") === Seq(1L))
+    assert(ids("""NOT t IS NULL""") === Seq(1L, 2L))
+    // NOT still binds tighter than AND/OR
+    assert(ids("""NOT t LIKE "a*" AND id == 2""") === Seq(2L))
+  }
+
+  test("SUBSTRING negative start counts from the end; non-literal start errors clearly (r9 advice)") {
+    import s.implicits._
+    val df = Seq("abcdef").toDF("b")
+    val out = df.select(
+      Esql.parseExpr("SUBSTRING(b, -3, 2)").as("s"),
+      Esql.parseExpr("SUBSTRING(b, -2)").as("t")).head()
+    assert(out.getString(0) === "de")
+    assert(out.getString(1) === "ef")
+    val err = intercept[IllegalArgumentException] {
+      Esql.parseExpr("SUBSTRING(b, b, 2)")
+    }
+    assert(err.getMessage.contains("start"), err.getMessage)
+  }
+
+  test("unrecognized tokens are parse errors, not bogus columns (r9 advice)") {
+    intercept[IllegalArgumentException] { Esql.parseExpr("x IN ()") }
+    intercept[IllegalArgumentException] { Esql.parseExpr(", x") }
+  }
+
+  test("date functions fold deterministically on a literal frame") {
+    import s.implicits._
+    val df = Seq("2024-01-30 23:00:00").toDF("t0")
+      .select(to_timestamp_ntz($"t0").as("ts"))
+    val out = df.select(
+      Esql.parseExpr("""DATE_DIFF("hour", ts, NOW())""").as("h"),
+      Esql.parseExpr("""DATE_DIFF("day", ts, NOW())""").as("d"),
+      Esql.parseExpr("""DATE_EXTRACT("day_of_week", ts)""").as("dow"),
+      Esql.parseExpr("""DATE_EXTRACT("hour_of_day", ts)""").as("hr"),
+      Esql.parseExpr("""DATE_FORMAT("yyyy-MM-dd HH", ts)""").as("f")).head()
+    // pinned NOW = 2024-02-01 00:00 → 25 elapsed hours = 1 COMPLETE day
+    // (the ES elapsed-units contract, not a calendar-boundary count)
+    assert(out.getLong(0) === 25L)
+    assert(out.getLong(1) === 1L)
+    assert(out.getLong(2) === 2L) // 2024-01-30 is a Tuesday — ISO dow 2
+    assert(out.getLong(3) === 23L)
+    assert(out.getString(4) === "2024-01-30 23")
+    // round-trip: DATE_PARSE inverts DATE_FORMAT at the day grain
+    val rt = df.select(Esql.parseExpr(
+      """DATE_PARSE("yyyy-MM-dd", DATE_FORMAT("yyyy-MM-dd", ts))""").as("p"))
+      .head().getAs[java.time.LocalDateTime](0)
+    assert(rt === java.time.LocalDateTime.of(2024, 1, 30, 0, 0))
+    intercept[IllegalArgumentException] {
+      Esql.parseExpr("""DATE_DIFF("fortnight", ts, NOW())""")
+    }
+    intercept[IllegalArgumentException] {
+      Esql.parseExpr("""DATE_EXTRACT("epoch", ts)""")
+    }
+    // locale-bearing patterns (month names) are rejected, not mistranslated
+    intercept[IllegalArgumentException] {
+      Esql.parseExpr("""DATE_FORMAT("MMM yyyy", ts)""")
+    }
+  }
+
+  test("multi-index FROM pushes a shared WHERE into BOTH scans; only _index is legal METADATA") {
+    val p = ops.Esql.j225(s, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    // the union is plan-level: each index keeps its own parquet scan and
+    // the WHERE reaches both as a pushed filter
+    assert("GreaterThanOrEqual\\(value,".r.findAllIn(p).size >= 2, p)
+    intercept[IllegalArgumentException] {
+      Esql.compile(s, TestSpark.sf0001, "FROM events METADATA _score | LIMIT 1")
+    }
+  }
+
+  test("CHANGE_POINT marks the max-CUSUM split exactly once, at the step, stat exact") {
+    import s.implicits._
+    // synthetic step series: 4×10 then 4×50 — mean 30, |CUSUM| peaks at
+    // the 4th row (|S_4 − 4·30| = 80), so the split lands on key 4
+    val df = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L),
+      (5L, 50L), (6L, 50L), (7L, 50L), (8L, 50L)).toDF("k", "v")
+    val out = Esql.applyPipe(s, TestSpark.sf0001, df,
+      "CHANGE_POINT v ON k AS ct, cs | SORT k").collect()
+    assert(out.length === 8)
+    val hits = out.filter(r => !r.isNullAt(2))
+    assert(hits.length === 1)
+    assert(hits.head.getLong(0) === 4L)
+    assert(hits.head.getString(2) === "step_change")
+    assert(hits.head.getDouble(3) === 80.0)
+    // every row passes through (the ES output shape) — values untouched
+    assert(out.map(_.getLong(1)).toSeq === Seq(10L, 10L, 10L, 10L, 50L, 50L, 50L, 50L))
   }
 
   test("SAMPLE keeps ~p of the rows, deterministically") {

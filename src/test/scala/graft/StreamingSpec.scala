@@ -797,6 +797,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming EQL at NON-default maxspan/until (j228: 12h, signup) emits exactly the batch rows") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.eventsUs(spark, TestSpark.sf001)
+      .select($"user_id", $"event_type", $"ts_us")
+      .orderBy($"ts_us")
+      .as[Sync.FunnelEvent].collect()
+    val batch = SparkEntry.queries("j228_eql_maxspan_until")(spark, TestSpark.sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+    val mem = MemoryStream[Sync.FunnelEvent]
+    // the same knobs the batch rule carries — pinned at non-default
+    // values so the parameters can't silently drift between engines
+    val q = Sync.sequenceStream(mem.toDF(),
+        spanUs = 43200000000L, untilType = "signup")
+      .writeStream.format("memory").queryName("seq228_out")
+      .outputMode("update").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 3)).foreach { chunk =>
+        mem.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("seq228_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .sortBy(_._1)
+      assert(got.toSeq === batch.toSeq)
+      assert(got.nonEmpty) // 30 completing users at sf0.01 — not vacuous
+    } finally q.stop()
+  }
+
   test("streaming reset-after-match EQL emits exactly the batch j199 rows (every completion, multi-batch)") {
     val spark = TestSpark.spark
     import spark.implicits._
