@@ -74,14 +74,16 @@ object Esql {
   }
 
   private val aggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG",
-    "COUNT_DISTINCT", "PERCENTILE", "MEDIAN", "WEIGHTED_AVG")
+    "COUNT_DISTINCT", "PERCENTILE", "MEDIAN", "WEIGHTED_AVG", "TOP")
   private val scalarFns =
     Set("ROUND", "ABS", "SPLIT", "CONCAT", "TO_LONG", "TO_DOUBLE", "LENGTH",
       "DATE_TRUNC", "CASE", "COALESCE",
       "SUBSTRING", "TO_UPPER", "TO_LOWER", "TRIM", "STARTS_WITH", "ENDS_WITH",
       "MV_COUNT", "MV_DEDUPE", "MV_MIN", "MV_MAX", "BUCKET",
+      "MV_SORT", "MV_SLICE", "MV_FIRST", "MV_LAST", "MV_CONCAT",
       "TO_STRING", "CIDR_MATCH",
-      "DATE_DIFF", "DATE_FORMAT", "DATE_PARSE", "DATE_EXTRACT", "NOW")
+      "DATE_DIFF", "DATE_FORMAT", "DATE_PARSE", "DATE_EXTRACT", "NOW",
+      "MATCH", "QSTR")
 
   /** Deterministic NOW(): ES|QL's NOW() is query-evaluation wall-clock —
     * unusable in a bit-reproducible engine — so it compiles to this
@@ -140,6 +142,31 @@ object Esql {
           val a = orExpr(c); c.expect(",")
           val w = orExpr(c); c.expect(")")
           sum(c.filt(a * w)) / sum(c.filt(w))
+        case "TOP" =>
+          // TOP(field, limit, "asc"|"desc") — the top-N values per
+          // group as a multivalue. collect_list is order-nondeterministic
+          // in a distributed engine, so the sort AFTER collection is
+          // what makes the result well-defined (equal values are
+          // indistinguishable); the array then flows to MV_* consumers
+          // — the no-array-output rule keeps it out of results raw.
+          // State is bounded per group by the collected column, and ES
+          // caps limit the same way (its top_metrics size ≤ 100).
+          val a = orExpr(c); c.expect(",")
+          val nTok = c.eat()
+          require(nTok.matches("""\d+"""), s"TOP limit must be an integer literal, got '$nTok'")
+          val n = nTok.toInt
+          require(n >= 1 && n <= 100, s"TOP limit must be 1..100, got $n")
+          c.expect(",")
+          val oTok = c.eat()
+          require(oTok.startsWith("\""), s"TOP order must be a literal, got '$oTok'")
+          val asc = unquote(oTok).toLowerCase match {
+            case "asc" => true
+            case "desc" => false
+            case x => throw new IllegalArgumentException(
+              s"TOP order must be asc/desc, got '$x'")
+          }
+          c.expect(")")
+          slice(sort_array(collect_list(c.filt(a)), asc), 1, n)
         case "ABS" => val a = orExpr(c); c.expect(")"); abs(a)
         case "TO_LONG" => val a = orExpr(c); c.expect(")"); a.cast("long")
         case "TO_DOUBLE" => val a = orExpr(c); c.expect(")"); a.cast("double")
@@ -294,6 +321,76 @@ object Esql {
         case "MV_DEDUPE" => val a = orExpr(c); c.expect(")"); array_distinct(a)
         case "MV_MIN" => val a = orExpr(c); c.expect(")"); array_min(a)
         case "MV_MAX" => val a = orExpr(c); c.expect(")"); array_max(a)
+        case "MV_SORT" =>
+          // MV_SORT(field [, "asc"|"desc"]) — a DETERMINISTIC total
+          // order, unlike MV_DEDUPE's engine-specific one, so sorted
+          // arrays may feed position-sensitive consumers (MV_SLICE/
+          // MV_FIRST) in oracled queries
+          val a = orExpr(c)
+          val asc =
+            if (c.peek.contains(",")) {
+              c.eat()
+              val o = c.eat()
+              require(o.startsWith("\""), s"MV_SORT order must be a literal, got '$o'")
+              unquote(o).toLowerCase match {
+                case "asc" => true
+                case "desc" => false
+                case x => throw new IllegalArgumentException(
+                  s"MV_SORT order must be asc/desc, got '$x'")
+              }
+            } else true
+          c.expect(")")
+          sort_array(a, asc)
+        case "MV_SLICE" =>
+          // MV_SLICE(field, start, end) — 0-based INCLUSIVE bounds (the
+          // ES contract); literal non-negative bounds only (the
+          // documented restriction — ES's negative from-end indices
+          // would need runtime array lengths in the oracle mirror)
+          val a = orExpr(c); c.expect(",")
+          val st = c.eat(); require(st.matches("""\d+"""),
+            s"MV_SLICE start must be a non-negative integer literal, got '$st'")
+          c.expect(",")
+          val en = c.eat(); require(en.matches("""\d+"""),
+            s"MV_SLICE end must be a non-negative integer literal, got '$en'")
+          c.expect(")")
+          val (s0, e0) = (st.toInt, en.toInt)
+          require(e0 >= s0, s"MV_SLICE end $e0 < start $s0")
+          slice(a, s0 + 1, e0 - s0 + 1)
+        case "MV_FIRST" => val a = orExpr(c); c.expect(")"); element_at(a, 1)
+        case "MV_LAST" => val a = orExpr(c); c.expect(")"); element_at(a, -1)
+        case "MV_CONCAT" =>
+          // MV_CONCAT(field, delim) — folds ANY multivalue to ONE
+          // string (elements cast to string first, as ES does), which
+          // is also how array-valued results obey the engine's
+          // no-array-output rule
+          val a = orExpr(c); c.expect(",")
+          val dTok = c.eat()
+          require(dTok.startsWith("\""), s"MV_CONCAT needs a literal delimiter, got '$dTok'")
+          c.expect(")")
+          array_join(a.cast("array<string>"), unquote(dTok))
+        case "MATCH" =>
+          // MATCH(field, "term") — ES|QL 8.17's full-text bridge: the
+          // analyzed-field match query as a function. One term against
+          // the whitespace analysis chain = token-set membership
+          // (j34/j172's text-leg semantics; scoring stays with the
+          // search DSL operators — ES|QL MATCH is a FILTER, its _score
+          // only materializes via METADATA)
+          val f = orExpr(c); c.expect(",")
+          val tTok = c.eat()
+          require(tTok.startsWith("\""), s"MATCH needs a literal term, got '$tTok'")
+          c.expect(")")
+          array_contains(split(f, " "), unquote(tTok))
+        case "QSTR" =>
+          // QSTR("lucene query") — ES|QL 8.17's query_string bridge:
+          // the FULL Lucene syntax (fields, phrases, prefix wildcards,
+          // AND/OR/NOT, parens) delegated to the j172 parser, so the
+          // pipe language and the search DSL cannot drift on query
+          // semantics. Compiles to one Column predicate — keyword legs
+          // pushdown-eligible, text legs row-local.
+          val qTok = c.eat()
+          require(qTok.startsWith("\""), s"QSTR needs a literal query, got '$qTok'")
+          c.expect(")")
+          SearchOps.QueryString.compile(SearchOps.QueryString.parse(unquote(qTok)))
         case "NOW" =>
           c.expect(")")
           to_timestamp_ntz(lit(pinnedNowNtz))
@@ -1473,7 +1570,64 @@ object Esql {
   def j226(s: SparkSession, d: String): DataFrame =
     compile(s, d, j226Query)
 
+  /** j229_esql_mv_position — the position-sensitive multivalue family
+    * MV_SORT / MV_SLICE / MV_FIRST / MV_LAST / MV_CONCAT: sort gives the
+    * array a DETERMINISTIC total order (unlike MV_DEDUPE's
+    * engine-specific one), slice takes the 3 lexicographically-lowest
+    * tokens, concat folds them to ONE string (which is also how
+    * multivalues obey the engine's no-array-output rule);
+    * MV_FIRST/MV_LAST read the raw split's positional ends. All
+    * row-local array folds into one map-combined STATS. */
+  val j229Query: String =
+    """FROM documents
+      || EVAL toks = SPLIT(text, " ")
+      || EVAL low3 = MV_CONCAT(MV_SLICE(MV_SORT(toks), 0, 2), "-"), first_tok = MV_FIRST(toks), last_tok = MV_LAST(toks)
+      || STATS n = COUNT(*), firsts = COUNT_DISTINCT(first_tok), lasts = COUNT_DISTINCT(last_tok) BY lang, low3
+      || SORT n DESC, lang, low3
+      || LIMIT 25""".stripMargin
+
+  def j229(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j229Query)
+
+  /** j230_esql_top — the TOP aggregate (ES|QL's top-N-values-per-group,
+    * the top_metrics twin): the 3 largest cent values per event type,
+    * folded to a CSV string by MV_CONCAT (the no-array-output rule).
+    * collect_list is order-nondeterministic in ANY distributed engine —
+    * the post-collection sort is what makes TOP well-defined, and the
+    * oracle mirrors with list_reverse_sort(list(...)). Group state is
+    * bounded by the ES-mirrored limit cap (≤ 100). */
+  val j230Query: String =
+    """FROM events
+      || EVAL cents = ROUND(value * 100)
+      || STATS top3 = MV_CONCAT(TOP(cents, 3, "desc"), ","), n = COUNT(*) BY event_type
+      || SORT event_type""".stripMargin
+
+  def j230(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j230Query)
+
+  /** j231_esql_fulltext — ES|QL 8.17's full-text functions MATCH and
+    * QSTR: the bridge between the pipe language and the search DSL.
+    * QSTR delegates to the j172 Lucene query_string parser VERBATIM
+    * (one compiler for both surfaces — they cannot drift), here with a
+    * grouped leg, a NOT'd field prefix wildcard, and an OR rescue term;
+    * MATCH is the analyzed-field match query as a filter (token-set
+    * membership under the whitespace chain). Both compile to Column
+    * predicates on ONE scan — keyword legs (lang/source) push down,
+    * text legs are row-local; no joins before the bounded sort. */
+  val j231Query: String =
+    """FROM documents
+      || WHERE QSTR("(spark AND NOT source:src1*) OR dup") AND MATCH(text, "join") AND lang == "en"
+      || STATS n = COUNT(*), chars = SUM(n_chars) BY source
+      || SORT n DESC, source
+      || LIMIT 15""".stripMargin
+
+  def j231(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j231Query)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j229_esql_mv_position" -> j229,
+    "j230_esql_top" -> j230,
+    "j231_esql_fulltext" -> j231,
     "j223_esql_date_diff" -> j223,
     "j224_esql_date_fns" -> j224,
     "j225_esql_multi_index" -> j225,
@@ -1499,6 +1653,39 @@ object Esql {
     "j214_esql_like_in" -> j214)
 
   val oracle: Map[String, String] = Map(
+    "j229_esql_mv_position" ->
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS toks
+        |           FROM 'documents.parquet'),
+        |e AS (SELECT lang,
+        |        array_to_string(list_sort(toks)[1:3], '-') AS low3,
+        |        toks[1] AS first_tok, toks[-1] AS last_tok
+        |      FROM t)
+        |SELECT lang, low3, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT first_tok) AS BIGINT) AS firsts,
+        |       CAST(count(DISTINCT last_tok) AS BIGINT) AS lasts
+        |FROM e GROUP BY 1, 2 ORDER BY n DESC, lang, low3 LIMIT 25""".stripMargin,
+    "j230_esql_top" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |           FROM 'events.parquet')
+        |SELECT event_type,
+        |       array_to_string(list_transform(
+        |         list_reverse_sort(list(cents))[1:3],
+        |         x -> CAST(x AS VARCHAR)), ',') AS top3,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "j231_esql_fulltext" ->
+      """WITH d AS (SELECT source, n_chars, lang,
+        |             string_split(text, ' ') AS toks
+        |           FROM 'documents.parquet')
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM d
+        |WHERE ((list_contains(toks, 'spark')
+        |        AND NOT starts_with(source, 'src1'))
+        |       OR list_contains(toks, 'dup'))
+        |  AND list_contains(toks, 'join') AND lang = 'en'
+        |GROUP BY 1 ORDER BY n DESC, source LIMIT 15""".stripMargin,
     // `//` (floor division) over epoch_us mirrors the compiler's exact
     // integer-µs arithmetic; ages are non-negative by the pinned-NOW
     // construction, so floor == ES's truncation toward zero

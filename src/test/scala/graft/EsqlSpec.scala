@@ -435,6 +435,65 @@ class EsqlSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).toSeq === Seq(10L, 10L, 10L, 10L, 50L, 50L, 50L, 50L))
   }
 
+  test("MV_SORT/MV_SLICE/MV_FIRST/MV_LAST/MV_CONCAT fold on a literal frame") {
+    import s.implicits._
+    val df = Seq("c b a d").toDF("t")
+    val out = df.select(
+      Esql.parseExpr("""MV_CONCAT(MV_SORT(SPLIT(t, " ")), "-")""").as("sorted"),
+      Esql.parseExpr("""MV_CONCAT(MV_SORT(SPLIT(t, " "), "desc"), "-")""").as("rsorted"),
+      Esql.parseExpr("""MV_CONCAT(MV_SLICE(MV_SORT(SPLIT(t, " ")), 1, 2), "-")""").as("mid"),
+      Esql.parseExpr("""MV_FIRST(SPLIT(t, " "))""").as("f"),
+      Esql.parseExpr("""MV_LAST(SPLIT(t, " "))""").as("l")).head()
+    assert(out.getString(0) === "a-b-c-d")
+    assert(out.getString(1) === "d-c-b-a")
+    assert(out.getString(2) === "b-c") // 0-based INCLUSIVE bounds
+    assert(out.getString(3) === "c") // raw positional first, not sorted
+    assert(out.getString(4) === "d")
+    intercept[IllegalArgumentException] {
+      Esql.parseExpr("""MV_SLICE(SPLIT(t, " "), 2, 1)""") // end < start
+    }
+    intercept[IllegalArgumentException] {
+      Esql.parseExpr("""MV_SORT(SPLIT(t, " "), "sideways")""")
+    }
+  }
+
+  test("TOP is well-defined: sort after collect; limit capped like ES") {
+    import s.implicits._
+    val df = Seq((1L, 5L), (1L, 9L), (1L, 7L), (1L, 3L), (2L, 1L))
+      .toDF("k", "v")
+    val out = Esql.applyPipe(s, TestSpark.sf0001, df,
+      """STATS t = MV_CONCAT(TOP(v, 2, "desc"), ","), lo = MV_CONCAT(TOP(v, 2, "asc"), ",") BY k | SORT k""")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ===
+      Seq((1L, "9,7", "3,5"), (2L, "1", "1")))
+    intercept[IllegalArgumentException] {
+      Esql.parseExpr("""TOP(v, 500, "desc")""") // ES-mirrored cap
+    }
+  }
+
+  test("QSTR delegates to the j172 Lucene parser: phrases, fields, wildcards, NOT") {
+    import s.implicits._
+    val df = Seq(
+      (1L, "spark join vector", "en", "src3"),
+      (2L, "dup table agg", "en", "src12"),
+      (3L, "spark vector", "en", "src12")).toDF("id", "text", "lang", "source")
+    def ids(q: String): Seq[Long] =
+      df.filter(Esql.parseExpr(q)).select($"id").as[Long].collect().sorted.toSeq
+    // the phrase form needs the escape-free triple-quoted string —
+    // exactly what it exists for
+    assert(ids("QSTR(\"\"\"\"spark join\" OR dup\"\"\")") === Seq(1L, 2L))
+    assert(ids("""QSTR("spark AND NOT source:src1*")""") === Seq(1L))
+    assert(ids("""MATCH(text, "vector")""") === Seq(1L, 3L))
+    // MATCH is token-set membership, not substring containment
+    assert(ids("""MATCH(text, "vec")""") === Seq())
+  }
+
+  test("j231: the keyword leg still pushes to the scan beside row-local full-text legs") {
+    val p = ops.Esql.j231(s, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("EqualTo(lang,en)"), p)
+  }
+
   test("SAMPLE keeps ~p of the rows, deterministically") {
     val full = Tables.events(s, TestSpark.sf0001).count()
     val a = Esql.compile(s, TestSpark.sf0001,
