@@ -899,6 +899,49 @@ object Esql {
     applyStages(s, d, df, stages.tail)
   }
 
+  /** Expand a KEEP/DROP column list against the frame's schema: items
+    * may carry `*` wildcards (ES|QL's `KEEP c_*` idiom), matched at
+    * COMPILE time against df.columns so a pattern hitting nothing is a
+    * loud error, not a silent no-op; order follows the list, first
+    * mention wins on overlap (the ES|QL precedence rule). */
+  private def expandCols(df: DataFrame, body: String): Seq[String] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    for (it <- body.split(",").map(_.trim)) {
+      require(it.nonEmpty, s"empty column item in '$body'")
+      if (it.contains("*")) {
+        val rx = it.split("\\*", -1)
+          .map(java.util.regex.Pattern.quote).mkString(".*")
+        val hits = df.columns.filter(_.matches(rx))
+        require(hits.nonEmpty, s"pattern '$it' matches no columns " +
+          s"(have: ${df.columns.mkString(", ")})")
+        out ++= hits
+      } else out += it
+    }
+    out.toSeq
+  }
+
+  /** Compile an ES|QL pipeline against the events CHANGE STREAM — the
+    * same stage compiler over [[graft.Tables.eventsStream]]. Because
+    * every stage folds into ordinary Catalyst operators, the stateless
+    * stages (WHERE / EVAL / DISSECT / GROK / KEEP / DROP / RENAME /
+    * MV_EXPAND / SAMPLE / the full scalar set) and keyed STATS run on
+    * an unbounded frame UNCHANGED — Structured Streaming plans the
+    * aggregation as incremental state (complete/update output), exactly
+    * ES|QL's own 9.x streaming ambition ("queries over data streams").
+    * Not stream-legal (Spark's rules, enforced at start() not here):
+    * SORT/LIMIT outside complete mode, INLINESTATS (window), LOOKUP
+    * JOIN/ENRICH against another stream, CHANGE_POINT, FORK.
+    * StreamingSpec replays the fixture log and pins a WHERE→EVAL→STATS
+    * pipeline's streamed result equal to the batch [[compile]] row for
+    * row — the two surfaces share THIS one compiler, so they cannot
+    * drift. */
+  def compileStream(s: SparkSession, d: String, query: String): DataFrame = {
+    val stages = splitStages(query)
+    require(stages.head.trim.equalsIgnoreCase("FROM events"),
+      "streaming pipelines read the events change feed: start with FROM events")
+    applyStages(s, d, Tables.eventsStream(s, d), stages.tail)
+  }
+
   /** Test hook: run a stage pipeline (no FROM) against a given frame —
     * lets specs pin stage semantics on literal data, fixture-free. */
   private[graft] def applyPipe(s: SparkSession, d: String, df: DataFrame,
@@ -967,16 +1010,30 @@ object Esql {
             .filter(expr(Hashing.nibbleInt("__h")) / lit(65536.0) < p)
             .drop("__h")
         case "SORT" =>
+          // SORT col [ASC|DESC] [NULLS FIRST|NULLS LAST] — the null
+          // placement matters after LOOKUP JOIN/ENRICH misses; ES|QL's
+          // default is the engine default (Spark: asc→nulls first,
+          // desc→nulls last — same as ES's missing-last under desc)
           val items = body.split(",").map(_.trim).map { it =>
             val parts = it.split("\\s+")
-            if (parts.length > 1 && parts(1).equalsIgnoreCase("DESC"))
-              col(parts(0)).desc
-            else col(parts(0)).asc
+            val desc = parts.length > 1 && parts(1).equalsIgnoreCase("DESC")
+            val nulls = parts.map(_.toUpperCase).sliding(2).collectFirst {
+              case Array("NULLS", "FIRST") => "first"
+              case Array("NULLS", "LAST") => "last"
+            }
+            (desc, nulls) match {
+              case (true, Some("first")) => col(parts(0)).desc_nulls_first
+              case (true, Some("last")) => col(parts(0)).desc_nulls_last
+              case (true, None) => col(parts(0)).desc
+              case (false, Some("first")) => col(parts(0)).asc_nulls_first
+              case (false, Some("last")) => col(parts(0)).asc_nulls_last
+              case _ => col(parts(0)).asc
+            }
           }
           df = df.orderBy(items.toIndexedSeq: _*)
         case "LIMIT" => df = df.limit(body.trim.toInt)
         case "KEEP" =>
-          df = df.select(body.split(",").map(_.trim).map(col).toIndexedSeq: _*)
+          df = df.select(expandCols(df, body).map(col): _*)
         case "DISSECT" =>
           val (in, pat) = colPattern(body)
           val (rx, keys) = dissectToRegex(pat)
@@ -1021,7 +1078,7 @@ object Esql {
           }
           require(c.toks.isEmpty, s"unparsed ES|QL tokens: ${c.toks.mkString(" ")}")
         case "DROP" =>
-          df = df.drop(body.split(",").map(_.trim).toIndexedSeq: _*)
+          df = df.drop(expandCols(df, body): _*)
         case "LOOKUP" =>
           // LOOKUP JOIN <lookup_index> ON <field> — ES|QL's lookup-index
           // join (8.18+): LEFT join on the shared field name, adding every
@@ -1059,13 +1116,25 @@ object Esql {
           val w = c.eat(); require(w.equalsIgnoreCase("WITH"),
             s"ENRICH needs WITH, got '$w'")
           require(c.toks.nonEmpty, "ENRICH WITH needs at least one field")
-          val fields = scala.collection.mutable.ListBuffer(c.eat())
-          while (c.peek.contains(",")) { c.eat(); fields += c.eat() }
-          require(fields.forall(_.matches(identRe)),
-            s"ENRICH WITH needs columns, got '${fields.mkString(", ")}'")
+          // WITH items are `field` or `alias = field` (the ES|QL rename
+          // form — the appended column lands under the alias)
+          def withItem(): (String, String) = {
+            val a = c.eat()
+            require(a.matches(identRe), s"ENRICH WITH needs columns, got '$a'")
+            if (c.peek.contains("=")) {
+              c.eat()
+              val src = c.eat()
+              require(src.matches(identRe),
+                s"ENRICH WITH alias needs a source column, got '$src'")
+              (a, src)
+            } else (a, a)
+          }
+          val fields = scala.collection.mutable.ListBuffer(withItem())
+          while (c.peek.contains(",")) { c.eat(); fields += withItem() }
           require(c.toks.isEmpty, s"unparsed ES|QL tokens: ${c.toks.mkString(" ")}")
           val lk = Tables.read(s, d, tbl)
-            .select((key +: fields.toSeq).map(col): _*)
+            .select(col(key) +: fields.toSeq.map {
+              case (alias, src) => col(src).as(alias) }: _*)
           df = df.join(broadcast(lk), Seq(key), "left")
         case "FORK" =>
           // FORK ( sub-pipeline ) ( sub-pipeline ) … — ES|QL 9.x's

@@ -1029,35 +1029,7 @@ object SearchOps {
       .orderBy($"n_sampled".desc, $"lang")
   }
 
-  /** j227_terms_set — ES `terms_set` query: match documents containing
-    * at least `minimum_should_match_field` of the query terms, where the
-    * threshold is a PER-DOCUMENT field (the point of terms_set vs j51's
-    * global msm — each doc carries its own bar; ES's canonical example
-    * is a `required_matches` field written at index time). The indexed
-    * threshold is modeled by the deterministic j49 derivation
-    * `doc_id % 3 + 1` (1..3 — all three bars genuinely bind: fixture
-    * sf0.01 keeps 162/136/86 docs at required 1/2/3). Matching counts
-    * DISTINCT query terms present (ES matches on the term set, so a
-    * repeated token counts once).
-    *
-    * Scale shape: entirely row-local — array_distinct ∩ 4-term literal
-    * per doc, filter, no aggregate and no join; at 100 TB it is one
-    * embarrassingly-parallel scan with column pruning to (doc_id, lang,
-    * text). */
-  def j227(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, d)
-      .withColumn("matched", expr(
-        """CAST(size(array_intersect(array_distinct(split(text, ' ')),
-          |  array('spark', 'join', 'vector', 'dup'))) AS BIGINT)""".stripMargin))
-      .withColumn("required", $"doc_id" % 3 + 1)
-      .filter($"matched" >= $"required")
-      .select($"doc_id", $"lang", $"matched", $"required")
-      .orderBy($"doc_id")
-  }
-
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "j227_terms_set" -> j227,
     "j197_combined_fields" -> j197,
     "j202_sparse_vector" -> j202,
     "j204_diversified_sampler" -> j204,
@@ -1077,16 +1049,6 @@ object SearchOps {
     "j172_query_string" -> j172, "j179_leading_wildcard" -> j179)
 
   val oracle: Map[String, String] = Map(
-    "j227_terms_set" ->
-      """WITH d AS (SELECT doc_id, lang,
-        |             CAST(len(list_intersect(
-        |               list_distinct(string_split(text, ' ')),
-        |               ['spark', 'join', 'vector', 'dup'])) AS BIGINT)
-        |               AS matched,
-        |             doc_id % 3 + 1 AS required
-        |           FROM 'documents.parquet')
-        |SELECT doc_id, lang, matched, required
-        |FROM d WHERE matched >= required ORDER BY doc_id""".stripMargin,
     "j202_sparse_vector" ->
       """WITH tf AS (SELECT doc_id, tok AS token, CAST(count(*) AS DOUBLE) AS tf
         |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

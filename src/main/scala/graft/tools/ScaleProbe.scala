@@ -81,11 +81,11 @@ object ScaleProbe {
         // truncation audit's triple-scored corpus scan
         "j202_sparse_vector", "j205_pca_power", "j206_pack_sequences",
         "j207_matryoshka_eval",
-        // round 10: terms_set is the round's only documents-keyed
-        // addition (the ES|QL/EQL rows are events-based — the scale
-        // dirs carry documents/embeddings only); row-local set
-        // arithmetic must stay corpus-linear
-        "j227_terms_set")
+        // round 10: the MV-position pipeline is the round's only
+        // documents-keyed addition (the other rows are events-based —
+        // the scale dirs carry documents/embeddings only); row-local
+        // array folds must stay corpus-linear
+        "j229_esql_mv_position")
         if only.forall(_.contains(q))) {
       val missing = needs.get(q)
         .filterNot(f => new java.io.File(d, f).exists())

@@ -494,6 +494,43 @@ class EsqlSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(lang,en)"), p)
   }
 
+  test("KEEP/DROP expand * wildcards against the schema; no-match patterns fail loudly") {
+    import s.implicits._
+    val df = Seq((1L, 2L, 3L, "x")).toDF("c_a", "c_b", "d_a", "name")
+    val kept = Esql.applyPipe(s, TestSpark.sf0001, df, "KEEP c_*, name")
+    assert(kept.columns.toSeq === Seq("c_a", "c_b", "name"))
+    val dropped = Esql.applyPipe(s, TestSpark.sf0001, df, "DROP *_a")
+    assert(dropped.columns.toSeq === Seq("c_b", "name"))
+    intercept[IllegalArgumentException] {
+      Esql.applyPipe(s, TestSpark.sf0001, df, "KEEP z_*")
+    }
+  }
+
+  test("SORT honors NULLS FIRST/LAST around join-miss nulls") {
+    import s.implicits._
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(1L)))
+      .toDF("id", "v")
+    def order(sort: String): Seq[Long] =
+      Esql.applyPipe(s, TestSpark.sf0001, df, sort)
+        .select($"id").collect().map(_.getLong(0)).toSeq
+    assert(order("SORT v DESC NULLS LAST") === Seq(1L, 3L, 2L))
+    assert(order("SORT v DESC NULLS FIRST") === Seq(2L, 1L, 3L))
+    assert(order("SORT v ASC NULLS LAST") === Seq(3L, 1L, 2L))
+  }
+
+  test("ENRICH WITH alias lands the appended column under the new name") {
+    val out = Esql.compile(s, TestSpark.sf0001,
+      """FROM customer
+        || EVAL n_nationkey = c_nationkey
+        || ENRICH nation ON n_nationkey WITH nation_name = n_name
+        || STATS n = COUNT(*) BY nation_name
+        || SORT n DESC, nation_name
+        || LIMIT 3""".stripMargin)
+    assert(out.columns.contains("nation_name"))
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.forall(!_.isNullAt(0)))
+  }
+
   test("SAMPLE keeps ~p of the rows, deterministically") {
     val full = Tables.events(s, TestSpark.sf0001).count()
     val a = Esql.compile(s, TestSpark.sf0001,

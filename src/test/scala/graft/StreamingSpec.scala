@@ -866,6 +866,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("i16: an ES|QL pipeline runs on the change stream unchanged and equals its batch twin") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // one pipeline text, two execution surfaces — the SAME stage
+    // compiler folds it onto the batch table and the unbounded reader
+    val pipeline =
+      """FROM events
+        || WHERE event_type == "purchase" AND value >= 10
+        || EVAL cents = ROUND(value * 100), hour = DATE_TRUNC(1 hour, ts)
+        || STATS n = COUNT(*), sum_cents = SUM(cents) BY hour""".stripMargin
+    val batch = graft.ops.Esql.compile(spark, TestSpark.sf0001, pipeline)
+      .select($"hour".cast("string"), $"n", $"sum_cents")
+      .as[(String, Long, Long)].collect().toSet
+    val q = graft.ops.Esql.compileStream(spark, TestSpark.sf0001, pipeline)
+      .writeStream.format("memory").queryName("esql_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("esql_stream")
+        .select($"hour".cast("string"), $"n", $"sum_cents")
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.size > 10) // ~30 days × purchase hours — not vacuous
+    } finally q.stop()
+  }
+
   test("a5: parquet directory consumed as an unbounded stream") {
     val spark = TestSpark.spark
     import spark.implicits._
