@@ -83,7 +83,8 @@ object Esql {
       "MV_SORT", "MV_SLICE", "MV_FIRST", "MV_LAST", "MV_CONCAT",
       "TO_STRING", "CIDR_MATCH",
       "DATE_DIFF", "DATE_FORMAT", "DATE_PARSE", "DATE_EXTRACT", "NOW",
-      "MATCH", "QSTR")
+      "MATCH", "QSTR",
+      "POW", "SQRT", "EXP", "LOG10", "CEIL", "FLOOR", "GREATEST", "LEAST")
 
   /** Deterministic NOW(): ES|QL's NOW() is query-evaluation wall-clock —
     * unusable in a bit-reproducible engine — so it compiles to this
@@ -168,6 +169,35 @@ object Esql {
           c.expect(")")
           slice(sort_array(collect_list(c.filt(a)), asc), 1, n)
         case "ABS" => val a = orExpr(c); c.expect(")"); abs(a)
+        // math scalars — the libm ones (SQRT/POW/EXP/LOG10) are single
+        // float-function applications; the engine discipline is ROUND
+        // them in the query and aggregate only via order-independent
+        // MIN/MAX (never SUM a libm output — double accumulation order
+        // differs across engines/partitionings)
+        case "SQRT" => val a = orExpr(c); c.expect(")"); sqrt(a)
+        case "EXP" => val a = orExpr(c); c.expect(")"); exp(a)
+        case "LOG10" => val a = orExpr(c); c.expect(")"); log10(a)
+        case "POW" =>
+          val a = orExpr(c); c.expect(",")
+          val b = orExpr(c); c.expect(")")
+          pow(a, b)
+        // CEIL/FLOOR return LONG (Spark's native behavior; ES returns
+        // the input type — the integral form is the deterministic
+        // cross-engine choice, CAST'd explicitly in the oracle)
+        case "CEIL" => val a = orExpr(c); c.expect(")"); ceil(a)
+        case "FLOOR" => val a = orExpr(c); c.expect(")"); floor(a)
+        case "GREATEST" =>
+          val args = scala.collection.mutable.ListBuffer(orExpr(c))
+          while (c.peek.contains(",")) { c.eat(); args += orExpr(c) }
+          c.expect(")")
+          require(args.length >= 2, "GREATEST needs at least two arguments")
+          greatest(args.toSeq: _*)
+        case "LEAST" =>
+          val args = scala.collection.mutable.ListBuffer(orExpr(c))
+          while (c.peek.contains(",")) { c.eat(); args += orExpr(c) }
+          c.expect(")")
+          require(args.length >= 2, "LEAST needs at least two arguments")
+          least(args.toSeq: _*)
         case "TO_LONG" => val a = orExpr(c); c.expect(")"); a.cast("long")
         case "TO_DOUBLE" => val a = orExpr(c); c.expect(")"); a.cast("double")
         case "LENGTH" => val a = orExpr(c); c.expect(")"); length(a)
@@ -1639,6 +1669,23 @@ object Esql {
   def j226(s: SparkSession, d: String): DataFrame =
     compile(s, d, j226Query)
 
+  /** j234_esql_math — the everyday ES|QL math scalars (the compiler-path
+    * parallel of h4's DataFrame math, as j217 parallels h2's strings):
+    * FLOOR/CEIL (integral, exact), SQRT/POW/LOG10 (single libm
+    * applications, ROUNDED 6dp in the query — the j33 discipline), and
+    * variadic GREATEST/LEAST over exact integers. Aggregation respects
+    * the float-determinism rule: libm outputs reach STATS only through
+    * order-independent MIN/MAX; every SUM is over exact longs. */
+  val j234Query: String =
+    """FROM events
+      || EVAL cents = ROUND(value * 100)
+      || EVAL whole = TO_LONG(FLOOR(cents / 100.0)), whole_up = TO_LONG(CEIL(cents / 100.0)), rt = ROUND(SQRT(cents), 6), pw = ROUND(POW(cents, 0.3), 6), lg = ROUND(LOG10(1 + cents), 6), g = GREATEST(user_id % 7, user_id % 5), l = LEAST(user_id % 7, user_id % 5)
+      || STATS n = COUNT(*), sum_whole = SUM(whole), sum_up = SUM(whole_up), mn_rt = MIN(rt), mx_rt = MAX(rt), mx_pw = MAX(pw), mx_lg = MAX(lg), sum_g = SUM(g), sum_l = SUM(l) BY event_type
+      || SORT event_type""".stripMargin
+
+  def j234(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j234Query)
+
   /** j229_esql_mv_position — the position-sensitive multivalue family
     * MV_SORT / MV_SLICE / MV_FIRST / MV_LAST / MV_CONCAT: sort gives the
     * array a DETERMINISTIC total order (unlike MV_DEDUPE's
@@ -1694,6 +1741,7 @@ object Esql {
     compile(s, d, j231Query)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j234_esql_math" -> j234,
     "j229_esql_mv_position" -> j229,
     "j230_esql_top" -> j230,
     "j231_esql_fulltext" -> j231,
@@ -1722,6 +1770,27 @@ object Esql {
     "j214_esql_like_in" -> j214)
 
   val oracle: Map[String, String] = Map(
+    "j234_esql_math" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |           FROM 'events.parquet'),
+        |m AS (SELECT event_type,
+        |        CAST(floor(cents / 100.0) AS BIGINT) AS whole,
+        |        CAST(ceil(cents / 100.0) AS BIGINT) AS whole_up,
+        |        round(sqrt(cents), 6) AS rt,
+        |        round(pow(cents, 0.3), 6) AS pw,
+        |        round(log10(1 + cents), 6) AS lg,
+        |        greatest(user_id % 7, user_id % 5) AS g,
+        |        least(user_id % 7, user_id % 5) AS l
+        |      FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(whole) AS BIGINT) AS sum_whole,
+        |       CAST(sum(whole_up) AS BIGINT) AS sum_up,
+        |       min(rt) AS mn_rt, max(rt) AS mx_rt,
+        |       max(pw) AS mx_pw, max(lg) AS mx_lg,
+        |       CAST(sum(g) AS BIGINT) AS sum_g,
+        |       CAST(sum(l) AS BIGINT) AS sum_l
+        |FROM m GROUP BY 1 ORDER BY event_type""".stripMargin,
     "j229_esql_mv_position" ->
       """WITH t AS (SELECT lang, string_split(text, ' ') AS toks
         |           FROM 'documents.parquet'),

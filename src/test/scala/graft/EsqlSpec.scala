@@ -531,6 +531,29 @@ class EsqlSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(!_.isNullAt(0)))
   }
 
+  test("math scalars fold on a literal frame; variadic GREATEST/LEAST need two args") {
+    import s.implicits._
+    val df = Seq((16L, 2L, 9L)).toDF("a", "b", "c")
+    val out = df.select(
+      Esql.parseExpr("SQRT(a)").as("rt"),
+      Esql.parseExpr("POW(b, 3)").as("pw"),
+      Esql.parseExpr("ROUND(EXP(0), 6)").as("ex"),
+      Esql.parseExpr("LOG10(100)").as("lg"),
+      Esql.parseExpr("FLOOR(c / 2.0)").as("fl"),
+      Esql.parseExpr("CEIL(c / 2.0)").as("ce"),
+      Esql.parseExpr("GREATEST(a, b, c)").as("g"),
+      Esql.parseExpr("LEAST(a, b, c)").as("l")).head()
+    assert(out.getDouble(0) === 4.0)
+    assert(out.getDouble(1) === 8.0)
+    assert(out.getDouble(2) === 1.0)
+    assert(out.getDouble(3) === 2.0)
+    assert(out.getLong(4) === 4L)
+    assert(out.getLong(5) === 5L)
+    assert(out.getLong(6) === 16L)
+    assert(out.getLong(7) === 2L)
+    intercept[IllegalArgumentException] { Esql.parseExpr("GREATEST(a)") }
+  }
+
   test("SAMPLE keeps ~p of the rows, deterministically") {
     val full = Tables.events(s, TestSpark.sf0001).count()
     val a = Esql.compile(s, TestSpark.sf0001,
