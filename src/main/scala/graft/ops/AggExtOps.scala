@@ -134,10 +134,17 @@ object AggExtOps {
     * Scale shape: the category key is row-local string arithmetic on the
     * scan; buckets then map-side combine (the category space ≪ corpus —
     * token-pattern prefixes, not documents). Cut = TakeOrderedAndProject. */
+  /** The shared categorization key (j96 and ES|QL CATEGORIZE — one
+    * fragment, two surfaces): the first-3-token template, the
+    * deterministic equivalent of ES's token-subsequence tree over this
+    * fixture's flat messages. */
+  private[ops] def categorizeCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_join(slice(split(text, " "), 1, 3), " ")
+
   def j96(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select(array_join(slice(split($"text", " "), 1, 3), " ").as("category"),
+      .select(categorizeCol($"text").as("category"),
         $"doc_id", size(split($"text", " ")).cast("long").as("n_toks"))
       .groupBy($"category")
       .agg(count(lit(1)).as("doc_count"), min($"doc_id").as("example_doc"),

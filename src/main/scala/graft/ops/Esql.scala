@@ -84,7 +84,8 @@ object Esql {
       "TO_STRING", "CIDR_MATCH",
       "DATE_DIFF", "DATE_FORMAT", "DATE_PARSE", "DATE_EXTRACT", "NOW",
       "MATCH", "QSTR",
-      "POW", "SQRT", "EXP", "LOG10", "CEIL", "FLOOR", "GREATEST", "LEAST")
+      "POW", "SQRT", "EXP", "LOG10", "CEIL", "FLOOR", "GREATEST", "LEAST",
+      "CATEGORIZE")
 
   /** Deterministic NOW(): ES|QL's NOW() is query-evaluation wall-clock —
     * unusable in a bit-reproducible engine — so it compiles to this
@@ -410,6 +411,15 @@ object Esql {
           require(tTok.startsWith("\""), s"MATCH needs a literal term, got '$tTok'")
           c.expect(")")
           array_contains(split(f, " "), unquote(tTok))
+        case "CATEGORIZE" =>
+          // CATEGORIZE(field) — ES|QL 8.18's log-pattern grouping
+          // function (STATS … BY CATEGORIZE(msg)): delegates to the
+          // SAME categorization fragment as the j96 categorize_text
+          // aggregation (AggExtOps.categorizeCol — one fragment, two
+          // surfaces, zero drift), composable here with arbitrary
+          // aggregates and sibling BY keys
+          val a = orExpr(c); c.expect(")")
+          AggExtOps.categorizeCol(a)
         case "QSTR" =>
           // QSTR("lucene query") — ES|QL 8.17's query_string bridge:
           // the FULL Lucene syntax (fields, phrases, prefix wildcards,
@@ -1686,6 +1696,24 @@ object Esql {
   def j234(s: SparkSession, d: String): DataFrame =
     compile(s, d, j234Query)
 
+  /** j235_esql_categorize — ES|QL CATEGORIZE (8.18's log-pattern
+    * grouping function): `STATS … BY CATEGORIZE(text)` clusters
+    * semi-structured messages by pattern and aggregates per cluster —
+    * the log-triage pipeline in the pipe language. The categorization
+    * key is [[AggExtOps.categorizeCol]] VERBATIM (the j96
+    * categorize_text aggregation's fragment — one categorizer, two
+    * surfaces); the pipe form's value over j96 is composability: the
+    * category is an ordinary grouping key beside any aggregate set.
+    * Row-local key → one map-combined STATS → bounded heap cut. */
+  val j235Query: String =
+    """FROM documents
+      || STATS docs = COUNT(*), example_doc = MIN(doc_id), chars = SUM(n_chars) BY cat = CATEGORIZE(text)
+      || SORT docs DESC, cat
+      || LIMIT 15""".stripMargin
+
+  def j235(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j235Query)
+
   /** j229_esql_mv_position — the position-sensitive multivalue family
     * MV_SORT / MV_SLICE / MV_FIRST / MV_LAST / MV_CONCAT: sort gives the
     * array a DETERMINISTIC total order (unlike MV_DEDUPE's
@@ -1741,6 +1769,7 @@ object Esql {
     compile(s, d, j231Query)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j235_esql_categorize" -> j235,
     "j234_esql_math" -> j234,
     "j229_esql_mv_position" -> j229,
     "j230_esql_top" -> j230,
@@ -1770,6 +1799,15 @@ object Esql {
     "j214_esql_like_in" -> j214)
 
   val oracle: Map[String, String] = Map(
+    "j235_esql_categorize" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |             array_to_string(string_split(text, ' ')[1:3], ' ')
+        |               AS cat
+        |           FROM 'documents.parquet')
+        |SELECT cat, CAST(count(*) AS BIGINT) AS docs,
+        |       CAST(min(doc_id) AS BIGINT) AS example_doc,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM d GROUP BY 1 ORDER BY docs DESC, cat LIMIT 15""".stripMargin,
     "j234_esql_math" ->
       """WITH e AS (SELECT event_type, user_id,
         |             CAST(round(value * 100, 0) AS BIGINT) AS cents
