@@ -1017,6 +1017,10 @@ object Esql {
           val (aggPart, byPart) =
             if (byIdx < 0) (body, "")
             else (body.take(byIdx), body.drop(byIdx + 2))
+          // a PRESENT but empty BY must not silently become a global
+          // aggregation (spec-caught: 'STATS n = COUNT(*) BY' compiled)
+          require(byIdx < 0 || byPart.trim.nonEmpty,
+            "STATS BY needs at least one grouping key")
           val aggs = statsList(new Cursor(lex(aggPart)))
             .map { case (n, e) => e.as(n) }
           df =

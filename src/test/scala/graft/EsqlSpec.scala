@@ -545,6 +545,35 @@ class EsqlSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(!_.isNullAt(0)))
   }
 
+  test("structurally malformed pipelines fail at COMPILE time with parse errors") {
+    val malformed = Seq(
+      "STATS n = COUNT(*)", // no FROM
+      "FROM events | FLATTEN x", // unknown stage
+      "FROM events | WHERE value >= ", // truncated predicate
+      "FROM events | WHERE (value >= 10", // unbalanced paren
+      "FROM events | EVAL x = value +", // dangling operator
+      "FROM events | STATS n = COUNT(*) BY", // empty BY
+      "FROM events | LOOKUP JOIN nation", // missing ON
+      "FROM events | FORK (WHERE value > 1)", // FORK needs 2 branches
+      "FROM events METADATA _id | LIMIT 1", // only _index supported
+      "FROM events | CHANGE_POINT n ON day", // missing AS pair
+      "FROM events | SAMPLE 1.5 event_id") // p outside (0,1)
+    val outcomes = malformed.map { q =>
+      q -> (try { Esql.compile(s, TestSpark.sf0001, q); None }
+            catch { case e: Exception => Some(e) })
+    }
+    val silent = outcomes.collect { case (q, None) => q }
+    assert(silent.isEmpty, s"compiled without error: $silent")
+    // a parse/structure problem must surface as the compiler's own
+    // IllegalArgumentException (require/throw) or a cursor underrun,
+    // never escape to a Catalyst analysis error three layers later
+    val wrong = outcomes.collect {
+      case (q, Some(e)) if !e.isInstanceOf[IllegalArgumentException] &&
+        !e.isInstanceOf[NoSuchElementException] => s"'$q' -> ${e.getClass}"
+    }
+    assert(wrong.isEmpty, wrong.mkString("; "))
+  }
+
   test("WHERE after STATS filters the aggregated frame — the HAVING idiom needs no new stage") {
     val rows = Esql.compile(s, TestSpark.sf0001,
       """FROM events
