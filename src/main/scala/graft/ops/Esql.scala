@@ -84,6 +84,7 @@ object Esql {
       "TO_STRING", "CIDR_MATCH",
       "DATE_DIFF", "DATE_FORMAT", "DATE_PARSE", "DATE_EXTRACT", "NOW",
       "TO_INTEGER", "TO_BOOLEAN", "TO_DATETIME",
+      "LEFT", "RIGHT", "REPLACE", "LOCATE", "REVERSE",
       "MATCH", "QSTR",
       "POW", "SQRT", "EXP", "LOG10", "CEIL", "FLOOR", "GREATEST", "LEAST",
       "CATEGORIZE")
@@ -291,6 +292,32 @@ object Esql {
         case "TO_UPPER" => val a = orExpr(c); c.expect(")"); upper(a)
         case "TO_LOWER" => val a = orExpr(c); c.expect(")"); lower(a)
         case "TRIM" => val a = orExpr(c); c.expect(")"); trim(a)
+        case "LEFT" =>
+          val a = orExpr(c); c.expect(",")
+          val n = orExpr(c); c.expect(")")
+          substring(a, lit(1), n)
+        case "RIGHT" =>
+          // RIGHT(s, n) — last n chars; empty input stays empty (the
+          // negative-start substr would misread n > length(s))
+          val a = orExpr(c); c.expect(",")
+          val n = orExpr(c); c.expect(")")
+          a.substr(greatest(length(a) - n + lit(1), lit(1)), n)
+        case "REPLACE" =>
+          // REPLACE(str, regex, new) — ES|QL's replace is REGEX-based
+          val a = orExpr(c); c.expect(",")
+          val pTok = c.eat()
+          require(pTok.startsWith("\""), s"REPLACE needs a literal regex, got '$pTok'")
+          c.expect(",")
+          val rTok = c.eat()
+          require(rTok.startsWith("\""), s"REPLACE needs a literal replacement, got '$rTok'")
+          c.expect(")")
+          regexp_replace(a, unquote(pTok), unquote(rTok))
+        case "LOCATE" =>
+          // LOCATE(str, substr) — 1-based position, 0 when absent
+          val a = orExpr(c); c.expect(",")
+          val b = orExpr(c); c.expect(")")
+          call_function("locate", b, a)
+        case "REVERSE" => val a = orExpr(c); c.expect(")"); reverse(a)
         case "STARTS_WITH" =>
           val a = orExpr(c); c.expect(",")
           val b = orExpr(c); c.expect(")")

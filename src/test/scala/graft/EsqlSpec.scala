@@ -589,6 +589,26 @@ class EsqlSpec extends AnyFunSuite {
     assert(all.length >= rows.length)
   }
 
+  test("LEFT/RIGHT/REPLACE/LOCATE/REVERSE fold on a literal frame") {
+    import s.implicits._
+    val df = Seq("abcdef").toDF("b")
+    val out = df.select(
+      Esql.parseExpr("LEFT(b, 2)").as("l"),
+      Esql.parseExpr("RIGHT(b, 2)").as("r"),
+      Esql.parseExpr("RIGHT(b, 99)").as("r99"),
+      Esql.parseExpr("""REPLACE(b, "[bd]", "-")""").as("rep"),
+      Esql.parseExpr("""LOCATE(b, "cd")""").as("pos"),
+      Esql.parseExpr("""LOCATE(b, "zz")""").as("miss"),
+      Esql.parseExpr("REVERSE(b)").as("rev")).head()
+    assert(out.getString(0) === "ab")
+    assert(out.getString(1) === "ef")
+    assert(out.getString(2) === "abcdef") // n past length = whole string
+    assert(out.getString(3) === "a-c-ef") // regex-based, the ES contract
+    assert(out.getInt(4) === 3) // 1-based
+    assert(out.getInt(5) === 0) // absent = 0
+    assert(out.getString(6) === "fedcba")
+  }
+
   test("type conversions: TO_INTEGER / TO_BOOLEAN / TO_DATETIME(epoch ms)") {
     import s.implicits._
     val df = Seq(("42", 1L, 1704067200000L)).toDF("sn", "b", "ms")
