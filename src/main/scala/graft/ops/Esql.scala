@@ -71,10 +71,25 @@ object Esql {
     var aggFilter: Option[Column] = None
     def filt(a: Column): Column =
       aggFilter.map(f => when(f, a)).getOrElse(a)
+    /** MAD collection point (set by [[statsList]], null elsewhere):
+      * MEDIAN_ABSOLUTE_DEVIATION needs a per-group median PRE-PASS (the
+      * j68 two-pass shape — exact MAD fundamentally cannot be one
+      * aggregate call), so parsing one registers its argument here and
+      * returns a percentile over the deviation column the STATS stage
+      * materializes before the final aggregation. */
+    var madAccum: scala.collection.mutable.ListBuffer[MadSpec] = null
   }
 
+  /** One MEDIAN_ABSOLUTE_DEVIATION occurrence inside a STATS: `dev` is
+    * the deviation column the pre-pass adds, `arg` the aggregated
+    * expression, `filter` the item's per-aggregate WHERE (applies to the
+    * first-pass median AND the final deviation percentile — exactly
+    * DuckDB's FILTER on both). */
+  private case class MadSpec(dev: String, arg: Column, filter: Option[Column])
+
   private val aggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG",
-    "COUNT_DISTINCT", "PERCENTILE", "MEDIAN", "WEIGHTED_AVG", "TOP")
+    "COUNT_DISTINCT", "PERCENTILE", "MEDIAN", "WEIGHTED_AVG", "TOP",
+    "STD_DEV", "MEDIAN_ABSOLUTE_DEVIATION", "VALUES")
   private val scalarFns =
     Set("ROUND", "ABS", "SPLIT", "CONCAT", "TO_LONG", "TO_DOUBLE", "LENGTH",
       "DATE_TRUNC", "CASE", "COALESCE",
@@ -87,7 +102,11 @@ object Esql {
       "LEFT", "RIGHT", "REPLACE", "LOCATE", "REVERSE",
       "MATCH", "QSTR",
       "POW", "SQRT", "EXP", "LOG10", "CEIL", "FLOOR", "GREATEST", "LEAST",
-      "CATEGORIZE")
+      "CATEGORIZE",
+      "LTRIM", "RTRIM", "REPEAT", "LOG", "SIGNUM", "MD5",
+      "MV_AVG", "MV_SUM", "MV_MEDIAN",
+      "SIN", "COS", "TAN", "ATAN2", "CBRT", "PI",
+      "TO_RADIANS", "TO_DEGREES")
 
   /** Deterministic NOW(): ES|QL's NOW() is query-evaluation wall-clock —
     * unusable in a bit-reproducible engine — so it compiles to this
@@ -139,6 +158,38 @@ object Esql {
         case "MEDIAN" =>
           val a = orExpr(c); c.expect(")")
           percentile(c.filt(a), lit(0.5))
+        case "STD_DEV" =>
+          // STD_DEV(field) — POPULATION standard deviation (ES's
+          // stats/extended_stats std_deviation is population; the d7/j71
+          // precedent says rounded stddev hash-compares at every SF).
+          // ROUND in the query — the pipe language owns presentation.
+          val a = orExpr(c); c.expect(")")
+          stddev_pop(c.filt(a))
+        case "MEDIAN_ABSOLUTE_DEVIATION" =>
+          // MEDIAN_ABSOLUTE_DEVIATION(field) — median of |x − median(x)|
+          // per group, EXACT (ES serves an approximation from the same
+          // TDigest as percentiles; exact MAD needs two passes — the j68
+          // trade, here compiled by the STATS stage: a per-group median
+          // pre-pass broadcast back, then the deviation percentile in
+          // the main aggregation). Registering through madAccum is what
+          // triggers that rewrite; outside STATS there is no pre-pass to
+          // attach to, so it is a compile error.
+          val a = orExpr(c); c.expect(")")
+          require(c.madAccum != null, "MEDIAN_ABSOLUTE_DEVIATION is only " +
+            "supported inside STATS (it needs the per-group median pre-pass)")
+          val dev = s"__mad_dev_${c.madAccum.length}"
+          c.madAccum += MadSpec(dev, a, c.aggFilter)
+          percentile(c.filt(col(dev)), lit(0.5))
+        case "VALUES" =>
+          // VALUES(field) — the group's distinct values as a multivalue.
+          // ES documents the order as non-deterministic; a distributed,
+          // oracle-compared engine cannot ship that, so the result is
+          // SORTED (the MV_SORT/TOP determinism device — a documented
+          // deviation that only narrows the contract). Arrays obey the
+          // no-array-output rule: feed MV_CONCAT / MV_COUNT downstream.
+          // Group state is bounded by the value cardinality, as in ES.
+          val a = orExpr(c); c.expect(")")
+          sort_array(collect_set(c.filt(a)))
         case "WEIGHTED_AVG" =>
           // WEIGHTED_AVG(value, weight) = Σ(v·w)/Σw — over integer
           // inputs both sums are exact, then ONE double division (the
@@ -292,6 +343,60 @@ object Esql {
         case "TO_UPPER" => val a = orExpr(c); c.expect(")"); upper(a)
         case "TO_LOWER" => val a = orExpr(c); c.expect(")"); lower(a)
         case "TRIM" => val a = orExpr(c); c.expect(")"); trim(a)
+        case "LTRIM" => val a = orExpr(c); c.expect(")"); ltrim(a)
+        case "RTRIM" => val a = orExpr(c); c.expect(")"); rtrim(a)
+        case "REPEAT" =>
+          // REPEAT(str, n) — n is a literal (the overwhelmingly common
+          // form; a clear restriction beats a silent expr coercion)
+          val a = orExpr(c); c.expect(",")
+          val nTok = c.eat()
+          require(nTok.matches("""\d+"""),
+            s"REPEAT count must be an integer literal, got '$nTok'")
+          c.expect(")")
+          repeat(a, nTok.toInt)
+        case "LOG" =>
+          // LOG([base,] x) — ES|QL's log: one arg is the natural log,
+          // two args take a LITERAL base first. Both engines compile the
+          // based form to ln(x)/ln(base); outputs are libm doubles —
+          // ROUND in the query and aggregate only via MIN/MAX (the j234
+          // float-determinism rule).
+          val first = c.toks.headOption
+          if (first.exists(_.matches("""\d+(\.\d+)?""")) &&
+              c.toks.drop(1).headOption.contains(",")) {
+            val base = c.eat().toDouble
+            c.eat() // ','
+            require(base > 0 && base != 1.0, s"LOG base must be > 0 and != 1, got $base")
+            val a = orExpr(c); c.expect(")")
+            log(base, a)
+          } else {
+            val a = orExpr(c); c.expect(")")
+            log(a)
+          }
+        case "SIGNUM" =>
+          // SIGNUM(x) → −1.0 / 0.0 / 1.0 (double, the ES|QL return
+          // type); wrap in TO_LONG for exact SUMs
+          val a = orExpr(c); c.expect(")"); signum(a)
+        case "MD5" =>
+          // MD5(str) — lowercase hex, byte-identical in Spark and DuckDB
+          // (the SAMPLE stage's own draw relies on the same parity)
+          val a = orExpr(c); c.expect(")"); md5(a.cast("binary"))
+        // trig family — single libm applications under the j234 rule
+        // (ROUND in the query, aggregate only via order-independent
+        // MIN/MAX). TO_RADIANS/TO_DEGREES are the exact x/180·π and
+        // x·180/π formulas in BOTH engines (the oracle spells pi()
+        // arithmetic, not radians()/degrees(), so the pre-libm argument
+        // is the identical double).
+        case "SIN" => val a = orExpr(c); c.expect(")"); sin(a)
+        case "COS" => val a = orExpr(c); c.expect(")"); cos(a)
+        case "TAN" => val a = orExpr(c); c.expect(")"); tan(a)
+        case "ATAN2" =>
+          val y = orExpr(c); c.expect(",")
+          val x = orExpr(c); c.expect(")")
+          atan2(y, x)
+        case "CBRT" => val a = orExpr(c); c.expect(")"); cbrt(a)
+        case "PI" => c.expect(")"); lit(math.Pi)
+        case "TO_RADIANS" => val a = orExpr(c); c.expect(")"); radians(a)
+        case "TO_DEGREES" => val a = orExpr(c); c.expect(")"); degrees(a)
         case "LEFT" =>
           val a = orExpr(c); c.expect(",")
           val n = orExpr(c); c.expect(")")
@@ -333,20 +438,42 @@ object Esql {
         // MV_MAX) in oracled queries — the no-array-output rule keeps
         // the raw array out of results anyway
         case "BUCKET" =>
-          // BUCKET(field, count, min, max) — the numeric-histogram
-          // form: integer buckets of width ceil((max−min)/count)
+          // Two forms. BUCKET(field, count, min, max) — the numeric
+          // histogram: integer buckets of width ceil((max−min)/count)
           // anchored at min. ES additionally "nices" the width to a
           // 1/2/5·10^k ladder; the exact-width form here is the
           // deterministic cross-engine choice (documented deviation).
-          // The duration form is DATE_TRUNC's job (as in ES pre-nice).
+          // BUCKET(ts, N unit) — the DURATION form (multi-unit
+          // rounding, the one case DATE_TRUNC deliberately rejects):
+          // exact integer-µs floor to width N·unit anchored at the
+          // epoch in UTC (pmod, so pre-1970 instants still floor), back
+          // to the canonical µs TimestampNTZ — ES's fixed_interval
+          // anchor. Calendar units (week/month) stay with DATE_TRUNC.
           val a = orExpr(c); c.expect(",")
-          val n = c.eat().toLong; c.expect(",")
-          val lo = c.eat().toLong; c.expect(",")
-          val hi = c.eat().toLong; c.expect(")")
-          require(n > 0 && hi > lo, s"BUCKET needs count>0 and max>min")
-          val width = (hi - lo + n - 1) / n
-          (floor((a - lit(lo)) / lit(width)).cast("long") * width + lo)
-            .as(s"bucket")
+          val nTok = c.eat()
+          require(nTok.matches("""\d+"""),
+            s"BUCKET count must be an integer literal, got '$nTok'")
+          if (c.peek.exists(_.matches("[A-Za-z_]+"))) {
+            val unit = c.eat().toLowerCase.stripSuffix("s")
+            c.expect(")")
+            val unitUs = dateDiffUnitUs.getOrElse(unit,
+              throw new IllegalArgumentException(
+                s"unsupported BUCKET duration unit '$unit' " +
+                  s"(supported: ${dateDiffUnitUs.keys.toSeq.sorted.mkString("/")})"))
+            val w = nTok.toLong * unitUs
+            require(w > 0, "BUCKET duration must be positive")
+            val us = usOf(a)
+            timestamp_micros((us - pmod(us, lit(w))).cast("long"))
+              .cast("timestamp_ntz")
+          } else {
+            val n = nTok.toLong; c.expect(",")
+            val lo = c.eat().toLong; c.expect(",")
+            val hi = c.eat().toLong; c.expect(")")
+            require(n > 0 && hi > lo, s"BUCKET needs count>0 and max>min")
+            val width = (hi - lo + n - 1) / n
+            (floor((a - lit(lo)) / lit(width)).cast("long") * width + lo)
+              .as(s"bucket")
+          }
         case "TO_STRING" => val a = orExpr(c); c.expect(")"); a.cast("string")
         case "CIDR_MATCH" =>
           // CIDR_MATCH(ip, "A.B.C.D/p" [, …]) — true if the IPv4 string
@@ -387,6 +514,33 @@ object Esql {
         case "MV_DEDUPE" => val a = orExpr(c); c.expect(")"); array_distinct(a)
         case "MV_MIN" => val a = orExpr(c); c.expect(")"); array_min(a)
         case "MV_MAX" => val a = orExpr(c); c.expect(")"); array_max(a)
+        case "MV_SUM" =>
+          // MV_SUM(arr) — row-local sum in DOUBLE, folded LEFT-TO-RIGHT
+          // (the VectorOps dot-product device: Spark `aggregate` ≡ DuckDB
+          // `list_sum(list_transform(·, CAST AS DOUBLE))` element order,
+          // so float inputs hash-compare bit-for-bit). Empty/null arrays
+          // yield null, the ES empty-multivalue contract.
+          val a = orExpr(c); c.expect(")")
+          when(size(a) > 0,
+            aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double")))
+        case "MV_AVG" =>
+          // MV_AVG(arr) — MV_SUM's exact fold, ONE double division
+          val a = orExpr(c); c.expect(")")
+          when(size(a) > 0,
+            aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double")) /
+              size(a).cast("double"))
+        case "MV_MEDIAN" =>
+          // MV_MEDIAN(arr) — row-local median over the SORTED array:
+          // mean of the two middle elements (which for odd length is the
+          // middle element exactly — one formula, no interpolation
+          // hazard: both engines pick the same elements and average two
+          // exact doubles). 1-based middles: ⌈n/2⌉ and ⌊n/2⌋+1.
+          val a = orExpr(c); c.expect(")")
+          val sorted = sort_array(transform(a, x => x.cast("double")))
+          val n = size(a)
+          val m1 = element_at(sorted, ((n + lit(1)) / lit(2)).cast("int"))
+          val m2 = element_at(sorted, (n / lit(2)).cast("int") + lit(1))
+          when(n > 0, (m1 + m2) / lit(2.0))
         case "MV_SORT" =>
           // MV_SORT(field [, "asc"|"desc"]) — a DETERMINISTIC total
           // order, unlike MV_DEDUPE's engine-specific one, so sorted
@@ -475,9 +629,13 @@ object Esql {
           // DuckDB-style boundary crossings — date_diff('hour', 10:59,
           // 11:01) is 0 here, 1 there). Compiled to exact integer µs
           // arithmetic: (µs(end)−µs(start)) is a long, the division is
-          // made exact by subtracting the modulus first, so the double
-          // quotient is an exact integer (< 2^53) — floor division,
-          // spelled `//` over epoch_us in the oracle.
+          // made exact by subtracting the REMAINDER first (Spark `%`,
+          // sign follows the dividend), so the double quotient is an
+          // exact integer (< 2^53) TRUNCATED TOWARD ZERO — a negative
+          // span yields 0 incomplete units, matching ES, not floor's −1
+          // (r10 advice: the old pmod form floored). Non-negative spans
+          // are unchanged, so the oracle's `//` over epoch_us still
+          // mirrors exactly there.
           val uTok = c.eat()
           require(uTok.startsWith("\""), s"DATE_DIFF needs a literal unit, got '$uTok'")
           val unitUs = dateDiffUnitUs.getOrElse(unquote(uTok).toLowerCase,
@@ -488,7 +646,7 @@ object Esql {
           val from = orExpr(c); c.expect(",")
           val to = orExpr(c); c.expect(")")
           val d = usOf(to) - usOf(from)
-          ((d - pmod(d, lit(unitUs))) / lit(unitUs)).cast("long")
+          ((d - d % lit(unitUs)) / lit(unitUs)).cast("long")
         case "DATE_FORMAT" =>
           // DATE_FORMAT("pattern", ts) — format first, the ES|QL arg
           // order. Pattern restricted to the locale-free numeric subset
@@ -700,8 +858,9 @@ object Esql {
     * comma, split on a top-level WHERE, and the condition (parsed
     * FIRST) is installed as the cursor's aggFilter so every aggregate
     * call in the item builds as `agg(IF(cond, arg, NULL))`. */
-  private def statsList(c: Cursor): Seq[(String, Column)] = {
+  private def statsList(c: Cursor): (Seq[(String, Column)], Seq[MadSpec]) = {
     val out = scala.collection.mutable.ListBuffer.empty[(String, Column)]
+    val mads = scala.collection.mutable.ListBuffer.empty[MadSpec]
     var more = true
     var k = 0
     while (more) {
@@ -732,6 +891,7 @@ object Esql {
         }
       val ic = new Cursor(aggToks)
       ic.aggFilter = filter
+      ic.madAccum = mads
       if (ic.toks.length >= 2 && ic.toks(1) == "=" && ic.toks.head.matches(identRe)) {
         val n = ic.eat(); ic.eat()
         out += n -> orExpr(ic)
@@ -748,7 +908,34 @@ object Esql {
       more = c.peek.contains(",")
       if (more) c.eat()
     }
-    out.toSeq
+    (out.toSeq, mads.toSeq)
+  }
+
+  /** MEDIAN_ABSOLUTE_DEVIATION pre-pass (the j68 two-pass shape inside
+    * the STATS compiler): compute each MAD argument's per-group median
+    * (honoring the item's per-aggregate WHERE), broadcast the ≤ |groups|-
+    * row median table back onto the frame, and materialize the deviation
+    * columns the registered `percentile(__mad_dev_i, 0.5)` aggregates
+    * read. The corpus shuffles on the group keys once per pass and never
+    * collects — the broadcast is group-cardinality-sized, so the shape
+    * holds at any corpus size (the j68 scale note). A global STATS (no
+    * BY) broadcasts a 1-row median — the scalar-broadcast crossJoin
+    * device. */
+  private def madPrePass(df: DataFrame, keys: Seq[String],
+      mads: Seq[MadSpec]): DataFrame = {
+    val medAggs = mads.map { m =>
+      percentile(m.filter.map(f => when(f, m.arg)).getOrElse(m.arg), lit(0.5))
+        .as(m.dev + "_med")
+    }
+    val joined =
+      if (keys.isEmpty)
+        df.crossJoin(broadcast(df.agg(medAggs.head, medAggs.tail: _*)))
+      else
+        df.join(broadcast(df.groupBy(keys.map(col): _*)
+          .agg(medAggs.head, medAggs.tail: _*)), keys)
+    mads.foldLeft(joined) { (f, m) =>
+      f.withColumn(m.dev, abs(m.arg - col(m.dev + "_med")))
+    }
   }
 
   /** Same-length copy of `q` with every lexer-recognized string literal
@@ -942,6 +1129,16 @@ object Esql {
     // string literals are masked out first, so a '|' inside a pattern
     // never splits and quote parity never matters (r8 review)
     val stages = splitStages(query)
+    // ROW a = 1, b = "x" — the inline-literal source command (ES|QL's
+    // second source besides FROM, the natural vehicle for pure-function
+    // probes): one row built from the aliased literal expressions, then
+    // the ordinary stage pipeline. spark.range(1) seeds the single row;
+    // only the declared columns survive the select.
+    if (stages.head.toUpperCase.startsWith("ROW ")) {
+      val items = aliasedList(new Cursor(lex(stages.head.drop(4))))
+      val df = s.range(1).select(items.map { case (n, e) => e.as(n) }: _*)
+      return applyStages(s, d, df, stages.tail)
+    }
     require(stages.head.toUpperCase.startsWith("FROM "),
       "ES|QL pipeline must start with FROM")
     // FROM idx1[, idx2, …] [METADATA _index] — ES|QL's multi-index FROM
@@ -990,7 +1187,15 @@ object Esql {
         require(hits.nonEmpty, s"pattern '$it' matches no columns " +
           s"(have: ${df.columns.mkString(", ")})")
         out ++= hits
-      } else out += it
+      } else {
+        // a plain name must exist too: df.drop silently ignores missing
+        // columns, which would make a DROP typo a no-op while a no-match
+        // wildcard errors — same loud-compile-error discipline for both
+        // (r10 advice; ES|QL errors on unknown columns either way)
+        require(df.columns.contains(it), s"unknown column '$it' " +
+          s"(have: ${df.columns.mkString(", ")})")
+        out += it
+      }
     }
     out.toSeq
   }
@@ -1003,6 +1208,11 @@ object Esql {
     * an unbounded frame UNCHANGED — Structured Streaming plans the
     * aggregation as incremental state (complete/update output), exactly
     * ES|QL's own 9.x streaming ambition ("queries over data streams").
+    * ENRICH / LOOKUP JOIN also run unchanged: their right side is a
+    * static dimension table by contract (ES `index.mode: lookup`), so
+    * they plan as STREAM-STATIC broadcast joins — i7's shape; the
+    * change stream is enriched without ever shuffling (StreamingSpec's
+    * i17 pins a WHERE→ENRICH→STATS pipeline batch ≡ stream).
     * Not stream-legal (Spark's rules, enforced at start() not here):
     * SORT/LIMIT outside complete mode, INLINESTATS (window), LOOKUP
     * JOIN/ENRICH against another stream, CHANGE_POINT, FORK.
@@ -1048,13 +1258,16 @@ object Esql {
           // aggregation (spec-caught: 'STATS n = COUNT(*) BY' compiled)
           require(byIdx < 0 || byPart.trim.nonEmpty,
             "STATS BY needs at least one grouping key")
-          val aggs = statsList(new Cursor(lex(aggPart)))
-            .map { case (n, e) => e.as(n) }
+          val (aggItems, mads) = statsList(new Cursor(lex(aggPart)))
+          val aggs = aggItems.map { case (n, e) => e.as(n) }
           df =
-            if (byPart.isEmpty) df.agg(aggs.head, aggs.tail: _*)
-            else {
+            if (byPart.isEmpty) {
+              val base = if (mads.isEmpty) df else madPrePass(df, Nil, mads)
+              base.agg(aggs.head, aggs.tail: _*)
+            } else {
               val keys = aliasedList(new Cursor(lex(byPart)), "key")
-              val keyed = keys.foldLeft(df) { case (f, (n, e)) => f.withColumn(n, e) }
+              var keyed = keys.foldLeft(df) { case (f, (n, e)) => f.withColumn(n, e) }
+              if (mads.nonEmpty) keyed = madPrePass(keyed, keys.map(_._1), mads)
               keyed.groupBy(keys.map(k => col(k._1)): _*).agg(aggs.head, aggs.tail: _*)
             }
         case "INLINESTATS" =>
@@ -1066,7 +1279,9 @@ object Esql {
           // single-partition global window (the r6 hazard).
           val byIdx2 = findTopLevel(body, "BY")
           require(byIdx2 >= 0, "INLINESTATS requires BY <keys> (key-bounded windows)")
-          val aggs2 = statsList(new Cursor(lex(body.take(byIdx2))))
+          val (aggs2, mads2) = statsList(new Cursor(lex(body.take(byIdx2))))
+          require(mads2.isEmpty, "MEDIAN_ABSOLUTE_DEVIATION is not supported " +
+            "in INLINESTATS (its median pre-pass is a STATS-stage rewrite)")
           val keys2 = aliasedList(new Cursor(lex(body.drop(byIdx2 + 2))), "key")
           df = keys2.foldLeft(df) { case (f, (n, e)) => f.withColumn(n, e) }
           val wspec = org.apache.spark.sql.expressions.Window
@@ -1230,6 +1445,37 @@ object Esql {
               .withColumn("_fork", lit(s"fork${i + 1}"))
           }
           df = outs.reduce(_.unionByName(_, allowMissingColumns = true))
+        case "FUSE" =>
+          // FUSE <key> BY <score> — ES|QL 9.x's FORK-merger: Reciprocal
+          // Rank Fusion over the branch rankings, rank_constant 60 (the
+          // ES default — j139's rrf retriever formula VERBATIM, one
+          // fusion rule across both surfaces). ES's own FUSE reads the
+          // reserved _id/_score METADATA; this engine takes the key and
+          // ranking score EXPLICITLY (the fixtures have no reserved _id,
+          // and a distributed engine needs a declared tiebreak), the
+          // documented deviation. Each branch ranks by (score DESC, key
+          // ASC); fused score = Σ_branches 1/(60 + rank), summed through
+          // Parity.sortedFoldSum so branch arrival order cannot wiggle
+          // the double. CONTRACT: branches end in LIMIT (ES caps FORK
+          // branches at 1000 the same way), so the per-_fork rank
+          // windows are bounded — the j58/j76 discipline.
+          val fc = new Cursor(lex(body))
+          val key = fc.eat(); require(key.matches(identRe),
+            s"FUSE needs a key column, got '$key'")
+          val byKw = fc.eat(); require(byKw.equalsIgnoreCase("BY"),
+            s"FUSE needs BY <score>, got '$byKw'")
+          val sc = fc.eat(); require(sc.matches(identRe),
+            s"FUSE BY needs a score column, got '$sc'")
+          require(fc.toks.isEmpty, s"unparsed ES|QL tokens: ${fc.toks.mkString(" ")}")
+          require(df.columns.contains("_fork"),
+            "FUSE requires a FORK upstream (no _fork column on the frame)")
+          val fw = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("_fork")).orderBy(col(sc).desc, col(key).asc)
+          df = df.withColumn("__rank", row_number().over(fw).cast("long"))
+            .withColumn("__rrf", lit(1.0) / (lit(60.0) + col("__rank")))
+            .groupBy(col(key))
+            .agg(round(Parity.sortedFoldSum(col("__rrf")), 6).as("fuse_score"),
+              count(lit(1)).as("fuse_branches"))
         case "CHANGE_POINT" =>
           // CHANGE_POINT <value> ON <key> AS <type_col>, <stat_col> —
           // ES|QL 9.x's change-point stage. ES runs a p-value test from
@@ -1807,7 +2053,148 @@ object Esql {
   def j231(s: SparkSession, d: String): DataFrame =
     compile(s, d, j231Query)
 
+  /** j236_esql_stats_ext — STATS aggregate parity with the DSL surface:
+    * STD_DEV (population σ — d7/j71's rounded-stddev hash discipline),
+    * MEDIAN_ABSOLUTE_DEVIATION (exact two-pass — the j68 shape compiled
+    * by the STATS stage's median pre-pass, broadcast back, deviation
+    * percentile in the main aggregation), and VALUES (distinct values
+    * as a SORTED multivalue, folded by MV_CONCAT under the
+    * no-array-output rule). Both new aggregates also run under the 8.16
+    * per-aggregate WHERE, proving the filter threads through the MAD
+    * rewrite (filtered median AND filtered deviation percentile —
+    * exactly DuckDB's FILTER on both). Plan: one median pre-pass
+    * (keyed, map-combined, ≤5-row broadcast back) + one main
+    * aggregation — the corpus shuffles on event_type twice, never
+    * collects. */
+  val j236Query: String =
+    """FROM events
+      || EVAL cents = ROUND(value * 100)
+      || STATS n = COUNT(*), sd = ROUND(STD_DEV(cents), 6), sd_big = ROUND(STD_DEV(cents), 6) WHERE cents >= 5000, mad = ROUND(MEDIAN_ABSOLUTE_DEVIATION(cents), 6), mad_big = ROUND(MEDIAN_ABSOLUTE_DEVIATION(cents), 6) WHERE cents >= 5000, vals = MV_CONCAT(VALUES(user_id % 7), ",") BY event_type
+      || SORT event_type""".stripMargin
+
+  def j236(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j236Query)
+
+  /** j237_esql_scalars_ext — the everyday scalar stragglers a user
+    * porting real ES|QL hits in the first dozen pipelines: LTRIM/RTRIM
+    * (observable through the grouped key — the trimmed string IS the
+    * group), REPEAT, LOG in both arities (LOG(2, x) and natural
+    * LOG(x) — libm doubles, ROUNDed and aggregated only via MIN/MAX,
+    * the j234 rule), SIGNUM (→ TO_LONG for an exact SUM; the 500-char
+    * threshold genuinely splits the fixture: median n_chars ≈ 306, max
+    * 553, so both signs occur), and MD5 (lowercase hex, bit-identical
+    * cross-engine — the SAMPLE draw's own parity device, here surfaced
+    * as a function). All row-local projections into ONE map-combined
+    * STATS. */
+  val j237Query: String =
+    """FROM documents
+      || EVAL trimmed = RTRIM(LTRIM(CONCAT("  ", lang, "  ")))
+      || EVAL tag = REPEAT(SUBSTRING(source, 1, 4), 2)
+      || EVAL lg2 = ROUND(LOG(2, n_chars), 6), ln_c = ROUND(LOG(n_chars), 6), sg = TO_LONG(SIGNUM(n_chars - 500))
+      || EVAL h8 = SUBSTRING(MD5(source), 1, 8)
+      || STATS n = COUNT(*), mx_lg = MAX(lg2), mn_lg = MIN(lg2), mx_ln = MAX(ln_c), sum_sg = SUM(sg), hashes = COUNT_DISTINCT(h8), mn_h = MIN(h8) BY trimmed, tag
+      || SORT trimmed, tag
+      || LIMIT 30""".stripMargin
+
+  def j237(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j237Query)
+
+  /** j238_esql_mv_arith — the numeric multivalue folds MV_SUM / MV_AVG /
+    * MV_MEDIAN over a REAL float-array column (the embeddings fixture):
+    * sum and mean ride the VectorOps dot-product device (double fold,
+    * left-to-right ≡ DuckDB list_sum element order — float inputs
+    * hash-compare bit-for-bit), the median is exact element selection
+    * over the sorted array (no interpolation hazard). Row-local folds
+    * into one map-combined STATS keyed by label; rounded values reach
+    * the result only via order-independent MIN/MAX. */
+  val j238Query: String =
+    """FROM embeddings
+      || EVAL s = ROUND(MV_SUM(embedding), 6), a = ROUND(MV_AVG(embedding), 6), m = ROUND(MV_MEDIAN(embedding), 6)
+      || STATS n = COUNT(*), mx_s = MAX(s), mn_s = MIN(s), mx_a = MAX(a), mx_m = MAX(m), mn_m = MIN(m) BY label
+      || SORT label""".stripMargin
+
+  def j238(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j238Query)
+
+  /** j239_esql_row — the ROW source command: a one-row inline-literal
+    * source through the SAME stage compiler (EVAL/KEEP fold onto it
+    * like onto any scan), exercising pure functions on known inputs —
+    * exactly what ES|QL's own docs use ROW for. The oracle is the
+    * literal SELECT; no table is read at all. */
+  val j239Query: String =
+    """ROW a = 1, b = "two", c = 2.5
+      || EVAL d = a + 10, up = TO_UPPER(b), r = ROUND(c * 2, 1), lg = LOG(2, 8), sg = TO_LONG(SIGNUM(0 - a))
+      || KEEP a, b, c, d, up, r, lg, sg""".stripMargin
+
+  def j239(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j239Query)
+
+  /** j241_esql_bucket_duration — BUCKET's DURATION form, the multi-unit
+    * time rounding DATE_TRUNC deliberately rejects (`BUCKET(ts, 3
+    * hour)` = ES's fixed_interval date histogram): exact integer-µs
+    * floor to the 3-hour width anchored at the UTC epoch, back to the
+    * canonical µs TimestampNTZ (the a2 hash discipline). The bucket is
+    * a row-local projection, so the pipeline stays scan → one
+    * map-combined STATS → bounded heap; the WHERE still pushes to the
+    * scan beneath the bucketing. */
+  val j241Query: String =
+    """FROM events
+      || WHERE event_type == "purchase"
+      || EVAL b3h = BUCKET(ts, 3 hour)
+      || STATS n = COUNT(*), cents = SUM(ROUND(value * 100)) BY b3h
+      || SORT b3h
+      || LIMIT 40""".stripMargin
+
+  def j241(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j241Query)
+
+  /** j242_esql_fuse — ES|QL 9.x FUSE, the FORK-merger: two branches
+    * rank the corpus by different signals (a lexical MATCH leg by
+    * length, a second-term leg by recency-of-id), each cut by its own
+    * TakeOrdered LIMIT (the bounded-branch contract), and FUSE merges
+    * them by Reciprocal Rank Fusion — j139's rrf retriever formula
+    * VERBATIM (rank_constant 60, Σ 1/(60+rank) through
+    * Parity.sortedFoldSum), one fusion rule across both surfaces. The
+    * fixture exercises the union semantics genuinely: one doc appears
+    * in both branches (fuse_branches = 2), the rest keep a single
+    * branch's contribution. */
+  val j242Query: String =
+    """FROM documents
+      || FORK (WHERE MATCH(text, "spark") | EVAL score = n_chars | SORT score DESC, doc_id | LIMIT 20 | KEEP doc_id, score)
+      |       (WHERE MATCH(text, "dup") | EVAL score = 0 - doc_id | SORT score DESC, doc_id | LIMIT 20 | KEEP doc_id, score)
+      || FUSE doc_id BY score
+      || SORT fuse_score DESC, doc_id
+      || LIMIT 15""".stripMargin
+
+  def j242(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j242Query)
+
+  /** j243_esql_trig — the trig/geometry scalar family SIN / COS / TAN /
+    * ATAN2 / CBRT / PI / TO_RADIANS / TO_DEGREES: single libm
+    * applications under the j234 float rule (ROUND 6dp in the query,
+    * aggregation only via order-independent MIN/MAX). The conversion
+    * functions are the exact x/180·π and x·180/π formulas in both
+    * engines — the oracle spells pi() arithmetic rather than DuckDB's
+    * radians()/degrees(), so the pre-libm argument is the identical
+    * double (Java's toRadians is the same x/180·π). */
+  val j243Query: String =
+    """FROM events
+      || EVAL rad = TO_RADIANS(user_id % 360)
+      || EVAL sn = ROUND(SIN(rad), 6), cs = ROUND(COS(rad), 6), tn = ROUND(TAN(TO_RADIANS(user_id % 80)), 6), at2 = ROUND(ATAN2(value, 1 + user_id % 10), 6), cb = ROUND(CBRT(value), 6), pi2 = ROUND(PI() * 2, 6), bak = ROUND(TO_DEGREES(rad), 6)
+      || STATS n = COUNT(*), mn_sn = MIN(sn), mx_sn = MAX(sn), mn_cs = MIN(cs), mx_cs = MAX(cs), mx_tn = MAX(tn), mx_at = MAX(at2), mx_cb = MAX(cb), mx_pi = MAX(pi2), mx_bak = MAX(bak) BY event_type
+      || SORT event_type""".stripMargin
+
+  def j243(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j243Query)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j241_esql_bucket_duration" -> j241,
+    "j242_esql_fuse" -> j242,
+    "j243_esql_trig" -> j243,
+    "j236_esql_stats_ext" -> j236,
+    "j237_esql_scalars_ext" -> j237,
+    "j238_esql_mv_arith" -> j238,
+    "j239_esql_row" -> j239,
     "j235_esql_categorize" -> j235,
     "j234_esql_math" -> j234,
     "j229_esql_mv_position" -> j229,
@@ -1838,6 +2225,117 @@ object Esql {
     "j214_esql_like_in" -> j214)
 
   val oracle: Map[String, String] = Map(
+    // epoch-µs floor division to the 3h width, back through
+    // make_timestamp — the same exact integer arithmetic the compiler
+    // emits (µs TimestampNTZ ≡ DuckDB TIMESTAMP under UTC)
+    "j241_esql_bucket_duration" ->
+      """SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 10800000000)
+        |         * 10800000000) AS b3h,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM 'events.parquet'
+        |WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY b3h LIMIT 40""".stripMargin,
+    // branch ranks in two CTEs, RRF summed through the
+    // list_sum(list_sort(list(…))) mirror of Parity.sortedFoldSum
+    "j242_esql_fuse" ->
+      """WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+        |           FROM 'documents.parquet'),
+        |f1 AS (SELECT doc_id, n_chars AS score FROM d
+        |       WHERE list_contains(toks, 'spark')
+        |       ORDER BY score DESC, doc_id LIMIT 20),
+        |f2 AS (SELECT doc_id, -doc_id AS score FROM d
+        |       WHERE list_contains(toks, 'dup')
+        |       ORDER BY score DESC, doc_id LIMIT 20),
+        |u AS (SELECT 'fork1' AS _fork, * FROM f1
+        |      UNION ALL SELECT 'fork2' AS _fork, * FROM f2),
+        |r AS (SELECT _fork, doc_id, row_number() OVER (PARTITION BY _fork
+        |        ORDER BY score DESC, doc_id) AS rnk FROM u)
+        |SELECT doc_id,
+        |       round(list_sum(list_sort(list(1.0 / (60 + rnk)))), 6)
+        |         AS fuse_score,
+        |       CAST(count(*) AS BIGINT) AS fuse_branches
+        |FROM r GROUP BY 1 ORDER BY fuse_score DESC, doc_id LIMIT 15""".stripMargin,
+    // pi()-arithmetic conversions (x/180·π, x·180/π) mirror Java's
+    // toRadians/toDegrees bit-for-bit; libm outputs reach STATS only
+    // via MIN/MAX after the 6dp round
+    "j243_esql_trig" ->
+      """WITH e AS (SELECT event_type, user_id, value,
+        |             (user_id % 360) / 180.0 * pi() AS rad
+        |           FROM 'events.parquet'),
+        |t AS (SELECT event_type,
+        |        round(sin(rad), 6) AS sn, round(cos(rad), 6) AS cs,
+        |        round(tan((user_id % 80) / 180.0 * pi()), 6) AS tn,
+        |        round(atan2(value, 1 + user_id % 10), 6) AS at2,
+        |        round(cbrt(value), 6) AS cb,
+        |        round(pi() * 2, 6) AS pi2,
+        |        round(rad * 180.0 / pi(), 6) AS bak
+        |      FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       min(sn) AS mn_sn, max(sn) AS mx_sn,
+        |       min(cs) AS mn_cs, max(cs) AS mx_cs,
+        |       max(tn) AS mx_tn, max(at2) AS mx_at, max(cb) AS mx_cb,
+        |       max(pi2) AS mx_pi, max(bak) AS mx_bak
+        |FROM t GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // the MAD two-pass mirrored as a median CTE joined back; FILTER on
+    // both the first-pass median and the deviation quantile, exactly as
+    // the compiler threads the per-aggregate WHERE through the rewrite
+    "j236_esql_stats_ext" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |           FROM 'events.parquet'),
+        |med AS (SELECT event_type,
+        |          quantile_cont(cents, 0.5) AS med_all,
+        |          quantile_cont(cents, 0.5) FILTER (WHERE cents >= 5000)
+        |            AS med_big
+        |        FROM e GROUP BY 1)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(stddev_pop(cents), 6) AS sd,
+        |       round(stddev_pop(cents) FILTER (WHERE cents >= 5000), 6)
+        |         AS sd_big,
+        |       round(quantile_cont(abs(cents - med_all), 0.5), 6) AS mad,
+        |       round(quantile_cont(abs(cents - med_big), 0.5)
+        |               FILTER (WHERE cents >= 5000), 6) AS mad_big,
+        |       array_to_string(list_sort(list_distinct(list(user_id % 7))), ',')
+        |         AS vals
+        |FROM e JOIN med USING (event_type)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "j237_esql_scalars_ext" ->
+      """WITH d AS (SELECT rtrim(ltrim('  ' || lang || '  ')) AS trimmed,
+        |             repeat(substring(source, 1, 4), 2) AS tag,
+        |             round(log(2, n_chars), 6) AS lg2,
+        |             round(ln(n_chars), 6) AS ln_c,
+        |             CAST(sign(n_chars - 500) AS BIGINT) AS sg,
+        |             substring(md5(source), 1, 8) AS h8
+        |           FROM 'documents.parquet')
+        |SELECT trimmed, tag, CAST(count(*) AS BIGINT) AS n,
+        |       max(lg2) AS mx_lg, min(lg2) AS mn_lg, max(ln_c) AS mx_ln,
+        |       CAST(sum(sg) AS BIGINT) AS sum_sg,
+        |       CAST(count(DISTINCT h8) AS BIGINT) AS hashes,
+        |       min(h8) AS mn_h
+        |FROM d GROUP BY 1, 2 ORDER BY trimmed, tag LIMIT 30""".stripMargin,
+    // the double fold (list_transform → list_sum) is the VectorOps
+    // parity device; the median picks the two 1-based middles ⌈n/2⌉ and
+    // ⌊n/2⌋+1 of the sorted list — same elements both engines
+    "j238_esql_mv_arith" ->
+      """WITH t AS (SELECT label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS lt
+        |           FROM 'embeddings.parquet'),
+        |e AS (SELECT label, round(list_sum(lt), 6) AS s,
+        |        round(list_sum(lt) / len(lt), 6) AS a,
+        |        round((list_sort(lt)[(len(lt)+1)//2] +
+        |               list_sort(lt)[len(lt)//2+1]) / 2.0, 6) AS m
+        |      FROM t)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |       max(s) AS mx_s, min(s) AS mn_s, max(a) AS mx_a,
+        |       max(m) AS mx_m, min(m) AS mn_m
+        |FROM e GROUP BY 1 ORDER BY label""".stripMargin,
+    "j239_esql_row" ->
+      """SELECT CAST(1 AS BIGINT) AS a, 'two' AS b, CAST(2.5 AS DOUBLE) AS c,
+        |       CAST(11 AS BIGINT) AS d, 'TWO' AS up,
+        |       CAST(5.0 AS DOUBLE) AS r, CAST(3.0 AS DOUBLE) AS lg,
+        |       CAST(-1 AS BIGINT) AS sg""".stripMargin,
     "j235_esql_categorize" ->
       """WITH d AS (SELECT doc_id, n_chars,
         |             array_to_string(string_split(text, ' ')[1:3], ' ')

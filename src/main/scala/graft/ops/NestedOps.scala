@@ -299,6 +299,64 @@ object NestedOps {
       .orderBy($"user_id", $"seq_n")
   }
 
+  /** EQL result pipes — the `| head N | tail N | unique f | count` tail
+    * every real detection rule ends in, applied over a sequence result
+    * frame carrying (user_id, t1, t2, t3, …). EQL defines pipes over the
+    * COMPLETED result set in completion order (t3, then user_id — the
+    * deterministic tiebreak ES's own doc order lacks), so they are
+    * batch result-set operators here: the streaming sequence twin
+    * ([[graft.streaming.Sync.sequenceStream]]) emits raw matches and the
+    * pipe tail belongs to the consumer of the completed result — exactly
+    * how ES alerting rules re-run an EQL query and pipe its response.
+    *
+    * Plan shapes (the 100 TB story): head/tail are sort+limit over the
+    * match set — TakeOrderedAndProject, a per-partition heap, never a
+    * global sort (matches ≪ corpus: one row per (key, sequence));
+    * `unique f` is e8's keep-one window partitioned by the pipe field;
+    * `count` is a 1-row global aggregate. */
+  private[graft] def eqlPipes(seq: DataFrame, pipes: Seq[String]): DataFrame = {
+    var df = seq
+    for (p <- pipes) {
+      val parts = p.trim.split("\\s+")
+      (parts(0).toLowerCase, parts.drop(1).toList) match {
+        case ("head", List(n)) =>
+          df = df.orderBy(col("t3").asc, col("user_id").asc).limit(n.toInt)
+        case ("tail", List(n)) =>
+          // the LAST n completions; a downstream sort restores ascending
+          // presentation order (EQL keeps result order ascending too)
+          df = df.orderBy(col("t3").desc, col("user_id").desc).limit(n.toInt)
+        case ("unique", List(f)) =>
+          val w = Window.partitionBy(col(f))
+            .orderBy(col("t3").asc, col("user_id").asc)
+          df = df.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+        case ("count", Nil) =>
+          df = df.agg(count(lit(1)).as("count"))
+        case _ =>
+          throw new IllegalArgumentException(s"unknown EQL pipe: '$p'")
+      }
+    }
+    df
+  }
+
+  /** j240_eql_pipes — an EQL rule with a pipe tail: j228's 12h/signup
+    * sequence (the shared [[seqEarliest]] fragment, knobs re-bound)
+    * piped through `| unique span_h | head 5` — the first sequence per
+    * distinct whole-hour span, then the 5 earliest-completing of those.
+    * Both pipes genuinely bind on the fixture: sf0.01 has 30 sequences →
+    * 10 distinct spans → 5 rows. tail/count are pinned in NestedOps'
+    * spec (a 1-row LIMIT result can't show them beside head). */
+  def j240(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.eventsUs(s, d).select($"user_id", $"event_type", $"ts_us")
+    val seq = seqEarliest(e, spanUs = 43200000000L, untilType = "signup")
+      .withColumn("span_h", expr("(t3 - t1) div 3600000000"))
+    eqlPipes(seq, Seq("unique span_h", "head 5"))
+      .select($"user_id", $"t1".as("t1_us"), $"t2".as("t2_us"),
+        $"t3".as("t3_us"), $"span_h")
+      .orderBy($"user_id")
+  }
+
   /** j228_eql_maxspan_until — the parameterized EQL rule: the SAME
     * `[view][click][purchase]` sequence as j168 but with the two knobs
     * real detection rules always carry set to DIFFERENT values —
@@ -687,6 +745,7 @@ object NestedOps {
     "j168_eql_sequence" -> j168,
     "j199_eql_sequence_multi" -> j199,
     "j228_eql_maxspan_until" -> j228,
+    "j240_eql_pipes" -> j240,
     "j169_intervals_query" -> j169,
     "j173_span_or_multi" -> j173,
     "j186_rollup" -> j186,
@@ -804,6 +863,38 @@ object NestedOps {
         |QUALIFY row_number() OVER (PARTITION BY user_id
         |  ORDER BY t3 ASC, t1 DESC, t2 ASC) = 1
         |ORDER BY user_id""".stripMargin,
+    // j228's pick-one SQL with the pipe tail mirrored as two QUALIFY/
+    // LIMIT layers: unique = keep-one per span_h on (t3, user_id), head
+    // = the 5 earliest completions of the survivors
+    "j240_eql_pipes" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |           FROM 'events.parquet'),
+        |v AS (SELECT user_id, ts_us AS t1 FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts_us AS t2 FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts_us AS t3 FROM e WHERE event_type = 'purchase'),
+        |err AS (SELECT user_id, ts_us AS te FROM e WHERE event_type = 'signup'),
+        |tr AS (SELECT v.user_id, t1, t2, t3
+        |       FROM v JOIN c ON v.user_id = c.user_id
+        |         AND t2 > t1 AND t2 < t1 + 43200000000
+        |       JOIN p ON v.user_id = p.user_id
+        |         AND t3 > t2 AND t3 - t1 <= 43200000000),
+        |val AS (SELECT tr.user_id, t1, t2, t3,
+        |          sum(CASE WHEN te IS NOT NULL AND te > t1 AND te < t3
+        |                   THEN 1 ELSE 0 END) AS n_until
+        |        FROM tr LEFT JOIN err ON tr.user_id = err.user_id
+        |        GROUP BY 1, 2, 3, 4
+        |        HAVING sum(CASE WHEN te IS NOT NULL AND te > t1 AND te < t3
+        |                        THEN 1 ELSE 0 END) = 0),
+        |seq AS (SELECT user_id, t1, t2, t3, (t3 - t1) // 3600000000 AS span_h
+        |        FROM val
+        |        QUALIFY row_number() OVER (PARTITION BY user_id
+        |          ORDER BY t3 ASC, t1 DESC, t2 ASC) = 1),
+        |uniq AS (SELECT * FROM seq
+        |         QUALIFY row_number() OVER (PARTITION BY span_h
+        |           ORDER BY t3 ASC, user_id ASC) = 1),
+        |hd AS (SELECT * FROM uniq ORDER BY t3 ASC, user_id ASC LIMIT 5)
+        |SELECT user_id, t1 AS t1_us, t2 AS t2_us, t3 AS t3_us, span_h
+        |FROM hd ORDER BY user_id""".stripMargin,
     // the greedy reset-after-match fixpoint as a recursive CTE: the
     // anchor is j168's pick-one verbatim; each recursion step re-runs it
     // over the matched user's events strictly after the previous t3

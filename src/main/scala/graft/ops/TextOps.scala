@@ -489,14 +489,17 @@ object TextOps {
       s: org.apache.spark.sql.SparkSession, d: String)(
       live: V => DataFrame)(build: => V): V = {
     val key = (System.identityHashCode(s), d)
-    val cached = cache.get(key)
-    if (cached != null && (live(cached).sparkSession eq s)) cached
-    else {
-      if (cache.size > 64) cache.clear() // bound stale-session pins
-      val built = build
-      cache.put(key, built)
-      built
-    }
+    // bound stale-session pins by evicting ONLY entries whose session
+    // fails the `eq` liveness check — never the live session's own
+    // models (r10 advice: clear() threw those away too)
+    if (cache.size > 64)
+      cache.entrySet().removeIf(e => !(live(e.getValue).sparkSession eq s))
+    // atomic per-key get-validate-build (r10 advice: the non-atomic
+    // get/put let concurrent callers both build); the remapping function
+    // re-validates a hit with `eq` because identityHashCode can be
+    // reused after the keyed session is GC'd
+    cache.compute(key, (_, v) =>
+      if (v != null && (live(v).sparkSession eq s)) v else build)
   }
 
   /** j6_wordcount — token frequency over the corpus. */
@@ -522,7 +525,7 @@ object TextOps {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token".asc)
     tf.join(df, "token")
-      .crossJoin(n)
+      .crossJoin(broadcast(n))
       .withColumn("tfidf", round($"tf" * log($"n_docs" / $"df"), 6))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter($"rn" <= 3)

@@ -784,7 +784,7 @@ object Sync {
       untilType: String = "error"): DataFrame = {
     // maxspan + until are the rule's parameters here exactly as in the
     // batch fragment (NestedOps.seqEarliest) — StreamingSpec pins batch
-    // ≡ stream at NON-default values (j228: 8h/signup), so the knobs
+    // ≡ stream at NON-default values (j228: 12h/signup), so the knobs
     // cannot drift between the two engines
     require(!Set("view", "click", "purchase")(untilType),
       s"until type '$untilType' collides with a sequence step")

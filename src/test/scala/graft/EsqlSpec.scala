@@ -645,6 +645,167 @@ class EsqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Esql.parseExpr("GREATEST(a)") }
   }
 
+  test("DATE_DIFF truncates toward zero on a negative span; unknown plain KEEP/DROP columns error (r10 advice)") {
+    import s.implicits._
+    val df = Seq(("2024-01-01 10:00:00", "2024-01-01 09:30:00")).toDF("a0", "b0")
+      .select(to_timestamp_ntz($"a0").as("a"), to_timestamp_ntz($"b0").as("b"))
+    val out = df.select(
+      Esql.parseExpr("""DATE_DIFF("hour", a, b)""").as("neg"),
+      Esql.parseExpr("""DATE_DIFF("hour", b, a)""").as("pos"),
+      Esql.parseExpr("""DATE_DIFF("minute", a, b)""").as("negm")).head()
+    // −30 min = 0 complete hours in BOTH directions (ES truncates toward
+    // zero; the old pmod form floored the negative span to −1)
+    assert(out.getLong(0) === 0L)
+    assert(out.getLong(1) === 0L)
+    assert(out.getLong(2) === -30L)
+    // df.drop ignores missing names — the compiler must not (a DROP typo
+    // was a silent no-op while a no-match wildcard errored)
+    intercept[IllegalArgumentException] {
+      Esql.applyPipe(s, TestSpark.sf0001, df, "DROP nope")
+    }
+    intercept[IllegalArgumentException] {
+      Esql.applyPipe(s, TestSpark.sf0001, df, "KEEP a, nope")
+    }
+  }
+
+  test("STD_DEV/MEDIAN_ABSOLUTE_DEVIATION/VALUES aggregate in STATS; MAD outside STATS is a compile error") {
+    import s.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (10L, "b"), (20L, "b"))
+      .toDF("v", "k")
+    val out = Esql.applyPipe(s, TestSpark.sf0001, df,
+      """STATS sd = ROUND(STD_DEV(v), 6), mad = MEDIAN_ABSOLUTE_DEVIATION(v), vals = MV_CONCAT(VALUES(v), ",") BY k | SORT k""")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getString(3)))
+    // a: 1..4 → population σ = √1.25 = 1.118034; median 2.5, deviations
+    // {1.5,0.5,0.5,1.5} → MAD = 1.0. b: {10,20} → σ = 5, MAD = 5.
+    // VALUES is SORTED (the documented determinism deviation).
+    assert(out.toSeq === Seq(("a", 1.118034, 1.0, "1,2,3,4"), ("b", 5.0, 5.0, "10,20")))
+    // MAD needs the STATS-stage median pre-pass — EVAL/INLINESTATS
+    // cannot host it and must say so at compile time
+    intercept[IllegalArgumentException] {
+      Esql.applyPipe(s, TestSpark.sf0001, df, "EVAL x = MEDIAN_ABSOLUTE_DEVIATION(v)")
+    }
+    intercept[IllegalArgumentException] {
+      Esql.applyPipe(s, TestSpark.sf0001, df, "INLINESTATS m = MEDIAN_ABSOLUTE_DEVIATION(v) BY k")
+    }
+  }
+
+  test("the per-aggregate WHERE threads through the MAD rewrite (filtered median AND deviation)") {
+    import s.implicits._
+    val df = Seq(1L, 2L, 3L, 4L, 100L, 200L, 300L).toDF("v")
+    val r = Esql.applyPipe(s, TestSpark.sf0001, df,
+      "STATS mad_small = MEDIAN_ABSOLUTE_DEVIATION(v) WHERE v < 10, mad_all = MEDIAN_ABSOLUTE_DEVIATION(v)")
+      .collect()(0)
+    // small = {1,2,3,4}: median 2.5 → MAD 1.0 — the filter must bind the
+    // FIRST-pass median too (an unfiltered median of 4 would give 1.5)
+    assert(r.getDouble(0) === 1.0)
+    // all 7 values: median 4 → deviations sorted {0,1,2,3,96,196,296},
+    // middle element = 3.0
+    assert(r.getDouble(1) === 3.0)
+  }
+
+  test("LTRIM/RTRIM/REPEAT/LOG/SIGNUM/MD5 fold on a literal frame") {
+    import s.implicits._
+    val df = Seq(("  pad  ", 8L)).toDF("t", "v")
+    val out = df.select(
+      Esql.parseExpr("LTRIM(t)").as("l"),
+      Esql.parseExpr("RTRIM(t)").as("r"),
+      Esql.parseExpr("REPEAT(RTRIM(LTRIM(t)), 2)").as("rep"),
+      Esql.parseExpr("LOG(2, v)").as("lg2"),
+      Esql.parseExpr("ROUND(LOG(v), 6)").as("ln"),
+      Esql.parseExpr("SIGNUM(0 - v)").as("sg"),
+      Esql.parseExpr("""MD5("abc")""").as("h")).head()
+    assert(out.getString(0) === "pad  ")
+    assert(out.getString(1) === "  pad")
+    assert(out.getString(2) === "padpad")
+    assert(out.getDouble(3) === 3.0) // LOG(base, x) — the 2-arg arity
+    assert(out.getDouble(4) === 2.079442) // 1-arg = NATURAL log (ES, not log10)
+    assert(out.getDouble(5) === -1.0)
+    assert(out.getString(6) === "900150983cd24fb0d6963f7d28e17f72")
+    intercept[IllegalArgumentException] { Esql.parseExpr("REPEAT(t, v)") }
+    intercept[IllegalArgumentException] { Esql.parseExpr("LOG(1, v)") }
+  }
+
+  test("MV_SUM/MV_AVG/MV_MEDIAN fold row-locally; empty arrays yield null (the ES contract)") {
+    import s.implicits._
+    val df = Seq((Seq(3.0, 1.0, 2.0, 10.0), Seq(7.0, 5.0, 6.0), Seq.empty[Double]))
+      .toDF("even", "odd", "none")
+    val out = df.select(
+      Esql.parseExpr("MV_SUM(even)").as("s"),
+      Esql.parseExpr("MV_AVG(even)").as("a"),
+      Esql.parseExpr("MV_MEDIAN(even)").as("me"), // even count → mean of middles
+      Esql.parseExpr("MV_MEDIAN(odd)").as("mo"), // odd count → the middle itself
+      Esql.parseExpr("MV_SUM(none)").as("se"),
+      Esql.parseExpr("MV_MEDIAN(none)").as("mn")).head()
+    assert(out.getDouble(0) === 16.0)
+    assert(out.getDouble(1) === 4.0)
+    assert(out.getDouble(2) === 2.5) // sorted [1,2,3,10] → (2+3)/2
+    assert(out.getDouble(3) === 6.0) // sorted [5,6,7] → 6
+    assert(out.isNullAt(4) && out.isNullAt(5))
+  }
+
+  test("ROW is an inline one-row source through the ordinary stage pipeline") {
+    val r = Esql.compile(s, TestSpark.sf0001,
+      """ROW a = 1, b = "two"
+        || EVAL c = a + 1, up = TO_UPPER(b)
+        || KEEP a, c, up""".stripMargin).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) === 1L)
+    assert(r(0).getLong(1) === 2L)
+    assert(r(0).getString(2) === "TWO")
+    // ROW is a SOURCE command — not a mid-pipeline stage
+    intercept[IllegalArgumentException] {
+      Esql.compile(s, TestSpark.sf0001, """FROM events | ROW x = 1""")
+    }
+  }
+
+  test("BUCKET duration form floors to multi-unit widths anchored at the epoch") {
+    import s.implicits._
+    val df = Seq("2024-01-01 07:59:59", "2024-01-01 09:00:00")
+      .toDF("t0").select(to_timestamp_ntz($"t0").as("ts"))
+    val out = df.select(Esql.parseExpr("BUCKET(ts, 3 hour)").cast("string").as("b"))
+      .collect().map(_.getString(0))
+    // [06:00, 09:00) and [09:00, 12:00) — a width DATE_TRUNC cannot spell
+    assert(out === Seq("2024-01-01 06:00:00", "2024-01-01 09:00:00"))
+    // the plural unit spelling works; unknown units are parse errors
+    val plural = df.select(Esql.parseExpr("BUCKET(ts, 30 minutes)").cast("string").as("b"))
+      .collect().map(_.getString(0))
+    assert(plural === Seq("2024-01-01 07:30:00", "2024-01-01 09:00:00"))
+    intercept[IllegalArgumentException] { Esql.parseExpr("BUCKET(ts, 2 fortnights)") }
+  }
+
+  test("FUSE merges FORK branches by RRF (rank_constant 60, j139's formula); no _fork is an error") {
+    import s.implicits._
+    val df = Seq((1L, 10L, "fork1"), (2L, 5L, "fork1"), (2L, 9L, "fork2"), (3L, 1L, "fork2"))
+      .toDF("id", "score", "_fork")
+    val out = Esql.applyPipe(s, TestSpark.sf0001, df,
+      "FUSE id BY score | SORT fuse_score DESC, id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    // fork1 ranks id1=1, id2=2; fork2 ranks id2=1, id3=2 →
+    // id2 = 1/61 + 1/62 = 0.032522 over BOTH branches, singles keep one
+    assert(out === Seq((2L, 0.032522, 2L), (1L, 0.016393, 1L), (3L, 0.016129, 1L)))
+    intercept[IllegalArgumentException] {
+      Esql.applyPipe(s, TestSpark.sf0001, df.drop("_fork"), "FUSE id BY score")
+    }
+  }
+
+  test("trig family folds; TO_RADIANS/TO_DEGREES round-trip; PI is Math.PI") {
+    import s.implicits._
+    val df = Seq(90L).toDF("deg")
+    val out = df.select(
+      Esql.parseExpr("ROUND(SIN(TO_RADIANS(deg)), 6)").as("s"),
+      Esql.parseExpr("ROUND(COS(TO_RADIANS(deg)), 6)").as("c"),
+      Esql.parseExpr("ROUND(TO_DEGREES(TO_RADIANS(deg)), 6)").as("rt"),
+      Esql.parseExpr("ROUND(ATAN2(1, 1), 6)").as("a"),
+      Esql.parseExpr("CBRT(27)").as("cb"),
+      Esql.parseExpr("ROUND(PI(), 6)").as("p")).head()
+    assert(out.getDouble(0) === 1.0)
+    assert(out.getDouble(1) === 0.0) // cos(π/2) ≈ 6.1e-17 → 0 at 6dp
+    assert(out.getDouble(2) === 90.0)
+    assert(out.getDouble(3) === 0.785398) // π/4
+    assert(out.getDouble(4) === 3.0)
+    assert(out.getDouble(5) === 3.141593)
+  }
+
   test("SAMPLE keeps ~p of the rows, deterministically") {
     val full = Tables.events(s, TestSpark.sf0001).count()
     val a = Esql.compile(s, TestSpark.sf0001,

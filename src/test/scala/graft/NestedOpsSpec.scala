@@ -22,6 +22,35 @@ class NestedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("EQL pipes: head/tail/unique/count semantics on a literal sequence frame (j240)") {
+    import s.implicits._
+    import ops.NestedOps.eqlPipes
+    // four "sequences": (user, t3, span) — two share span 7
+    val seq = Seq((1L, 100L, 7L), (2L, 200L, 7L), (3L, 300L, 9L), (4L, 50L, 2L))
+      .toDF("user_id", "t3", "span_h")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getAs[Long]("user_id")).toSeq
+    // head = the N EARLIEST completions (t3 order, not input order)
+    assert(rows(eqlPipes(seq, Seq("head 2"))) === Seq(4L, 1L))
+    // tail = the N LATEST completions
+    assert(rows(eqlPipes(seq, Seq("tail 2"))).sorted === Seq(2L, 3L))
+    // unique keeps the EARLIEST-completing row per value
+    assert(rows(eqlPipes(seq, Seq("unique span_h"))).sorted === Seq(1L, 3L, 4L))
+    // count folds to one row; pipes compose left to right
+    assert(eqlPipes(seq, Seq("unique span_h", "count"))
+      .collect()(0).getAs[Long]("count") === 3L)
+    assert(rows(eqlPipes(seq, Seq("unique span_h", "head 1"))) === Seq(4L))
+    intercept[IllegalArgumentException] { eqlPipes(seq, Seq("sideways 3")) }
+  }
+
+  test("j240's pipes genuinely bind on the fixture: unique collapses spans, head cuts to 5") {
+    val seq228 = SparkEntry.queries("j228_eql_maxspan_until")(s, TestSpark.sf001).count()
+    val piped = SparkEntry.queries("j240_eql_pipes")(s, TestSpark.sf001).count()
+    // sf0.01: 30 sequences → 10 distinct whole-hour spans → head 5
+    assert(seq228 > piped, "unique/head must genuinely cut")
+    assert(piped === 5L)
+  }
+
   test("j228's rule knobs genuinely bind: both differ from j168's fixed rule") {
     val j168 = SparkEntry.queries("j168_eql_sequence")(s, TestSpark.sf001)
       .collect().map(_.getLong(0)).toSet

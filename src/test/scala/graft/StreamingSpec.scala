@@ -892,6 +892,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("i17: ES|QL ENRICH on the change stream is a stream-static broadcast join and equals its batch twin") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // the enrichment pipeline every live dashboard runs: filter the
+    // stream, derive the lookup key, ENRICH from the static dimension,
+    // aggregate per enriched attribute — one pipeline text, compiled
+    // onto the batch table and the unbounded reader by the SAME stages
+    val pipeline =
+      """FROM events
+        || WHERE event_type == "click"
+        || EVAL n_nationkey = user_id % 25
+        || ENRICH nation ON n_nationkey WITH n_name
+        || STATS clicks = COUNT(*), cents = SUM(ROUND(value * 100)) BY n_name""".stripMargin
+    val batch = graft.ops.Esql.compile(spark, TestSpark.sf0001, pipeline)
+      .as[(String, Long, Long)].collect().toSet
+    val q = graft.ops.Esql.compileStream(spark, TestSpark.sf0001, pipeline)
+      .writeStream.format("memory").queryName("esql_enrich_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("esql_enrich_stream")
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.size > 3) // several nations at sf0.001 — not vacuous
+    } finally q.stop()
+  }
+
   test("a5: parquet directory consumed as an unbounded stream") {
     val spark = TestSpark.spark
     import spark.implicits._
