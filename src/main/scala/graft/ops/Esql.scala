@@ -89,7 +89,7 @@ object Esql {
 
   private val aggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG",
     "COUNT_DISTINCT", "PERCENTILE", "MEDIAN", "WEIGHTED_AVG", "TOP",
-    "STD_DEV", "MEDIAN_ABSOLUTE_DEVIATION", "VALUES")
+    "STD_DEV", "MEDIAN_ABSOLUTE_DEVIATION", "VALUES", "FIRST", "LAST")
   private val scalarFns =
     Set("ROUND", "ABS", "SPLIT", "CONCAT", "TO_LONG", "TO_DOUBLE", "LENGTH",
       "DATE_TRUNC", "CASE", "COALESCE",
@@ -180,6 +180,21 @@ object Esql {
           val dev = s"__mad_dev_${c.madAccum.length}"
           c.madAccum += MadSpec(dev, a, c.aggFilter)
           percentile(c.filt(col(dev)), lit(0.5))
+        case "FIRST" | "LAST" =>
+          // FIRST(field, sort) / LAST(field, sort) — ES|QL 9.x's
+          // positional aggregates: the value at the minimal/maximal
+          // sort key (d8's LWW argmax surfaced in the pipe language).
+          // min_by/max_by skip rows whose ORDERING is null, which is
+          // exactly how the per-aggregate WHERE threads through (both
+          // operands wrapped). DETERMINISM CONTRACT (d8's §7.5#6
+          // discipline): the sort key must be unique per group —
+          // min_by's tie choice is otherwise arbitrary; the fixture's
+          // event ts is verified globally unique at every SF.
+          val isFirst = fn.toUpperCase == "FIRST"
+          val v = orExpr(c); c.expect(",")
+          val t = orExpr(c); c.expect(")")
+          if (isFirst) min_by(c.filt(v), c.filt(t))
+          else max_by(c.filt(v), c.filt(t))
         case "VALUES" =>
           // VALUES(field) — the group's distinct values as a multivalue.
           // ES documents the order as non-deterministic; a distributed,
@@ -1476,6 +1491,44 @@ object Esql {
             .groupBy(col(key))
             .agg(round(Parity.sortedFoldSum(col("__rrf")), 6).as("fuse_score"),
               count(lit(1)).as("fuse_branches"))
+        case "RERANK" =>
+          // RERANK "query" ON <text_col> BY <tiebreak> — ES|QL 9.1's
+          // inference rerank stage. ES calls a hosted rerank model; a
+          // bit-reproducible engine cannot, so the deterministic
+          // stand-in (the CHANGE_POINT discipline) scores each row by
+          // QUERY TERM OVERLAP — the count of distinct query terms
+          // present in the column's whitespace tokens (j34's analysis
+          // chain; MATCH's membership test, summed) — appended as
+          // `_rerank`, with `new_rank` the position under (_rerank
+          // DESC, tiebreak ASC). The BY tiebreak is the engine's
+          // determinism addition to the ES form (documented deviation).
+          // BOUNDED-FRAME CONTRACT: run after a LIMIT — ES likewise
+          // reranks only the top-N (inference over a full index is
+          // priced out by design) — so the unpartitioned rank window
+          // moves ≤ limit rows (j58/j76).
+          val rc = new Cursor(lex(body))
+          val qTok = rc.eat()
+          require(qTok.startsWith("\""), s"RERANK needs a literal query, got '$qTok'")
+          val on = rc.eat(); require(on.equalsIgnoreCase("ON"),
+            s"RERANK needs ON <column>, got '$on'")
+          val fieldCol = rc.eat(); require(fieldCol.matches(identRe),
+            s"RERANK ON needs a column, got '$fieldCol'")
+          require(rc.toks.nonEmpty, "RERANK needs BY <tiebreak>")
+          val byKw2 = rc.eat(); require(byKw2.equalsIgnoreCase("BY"),
+            s"RERANK needs BY <tiebreak>, got '$byKw2'")
+          val tie = rc.eat(); require(tie.matches(identRe),
+            s"RERANK BY needs a column, got '$tie'")
+          require(rc.toks.isEmpty, s"unparsed ES|QL tokens: ${rc.toks.mkString(" ")}")
+          val terms = unquote(qTok).trim.split("\\s+").toSeq.distinct
+          require(terms.nonEmpty && terms.forall(_.nonEmpty),
+            "RERANK needs at least one query term")
+          val rtoks = split(col(fieldCol), " ")
+          val overlap = terms.map(t => array_contains(rtoks, t).cast("int"))
+            .reduce(_ + _).cast("long")
+          val rw = org.apache.spark.sql.expressions.Window
+            .orderBy(col("_rerank").desc, col(tie).asc)
+          df = df.withColumn("_rerank", overlap)
+            .withColumn("new_rank", row_number().over(rw).cast("long"))
         case "CHANGE_POINT" =>
           // CHANGE_POINT <value> ON <key> AS <type_col>, <stat_col> —
           // ES|QL 9.x's change-point stage. ES runs a p-value test from
@@ -2187,7 +2240,51 @@ object Esql {
   def j243(s: SparkSession, d: String): DataFrame =
     compile(s, d, j243Query)
 
+  /** j244_esql_first_last — the FIRST/LAST positional aggregates (ES|QL
+    * 9.x): value at the earliest/latest sort key per group — d8's LWW
+    * argmax surfaced in the pipe language, the "opening/closing value"
+    * idiom every time-series dashboard runs. The per-aggregate WHERE
+    * threads through (both min_by operands wrapped — a group with no
+    * qualifying rows yields NULL, = DuckDB's arg_max FILTER).
+    * Determinism rides the fixture-verified global uniqueness of
+    * events.ts (d8's §7.5#6 contract — min_by ties are otherwise
+    * arbitrary). ONE map-combined pass; min_by/max_by state is one
+    * (value, key) pair per group. */
+  val j244Query: String =
+    """FROM events
+      || EVAL cents = ROUND(value * 100)
+      || STATS n = COUNT(*), first_cents = FIRST(cents, ts), last_cents = LAST(cents, ts), first_user = FIRST(user_id, ts), last_user = LAST(user_id, ts), last_big = LAST(cents, ts) WHERE cents >= 5000 BY event_type
+      || SORT event_type""".stripMargin
+
+  def j244(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j244Query)
+
+  /** j245_esql_rerank — the RERANK stage (ES|QL 9.1) in the standard
+    * retrieve-then-rerank shape: a cheap first ranking (MATCH filter +
+    * length sort) cuts the corpus to 20 via TakeOrdered, then RERANK
+    * re-orders those 20 by the deterministic overlap scorer against a
+    * richer query ("dup vector join" — the fixture spreads overlap
+    * 1/2/3 across the pool, so the rerank genuinely reorders: the
+    * 3-term doc jumps to rank 1 past longer 2-term docs). The rank
+    * window moves 20 rows (the bounded-frame contract the stage
+    * requires); everything before it is scan → pushed filter →
+    * TakeOrderedAndProject. */
+  val j245Query: String =
+    """FROM documents
+      || WHERE MATCH(text, "spark")
+      || SORT n_chars DESC, doc_id
+      || LIMIT 20
+      || RERANK "dup vector join" ON text BY doc_id
+      || SORT new_rank
+      || LIMIT 10
+      || KEEP doc_id, n_chars, _rerank, new_rank""".stripMargin
+
+  def j245(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j245Query)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j244_esql_first_last" -> j244,
+    "j245_esql_rerank" -> j245,
     "j241_esql_bucket_duration" -> j241,
     "j242_esql_fuse" -> j242,
     "j243_esql_trig" -> j243,
@@ -2225,6 +2322,35 @@ object Esql {
     "j214_esql_like_in" -> j214)
 
   val oracle: Map[String, String] = Map(
+    "j244_esql_first_last" ->
+      """WITH e AS (SELECT event_type, user_id, CAST(ts AS TIMESTAMP) AS t,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |           FROM 'events.parquet')
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(arg_min(cents, t) AS BIGINT) AS first_cents,
+        |       CAST(arg_max(cents, t) AS BIGINT) AS last_cents,
+        |       CAST(arg_min(user_id, t) AS BIGINT) AS first_user,
+        |       CAST(arg_max(user_id, t) AS BIGINT) AS last_user,
+        |       CAST(arg_max(cents, t) FILTER (WHERE cents >= 5000) AS BIGINT)
+        |         AS last_big
+        |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // the retrieve CTE mirrors the pushed MATCH + TakeOrdered cut; the
+    // overlap scorer is the same three list_contains memberships
+    "j245_esql_rerank" ->
+      """WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+        |           FROM 'documents.parquet'),
+        |top AS (SELECT doc_id, n_chars, toks FROM d
+        |        WHERE list_contains(toks, 'spark')
+        |        ORDER BY n_chars DESC, doc_id LIMIT 20),
+        |r AS (SELECT doc_id, n_chars,
+        |        CAST(list_contains(toks, 'dup') AS INT) +
+        |        CAST(list_contains(toks, 'vector') AS INT) +
+        |        CAST(list_contains(toks, 'join') AS INT) AS ov
+        |      FROM top)
+        |SELECT doc_id, n_chars, CAST(ov AS BIGINT) AS _rerank,
+        |       CAST(row_number() OVER (ORDER BY ov DESC, doc_id) AS BIGINT)
+        |         AS new_rank
+        |FROM r ORDER BY new_rank LIMIT 10""".stripMargin,
     // epoch-µs floor division to the 3h width, back through
     // make_timestamp — the same exact integer arithmetic the compiler
     // emits (µs TimestampNTZ ≡ DuckDB TIMESTAMP under UTC)

@@ -806,6 +806,34 @@ class EsqlSpec extends AnyFunSuite {
     assert(out.getDouble(5) === 3.141593)
   }
 
+  test("FIRST/LAST aggregate by sort key; per-agg WHERE filters both operands") {
+    import s.implicits._
+    val df = Seq((1L, 10L), (2L, 5L), (3L, 20L)).toDF("t", "v")
+    val r = Esql.applyPipe(s, TestSpark.sf0001, df,
+      "STATS f = FIRST(v, t), l = LAST(v, t), fb = FIRST(v, t) WHERE v >= 10, none = LAST(v, t) WHERE v > 99")
+      .collect()(0)
+    assert(r.getLong(0) === 10L) // earliest t=1 carries v=10
+    assert(r.getLong(1) === 20L) // latest t=3 carries v=20
+    assert(r.getLong(2) === 10L) // among v>=10 the earliest is still t=1
+    assert(r.isNullAt(3)) // no qualifying row → NULL, = arg_max FILTER
+  }
+
+  test("RERANK re-orders by query-term overlap with the BY tiebreak; missing BY errors") {
+    import s.implicits._
+    val df = Seq((1L, "alpha beta"), (2L, "alpha beta gamma"), (3L, "alpha"))
+      .toDF("id", "txt")
+    val out = Esql.applyPipe(s, TestSpark.sf0001, df,
+      """RERANK "beta gamma" ON txt BY id | SORT new_rank""")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("_rerank"),
+        r.getAs[Long]("new_rank"))).toSeq
+    // overlap is DISTINCT-term membership (j34's analysis chain), not
+    // substring or frequency counting
+    assert(out === Seq((2L, 2L, 1L), (1L, 1L, 2L), (3L, 0L, 3L)))
+    intercept[IllegalArgumentException] {
+      Esql.applyPipe(s, TestSpark.sf0001, df, """RERANK "beta" ON txt""")
+    }
+  }
+
   test("SAMPLE keeps ~p of the rows, deterministically") {
     val full = Tables.events(s, TestSpark.sf0001).count()
     val a = Esql.compile(s, TestSpark.sf0001,
