@@ -106,7 +106,10 @@ object Esql {
       "LTRIM", "RTRIM", "REPEAT", "LOG", "SIGNUM", "MD5",
       "MV_AVG", "MV_SUM", "MV_MEDIAN",
       "SIN", "COS", "TAN", "ATAN2", "CBRT", "PI",
-      "TO_RADIANS", "TO_DEGREES")
+      "TO_RADIANS", "TO_DEGREES",
+      "ASIN", "ACOS", "ATAN", "SINH", "COSH", "TANH", "HYPOT", "E", "TAU",
+      "SHA256", "TO_BASE64", "FROM_BASE64", "BIT_LENGTH", "BYTE_LENGTH",
+      "ROUND_TO", "MV_APPEND", "MV_ZIP")
 
   /** Deterministic NOW(): ES|QL's NOW() is query-evaluation wall-clock —
     * unusable in a bit-reproducible engine — so it compiles to this
@@ -412,6 +415,86 @@ object Esql {
         case "PI" => c.expect(")"); lit(math.Pi)
         case "TO_RADIANS" => val a = orExpr(c); c.expect(")"); radians(a)
         case "TO_DEGREES" => val a = orExpr(c); c.expect(")"); degrees(a)
+        case "ASIN" => val a = orExpr(c); c.expect(")"); asin(a)
+        case "ACOS" => val a = orExpr(c); c.expect(")"); acos(a)
+        case "ATAN" => val a = orExpr(c); c.expect(")"); atan(a)
+        // hyperbolics + HYPOT compile to exp/sqrt compositions (not
+        // libm sinh/cosh/tanh/hypot) so both engines apply the SAME
+        // formula over the SAME primitive — but JVM Math.exp may sit
+        // 1 ULP off C libm's exp (both are allowed that error), so
+        // unlike TO_RADIANS this is composition-identical, not
+        // bit-identical: the j234 ROUND-6dp rule every query applies
+        // is what absorbs the residual ULP (matrix-verified at all SFs).
+        case "SINH" =>
+          val a = orExpr(c); c.expect(")")
+          (exp(a) - exp(negate(a))) / lit(2.0)
+        case "COSH" =>
+          val a = orExpr(c); c.expect(")")
+          (exp(a) + exp(negate(a))) / lit(2.0)
+        case "TANH" =>
+          val a = orExpr(c); c.expect(")")
+          (exp(a * lit(2)) - lit(1)) / (exp(a * lit(2)) + lit(1))
+        case "HYPOT" =>
+          val x = orExpr(c); c.expect(",")
+          val y = orExpr(c); c.expect(")")
+          sqrt(x * x + y * y)
+        case "E" => c.expect(")"); lit(math.E)
+        case "TAU" => c.expect(")"); lit(math.Pi * 2)
+        case "SHA256" =>
+          // lowercase hex, byte-identical cross-engine (MD5's sibling)
+          val a = orExpr(c); c.expect(")"); sha2(a.cast("binary"), 256)
+        case "TO_BASE64" =>
+          val a = orExpr(c); c.expect(")"); base64(a.cast("binary"))
+        case "FROM_BASE64" =>
+          val a = orExpr(c); c.expect(")"); unbase64(a).cast("string")
+        case "BIT_LENGTH" =>
+          val a = orExpr(c); c.expect(")"); bit_length(a)
+        case "BYTE_LENGTH" =>
+          val a = orExpr(c); c.expect(")"); octet_length(a)
+        case "ROUND_TO" =>
+          // ROUND_TO(field, p1, p2, …) — ES|QL 9.1: round DOWN to the
+          // largest literal point ≤ field; anything below the smallest
+          // point clamps to it. Compiles to a literal CASE chain —
+          // row-local, codegen'd, pushable; the fast bucketing ES added
+          // precisely because per-row CASE beats a join against a
+          // boundary table at scale.
+          val a = orExpr(c)
+          val pts = scala.collection.mutable.ArrayBuffer[Long]()
+          while (c.peek.contains(",")) {
+            c.eat()
+            val t = c.eat()
+            require(t.matches("""-?\d+"""),
+              s"ROUND_TO needs literal integer points, got '$t'")
+            pts += t.toLong
+          }
+          c.expect(")")
+          require(pts.nonEmpty, "ROUND_TO needs at least one point")
+          // ascending fold so the LARGEST point lands in the outermost
+          // WHEN — each later fold step wraps the accumulated chain, so
+          // building upward checks ≥500 before ≥250 before ≥100
+          val sorted = pts.sorted
+          sorted.tail.foldLeft(lit(sorted.head): Column) {
+            (acc, p) => when(a >= lit(p), lit(p)).otherwise(acc)
+          }
+        case "MV_APPEND" =>
+          val a = orExpr(c); c.expect(",")
+          val b = orExpr(c); c.expect(")")
+          concat(a, b)
+        case "MV_ZIP" =>
+          // MV_ZIP(a, b[, delim]) — pairwise join with the delimiter;
+          // the longer side's unpaired values pass through alone (the
+          // ES contract), which is exactly the null-coalescing branch.
+          val a = orExpr(c); c.expect(",")
+          val b = orExpr(c)
+          val delim = if (c.peek.contains(",")) {
+            c.eat(); val t = c.eat()
+            require(t.startsWith("\""), s"MV_ZIP delimiter must be a literal, got '$t'")
+            unquote(t)
+          } else ","
+          c.expect(")")
+          zip_with(a, b, (x, y) =>
+            when(x.isNull, y).when(y.isNull, x)
+              .otherwise(concat(x, lit(delim), y)))
         case "LEFT" =>
           val a = orExpr(c); c.expect(",")
           val n = orExpr(c); c.expect(")")
@@ -2282,9 +2365,67 @@ object Esql {
   def j245(s: SparkSession, d: String): DataFrame =
     compile(s, d, j245Query)
 
+  /** j246_esql_trig_inverse — the inverse-trig + hyperbolic half of the
+    * ES|QL math surface: ASIN / ACOS / ATAN / SINH / COSH / TANH / E /
+    * TAU (j243's siblings). The probe argument (user_id%200−100)/100.0
+    * is exact integer arithmetic then one double division — the
+    * identical double in both engines — and the hyperbolics are exp
+    * compositions BOTH engines spell (see the compiler case); JVM
+    * Math.exp may sit 1 ULP off C libm's, so the mandatory 6dp ROUND
+    * is the absorber (j234 rule: libm-adjacent outputs aggregate only
+    * via MIN/MAX; matrix-verified at all SFs × both CPU configs). */
+  val j246Query: String =
+    """FROM events
+      || EVAL x = (user_id % 200 - 100) / 100.0
+      || EVAL asn = ROUND(ASIN(x), 6), acs = ROUND(ACOS(x), 6), atn = ROUND(ATAN(value), 6), sh = ROUND(SINH(x), 6), ch = ROUND(COSH(x), 6), th = ROUND(TANH(x), 6), hy = ROUND(HYPOT(x, value), 6), ec = ROUND(E(), 6), tauc = ROUND(TAU(), 6)
+      || STATS n = COUNT(*), mn_as = MIN(asn), mx_as = MAX(asn), mx_ac = MAX(acs), mx_at = MAX(atn), mn_sh = MIN(sh), mx_ch = MAX(ch), mx_th = MAX(th), mx_hy = MAX(hy), e_c = MAX(ec), tau_c = MAX(tauc) BY event_type
+      || SORT event_type""".stripMargin
+
+  def j246(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j246Query)
+
+  /** j247_esql_hash_encode — the hash/encoding scalar family: SHA256
+    * (lowercase hex, MD5's sibling), TO_BASE64 / FROM_BASE64 (the
+    * round-trip is part of the fixture: rt = decode(encode(source))),
+    * BIT_LENGTH, BYTE_LENGTH. All row-local projections into one
+    * map-combined STATS; the hex/base64 strings aggregate via
+    * COUNT_DISTINCT / MIN — exact string equality, no float hazard.
+    * SHA1 is deliberately absent: the oracle engine doesn't ship it,
+    * and an unverifiable function is not claimed (§7.5 discipline). */
+  val j247Query: String =
+    """FROM documents
+      || EVAL h8 = SUBSTRING(SHA256(source), 1, 8), b64 = TO_BASE64(lang), rt = FROM_BASE64(TO_BASE64(source)), bl = TO_LONG(BIT_LENGTH(lang)), byl = TO_LONG(BYTE_LENGTH(text))
+      || STATS n = COUNT(*), hashes = COUNT_DISTINCT(h8), mn_h = MIN(h8), mn_b64 = MIN(b64), mn_rt = MIN(rt), mn_bl = MIN(bl), mx_byl = MAX(byl) BY lang
+      || SORT lang""".stripMargin
+
+  def j247(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j247Query)
+
+  /** j248_esql_round_to_mv — ROUND_TO (ES|QL 9.1's fixed-point
+    * bucketing: round DOWN to the largest literal point ≤ x, clamp
+    * below the smallest — a literal CASE chain, never a boundary-table
+    * join) + the remaining multivalue combinators MV_APPEND and MV_ZIP
+    * (delimiter form). Arrays never reach the output (the driver's
+    * pandas contract): both fold through MV_CONCAT to CSV strings.
+    * Group keys are derived row-locally; (band, ap) is unique per
+    * group because zp is a function of the same inputs as ap. */
+  val j248Query: String =
+    """FROM documents
+      || EVAL band = ROUND_TO(n_chars, 0, 100, 250, 500), a = SPLIT(CONCAT(lang, " ", source), " "), b = SPLIT("x y", " ")
+      || EVAL ap = MV_CONCAT(MV_APPEND(a, b), ","), zp = MV_CONCAT(MV_ZIP(a, b, "-"), ",")
+      || STATS n = COUNT(*) BY band, ap, zp
+      || SORT band, ap
+      || LIMIT 30""".stripMargin
+
+  def j248(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j248Query)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j244_esql_first_last" -> j244,
     "j245_esql_rerank" -> j245,
+    "j246_esql_trig_inverse" -> j246,
+    "j247_esql_hash_encode" -> j247,
+    "j248_esql_round_to_mv" -> j248,
     "j241_esql_bucket_duration" -> j241,
     "j242_esql_fuse" -> j242,
     "j243_esql_trig" -> j243,
@@ -2322,6 +2463,49 @@ object Esql {
     "j214_esql_like_in" -> j214)
 
   val oracle: Map[String, String] = Map(
+    // the hyperbolics/HYPOT are the exact exp/sqrt compositions the
+    // compiler emits — same formula, same doubles, not merely 6dp-close
+    "j246_esql_trig_inverse" ->
+      """WITH e AS (SELECT event_type,
+        |             (user_id % 200 - 100) / 100.0 AS x, value AS v
+        |           FROM 'events.parquet')
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  min(round(asin(x), 6)) AS mn_as, max(round(asin(x), 6)) AS mx_as,
+        |  max(round(acos(x), 6)) AS mx_ac, max(round(atan(v), 6)) AS mx_at,
+        |  min(round((exp(x) - exp(-x)) / 2, 6)) AS mn_sh,
+        |  max(round((exp(x) + exp(-x)) / 2, 6)) AS mx_ch,
+        |  max(round((exp(x * 2) - 1) / (exp(x * 2) + 1), 6)) AS mx_th,
+        |  max(round(sqrt(x * x + v * v), 6)) AS mx_hy,
+        |  max(round(exp(1.0), 6)) AS e_c,
+        |  max(round(pi() * 2, 6)) AS tau_c
+        |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "j247_esql_hash_encode" ->
+      """WITH d AS (SELECT lang,
+        |             substr(sha256(source), 1, 8) AS h8,
+        |             to_base64(CAST(lang AS BLOB)) AS b64,
+        |             decode(from_base64(to_base64(CAST(source AS BLOB)))) AS rt,
+        |             CAST(bit_length(lang) AS BIGINT) AS bl,
+        |             CAST(strlen(text) AS BIGINT) AS byl
+        |           FROM 'documents.parquet')
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT h8) AS BIGINT) AS hashes, min(h8) AS mn_h,
+        |       min(b64) AS mn_b64, min(rt) AS mn_rt,
+        |       min(bl) AS mn_bl, max(byl) AS mx_byl
+        |FROM d GROUP BY 1 ORDER BY lang""".stripMargin,
+    "j248_esql_round_to_mv" ->
+      """WITH d AS (SELECT
+        |    CAST(CASE WHEN n_chars >= 500 THEN 500 WHEN n_chars >= 250 THEN 250
+        |              WHEN n_chars >= 100 THEN 100 ELSE 0 END AS BIGINT) AS band,
+        |    string_split(lang || ' ' || source, ' ') AS a,
+        |    string_split('x y', ' ') AS b
+        |  FROM 'documents.parquet'),
+        |z AS (SELECT band,
+        |    array_to_string(list_concat(a, b), ',') AS ap,
+        |    array_to_string(list_transform(list_zip(a, b),
+        |      p -> p[1] || '-' || p[2]), ',') AS zp
+        |  FROM d)
+        |SELECT band, ap, zp, CAST(count(*) AS BIGINT) AS n
+        |FROM z GROUP BY 1, 2, 3 ORDER BY band, ap LIMIT 30""".stripMargin,
     "j244_esql_first_last" ->
       """WITH e AS (SELECT event_type, user_id, CAST(ts AS TIMESTAMP) AS t,
         |             CAST(round(value * 100, 0) AS BIGINT) AS cents

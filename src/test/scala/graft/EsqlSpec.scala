@@ -806,6 +806,76 @@ class EsqlSpec extends AnyFunSuite {
     assert(out.getDouble(5) === 3.141593)
   }
 
+  test("inverse trig + hyperbolics are the exact exp compositions; E/TAU constants") {
+    import s.implicits._
+    val df = Seq(0.5).toDF("x")
+    val out = df.select(
+      Esql.parseExpr("ROUND(ASIN(x), 6)").as("as"),
+      Esql.parseExpr("ROUND(ACOS(x), 6)").as("ac"),
+      Esql.parseExpr("ROUND(ATAN(x), 6)").as("at"),
+      Esql.parseExpr("ROUND(SINH(x), 6)").as("sh"),
+      Esql.parseExpr("ROUND(COSH(x), 6)").as("ch"),
+      Esql.parseExpr("ROUND(TANH(x), 6)").as("th"),
+      Esql.parseExpr("HYPOT(3, 4)").as("hy"),
+      Esql.parseExpr("ROUND(E(), 6)").as("e"),
+      Esql.parseExpr("ROUND(TAU(), 6)").as("tau")).head()
+    assert(out.getDouble(0) === 0.523599)
+    assert(out.getDouble(1) === 1.047198)
+    assert(out.getDouble(2) === 0.463648)
+    // the compiled value is the exp composition — but JVM Math.exp may
+    // sit 1 ULP off C libm's (both are allowed that error), so the
+    // determinism contract is composition + the mandatory 6dp ROUND,
+    // never raw-double equality (the j234 rule; matrix-verified)
+    assert(out.getDouble(3) === 0.521095)
+    assert(out.getDouble(4) === 1.127626)
+    assert(out.getDouble(5) === 0.462117)
+    assert(out.getDouble(6) === 5.0)
+    assert(out.getDouble(7) === 2.718282)
+    assert(out.getDouble(8) === 6.283185)
+  }
+
+  test("hash/encode family: SHA256 hex, base64 round-trip, bit/byte lengths") {
+    import s.implicits._
+    val df = Seq("abc").toDF("t")
+    val out = df.select(
+      Esql.parseExpr("SHA256(t)").as("h"),
+      Esql.parseExpr("TO_BASE64(t)").as("b"),
+      Esql.parseExpr("FROM_BASE64(TO_BASE64(t))").as("rt"),
+      Esql.parseExpr("BIT_LENGTH(t)").as("bl"),
+      Esql.parseExpr("BYTE_LENGTH(t)").as("yl")).head()
+    assert(out.getString(0) ===
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(out.getString(1) === "YWJj")
+    assert(out.getString(2) === "abc")
+    assert(out.getInt(3) === 24)
+    assert(out.getInt(4) === 3)
+  }
+
+  test("ROUND_TO floors to the LARGEST point ≤ x and clamps below the minimum") {
+    import s.implicits._
+    // pins the fold-order bug the sf0.01 matrix leg caught: 600 must
+    // take the TOP point (500), not the first ≥-match in fold order
+    val df = Seq(600L, 300L, 120L, 50L, -3L).toDF("v")
+    val out = df.select(Esql.parseExpr("ROUND_TO(v, 0, 100, 250, 500)").as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(500L, 250L, 100L, 0L, 0L))
+    intercept[IllegalArgumentException] {
+      Esql.parseExpr("ROUND_TO(v, x)") // non-literal point
+    }
+  }
+
+  test("MV_APPEND concatenates; MV_ZIP pairs with delimiter, unpaired values pass through") {
+    import s.implicits._
+    val df = Seq(("a b c", "x y")).toDF("l", "r")
+    val out = df.select(
+      Esql.parseExpr("""MV_CONCAT(MV_APPEND(SPLIT(l, " "), SPLIT(r, " ")), ",")""").as("ap"),
+      Esql.parseExpr("""MV_CONCAT(MV_ZIP(SPLIT(l, " "), SPLIT(r, " "), "-"), ",")""").as("zp"),
+      Esql.parseExpr("""MV_CONCAT(MV_ZIP(SPLIT(r, " "), SPLIT(r, " ")), ",")""").as("zd")).head()
+    assert(out.getString(0) === "a,b,c,x,y")
+    assert(out.getString(1) === "a-x,b-y,c") // longer side's extra kept alone
+    assert(out.getString(2) === "x,x,y,y")   // default "," delimiter
+  }
+
   test("FIRST/LAST aggregate by sort key; per-agg WHERE filters both operands") {
     import s.implicits._
     val df = Seq((1L, 10L), (2L, 5L), (3L, 20L)).toDF("t", "v")
