@@ -1237,6 +1237,40 @@ object Esql {
       val df = s.range(1).select(items.map { case (n, e) => e.as(n) }: _*)
       return applyStages(s, d, df, stages.tail)
     }
+    // TS <index> ON d1, d2, … — ES|QL 9.1's time-series source command.
+    // ES derives the series key (_tsid) from the index mapping's
+    // dimension fields; a mapping-free engine cannot, so the dimensions
+    // are DECLARED with ON (the FUSE explicit-key discipline; documented
+    // deviation). Stages fold normally except the first STATS whose
+    // aggregates contain *_OVER_TIME / RATE inner calls — that one
+    // compiles as the TWO-LEVEL rollup [[tsStats]] implements.
+    if (stages.head.toUpperCase.startsWith("TS ")) {
+      val tsBody = stages.head.drop(3).trim
+      val onIdx = findTopLevel(tsBody, "ON")
+      require(onIdx >= 0, "TS needs ON <dimension columns> — no index " +
+        "mappings exist to infer the series key from")
+      val tbl = tsBody.take(onIdx).trim
+      require(tbl.matches(identRe), s"TS needs one index name, got '$tbl'")
+      val dims = tsBody.drop(onIdx + 2).split(",").map(_.trim).toSeq
+      require(dims.nonEmpty && dims.forall(_.matches(identRe)),
+        s"TS ON needs dimension columns, got '${tsBody.drop(onIdx + 2)}'")
+      var df = tbl match {
+        case "events" => Tables.events(s, d)
+        case other => Tables.read(s, d, other)
+      }
+      var tsDone = false
+      for (st <- stages.tail) {
+        val sp = st.indexOf(' ')
+        val kw = (if (sp < 0) st else st.take(sp)).toUpperCase
+        val isTsStats = kw == "STATS" && !tsDone &&
+          st.matches("(?s).*(_OVER_TIME|RATE)\\s*\\(.*")
+        if (isTsStats) { df = tsStats(df, dims, st.drop(sp + 1).trim); tsDone = true }
+        else df = applyStages(s, d, df, Seq(st))
+      }
+      require(tsDone, "a TS pipeline needs a STATS stage with " +
+        "*_OVER_TIME/RATE aggregates (otherwise use FROM)")
+      return df
+    }
     require(stages.head.toUpperCase.startsWith("FROM "),
       "ES|QL pipeline must start with FROM")
     // FROM idx1[, idx2, …] [METADATA _index] — ES|QL's multi-index FROM
@@ -1267,6 +1301,110 @@ object Esql {
     }
     val df = names.map(one).reduce(_.unionByName(_, allowMissingColumns = true))
     applyStages(s, d, df, stages.tail)
+  }
+
+  /** The TS STATS two-level rollup: `name = OUTER(INNER(args))` items
+    * aggregate INNER within each (declared dimensions ∪ BY keys) cell —
+    * one series in one bucket — then OUTER across series per BY group.
+    * This is exactly the plan a 100 TB metrics store wants: the inner
+    * aggregate is map-combined per series (massive cardinality, but
+    * each cell is tiny and partial aggregation collapses it before the
+    * exchange), and the outer aggregate runs over series-count rows,
+    * orders of magnitude smaller than the event stream.
+    *
+    * Inner functions: MAX/MIN/SUM/COUNT/AVG_OVER_TIME(expr),
+    * FIRST/LAST_OVER_TIME(expr) (value at the series-bucket's earliest/
+    * latest `ts` — min_by/max_by, deterministic under the fixture's
+    * globally-unique ts), RATE(expr, span_seconds) — per-second rate of
+    * increase with counter-reset handling: sum of POSITIVE consecutive
+    * deltas in ts order within the cell, / span. The span is an explicit
+    * literal (ES derives it from the bucket; a compiler with no bucket
+    * introspection takes it spelled — documented deviation). A
+    * single-point or never-increasing cell yields NULL rate (no
+    * increase is observable), which null-skipping outer aggregates and
+    * the DuckDB CASE-sum mirror treat identically.
+    * Outer functions: MIN/MAX/SUM/COUNT/AVG over the inner column.
+    * Determinism: keep SUM/AVG outers to exact-integer inners (the
+    * cents discipline); double-valued inners (AVG_OVER_TIME, RATE)
+    * aggregate via order-independent MIN/MAX only (j234 rule). */
+  private[graft] def tsStats(df0: DataFrame, dims: Seq[String], body: String): DataFrame = {
+    val byIdx = findTopLevel(body, "BY")
+    require(byIdx >= 0, "TS STATS requires BY (at least the time bucket)")
+    val keys = aliasedList(new Cursor(lex(body.drop(byIdx + 2))), "key")
+    val innerFns = Set("MAX_OVER_TIME", "MIN_OVER_TIME", "SUM_OVER_TIME",
+      "COUNT_OVER_TIME", "AVG_OVER_TIME", "FIRST_OVER_TIME",
+      "LAST_OVER_TIME", "RATE")
+    val outerFns = Set("MIN", "MAX", "SUM", "COUNT", "AVG")
+    case class TsItem(name: String, outer: String, inner: String,
+        arg: Column, rateSpan: Long)
+    val c = new Cursor(lex(body.take(byIdx)))
+    val items = scala.collection.mutable.ArrayBuffer[TsItem]()
+    var more = true
+    while (more) {
+      val name = c.eat()
+      require(name.matches(identRe), s"TS STATS needs name = …, got '$name'")
+      c.expect("=")
+      val outer = c.eat().toUpperCase
+      require(outerFns(outer), s"TS STATS outer aggregate must be one of " +
+        s"${outerFns.mkString("/")}, got '$outer'")
+      c.expect("(")
+      val inner = c.eat().toUpperCase
+      require(innerFns(inner), s"TS STATS inner function must be one of " +
+        s"${innerFns.mkString("/")}, got '$inner'")
+      c.expect("(")
+      val arg = orExpr(c)
+      val span = if (inner == "RATE") {
+        c.expect(",")
+        val t = c.eat()
+        require(t.matches("""\d+"""), s"RATE needs a literal span in seconds, got '$t'")
+        t.toLong
+      } else 0L
+      c.expect(")"); c.expect(")")
+      items += TsItem(name, outer, inner, arg, span)
+      more = c.peek.contains(",")
+      if (more) c.eat()
+    }
+    require(c.toks.isEmpty, s"unparsed TS STATS tokens: ${c.toks.mkString(" ")}")
+    require(df0.columns.contains("ts"),
+      "TS aggregation needs the canonical `ts` time column on the frame")
+    // BY keys materialize first (they may be computed, e.g. BUCKET);
+    // RATE items get a per-cell consecutive delta via a window
+    // PARTITIONED by the full cell key — bounded by the cell, never
+    // the global single-partition hazard.
+    var keyed = keys.foldLeft(df0) { case (f, (n, e)) => f.withColumn(n, e) }
+    val cellCols = (dims ++ keys.map(_._1)).map(col)
+    for ((it, i) <- items.zipWithIndex if it.inner == "RATE") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(cellCols: _*).orderBy(col("ts"))
+      keyed = keyed.withColumn(s"__ts_d$i", it.arg - lag(it.arg, 1).over(w))
+    }
+    val innerAggs = items.toSeq.zipWithIndex.map { case (it, i) =>
+      val a = it.inner match {
+        case "MAX_OVER_TIME" => max(it.arg)
+        case "MIN_OVER_TIME" => min(it.arg)
+        case "SUM_OVER_TIME" => sum(it.arg)
+        case "COUNT_OVER_TIME" => count(it.arg)
+        case "AVG_OVER_TIME" => avg(it.arg)
+        case "FIRST_OVER_TIME" => min_by(it.arg, col("ts"))
+        case "LAST_OVER_TIME" => max_by(it.arg, col("ts"))
+        case "RATE" =>
+          val d = col(s"__ts_d$i")
+          sum(when(d > lit(0), d)).cast("double") / lit(it.rateSpan.toDouble)
+      }
+      a.as(s"__ts_v$i")
+    }
+    val inner = keyed.groupBy(cellCols: _*).agg(innerAggs.head, innerAggs.tail: _*)
+    val outerAggs = items.toSeq.zipWithIndex.map { case (it, i) =>
+      val v = col(s"__ts_v$i")
+      (it.outer match {
+        case "MIN" => min(v)
+        case "MAX" => max(v)
+        case "SUM" => sum(v)
+        case "COUNT" => count(v)
+        case "AVG" => avg(v)
+      }).as(it.name)
+    }
+    inner.groupBy(keys.map(k => col(k._1)): _*).agg(outerAggs.head, outerAggs.tail: _*)
   }
 
   /** Expand a KEEP/DROP column list against the frame's schema: items
@@ -2420,7 +2558,47 @@ object Esql {
   def j248(s: SparkSession, d: String): DataFrame =
     compile(s, d, j248Query)
 
+  /** j249_esql_ts — the TS source command + the *_OVER_TIME inner
+    * aggregate family (ES|QL 9.1 time-series): per-series-per-day inner
+    * rollup (MAX/MIN/SUM/COUNT/AVG/FIRST/LAST_OVER_TIME over exact
+    * cents), outer aggregate across series per day. See [[tsStats]] for
+    * the two-level plan; SUM/AVG outers run over exact-integer inners,
+    * the double-valued AVG_OVER_TIME reaches the result only via MAX +
+    * a post-STATS 6dp ROUND (j234 rule). */
+  val j249Query: String =
+    """TS events ON user_id, event_type
+      || EVAL cents = ROUND(value * 100)
+      || STATS mx = MAX(MAX_OVER_TIME(cents)), mn = MIN(MIN_OVER_TIME(cents)), tot = SUM(SUM_OVER_TIME(cents)), nobs = SUM(COUNT_OVER_TIME(cents)), nser = COUNT(COUNT_OVER_TIME(cents)), mxavg = MAX(AVG_OVER_TIME(cents)), sfirst = SUM(FIRST_OVER_TIME(cents)), slast = SUM(LAST_OVER_TIME(cents)) BY day = BUCKET(ts, 1 day)
+      || EVAL mxavg = ROUND(mxavg, 6)
+      || SORT day
+      || LIMIT 20""".stripMargin
+
+  def j249(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j249Query)
+
+  /** j250_esql_ts_rate — RATE (ES|QL 9.1's counter-rate aggregate)
+    * through the same TS rollup: per-second rate of increase with
+    * counter-reset handling (sum of POSITIVE consecutive deltas in ts
+    * order within the series-day cell, / the spelled 86400 s span).
+    * The sf0.001 fixture binds every path: days with rates, cells
+    * whose rate is NULL (single-point / never-increasing — day 3 has
+    * nrate=0 with 31 series), and the count asymmetry nrate < nser.
+    * Rates are exact-integer sums / an exact double — identical in
+    * both engines — and aggregate only via MIN/MAX (+ COUNT). */
+  val j250Query: String =
+    """TS events ON user_id, event_type
+      || EVAL cents = ROUND(value * 100)
+      || STATS mxr = MAX(RATE(cents, 86400)), mnr = MIN(RATE(cents, 86400)), nrate = COUNT(RATE(cents, 86400)), nser = COUNT(COUNT_OVER_TIME(cents)) BY day = BUCKET(ts, 1 day)
+      || EVAL mxr = ROUND(mxr, 6), mnr = ROUND(mnr, 6)
+      || SORT day
+      || LIMIT 20""".stripMargin
+
+  def j250(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j250Query)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j249_esql_ts" -> j249,
+    "j250_esql_ts_rate" -> j250,
     "j244_esql_first_last" -> j244,
     "j245_esql_rerank" -> j245,
     "j246_esql_trig_inverse" -> j246,
@@ -2463,6 +2641,43 @@ object Esql {
     "j214_esql_like_in" -> j214)
 
   val oracle: Map[String, String] = Map(
+    // the two-level TS rollup: inner per (series dims, day) cell,
+    // outer per day — the same epoch-µs BUCKET device as j241
+    "j249_esql_ts" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |           FROM 'events.parquet'),
+        |k AS (SELECT *, make_timestamp((epoch_us(t) // 86400000000)
+        |                 * 86400000000) AS day FROM e),
+        |i AS (SELECT user_id, event_type, day,
+        |        max(cents) AS mx, min(cents) AS mn, sum(cents) AS sm,
+        |        count(cents) AS cnt, avg(cents) AS av,
+        |        arg_min(cents, t) AS fv, arg_max(cents, t) AS lv
+        |      FROM k GROUP BY 1, 2, 3)
+        |SELECT day, CAST(max(mx) AS BIGINT) AS mx, CAST(min(mn) AS BIGINT) AS mn,
+        |       CAST(sum(sm) AS BIGINT) AS tot, CAST(sum(cnt) AS BIGINT) AS nobs,
+        |       CAST(count(cnt) AS BIGINT) AS nser, round(max(av), 6) AS mxavg,
+        |       CAST(sum(fv) AS BIGINT) AS sfirst, CAST(sum(lv) AS BIGINT) AS slast
+        |FROM i GROUP BY day ORDER BY day LIMIT 20""".stripMargin,
+    // RATE mirror: lag in ts order within the cell, positive deltas
+    // summed (CASE-sum = the null-skipping when() the compiler emits)
+    "j250_esql_ts_rate" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |           FROM 'events.parquet'),
+        |k AS (SELECT *, make_timestamp((epoch_us(t) // 86400000000)
+        |                 * 86400000000) AS day FROM e),
+        |dl AS (SELECT user_id, event_type, day, cents, t,
+        |         cents - lag(cents) OVER (PARTITION BY user_id, event_type, day
+        |                                  ORDER BY t) AS d
+        |       FROM k),
+        |i AS (SELECT user_id, event_type, day,
+        |        sum(CASE WHEN d > 0 THEN d END) / 86400.0 AS r,
+        |        count(cents) AS cnt
+        |      FROM dl GROUP BY 1, 2, 3)
+        |SELECT day, round(max(r), 6) AS mxr, round(min(r), 6) AS mnr,
+        |       CAST(count(r) AS BIGINT) AS nrate, CAST(count(cnt) AS BIGINT) AS nser
+        |FROM i GROUP BY day ORDER BY day LIMIT 20""".stripMargin,
     // the hyperbolics/HYPOT are the exact exp/sqrt compositions the
     // compiler emits — same formula, same doubles, not merely 6dp-close
     "j246_esql_trig_inverse" ->

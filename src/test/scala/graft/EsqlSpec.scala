@@ -876,6 +876,52 @@ class EsqlSpec extends AnyFunSuite {
     assert(out.getString(2) === "x,x,y,y")   // default "," delimiter
   }
 
+  test("TS STATS is a two-level rollup: inner per series cell, outer across series") {
+    import s.implicits._
+    // two series (a, b) in one bucket; a rises 10→30 (increase 20),
+    // b falls 50→40 (a "reset" — no observable increase → NULL rate)
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 25L), ("a", 3L, 30L),
+      ("b", 4L, 50L), ("b", 5L, 40L))
+      .toDF("k", "ts", "v")
+      .withColumn("bkt", org.apache.spark.sql.functions.lit(0L))
+    val r = Esql.tsStats(df, Seq("k"),
+      "mx = MAX(MAX_OVER_TIME(v)), sm = SUM(SUM_OVER_TIME(v)), " +
+      "nser = COUNT(COUNT_OVER_TIME(v)), fst = SUM(FIRST_OVER_TIME(v)), " +
+      "lst = SUM(LAST_OVER_TIME(v)), mxr = MAX(RATE(v, 10)), " +
+      "nrate = COUNT(RATE(v, 10)) BY bkt").collect()(0)
+    assert(r.getAs[Long]("mx") === 50L)
+    assert(r.getAs[Long]("sm") === 65L + 90L)
+    assert(r.getAs[Long]("nser") === 2L)
+    assert(r.getAs[Long]("fst") === 10L + 50L) // per-series earliest values
+    assert(r.getAs[Long]("lst") === 30L + 40L) // per-series latest values
+    assert(r.getAs[Double]("mxr") === 2.0)     // a's increase 20 / span 10
+    assert(r.getAs[Long]("nrate") === 1L)      // b never increases → NULL
+  }
+
+  test("TS grammar: ON required, BY required, RATE span literal, outer fn restricted") {
+    intercept[IllegalArgumentException] {
+      Esql.compile(s, TestSpark.sf0001, "TS events | LIMIT 1")
+    }
+    intercept[IllegalArgumentException] {
+      Esql.compile(s, TestSpark.sf0001,
+        "TS events ON user_id | STATS m = MAX(MAX_OVER_TIME(value))")
+    }
+    intercept[IllegalArgumentException] {
+      Esql.compile(s, TestSpark.sf0001,
+        "TS events ON user_id | STATS m = MAX(RATE(value, x)) BY event_type")
+    }
+    intercept[IllegalArgumentException] {
+      Esql.compile(s, TestSpark.sf0001,
+        "TS events ON user_id | STATS m = MEDIAN(MAX_OVER_TIME(value)) BY event_type")
+    }
+    // a TS pipeline without any OVER_TIME/RATE stats is a loud error
+    intercept[IllegalArgumentException] {
+      Esql.compile(s, TestSpark.sf0001,
+        "TS events ON user_id | STATS n = COUNT(*) BY event_type")
+    }
+  }
+
   test("FIRST/LAST aggregate by sort key; per-agg WHERE filters both operands") {
     import s.implicits._
     val df = Seq((1L, 10L), (2L, 5L), (3L, 20L)).toDF("t", "v")

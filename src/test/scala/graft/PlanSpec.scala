@@ -1027,6 +1027,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p) // revenue agg map-combines
   }
 
+  test("j249: TS rollup is two map-combined hash aggregates, no window") {
+    val p = plan("j249_esql_ts")
+    // inner (series cell) + outer (per day) both partial-aggregate
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p) // 2 levels × partial+final
+    assert(p.contains("partial_max"), p)
+    assert(!p.contains("Window"), "the OVER_TIME family must stay pure " +
+      "aggregation — only RATE is allowed a (cell-bounded) window: " + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j250: RATE's delta window is partitioned by the full series cell") {
+    val p = plan("j250_esql_ts_rate")
+    val win = p.indexOf("Window")
+    assert(win >= 0, p)
+    // the lag partitions on (user_id, event_type, day) — never global
+    val spec = p.substring(win, math.min(p.length, win + 400))
+    assert(spec.contains("user_id"), spec)
+    assert(spec.contains("event_type"), spec)
+    assert(spec.contains("day"), spec)
+  }
+
   test("whole-stage codegen covers the flagship plan") {
     // AQE finalizes stages lazily — execute first, then inspect
     val df = SparkEntry.queries("d1_agg_group")(TestSpark.spark, TestSpark.sf0001)
