@@ -100,7 +100,7 @@ object Esql {
       "DATE_DIFF", "DATE_FORMAT", "DATE_PARSE", "DATE_EXTRACT", "NOW",
       "TO_INTEGER", "TO_BOOLEAN", "TO_DATETIME",
       "LEFT", "RIGHT", "REPLACE", "LOCATE", "REVERSE",
-      "MATCH", "QSTR",
+      "MATCH", "QSTR", "MATCH_PHRASE", "KQL",
       "POW", "SQRT", "EXP", "LOG10", "CEIL", "FLOOR", "GREATEST", "LEAST",
       "CATEGORIZE",
       "LTRIM", "RTRIM", "REPEAT", "LOG", "SIGNUM", "MD5",
@@ -707,6 +707,31 @@ object Esql {
           // aggregates and sibling BY keys
           val a = orExpr(c); c.expect(")")
           AggExtOps.categorizeCol(a)
+        case "MATCH_PHRASE" =>
+          // MATCH_PHRASE(field, "a b") — ES|QL 9.1's phrase function:
+          // all terms adjacent in order, j36's space-delimited
+          // adjacency device on the analyzed field (tokens are
+          // single-space separated by fixture contract, so ' a b '
+          // containment IS the 2-token phrase match — the same trick
+          // QueryString compiles quoted phrases with). Filter
+          // semantics, like MATCH.
+          val f = orExpr(c); c.expect(",")
+          val pTok = c.eat()
+          require(pTok.startsWith("\""), s"MATCH_PHRASE needs a literal phrase, got '$pTok'")
+          c.expect(")")
+          concat(lit(" "), f, lit(" ")).contains(s" ${unquote(pTok)} ")
+        case "KQL" =>
+          // KQL("kibana query") — ES|QL 9.1's KQL bridge. KQL's surface
+          // (field:value, quoted phrases, trailing-* prefixes, parens)
+          // is the QueryString grammar with CASE-INSENSITIVE and/or/not
+          // keywords, so the compile normalizes bare operator tokens
+          // and delegates to the ONE j172 parser — three surfaces
+          // (query_string DSL, QSTR, KQL), zero drift.
+          val qTok = c.eat()
+          require(qTok.startsWith("\""), s"KQL needs a literal query, got '$qTok'")
+          c.expect(")")
+          SearchOps.QueryString.compile(
+            SearchOps.QueryString.parseKql(unquote(qTok)))
         case "QSTR" =>
           // QSTR("lucene query") — ES|QL 8.17's query_string bridge:
           // the FULL Lucene syntax (fields, phrases, prefix wildcards,
@@ -2596,7 +2621,27 @@ object Esql {
   def j250(s: SparkSession, d: String): DataFrame =
     compile(s, d, j250Query)
 
+  /** j251_esql_fulltext_ext — MATCH_PHRASE + KQL, the remaining ES|QL
+    * 9.1 full-text functions (j231's MATCH/QSTR siblings): the phrase
+    * leg is j36's adjacency device on the analyzed field; the KQL leg
+    * normalizes case-insensitive and/or/not and delegates to the ONE
+    * j172 QueryString parser (three surfaces, zero drift). The graded
+    * query ORs the legs so both bind (26 phrase hits, 62 KQL hits, 85
+    * after union at sf0.001) and the KQL exercises fielded equality,
+    * NOT + trailing-* prefix, parens, and bare-term OR. Filter-only:
+    * keyword legs pushdown-eligible, text legs row-local, no shuffle
+    * before the presentation sort. */
+  val j251Query: String =
+    """FROM documents
+      || WHERE MATCH_PHRASE(text, "spark join") OR KQL("lang:fr and not source:src2* and (dup or vector)")
+      || KEEP doc_id, lang, source, n_chars
+      || SORT doc_id""".stripMargin
+
+  def j251(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j251Query)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j251_esql_fulltext_ext" -> j251,
     "j249_esql_ts" -> j249,
     "j250_esql_ts_rate" -> j250,
     "j244_esql_first_last" -> j244,
@@ -2641,6 +2686,14 @@ object Esql {
     "j214_esql_like_in" -> j214)
 
   val oracle: Map[String, String] = Map(
+    "j251_esql_fulltext_ext" ->
+      """WITH d AS (SELECT doc_id, lang, source, n_chars, text,
+        |             string_split(text, ' ') AS toks FROM 'documents.parquet')
+        |SELECT doc_id, lang, source, n_chars FROM d
+        |WHERE contains(' ' || text || ' ', ' spark join ')
+        |   OR (lang = 'fr' AND NOT starts_with(source, 'src2')
+        |       AND (list_contains(toks, 'dup') OR list_contains(toks, 'vector')))
+        |ORDER BY doc_id""".stripMargin,
     // the two-level TS rollup: inner per (series dims, day) cell,
     // outer per day — the same epoch-µs BUCKET device as j241
     "j249_esql_ts" ->

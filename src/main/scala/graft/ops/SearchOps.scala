@@ -798,6 +798,18 @@ object SearchOps {
     case class And(l: Node, r: Node) extends Node
     case class Or(l: Node, r: Node) extends Node
 
+    /** KQL entry: Kibana Query Language is this grammar with
+      * CASE-INSENSITIVE and/or/not keywords — normalize bare operator
+      * tokens (quoted phrases untouched: the tokenizer isolates them
+      * first) and reuse the one parser. */
+    def parseKql(q: String): Node = {
+      val toks = """\(|\)|"[^"]*"|[^\s()]+""".r.findAllIn(q).map { t =>
+        if (!t.startsWith("\"") &&
+            Set("and", "or", "not")(t.toLowerCase)) t.toUpperCase else t
+      }
+      parse(toks.mkString(" "))
+    }
+
     def parse(q: String): Node = {
       val toks = """\(|\)|"[^"]*"|[^\s()]+""".r.findAllIn(q).toList
       var rest = toks

@@ -876,6 +876,28 @@ class EsqlSpec extends AnyFunSuite {
     assert(out.getString(2) === "x,x,y,y")   // default "," delimiter
   }
 
+  test("MATCH_PHRASE needs adjacency in order; KQL operators are case-insensitive") {
+    import s.implicits._
+    val df = Seq(
+      (1L, "spark join fast", "en", "src1"),
+      (2L, "join spark fast", "en", "src1"),  // terms present, wrong order
+      (3L, "spark fast join", "fr", "src2"))  // terms present, not adjacent
+      .toDF("id", "text", "lang", "source")
+    val mp = Esql.applyPipe(s, TestSpark.sf0001, df,
+      """WHERE MATCH_PHRASE(text, "spark join")""").collect().map(_.getLong(0)).toSeq
+    assert(mp === Seq(1L))
+    val kql = Esql.applyPipe(s, TestSpark.sf0001, df,
+      """WHERE KQL("lang:en and not source:src2* and join")""")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(kql === Seq(1L, 2L))
+    // lowercase operators inside a quoted phrase are NOT operators
+    // (direct parseKql: the ES|QL lexer has no escaped-quote form)
+    val pred = ops.SearchOps.QueryString.compile(
+      ops.SearchOps.QueryString.parseKql("\"spark join\" or lang:fr"))
+    val ph = df.filter(pred).collect().map(_.getLong(0)).toSeq.sorted
+    assert(ph === Seq(1L, 3L))
+  }
+
   test("TS STATS is a two-level rollup: inner per series cell, outer across series") {
     import s.implicits._
     // two series (a, b) in one bucket; a rises 10→30 (increase 20),
