@@ -1262,6 +1262,18 @@ object Esql {
       val df = s.range(1).select(items.map { case (n, e) => e.as(n) }: _*)
       return applyStages(s, d, df, stages.tail)
     }
+    // SHOW INFO — the third source command: one row of engine metadata
+    // (date, hash, version — the ES column set). A bit-reproducible
+    // engine pins all three: date = the frozen clock (NOW's device),
+    // hash/version = the mirrored surface version. Completes the
+    // source-command surface (FROM / ROW / TS / SHOW).
+    if (stages.head.trim.equalsIgnoreCase("SHOW INFO")) {
+      val df = s.range(1).select(
+        to_timestamp_ntz(lit(pinnedNowNtz)).as("date"),
+        md5(lit("graft-9.1").cast("binary")).as("hash"),
+        lit("9.1.0-graft").as("version"))
+      return applyStages(s, d, df, stages.tail)
+    }
     // TS <index> ON d1, d2, … — ES|QL 9.1's time-series source command.
     // ES derives the series key (_tsid) from the index mapping's
     // dimension fields; a mapping-free engine cannot, so the dimensions
@@ -1737,6 +1749,39 @@ object Esql {
             .groupBy(col(key))
             .agg(round(Parity.sortedFoldSum(col("__rrf")), 6).as("fuse_score"),
               count(lit(1)).as("fuse_branches"))
+        case "COMPLETION" =>
+          // COMPLETION <col> = <prompt_expr> [WITH <model_id>] — ES|QL
+          // 9.1's inference completion stage. ES calls a hosted LLM; a
+          // bit-reproducible zero-egress engine cannot (the RERANK
+          // discipline), so the deterministic stand-in is an EXTRACTIVE
+          // summary: the prompt's 3 most frequent distinct whitespace
+          // tokens (ties broken token-asc, frequency capped at 999 by
+          // the encoding — prompts are fixture-bounded), space-joined.
+          // The WITH model id is accepted for syntax compatibility and
+          // intentionally unused (documented deviation). Row-local —
+          // codegen-friendly HOFs, no shuffle, streams unchanged.
+          val cc = new Cursor(lex(body))
+          val outName = cc.eat()
+          require(outName.matches(identRe),
+            s"COMPLETION needs <col> = <prompt>, got '$outName'")
+          cc.expect("=")
+          val prompt = orExpr(cc)
+          if (cc.peek.exists(_.equalsIgnoreCase("WITH"))) {
+            cc.eat()
+            val m = cc.eat()
+            require(m.matches(identRe) || m.startsWith("\""),
+              s"COMPLETION WITH needs a model id, got '$m'")
+          }
+          require(cc.toks.isEmpty,
+            s"unparsed ES|QL tokens: ${cc.toks.mkString(" ")}")
+          val ptoks = split(prompt, " ")
+          val keyedToks = transform(array_distinct(ptoks), t =>
+            concat(format_string("%03d",
+              lit(999) - size(org.apache.spark.sql.functions.filter(
+                ptoks, x => x === t))), t))
+          val top3 = slice(array_sort(keyedToks), 1, 3)
+          df = df.withColumn(outName,
+            array_join(transform(top3, k => k.substr(lit(4), lit(100000))), " "))
         case "RERANK" =>
           // RERANK "query" ON <text_col> BY <tiebreak> — ES|QL 9.1's
           // inference rerank stage. ES calls a hosted rerank model; a
@@ -2640,7 +2685,42 @@ object Esql {
   def j251(s: SparkSession, d: String): DataFrame =
     compile(s, d, j251Query)
 
+  /** j253_esql_completion — the COMPLETION inference stage (ES|QL 9.1)
+    * in the retrieve-then-summarize shape: MATCH filter + top-10 cut,
+    * then `COMPLETION summary = text WITH test_model` appends the
+    * deterministic extractive completion (3 most frequent distinct
+    * tokens — see the stage case; the hosted-LLM call is the
+    * documented stand-in, RERANK/CHANGE_POINT discipline). Fixture
+    * summaries are genuinely per-doc (10 distinct at sf0.001). */
+  val j253Query: String =
+    """FROM documents
+      || WHERE MATCH(text, "spark")
+      || SORT n_chars DESC, doc_id
+      || LIMIT 10
+      || COMPLETION summary = text WITH test_model
+      || EVAL n_sum = TO_LONG(LENGTH(summary))
+      || KEEP doc_id, summary, n_sum
+      || SORT doc_id""".stripMargin
+
+  def j253(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j253Query)
+
+  /** j254_esql_show_info — SHOW INFO, the last source command (the
+    * command surface is now FROM / ROW / TS / SHOW — complete against
+    * the ES|QL 9.1 list): one metadata row, every field pinned (the
+    * frozen-clock/pinned-version devices), piped through an ordinary
+    * stage to prove SHOW output folds like any source. */
+  val j254Query: String =
+    """SHOW INFO
+      || EVAL major = TO_LONG(SUBSTRING(version, 1, 1))
+      || KEEP date, hash, version, major""".stripMargin
+
+  def j254(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j254Query)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j254_esql_show_info" -> j254,
+    "j253_esql_completion" -> j253,
     "j251_esql_fulltext_ext" -> j251,
     "j249_esql_ts" -> j249,
     "j250_esql_ts_rate" -> j250,
@@ -2686,6 +2766,28 @@ object Esql {
     "j214_esql_like_in" -> j214)
 
   val oracle: Map[String, String] = Map(
+    "j254_esql_show_info" ->
+      """SELECT CAST('2024-02-01 00:00:00' AS TIMESTAMP) AS date,
+        |       md5('graft-9.1') AS hash,
+        |       '9.1.0-graft' AS version,
+        |       CAST(9 AS BIGINT) AS major""".stripMargin,
+    // the same frequency-keyed extraction: 999−count prefix makes the
+    // lexical sort a (count DESC, token ASC) sort, then strip-and-join
+    "j253_esql_completion" ->
+      """WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+        |           FROM 'documents.parquet'),
+        |top AS (SELECT doc_id, n_chars, toks FROM d
+        |        WHERE list_contains(toks, 'spark')
+        |        ORDER BY n_chars DESC, doc_id LIMIT 10),
+        |c AS (SELECT doc_id,
+        |        array_to_string(
+        |          list_transform(
+        |            list_sort(list_transform(list_distinct(toks),
+        |              t -> printf('%03d', 999 - len(list_filter(toks, x -> x = t))) || t))[1:3],
+        |            k -> k[4:]), ' ') AS summary
+        |      FROM top)
+        |SELECT doc_id, summary, CAST(length(summary) AS BIGINT) AS n_sum
+        |FROM c ORDER BY doc_id""".stripMargin,
     "j251_esql_fulltext_ext" ->
       """WITH d AS (SELECT doc_id, lang, source, n_chars, text,
         |             string_split(text, ' ') AS toks FROM 'documents.parquet')

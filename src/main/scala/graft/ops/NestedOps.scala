@@ -738,7 +738,36 @@ object NestedOps {
     out
   }
 
+  /** j252_eql_sample — EQL's `sample by user_id [view][purchase][error]`
+    * (ES 8.6): UNORDERED key-joined sets. Unlike sequence, samples
+    * ignore chronology entirely — a key qualifies iff at least one
+    * event matches EACH step filter, in ANY order; no maxspan, no
+    * until. ES returns one unspecified sample per key; the
+    * deterministic twin picks the EARLIEST event per (key, step)
+    * (documented deviation; ts is fixture-verified unique).
+    *
+    * Scale shape: one filtered MAP-COMBINED keyed aggregate per step
+    * (min over the step's events — partial-aggregates before the
+    * exchange) + (k−1) equi-joins on the by key, all co-partitioned on
+    * user_id (one exchange lineage). The step predicates push to the
+    * scans. No windows, no time-range pair blowup — the cheap
+    * unordered sibling of [[seqEarliest]], which is exactly why ES
+    * added it (sequence state machines priced out of "did these three
+    * things ever co-occur on a host" hunts). */
+  def j252(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.eventsUs(s, d).select($"user_id", $"event_type", $"ts_us")
+    def step(t: String, out: String): DataFrame =
+      e.filter($"event_type" === t).groupBy($"user_id")
+        .agg(min($"ts_us").as(out))
+    step("view", "t_view")
+      .join(step("purchase", "t_purchase"), "user_id")
+      .join(step("error", "t_error"), "user_id")
+      .orderBy($"user_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j252_eql_sample" -> j252,
     "j164_nested_query" -> j164,
     "j165_reverse_nested_agg" -> j165,
     "j167_terms_order_metric" -> j167,
@@ -756,6 +785,19 @@ object NestedOps {
     "j193_jaccard_sweep" -> j193)
 
   val oracle: Map[String, String] = Map(
+    "j252_eql_sample" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |           FROM 'events.parquet'),
+        |s1 AS (SELECT user_id, min(ts_us) AS t_view FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT user_id, min(ts_us) AS t_purchase FROM e
+        |       WHERE event_type = 'purchase' GROUP BY 1),
+        |s3 AS (SELECT user_id, min(ts_us) AS t_error FROM e
+        |       WHERE event_type = 'error' GROUP BY 1)
+        |SELECT user_id, t_view, t_purchase, t_error
+        |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "j164_nested_query" ->
       """WITH li AS (SELECT l_orderkey, l_quantity,
         |              CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc

@@ -898,6 +898,22 @@ class EsqlSpec extends AnyFunSuite {
     assert(ph === Seq(1L, 3L))
   }
 
+  test("COMPLETION extracts top-3 frequent tokens; WITH model id optional; SHOW INFO pinned") {
+    import s.implicits._
+    val df = Seq((1L, "b b b a a c d")).toDF("id", "p")
+    val r = Esql.applyPipe(s, TestSpark.sf0001, df,
+      "COMPLETION sum = p WITH test_model").collect()(0)
+    assert(r.getAs[String]("sum") === "b a c") // freq 3,2,1; d loses the tie to c
+    val r2 = Esql.applyPipe(s, TestSpark.sf0001, df,
+      "COMPLETION sum = p").collect()(0)      // WITH is optional
+    assert(r2.getAs[String]("sum") === "b a c")
+    val info = Esql.compile(s, TestSpark.sf0001, "SHOW INFO").collect()(0)
+    assert(info.getAs[String]("version") === "9.1.0-graft")
+    intercept[IllegalArgumentException] {
+      Esql.applyPipe(s, TestSpark.sf0001, df, "COMPLETION sum p") // missing =
+    }
+  }
+
   test("TS STATS is a two-level rollup: inner per series cell, outer across series") {
     import s.implicits._
     // two series (a, b) in one bucket; a rises 10→30 (increase 20),

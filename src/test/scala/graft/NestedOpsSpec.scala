@@ -62,4 +62,20 @@ class NestedOpsSpec extends AnyFunSuite {
     // (fixture-verified: 6 of 36 raw 12h users die to signup at sf0.01)
     assert(j168.nonEmpty && j228.nonEmpty)
   }
+
+  test("j252 sample is UNORDERED: keys qualify regardless of event order (≠ sequence)") {
+    val sample = SparkEntry.queries("j252_eql_sample")(s, TestSpark.sf001)
+      .collect()
+    // unordered membership: every user with all three types qualifies,
+    // including those whose purchase/error precede the first view —
+    // verify at least one sampled user has t_purchase < t_view or
+    // t_error < t_view (a sequence would reject those orderings)
+    val unordered = sample.filter(r =>
+      r.getLong(1) > r.getLong(2) || r.getLong(1) > r.getLong(3))
+    assert(unordered.nonEmpty,
+      "fixture has no out-of-order sample — the unordered claim is unobservable")
+    // and the earliest-per-step pick is deterministic: re-run equals
+    val again = SparkEntry.queries("j252_eql_sample")(s, TestSpark.sf001).collect()
+    assert(sample.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
