@@ -85,7 +85,15 @@ object ScaleProbe {
         // documents-keyed addition (the other rows are events-based —
         // the scale dirs carry documents/embeddings only); row-local
         // array folds must stay corpus-linear
-        "j229_esql_mv_position")
+        "j229_esql_mv_position",
+        // round 11: the documents-keyed additions — retrieve-then-
+        // rerank/summarize pipelines (the LIMIT cut must keep the rank
+        // window constant-cost while the scan grows), the hash/encode
+        // and ROUND_TO/MV row-local folds, and the two-leg full-text
+        // filter (phrase containment + KQL predicate)
+        "j245_esql_rerank", "j247_esql_hash_encode",
+        "j248_esql_round_to_mv", "j251_esql_fulltext_ext",
+        "j253_esql_completion")
         if only.forall(_.contains(q))) {
       val missing = needs.get(q)
         .filterNot(f => new java.io.File(d, f).exists())
