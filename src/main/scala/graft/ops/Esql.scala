@@ -1370,7 +1370,11 @@ object Esql {
     val keys = aliasedList(new Cursor(lex(body.drop(byIdx + 2))), "key")
     val innerFns = Set("MAX_OVER_TIME", "MIN_OVER_TIME", "SUM_OVER_TIME",
       "COUNT_OVER_TIME", "AVG_OVER_TIME", "FIRST_OVER_TIME",
-      "LAST_OVER_TIME", "RATE")
+      "LAST_OVER_TIME", "COUNT_DISTINCT_OVER_TIME",
+      "RATE", "DELTA", "IDELTA", "INCREASE", "IRATE")
+    // the delta family needs the consecutive-difference pre-pass;
+    // IRATE additionally needs the time gap between the last two samples
+    val needsDelta = Set("RATE", "IDELTA", "INCREASE", "IRATE")
     val outerFns = Set("MIN", "MAX", "SUM", "COUNT", "AVG")
     case class TsItem(name: String, outer: String, inner: String,
         arg: Column, rateSpan: Long)
@@ -1410,10 +1414,13 @@ object Esql {
     // the global single-partition hazard.
     var keyed = keys.foldLeft(df0) { case (f, (n, e)) => f.withColumn(n, e) }
     val cellCols = (dims ++ keys.map(_._1)).map(col)
-    for ((it, i) <- items.zipWithIndex if it.inner == "RATE") {
+    for ((it, i) <- items.zipWithIndex if needsDelta(it.inner)) {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(cellCols: _*).orderBy(col("ts"))
       keyed = keyed.withColumn(s"__ts_d$i", it.arg - lag(it.arg, 1).over(w))
+      if (it.inner == "IRATE")
+        keyed = keyed.withColumn(s"__ts_g$i",
+          usOf(col("ts")) - lag(usOf(col("ts")), 1).over(w))
     }
     val innerAggs = items.toSeq.zipWithIndex.map { case (it, i) =>
       val a = it.inner match {
@@ -1424,9 +1431,29 @@ object Esql {
         case "AVG_OVER_TIME" => avg(it.arg)
         case "FIRST_OVER_TIME" => min_by(it.arg, col("ts"))
         case "LAST_OVER_TIME" => max_by(it.arg, col("ts"))
+        case "COUNT_DISTINCT_OVER_TIME" => count_distinct(it.arg)
         case "RATE" =>
           val d = col(s"__ts_d$i")
           sum(when(d > lit(0), d)).cast("double") / lit(it.rateSpan.toDouble)
+        // the promql-descended delta family (ES|QL 9.2 TS functions):
+        // DELTA = last − first (gauge delta, exact integers);
+        // IDELTA = the LAST consecutive delta (signed);
+        // INCREASE = RATE's numerator — sum of positive deltas, no span;
+        // IRATE = the last delta / its own time gap, NULL when the last
+        // movement is not an increase (a reset — consistent with RATE's
+        // no-observable-increase contract). All deterministic: ts is
+        // unique, the operands exact integers.
+        case "DELTA" =>
+          max_by(it.arg, col("ts")) - min_by(it.arg, col("ts"))
+        case "IDELTA" => max_by(col(s"__ts_d$i"), col("ts"))
+        case "INCREASE" =>
+          val d = col(s"__ts_d$i")
+          sum(when(d > lit(0), d))
+        case "IRATE" =>
+          val lastD = max_by(col(s"__ts_d$i"), col("ts"))
+          val lastG = max_by(col(s"__ts_g$i"), col("ts"))
+          when(lastD > lit(0),
+            lastD.cast("double") / (lastG.cast("double") / lit(1000000.0)))
       }
       a.as(s"__ts_v$i")
     }
@@ -2718,7 +2745,29 @@ object Esql {
   def j254(s: SparkSession, d: String): DataFrame =
     compile(s, d, j254Query)
 
+  /** j255_esql_ts_delta — the promql-descended half of the ES|QL 9.2
+    * time-series functions through the same [[tsStats]] rollup: DELTA
+    * (last − first), IDELTA (last consecutive delta, signed), INCREASE
+    * (sum of positive deltas — RATE's numerator without the span),
+    * IRATE (last delta / its own time gap; NULL when the last movement
+    * is a reset), COUNT_DISTINCT_OVER_TIME. The fixture binds the
+    * interesting paths: negative deltas, a day whose max IDELTA is
+    * negative and whose IRATE is NULL everywhere, nrate asymmetries.
+    * Exact-integer inners aggregate via SUM/MIN/MAX; the one double
+    * (IRATE) via MAX + 6dp ROUND (j234). */
+  val j255Query: String =
+    """TS events ON user_id, event_type
+      || EVAL cents = ROUND(value * 100)
+      || STATS mxd = MAX(DELTA(cents)), mnd = MIN(DELTA(cents)), mxid = MAX(IDELTA(cents)), tinc = SUM(INCREASE(cents)), mxir = MAX(IRATE(cents)), snd = SUM(COUNT_DISTINCT_OVER_TIME(cents)) BY day = BUCKET(ts, 1 day)
+      || EVAL mxir = ROUND(mxir, 6)
+      || SORT day
+      || LIMIT 20""".stripMargin
+
+  def j255(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j255Query)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j255_esql_ts_delta" -> j255,
     "j254_esql_show_info" -> j254,
     "j253_esql_completion" -> j253,
     "j251_esql_fulltext_ext" -> j251,
@@ -2766,6 +2815,32 @@ object Esql {
     "j214_esql_like_in" -> j214)
 
   val oracle: Map[String, String] = Map(
+    "j255_esql_ts_delta" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |           FROM 'events.parquet'),
+        |k AS (SELECT *, make_timestamp((epoch_us(t) // 86400000000)
+        |                 * 86400000000) AS day FROM e),
+        |dl AS (SELECT *, cents - lag(cents) OVER w AS d,
+        |         tus - lag(tus) OVER w AS g
+        |       FROM k WINDOW w AS (PARTITION BY user_id, event_type, day
+        |                           ORDER BY t)),
+        |i AS (SELECT user_id, event_type, day,
+        |        arg_max(cents, t) - arg_min(cents, t) AS delta,
+        |        arg_max(d, t) AS idelta,
+        |        sum(CASE WHEN d > 0 THEN d END) AS inc,
+        |        CASE WHEN arg_max(d, t) > 0
+        |             THEN arg_max(d, t) / (arg_max(g, t) / 1000000.0) END AS ir,
+        |        count(DISTINCT cents) AS nd
+        |      FROM dl GROUP BY 1, 2, 3)
+        |SELECT day, CAST(max(delta) AS BIGINT) AS mxd,
+        |       CAST(min(delta) AS BIGINT) AS mnd,
+        |       CAST(max(idelta) AS BIGINT) AS mxid,
+        |       CAST(sum(inc) AS BIGINT) AS tinc,
+        |       round(max(ir), 6) AS mxir,
+        |       CAST(sum(nd) AS BIGINT) AS snd
+        |FROM i GROUP BY day ORDER BY day LIMIT 20""".stripMargin,
     "j254_esql_show_info" ->
       """SELECT CAST('2024-02-01 00:00:00' AS TIMESTAMP) AS date,
         |       md5('graft-9.1') AS hash,

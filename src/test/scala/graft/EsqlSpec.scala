@@ -935,6 +935,18 @@ class EsqlSpec extends AnyFunSuite {
     assert(r.getAs[Long]("lst") === 30L + 40L) // per-series latest values
     assert(r.getAs[Double]("mxr") === 2.0)     // a's increase 20 / span 10
     assert(r.getAs[Long]("nrate") === 1L)      // b never increases → NULL
+    // the promql-descended delta family on the same frame: a rises
+    // 10→25→30 (delta 20, last step +5 over 1 s), b falls 50→40
+    val r2 = Esql.tsStats(df, Seq("k"),
+      "mxd = MAX(DELTA(v)), mnd = MIN(DELTA(v)), lid = MAX(IDELTA(v)), " +
+      "tinc = SUM(INCREASE(v)), mxir = MAX(IRATE(v)), " +
+      "snd = SUM(COUNT_DISTINCT_OVER_TIME(v)) BY bkt").collect()(0)
+    assert(r2.getAs[Long]("mxd") === 20L)
+    assert(r2.getAs[Long]("mnd") === -10L)
+    assert(r2.getAs[Long]("lid") === 5L)       // a's last consecutive delta
+    assert(r2.getAs[Long]("tinc") === 20L)     // b contributes NULL, not 0
+    assert(r2.getAs[Double]("mxir") === 5.0)   // +5 over the 1 s gap
+    assert(r2.getAs[Long]("snd") === 3L + 2L)
   }
 
   test("TS grammar: ON required, BY required, RATE span literal, outer fn restricted") {
