@@ -109,7 +109,8 @@ object Esql {
       "TO_RADIANS", "TO_DEGREES",
       "ASIN", "ACOS", "ATAN", "SINH", "COSH", "TANH", "HYPOT", "E", "TAU",
       "SHA256", "TO_BASE64", "FROM_BASE64", "BIT_LENGTH", "BYTE_LENGTH",
-      "ROUND_TO", "MV_APPEND", "MV_ZIP")
+      "ROUND_TO", "MV_APPEND", "MV_ZIP",
+      "MV_PERCENTILE", "MV_PSERIES_WEIGHTED_SUM", "SPACE")
 
   /** Deterministic NOW(): ES|QL's NOW() is query-evaluation wall-clock —
     * unusable in a bit-reproducible engine — so it compiles to this
@@ -476,6 +477,54 @@ object Esql {
           sorted.tail.foldLeft(lit(sorted.head): Column) {
             (acc, p) => when(a >= lit(p), lit(p)).otherwise(acc)
           }
+        case "MV_PERCENTILE" =>
+          // MV_PERCENTILE(field, p) — PERCENTILE's row-local multivalue
+          // twin: linear interpolation over the SORTED elements at rank
+          // p/100·(n−1). Elements are cast to double BEFORE any
+          // arithmetic so both engines interpolate in the same domain
+          // (float−float subtraction would round differently than the
+          // promoted form); the rank arithmetic is a literal times an
+          // integer — exact. Empty/null arrays yield null (the ES
+          // empty-multivalue contract, like MV_SUM/MV_MEDIAN).
+          val a = orExpr(c); c.expect(",")
+          val pTok = c.eat()
+          require(pTok.matches("""\d+(\.\d+)?"""),
+            s"MV_PERCENTILE needs a literal percentile, got '$pTok'")
+          c.expect(")")
+          val frac = pTok.toDouble / 100.0
+          require(frac >= 0 && frac <= 1.0, s"percentile out of [0,100]: $pTok")
+          val sorted = array_sort(a)
+          val n = size(a)
+          val rank = lit(frac) * (n - lit(1)).cast("double")
+          val lo = floor(rank).cast("int")
+          val hi = ceil(rank).cast("int")
+          val vlo = element_at(sorted, lo + lit(1)).cast("double")
+          val vhi = element_at(sorted, hi + lit(1)).cast("double")
+          when(a.isNull || n === lit(0), lit(null))
+            .otherwise(vlo + (rank - lo.cast("double")) * (vhi - vlo))
+        case "MV_PSERIES_WEIGHTED_SUM" =>
+          // MV_PSERIES_WEIGHTED_SUM(field, p) — Σ v_i / i^p over the
+          // elements IN ARRAY ORDER (1-based i; callers sort first —
+          // the ES form expects a descending-relevance list). The
+          // left-to-right double fold is j238's MV_SUM device (≡ DuckDB
+          // list_sum element order); i^p is libm pow with identical
+          // literal args → the j234 ROUND-6dp rule applies downstream.
+          val a = orExpr(c); c.expect(",")
+          val pTok = c.eat()
+          require(pTok.matches("""\d+(\.\d+)?"""),
+            s"MV_PSERIES_WEIGHTED_SUM needs a literal p, got '$pTok'")
+          c.expect(")")
+          val p = pTok.toDouble
+          val weighted = transform(a, (x, i) =>
+            x.cast("double") / pow((i + lit(1)).cast("double"), lit(p)))
+          when(a.isNull || size(a) === lit(0), lit(null))
+            .otherwise(aggregate(weighted, lit(0.0), (acc, x) => acc + x))
+        case "SPACE" =>
+          // SPACE(n) = REPEAT(" ", n)
+          val nTok = c.eat()
+          require(nTok.matches("""\d+"""), s"SPACE needs a literal count, got '$nTok'")
+          c.expect(")")
+          lit(" " * nTok.toInt)
         case "MV_APPEND" =>
           val a = orExpr(c); c.expect(",")
           val b = orExpr(c); c.expect(")")
@@ -2766,7 +2815,26 @@ object Esql {
   def j255(s: SparkSession, d: String): DataFrame =
     compile(s, d, j255Query)
 
+  /** j256_esql_mv_math — the remaining numeric multivalue functions over
+    * the REAL float-array column (j238's siblings): MV_PERCENTILE
+    * (linear interpolation at rank p/100·(n−1) over the sorted
+    * elements, cast to double BEFORE arithmetic so both engines
+    * interpolate in the same domain), MV_PSERIES_WEIGHTED_SUM
+    * (Σ vᵢ/i^p in array order over a MV_SORT-desc list — the ES
+    * descending-relevance form; left-to-right fold = j238's MV_SUM
+    * device, i^p libm pow under the j234 rule), and SPACE (REPEAT's
+    * sibling, observable through the grouped pad key). */
+  val j256Query: String =
+    """FROM embeddings
+      || EVAL p90 = ROUND(MV_PERCENTILE(embedding, 90), 6), p50 = ROUND(MV_PERCENTILE(embedding, 50), 6), pw = ROUND(MV_PSERIES_WEIGHTED_SUM(MV_SORT(embedding, "desc"), 1.5), 6), pad = CONCAT(TO_STRING(label), SPACE(2), "x")
+      || STATS n = COUNT(*), mx90 = MAX(p90), mn90 = MIN(p90), mx50 = MAX(p50), mxpw = MAX(pw), mnpw = MIN(pw), mxpad = MAX(pad) BY label
+      || SORT label""".stripMargin
+
+  def j256(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j256Query)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j256_esql_mv_math" -> j256,
     "j255_esql_ts_delta" -> j255,
     "j254_esql_show_info" -> j254,
     "j253_esql_completion" -> j253,
@@ -2815,6 +2883,27 @@ object Esql {
     "j214_esql_like_in" -> j214)
 
   val oracle: Map[String, String] = Map(
+    "j256_esql_mv_math" ->
+      """WITH d AS (SELECT label, embedding AS v FROM 'embeddings.parquet'),
+        |s AS (SELECT label, list_sort(v) AS sv, list_sort(v, 'DESC') AS dv,
+        |             len(v) AS n FROM d),
+        |c AS (SELECT label,
+        |   round(CAST(sv[CAST(floor(0.9*(n-1)) AS INT)+1] AS DOUBLE)
+        |     + (0.9*(n-1) - floor(0.9*(n-1)))
+        |       * (CAST(sv[CAST(ceil(0.9*(n-1)) AS INT)+1] AS DOUBLE)
+        |          - CAST(sv[CAST(floor(0.9*(n-1)) AS INT)+1] AS DOUBLE)), 6) AS p90,
+        |   round(CAST(sv[CAST(floor(0.5*(n-1)) AS INT)+1] AS DOUBLE)
+        |     + (0.5*(n-1) - floor(0.5*(n-1)))
+        |       * (CAST(sv[CAST(ceil(0.5*(n-1)) AS INT)+1] AS DOUBLE)
+        |          - CAST(sv[CAST(floor(0.5*(n-1)) AS INT)+1] AS DOUBLE)), 6) AS p50,
+        |   round(list_sum(list_transform(dv,
+        |     (x,i) -> CAST(x AS DOUBLE) / pow(CAST(i AS DOUBLE), 1.5))), 6) AS pw,
+        |   CAST(label AS VARCHAR) || '  ' || 'x' AS pad
+        |  FROM s)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n, max(p90) AS mx90,
+        |       min(p90) AS mn90, max(p50) AS mx50, max(pw) AS mxpw,
+        |       min(pw) AS mnpw, max(pad) AS mxpad
+        |FROM c GROUP BY 1 ORDER BY label""".stripMargin,
     "j255_esql_ts_delta" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t,
         |             epoch_us(CAST(ts AS TIMESTAMP)) AS tus,

@@ -898,6 +898,26 @@ class EsqlSpec extends AnyFunSuite {
     assert(ph === Seq(1L, 3L))
   }
 
+  test("MV_PERCENTILE interpolates over sorted elements; PSERIES folds in order; SPACE pads") {
+    import s.implicits._
+    val df = Seq((Seq(4.0, 1.0, 3.0, 2.0), Seq(4.0, 2.0), Seq.empty[Double]))
+      .toDF("a", "b", "e")
+    val r = df.select(
+      Esql.parseExpr("MV_PERCENTILE(a, 75)").as("p75"),
+      Esql.parseExpr("MV_PERCENTILE(a, 0)").as("p0"),
+      Esql.parseExpr("MV_PERCENTILE(e, 50)").as("pe"),
+      Esql.parseExpr("MV_PSERIES_WEIGHTED_SUM(b, 1)").as("pw"),
+      Esql.parseExpr("""CONCAT("x", SPACE(3), "y")""").as("sp")).head()
+    assert(r.getDouble(0) === 3.25) // sorted [1,2,3,4], rank 2.25 → 3 + .25
+    assert(r.getDouble(1) === 1.0)
+    assert(r.isNullAt(2))           // empty multivalue → null
+    assert(r.getDouble(3) === 4.0 / 1 + 2.0 / 2) // in-order Σ vᵢ/i^1
+    assert(r.getString(4) === "x   y")
+    intercept[IllegalArgumentException] {
+      Esql.parseExpr("MV_PERCENTILE(a, 101)")
+    }
+  }
+
   test("COMPLETION extracts top-3 frequent tokens; WITH model id optional; SHOW INFO pinned") {
     import s.implicits._
     val df = Seq((1L, "b b b a a c d")).toDF("id", "p")
