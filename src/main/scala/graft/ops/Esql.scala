@@ -89,7 +89,8 @@ object Esql {
 
   private val aggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG",
     "COUNT_DISTINCT", "PERCENTILE", "MEDIAN", "WEIGHTED_AVG", "TOP",
-    "STD_DEV", "MEDIAN_ABSOLUTE_DEVIATION", "VALUES", "FIRST", "LAST")
+    "STD_DEV", "MEDIAN_ABSOLUTE_DEVIATION", "VALUES", "FIRST", "LAST",
+    "SAMPLE")
   private val scalarFns =
     Set("ROUND", "ABS", "SPLIT", "CONCAT", "TO_LONG", "TO_DOUBLE", "LENGTH",
       "DATE_TRUNC", "CASE", "COALESCE",
@@ -199,6 +200,28 @@ object Esql {
           val t = orExpr(c); c.expect(")")
           if (isFirst) min_by(c.filt(v), c.filt(t))
           else max_by(c.filt(v), c.filt(t))
+        case "SAMPLE" =>
+          // SAMPLE(field, N, id) — ES|QL 9.1's sample aggregate: N of
+          // the group's values. ES draws with an RNG; the deterministic
+          // twin is the j210 stage's device as an aggregate — rank rows
+          // by md5 of the EXPLICIT id column (the extra operand is the
+          // same documented deviation as the SAMPLE stage's), take N,
+          // emit CSV in draw order. The md5 key prefixes the value in
+          // ONE string (32-hex + '|'), so sort/slice/strip is identical
+          // text processing in both engines. Per-agg WHERE nulls the
+          // key and collect_list skips nulls = FILTER semantics.
+          val v = orExpr(c); c.expect(",")
+          val nTok = c.eat()
+          require(nTok.matches("""\d+"""), s"SAMPLE needs a literal count, got '$nTok'")
+          c.expect(",")
+          val idc = orExpr(c); c.expect(")")
+          val key = concat(
+            md5(concat(idc.cast("string"), lit("|sample")).cast("binary")),
+            lit("|"), v.cast("string"))
+          array_join(
+            transform(
+              slice(array_sort(collect_list(c.filt(key))), 1, nTok.toInt),
+              x => x.substr(lit(34), lit(1000000))), ",")
         case "VALUES" =>
           // VALUES(field) — the group's distinct values as a multivalue.
           // ES documents the order as non-deterministic; a distributed,
@@ -2833,7 +2856,25 @@ object Esql {
   def j256(s: SparkSession, d: String): DataFrame =
     compile(s, d, j256Query)
 
+  /** j257_esql_sample_agg — the SAMPLE aggregate (ES|QL 9.1) in STATS:
+    * N of the group's values under the deterministic md5-of-id draw
+    * (see the compiler case — the j210 stage device as an aggregate),
+    * with a per-aggregate WHERE leg proving FILTER composition. The
+    * collect is N-bounded per group AFTER an md5 rank — the collected
+    * list is group-sized pre-slice, which is the ES semantics too (its
+    * sampler holds the reservoir per bucket); groups here are the
+    * 5-language partition, so the state is corpus/5 strings — the
+    * d9-collect discipline (bounded by the group, never the corpus). */
+  val j257Query: String =
+    """FROM documents
+      || STATS n = COUNT(*), pick = SAMPLE(source, 3, doc_id), pick_s1 = SAMPLE(source, 2, doc_id) WHERE STARTS_WITH(source, "src1") BY lang
+      || SORT lang""".stripMargin
+
+  def j257(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j257Query)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j257_esql_sample_agg" -> j257,
     "j256_esql_mv_math" -> j256,
     "j255_esql_ts_delta" -> j255,
     "j254_esql_show_info" -> j254,
@@ -2883,6 +2924,18 @@ object Esql {
     "j214_esql_like_in" -> j214)
 
   val oracle: Map[String, String] = Map(
+    "j257_esql_sample_agg" ->
+      """WITH d AS (SELECT lang, source,
+        |             md5(CAST(doc_id AS VARCHAR) || '|sample')
+        |               || '|' || source AS key
+        |           FROM 'documents.parquet')
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  array_to_string(list_transform(list_sort(list(key))[1:3],
+        |    x -> x[34:]), ',') AS pick,
+        |  array_to_string(list_transform(list_sort(
+        |    list(key) FILTER (WHERE source LIKE 'src1%'))[1:2],
+        |    x -> x[34:]), ',') AS pick_s1
+        |FROM d GROUP BY 1 ORDER BY lang""".stripMargin,
     "j256_esql_mv_math" ->
       """WITH d AS (SELECT label, embedding AS v FROM 'embeddings.parquet'),
         |s AS (SELECT label, list_sort(v) AS sv, list_sort(v, 'DESC') AS dv,

@@ -898,6 +898,18 @@ class EsqlSpec extends AnyFunSuite {
     assert(ph === Seq(1L, 3L))
   }
 
+  test("SAMPLE aggregate draws N by md5-of-id; per-agg WHERE filters the draw pool") {
+    import s.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    val r = Esql.applyPipe(s, TestSpark.sf0001, df,
+      """STATS all4 = SAMPLE(v, 4, id), two = SAMPLE(v, 2, id), odd = SAMPLE(v, 9, id) WHERE id % 2 == 1""")
+      .collect()(0)
+    val all4 = r.getString(0).split(",").toSeq
+    assert(all4.sorted === Seq("a", "b", "c", "d")) // N ≥ group → all values
+    assert(r.getString(1).split(",").toSeq === all4.take(2)) // same draw order, cut
+    assert(r.getString(2).split(",").toSeq.sorted === Seq("a", "c")) // WHERE pool
+  }
+
   test("MV_PERCENTILE interpolates over sorted elements; PSERIES folds in order; SPACE pads") {
     import s.implicits._
     val df = Seq((Seq(4.0, 1.0, 3.0, 2.0), Seq(4.0, 2.0), Seq.empty[Double]))
