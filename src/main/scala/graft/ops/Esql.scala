@@ -1587,7 +1587,10 @@ object Esql {
     * i17 pins a WHERE→ENRICH→STATS pipeline batch ≡ stream).
     * Not stream-legal (Spark's rules, enforced at start() not here):
     * SORT/LIMIT outside complete mode, INLINESTATS (window), LOOKUP
-    * JOIN/ENRICH against another stream, CHANGE_POINT, FORK.
+    * JOIN/ENRICH against another stream, CHANGE_POINT, FORK. TS
+    * pipelines are batch-only by construction (the FROM-events guard
+    * below rejects them): the two-level rollup is two stacked
+    * aggregations, which Structured Streaming does not plan.
     * StreamingSpec replays the fixture log and pins a WHERE→EVAL→STATS
     * pipeline's streamed result equal to the batch [[compile]] row for
     * row — the two surfaces share THIS one compiler, so they cannot

@@ -829,6 +829,12 @@ object SearchOps {
             case -1 => (None, t)
             case i => (Some(t.take(i)), t.drop(i + 1))
           }
+          // an empty value means a fielded GROUP (`lang:(en or fr)` —
+          // the tokenizer split at the paren): unsupported syntax must
+          // be a LOUD parse error, never a silent `col === ""` filter
+          require(v.nonEmpty,
+            s"empty value in clause '$t' (fielded groups like f:(a OR b) " +
+              s"are not supported — distribute the field: f:a OR f:b) in: $q")
           if (v.endsWith("*"))
             Clause(f, v.dropRight(1), prefix = true, phrase = false)
           else Clause(f, v, prefix = false, phrase = false)

@@ -896,6 +896,10 @@ class EsqlSpec extends AnyFunSuite {
       ops.SearchOps.QueryString.parseKql("\"spark join\" or lang:fr"))
     val ph = df.filter(pred).collect().map(_.getLong(0)).toSeq.sorted
     assert(ph === Seq(1L, 3L))
+    // a fielded group is a LOUD parse error, not a silent col==="" filter
+    intercept[IllegalArgumentException] {
+      ops.SearchOps.QueryString.parseKql("lang:(en or fr)")
+    }
   }
 
   test("SAMPLE aggregate draws N by md5-of-id; per-agg WHERE filters the draw pool") {

@@ -1048,6 +1048,19 @@ class PlanSpec extends AnyFunSuite {
     assert(spec.contains("day"), spec)
   }
 
+  test("j245: RERANK's rank window runs AFTER the TakeOrdered cut — bounded frame") {
+    val p = plan("j245_esql_rerank")
+    // plan strings print consumers above producers: the retrieve cut
+    // (limit=20) must appear BELOW the window it feeds — the rank
+    // window never sees more than 20 rows
+    val cut20 = p.indexOf("TakeOrderedAndProject(limit=20")
+    val win = p.indexOf("Window")
+    assert(cut20 >= 0 && win >= 0, p)
+    assert(win < cut20, "rank window is not fed by the retrieve cut: " + p)
+    // and the scan is pruned: only the 3 referenced columns are read
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,n_chars:bigint>"), p)
+  }
+
   test("whole-stage codegen covers the flagship plan") {
     // AQE finalizes stages lazily — execute first, then inspect
     val df = SparkEntry.queries("d1_agg_group")(TestSpark.spark, TestSpark.sf0001)
