@@ -919,6 +919,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("i17b: the COMPLETION inference stage runs on the change stream unchanged") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // the round-11 inference stage is row-local by construction, so the
+    // live-summarization pipeline streams through the SAME compiler —
+    // extending the i16 stateless-stage contract to the inference stage
+    val pipeline =
+      """FROM events
+        || WHERE event_type == "purchase"
+        || EVAL p = CONCAT(event_type, " ", TO_STRING(ROUND(value * 100)), " ", event_type)
+        || COMPLETION summary = p WITH live_model
+        || STATS n = COUNT(*) BY summary""".stripMargin
+    val batch = graft.ops.Esql.compile(spark, TestSpark.sf0001, pipeline)
+      .as[(String, Long)].collect().toSet
+    val q = graft.ops.Esql.compileStream(spark, TestSpark.sf0001, pipeline)
+      .writeStream.format("memory").queryName("esql_completion_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("esql_completion_stream")
+        .as[(String, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.size > 10) // per-value summaries — not vacuous
+    } finally q.stop()
+  }
+
   test("a5: parquet directory consumed as an unbounded stream") {
     val spark = TestSpark.spark
     import spark.implicits._
