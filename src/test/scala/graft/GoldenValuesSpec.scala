@@ -1051,4 +1051,43 @@ class GoldenValuesSpec extends AnyFunSuite {
     assert(r.getDouble(r.fieldIndex("score")) === 10.692119)
     assert(r.getLong(r.fieldIndex("n_terms")) === 3L)
   }
+
+  test("j246 inverse-trig/hyperbolic cells match DuckDB (the 6dp absorber works)") {
+    // the hyperbolics are exp compositions where JVM Math.exp can sit
+    // 1 ULP off C libm — these cells pin that the 6dp ROUND absorbs it
+    val r = q("j246_esql_trig_inverse").head() // event_type = 'click'
+    assert(r.getLong(r.fieldIndex("n")) === 210L)
+    assert(r.getDouble(r.fieldIndex("mn_as")) === -1.570796) // asin(-1)
+    assert(r.getDouble(r.fieldIndex("mx_ac")) === 3.141593)  // acos(-1)
+    assert(r.getDouble(r.fieldIndex("mn_sh")) === -1.175201) // sinh(-1)
+    assert(r.getDouble(r.fieldIndex("e_c")) === 2.718282)
+    assert(r.getDouble(r.fieldIndex("tau_c")) === 6.283185)
+  }
+
+  test("j250 first-day RATE cells match DuckDB (positive-delta sum / span)") {
+    val r = q("j250_esql_ts_rate").head() // day = 2024-01-01
+    assert(r.getDouble(r.fieldIndex("mxr")) === 0.131829)
+    assert(r.getDouble(r.fieldIndex("mnr")) === 0.002303)
+    assert(r.getLong(r.fieldIndex("nrate")) === 5L)
+    assert(r.getLong(r.fieldIndex("nser")) === 26L)
+  }
+
+  test("j255 first-day delta-family cells match DuckDB") {
+    val r = q("j255_esql_ts_delta").head() // day = 2024-01-01
+    assert(r.getLong(r.fieldIndex("mxd")) === 11390L)
+    assert(r.getLong(r.fieldIndex("mnd")) === -2577L)
+    assert(r.getLong(r.fieldIndex("mxid")) === 11390L)
+    assert(r.getLong(r.fieldIndex("tinc")) === 19233L)
+    assert(r.getDouble(r.fieldIndex("mxir")) === 0.620184)
+    assert(r.getLong(r.fieldIndex("snd")) === 33L)
+  }
+
+  test("j256 MV_PERCENTILE/PSERIES cells match DuckDB (same-domain interpolation)") {
+    val r = q("j256_esql_mv_math").head() // label = 0
+    assert(r.getDouble(r.fieldIndex("mx90")) === 0.194535)
+    assert(r.getDouble(r.fieldIndex("mn90")) === 0.092421)
+    assert(r.getDouble(r.fieldIndex("mx50")) === 0.035798)
+    assert(r.getDouble(r.fieldIndex("mxpw")) === 0.712698)
+    assert(r.getDouble(r.fieldIndex("mnpw")) === 0.379979)
+  }
 }
