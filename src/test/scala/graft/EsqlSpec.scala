@@ -557,7 +557,18 @@ class EsqlSpec extends AnyFunSuite {
       "FROM events | FORK (WHERE value > 1)", // FORK needs 2 branches
       "FROM events METADATA _id | LIMIT 1", // only _index supported
       "FROM events | CHANGE_POINT n ON day", // missing AS pair
-      "FROM events | SAMPLE 1.5 event_id") // p outside (0,1)
+      "FROM events | SAMPLE 1.5 event_id", // p outside (0,1)
+      // round-11 stages, same loud-error discipline
+      "TS events | STATS m = MAX(MAX_OVER_TIME(value)) BY event_type", // no ON
+      "TS events ON user_id | LIMIT 5", // no OVER_TIME STATS
+      "TS events ON user_id | STATS m = MAX(RATE(value)) BY event_type", // RATE sans span
+      """FROM documents | RERANK "q" ON text""", // missing BY tiebreak
+      "FROM documents | COMPLETION summary text", // missing =
+      """FROM documents | WHERE MATCH_PHRASE(text)""", // missing phrase
+      "FROM documents | STATS s = SAMPLE(source, 3) BY lang", // sample agg sans id
+      "SHOW LICENSE | LIMIT 1", // only SHOW INFO exists
+      "FROM documents | EVAL b = ROUND_TO(n_chars)", // no points
+      "FROM documents | EVAL p = MV_PERCENTILE(lang, 150)") // p > 100
     val outcomes = malformed.map { q =>
       q -> (try { Esql.compile(s, TestSpark.sf0001, q); None }
             catch { case e: Exception => Some(e) })
