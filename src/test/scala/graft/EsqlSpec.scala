@@ -996,6 +996,33 @@ class EsqlSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("snd") === 3L + 2L)
   }
 
+  test("the TS rollup's output frame folds like any frame: post-STATS and WHERE compose") {
+    import s.implicits._
+    // a second, PLAIN aggregation over the rollup result (the "how many
+    // days exceeded X" meta-question) plus a HAVING-style WHERE — the
+    // rollup returns an ordinary frame, so the rest of the language
+    // composes with no special cases
+    val out = Esql.compile(s, TestSpark.sf0001,
+      """TS events ON user_id, event_type
+        || EVAL cents = ROUND(value * 100)
+        || STATS mx = MAX(MAX_OVER_TIME(cents)) BY day = BUCKET(ts, 1 day)
+        || WHERE mx >= 20000
+        || STATS hot_days = COUNT(*)""".stripMargin).collect()(0)
+    assert(out.getLong(0) > 0L && out.getLong(0) < 40L)
+  }
+
+  test("KQL and QSTR agree on the shared syntax (one parser, no drift)") {
+    import s.implicits._
+    val df = Seq((1L, "alpha beta", "en"), (2L, "alpha", "fr"), (3L, "beta gamma", "en"))
+      .toDF("id", "text", "lang")
+    // same query, both case spellings — must select identical rows
+    val viaKql = Esql.applyPipe(s, TestSpark.sf0001, df,
+      """WHERE KQL("lang:en and beta")""").collect().map(_.getLong(0)).toSeq
+    val viaQstr = Esql.applyPipe(s, TestSpark.sf0001, df,
+      """WHERE QSTR("lang:en AND beta")""").collect().map(_.getLong(0)).toSeq
+    assert(viaKql === viaQstr && viaKql === Seq(1L, 3L))
+  }
+
   test("TS grammar: ON required, BY required, RATE span literal, outer fn restricted") {
     intercept[IllegalArgumentException] {
       Esql.compile(s, TestSpark.sf0001, "TS events | LIMIT 1")
