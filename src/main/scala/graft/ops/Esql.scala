@@ -218,10 +218,17 @@ object Esql {
           val key = concat(
             md5(concat(idc.cast("string"), lit("|sample")).cast("binary")),
             lit("|"), v.cast("string"))
-          array_join(
-            transform(
-              slice(array_sort(collect_list(c.filt(key))), 1, nTok.toInt),
-              x => x.substr(lit(34), lit(1000000))), ",")
+          // an EMPTY draw pool (per-agg WHERE matched nothing) yields
+          // NULL, not "" — ES returns null there and the oracle's
+          // list(...) FILTER → NULL agrees (ADVICE r11; array_join
+          // over the empty collect would give ""). Catalyst dedupes
+          // the repeated collect_list into one physical aggregate.
+          val pool = collect_list(c.filt(key))
+          when(size(pool) > 0,
+            array_join(
+              transform(
+                slice(array_sort(pool), 1, nTok.toInt),
+                x => x.substr(lit(34), lit(1000000))), ","))
         case "VALUES" =>
           // VALUES(field) — the group's distinct values as a multivalue.
           // ES documents the order as non-deterministic; a distributed,
@@ -411,7 +418,15 @@ object Esql {
             val a = orExpr(c); c.expect(")")
             log(base, a)
           } else {
-            val a = orExpr(c); c.expect(")")
+            val a = orExpr(c)
+            // targeted diagnostic (ADVICE r11): LOG(expr, x) is ES-legal
+            // but this compiler requires a bare positive numeric LITERAL
+            // base — say so instead of dying at the comma generically.
+            require(!c.peek.contains(","),
+              "LOG's two-argument form requires the base to be a bare " +
+                "positive numeric literal (e.g. LOG(2, x)); expression, " +
+                "parenthesized, or negative bases are not supported")
+            c.expect(")")
             log(a)
           }
         case "SIGNUM" =>
@@ -449,6 +464,12 @@ object Esql {
         // unlike TO_RADIANS this is composition-identical, not
         // bit-identical: the j234 ROUND-6dp rule every query applies
         // is what absorbs the residual ULP (matrix-verified at all SFs).
+        // Overflow bounds (ADVICE r11): exp overflows at x≈709.78,
+        // slightly before libm sinh/cosh's own overflow at x≈710.47 —
+        // SINH/COSH diverge from libm (Inf vs huge-finite) only in that
+        // 0.7-wide band; documented domain bound, not guarded. TANH is
+        // different: Inf/Inf = NaN where real tanh is ±1, so it IS
+        // guarded — tanh(x) is ±1.0 to double precision beyond |x|≈19.
         case "SINH" =>
           val a = orExpr(c); c.expect(")")
           (exp(a) - exp(negate(a))) / lit(2.0)
@@ -457,7 +478,8 @@ object Esql {
           (exp(a) + exp(negate(a))) / lit(2.0)
         case "TANH" =>
           val a = orExpr(c); c.expect(")")
-          (exp(a * lit(2)) - lit(1)) / (exp(a * lit(2)) + lit(1))
+          when(abs(a) > lit(20.0), signum(a))
+            .otherwise((exp(a * lit(2)) - lit(1)) / (exp(a * lit(2)) + lit(1)))
         case "HYPOT" =>
           val x = orExpr(c); c.expect(",")
           val y = orExpr(c); c.expect(")")
@@ -1125,9 +1147,20 @@ object Esql {
     val joined =
       if (keys.isEmpty)
         df.crossJoin(broadcast(df.agg(medAggs.head, medAggs.tail: _*)))
-      else
-        df.join(broadcast(df.groupBy(keys.map(col): _*)
-          .agg(medAggs.head, medAggs.tail: _*)), keys)
+      else {
+        // null-safe (<=>) key equality, NOT a USING join (ADVICE r11):
+        // an equi-join drops the null-key group — a STATS with MAD
+        // would silently lose that group's EVERY aggregate while the
+        // same STATS without MAD keeps it. Keys are renamed on the
+        // broadcast side so <=> has unambiguous operands.
+        val meds = df.groupBy(keys.map(col): _*)
+          .agg(medAggs.head, medAggs.tail: _*)
+          .select(keys.map(k => col(k).as("__mad_k_" + k)) ++
+            mads.map(m => col(m.dev + "_med")): _*)
+        val cond = keys.map(k => col(k) <=> col("__mad_k_" + k)).reduce(_ && _)
+        df.join(broadcast(meds), cond)
+          .drop(keys.map("__mad_k_" + _): _*)
+      }
     mads.foldLeft(joined) { (f, m) =>
       f.withColumn(m.dev, abs(m.arg - col(m.dev + "_med")))
     }
@@ -1371,8 +1404,15 @@ object Esql {
       for (st <- stages.tail) {
         val sp = st.indexOf(' ')
         val kw = (if (sp < 0) st else st.take(sp)).toUpperCase
+        // detection runs over maskStrings(st) with a left word boundary
+        // (ADVICE r11): a string literal containing "RATE(" or an
+        // identifier ending in RATE must not misroute a plain STATS
+        // into the rollup. The alternation covers the FULL tsStats
+        // inner-fn set — a delta-family-only STATS (DELTA/IDELTA/
+        // INCREASE/IRATE, no *_OVER_TIME) is still a TS rollup.
         val isTsStats = kw == "STATS" && !tsDone &&
-          st.matches("(?s).*(_OVER_TIME|RATE)\\s*\\(.*")
+          maskStrings(st).matches("(?s).*(?<![A-Za-z0-9_])" +
+            "(\\w+_OVER_TIME|RATE|IRATE|DELTA|IDELTA|INCREASE)\\s*\\(.*")
         if (isTsStats) { df = tsStats(df, dims, st.drop(sp + 1).trim); tsDone = true }
         else df = applyStages(s, d, df, Seq(st))
       }

@@ -434,7 +434,7 @@ object Sync {
       // alone would suppress it and miss its duplicates. Watermark-
       // bounded state; a plain dropDuplicates would never age out.
       .select(col("doc_id"), col("ts"), col("dsh"), col("cand_id"))
-      .withColumn("dsig", xxhash64(concat_ws(" ",
+      .withColumn("dsig", xxhash64(concat_ws("\u0000",
         expr("transform(dsh, x -> cast(x AS STRING))"))))
       .dropDuplicatesWithinWatermark("doc_id", "cand_id", "dsig")
       .join(corpusSh, "cand_id")

@@ -1084,4 +1084,60 @@ class EsqlSpec extends AnyFunSuite {
     val frac = a.toDouble / full
     assert(frac > 0.18 && frac < 0.32, s"sampled fraction $frac far from 0.25")
   }
+
+  test("ADVICE r11 fixes: TANH overflow, MAD null key, SAMPLE empty pool, TS detector masking, LOG diagnostic") {
+    import s.implicits._
+    // TANH beyond the exp-overflow bound is ±1.0 (libm semantics), not
+    // Inf/Inf = NaN; the small-|x| path is the exp composition as before
+    val th = Seq(400.0, -400.0, 0.5).toDF("x")
+      .select(Esql.parseExpr("TANH(x)").as("t")).collect().map(_.getDouble(0))
+    assert(th(0) === 1.0 && th(1) === -1.0)
+    assert(math.abs(th(2) - math.tanh(0.5)) < 1e-9)
+    // a NULL grouping key survives a STATS that contains MAD — the
+    // median pre-pass joins null-safely (<=>), so the null-key group
+    // keeps ALL its aggregates instead of silently vanishing
+    val mad = Esql.compile(s, TestSpark.sf0001,
+      """FROM events
+        || EVAL k = CASE(user_id % 3 == 0, value, LOG(0.0 - 1.0))
+        || STATS n = COUNT(*), mad = ROUND(MEDIAN_ABSOLUTE_DEVIATION(value), 6) BY k
+        || STATS groups = COUNT(*), null_groups = COUNT(CASE(k IS NULL, 1, LOG(0.0 - 1.0)))""".stripMargin)
+    val noMad = Esql.compile(s, TestSpark.sf0001,
+      """FROM events
+        || EVAL k = CASE(user_id % 3 == 0, value, LOG(0.0 - 1.0))
+        || STATS n = COUNT(*) BY k
+        || STATS groups = COUNT(*), null_groups = COUNT(CASE(k IS NULL, 1, LOG(0.0 - 1.0)))""".stripMargin)
+    val (mr, nr) = (mad.collect()(0), noMad.collect()(0))
+    assert(mr.getLong(0) === nr.getLong(0),
+      "a STATS with MAD must keep the same group set as one without")
+    assert(mr.getLong(1) === 1L && nr.getLong(1) === 1L,
+      "the null-key group must be present in both")
+    // SAMPLE over an empty draw pool (per-agg WHERE matches nothing)
+    // yields NULL like ES and the oracle's FILTERed list, never ""
+    val sRows = Esql.compile(s, TestSpark.sf0001,
+      """FROM events
+        || STATS sm = SAMPLE(event_type, 2, user_id) WHERE user_id < 0 BY event_type""".stripMargin)
+      .collect()
+    assert(sRows.nonEmpty && sRows.forall(_.isNullAt(1)))
+    // TS-rollup detection runs over the string-masked stage text: a
+    // plain STATS whose only "RATE(" lives in a string literal is NOT
+    // misrouted into tsStats — the pipeline dies with the TARGETED
+    // "needs a STATS with TS aggregates" error, not a grammar error
+    val e1 = intercept[IllegalArgumentException] {
+      Esql.compile(s, TestSpark.sf0001,
+        """TS events ON user_id | STATS n = COUNT(event_type == "RATE(x") BY event_type""")
+    }
+    assert(e1.getMessage.contains("TS pipeline needs a STATS"))
+    // ...and a delta-family-only STATS (no *_OVER_TIME/RATE substring)
+    // IS detected as the rollup
+    val d = Esql.compile(s, TestSpark.sf0001,
+      """TS events ON user_id
+        || STATS d = MAX(DELTA(user_id)) BY day = DATE_TRUNC(1 day, ts)
+        || STATS n = COUNT(*)""".stripMargin).collect()
+    assert(d.length === 1 && d(0).getLong(0) > 0)
+    // LOG with a non-literal base dies with the targeted message
+    val e2 = intercept[IllegalArgumentException] {
+      Esql.parseExpr("LOG(x, 10)")
+    }
+    assert(e2.getMessage.contains("numeric literal"))
+  }
 }
