@@ -17,7 +17,8 @@ object SparkEntry {
       ops.AggExtOps.defs ++ ops.SyncOps.defs ++
       ops.StreamingOps.defs ++ ops.PipelineOps.defs ++ ops.CurationOps.defs ++
       ops.CorpusQualityOps.defs ++ ops.RankOps.defs ++ ops.FusionOps.defs ++
-      ops.AnalyticsOps.defs ++ ops.NestedOps.defs ++ ops.Esql.defs
+      ops.AnalyticsOps.defs ++ ops.NestedOps.defs ++ ops.Esql.defs ++
+      ops.GeoOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +32,6 @@ object SparkEntry {
       ops.AggExtOps.oracle ++ ops.SyncOps.oracle ++
       ops.StreamingOps.oracle ++ ops.PipelineOps.oracle ++ ops.CurationOps.oracle ++
       ops.CorpusQualityOps.oracle ++ ops.RankOps.oracle ++ ops.FusionOps.oracle ++
-      ops.AnalyticsOps.oracle ++ ops.NestedOps.oracle ++ ops.Esql.oracle
+      ops.AnalyticsOps.oracle ++ ops.NestedOps.oracle ++ ops.Esql.oracle ++
+      ops.GeoOps.oracle
 }

@@ -111,7 +111,8 @@ object Esql {
       "ASIN", "ACOS", "ATAN", "SINH", "COSH", "TANH", "HYPOT", "E", "TAU",
       "SHA256", "TO_BASE64", "FROM_BASE64", "BIT_LENGTH", "BYTE_LENGTH",
       "ROUND_TO", "MV_APPEND", "MV_ZIP",
-      "MV_PERCENTILE", "MV_PSERIES_WEIGHTED_SUM", "SPACE")
+      "MV_PERCENTILE", "MV_PSERIES_WEIGHTED_SUM", "SPACE",
+      "TO_GEOPOINT", "ST_X", "ST_Y", "ST_DISTANCE")
 
   /** Deterministic NOW(): ES|QL's NOW() is query-evaluation wall-clock —
     * unusable in a bit-reproducible engine — so it compiles to this
@@ -486,6 +487,27 @@ object Esql {
           sqrt(x * x + y * y)
         case "E" => c.expect(")"); lit(math.E)
         case "TAU" => c.expect(")"); lit(math.Pi * 2)
+        // geo family (r12): the engine has no geometry type, so a
+        // geo_point IS its WKT string "POINT(lon lat)" — TO_GEOPOINT
+        // validates the shape (malformed → NULL, ES's null-on-bad-WKT),
+        // ST_X/ST_Y parse coordinates back out (regexp_extract + cast,
+        // ANSI-safe: the cast only runs on validated text), and
+        // ST_DISTANCE is the haversine over ES's mean earth radius
+        // (GeoOps.haversineMeters — ONE formula shared with the
+        // geo_distance query j258). All row-local codegen projections;
+        // outputs are libm-adjacent → j234 ROUND-6dp + MIN/MAX rule.
+        case "TO_GEOPOINT" =>
+          val a = orExpr(c); c.expect(")")
+          when(a.rlike("^" + wktPointRe + "$"), a)
+        case "ST_X" =>
+          val a = orExpr(c); c.expect(")"); wktCoord(a, 1)
+        case "ST_Y" =>
+          val a = orExpr(c); c.expect(")"); wktCoord(a, 2)
+        case "ST_DISTANCE" =>
+          val a = orExpr(c); c.expect(",")
+          val b = orExpr(c); c.expect(")")
+          GeoOps.haversineMeters(wktCoord(a, 2), wktCoord(a, 1),
+            wktCoord(b, 2), wktCoord(b, 1))
         case "SHA256" =>
           // lowercase hex, byte-identical cross-engine (MD5's sibling)
           val a = orExpr(c); c.expect(")"); sha2(a.cast("binary"), 256)
@@ -2916,7 +2938,42 @@ object Esql {
   def j257(s: SparkSession, d: String): DataFrame =
     compile(s, d, j257Query)
 
+  /** j260_esql_st_distance — the ES|QL geo functions over the engine's
+    * WKT-string geo_point representation: TO_GEOPOINT builds/validates
+    * points (here from synthesized coordinates — the j258 device — via
+    * CONCAT/TO_STRING, proving the string round-trip: both engines emit
+    * shortest-roundtrip decimal, so ST_X(p) parses back the EXACT
+    * source double, pinned by the unrounded MIN below), ST_X/ST_Y
+    * extract, and ST_DISTANCE is j258's haversine (one shared Column
+    * fragment, GeoOps.haversineMeters). The WHERE on the rounded
+    * distance is the geo_distance query spelled in ES|QL — all
+    * row-local projections into one map-combined STATS; at 100 TB the
+    * only exchange is the 5-group agg. */
+  val j260Query: String =
+    """FROM events
+      || EVAL lat = (event_id * 7919 % 17000) / 100.0 - 85.0, lon = (event_id * 104729 % 36000) / 100.0 - 180.0
+      || EVAL p = TO_GEOPOINT(CONCAT("POINT(", TO_STRING(lon), " ", TO_STRING(lat), ")"))
+      || EVAL d = ROUND(ST_DISTANCE(p, TO_GEOPOINT("POINT(-74.0 40.7)")), 6)
+      || EVAL px = ST_X(p), py = ST_Y(p)
+      || WHERE d <= 2000000.0
+      || STATS n = COUNT(*), mn_d = MIN(d), mx_d = MAX(d), mn_x = MIN(px), mx_y = MAX(py) BY event_type
+      || SORT event_type""".stripMargin
+
+  def j260(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j260Query)
+
+  /** WKT geo_point shape: "POINT(lon lat)" with plain or scientific
+    * decimal coordinates. Group 1 = lon (x), group 2 = lat (y). */
+  private val wktPointRe = """POINT\(([-+0-9.eE]+) ([-+0-9.eE]+)\)"""
+  /** Coordinate extraction guarded by the shape test so the DOUBLE cast
+    * never sees regexp_extract's empty-string miss (ANSI-safe; a
+    * malformed or NULL point yields NULL, ES's own contract). */
+  private def wktCoord(p: Column, group: Int): Column =
+    when(p.rlike("^" + wktPointRe + "$"),
+      regexp_extract(p, wktPointRe, group).cast("double"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j260_esql_st_distance" -> j260,
     "j257_esql_sample_agg" -> j257,
     "j256_esql_mv_math" -> j256,
     "j255_esql_ts_delta" -> j255,
@@ -2967,6 +3024,31 @@ object Esql {
     "j214_esql_like_in" -> j214)
 
   val oracle: Map[String, String] = Map(
+    "j260_esql_st_distance" ->
+      """WITH geo AS (
+        |  SELECT event_type,
+        |    (event_id * 7919 % 17000) / 100.0 - 85.0  AS lat,
+        |    (event_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+        |  FROM 'events.parquet'),
+        |pts AS (
+        |  SELECT event_type,
+        |    CONCAT('POINT(', CAST(lon AS VARCHAR), ' ', CAST(lat AS VARCHAR), ')') AS p
+        |  FROM geo),
+        |xy AS (
+        |  SELECT event_type,
+        |    CAST(regexp_extract(p, 'POINT\(([-+0-9.eE]+) ([-+0-9.eE]+)\)', 1) AS DOUBLE) AS px,
+        |    CAST(regexp_extract(p, 'POINT\(([-+0-9.eE]+) ([-+0-9.eE]+)\)', 2) AS DOUBLE) AS py
+        |  FROM pts),
+        |dist AS (
+        |  SELECT event_type, px, py, round(2 * 6371008.7714 * asin(sqrt(
+        |    sin(radians(py - 40.7)/2) * sin(radians(py - 40.7)/2) +
+        |    cos(radians(40.7)) * cos(radians(py)) *
+        |      sin(radians(px - (-74.0))/2) * sin(radians(px - (-74.0))/2))), 6) AS d
+        |  FROM xy)
+        |SELECT event_type, count(*) AS n, min(d) AS mn_d, max(d) AS mx_d,
+        |  min(px) AS mn_x, max(py) AS mx_y
+        |FROM dist WHERE d <= 2000000.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "j257_esql_sample_agg" ->
       """WITH d AS (SELECT lang, source,
         |             md5(CAST(doc_id AS VARCHAR) || '|sample')

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Esql, GeoOps}
+
+/** Geo-family semantics on literal frames — fixture-independent: the
+  * haversine against a surveyed city pair, Web-Mercator tile keys at
+  * known anchor points, and the WKT geo_point contract (malformed →
+  * NULL, exact coordinate round-trip). */
+class GeoOpsSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  test("haversine matches the surveyed NYC→LA great-circle distance") {
+    import s.implicits._
+    // (40.7128, -74.0060) → (34.0522, -118.2437): ~3 935.7 km on the
+    // mean-radius sphere (ES uses the same GeoUtils constant)
+    val d = Seq(1).toDF("x").select(
+      GeoOps.haversineMeters(lit(40.7128), lit(-74.0060),
+        lit(34.0522), lit(-118.2437)).as("d")).collect()(0).getDouble(0)
+    assert(math.abs(d - 3935740.0) < 2000.0, s"got $d")
+    // symmetry and zero distance
+    val z = Seq(1).toDF("x").select(
+      GeoOps.haversineMeters(lit(40.7), lit(-74.0), lit(40.7), lit(-74.0)))
+      .collect()(0).getDouble(0)
+    assert(z === 0.0)
+  }
+
+  test("geotile anchors: the origin sits in tile 6/32/32; poles clamp inside the cap") {
+    import s.implicits._
+    def tile(lat: Double, lon: Double): (Long, Long) = {
+      val r = Seq((lat, lon)).toDF("lat", "lon").select(
+        floor(lit(64) * ($"lon" + 180) / 360).as("xt"),
+        floor(round(lit(64) * (lit(1.0) -
+          log(tan(radians($"lat")) + lit(1.0) / cos(radians($"lat"))) /
+            lit(math.Pi)) / 2, 6)).as("yt")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    // (0,0) is the SW corner of the center tile at zoom 6 (n=64)
+    assert(tile(0.0, 0.0) === ((32L, 32L)))
+    // northern latitudes → smaller y (Web-Mercator y grows southward)
+    assert(tile(60.0, 0.0)._2 < 32L)
+    assert(tile(-60.0, 0.0)._2 > 32L)
+    // the synthesized-coordinate extremes stay inside [0, 64) on y —
+    // the fixture's ±85 cap IS Web Mercator's usable band
+    assert(tile(84.99, 179.97)._2 >= 0L)
+    assert(tile(-85.0, -180.0)._2 <= 63L)
+  }
+
+  test("WKT geo_point contract: malformed → NULL, round-trip exact, ST_DISTANCE composes") {
+    import s.implicits._
+    val df = Seq(
+      ("POINT(-74.0 40.7)", 1L),
+      ("POINT(12.5 -3.25)", 2L),
+      ("LINESTRING(0 0, 1 1)", 3L),   // not a point → NULL
+      ("POINT(x y)", 4L),             // non-numeric → NULL
+      ("garbage", 5L)).toDF("w", "id")
+      .select($"id",
+        Esql.parseExpr("TO_GEOPOINT(w)").as("p"),
+        Esql.parseExpr("ST_X(TO_GEOPOINT(w))").as("x"),
+        Esql.parseExpr("ST_Y(TO_GEOPOINT(w))").as("y"))
+      .orderBy($"id").collect()
+    assert(df(0).getString(1) === "POINT(-74.0 40.7)")
+    assert(df(0).getDouble(2) === -74.0 && df(0).getDouble(3) === 40.7)
+    assert(df(1).getDouble(2) === 12.5 && df(1).getDouble(3) === -3.25)
+    assert(df(2).isNullAt(1) && df(2).isNullAt(2))
+    assert(df(3).isNullAt(1))
+    assert(df(4).isNullAt(1))
+    // ST_DISTANCE(p, p) == 0; one-degree-lon at the equator ≈ 111.195 km
+    val d = Seq(1).toDF("z").select(
+      Esql.parseExpr(
+        """ST_DISTANCE(TO_GEOPOINT("POINT(1.0 0.0)"), TO_GEOPOINT("POINT(0.0 0.0)"))""")
+        .as("d")).collect()(0).getDouble(0)
+    assert(math.abs(d - 111195.0) < 10.0, s"got $d")
+    // the double→string→double round-trip the j260 query relies on:
+    // shortest-roundtrip formatting parses back to the EXACT source
+    val rt = Tables.events(s, TestSpark.sf0001)
+      .select(GeoOps.synthLat($"event_id").as("lat"),
+        GeoOps.synthLon($"event_id").as("lon"))
+      .select($"lat", $"lon", Esql.parseExpr(
+        """ST_Y(TO_GEOPOINT(CONCAT("POINT(", TO_STRING(lon), " ", TO_STRING(lat), ")")))""")
+        .as("back"))
+      .filter(!($"back" <=> $"lat")).count()
+    assert(rt === 0L, "WKT round-trip must be bit-exact")
+  }
+}

@@ -1061,6 +1061,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,n_chars:bigint>"), p)
   }
 
+  test("j258/j259/j260: geo bbox short-circuits ahead of the haversine; geotile top-20 is a TakeOrdered heap") {
+    val p = plan("j258_geo_distance")
+    // ES's geo_distance shape: the BKD-style bounding-box prefilter
+    // guards the trig. Catalyst collapses both filters into ONE
+    // codegen'd And whose left (cheap comparison) side short-circuits
+    // the ASIN — pin the order inside the Filter node's condition
+    val fLine = p.linesIterator.find(l => l.contains("Filter (") && l.contains("ASIN"))
+    assert(fLine.isDefined, p)
+    val bbox = fLine.get.indexOf(">= 22.68")
+    val hav = fLine.get.indexOf("ASIN")
+    assert(bbox >= 0 && hav > bbox,
+      "bounding box must precede the haversine in the filter: " + fLine.get)
+    // pruned scan: only event_id (coordinate seed) + event_type are read
+    assert(p.contains("ReadSchema: struct<event_id:bigint,event_type:string>"), p)
+    // map-side combine before the 5-group exchange
+    assert(p.contains("partial_min(dist"), p)
+    val p9 = plan("j259_geotile_grid")
+    // count-ordered bucket list is a bounded heap, never a global sort
+    assert(p9.contains("TakeOrderedAndProject(limit=20"), p9)
+    assert(!p9.contains("rangepartitioning"), p9)
+    // distinct-users rides the two-level partial-agg shape
+    assert(p9.contains("partial_count(distinct user_id"), p9)
+    // ST_DISTANCE pipeline: row-local projections into one agg — no joins
+    val p0 = plan("j260_esql_st_distance")
+    assert(!p0.contains("Join"), p0)
+    assert(p0.contains("ReadSchema: struct<event_id:bigint,event_type:string>"), p0)
+  }
+
   test("whole-stage codegen covers the flagship plan") {
     // AQE finalizes stages lazily — execute first, then inspect
     val df = SparkEntry.queries("d1_agg_group")(TestSpark.spark, TestSpark.sf0001)
