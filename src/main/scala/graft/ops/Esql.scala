@@ -487,27 +487,38 @@ object Esql {
           sqrt(x * x + y * y)
         case "E" => c.expect(")"); lit(math.E)
         case "TAU" => c.expect(")"); lit(math.Pi * 2)
-        // geo family (r12): the engine has no geometry type, so a
-        // geo_point IS its WKT string "POINT(lon lat)" — TO_GEOPOINT
-        // validates the shape (malformed → NULL, ES's null-on-bad-WKT),
-        // ST_X/ST_Y parse coordinates back out (regexp_extract + cast,
-        // ANSI-safe: the cast only runs on validated text), and
-        // ST_DISTANCE is the haversine over ES's mean earth radius
-        // (GeoOps.haversineMeters — ONE formula shared with the
-        // geo_distance query j258). All row-local codegen projections;
+        // geo family (r12): TO_GEOPOINT parses WKT "POINT(lon lat)" ONCE
+        // into a typed {x, y} struct — exactly where ES pays its parse
+        // (index time; doc values are binary) — so every downstream ST_*
+        // is a free field access / pure trig with ZERO string work. The
+        // first cut kept points as WKT strings re-regexed per ST_* call,
+        // and EVAL-alias inlining replicated 21 regex nodes through the
+        // plan: the x1→x10 ScaleProbe showed 3.9→12.5 s where the
+        // equivalent j258 runs 0.5 s flat. Malformed WKT → NULL (ES's
+        // contract) via try_cast + structural guards, no regex, ANSI-safe.
+        // ST_* on a non-point column is an AnalysisException (no field
+        // x/y) — the analog of ES refusing ST_X(keyword) at type-check.
+        // ST_DISTANCE = haversine over ES's mean earth radius
+        // (GeoOps.haversineMeters — ONE fragment shared with j258);
         // outputs are libm-adjacent → j234 ROUND-6dp + MIN/MAX rule.
         case "TO_GEOPOINT" =>
           val a = orExpr(c); c.expect(")")
-          when(a.rlike("^" + wktPointRe + "$"), a)
+          // strip "POINT(" (6 chars) and the trailing ")"
+          val parts = split(a.substr(lit(7), length(a) - lit(7)), " ")
+          val x = element_at(parts, 1).try_cast("double")
+          val y = element_at(parts, 2).try_cast("double")
+          when(a.startsWith("POINT(") && a.endsWith(")") &&
+            size(parts) === 2 && x.isNotNull && y.isNotNull,
+            struct(x.as("x"), y.as("y")))
         case "ST_X" =>
-          val a = orExpr(c); c.expect(")"); wktCoord(a, 1)
+          val a = orExpr(c); c.expect(")"); a.getField("x")
         case "ST_Y" =>
-          val a = orExpr(c); c.expect(")"); wktCoord(a, 2)
+          val a = orExpr(c); c.expect(")"); a.getField("y")
         case "ST_DISTANCE" =>
           val a = orExpr(c); c.expect(",")
           val b = orExpr(c); c.expect(")")
-          GeoOps.haversineMeters(wktCoord(a, 2), wktCoord(a, 1),
-            wktCoord(b, 2), wktCoord(b, 1))
+          GeoOps.haversineMeters(a.getField("y"), a.getField("x"),
+            b.getField("y"), b.getField("x"))
         case "SHA256" =>
           // lowercase hex, byte-identical cross-engine (MD5's sibling)
           val a = orExpr(c); c.expect(")"); sha2(a.cast("binary"), 256)
@@ -2945,8 +2956,20 @@ object Esql {
     * shortest-roundtrip decimal, so ST_X(p) parses back the EXACT
     * source double, pinned by the unrounded MIN below), ST_X/ST_Y
     * extract, and ST_DISTANCE is j258's haversine (one shared Column
-    * fragment, GeoOps.haversineMeters). The WHERE on the rounded
-    * distance is the geo_distance query spelled in ES|QL — all
+    * fragment, GeoOps.haversineMeters). The WHERE is the geo_distance
+    * query spelled in ES|QL — and it leads with j258's CHEAP
+    * bounding-box legs (constant-folded arithmetic on the exact
+    * lat/lon doubles) before the distance leg. That ordering is
+    * load-bearing, not style: Catalyst pushes a WHERE on an EVAL alias
+    * below the projections by INLINING the alias — the whole
+    * point-parse tree replicates into the filter per field reference —
+    * so a bare `WHERE d <= R` re-parses every row ~8×. The x1→x10
+    * ScaleProbe measured 23 s at 1M rows for the unguarded spelling vs
+    * ~flat with the bbox legs short-circuiting the heavy conjunct down
+    * to the ~2% survivor band (the And codegen evaluates left first).
+    * This is exactly how ES runs geo_distance (BKD box, then
+    * haversine) — the engine discipline: any WHERE on an expensive
+    * EVAL column should lead with a cheap sargable guard. All
     * row-local projections into one map-combined STATS; at 100 TB the
     * only exchange is the 5-group agg. */
   val j260Query: String =
@@ -2955,22 +2978,12 @@ object Esql {
       || EVAL p = TO_GEOPOINT(CONCAT("POINT(", TO_STRING(lon), " ", TO_STRING(lat), ")"))
       || EVAL d = ROUND(ST_DISTANCE(p, TO_GEOPOINT("POINT(-74.0 40.7)")), 6)
       || EVAL px = ST_X(p), py = ST_Y(p)
-      || WHERE d <= 2000000.0
+      || WHERE lat >= 40.7 - 2000000.0 / 111000.0 AND lat <= 40.7 + 2000000.0 / 111000.0 AND lon >= 0.0 - 74.0 - 2000000.0 / (111000.0 * COS(TO_RADIANS(40.7 + 2000000.0 / 111000.0))) AND lon <= 0.0 - 74.0 + 2000000.0 / (111000.0 * COS(TO_RADIANS(40.7 + 2000000.0 / 111000.0))) AND d <= 2000000.0
       || STATS n = COUNT(*), mn_d = MIN(d), mx_d = MAX(d), mn_x = MIN(px), mx_y = MAX(py) BY event_type
       || SORT event_type""".stripMargin
 
   def j260(s: SparkSession, d: String): DataFrame =
     compile(s, d, j260Query)
-
-  /** WKT geo_point shape: "POINT(lon lat)" with plain or scientific
-    * decimal coordinates. Group 1 = lon (x), group 2 = lat (y). */
-  private val wktPointRe = """POINT\(([-+0-9.eE]+) ([-+0-9.eE]+)\)"""
-  /** Coordinate extraction guarded by the shape test so the DOUBLE cast
-    * never sees regexp_extract's empty-string miss (ANSI-safe; a
-    * malformed or NULL point yields NULL, ES's own contract). */
-  private def wktCoord(p: Column, group: Int): Column =
-    when(p.rlike("^" + wktPointRe + "$"),
-      regexp_extract(p, wktPointRe, group).cast("double"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j260_esql_st_distance" -> j260,
@@ -3047,7 +3060,12 @@ object Esql {
         |  FROM xy)
         |SELECT event_type, count(*) AS n, min(d) AS mn_d, max(d) AS mx_d,
         |  min(px) AS mn_x, max(py) AS mx_y
-        |FROM dist WHERE d <= 2000000.0
+        |FROM dist
+        |WHERE py >= 40.7 - 2000000.0 / 111000.0
+        |  AND py <= 40.7 + 2000000.0 / 111000.0
+        |  AND px >= 0.0 - 74.0 - 2000000.0 / (111000.0 * cos(radians(40.7 + 2000000.0 / 111000.0)))
+        |  AND px <= 0.0 - 74.0 + 2000000.0 / (111000.0 * cos(radians(40.7 + 2000000.0 / 111000.0)))
+        |  AND d <= 2000000.0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "j257_esql_sample_agg" ->
       """WITH d AS (SELECT lang, source,

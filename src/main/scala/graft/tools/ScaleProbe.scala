@@ -18,7 +18,19 @@ object ScaleProbe {
     "j53_semdedup" -> "embeddings.parquet",
     "j196_graph_ann" -> "embeddings.parquet",
     "j205_pca_power" -> "embeddings.parquet",
-    "j207_matryoshka_eval" -> "embeddings.parquet")
+    "j207_matryoshka_eval" -> "embeddings.parquet",
+    "j249_esql_ts" -> "events.parquet",
+    "j250_esql_ts_rate" -> "events.parquet",
+    "j255_esql_ts_delta" -> "events.parquet",
+    "j168_eql_sequence" -> "events.parquet",
+    "j199_eql_sequence_multi" -> "events.parquet",
+    "j228_eql_maxspan_until" -> "events.parquet",
+    "j174_sessionize" -> "events.parquet",
+    "j142_cohort_retention" -> "events.parquet",
+    "j258_geo_distance" -> "events.parquet",
+    "j259_geotile_grid" -> "events.parquet",
+    "j260_esql_st_distance" -> "events.parquet",
+    "j261_geo_bounding_box" -> "events.parquet")
 
   def main(args0: Array[String]): Unit = {
     // optional trailing `only=q1,q2` arg restricts the probe list —
@@ -93,7 +105,20 @@ object ScaleProbe {
         // filter (phrase containment + KQL predicate)
         "j245_esql_rerank", "j247_esql_hash_encode",
         "j248_esql_round_to_mv", "j251_esql_fulltext_ext",
-        "j253_esql_completion")
+        "j253_esql_completion",
+        // round 12: the scale dirs now carry a user-shifted events
+        // table (series count grows, per-series density constant), so
+        // the events-keyed operators the r11 verdict flagged as
+        // evidence-free get measured slopes: TS rollups + delta family
+        // (cell-bounded lag window must stay linear), EQL sequences
+        // (per-user state machine), sessionize, cohorts, and the geo
+        // family (row-local trig + bounded agg)
+        "j249_esql_ts", "j250_esql_ts_rate", "j255_esql_ts_delta",
+        "j168_eql_sequence", "j199_eql_sequence_multi",
+        "j228_eql_maxspan_until", "j174_sessionize",
+        "j142_cohort_retention",
+        "j258_geo_distance", "j259_geotile_grid",
+        "j260_esql_st_distance", "j261_geo_bounding_box")
         if only.forall(_.contains(q))) {
       val missing = needs.get(q)
         .filterNot(f => new java.io.File(d, f).exists())

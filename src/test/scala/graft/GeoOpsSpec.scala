@@ -60,7 +60,8 @@ class GeoOpsSpec extends AnyFunSuite {
         Esql.parseExpr("ST_X(TO_GEOPOINT(w))").as("x"),
         Esql.parseExpr("ST_Y(TO_GEOPOINT(w))").as("y"))
       .orderBy($"id").collect()
-    assert(df(0).getString(1) === "POINT(-74.0 40.7)")
+    // p is the parsed {x,y} struct (the ONE parse — ST_* never re-reads text)
+    assert(df(0).getStruct(1).getDouble(0) === -74.0)
     assert(df(0).getDouble(2) === -74.0 && df(0).getDouble(3) === 40.7)
     assert(df(1).getDouble(2) === 12.5 && df(1).getDouble(3) === -3.25)
     assert(df(2).isNullAt(1) && df(2).isNullAt(2))

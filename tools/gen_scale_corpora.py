@@ -51,3 +51,23 @@ for name, copies in [("x1", 1), ("x2", 2), ("x4", 4), ("x10", 10)]:
     con.execute(f"COPY ({eq}) TO '{d}/embeddings.parquet' (FORMAT PARQUET)")
     en = con.execute(f"SELECT count(*) FROM '{d}/embeddings.parquet'").fetchone()[0]
     print(name, en, "vecs")
+    # events for the TS-rollup / EQL-sequence / sessionize probes (r12 —
+    # the r11 verdict's evidence gap): each extra copy SHIFTS user_id
+    # (the series/sequence/session key) and event_id, keeping ts and the
+    # per-user event mix untouched — the series COUNT scales linearly
+    # while per-series density stays constant, so growth measures the
+    # engine, not a densifying workload.
+    vsrc = "/root/testdata/sf0.1/events.parquet"
+    vselects = []
+    for c in range(copies):
+        if c == 0:
+            vselects.append(f"SELECT * FROM '{vsrc}'")
+        else:
+            vselects.append(
+                f"SELECT event_id + {c * 10000000}, ts, "
+                f"user_id + {c * 1000000}, event_type, value, props "
+                f"FROM '{vsrc}'")
+    vq = " UNION ALL ".join(vselects)
+    con.execute(f"COPY ({vq}) TO '{d}/events.parquet' (FORMAT PARQUET)")
+    vn = con.execute(f"SELECT count(*) FROM '{d}/events.parquet'").fetchone()[0]
+    print(name, vn, "events")
