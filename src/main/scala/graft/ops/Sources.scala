@@ -25,7 +25,7 @@ object Sources {
   private val builtStores =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  private def buildOnce(store: String)(build: => Unit): Unit =
+  private[ops] def buildOnce(store: String)(build: => Unit): Unit =
     builtStores.computeIfAbsent(store, _ => { build; java.lang.Boolean.TRUE })
 
   /** a1_scan_parquet — scan with projection + predicate pushed to parquet. */

@@ -973,4 +973,29 @@ object Sync {
         ()
       }
       .start()
+
+  /** i18 — the storage-backed rollup's incremental updater (batch j262's
+    * streaming half): each microbatch of events folds to PARTIAL hourly
+    * rollup rows (the shared NestedOps.hourlyCents/hourlyRollup
+    * fragments — no drift vs the batch rollup) APPENDED to the
+    * graft-sync store as one more manifest generation. There is NO
+    * read-modify-write: count/sum/min/max compose, so the append IS the
+    * merge and the serving query re-aggregates by (type, hour) at read
+    * — j262's serve path works unchanged over any mix of batch builds
+    * and streamed increments. Contrast lwwSink's snapshot rewrite: a
+    * rollup's aggregates are associative, a LWW snapshot's are not —
+    * that is precisely why rollup stores keep composable aggregates.
+    * Input frame must carry event_type/ts_us/value (the eventsUs shape). */
+  def rollupSink(events: DataFrame, storeDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.NestedOps.hourlyRollup(graft.ops.NestedOps.hourlyCents(batch))
+          .write.format("graft-sync").mode("append").save(storeDir)
+        ()
+      }
+      .start()
 }
