@@ -458,10 +458,39 @@ object VectorOps {
     * recall/explored trade every ANN deployment tunes. All ranking and
     * beam admission compares UNROUNDED doubles computed by the same
     * left-to-right fold in both engines (j12's gate rule). */
-  def j196(s: SparkSession, d: String): DataFrame = {
+  /** The shared HNSW-style artifacts: the per-vector frame `e`
+    * (persisted — signatures, norm, query cosine), the M-nearest
+    * bucket-bounded adjacency (persisted), the query-cosine projection
+    * `q`, and the deterministic entry point. j196 (the graded search)
+    * and j263 (the beam-width tuning table) build EXACTLY this once. */
+  private case class GraphAnn(e: DataFrame, adj: DataFrame,
+      q: DataFrame, entry: DataFrame)
+
+  /** R beam-search rounds at beam width B over a built graph — j196's
+    * loop, parameterized for the j263 sweep. Returns the explored set
+    * with its query cosines. */
+  private def beamSearch(s: SparkSession, g: GraphAnn, B: Int, R: Int): DataFrame = {
+    import s.implicits._
+    var cand = g.entry.localCheckpoint()
+    for (_ <- 1 to R) {
+      val beam = cand.orderBy($"cos_q".desc, $"vec_id".asc).limit(B)
+        .select($"vec_id".as("src"))
+      val nbrs = g.adj.join(broadcast(beam), "src")
+        .select($"dst".as("vec_id")).distinct()
+        .join(g.q, "vec_id").select($"vec_id", $"cos_q")
+      val next = cand.unionByName(nbrs)
+        .groupBy($"vec_id").agg(max($"cos_q").as("cos_q"))
+        .localCheckpoint()
+      TextOps.releaseCheckpoint(cand)
+      cand = next
+    }
+    cand
+  }
+
+  private def graphAnnBuild(s: SparkSession, d: String): GraphAnn = {
     import s.implicits._
     graft.functions.VectorExpressions.register(s)
-    val M = 4; val B = 12; val R = 4
+    val M = 4
     // Plane count GROWS WITH THE CORPUS (the j31/j53 scaling discipline,
     // promoted into the operator): p = min k with TARGET·2^k ≥ N, i.e.
     // buckets ∝ N at a ~125-vector target cell, so the per-cell pair
@@ -508,21 +537,16 @@ object VectorOps {
       .select($"src", $"dst").distinct()
       .persist()
     val q = e.select($"vec_id", $"cos_q")
-    var cand = q.filter($"vec_id" % 16 === 0)
+    val entry = q.filter($"vec_id" % 16 === 0)
       .orderBy($"cos_q".desc, $"vec_id".asc).limit(1)
-      .localCheckpoint()
-    for (_ <- 1 to R) {
-      val beam = cand.orderBy($"cos_q".desc, $"vec_id".asc).limit(B)
-        .select($"vec_id".as("src"))
-      val nbrs = adj.join(broadcast(beam), "src")
-        .select($"dst".as("vec_id")).distinct()
-        .join(q, "vec_id").select($"vec_id", $"cos_q")
-      val next = cand.unionByName(nbrs)
-        .groupBy($"vec_id").agg(max($"cos_q").as("cos_q"))
-        .localCheckpoint()
-      TextOps.releaseCheckpoint(cand)
-      cand = next
-    }
+    GraphAnn(e, adj, q, entry)
+  }
+
+  def j196(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = graphAnnBuild(s, d)
+    val q = g.q
+    val cand = beamSearch(s, g, B = 12, R = 4)
     val explored = cand.agg(count(lit(1)).as("n_explored"))
     val approx = cand.orderBy($"cos_q".desc, $"vec_id".asc).limit(10)
       .select($"vec_id", lit(true).as("fnd"))
@@ -535,6 +559,50 @@ object VectorOps {
         coalesce($"fnd", lit(false)).as("found"), $"n_explored")
       .orderBy($"rank")
   }
+
+  /** j263_graph_beam_tuning — j136's s-curve discipline applied to the
+    * graph search (r11 verdict item 4): the SAME built graph (one
+    * build — `e`/adjacency persist across the sweep) searched at beam
+    * B ∈ {4, 12, 24}, one row per B with n_explored (the cost axis)
+    * and recall@10 against the exact corpus-wide top-10 (the accuracy
+    * axis, estimate-beside-exact). This is the table that makes j196's
+    * B=12 default evidence-backed the way j12's 4×2 banding is: the
+    * operator SHOWS where the s-curve flattens instead of asserting it.
+    * The per-B counts are 3+3 scalar actions over checkpointed
+    * frontier sets (audit-table shape, not a data collect); everything
+    * row-scale rides the shared build. */
+  def j263(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = graphAnnBuild(s, d)
+    val truth = g.q.orderBy($"cos_q".desc, $"vec_id".asc).limit(10)
+      .select($"vec_id")
+    val rows = Seq(4, 12, 24).map { b =>
+      val cand = beamSearch(s, g, B = b, R = 4)
+      val nExp = cand.count()
+      val rec = cand.orderBy($"cos_q".desc, $"vec_id".asc).limit(10)
+        .join(broadcast(truth), "vec_id").count()
+      (b.toLong, nExp, rec)
+    }
+    rows.toDF("beam", "n_explored", "recall10").orderBy($"beam")
+  }
+
+  /** The per-beam unrolled CTE chain for j263's oracle — r rounds of
+    * (cut the frontier to B, union the joined neighbours), suffixed by
+    * beam width so three chains share one prefix. */
+  private def beamCtes(b: Int, r: Int): String =
+    (s"c0_$b AS (SELECT * FROM c0)" +:
+      (1 to r).map(i =>
+        s"""b${i}_$b AS (SELECT vec_id FROM c${i - 1}_$b ORDER BY cos_q DESC, vec_id LIMIT $b),
+           |c${i}_$b AS (SELECT vec_id, cos_q FROM c${i - 1}_$b UNION
+           |  SELECT q.vec_id, q.cos_q FROM adj JOIN b${i}_$b ON adj.src = b${i}_$b.vec_id
+           |  JOIN q ON q.vec_id = adj.dst)""".stripMargin)).mkString(",\n")
+
+  private def beamSummary(b: Int, r: Int): String =
+    s"""SELECT CAST($b AS BIGINT) AS beam,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM c${r}_$b) AS n_explored,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM
+       |     (SELECT vec_id FROM c${r}_$b ORDER BY cos_q DESC, vec_id LIMIT 10) a
+       |     JOIN tr ON a.vec_id = tr.vec_id) AS recall10""".stripMargin
 
   /** j205_pca_power — top principal component of the embedding corpus
     * by POWER ITERATION (the embedding-drift / whitening primitive a
@@ -726,7 +794,8 @@ object VectorOps {
     "j11_multimodal_cols" -> j11,
     "j122_knn_prefilter" -> j122, "j123_maxsim" -> j123,
     "j134_hard_negatives" -> j134, "j166_pq_adc" -> j166,
-    "j177_bit_hamming" -> j177, "j196_graph_ann" -> j196)
+    "j177_bit_hamming" -> j177, "j196_graph_ann" -> j196,
+    "j263_graph_beam_tuning" -> j263)
 
   private val dotSelfSql =
     "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
@@ -1018,39 +1087,16 @@ object VectorOps {
         |       xt.vec_id IS NOT NULL AS in_exact_top10
         |FROM sc LEFT JOIN xt ON sc.vec_id = xt.vec_id
         |ORDER BY sc.hamming ASC, sc.vec_id ASC LIMIT 10""".stripMargin,
+    "j263_graph_beam_tuning" -> (graphAnnOraclePrefix + ",\n" +
+      Seq(4, 12, 24).map(beamCtes(_, 4)).mkString(",\n") + ",\n" +
+      """tr AS (SELECT vec_id FROM q ORDER BY cos_q DESC, vec_id LIMIT 10)
+        |SELECT * FROM (
+        |""".stripMargin +
+      Seq(4, 12, 24).map(beamSummary(_, 4)).mkString("\nUNION ALL\n") +
+      "\n) ORDER BY beam"),
     "j196_graph_ann" ->
-      """WITH n AS (SELECT count(*) AS n FROM 'embeddings.parquet'),
-        |pp AS (SELECT LEAST(31, GREATEST(4, CAST(min(k) AS INT))) AS p
-        |       FROM generate_series(0, 40) t(k), n WHERE (125::BIGINT << k) >= n.n),
-        |hp AS (SELECT k, list_transform(generate_series(1, 64), i ->
-        |      (((strpos('0123456789abcdef', substr(md5('hg:' || k || ':' || i), 1, 1)) - 1) * 4096 +
-        |        (strpos('0123456789abcdef', substr(md5('hg:' || k || ':' || i), 2, 1)) - 1) * 256 +
-        |        (strpos('0123456789abcdef', substr(md5('hg:' || k || ':' || i), 3, 1)) - 1) * 16 +
-        |        (strpos('0123456789abcdef', substr(md5('hg:' || k || ':' || i), 4, 1)) - 1)) / 65536.0) - 0.5) AS h
-        |    FROM generate_series(0, 61) t(k), pp WHERE k < 2 * pp.p),
-        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |      FROM 'embeddings.parquet'),
-        |nr AS (SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-        |q AS (SELECT e.vec_id, list_sum(e.v) / (nr.nrm * 8.0) AS cos_q
-        |      FROM e JOIN nr ON e.vec_id = nr.vec_id),
-        |dots AS (SELECT e.vec_id, hp.k,
-        |        list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * hp.h[i])) AS dt
-        |        FROM e CROSS JOIN hp),
-        |sig AS (SELECT vec_id, k // p AS t,
-        |        CAST(sum(CASE WHEN dt >= 0 THEN CAST(power(2, k % p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bkt
-        |        FROM dots CROSS JOIN pp GROUP BY vec_id, k // p),
-        |adj AS (SELECT DISTINCT src, dst FROM (
-        |        SELECT a.t, a.vec_id AS src, b.vec_id AS dst,
-        |          list_sum(list_transform(generate_series(1, 64), i -> ea.v[i] * eb.v[i]))
-        |            / (na.nrm * nb.nrm) AS cos_ab
-        |        FROM sig a JOIN sig b ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id <> b.vec_id
-        |        JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
-        |        JOIN nr na ON na.vec_id = a.vec_id JOIN nr nb ON nb.vec_id = b.vec_id
-        |        QUALIFY row_number() OVER (PARTITION BY a.t, a.vec_id
-        |                                   ORDER BY cos_ab DESC, b.vec_id) <= 4)),
-        |c0 AS (SELECT vec_id, cos_q FROM q WHERE vec_id % 16 = 0
-        |       ORDER BY cos_q DESC, vec_id LIMIT 1),
-        |b1 AS (SELECT vec_id FROM c0 ORDER BY cos_q DESC, vec_id LIMIT 12),
+      (graphAnnOraclePrefix + ",\n" +
+      """b1 AS (SELECT vec_id FROM c0 ORDER BY cos_q DESC, vec_id LIMIT 12),
         |c1 AS (SELECT vec_id, cos_q FROM c0 UNION
         |       SELECT q.vec_id, q.cos_q FROM adj JOIN b1 ON adj.src = b1.vec_id
         |       JOIN q ON q.vec_id = adj.dst),
@@ -1074,5 +1120,42 @@ object VectorOps {
         |SELECT tr.rank, tr.vec_id, round(tr.cos_q, 6) AS cos_q,
         |       ap.vec_id IS NOT NULL AS found, ex.n_explored
         |FROM tr LEFT JOIN ap ON tr.vec_id = ap.vec_id CROSS JOIN ex
-        |ORDER BY rank""".stripMargin)
+        |ORDER BY rank""".stripMargin))
+
+  /** The graph build in SQL — everything up to the entry point c0,
+    * shared verbatim between j196's oracle and j263's three beam
+    * chains (one prefix, zero drift). A def, not a val: the oracle map
+    * above initializes first (object val order). */
+  private def graphAnnOraclePrefix: String =
+    """WITH n AS (SELECT count(*) AS n FROM 'embeddings.parquet'),
+      |pp AS (SELECT LEAST(31, GREATEST(4, CAST(min(k) AS INT))) AS p
+      |       FROM generate_series(0, 40) t(k), n WHERE (125::BIGINT << k) >= n.n),
+      |hp AS (SELECT k, list_transform(generate_series(1, 64), i ->
+      |      (((strpos('0123456789abcdef', substr(md5('hg:' || k || ':' || i), 1, 1)) - 1) * 4096 +
+      |        (strpos('0123456789abcdef', substr(md5('hg:' || k || ':' || i), 2, 1)) - 1) * 256 +
+      |        (strpos('0123456789abcdef', substr(md5('hg:' || k || ':' || i), 3, 1)) - 1) * 16 +
+      |        (strpos('0123456789abcdef', substr(md5('hg:' || k || ':' || i), 4, 1)) - 1)) / 65536.0) - 0.5) AS h
+      |    FROM generate_series(0, 61) t(k), pp WHERE k < 2 * pp.p),
+      |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM 'embeddings.parquet'),
+      |nr AS (SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |q AS (SELECT e.vec_id, list_sum(e.v) / (nr.nrm * 8.0) AS cos_q
+      |      FROM e JOIN nr ON e.vec_id = nr.vec_id),
+      |dots AS (SELECT e.vec_id, hp.k,
+      |        list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * hp.h[i])) AS dt
+      |        FROM e CROSS JOIN hp),
+      |sig AS (SELECT vec_id, k // p AS t,
+      |        CAST(sum(CASE WHEN dt >= 0 THEN CAST(power(2, k % p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bkt
+      |        FROM dots CROSS JOIN pp GROUP BY vec_id, k // p),
+      |adj AS (SELECT DISTINCT src, dst FROM (
+      |        SELECT a.t, a.vec_id AS src, b.vec_id AS dst,
+      |          list_sum(list_transform(generate_series(1, 64), i -> ea.v[i] * eb.v[i]))
+      |            / (na.nrm * nb.nrm) AS cos_ab
+      |        FROM sig a JOIN sig b ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id <> b.vec_id
+      |        JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+      |        JOIN nr na ON na.vec_id = a.vec_id JOIN nr nb ON nb.vec_id = b.vec_id
+      |        QUALIFY row_number() OVER (PARTITION BY a.t, a.vec_id
+      |                                   ORDER BY cos_ab DESC, b.vec_id) <= 4)),
+      |c0 AS (SELECT vec_id, cos_q FROM q WHERE vec_id % 16 = 0
+      |       ORDER BY cos_q DESC, vec_id LIMIT 1)""".stripMargin
 }
