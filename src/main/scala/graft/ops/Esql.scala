@@ -112,7 +112,8 @@ object Esql {
       "SHA256", "TO_BASE64", "FROM_BASE64", "BIT_LENGTH", "BYTE_LENGTH",
       "ROUND_TO", "MV_APPEND", "MV_ZIP",
       "MV_PERCENTILE", "MV_PSERIES_WEIGHTED_SUM", "SPACE",
-      "TO_GEOPOINT", "ST_X", "ST_Y", "ST_DISTANCE")
+      "TO_GEOPOINT", "ST_X", "ST_Y", "ST_DISTANCE",
+      "ST_GEOHASH", "ST_GEOTILE")
 
   /** Deterministic NOW(): ES|QL's NOW() is query-evaluation wall-clock —
     * unusable in a bit-reproducible engine — so it compiles to this
@@ -519,6 +520,30 @@ object Esql {
           val b = orExpr(c); c.expect(")")
           GeoOps.haversineMeters(a.getField("y"), a.getField("x"),
             b.getField("y"), b.getField("x"))
+        // ES|QL grid-bucketing functions (8.16+/9.x): the key makers
+        // behind geohash_grid / geotile_grid spelled as scalars for
+        // STATS BY — ES's own docs route ES|QL grid aggs through these.
+        // Literal precision/zoom (the BUCKET-span discipline); keys are
+        // the SAME fragments as the j259 agg (GeoOps.geotileKey) and
+        // the generated-both-engines geohash (GeoOps.geohash — unrolled
+        // long shifts, no float past the two libm-free quantizations;
+        // ST_GEOHEX (H3) is deliberately absent: hex cell math has no
+        // tractable oracle mirror, and an unverifiable function is not
+        // claimed, §7.5 discipline).
+        case "ST_GEOHASH" =>
+          val a = orExpr(c); c.expect(",")
+          val pTok = c.eat()
+          require(pTok.matches("""\d+""") && pTok.toInt >= 1 && pTok.toInt <= 12,
+            s"ST_GEOHASH needs a literal precision 1..12, got '$pTok'")
+          c.expect(")")
+          GeoOps.geohash(a.getField("x"), a.getField("y"), pTok.toInt)
+        case "ST_GEOTILE" =>
+          val a = orExpr(c); c.expect(",")
+          val zTok = c.eat()
+          require(zTok.matches("""\d+""") && zTok.toInt >= 0 && zTok.toInt <= 29,
+            s"ST_GEOTILE needs a literal zoom 0..29, got '$zTok'")
+          c.expect(")")
+          GeoOps.geotileKey(a.getField("x"), a.getField("y"), zTok.toInt)
         case "SHA256" =>
           // lowercase hex, byte-identical cross-engine (MD5's sibling)
           val a = orExpr(c); c.expect(")"); sha2(a.cast("binary"), 256)
@@ -2985,7 +3010,27 @@ object Esql {
   def j260(s: SparkSession, d: String): DataFrame =
     compile(s, d, j260Query)
 
+  /** j264_esql_grid_fns — the ES|QL grid-key functions ST_GEOHASH +
+    * ST_GEOTILE as STATS BY keys (how ES|QL spells grid aggregations):
+    * top-20 precision-4 geohash cells by doc count, with the zoom-6
+    * tile diversity per cell (COUNT_DISTINCT of the OTHER grid system —
+    * binds both functions in one oracled result). Both keys are the
+    * shared GeoOps fragments; the geohash is unrolled long shift/mask
+    * arithmetic generated for BOTH engines from one loop. */
+  val j264Query: String =
+    """FROM events
+      || EVAL lat = (event_id * 7919 % 17000) / 100.0 - 85.0, lon = (event_id * 104729 % 36000) / 100.0 - 180.0
+      || EVAL p = TO_GEOPOINT(CONCAT("POINT(", TO_STRING(lon), " ", TO_STRING(lat), ")"))
+      || EVAL gh = ST_GEOHASH(p, 4), gt = ST_GEOTILE(p, 6)
+      || STATS n = COUNT(*), tiles = COUNT_DISTINCT(gt) BY gh
+      || SORT n DESC, gh
+      || LIMIT 20""".stripMargin
+
+  def j264(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j264Query)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j264_esql_grid_fns" -> j264,
     "j260_esql_st_distance" -> j260,
     "j257_esql_sample_agg" -> j257,
     "j256_esql_mv_math" -> j256,
@@ -3037,6 +3082,19 @@ object Esql {
     "j214_esql_like_in" -> j214)
 
   val oracle: Map[String, String] = Map(
+    "j264_esql_grid_fns" -> {
+      val lat = "(event_id * 7919 % 17000) / 100.0 - 85.0"
+      val lon = "(event_id * 104729 % 36000) / 100.0 - 180.0"
+      s"""WITH geo AS (
+         |  SELECT ${GeoOps.geohashSql(lon, lat, 4)} AS gh,
+         |    CONCAT('6/',
+         |      CAST(CAST(floor(64 * (($lon) + 180) / 360) AS BIGINT) AS VARCHAR), '/',
+         |      CAST(CAST(floor(round(64 * (1 - ln(tan(radians($lat)) + 1/cos(radians($lat))) / pi()) / 2, 6)) AS BIGINT) AS VARCHAR)) AS gt
+         |  FROM 'events.parquet')
+         |SELECT gh, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(DISTINCT gt) AS BIGINT) AS tiles
+         |FROM geo GROUP BY gh ORDER BY n DESC, gh LIMIT 20""".stripMargin
+    },
     "j260_esql_st_distance" ->
       """WITH geo AS (
         |  SELECT event_type,

@@ -95,16 +95,73 @@ object GeoOps {
     * 2.4e−5 from the nearest edge). One map-combined agg keyed by the
     * ~4k tile cells; the top-20 cut is TakeOrdered, never a sort of the
     * corpus. */
+  /** Web-Mercator tile key "z/x/y" at a literal zoom — ONE fragment
+    * behind the j259 grid agg and ES|QL's ST_GEOTILE (`Esql.scala`).
+    * x is exact arithmetic; y's mercator fraction (tan/ln libm) rounds
+    * 6dp BEFORE floor (j234 — tile-edge margin probe-verified). */
+  def geotileKey(lon: Column, lat: Column, z: Int): Column = {
+    val n = 1L << z
+    val xt = floor(lit(n) * (lon + 180) / 360)
+    val yt = floor(round(
+      lit(n) * (lit(1.0) -
+        log(tan(radians(lat)) + lit(1.0) / cos(radians(lat))) /
+          lit(math.Pi)) / 2, 6))
+    concat(lit(s"$z/"), xt.cast("string"), lit("/"), yt.cast("string"))
+  }
+
+  /** Geohash of precision `p` (1..12), the standard base32 bit
+    * interleave — UNROLLED at compile time into pure long shifts/masks
+    * (codegen'd; no HOF, no float beyond the two quantizing floors,
+    * which are libm-free arithmetic → identical doubles both engines).
+    * The DuckDB mirror is generated from the same loop ([[geohashSql]])
+    * so the two spellings cannot drift. */
+  def geohash(lon: Column, lat: Column, p: Int): Column = {
+    require(p >= 1 && p <= 12, s"geohash precision 1..12, got $p")
+    val lonBits = (5 * p + 1) / 2
+    val latBits = 5 * p / 2
+    val n = 5 * p
+    val ix = floor((lon + 180) / 360 * lit((1L << lonBits).toDouble)).cast("long")
+    val iy = floor((lat + 90) / 180 * lit((1L << latBits).toDouble)).cast("long")
+    val terms =
+      (0 until lonBits).map(j =>
+        shiftright(ix, lonBits - 1 - j).bitwiseAND(lit(1L)) *
+          lit(1L << (n - 1 - 2 * j))) ++
+      (0 until latBits).map(j =>
+        shiftright(iy, latBits - 1 - j).bitwiseAND(lit(1L)) *
+          lit(1L << (n - 2 - 2 * j)))
+    val inter = terms.reduce(_ + _)
+    val chars = (0 until p).map(ci =>
+      lit(GeohashAlphabet).substr(
+        (shiftright(inter, 5 * (p - 1 - ci)).bitwiseAND(lit(31L)) + 1).cast("int"),
+        lit(1)))
+    concat(chars: _*)
+  }
+
+  val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** The DuckDB spelling of [[geohash]], generated by the SAME loop:
+    * `lonExpr`/`latExpr` are SQL fragments for the coordinates. */
+  def geohashSql(lonExpr: String, latExpr: String, p: Int): String = {
+    val lonBits = (5 * p + 1) / 2
+    val latBits = 5 * p / 2
+    val n = 5 * p
+    val ix = s"CAST(floor(($lonExpr + 180) / 360 * ${1L << lonBits}.0) AS BIGINT)"
+    val iy = s"CAST(floor(($latExpr + 90) / 180 * ${1L << latBits}.0) AS BIGINT)"
+    val terms =
+      (0 until lonBits).map(j =>
+        s"(($ix >> ${lonBits - 1 - j}) & 1) * ${1L << (n - 1 - 2 * j)}") ++
+      (0 until latBits).map(j =>
+        s"(($iy >> ${latBits - 1 - j}) & 1) * ${1L << (n - 2 - 2 * j)}")
+    val inter = terms.mkString("(", " + ", ")")
+    (0 until p).map(ci =>
+      s"substr('$GeohashAlphabet', CAST((($inter >> ${5 * (p - 1 - ci)}) & 31) + 1 AS INT), 1)")
+      .mkString("(", " || ", ")")
+  }
+
   def j259(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val xt = floor(lit(64) * ($"lon" + 180) / 360)
-    val yt = floor(round(
-      lit(64) * (lit(1.0) -
-        log(tan(radians($"lat")) + lit(1.0) / cos(radians($"lat"))) /
-          lit(math.Pi)) / 2, 6))
     withGeo(Tables.events(s, d))
-      .withColumn("tile",
-        concat(lit("6/"), xt.cast("string"), lit("/"), yt.cast("string")))
+      .withColumn("tile", geotileKey($"lon", $"lat", 6))
       .groupBy($"tile")
       .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("users"))
       .orderBy($"n".desc, $"tile".asc)
@@ -128,6 +185,27 @@ object GeoOps {
       .orderBy($"event_type")
   }
 
+  /** j265_geo_distance_sort — ES's sort-by-`_geo_distance`: the 20
+    * events NEAREST the center, distance ascending with the id
+    * tiebreak (ES returns the sort value per hit; here the 6dp-rounded
+    * meters — the j234 rule — and rounding before the cut keeps the
+    * ORDER the oracle's). Unlike j258 there is no radius to box: a
+    * k-nearest cut must see every row's distance, so the plan is
+    * row-local trig into a TakeOrdered heap — no shuffle of the corpus,
+    * no global sort. (ES prunes with ring-expanded index ranges; that
+    * needs a STORED geo index — with a real geo column the same
+    * bbox-iterate pattern applies, out of the synthesized fixture's
+    * reach and documented here.) */
+  def j265(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    withGeo(Tables.events(s, d))
+      .withColumn("dist",
+        round(haversineMeters(lit(CLat), lit(CLon), $"lat", $"lon"), 6))
+      .select($"event_id", $"event_type", $"dist")
+      .orderBy($"dist".asc, $"event_id".asc)
+      .limit(20)
+  }
+
   private val geoSql = """
     SELECT event_type, user_id,
       (event_id * 7919 % 17000) / 100.0 - 85.0  AS lat,
@@ -137,7 +215,8 @@ object GeoOps {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j258_geo_distance" -> j258,
     "j259_geotile_grid" -> j259,
-    "j261_geo_bounding_box" -> j261)
+    "j261_geo_bounding_box" -> j261,
+    "j265_geo_distance_sort" -> j265)
 
   val oracle: Map[String, String] = Map(
     "j258_geo_distance" -> s"""
@@ -172,5 +251,16 @@ object GeoOps {
         min(lon) AS mn_lon, max(lon) AS mx_lon
       FROM geo
       WHERE lat BETWEEN 10.0 AND 45.0 AND lon BETWEEN -120.0 AND -60.0
-      GROUP BY event_type ORDER BY event_type""")
+      GROUP BY event_type ORDER BY event_type""",
+    "j265_geo_distance_sort" -> s"""
+      WITH geo AS (
+        SELECT event_id, event_type,
+          (event_id * 7919 % 17000) / 100.0 - 85.0  AS lat,
+          (event_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+        FROM 'events.parquet')
+      SELECT event_id, event_type, round(2 * 6371008.7714 * asin(sqrt(
+          sin(radians(lat - 40.7)/2) * sin(radians(lat - 40.7)/2) +
+          cos(radians(40.7)) * cos(radians(lat)) *
+            sin(radians(lon - (-74.0))/2) * sin(radians(lon - (-74.0))/2))), 6) AS dist
+      FROM geo ORDER BY dist ASC, event_id ASC LIMIT 20""")
 }

@@ -47,6 +47,28 @@ class GeoOpsSpec extends AnyFunSuite {
     assert(tile(-85.0, -180.0)._2 <= 63L)
   }
 
+  test("geohash anchors: the textbook ezs42 cell, precision nesting, and ST_GEOHASH/ST_GEOTILE agreement") {
+    import s.implicits._
+    def gh(lon: Double, lat: Double, p: Int): String =
+      Seq((lon, lat)).toDF("lon", "lat")
+        .select(GeoOps.geohash($"lon", $"lat", p).as("g")).collect()(0).getString(0)
+    // the geohash literature's canonical example: (42.605, -5.603) → ezs42
+    assert(gh(-5.603, 42.605, 5) === "ezs42")
+    // prefix nesting: a higher precision refines, never relocates
+    assert(gh(-5.603, 42.605, 3) === "ezs")
+    assert(gh(-5.603, 42.605, 9).startsWith("ezs42"))
+    // more anchors (independently derivable: equator/meridian corner
+    // cell and a southern-hemisphere city — Sydney's well-known r3gx2)
+    assert(gh(0.0, 0.0, 1) === "s")
+    assert(gh(151.2093, -33.8688, 4) === "r3gx")
+    // the ES|QL functions ride the same fragments as the j259 agg
+    val r = Seq(1).toDF("z").select(
+      Esql.parseExpr("""ST_GEOHASH(TO_GEOPOINT("POINT(-5.603 42.605)"), 5)""").as("g"),
+      Esql.parseExpr("""ST_GEOTILE(TO_GEOPOINT("POINT(0.1 0.1)"), 6)""").as("t")).collect()(0)
+    assert(r.getString(0) === "ezs42")
+    assert(r.getString(1) === "6/32/31") // just NE of the origin corner
+  }
+
   test("WKT geo_point contract: malformed → NULL, round-trip exact, ST_DISTANCE composes") {
     import s.implicits._
     val df = Seq(
