@@ -99,13 +99,22 @@ object GeoOps {
     * behind the j259 grid agg and ES|QL's ST_GEOTILE (`Esql.scala`).
     * x is exact arithmetic; y's mercator fraction (tan/ln libm) rounds
     * 6dp BEFORE floor (j234 — tile-edge margin probe-verified). */
+  /** Web Mercator's latitude cap — ES clamps geotile inputs to this
+    * band (the slippy-map convention); past it tan/ln diverge. */
+  val MercatorMaxLat = 85.05112878
+
   def geotileKey(lon: Column, lat: Column, z: Int): Column = {
     val n = 1L << z
-    val xt = floor(lit(n) * (lon + 180) / 360)
-    val yt = floor(round(
+    // clamp like ES: lat to the Mercator band (poles land in the edge
+    // rows, not in an overflowed cast), x to [0, n-1] (lon = exactly
+    // +180 would otherwise quantize one past the last column)
+    val latC = greatest(least(lat, lit(MercatorMaxLat)), lit(-MercatorMaxLat))
+    val xt = least(floor(lit(n) * (lon + 180) / 360), lit(n - 1))
+    // the south cap maps to fraction exactly n — clamp y to [0, n-1] too
+    val yt = greatest(least(floor(round(
       lit(n) * (lit(1.0) -
-        log(tan(radians(lat)) + lit(1.0) / cos(radians(lat))) /
-          lit(math.Pi)) / 2, 6))
+        log(tan(radians(latC)) + lit(1.0) / cos(radians(latC))) /
+          lit(math.Pi)) / 2, 6)), lit(n - 1)), lit(0L))
     concat(lit(s"$z/"), xt.cast("string"), lit("/"), yt.cast("string"))
   }
 
@@ -120,8 +129,14 @@ object GeoOps {
     val lonBits = (5 * p + 1) / 2
     val latBits = 5 * p / 2
     val n = 5 * p
-    val ix = floor((lon + 180) / 360 * lit((1L << lonBits).toDouble)).cast("long")
-    val iy = floor((lat + 90) / 180 * lit((1L << latBits).toDouble)).cast("long")
+    // clamp the quantizers to their bit range: lon = exactly +180 /
+    // lat = exactly +90 would otherwise set a bit PAST the interleave
+    // width and wrap the point into cell 0 (reference geohash encoders
+    // clamp the same way; GeoOpsSpec pins (180, 90) → all-ones → "z…")
+    val ix = least(floor((lon + 180) / 360 * lit((1L << lonBits).toDouble))
+      .cast("long"), lit((1L << lonBits) - 1))
+    val iy = least(floor((lat + 90) / 180 * lit((1L << latBits).toDouble))
+      .cast("long"), lit((1L << latBits) - 1))
     val terms =
       (0 until lonBits).map(j =>
         shiftright(ix, lonBits - 1 - j).bitwiseAND(lit(1L)) *
@@ -145,8 +160,8 @@ object GeoOps {
     val lonBits = (5 * p + 1) / 2
     val latBits = 5 * p / 2
     val n = 5 * p
-    val ix = s"CAST(floor(($lonExpr + 180) / 360 * ${1L << lonBits}.0) AS BIGINT)"
-    val iy = s"CAST(floor(($latExpr + 90) / 180 * ${1L << latBits}.0) AS BIGINT)"
+    val ix = s"LEAST(CAST(floor(($lonExpr + 180) / 360 * ${1L << lonBits}.0) AS BIGINT), ${(1L << lonBits) - 1})"
+    val iy = s"LEAST(CAST(floor(($latExpr + 90) / 180 * ${1L << latBits}.0) AS BIGINT), ${(1L << latBits) - 1})"
     val terms =
       (0 until lonBits).map(j =>
         s"(($ix >> ${lonBits - 1 - j}) & 1) * ${1L << (n - 1 - 2 * j)}") ++

@@ -61,6 +61,18 @@ class GeoOpsSpec extends AnyFunSuite {
     // cell and a southern-hemisphere city — Sydney's well-known r3gx2)
     assert(gh(0.0, 0.0, 1) === "s")
     assert(gh(151.2093, -33.8688, 4) === "r3gx")
+    // edge clamps (r12 self-audit): the +180/+90 corner quantizes into
+    // the LAST cell (all-ones base32 'z'), never wraps to cell 0
+    assert(gh(180.0, 90.0, 1) === "z")
+    assert(gh(180.0, 90.0, 3) === "zzz")
+    // ...and geotile clamps the poles into the Mercator edge rows
+    // instead of diverging through tan(±90°)
+    def gt(lon: Double, lat: Double): String =
+      Seq((lon, lat)).toDF("lon", "lat")
+        .select(GeoOps.geotileKey($"lon", $"lat", 6).as("t")).collect()(0).getString(0)
+    assert(gt(0.0, 90.0) === "6/32/0")
+    assert(gt(0.0, -90.0) === "6/32/63")
+    assert(gt(180.0, 0.0) === "6/63/32")
     // the ES|QL functions ride the same fragments as the j259 agg
     val r = Seq(1).toDF("z").select(
       Esql.parseExpr("""ST_GEOHASH(TO_GEOPOINT("POINT(-5.603 42.605)"), 5)""").as("g"),
