@@ -113,7 +113,9 @@ object Esql {
       "ROUND_TO", "MV_APPEND", "MV_ZIP",
       "MV_PERCENTILE", "MV_PSERIES_WEIGHTED_SUM", "SPACE",
       "TO_GEOPOINT", "ST_X", "ST_Y", "ST_DISTANCE",
-      "ST_GEOHASH", "ST_GEOTILE")
+      "ST_GEOHASH", "ST_GEOTILE",
+      "TO_GEOSHAPE", "ST_INTERSECTS", "ST_WITHIN", "ST_CONTAINS",
+      "ST_DISJOINT")
 
   /** Deterministic NOW(): ES|QL's NOW() is query-evaluation wall-clock —
     * unusable in a bit-reproducible engine — so it compiles to this
@@ -544,6 +546,37 @@ object Esql {
             s"ST_GEOTILE needs a literal zoom 0..29, got '$zTok'")
           c.expect(")")
           GeoOps.geotileKey(a.getField("x"), a.getField("y"), zTok.toInt)
+        // ES|QL spatial relations over a BBOX geo_shape: TO_GEOSHAPE
+        // parses WKT "BBOX (minLon, maxLon, maxLat, minLat)" into a
+        // typed envelope {xmin,xmax,ymax,ymin} (malformed → NULL; the
+        // regex parse is fine here — shapes are query literals, so
+        // Catalyst constant-folds the whole constructor; a non-literal
+        // shape column pays it per row, documented). The predicates are
+        // point-vs-envelope (ES's indexed fast path): for a point,
+        // INTERSECTS ≡ WITHIN, and CONTAINS takes (shape, point) per
+        // ES's argument order — all pure comparisons on the typed
+        // fields, codegen'd, no trig. Polygonal shapes are deliberately
+        // absent: no tractable oracle (§7.5 — unverifiable means
+        // unclaimed). NULL point/shape → NULL, per-agg WHERE skips it.
+        case "TO_GEOSHAPE" =>
+          val a = orExpr(c); c.expect(")")
+          val re = """BBOX\s*\(\s*([-+0-9.eE]+),\s*([-+0-9.eE]+),\s*([-+0-9.eE]+),\s*([-+0-9.eE]+)\s*\)"""
+          def g(i: Int) = regexp_extract(a, re, i).cast("double")
+          when(a.rlike("^" + re + "$"),
+            struct(g(1).as("xmin"), g(2).as("xmax"),
+              g(3).as("ymax"), g(4).as("ymin")))
+        case "ST_INTERSECTS" | "ST_WITHIN" =>
+          val a = orExpr(c); c.expect(",")
+          val b = orExpr(c); c.expect(")")
+          pointInEnv(a, b)
+        case "ST_CONTAINS" =>
+          val a = orExpr(c); c.expect(",")
+          val b = orExpr(c); c.expect(")")
+          pointInEnv(b, a)
+        case "ST_DISJOINT" =>
+          val a = orExpr(c); c.expect(",")
+          val b = orExpr(c); c.expect(")")
+          !pointInEnv(a, b)
         case "SHA256" =>
           // lowercase hex, byte-identical cross-engine (MD5's sibling)
           val a = orExpr(c); c.expect(")"); sha2(a.cast("binary"), 256)
@@ -3010,6 +3043,32 @@ object Esql {
   def j260(s: SparkSession, d: String): DataFrame =
     compile(s, d, j260Query)
 
+  /** Point-inside-envelope, inclusive on all edges (the BKD convention
+    * both ES query paths use for points on a box boundary). */
+  private def pointInEnv(p: Column, env: Column): Column =
+    p.getField("x").between(env.getField("xmin"), env.getField("xmax")) &&
+      p.getField("y").between(env.getField("ymin"), env.getField("ymax"))
+
+  /** j266_esql_st_predicates — the ES|QL spatial relations
+    * ST_INTERSECTS / ST_WITHIN / ST_CONTAINS / ST_DISJOINT over a BBOX
+    * geo_shape (point-vs-envelope — the indexed fast path; see the
+    * compiler cases): per-type counts via per-aggregate WHERE on each
+    * predicate. The result binds the relations' algebra in one frame:
+    * for points, n_int = n_within = n_cont and n_disj = n − n_int —
+    * the oracle checks all four independently. Pure comparisons on
+    * exact-arithmetic doubles; the envelope constructor constant-folds. */
+  val j266Query: String =
+    """FROM events
+      || EVAL lat = (event_id * 7919 % 17000) / 100.0 - 85.0, lon = (event_id * 104729 % 36000) / 100.0 - 180.0
+      || EVAL p = TO_GEOPOINT(CONCAT("POINT(", TO_STRING(lon), " ", TO_STRING(lat), ")"))
+      || EVAL env = TO_GEOSHAPE("BBOX (-120.0, -60.0, 45.0, 10.0)")
+      || EVAL inside = ST_INTERSECTS(p, env), within = ST_WITHIN(p, env), cont = ST_CONTAINS(env, p), disj = ST_DISJOINT(p, env)
+      || STATS n = COUNT(*), n_int = COUNT(*) WHERE inside, n_within = COUNT(*) WHERE within, n_cont = COUNT(*) WHERE cont, n_disj = COUNT(*) WHERE disj BY event_type
+      || SORT event_type""".stripMargin
+
+  def j266(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j266Query)
+
   /** j264_esql_grid_fns — the ES|QL grid-key functions ST_GEOHASH +
     * ST_GEOTILE as STATS BY keys (how ES|QL spells grid aggregations):
     * top-20 precision-4 geohash cells by doc count, with the zoom-6
@@ -3030,6 +3089,7 @@ object Esql {
     compile(s, d, j264Query)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j266_esql_st_predicates" -> j266,
     "j264_esql_grid_fns" -> j264,
     "j260_esql_st_distance" -> j260,
     "j257_esql_sample_agg" -> j257,
@@ -3082,6 +3142,22 @@ object Esql {
     "j214_esql_like_in" -> j214)
 
   val oracle: Map[String, String] = Map(
+    "j266_esql_st_predicates" ->
+      """WITH geo AS (
+        |  SELECT event_type,
+        |    (event_id * 7919 % 17000) / 100.0 - 85.0  AS lat,
+        |    (event_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+        |  FROM 'events.parquet'),
+        |rel AS (
+        |  SELECT event_type,
+        |    lon BETWEEN -120.0 AND -60.0 AND lat BETWEEN 10.0 AND 45.0 AS inside
+        |  FROM geo)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (inside) AS BIGINT) AS n_int,
+        |  CAST(count(*) FILTER (inside) AS BIGINT) AS n_within,
+        |  CAST(count(*) FILTER (inside) AS BIGINT) AS n_cont,
+        |  CAST(count(*) FILTER (NOT inside) AS BIGINT) AS n_disj
+        |FROM rel GROUP BY event_type ORDER BY event_type""".stripMargin,
     "j264_esql_grid_fns" -> {
       val lat = "(event_id * 7919 % 17000) / 100.0 - 85.0"
       val lon = "(event_id * 104729 % 36000) / 100.0 - 180.0"

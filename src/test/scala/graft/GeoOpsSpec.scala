@@ -81,6 +81,24 @@ class GeoOpsSpec extends AnyFunSuite {
     assert(r.getString(1) === "6/32/31") // just NE of the origin corner
   }
 
+  test("BBOX geo_shape contract: boundary-inclusive relations, CONTAINS arg order, malformed → NULL") {
+    import s.implicits._
+    def rel(f: String, wkt: String): Any = {
+      val r = Seq(1).toDF("z").select(Esql.parseExpr(f.replace("$W", wkt)).as("v")).collect()(0)
+      if (r.isNullAt(0)) null else r.getBoolean(0)
+    }
+    val env = """TO_GEOSHAPE("BBOX (-10.0, 10.0, 5.0, -5.0)")"""
+    // interior, exact boundary (inclusive — the BKD convention), outside
+    assert(rel(s"""ST_INTERSECTS(TO_GEOPOINT("POINT(0.0 0.0)"), $$W)""", env) === true)
+    assert(rel(s"""ST_WITHIN(TO_GEOPOINT("POINT(10.0 5.0)"), $$W)""", env) === true)
+    assert(rel(s"""ST_CONTAINS($$W, TO_GEOPOINT("POINT(-10.0 -5.0)"))""", env) === true)
+    assert(rel(s"""ST_DISJOINT(TO_GEOPOINT("POINT(10.1 0.0)"), $$W)""", env) === true)
+    assert(rel(s"""ST_INTERSECTS(TO_GEOPOINT("POINT(0.0 5.1)"), $$W)""", env) === false)
+    // malformed shape → NULL, and NULL propagates through the relation
+    assert(rel(s"""ST_INTERSECTS(TO_GEOPOINT("POINT(0.0 0.0)"), $$W)""",
+      """TO_GEOSHAPE("POLYGON((0 0))")""") === null)
+  }
+
   test("WKT geo_point contract: malformed → NULL, round-trip exact, ST_DISTANCE composes") {
     import s.implicits._
     val df = Seq(
