@@ -90,7 +90,7 @@ object Esql {
   private val aggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG",
     "COUNT_DISTINCT", "PERCENTILE", "MEDIAN", "WEIGHTED_AVG", "TOP",
     "STD_DEV", "MEDIAN_ABSOLUTE_DEVIATION", "VALUES", "FIRST", "LAST",
-    "SAMPLE")
+    "SAMPLE", "ST_EXTENT_AGG")
   private val scalarFns =
     Set("ROUND", "ABS", "SPLIT", "CONCAT", "TO_LONG", "TO_DOUBLE", "LENGTH",
       "DATE_TRUNC", "CASE", "COALESCE",
@@ -115,7 +115,7 @@ object Esql {
       "TO_GEOPOINT", "ST_X", "ST_Y", "ST_DISTANCE",
       "ST_GEOHASH", "ST_GEOTILE",
       "TO_GEOSHAPE", "ST_INTERSECTS", "ST_WITHIN", "ST_CONTAINS",
-      "ST_DISJOINT")
+      "ST_DISJOINT", "ST_XMIN", "ST_XMAX", "ST_YMIN", "ST_YMAX")
 
   /** Deterministic NOW(): ES|QL's NOW() is query-evaluation wall-clock —
     * unusable in a bit-reproducible engine — so it compiles to this
@@ -233,6 +233,21 @@ object Esql {
               transform(
                 slice(array_sort(pool), 1, nTok.toInt),
                 x => x.substr(lit(34), lit(1000000))), ","))
+        case "ST_EXTENT_AGG" =>
+          // ES|QL 9.x's spatial extent aggregate: the bounding envelope
+          // of the group's points — four independent min/max reductions
+          // packed into the SAME {xmin,xmax,ymax,ymin} struct
+          // TO_GEOSHAPE builds, so ST_XMIN/…/ST_YMAX read both. All
+          // map-combined; no float hazard beyond the coordinates
+          // themselves (min/max are order-independent). The struct
+          // obeys the no-struct-output rule: extract with ST_XMIN/… and
+          // DROP the envelope before the result ships.
+          val a = orExpr(c); c.expect(")")
+          struct(
+            min(c.filt(a.getField("x"))).as("xmin"),
+            max(c.filt(a.getField("x"))).as("xmax"),
+            max(c.filt(a.getField("y"))).as("ymax"),
+            min(c.filt(a.getField("y"))).as("ymin"))
         case "VALUES" =>
           // VALUES(field) — the group's distinct values as a multivalue.
           // ES documents the order as non-deterministic; a distributed,
@@ -577,6 +592,13 @@ object Esql {
           val a = orExpr(c); c.expect(",")
           val b = orExpr(c); c.expect(")")
           !pointInEnv(a, b)
+        // envelope extractors — field reads off the {xmin,xmax,ymax,
+        // ymin} struct (TO_GEOSHAPE's or ST_EXTENT_AGG's; free, the
+        // ST_X/ST_Y discipline)
+        case "ST_XMIN" => val a = orExpr(c); c.expect(")"); a.getField("xmin")
+        case "ST_XMAX" => val a = orExpr(c); c.expect(")"); a.getField("xmax")
+        case "ST_YMIN" => val a = orExpr(c); c.expect(")"); a.getField("ymin")
+        case "ST_YMAX" => val a = orExpr(c); c.expect(")"); a.getField("ymax")
         case "SHA256" =>
           // lowercase hex, byte-identical cross-engine (MD5's sibling)
           val a = orExpr(c); c.expect(")"); sha2(a.cast("binary"), 256)
@@ -3069,6 +3091,25 @@ object Esql {
   def j266(s: SparkSession, d: String): DataFrame =
     compile(s, d, j266Query)
 
+  /** j269_esql_st_extent — ES|QL 9.x's ST_EXTENT_AGG + the envelope
+    * extractors ST_XMIN/ST_XMAX/ST_YMIN/ST_YMAX: the per-type bounding
+    * envelope of the synthesized points, extracted field-by-field and
+    * the envelope struct DROPped before the result ships (the
+    * no-struct-output rule). A WHERE leg narrows one aggregate through
+    * the per-agg filter to bind that composition too. Everything
+    * map-combined min/max — order-independent, no float hazard. */
+  val j269Query: String =
+    """FROM events
+      || EVAL lat = (event_id * 7919 % 17000) / 100.0 - 85.0, lon = (event_id * 104729 % 36000) / 100.0 - 180.0
+      || EVAL p = TO_GEOPOINT(CONCAT("POINT(", TO_STRING(lon), " ", TO_STRING(lat), ")"))
+      || STATS n = COUNT(*), ext = ST_EXTENT_AGG(p), ext_e = ST_EXTENT_AGG(p) WHERE lat >= 0.0 BY event_type
+      || EVAL xmin = ST_XMIN(ext), xmax = ST_XMAX(ext), ymin = ST_YMIN(ext), ymax = ST_YMAX(ext), n_ymin = ST_YMIN(ext_e)
+      || DROP ext, ext_e
+      || SORT event_type""".stripMargin
+
+  def j269(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j269Query)
+
   /** j264_esql_grid_fns — the ES|QL grid-key functions ST_GEOHASH +
     * ST_GEOTILE as STATS BY keys (how ES|QL spells grid aggregations):
     * top-20 precision-4 geohash cells by doc count, with the zoom-6
@@ -3089,6 +3130,7 @@ object Esql {
     compile(s, d, j264Query)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j269_esql_st_extent" -> j269,
     "j266_esql_st_predicates" -> j266,
     "j264_esql_grid_fns" -> j264,
     "j260_esql_st_distance" -> j260,
@@ -3142,6 +3184,17 @@ object Esql {
     "j214_esql_like_in" -> j214)
 
   val oracle: Map[String, String] = Map(
+    "j269_esql_st_extent" ->
+      """WITH geo AS (
+        |  SELECT event_type,
+        |    (event_id * 7919 % 17000) / 100.0 - 85.0  AS lat,
+        |    (event_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+        |  FROM 'events.parquet')
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  min(lon) AS xmin, max(lon) AS xmax,
+        |  min(lat) AS ymin, max(lat) AS ymax,
+        |  min(lat) FILTER (lat >= 0.0) AS n_ymin
+        |FROM geo GROUP BY event_type ORDER BY event_type""".stripMargin,
     "j266_esql_st_predicates" ->
       """WITH geo AS (
         |  SELECT event_type,

@@ -221,6 +221,50 @@ object GeoOps {
       .limit(20)
   }
 
+  /** j267_geo_distance_rings — ES's `geo_distance` AGGREGATION (the
+    * ring-bucket sibling of the j258 query): concentric distance bands
+    * around the center, each with doc count and the distance envelope.
+    * The ring is a literal CASE chain on the 6dp-rounded distance
+    * (ROUND_TO's discipline: per-row CASE beats a join against a
+    * boundary table at scale); `ring_from` carries the numeric sort
+    * key so the band order is bucket-native like ES's, not
+    * lexicographic. Rounding before banding keeps a boundary-adjacent
+    * distance in the SAME band in both engines (j258's margin audit
+    * covers the band edges too — they are subsets of its domain). */
+  def j267(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(0L, 500000L, 1500000L, 3000000L, 6000000L)
+    val dist = round(haversineMeters(lit(CLat), lit(CLon), $"lat", $"lon"), 6)
+    val from = bands.tail.foldLeft(lit(bands.head): Column) {
+      (acc, b) => when($"dist" >= lit(b.toDouble), lit(b)).otherwise(acc)
+    }
+    withGeo(Tables.events(s, d))
+      .withColumn("dist", dist)
+      .withColumn("ring_from", from)
+      .groupBy($"ring_from")
+      .agg(count(lit(1)).as("n"),
+        min($"dist").as("mn_d"), max($"dist").as("mx_d"))
+      .orderBy($"ring_from")
+  }
+
+  /** j268_geo_centroid — ES's `geo_centroid` agg: the mean point per
+    * event_type (each doc weight 1, ES's own semantics). A plain AVG
+    * over doubles is order-dependent across partitions; the sums ride
+    * [[Parity.sortedFoldSum]] (collect → sort → fold — the j24/j33
+    * device), so the centroid is bit-stable and hash-comparable at
+    * 6dp. Group state is the per-type coordinate list — bounded by the
+    * group like every other sorted-fold user; ES's own centroid holds
+    * running sums per bucket, the scale trade documented at d9. */
+  def j268(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    withGeo(Tables.events(s, d))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(Parity.sortedFoldSum($"lat") / count(lit(1)), 6).as("centroid_lat"),
+        round(Parity.sortedFoldSum($"lon") / count(lit(1)), 6).as("centroid_lon"))
+      .orderBy($"event_type")
+  }
+
   private val geoSql = """
     SELECT event_type, user_id,
       (event_id * 7919 % 17000) / 100.0 - 85.0  AS lat,
@@ -231,7 +275,9 @@ object GeoOps {
     "j258_geo_distance" -> j258,
     "j259_geotile_grid" -> j259,
     "j261_geo_bounding_box" -> j261,
-    "j265_geo_distance_sort" -> j265)
+    "j265_geo_distance_sort" -> j265,
+    "j267_geo_distance_rings" -> j267,
+    "j268_geo_centroid" -> j268)
 
   val oracle: Map[String, String] = Map(
     "j258_geo_distance" -> s"""
@@ -277,5 +323,26 @@ object GeoOps {
           sin(radians(lat - 40.7)/2) * sin(radians(lat - 40.7)/2) +
           cos(radians(40.7)) * cos(radians(lat)) *
             sin(radians(lon - (-74.0))/2) * sin(radians(lon - (-74.0))/2))), 6) AS dist
-      FROM geo ORDER BY dist ASC, event_id ASC LIMIT 20""")
+      FROM geo ORDER BY dist ASC, event_id ASC LIMIT 20""",
+    "j267_geo_distance_rings" -> s"""
+      WITH geo AS ($geoSql),
+      dist AS (
+        SELECT round(2 * 6371008.7714 * asin(sqrt(
+          sin(radians(lat - 40.7)/2) * sin(radians(lat - 40.7)/2) +
+          cos(radians(40.7)) * cos(radians(lat)) *
+            sin(radians(lon - (-74.0))/2) * sin(radians(lon - (-74.0))/2))), 6) AS d
+        FROM geo)
+      SELECT CAST(CASE WHEN d >= 6000000.0 THEN 6000000
+                  WHEN d >= 3000000.0 THEN 3000000
+                  WHEN d >= 1500000.0 THEN 1500000
+                  WHEN d >= 500000.0 THEN 500000
+                  ELSE 0 END AS BIGINT) AS ring_from,
+        count(*) AS n, min(d) AS mn_d, max(d) AS mx_d
+      FROM dist GROUP BY ring_from ORDER BY ring_from""",
+    "j268_geo_centroid" -> s"""
+      WITH geo AS ($geoSql)
+      SELECT event_type, count(*) AS n,
+        round(list_sum(list_sort(list(lat))) / count(*), 6) AS centroid_lat,
+        round(list_sum(list_sort(list(lon))) / count(*), 6) AS centroid_lon
+      FROM geo GROUP BY event_type ORDER BY event_type""")
 }
