@@ -30,7 +30,14 @@ object ScaleProbe {
     "j258_geo_distance" -> "events.parquet",
     "j259_geotile_grid" -> "events.parquet",
     "j260_esql_st_distance" -> "events.parquet",
-    "j261_geo_bounding_box" -> "events.parquet")
+    "j261_geo_bounding_box" -> "events.parquet",
+    "j262_rollup_stored" -> "events.parquet",
+    "j264_esql_grid_fns" -> "events.parquet",
+    "j265_geo_distance_sort" -> "events.parquet",
+    "j266_esql_st_predicates" -> "events.parquet",
+    "j267_geo_distance_rings" -> "events.parquet",
+    "j268_geo_centroid" -> "events.parquet",
+    "j269_esql_st_extent" -> "events.parquet")
 
   def main(args0: Array[String]): Unit = {
     // optional trailing `only=q1,q2` arg restricts the probe list —
@@ -118,7 +125,16 @@ object ScaleProbe {
         "j228_eql_maxspan_until", "j174_sessionize",
         "j142_cohort_retention",
         "j258_geo_distance", "j259_geotile_grid",
-        "j260_esql_st_distance", "j261_geo_bounding_box")
+        "j260_esql_st_distance", "j261_geo_bounding_box",
+        // round 12 (late): the stored rollup's serve path, the grid
+        // keys (unrolled shift/mask must stay row-local flat), the
+        // distance sort's TakeOrdered heap, the spatial relations, and
+        // the sorted-fold centroid (the one geo op with group-sized
+        // state — its slope is the d9 trade made visible)
+        "j262_rollup_stored", "j264_esql_grid_fns",
+        "j265_geo_distance_sort", "j266_esql_st_predicates",
+        "j267_geo_distance_rings", "j268_geo_centroid",
+        "j269_esql_st_extent")
         if only.forall(_.contains(q))) {
       val missing = needs.get(q)
         .filterNot(f => new java.io.File(d, f).exists())
