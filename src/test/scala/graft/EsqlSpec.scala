@@ -568,7 +568,13 @@ class EsqlSpec extends AnyFunSuite {
       "FROM documents | STATS s = SAMPLE(source, 3) BY lang", // sample agg sans id
       "SHOW LICENSE | LIMIT 1", // only SHOW INFO exists
       "FROM documents | EVAL b = ROUND_TO(n_chars)", // no points
-      "FROM documents | EVAL p = MV_PERCENTILE(lang, 150)") // p > 100
+      "FROM documents | EVAL p = MV_PERCENTILE(lang, 150)", // p > 100
+      // round-12 geo functions, same loud-error discipline
+      """FROM events | EVAL g = ST_GEOHASH(TO_GEOPOINT("POINT(0 0)"), 0)""", // precision < 1
+      """FROM events | EVAL g = ST_GEOHASH(TO_GEOPOINT("POINT(0 0)"), 13)""", // precision > 12
+      """FROM events | EVAL t = ST_GEOTILE(TO_GEOPOINT("POINT(0 0)"), 30)""", // zoom > 29
+      """FROM events | EVAL t = ST_GEOTILE(TO_GEOPOINT("POINT(0 0)"), value)""", // non-literal zoom
+      """FROM events | EVAL d = ST_DISTANCE(TO_GEOPOINT("POINT(0 0)"))""") // one arg
     val outcomes = malformed.map { q =>
       q -> (try { Esql.compile(s, TestSpark.sf0001, q); None }
             catch { case e: Exception => Some(e) })

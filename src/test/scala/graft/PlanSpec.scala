@@ -1089,6 +1089,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p0.contains("ReadSchema: struct<event_id:bigint,event_type:string>"), p0)
   }
 
+  test("j262: the day query is served from the STORED rollup — the connector scan, never the raw event file") {
+    val p = plan("j262_rollup_stored")
+    // the served leg reads the graft-sync store
+    assert(p.contains("GraftSyncScan"), p)
+    // exactly ONE parquet scan in the whole plan — the raw PROOF leg;
+    // the serving side itself never touches events.parquet (at 100 TB
+    // the proof leg is dropped and the plan is store-only)
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) === 1, p)
+    // partials re-compose map-side before the exchange
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("j265/j267/j268: distance sort is a TakeOrdered heap; rings and centroid are single-agg plans") {
+    val p5 = plan("j265_geo_distance_sort")
+    assert(p5.contains("TakeOrderedAndProject(limit=20"), p5)
+    assert(!p5.contains("rangepartitioning"), "k-nearest must not globally sort: " + p5)
+    val p7 = plan("j267_geo_distance_rings")
+    // banding is a row-local CASE into one map-combined agg — no joins
+    assert(!p7.contains("Join"), p7)
+    assert(p7.contains("partial_count"), p7)
+    val p8 = plan("j268_geo_centroid")
+    // the sorted-fold centroid is ONE keyed aggregate — no window, no join
+    assert(!p8.contains("Join") && !p8.contains("Window"), p8)
+  }
+
   test("whole-stage codegen covers the flagship plan") {
     // AQE finalizes stages lazily — execute first, then inspect
     val df = SparkEntry.queries("d1_agg_group")(TestSpark.spark, TestSpark.sf0001)
