@@ -43,9 +43,23 @@ private[sources] class GraftSyncWriteBuilder(dir: String, info: LogicalWriteInfo
   private val bulkRows: Int =
     Option(info.options.get("bulk-rows")).map(_.toInt).getOrElse(50000)
 
+  // Optional caller-supplied page identity. Batch page names default to
+  // the write's queryId — a fresh UUID per write — which is correct for
+  // independent writes but NOT replay-stable: a foreachBatch APPEND
+  // re-executed after a crash (same epoch, new queryId) would land the
+  // same rows under NEW page names and double-count. With a
+  // deterministic tag (e.g. "rollup-epoch-7") the replay rewrites the
+  // SAME page names byte-for-byte, and committedPages' name-keyed
+  // `.distinct` makes the duplicate manifest a no-op — the exact
+  // idempotency the native streaming path gets from epoch-named pages,
+  // extended to foreachBatch appenders (Sync.rollupSink).
+  private val pageTag: Option[String] = Option(info.options.get("page-tag"))
+
   override def build(): Write = {
     GraftSyncStore.checkSchema(info.schema())
     require(bulkRows > 0, s"graft-sync: bulk-rows must be positive, got $bulkRows")
+    require(pageTag.forall(_.matches("[A-Za-z0-9._-]+")),
+      s"graft-sync: page-tag must be a [A-Za-z0-9._-]+ token, got '${pageTag.get}'")
     // publish the schema marker BEFORE any task flushes a page: its
     // presence disables committedPages' hand-made-dir fallback, so a
     // reader concurrent with the store's very first write sees an empty
@@ -53,7 +67,8 @@ private[sources] class GraftSyncWriteBuilder(dir: String, info: LogicalWriteInfo
     GraftSyncStore.writeSchema(dir, info.schema())
     new Write {
       override def toBatch: BatchWrite =
-        new GraftSyncBatchWrite(dir, info.schema(), info.queryId(), doTruncate, bulkRows)
+        new GraftSyncBatchWrite(dir, info.schema(),
+          pageTag.getOrElse(info.queryId()), doTruncate, bulkRows)
       override def toStreaming: StreamingWrite =
         new GraftSyncStreamingWrite(dir, info.schema(), bulkRows)
     }

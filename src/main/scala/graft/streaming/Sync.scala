@@ -992,9 +992,17 @@ object Sync {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        // page-tag = the epoch: a replayed batch (post-crash
+        // re-execution) rewrites the SAME page names byte-for-byte and
+        // its duplicate manifest de-dupes at read — exactly-once
+        // composition without sink-side state (the connector's
+        // epoch-idempotency contract, extended to this appender; a
+        // bare append would double-count the partials on replay)
         graft.ops.NestedOps.hourlyRollup(graft.ops.NestedOps.hourlyCents(batch))
-          .write.format("graft-sync").mode("append").save(storeDir)
+          .write.format("graft-sync").mode("append")
+          .option("page-tag", s"rollup-epoch-$epochId")
+          .save(storeDir)
         ()
       }
       .start()

@@ -471,6 +471,17 @@ class StreamingSpec extends AnyFunSuite {
     val manifests = new java.io.File(store).list()
       .count(_.startsWith("_manifest"))
     assert(manifests >= 2, s"expected appended manifest generations, got $manifests")
+    // EPOCH REPLAY idempotency: re-running an epoch's append with the
+    // same page-tag (what a post-crash foreachBatch re-execution does)
+    // rewrites the SAME page names — the duplicate manifest de-dupes at
+    // read, so the served numbers below must NOT double-count
+    graft.ops.NestedOps.hourlyRollup(graft.ops.NestedOps.hourlyCents(
+      Seq(ev(4, "2024-01-01 10:20:00", "click", 10.00),
+          ev(5, "2024-01-02 09:00:00", "view", 3.00)).toDF()
+        .withColumn("ts_us", org.apache.spark.sql.functions.expr(
+          "unix_micros(cast(ts as timestamp))"))))
+      .write.format("graft-sync").mode("append")
+      .option("page-tag", "rollup-epoch-1").save(store)
     // j262's serve path, verbatim: re-compose partials by (type, hour),
     // then compose hours into days
     val served = spark.read.format("graft-sync").load(store)
