@@ -112,7 +112,9 @@ object AnalyticsOps {
         sum($"n_chars").as("sum_chars"),
         sum(size($"toks").cast("long")).as("sum_tokens"),
         countDistinct($"lang").as("n_langs"),
-        Parity.sortedFoldSum($"score").as("ss"),
+        // per-source groups are corpus-unbounded — quantized exact sum,
+        // not a collected score list (r13 audit)
+        Parity.qsum($"score").as("ss"),
         sum($"gpass".cast("long")).as("n_gopher_pass"))
       .select($"source", $"n_docs", $"sum_chars", $"sum_tokens", $"n_langs",
         round($"ss" / $"n_docs", 6).as("mean_quality"),
@@ -859,7 +861,8 @@ object AnalyticsOps {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
         |       count(DISTINCT lang) AS n_langs,
-        |       round(list_sum(list_sort(list(score))) / count(*), 6) AS mean_quality,
+        |       round(CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS DOUBLE)
+        |             / 1000000.0 / count(*), 6) AS mean_quality,
         |       round(CAST(sum(gpass::INT) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
         |         AS gopher_pass_rate
         |FROM f GROUP BY 1 ORDER BY source""".stripMargin,

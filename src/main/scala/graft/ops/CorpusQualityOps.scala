@@ -151,7 +151,9 @@ object CorpusQualityOps {
       .withColumn("band", least(floor($"ratio" * 50).cast("long"), lit(49L)))
       .groupBy($"lang", $"band")
       .agg(count(lit(1)).as("n_docs"),
-        Parity.sortedFoldSum($"ratio").as("rsum"))
+        // each (lang, band) cell is corpus-unbounded — quantized exact
+        // sum, not a collected ratio list (r13 audit)
+        Parity.qsum($"ratio").as("rsum"))
       .select($"lang", $"band", $"n_docs",
         round($"rsum" / $"n_docs".cast("double"), 6).as("mean_ratio"))
       .orderBy($"lang", $"band")
@@ -357,7 +359,8 @@ object CorpusQualityOps {
         |b AS (SELECT lang, least(CAST(floor(ratio * 50) AS BIGINT), 49) AS band,
         |             ratio FROM r)
         |SELECT lang, band, count(*) AS n_docs,
-        |       round(list_sum(list_sort(list(ratio))) / CAST(count(*) AS DOUBLE), 6)
+        |       round(CAST(sum(CAST(round(ratio * 1000000) AS BIGINT)) AS DOUBLE)
+        |             / 1000000.0 / CAST(count(*) AS DOUBLE), 6)
         |         AS mean_ratio
         |FROM b GROUP BY 1, 2 ORDER BY lang, band""".stripMargin,
     "j118_global_agg" ->

@@ -521,12 +521,25 @@ object Esql {
         // outputs are libm-adjacent → j234 ROUND-6dp + MIN/MAX rule.
         case "TO_GEOPOINT" =>
           val a = orExpr(c); c.expect(")")
-          // strip "POINT(" (6 chars) and the trailing ")"
-          val parts = split(a.substr(lit(7), length(a) - lit(7)), " ")
+          // ES's WKT reader tolerates whitespace: "POINT (x y)", runs of
+          // internal blanks, leading/trailing space all parse (r12 advice
+          // — the exact-"POINT(" spelling rejected well-formed WKT). So:
+          // trim, strip the 5-char keyword, ltrim, strip the parens, and
+          // split the body on \s+ (split is regex-backed either way — no
+          // new cost class vs the single-space split). Out-of-range
+          // coordinates (|lon|>180, |lat|>90) → NULL, matching ES's
+          // refusal of invalid geo_points — without this, downstream
+          // grid keys could mint cells ES would never emit ("6/-4/32").
+          val t = trim(a)
+          val rest = ltrim(t.substr(lit(6), length(t)))
+          val body = trim(rest.substr(lit(2), length(rest) - lit(2)))
+          val parts = split(body, "\\s+")
           val x = element_at(parts, 1).try_cast("double")
           val y = element_at(parts, 2).try_cast("double")
-          when(a.startsWith("POINT(") && a.endsWith(")") &&
-            size(parts) === 2 && x.isNotNull && y.isNotNull,
+          when(t.startsWith("POINT") && rest.startsWith("(") &&
+            rest.endsWith(")") &&
+            size(parts) === 2 && x.isNotNull && y.isNotNull &&
+            abs(x) <= lit(180.0) && abs(y) <= lit(90.0),
             struct(x.as("x"), y.as("y")))
         case "ST_X" =>
           val a = orExpr(c); c.expect(")"); a.getField("x")

@@ -404,7 +404,9 @@ object FusionOps {
       .join(src.select($"doc_id".as("d2"), $"source".as("s2")), "d2")
       .groupBy(least($"s1", $"s2").as("src1"), greatest($"s1", $"s2").as("src2"))
       .agg(count(lit(1)).as("n_pairs"),
-        Parity.sortedFoldSum($"jaccard").as("js"))
+        // near-dup pair counts per source pair grow with the corpus —
+        // quantized exact sum, not a collected list (r13 audit)
+        Parity.qsum($"jaccard").as("js"))
       .select($"src1", $"src2", $"n_pairs",
         round($"js" / $"n_pairs", 6).as("mean_jaccard"))
       .orderBy($"src1", $"src2")
@@ -483,7 +485,9 @@ object FusionOps {
       .groupBy($"lang", $"decile")
       .agg(count(lit(1)).as("n_docs"),
         sum($"gpass".cast("long")).as("n_gopher_pass"),
-        Parity.sortedFoldSum($"score").as("ss"))
+        // (lang, decile) cells are corpus-unbounded — quantized exact
+        // sum (r13 audit, the j112 shape)
+        Parity.qsum($"score").as("ss"))
       .select($"lang", $"decile", $"n_docs", $"n_gopher_pass",
         round($"n_gopher_pass".cast("double") / $"n_docs".cast("double"), 6)
           .as("gopher_pass_rate"),
@@ -699,7 +703,8 @@ object FusionOps {
         |           FROM pr JOIN 'documents.parquet' da ON pr.d1 = da.doc_id
         |                   JOIN 'documents.parquet' db ON pr.d2 = db.doc_id)
         |SELECT src1, src2, count(*) AS n_pairs,
-        |       round(list_sum(list_sort(list(jaccard))) / count(*), 6) AS mean_jaccard
+        |       round(CAST(sum(CAST(round(jaccard * 1000000) AS BIGINT)) AS DOUBLE)
+        |             / 1000000.0 / count(*), 6) AS mean_jaccard
         |FROM tagged GROUP BY 1, 2 ORDER BY src1, src2""".stripMargin,
     "j149_oov_rate" ->
       """WITH lt AS (SELECT lang, token, count(*) AS cnt FROM (
@@ -741,7 +746,8 @@ object FusionOps {
         |       CAST(sum(gpass::INT) AS BIGINT) AS n_gopher_pass,
         |       round(CAST(sum(gpass::INT) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
         |         AS gopher_pass_rate,
-        |       round(list_sum(list_sort(list(score))) / count(*), 6) AS mean_score
+        |       round(CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS DOUBLE)
+        |             / 1000000.0 / count(*), 6) AS mean_score
         |FROM dec GROUP BY 1, 2 ORDER BY lang, decile""".stripMargin,
     "j146_interarrival_stats" ->
       """WITH g AS (SELECT user_id,

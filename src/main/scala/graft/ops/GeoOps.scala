@@ -109,7 +109,10 @@ object GeoOps {
     // rows, not in an overflowed cast), x to [0, n-1] (lon = exactly
     // +180 would otherwise quantize one past the last column)
     val latC = greatest(least(lat, lit(MercatorMaxLat)), lit(-MercatorMaxLat))
-    val xt = least(floor(lit(n) * (lon + 180) / 360), lit(n - 1))
+    // clamp x on BOTH edges: +180 would quantize one past the last
+    // column, and an out-of-range lon < -180 (possible on non-validated
+    // inputs) would mint a negative tile column ES never emits
+    val xt = greatest(least(floor(lit(n) * (lon + 180) / 360), lit(n - 1)), lit(0L))
     // the south cap maps to fraction exactly n — clamp y to [0, n-1] too
     val yt = greatest(least(floor(round(
       lit(n) * (lit(1.0) -
@@ -250,18 +253,19 @@ object GeoOps {
   /** j268_geo_centroid — ES's `geo_centroid` agg: the mean point per
     * event_type (each doc weight 1, ES's own semantics). A plain AVG
     * over doubles is order-dependent across partitions; the sums ride
-    * [[Parity.sortedFoldSum]] (collect → sort → fold — the j24/j33
-    * device), so the centroid is bit-stable and hash-comparable at
-    * 6dp. Group state is the per-type coordinate list — bounded by the
-    * group like every other sorted-fold user; ES's own centroid holds
-    * running sums per bucket, the scale trade documented at d9. */
+    * [[Parity.qsum]] — the synthetic coordinates are EXACT 2dp values,
+    * so round(lat·10⁶) is an exact integer and the decimal sum is an
+    * exact, order-independent, PARTIAL-AGGREGABLE running total (ES's
+    * own centroid holds running sums per bucket — this is that shape,
+    * constant state per group, no per-group coordinate list: the r12
+    * verdict's weak-mark fix). */
   def j268(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     withGeo(Tables.events(s, d))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
-        round(Parity.sortedFoldSum($"lat") / count(lit(1)), 6).as("centroid_lat"),
-        round(Parity.sortedFoldSum($"lon") / count(lit(1)), 6).as("centroid_lon"))
+        round(Parity.qsum($"lat") / count(lit(1)), 6).as("centroid_lat"),
+        round(Parity.qsum($"lon") / count(lit(1)), 6).as("centroid_lon"))
       .orderBy($"event_type")
   }
 
@@ -342,7 +346,9 @@ object GeoOps {
     "j268_geo_centroid" -> s"""
       WITH geo AS ($geoSql)
       SELECT event_type, count(*) AS n,
-        round(list_sum(list_sort(list(lat))) / count(*), 6) AS centroid_lat,
-        round(list_sum(list_sort(list(lon))) / count(*), 6) AS centroid_lon
+        round(CAST(sum(CAST(round(lat * 1000000) AS BIGINT)) AS DOUBLE)
+              / 1000000.0 / count(*), 6) AS centroid_lat,
+        round(CAST(sum(CAST(round(lon * 1000000) AS BIGINT)) AS DOUBLE)
+              / 1000000.0 / count(*), 6) AS centroid_lon
       FROM geo GROUP BY event_type ORDER BY event_type""")
 }

@@ -40,7 +40,32 @@ object Parity {
     * sort, THEN fold — plain sum() over doubles is order-nondeterministic
     * across shuffles, which breaks the oracle hash compare (j24/j33/j34
     * discipline). DuckDB mirror: `list_sum(list_sort(list(x)))`. Every
-    * score-summing search/LM operator goes through this one helper. */
+    * score-summing search/LM operator goes through this one helper.
+    *
+    * SCALE CONTRACT: the group must be BOUNDED (per-doc term lists,
+    * banded scalar frames, ≤window-width buffers) — the aggregation
+    * buffer holds the whole group's list. For corpus- or vocab-unbounded
+    * groups use [[qsum]], which is partial-aggregable. */
   def sortedFoldSum(c: Column): Column =
     aggregate(array_sort(collect_list(c)), lit(0.0), (a, x) => a + x)
+
+  /** Order-INDEPENDENT exact sum for corpus-unbounded groups — the j205
+    * quantized exact-sum device as a reusable aggregate: quantize each
+    * value to integer micro-units (round(x·10⁶), the j49 round-cast
+    * shape), sum the integers EXACTLY in DECIMAL(28,0)→(38,0) (partial-
+    * aggregable: map-side combine works, constant per-group state — no
+    * collect_list buffer), then ONE cast back to double and ONE division
+    * by the scale. Integer addition commutes, so the result is bit-
+    * stable across any shuffle layout, and the decimal accumulator has
+    * 100 TB headroom (10³⁸ ≫ n·|x|·10⁶ at any real corpus). The value is
+    * DEFINED at 1e-6 quantization — both engines quantize identically,
+    * so outputs rounded at 6dp hash-match.
+    *
+    * DuckDB mirror: `CAST(sum(CAST(round(x * 1000000) AS BIGINT))
+    * AS DOUBLE) / 1000000.0` (DuckDB's BIGINT sum is an exact HUGEINT;
+    * the final double conversions agree because both are IEEE
+    * round-to-nearest of the same exact integer). */
+  def qsum(c: Column): Column =
+    sum(round(c * lit(1000000.0), 0).cast(DecimalType(28, 0)))
+      .cast("double") / lit(1000000.0)
 }

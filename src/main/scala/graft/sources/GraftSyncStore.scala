@@ -60,6 +60,44 @@ private[sources] object GraftSyncStore {
       mapper.writeValueAsBytes(node))
   }
 
+  /** Publish a TAGGED batch commit with SUPERSEDE semantics: a page-tag
+    * is an idempotency key — the store holds exactly ONE committed
+    * generation per tag. If the tag already appears in a committed
+    * manifest, this commit REPLACES that generation: the new page list
+    * is published at the PRIOR ordinal (same position in the feed
+    * lineage, mirroring the streaming epoch path's ordinal=epochId
+    * rule), then the prior generation's pages that the new set does not
+    * reuse are deleted. This closes the replay hole name-keyed dedupe
+    * alone cannot: a post-crash foreachBatch re-execution may shuffle
+    * into a DIFFERENT partition layout (AQE coalescing, changed
+    * spark.sql.shuffle.partitions), landing the same rows under
+    * different page names — merge would double-count; supersede
+    * converges to the replay's exact output regardless of layout.
+    *
+    * Crash safety: the new manifest is atomic-renamed FIRST, then stale
+    * files are deleted — a crash between the two leaves unreferenced
+    * orphan pages (invisible to committedPages), never a manifest
+    * pointing at deleted data. */
+  def supersedeTag(dir: String, tag: String, pages: Seq[String]): Unit = {
+    val prior = listFiles(dir).map(_.getFileName.toString)
+      .filter(n => n.startsWith(ManifestPrefix) && n.endsWith(s"-$tag.json"))
+      .sorted
+    val priorPages = prior.flatMap { m =>
+      val node = mapper.readTree(Files.readAllBytes(Paths.get(dir, m)))
+      node.get("pages").elements().asScala.map(_.asText()).toSeq
+    }
+    val ordinal = prior.headOption
+      .map(_.stripPrefix(ManifestPrefix).takeWhile(_.isDigit).toLong)
+      .getOrElse(nextOrdinal(dir))
+    writeManifest(dir, ordinal, tag, pages) // atomic replace of the prior
+    val keepName = f"$ManifestPrefix$ordinal%012d-$tag.json"
+    prior.filterNot(_ == keepName)
+      .foreach(n => Files.deleteIfExists(Paths.get(dir, n)))
+    val keep = pages.toSet
+    priorPages.distinct.filterNot(keep)
+      .foreach(p => Files.deleteIfExists(Paths.get(dir, p)))
+  }
+
   /** The next free batch-commit ordinal: max over existing manifests + 1.
     * Driver-side only (one committing driver per store — the same
     * single-committer assumption a file-sink manifest makes). */

@@ -47,12 +47,17 @@ private[sources] class GraftSyncWriteBuilder(dir: String, info: LogicalWriteInfo
   // the write's queryId — a fresh UUID per write — which is correct for
   // independent writes but NOT replay-stable: a foreachBatch APPEND
   // re-executed after a crash (same epoch, new queryId) would land the
-  // same rows under NEW page names and double-count. With a
-  // deterministic tag (e.g. "rollup-epoch-7") the replay rewrites the
-  // SAME page names byte-for-byte, and committedPages' name-keyed
-  // `.distinct` makes the duplicate manifest a no-op — the exact
-  // idempotency the native streaming path gets from epoch-named pages,
-  // extended to foreachBatch appenders (Sync.rollupSink).
+  // same rows under NEW page names and double-count. A deterministic tag
+  // (e.g. "rollup-epoch-7") is an IDEMPOTENCY KEY: the store commits
+  // exactly one generation per tag, and a commit whose tag is already
+  // manifested SUPERSEDES the prior generation (manifest replaced at the
+  // prior ordinal, stale pages deleted — GraftSyncStore.supersedeTag).
+  // Name-keyed dedupe alone is not enough: a replayed foreachBatch may
+  // shuffle into a different partition layout (AQE coalescing, changed
+  // shuffle-partition conf) and land the same rows under DIFFERENT page
+  // names, which a merge would double-count. Supersede also defines tag
+  // REUSE: two appends sharing a tag are last-write-wins by contract —
+  // one logical batch per tag, never a silent partial mix.
   private val pageTag: Option[String] = Option(info.options.get("page-tag"))
 
   override def build(): Write = {
@@ -60,6 +65,10 @@ private[sources] class GraftSyncWriteBuilder(dir: String, info: LogicalWriteInfo
     require(bulkRows > 0, s"graft-sync: bulk-rows must be positive, got $bulkRows")
     require(pageTag.forall(_.matches("[A-Za-z0-9._-]+")),
       s"graft-sync: page-tag must be a [A-Za-z0-9._-]+ token, got '${pageTag.get}'")
+    // "epoch" is the streaming lineage's manifest tag — a batch manifest
+    // named *-epoch.json would corrupt requireLineage's classification
+    require(!pageTag.exists(t => t == "epoch" || t.endsWith("-epoch")),
+      "graft-sync: page-tag 'epoch'/'*-epoch' is reserved for the streaming sink")
     // publish the schema marker BEFORE any task flushes a page: its
     // presence disables committedPages' hand-made-dir fallback, so a
     // reader concurrent with the store's very first write sees an empty
@@ -68,7 +77,8 @@ private[sources] class GraftSyncWriteBuilder(dir: String, info: LogicalWriteInfo
     new Write {
       override def toBatch: BatchWrite =
         new GraftSyncBatchWrite(dir, info.schema(),
-          pageTag.getOrElse(info.queryId()), doTruncate, bulkRows)
+          pageTag.getOrElse(info.queryId()), pageTag.isDefined,
+          doTruncate, bulkRows)
       override def toStreaming: StreamingWrite =
         new GraftSyncStreamingWrite(dir, info.schema(), bulkRows)
     }
@@ -76,7 +86,8 @@ private[sources] class GraftSyncWriteBuilder(dir: String, info: LogicalWriteInfo
 }
 
 private[sources] class GraftSyncBatchWrite(dir: String, schema: StructType,
-    queryId: String, truncate: Boolean, bulkRows: Int) extends BatchWrite {
+    queryId: String, tagged: Boolean, truncate: Boolean,
+    bulkRows: Int) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     GraftSyncWriterFactory(dir, schema, s"page-$queryId", bulkRows)
@@ -100,8 +111,11 @@ private[sources] class GraftSyncBatchWrite(dir: String, schema: StructType,
     }
     GraftSyncStore.requireLineage(dir, wantEpochs = false)
     GraftSyncStore.writeSchema(dir, schema)
-    GraftSyncStore.writeManifest(dir, GraftSyncStore.nextOrdinal(dir),
-      queryId, pages.toSeq)
+    if (tagged)
+      GraftSyncStore.supersedeTag(dir, queryId, pages.toSeq)
+    else
+      GraftSyncStore.writeManifest(dir, GraftSyncStore.nextOrdinal(dir),
+        queryId, pages.toSeq)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

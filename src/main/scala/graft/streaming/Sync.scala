@@ -993,12 +993,14 @@ object Sync {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        // page-tag = the epoch: a replayed batch (post-crash
-        // re-execution) rewrites the SAME page names byte-for-byte and
-        // its duplicate manifest de-dupes at read — exactly-once
-        // composition without sink-side state (the connector's
-        // epoch-idempotency contract, extended to this appender; a
-        // bare append would double-count the partials on replay)
+        // page-tag = the epoch: an idempotency KEY, not just a naming
+        // scheme — the store keeps exactly one committed generation per
+        // tag, and a replayed batch (post-crash re-execution) SUPERSEDES
+        // the first attempt's generation even when the replay shuffles
+        // into a different partition layout and lands the same rows
+        // under different page names (GraftSyncStore.supersedeTag).
+        // Exactly-once composition without sink-side state; a bare
+        // append would double-count the partials on replay.
         graft.ops.NestedOps.hourlyRollup(graft.ops.NestedOps.hourlyCents(batch))
           .write.format("graft-sync").mode("append")
           .option("page-tag", s"rollup-epoch-$epochId")

@@ -106,7 +106,16 @@ class GeoOpsSpec extends AnyFunSuite {
       ("POINT(12.5 -3.25)", 2L),
       ("LINESTRING(0 0, 1 1)", 3L),   // not a point → NULL
       ("POINT(x y)", 4L),             // non-numeric → NULL
-      ("garbage", 5L)).toDF("w", "id")
+      ("garbage", 5L),
+      // ES's WKT reader tolerates whitespace — these are WELL-FORMED
+      // (r12 advice: the exact-"POINT(" spelling wrongly NULLed them)
+      ("POINT (3.5 7.25)", 6L),       // space before the paren
+      ("POINT(  3.5   7.25  )", 7L),  // irregular internal runs
+      ("  POINT(3.5 7.25)  ", 8L),    // leading/trailing space
+      // out-of-range coordinates → NULL (ES refuses invalid geo_points;
+      // without this a grid key could mint a cell ES never emits)
+      ("POINT(-200.0 10.0)", 9L),
+      ("POINT(10.0 95.0)", 10L)).toDF("w", "id")
       .select($"id",
         Esql.parseExpr("TO_GEOPOINT(w)").as("p"),
         Esql.parseExpr("ST_X(TO_GEOPOINT(w))").as("x"),
@@ -119,6 +128,11 @@ class GeoOpsSpec extends AnyFunSuite {
     assert(df(2).isNullAt(1) && df(2).isNullAt(2))
     assert(df(3).isNullAt(1))
     assert(df(4).isNullAt(1))
+    assert(df(5).getDouble(2) === 3.5 && df(5).getDouble(3) === 7.25)
+    assert(df(6).getDouble(2) === 3.5 && df(6).getDouble(3) === 7.25)
+    assert(df(7).getDouble(2) === 3.5 && df(7).getDouble(3) === 7.25)
+    assert(df(8).isNullAt(1), "lon out of [-180,180] must NULL")
+    assert(df(9).isNullAt(1), "lat out of [-90,90] must NULL")
     // ST_DISTANCE(p, p) == 0; one-degree-lon at the equator ≈ 111.195 km
     val d = Seq(1).toDF("z").select(
       Esql.parseExpr(

@@ -492,11 +492,13 @@ class GoldenValuesSpec extends AnyFunSuite {
   test("j100_zipf_fit matches DuckDB OLS moments at BOTH SFs (different corpora)") {
     val r = q("j100_zipf_fit").head()
     assert(r.getLong(r.fieldIndex("n_tokens")) === 31L)
-    assert(r.getDouble(r.fieldIndex("zipf_slope")) === -0.178961)
-    assert(r.getDouble(r.fieldIndex("intercept")) === 7.173999)
+    // values defined at Parity.qsum's 1e-6 quantization (r13 migration
+    // off the corpus-unbounded sorted fold — ≤2e-5 shift vs the r12 pins)
+    assert(r.getDouble(r.fieldIndex("zipf_slope")) === -0.17896)
+    assert(r.getDouble(r.fieldIndex("intercept")) === 7.173997)
     assert(r.getDouble(r.fieldIndex("r2")) === 0.059947)
     val r01 = q01("j100_zipf_fit").head()
-    assert(r01.getDouble(r01.fieldIndex("zipf_slope")) === -0.182505)
+    assert(r01.getDouble(r01.fieldIndex("zipf_slope")) === -0.182504)
   }
 
   test("j95_random_sampler at sf0.01: estimate beside exact (md5-nibble draw)") {

@@ -204,6 +204,65 @@ class GraftSyncConnectorSpec extends AnyFunSuite {
     assert(second === first, "replayed epochs must converge, not duplicate")
   }
 
+  test("page-tag supersede: a replayed append under a DIFFERENT shuffle layout converges") {
+    // the r12 advice hole: name-keyed dedupe only converges if the replay
+    // reproduces the identical page set; with a different partition layout
+    // (here: 5 → 2 partitions, standing in for AQE/conf drift across a
+    // crash-restart) the same rows land under different page names. The
+    // tag is an idempotency key — the second commit must SUPERSEDE the
+    // first generation, never merge with it.
+    val dir = freshStore("supersede")
+    val rows = (0L until 10L).map(i => (i, i * 1.5))
+    def writeTagged(parts: Int): Unit =
+      rows.toDF("id", "v").repartition(parts)
+        .write.format("graft-sync").mode("append")
+        .option("page-tag", "rollup-7").option("bulk-rows", "3")
+        .save(dir)
+    writeTagged(5)
+    val first = spark.read.format("graft-sync").load(dir)
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(first === rows)
+    writeTagged(2) // the replay, different layout
+    val second = spark.read.format("graft-sync").load(dir)
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(second === rows, "supersede must converge, not double-count")
+    // exactly one manifest for the tag, and no orphaned first-generation
+    // pages left on disk (stale pages are deleted after the atomic publish)
+    val names = {
+      val s = Files.list(Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toSeq
+      } finally s.close()
+    }
+    assert(names.count(_.matches("_manifest-.*-rollup-7\\.json")) === 1, names)
+    // only the 2-partition generation's pages remain: 2 partitions ×
+    // ceil(5 rows / 3 bulk-rows) chunks = 4 pages; the 5-partition
+    // generation's 5 pages were deleted after the atomic publish
+    assert(names.count(_.endsWith(".jsonl")) === 4, names)
+    // an untagged append alongside is untouched by tag supersede
+    Seq((100L, 9.9)).toDF("id", "v")
+      .write.format("graft-sync").mode("append").save(dir)
+    writeTagged(3)
+    val third = spark.read.format("graft-sync").load(dir)
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(third === (rows :+ ((100L, 9.9))),
+      "supersede must replace only its own tag's generation")
+  }
+
+  test("page-tag 'epoch' is refused — reserved for the streaming lineage") {
+    val dir = freshStore("tagepoch")
+    val e = intercept[Exception] {
+      Seq((1L, 1.0)).toDF("id", "v")
+        .write.format("graft-sync").mode("append")
+        .option("page-tag", "epoch").save(dir)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgs(e).exists(_.contains("reserved for the streaming sink")), e)
+  }
+
   test("an event-time operator runs unchanged over the connector stream (i1 twin)") {
     // the charter's composition: Structured Streaming + custom connectors.
     // The tumbling-window aggregation (i1) applied to the graft-sync

@@ -1110,8 +1110,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p7.contains("Join"), p7)
     assert(p7.contains("partial_count"), p7)
     val p8 = plan("j268_geo_centroid")
-    // the sorted-fold centroid is ONE keyed aggregate — no window, no join
+    // the quantized-sum centroid is ONE keyed aggregate — no window, no join
     assert(!p8.contains("Join") && !p8.contains("Window"), p8)
+  }
+
+  test("j100/j268/j192: corpus-unbounded sums are quantized partial aggregates, NOT collected lists") {
+    // the r12 verdict's weak marks: a collect_list over a corpus- or
+    // vocab-unbounded group is a single aggregation buffer holding the
+    // whole group at 100 TB. Parity.qsum replaces it with an exact
+    // integer sum — constant per-group state, map-side combined. Pin
+    // the j205 discipline: no object-hash aggregate, no collect_list,
+    // and visible partial_sum in all three plans.
+    for (name <- Seq("j100_zipf_fit", "j268_geo_centroid",
+                     "j192_langid_calibration",
+                     // r13 audit additions: every corpus-unbounded group
+                     // in these plans now sums quantized integers
+                     "j112_quality_decile_mix", "j113_bigram_entropy",
+                     "j116_unique_ngram_ratio", "j148_source_overlap",
+                     "j150_quality_agreement", "j152_source_card")) {
+      val p = plan(name)
+      assert(!p.contains("ObjectHashAggregate"), s"$name: $p")
+      assert(!p.contains("collect_list"), s"$name: $p")
+      assert(p.contains("partial_sum"), s"$name: $p")
+    }
+    // j105/j53/j166 migrated their corpus-unbounded centroid means to
+    // qsum too, but legitimately keep BOUNDED collected folds (per-
+    // vector 64-element / per-block 4-element groups), so a blanket
+    // ObjectHashAggregate assert can't apply — their centroid aggregates
+    // are covered by the GoldenValuesSpec pins and the src-side qsum
+    // call sites themselves.
   }
 
   test("whole-stage codegen covers the flagship plan") {
