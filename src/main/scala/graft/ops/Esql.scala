@@ -90,7 +90,7 @@ object Esql {
   private val aggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG",
     "COUNT_DISTINCT", "PERCENTILE", "MEDIAN", "WEIGHTED_AVG", "TOP",
     "STD_DEV", "MEDIAN_ABSOLUTE_DEVIATION", "VALUES", "FIRST", "LAST",
-    "SAMPLE", "ST_EXTENT_AGG")
+    "SAMPLE", "ST_EXTENT_AGG", "ST_CENTROID_AGG")
   private val scalarFns =
     Set("ROUND", "ABS", "SPLIT", "CONCAT", "TO_LONG", "TO_DOUBLE", "LENGTH",
       "DATE_TRUNC", "CASE", "COALESCE",
@@ -115,7 +115,8 @@ object Esql {
       "TO_GEOPOINT", "ST_X", "ST_Y", "ST_DISTANCE",
       "ST_GEOHASH", "ST_GEOTILE",
       "TO_GEOSHAPE", "ST_INTERSECTS", "ST_WITHIN", "ST_CONTAINS",
-      "ST_DISJOINT", "ST_XMIN", "ST_XMAX", "ST_YMIN", "ST_YMAX")
+      "ST_DISJOINT", "ST_XMIN", "ST_XMAX", "ST_YMIN", "ST_YMAX",
+      "ST_ENVELOPE")
 
   /** Deterministic NOW(): ES|QL's NOW() is query-evaluation wall-clock —
     * unusable in a bit-reproducible engine — so it compiles to this
@@ -248,6 +249,20 @@ object Esql {
             max(c.filt(a.getField("x"))).as("xmax"),
             max(c.filt(a.getField("y"))).as("ymax"),
             min(c.filt(a.getField("y"))).as("ymin"))
+        case "ST_CENTROID_AGG" =>
+          // ES|QL's spatial centroid aggregate (each doc weight 1 —
+          // geo_centroid's semantics, j268's ES|QL twin): per-component
+          // means via Parity.qsum's quantized exact sums — order-
+          // independent, partial-aggregable, constant group state (the
+          // r13 discipline; ES itself keeps running sums per bucket).
+          // Empty group (per-agg WHERE matched nothing) → NULL fields.
+          // Extract with ST_X/ST_Y and DROP the struct before shipping.
+          val a = orExpr(c); c.expect(")")
+          val vx = c.filt(a.getField("x"))
+          val vy = c.filt(a.getField("y"))
+          struct(
+            (Parity.qsum(vx) / count(vx)).as("x"),
+            (Parity.qsum(vy) / count(vy)).as("y"))
         case "VALUES" =>
           // VALUES(field) — the group's distinct values as a multivalue.
           // ES documents the order as non-deterministic; a distributed,
@@ -574,37 +589,82 @@ object Esql {
             s"ST_GEOTILE needs a literal zoom 0..29, got '$zTok'")
           c.expect(")")
           GeoOps.geotileKey(a.getField("x"), a.getField("y"), zTok.toInt)
-        // ES|QL spatial relations over a BBOX geo_shape: TO_GEOSHAPE
-        // parses WKT "BBOX (minLon, maxLon, maxLat, minLat)" into a
-        // typed envelope {xmin,xmax,ymax,ymin} (malformed → NULL; the
-        // regex parse is fine here — shapes are query literals, so
-        // Catalyst constant-folds the whole constructor; a non-literal
-        // shape column pays it per row, documented). The predicates are
-        // point-vs-envelope (ES's indexed fast path): for a point,
+        // ES|QL spatial relations over a geo_shape: TO_GEOSHAPE parses
+        // WKT "BBOX (minLon, maxLon, maxLat, minLat)" OR
+        // "POLYGON((x y, x y, …))" into ONE typed shape struct
+        // {xmin,xmax,ymax,ymin, xs,ys} — the envelope fields (a
+        // polygon's computed bounding box; ST_XMIN/… read them) plus
+        // the ring vertices QUANTIZED to exact 1e-6 integer micro-units
+        // (empty arrays for a BBOX). Malformed WKT → NULL (the regex
+        // parse is fine here — shapes are query literals, so Catalyst
+        // constant-folds the whole constructor; a non-literal shape
+        // column pays it per row, documented). Outer ring only: holes /
+        // MULTIPOLYGON → NULL (their inner ')' fails the numeric
+        // parse), out-of-range vertices → NULL (TO_GEOPOINT's rule),
+        // unclosed rings → NULL (WKT requires first = last). The
+        // predicates run the envelope test first — ES's indexed BKD
+        // prefilter, inclusive edges — and polygons then add an exact
+        // integer even-odd ray cast (see pointInShape). For a point,
         // INTERSECTS ≡ WITHIN, and CONTAINS takes (shape, point) per
-        // ES's argument order — all pure comparisons on the typed
-        // fields, codegen'd, no trig. Polygonal shapes are deliberately
-        // absent: no tractable oracle (§7.5 — unverifiable means
-        // unclaimed). NULL point/shape → NULL, per-agg WHERE skips it.
+        // ES's argument order. NULL point/shape → NULL, per-agg WHERE
+        // skips it. Every comparison is exact BIGINT arithmetic or a
+        // plain double compare — no trig, codegen'd, no float hazard.
         case "TO_GEOSHAPE" =>
           val a = orExpr(c); c.expect(")")
           val re = """BBOX\s*\(\s*([-+0-9.eE]+),\s*([-+0-9.eE]+),\s*([-+0-9.eE]+),\s*([-+0-9.eE]+)\s*\)"""
           def g(i: Int) = regexp_extract(a, re, i).cast("double")
+          val noPts = array().cast("array<bigint>")
+          val t = trim(a)
+          val body = regexp_extract(t, """^POLYGON\s*\(\s*\((.*)\)\s*\)$""", 1)
+          val pairs = transform(split(body, ","), s0 => split(trim(s0), "\\s+"))
+          // `get` (0-based, NULL out of bounds) never throws under ANSI
+          // — element_at here would abort on a malformed 1-token pair
+          val pxs = transform(pairs, p0 => get(p0, lit(0)).try_cast("double"))
+          val pys = transform(pairs, p0 => get(p0, lit(1)).try_cast("double"))
+          val polyOk = length(body) > lit(0) &&
+            forall(pairs, p0 => size(p0) === 2) &&
+            !exists(pxs, v => v.isNull || abs(v) > lit(180.0)) &&
+            !exists(pys, v => v.isNull || abs(v) > lit(90.0)) &&
+            size(pairs) >= 4 &&
+            element_at(pxs, 1) === element_at(pxs, -1) &&
+            element_at(pys, 1) === element_at(pys, -1)
+          def q6(v: Column) = round(v * lit(1000000.0), 0).cast("bigint")
+          val xsQ = transform(pxs, q6 _)
+          val ysQ = transform(pys, q6 _)
           when(a.rlike("^" + re + "$"),
             struct(g(1).as("xmin"), g(2).as("xmax"),
-              g(3).as("ymax"), g(4).as("ymin")))
+              g(3).as("ymax"), g(4).as("ymin"),
+              noPts.as("xs"), noPts.as("ys")))
+          .when(t.startsWith("POLYGON") && polyOk,
+            struct(
+              (array_min(xsQ).cast("double") / lit(1000000.0)).as("xmin"),
+              (array_max(xsQ).cast("double") / lit(1000000.0)).as("xmax"),
+              (array_max(ysQ).cast("double") / lit(1000000.0)).as("ymax"),
+              (array_min(ysQ).cast("double") / lit(1000000.0)).as("ymin"),
+              xsQ.as("xs"), ysQ.as("ys")))
+        case "ST_ENVELOPE" =>
+          // the minimum bounding box of a shape, AS a shape (the BBOX
+          // kind): re-pack the envelope fields, drop the ring — ES|QL
+          // 9.x's ST_ENVELOPE on geo_shape. Point inputs fail at
+          // type-check (no xmin field), the ST_X(keyword) refusal rule.
+          val a = orExpr(c); c.expect(")")
+          val noPts2 = array().cast("array<bigint>")
+          when(a.isNotNull, struct(
+            a.getField("xmin").as("xmin"), a.getField("xmax").as("xmax"),
+            a.getField("ymax").as("ymax"), a.getField("ymin").as("ymin"),
+            noPts2.as("xs"), noPts2.as("ys")))
         case "ST_INTERSECTS" | "ST_WITHIN" =>
           val a = orExpr(c); c.expect(",")
           val b = orExpr(c); c.expect(")")
-          pointInEnv(a, b)
+          pointInShape(a, b)
         case "ST_CONTAINS" =>
           val a = orExpr(c); c.expect(",")
           val b = orExpr(c); c.expect(")")
-          pointInEnv(b, a)
+          pointInShape(b, a)
         case "ST_DISJOINT" =>
           val a = orExpr(c); c.expect(",")
           val b = orExpr(c); c.expect(")")
-          !pointInEnv(a, b)
+          !pointInShape(a, b)
         // envelope extractors — field reads off the {xmin,xmax,ymax,
         // ymin} struct (TO_GEOSHAPE's or ST_EXTENT_AGG's; free, the
         // ST_X/ST_Y discipline)
@@ -1709,6 +1769,84 @@ object Esql {
     inner.groupBy(keys.map(k => col(k._1)): _*).agg(outerAggs.head, outerAggs.tail: _*)
   }
 
+  /** The streaming half of the TS surface (r12 verdict item 2 — the
+    * metrics-store ingest path ES TSDB downsampling actually is).
+    * Structured Streaming cannot plan [[tsStats]]'s two stacked
+    * aggregations, so the stream publishes per-(series, day) cell
+    * PARTIALS per epoch and serving composes them — the downsample-
+    * then-merge architecture every TSDB runs:
+    *
+    *   change stream → (per epoch) [[tsCellPartials]] → page-tag append
+    *   (graft.streaming.Sync.tsRollupSink) → store of partial cells →
+    *   [[tsComposeCells]] → finished cells ≡ tsStats's inner rollup.
+    *
+    * A partial carries the composable aggregate set: n/sc/mn/mx (the
+    * j262 quartet), FIRST/LAST as (value, ts) pairs, and `pos` — the
+    * within-slice sum of POSITIVE consecutive deltas, RATE's numerator.
+    * Composition is exact BECAUSE the change feed is an ordered log
+    * (epoch k's samples precede epoch k+1's per series — the CDC/
+    * metrics-feed contract): merging two adjacent slices adds their
+    * `pos` plus the boundary term max(0, first(k+1) − last(k)), which
+    * is precisely the consecutive-delta the batch window computes
+    * across that boundary. Cells carrying no positive delta anywhere
+    * keep RATE NULL (the batch contract: single-point / never-
+    * increasing series), tracked by the `pos IS NOT NULL ∨ boundary>0`
+    * flag, not by coalescing NULL to 0.
+    *
+    * Compose(compose(x)) = compose(x): a composed cell has the SAME
+    * schema as a partial, so the store can be COMPACTED by rewriting
+    * any prefix of partial pages into composed rows without changing
+    * answers — the nightly-compaction half of the 100 TB story.
+    *
+    * Scale shape: the epoch partial is a map-combined keyed aggregate
+    * over the micro-batch (cells ≪ samples); the boundary window in
+    * compose partitions by cell and orders by first-ts — bounded by
+    * the number of slices that touched the cell (epochs), never the
+    * sample count. StreamingSpec's i19 pins streamed-epochs ≡ batch
+    * [[j249Query]]/[[j250Query]] answers on the same events, through a
+    * crash-replay (page-tag supersede) and a compaction. */
+  private[graft] def tsCellPartials(df: DataFrame): DataFrame = {
+    val base = df.select(col("user_id"), col("event_type"),
+      expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+      expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .withColumn("day", expr("ts_us div 86400000000"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"), col("day"))
+      .orderBy(col("ts_us"))
+    base.withColumn("__d", col("cents") - lag(col("cents"), 1).over(w))
+      .groupBy(col("user_id"), col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+        min(col("cents")).as("mn"), max(col("cents")).as("mx"),
+        min(col("ts_us")).as("fts"), min_by(col("cents"), col("ts_us")).as("fv"),
+        max(col("ts_us")).as("lts"), max_by(col("cents"), col("ts_us")).as("lv"),
+        sum(when(col("__d") > lit(0L), col("__d"))).as("pos"))
+  }
+
+  /** Merge TS cell partials (any number of slices per cell, including
+    * already-composed rows) into finished cells — see [[tsCellPartials]]
+    * for the contract and the boundary-delta argument. */
+  private[graft] def tsComposeCells(partials: DataFrame): DataFrame = {
+    val cell = Seq(col("user_id"), col("event_type"), col("day"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(cell: _*).orderBy(col("fts"))
+    partials
+      .withColumn("__plv", lag(col("lv"), 1).over(w))
+      .withColumn("__pb",
+        when(col("__plv").isNotNull && col("fv") > col("__plv"),
+          col("fv") - col("__plv")).otherwise(lit(0L)))
+      .withColumn("__hp",
+        when(col("pos").isNotNull || col("__pb") > lit(0L), 1L).otherwise(0L))
+      .groupBy(cell: _*)
+      .agg(sum(col("n")).as("n"), sum(col("sc")).as("sc"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"),
+        min(col("fts")).as("fts"), min_by(col("fv"), col("fts")).as("fv"),
+        max(col("lts")).as("lts"), max_by(col("lv"), col("lts")).as("lv"),
+        (sum(coalesce(col("pos"), lit(0L))) + sum(col("__pb"))).as("__posAll"),
+        max(col("__hp")).as("__hp"))
+      .withColumn("pos", when(col("__hp") === 1L, col("__posAll")))
+      .drop("__posAll", "__hp")
+  }
+
   /** Expand a KEEP/DROP column list against the frame's schema: items
     * may carry `*` wildcards (ES|QL's `KEEP c_*` idiom), matched at
     * COMPILE time against df.columns so a pattern hitting nothing is a
@@ -1754,9 +1892,11 @@ object Esql {
     * Not stream-legal (Spark's rules, enforced at start() not here):
     * SORT/LIMIT outside complete mode, INLINESTATS (window), LOOKUP
     * JOIN/ENRICH against another stream, CHANGE_POINT, FORK. TS
-    * pipelines are batch-only by construction (the FROM-events guard
-    * below rejects them): the two-level rollup is two stacked
-    * aggregations, which Structured Streaming does not plan.
+    * pipelines don't compile here (the FROM-events guard below rejects
+    * them): the two-level rollup is two stacked aggregations, which
+    * Structured Streaming does not plan — the streaming TS path is the
+    * partial-publish architecture instead ([[tsCellPartials]] through
+    * graft.streaming.Sync.tsRollupSink; i19's pin).
     * StreamingSpec replays the fixture log and pins a WHERE→EVAL→STATS
     * pipeline's streamed result equal to the batch [[compile]] row for
     * row — the two surfaces share THIS one compiler, so they cannot
@@ -3078,11 +3218,44 @@ object Esql {
   def j260(s: SparkSession, d: String): DataFrame =
     compile(s, d, j260Query)
 
-  /** Point-inside-envelope, inclusive on all edges (the BKD convention
-    * both ES query paths use for points on a box boundary). */
-  private def pointInEnv(p: Column, env: Column): Column =
-    p.getField("x").between(env.getField("xmin"), env.getField("xmax")) &&
-      p.getField("y").between(env.getField("ymin"), env.getField("ymax"))
+  /** Point-vs-shape relation. The envelope test runs FIRST — inclusive
+    * on all edges (the BKD convention both ES query paths use for
+    * points on a box boundary) and short-circuiting, so it is the same
+    * cheap prefilter ES's indexed BKD tree applies before exact
+    * geometry. A BBOX shape (empty ring) is decided by the envelope
+    * alone; a POLYGON adds the even-odd ray cast over its QUANTIZED
+    * ring: the point quantizes to the same 1e-6 integer lattice as the
+    * vertices (TO_GEOPOINT/TO_GEOSHAPE's shared grid), and each edge's
+    * crossing test is the pnpoly half-open rule with the division
+    * cleared — (px−x₁)(y₂−y₁) vs (x₂−x₁)(py−y₁), sign-adjusted by the
+    * edge direction. All operands are BIGINT micro-units ≤ 1.8e8, so
+    * the cross-products stay ≤ ~1.3e17 ≪ 2⁶³ — EXACT integer
+    * arithmetic, bit-identical in any engine (the j266 envelope
+    * discipline extended to polygons; no epsilon, no orientation
+    * dependence — even-odd is winding-agnostic). Boundary semantics:
+    * half-open edges (a point exactly on a boundary lands
+    * deterministically, identically in both engines). */
+  private def pointInShape(p: Column, shp: Column): Column = {
+    val inEnv =
+      p.getField("x").between(shp.getField("xmin"), shp.getField("xmax")) &&
+        p.getField("y").between(shp.getField("ymin"), shp.getField("ymax"))
+    val xs = shp.getField("xs")
+    val ys = shp.getField("ys")
+    val px = round(p.getField("x") * lit(1000000.0), 0).cast("bigint")
+    val py = round(p.getField("y") * lit(1000000.0), 0).cast("bigint")
+    def crossing(i: Column): Column = {
+      val x1 = element_at(xs, i); val y1 = element_at(ys, i)
+      val x2 = element_at(xs, i + 1); val y2 = element_at(ys, i + 1)
+      val lhs = (px - x1) * (y2 - y1)
+      val rhs = (x2 - x1) * (py - y1)
+      ((y1 > py) =!= (y2 > py)) &&
+        when(y2 > y1, lhs < rhs).otherwise(lhs > rhs)
+    }
+    val odd = aggregate(
+      sequence(lit(1), size(xs) - 1), lit(0L),
+      (acc, i) => acc + when(crossing(i), lit(1L)).otherwise(lit(0L))) % 2 === 1
+    inEnv && (size(xs) === 0 || odd)
+  }
 
   /** j266_esql_st_predicates — the ES|QL spatial relations
     * ST_INTERSECTS / ST_WITHIN / ST_CONTAINS / ST_DISJOINT over a BBOX
@@ -3142,7 +3315,68 @@ object Esql {
   def j264(s: SparkSession, d: String): DataFrame =
     compile(s, d, j264Query)
 
+  /** j270's polygon — ONE Scala constant generates the WKT literal in
+    * the ES|QL query AND the quantized vertex arrays in the DuckDB
+    * oracle, so the two spellings cannot drift (the geohashSql
+    * discipline). The ring is deliberately NON-CONVEX (a notch cut into
+    * the top edge): points inside the bounding box but in the notch
+    * are OUT, which is exactly what an envelope test alone cannot
+    * decide — the ray cast is load-bearing, not decorative. */
+  private val j270Ring: Seq[(Double, Double)] = Seq(
+    (-130.0, 10.0), (-60.0, 10.0), (-60.0, 45.0), (-95.0, 25.0),
+    (-130.0, 45.0), (-130.0, 10.0))
+  private val j270Wkt: String =
+    "POLYGON((" + j270Ring.map { case (x, y) => s"$x $y" }.mkString(", ") + "))"
+
+  /** j270_geo_polygon — WKT POLYGON geo_shape + the spatial relations
+    * over it (r12 verdict item 3): TO_GEOSHAPE parses the ring once
+    * into quantized integer vertices; ST_WITHIN/ST_CONTAINS/
+    * ST_INTERSECTS/ST_DISJOINT run the exact even-odd ray cast behind
+    * the envelope prefilter. The WHERE leads with the polygon's
+    * BOUNDING BOX on the raw coordinate columns (the j258/PLANS r12
+    * EVAL-alias rule): the box predicate is sargable arithmetic the
+    * scan prunes on, and at 100 TB it drops ~93% of the globe before
+    * any geometry runs; the ray cast then touches only boxed rows.
+    * The notch makes n_within < n_box strictly — the oracle checks the
+    * concavity is actually exercised. */
+  val j270Query: String =
+    s"""FROM events
+       || EVAL lat = (event_id * 7919 % 17000) / 100.0 - 85.0, lon = (event_id * 104729 % 36000) / 100.0 - 180.0
+       || WHERE lon >= -130.0 AND lon <= -60.0 AND lat >= 10.0 AND lat <= 45.0
+       || EVAL p = TO_GEOPOINT(CONCAT("POINT(", TO_STRING(lon), " ", TO_STRING(lat), ")"))
+       || EVAL poly = TO_GEOSHAPE("$j270Wkt")
+       || EVAL inside = ST_INTERSECTS(p, poly), within = ST_WITHIN(p, poly), cont = ST_CONTAINS(poly, p), disj = ST_DISJOINT(p, poly)
+       || STATS n_box = COUNT(*), n_int = COUNT(*) WHERE inside, n_within = COUNT(*) WHERE within, n_cont = COUNT(*) WHERE cont, n_disj = COUNT(*) WHERE disj BY event_type
+       || SORT event_type""".stripMargin
+
+  def j270(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j270Query)
+
+  /** j272_esql_st_centroid — ES|QL's spatial STATS completions (r12
+    * verdict item 5): ST_CENTROID_AGG (the ES|QL twin of j268's
+    * geo_centroid, per-group mean point via the Parity.qsum quantized
+    * exact sums — partial-aggregable, order-independent) with a
+    * per-aggregate WHERE leg, plus ST_ENVELOPE re-packing a polygon's
+    * bounding box as a BBOX shape read back through ST_XMIN/ST_YMAX.
+    * Centroid components ROUND at 6dp before shipping (j234); the
+    * envelope numbers are exact vertex quantizations. */
+  val j272Query: String =
+    s"""FROM events
+       || EVAL lat = (event_id * 7919 % 17000) / 100.0 - 85.0, lon = (event_id * 104729 % 36000) / 100.0 - 180.0
+       || EVAL p = TO_GEOPOINT(CONCAT("POINT(", TO_STRING(lon), " ", TO_STRING(lat), ")"))
+       || STATS n = COUNT(*), cen = ST_CENTROID_AGG(p), cen_n = ST_CENTROID_AGG(p) WHERE lat >= 0.0 BY event_type
+       || EVAL cx = ROUND(ST_X(cen), 6), cy = ROUND(ST_Y(cen), 6), cnx = ROUND(ST_X(cen_n), 6)
+       || EVAL env = ST_ENVELOPE(TO_GEOSHAPE("$j270Wkt"))
+       || EVAL exmin = ST_XMIN(env), exmax = ST_XMAX(env), eymin = ST_YMIN(env), eymax = ST_YMAX(env)
+       || DROP cen, cen_n, env
+       || SORT event_type""".stripMargin
+
+  def j272(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j272Query)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j270_geo_polygon" -> j270,
+    "j272_esql_st_centroid" -> j272,
     "j269_esql_st_extent" -> j269,
     "j266_esql_st_predicates" -> j266,
     "j264_esql_grid_fns" -> j264,
@@ -3197,6 +3431,62 @@ object Esql {
     "j214_esql_like_in" -> j214)
 
   val oracle: Map[String, String] = Map(
+    "j270_geo_polygon" -> {
+      val xsL = j270Ring.map(v => (v._1 * 1e6).round).mkString("[", ", ", "]")
+      val ysL = j270Ring.map(v => (v._2 * 1e6).round).mkString("[", ", ", "]")
+      val n = j270Ring.size
+      s"""WITH geo AS (
+         |  SELECT event_type,
+         |    (event_id * 7919 % 17000) / 100.0 - 85.0  AS lat,
+         |    (event_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+         |  FROM 'events.parquet'),
+         |boxed AS (
+         |  SELECT * FROM geo
+         |  WHERE lon >= -130.0 AND lon <= -60.0 AND lat >= 10.0 AND lat <= 45.0),
+         |q AS (
+         |  SELECT event_type,
+         |    CAST(round(lon * 1000000) AS BIGINT) AS px,
+         |    CAST(round(lat * 1000000) AS BIGINT) AS py
+         |  FROM boxed),
+         |v AS (SELECT CAST($xsL AS BIGINT[]) AS xs, CAST($ysL AS BIGINT[]) AS ys),
+         |rel AS (
+         |  SELECT event_type,
+         |    (list_sum(list_transform(generate_series(1, $n - 1), i ->
+         |       CASE WHEN ((ys[i] > py) <> (ys[i+1] > py)) AND
+         |         (CASE WHEN ys[i+1] > ys[i]
+         |            THEN (px - xs[i]) * (ys[i+1] - ys[i]) < (xs[i+1] - xs[i]) * (py - ys[i])
+         |            ELSE (px - xs[i]) * (ys[i+1] - ys[i]) > (xs[i+1] - xs[i]) * (py - ys[i]) END)
+         |       THEN 1 ELSE 0 END)) % 2 = 1) AS w
+         |  FROM q CROSS JOIN v)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_box,
+         |  CAST(count(*) FILTER (w) AS BIGINT) AS n_int,
+         |  CAST(count(*) FILTER (w) AS BIGINT) AS n_within,
+         |  CAST(count(*) FILTER (w) AS BIGINT) AS n_cont,
+         |  CAST(count(*) FILTER (NOT w) AS BIGINT) AS n_disj
+         |FROM rel GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
+    "j272_esql_st_centroid" -> {
+      val exmin = j270Ring.map(_._1).min
+      val exmax = j270Ring.map(_._1).max
+      val eymin = j270Ring.map(_._2).min
+      val eymax = j270Ring.map(_._2).max
+      s"""WITH geo AS (
+         |  SELECT event_type,
+         |    (event_id * 7919 % 17000) / 100.0 - 85.0  AS lat,
+         |    (event_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+         |  FROM 'events.parquet')
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(sum(CAST(round(lon * 1000000) AS BIGINT)) AS DOUBLE)
+         |        / 1000000.0 / count(lon), 6) AS cx,
+         |  round(CAST(sum(CAST(round(lat * 1000000) AS BIGINT)) AS DOUBLE)
+         |        / 1000000.0 / count(lat), 6) AS cy,
+         |  round(CAST(sum(CAST(round(lon * 1000000) AS BIGINT))
+         |          FILTER (lat >= 0.0) AS DOUBLE)
+         |        / 1000000.0 / (count(lon) FILTER (lat >= 0.0)), 6) AS cnx,
+         |  CAST($exmin AS DOUBLE) AS exmin, CAST($exmax AS DOUBLE) AS exmax,
+         |  CAST($eymin AS DOUBLE) AS eymin, CAST($eymax AS DOUBLE) AS eymax
+         |FROM geo GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
     "j269_esql_st_extent" ->
       """WITH geo AS (
         |  SELECT event_type,

@@ -186,6 +186,24 @@ object GeoOps {
       .limit(20)
   }
 
+  /** j271_geohash_grid — ES `geohash_grid` bucketing agg at precision
+    * 4: j259's twin over the OTHER grid system (r12 verdict item 4 —
+    * the grid-agg pair ES users expect). The key is the shared
+    * [[geohash]] fragment (unrolled integer shift/mask, generated for
+    * BOTH engines from one loop via [[geohashSql]]); top 20 cells by
+    * doc count, key tiebreak. One map-combined agg over the ~O(10⁴)
+    * occupied cells; the cut is a TakeOrdered — j259's plan shape
+    * verbatim. */
+  def j271(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    withGeo(Tables.events(s, d))
+      .withColumn("cell", geohash($"lon", $"lat", 4))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("users"))
+      .orderBy($"n".desc, $"cell".asc)
+      .limit(20)
+  }
+
   /** j261_geo_bounding_box — ES `geo_bounding_box` query: pure
     * comparisons on the coordinates (no trig anywhere — this is the
     * exact-arithmetic member of the family), aggregated per event_type.
@@ -281,7 +299,8 @@ object GeoOps {
     "j261_geo_bounding_box" -> j261,
     "j265_geo_distance_sort" -> j265,
     "j267_geo_distance_rings" -> j267,
-    "j268_geo_centroid" -> j268)
+    "j268_geo_centroid" -> j268,
+    "j271_geohash_grid" -> j271)
 
   val oracle: Map[String, String] = Map(
     "j258_geo_distance" -> s"""
@@ -309,6 +328,13 @@ object GeoOps {
         FROM geo)
       SELECT tile, count(*) AS n, count(DISTINCT user_id) AS users
       FROM tiles GROUP BY tile ORDER BY n DESC, tile ASC LIMIT 20""",
+    "j271_geohash_grid" -> s"""
+      WITH geo AS ($geoSql),
+      cells AS (
+        SELECT ${geohashSql("lon", "lat", 4)} AS cell, user_id
+        FROM geo)
+      SELECT cell, count(*) AS n, count(DISTINCT user_id) AS users
+      FROM cells GROUP BY cell ORDER BY n DESC, cell ASC LIMIT 20""",
     "j261_geo_bounding_box" -> s"""
       WITH geo AS ($geoSql)
       SELECT event_type, count(*) AS n,

@@ -24,6 +24,15 @@ import org.apache.spark.sql.types._
   * Everything in this object is driver/executor-agnostic plain-JDK I/O:
   * executors touch only the page files their split names.
   */
+/** Public maintenance surface for graft-sync stores (the operations a
+  * store owner runs OUTSIDE a query: today, compaction). */
+object GraftSyncMaintenance {
+  /** See [[GraftSyncStore.compact]]: N committed pages → 1, one atomic
+    * snapshot manifest, answers unchanged. Quiescent batch-lineage
+    * stores only. */
+  def compact(dir: String): Unit = GraftSyncStore.compact(dir)
+}
+
 private[sources] object GraftSyncStore {
   val SchemaFile = "_schema.json"
   val ManifestPrefix = "_manifest-"
@@ -50,14 +59,65 @@ private[sources] object GraftSyncStore {
     * later job's random queryId could sort before an earlier one's). A
     * REPLAYED streaming epoch passes the same (ordinal=epochId, tag) and
     * so rewrites the same manifest with the same page list — the sink's
-    * idempotency under retries. */
+    * idempotency under retries.
+    *
+    * `replacesUpTo`: a SNAPSHOT manifest (compaction) additionally
+    * records the highest ordinal it subsumes — readers ignore every
+    * manifest at or below it (the LSM/iceberg snapshot rule), which is
+    * what makes compaction a ONE-FILE atomic operation. */
   def writeManifest(dir: String, ordinal: Long, tag: String,
-      pages: Seq[String]): Unit = {
+      pages: Seq[String], replacesUpTo: Option[Long] = None): Unit = {
     val node = mapper.createObjectNode()
     val arr = node.putArray("pages")
     pages.sorted.foreach(arr.add)
+    replacesUpTo.foreach(node.put("replaces_up_to", _))
     atomicWrite(Paths.get(dir, f"$ManifestPrefix$ordinal%012d-$tag.json"),
       mapper.writeValueAsBytes(node))
+  }
+
+  /** Compact every committed generation into ONE page under ONE
+    * snapshot manifest — ES force-merge for the NDJSON store, the
+    * nightly-maintenance half of the rollup story (r12 verdict item 6:
+    * an append-per-epoch store otherwise accumulates pages forever).
+    *
+    * Row contract: the compacted page holds the committed pages' bytes
+    * concatenated in FEED ORDER — the row multiset AND order are
+    * byte-identical, so every reader (including the rollup serve paths,
+    * which re-aggregate partials) answers exactly as before; only the
+    * page count changes.
+    *
+    * Crash safety is the snapshot rule, not a multi-file dance: the
+    * compacted page is written first (unreferenced = invisible), then
+    * ONE atomic manifest publish with `replaces_up_to = <max prior
+    * ordinal>` makes readers ignore all prior manifests; the deletes
+    * after it are pure GC of already-ignored files — a crash anywhere
+    * leaves a store that reads correctly.
+    *
+    * Batch lineage only, on a QUIESCENT store (no live writer/reader —
+    * the force-merge caveat): an epoch-lineage store's ordinals are
+    * epoch ids a restarted stream would collide with, so it is refused
+    * loudly. A post-compaction page-tag replay would re-append rows the
+    * snapshot already holds — compaction is for stores whose epochs are
+    * checkpoint-committed (the quiescence requirement covers it). */
+  def compact(dir: String): Unit = {
+    requireLineage(dir, wantEpochs = false)
+    val priorManifests = listFiles(dir).map(_.getFileName.toString)
+      .filter(_.startsWith(ManifestPrefix)).sorted
+    val pages = committedPages(dir)
+    if (pages.size <= 1) return
+    val ord = nextOrdinal(dir)
+    val page = f"compact-$ord%012d.jsonl"
+    val tmp = Paths.get(dir, page + ".tmp")
+    val out = Files.newOutputStream(tmp)
+    try pages.foreach(p => Files.copy(Paths.get(dir, p), out))
+    finally out.close()
+    Files.move(tmp, Paths.get(dir, page), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    writeManifest(dir, ord, "compact", Seq(page),
+      replacesUpTo = Some(ord - 1)) // the atomic cut-over
+    // GC (idempotent; everything below is already invisible to readers)
+    priorManifests.foreach(m => Files.deleteIfExists(Paths.get(dir, m)))
+    pages.foreach(p => Files.deleteIfExists(Paths.get(dir, p)))
   }
 
   /** Publish a TAGGED batch commit with SUPERSEDE semantics: a page-tag
@@ -153,11 +213,21 @@ private[sources] object GraftSyncStore {
       if (manifests.isEmpty && readSchema(dir).isEmpty)
         listFiles(dir).map(_.getFileName.toString)
           .filter(_.endsWith(".jsonl")).sorted
-      else
-        manifests.flatMap { m =>
-          val node = mapper.readTree(Files.readAllBytes(m))
+      else {
+        val parsed = manifests.map { m =>
+          val ord = m.getFileName.toString.stripPrefix(ManifestPrefix)
+            .takeWhile(_.isDigit).toLong
+          (ord, mapper.readTree(Files.readAllBytes(m)))
+        }
+        // snapshot rule: a compaction manifest subsumes every manifest
+        // at or below its replaces_up_to — those are pre-GC garbage
+        val cutoff = parsed.flatMap { case (_, n) =>
+          Option(n.get("replaces_up_to")).map(_.asLong)
+        }.foldLeft(-1L)(math.max)
+        parsed.filter(_._1 > cutoff).flatMap { case (_, node) =>
           node.get("pages").elements().asScala.map(_.asText()).toSeq
         }
+      }
     pages.distinct.filter(p => Files.isRegularFile(Paths.get(dir, p)))
   }
 

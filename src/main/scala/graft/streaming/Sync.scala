@@ -1008,4 +1008,33 @@ object Sync {
         ()
       }
       .start()
+
+  /** i19 — the TS metrics-store ingest path (ES TSDB downsampling as a
+    * stream): each microbatch of the ordered change feed folds to
+    * per-(series, day) TS cell PARTIALS (Esql.tsCellPartials — n/sum/
+    * min/max, first/last value-ts pairs, and RATE's positive-delta
+    * numerator for the slice) appended through the page-tag idempotent
+    * path. No read-modify-write: the partials compose (including RATE,
+    * via the boundary-delta term — see tsCellPartials' contract), so
+    * serving is Esql.tsComposeCells over the store and equals the batch
+    * TS pipeline's inner rollup exactly; a crash-replayed epoch
+    * SUPERSEDES its first attempt even under a different shuffle
+    * layout. Input frame carries ts/user_id/event_type/value (the
+    * change-feed shape). StreamingSpec's i19 pins streamed ≡ batch for
+    * both j249's OVER_TIME family and j250's RATE, through a replay and
+    * a compaction. */
+  def tsRollupSink(events: DataFrame, storeDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.ops.Esql.tsCellPartials(batch)
+          .write.format("graft-sync").mode("append")
+          .option("page-tag", s"ts-rollup-epoch-$epochId")
+          .save(storeDir)
+        ()
+      }
+      .start()
 }

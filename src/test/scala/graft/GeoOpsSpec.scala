@@ -99,6 +99,53 @@ class GeoOpsSpec extends AnyFunSuite {
       """TO_GEOSHAPE("POLYGON((0 0))")""") === null)
   }
 
+  test("POLYGON geo_shape: exact even-odd ray cast, concavity, envelope, malformed → NULL") {
+    import s.implicits._
+    def rel(f: String, wkt: String): Any = {
+      val r = Seq(1).toDF("z").select(Esql.parseExpr(f.replace("$W", wkt)).as("v")).collect()(0)
+      if (r.isNullAt(0)) null else r.getBoolean(0)
+    }
+    // j270's notched (non-convex) ring: bbox [-130,-60]×[10,45], with
+    // the triangle notch (-60,45)-(-95,25)-(-130,45) cut from the top
+    val poly = """TO_GEOSHAPE("POLYGON((-130.0 10.0, -60.0 10.0, -60.0 45.0, -95.0 25.0, -130.0 45.0, -130.0 10.0))")"""
+    def win(lon: Double, lat: Double): Any =
+      rel(s"""ST_WITHIN(TO_GEOPOINT("POINT($lon $lat)"), $$W)""", poly)
+    assert(win(-95.0, 15.0) === true,  "deep interior")
+    assert(win(-95.0, 40.0) === false, "inside the bbox but in the notch — the envelope test alone gets this WRONG")
+    assert(win(-125.0, 40.0) === true, "left lobe above the notch")
+    assert(win(-65.0, 40.0) === true,  "right lobe above the notch")
+    assert(win(-140.0, 20.0) === false, "outside the bbox")
+    // the relations algebra holds on polygons too
+    assert(rel(s"""ST_INTERSECTS(TO_GEOPOINT("POINT(-95.0 15.0)"), $$W)""", poly) === true)
+    assert(rel(s"""ST_CONTAINS($$W, TO_GEOPOINT("POINT(-95.0 15.0)"))""", poly) === true)
+    assert(rel(s"""ST_DISJOINT(TO_GEOPOINT("POINT(-95.0 40.0)"), $$W)""", poly) === true)
+    // envelope fields = the ring's bounding box (ST_XMIN/… read shapes)
+    val e = Seq(1).toDF("z").select(
+      Esql.parseExpr(s"ST_XMIN($poly)").as("x0"),
+      Esql.parseExpr(s"ST_XMAX($poly)").as("x1"),
+      Esql.parseExpr(s"ST_YMIN($poly)").as("y0"),
+      Esql.parseExpr(s"ST_YMAX($poly)").as("y1"),
+      Esql.parseExpr(s"ST_XMIN(ST_ENVELOPE($poly))").as("ex0")).collect()(0)
+    assert(e.getDouble(0) === -130.0 && e.getDouble(1) === -60.0)
+    assert(e.getDouble(2) === 10.0 && e.getDouble(3) === 45.0)
+    assert(e.getDouble(4) === -130.0, "ST_ENVELOPE re-packs the bbox as a shape")
+    // whitespace-tolerant parse (the TO_GEOPOINT rule applies to shapes)
+    assert(rel(s"""ST_WITHIN(TO_GEOPOINT("POINT(0.5 0.5)"), $$W)""",
+      """TO_GEOSHAPE("POLYGON ((  0 0 ,  1   0, 1 1, 0 1, 0 0 ))")""") === true)
+    // malformed → NULL: unclosed ring, holes (unsupported), non-numeric
+    // vertex, out-of-range vertex, wrong token counts
+    for (bad <- Seq(
+      "POLYGON((0 0, 1 0, 1 1, 0 1))",              // unclosed
+      "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))", // hole
+      "POLYGON((0 0, a 0, 1 1, 0 0))",              // non-numeric
+      "POLYGON((0 0, 190 0, 1 95, 0 0, 0 0))",      // out of range
+      "POLYGON((0, 1 0, 1 1, 0 0))",                // 1-token pair
+      "POLYGON(0 0, 1 0, 1 1, 0 0)",                // missing ring parens
+      "LINESTRING(0 0, 1 1)"))
+      assert(rel(s"""ST_WITHIN(TO_GEOPOINT("POINT(0.5 0.5)"), $$W)""",
+        s"""TO_GEOSHAPE("$bad")""") === null, bad)
+  }
+
   test("WKT geo_point contract: malformed → NULL, round-trip exact, ST_DISTANCE composes") {
     import s.implicits._
     val df = Seq(

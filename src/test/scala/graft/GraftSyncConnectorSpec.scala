@@ -250,6 +250,62 @@ class GraftSyncConnectorSpec extends AnyFunSuite {
       "supersede must replace only its own tag's generation")
   }
 
+  test("compaction: N pages collapse to 1 under one snapshot manifest; answers and feed order unchanged") {
+    val dir = freshStore("compact")
+    val base = Tables.eventsRaw(spark, TestSpark.sf0001)
+      .select($"event_id", $"value")
+    // 3 generations × small bulk-rows = many pages
+    base.limit(20).write.format("graft-sync").mode("overwrite")
+      .option("bulk-rows", "7").save(dir)
+    (1 to 2).foreach { _ =>
+      base.limit(20).write.format("graft-sync").mode("append")
+        .option("bulk-rows", "7").save(dir)
+    }
+    def files(suffix: String): Seq[String] = {
+      val s = Files.list(Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(suffix)).toSeq
+      } finally s.close()
+    }
+    def readAll() = spark.read.format("graft-sync").load(dir)
+      .orderBy($"event_id", $"value").collect().toSeq
+    val before = readAll()
+    assert(files(".jsonl").size > 3, "need a multi-page store to compact")
+    graft.sources.GraftSyncMaintenance.compact(dir)
+    assert(files(".jsonl").size === 1, files(".jsonl"))
+    assert(files(".json").count(_.startsWith("_manifest")) === 1)
+    assert(readAll() === before, "compaction must not change answers")
+    // the store keeps working: appends after a compaction are read back
+    base.limit(5).write.format("graft-sync").mode("append").save(dir)
+    assert(readAll().size === before.size + 5)
+    // compacting again folds the tail generation in too
+    graft.sources.GraftSyncMaintenance.compact(dir)
+    assert(files(".jsonl").size === 1)
+    assert(readAll().size === before.size + 5)
+    // a single-generation store is a no-op, not an error
+    graft.sources.GraftSyncMaintenance.compact(dir)
+    assert(readAll().size === before.size + 5)
+  }
+
+  test("compaction refuses an epoch-lineage store (live-stream force-merge caveat)") {
+    val dir = freshStore("compact-epoch")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    mem.addData((1L, 1.0), (2L, 2.0))
+    val ck = Files.createTempDirectory("gsync-cmp-ck").toString
+    val q = mem.toDF().toDF("id", "v")
+      .writeStream.format("graft-sync")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start(dir)
+    q.awaitTermination()
+    val e = intercept[IllegalStateException] {
+      graft.sources.GraftSyncMaintenance.compact(dir)
+    }
+    assert(e.getMessage.contains("single writer lineage"), e.getMessage)
+  }
+
   test("page-tag 'epoch' is refused — reserved for the streaming lineage") {
     val dir = freshStore("tagepoch")
     val e = intercept[Exception] {

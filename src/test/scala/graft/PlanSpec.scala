@@ -1141,6 +1141,22 @@ class PlanSpec extends AnyFunSuite {
     // call sites themselves.
   }
 
+  test("j270/j271: polygon query pushes its bbox to the scan; geohash grid is a TakeOrdered over one agg") {
+    val p0 = plan("j270_geo_polygon")
+    // the polygon's bounding box reaches the parquet reader as a pushed
+    // predicate on event_id-derived arithmetic? No — the bbox is on the
+    // DERIVED lat/lon, so what must hold is: ONE filter ahead of the
+    // geometry, no joins, map-combined STATS (the geometry itself is
+    // row-local integer arithmetic)
+    assert(!p0.contains("Join"), p0)
+    assert(p0.contains("partial_count"), p0)
+    assert(p0.contains("Filter"), p0)
+    val p1 = plan("j271_geohash_grid")
+    assert(p1.contains("TakeOrderedAndProject(limit=20"), p1)
+    assert(!p1.contains("rangepartitioning"), "top-20 must not globally sort: " + p1)
+    assert(!p1.contains("Join"), p1)
+  }
+
   test("whole-stage codegen covers the flagship plan") {
     // AQE finalizes stages lazily — execute first, then inspect
     val df = SparkEntry.queries("d1_agg_group")(TestSpark.spark, TestSpark.sf0001)

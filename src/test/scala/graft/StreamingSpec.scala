@@ -484,7 +484,7 @@ class StreamingSpec extends AnyFunSuite {
       .option("page-tag", "rollup-epoch-1").save(store)
     // j262's serve path, verbatim: re-compose partials by (type, hour),
     // then compose hours into days
-    val served = spark.read.format("graft-sync").load(store)
+    def served() = spark.read.format("graft-sync").load(store)
       .groupBy($"event_type", $"hour")
       .agg(fsum($"n").as("n"), fsum($"sc").as("sc"),
         fmin($"mn").as("mn"), fmax($"mx").as("mx"))
@@ -500,10 +500,103 @@ class StreamingSpec extends AnyFunSuite {
     // 2024-01-01 = epoch day 19723; all three click events share hour
     // 473362 (ONE hour bucket despite three partial rows across two
     // generations); cents are exact
-    assert(served === Map(
+    val want = Map(
       ("click", 19723L) -> ((3L, 1375L, 125L, 1000L, 1L)),
       ("view", 19723L) -> ((1L, 400L, 400L, 400L, 1L)),
-      ("view", 19724L) -> ((1L, 300L, 300L, 300L, 1L))))
+      ("view", 19724L) -> ((1L, 300L, 300L, 300L, 1L)))
+    assert(served() === want)
+    // r13: the nightly compaction folds the accumulated partial pages
+    // into one snapshot page — the serve path must not notice
+    graft.sources.GraftSyncMaintenance.compact(store)
+    val manifestsAfter = new java.io.File(store).list()
+      .count(_.startsWith("_manifest"))
+    assert(manifestsAfter === 1, "compaction leaves one snapshot manifest")
+    assert(served() === want, "i18 must stay green through a compaction")
+  }
+
+  test("i19 streaming TS: epoch partials through the page-tag sink compose to the batch TS answers, surviving replay and compaction") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = tmp("ts-store") + "/store"
+    // the ordered change feed: fixture events sorted by (ts, event_id),
+    // replayed in 3 contiguous slices — the CDC/metrics-feed contract
+    // the RATE boundary-delta composition relies on
+    val feed = Tables.events(spark, TestSpark.sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .orderBy($"ts", $"event_id")
+      .collect()
+      .map(r => Ev(r.getLong(0),
+        java.sql.Timestamp.valueOf(r.getAs[java.time.LocalDateTime](1)),
+        r.getLong(2), r.getString(3), r.getDouble(4), ""))
+    val mem = MemoryStream[Ev]
+    val q = Sync.tsRollupSink(mem.toDF(), store, tmp("ts-ckpt"),
+      Trigger.ProcessingTime(0))
+    val slices = feed.grouped((feed.length + 2) / 3).toSeq
+    try {
+      slices.foreach { sl => mem.addData(sl.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // CRASH REPLAY: re-run epoch 1's append from the same slice under a
+    // DIFFERENT shuffle layout — page-tag supersede must converge (the
+    // scenario r12's advice flagged: name-keyed dedupe alone would
+    // double-count these rows under their new page names)
+    graft.ops.Esql.tsCellPartials(slices(1).toSeq.toDF().repartition(1))
+      .write.format("graft-sync").mode("append")
+      .option("page-tag", "ts-rollup-epoch-1").save(store)
+
+    def dayStr(c: org.apache.spark.sql.Column) =
+      date_format(timestamp_micros(c * lit(86400000000L)), "yyyy-MM-dd HH:mm:ss")
+    // the two outer-aggregate twins of j249Query / j250Query over
+    // composed cells (values cast to the batch surface's types)
+    def serve(cells: org.apache.spark.sql.DataFrame) = {
+      val a = cells.groupBy($"day")
+        .agg(max($"mx").as("mx"), min($"mn").as("mn"), sum($"sc").as("tot"),
+          sum($"n").as("nobs"), count($"n").as("nser"),
+          round(max($"sc".cast("double") / $"n".cast("double")), 6).as("mxavg"),
+          sum($"fv").as("sfirst"), sum($"lv").as("slast"))
+        .orderBy($"day").limit(20)
+        .select(dayStr($"day").as("day"), $"mx".cast("double"),
+          $"mn".cast("double"), $"tot".cast("double"), $"nobs".cast("long"),
+          $"nser".cast("long"), $"mxavg", $"sfirst".cast("double"),
+          $"slast".cast("double"))
+        .collect().map(_.toSeq).toSeq
+      val b = cells.withColumn("r", $"pos".cast("double") / lit(86400.0))
+        .groupBy($"day")
+        .agg(round(max($"r"), 6).as("mxr"), round(min($"r"), 6).as("mnr"),
+          count($"r").as("nrate"), count($"n").as("nser"))
+        .orderBy($"day").limit(20)
+        .select(dayStr($"day").as("day"), $"mxr", $"mnr",
+          $"nrate".cast("long"), $"nser".cast("long"))
+        .collect().map(_.toSeq).toSeq
+      (a, b)
+    }
+    val b249 = graft.ops.Esql.compile(spark, TestSpark.sf0001, graft.ops.Esql.j249Query)
+      .select($"day".cast("string"), $"mx".cast("double"), $"mn".cast("double"),
+        $"tot".cast("double"), $"nobs".cast("long"), $"nser".cast("long"),
+        $"mxavg".cast("double"), $"sfirst".cast("double"), $"slast".cast("double"))
+      .collect().map(_.toSeq).toSeq
+    val b250 = graft.ops.Esql.compile(spark, TestSpark.sf0001, graft.ops.Esql.j250Query)
+      .select($"day".cast("string"), $"mxr".cast("double"), $"mnr".cast("double"),
+        $"nrate".cast("long"), $"nser".cast("long"))
+      .collect().map(_.toSeq).toSeq
+    val composed = graft.ops.Esql.tsComposeCells(
+      spark.read.format("graft-sync").load(store))
+    val (s249, s250) = serve(composed)
+    assert(s249 === b249, "streamed OVER_TIME family must equal the batch TS answer")
+    assert(s250 === b250, "streamed RATE must equal the batch TS answer")
+    assert(b250.exists(r => r(1) != null), "fixture must exercise non-null rates")
+    assert(b250.exists(r => r(3).asInstanceOf[Long] < r(4).asInstanceOf[Long]),
+      "fixture must exercise NULL-rate cells (nrate < nser)")
+    // SEMANTIC COMPACTION: compose(compose(x)) = compose(x) — the
+    // composed cells re-written as ONE store generation serve the same
+    // answers (the nightly-compaction story: partial pages collapse to
+    // composed rows without changing any answer)
+    val store2 = tmp("ts-store2") + "/s2"
+    composed.write.format("graft-sync").mode("overwrite").save(store2)
+    val (c249, c250) = serve(graft.ops.Esql.tsComposeCells(
+      spark.read.format("graft-sync").load(store2)))
+    assert(c249 === b249 && c250 === b250,
+      "a compacted store must serve identical answers")
   }
 
   test("i6 streaming: checkpoint resume — a restarted query continues from stored offsets") {
