@@ -598,9 +598,10 @@ object Esql {
         // (empty arrays for a BBOX). Malformed WKT → NULL (the regex
         // parse is fine here — shapes are query literals, so Catalyst
         // constant-folds the whole constructor; a non-literal shape
-        // column pays it per row, documented). Outer ring only: holes /
-        // MULTIPOLYGON → NULL (their inner ')' fails the numeric
-        // parse), out-of-range vertices → NULL (TO_GEOPOINT's rule),
+        // column pays it per row, documented). POLYGON takes an outer
+        // ring plus any number of HOLES (r13 — even-odd handles them
+        // natively; see the ring concatenation below); MULTIPOLYGON →
+        // NULL, out-of-range vertices → NULL (TO_GEOPOINT's rule),
         // unclosed rings → NULL (WKT requires first = last). The
         // predicates run the envelope test first — ES's indexed BKD
         // prefilter, inclusive edges — and polygons then add an exact
@@ -610,38 +611,81 @@ object Esql {
         // skips it. Every comparison is exact BIGINT arithmetic or a
         // plain double compare — no trig, codegen'd, no float hazard.
         case "TO_GEOSHAPE" =>
-          val a = orExpr(c); c.expect(")")
+          // LITERAL shapes (the overwhelmingly common case — ES query
+          // DSL shapes are query constants) parse at COMPILE time in
+          // Scala and emit a literal struct: zero plan weight. The
+          // first cut built the full multi-ring HOF expression even for
+          // literals, and every downstream reference (ST_ENVELOPE's 5
+          // field reads, each extractor EVAL) REPLICATED the tree —
+          // j272 went 0.2 → 14.8 s in OPTIMIZER time, not execution.
+          // Non-literal shape columns keep the expression path below
+          // (pays per row, documented; GeoOpsSpec pins the two paths
+          // byte-equal on the same inputs). The literal is detected at
+          // the TOKEN level — the compiler owns the lexer, so "is this
+          // a bare string literal argument" is one lookahead.
+          c.toks match {
+            case tok :: ")" :: _ if tok.startsWith("\"") =>
+              c.eat(); c.expect(")")
+              geoShapeLiteral(unquote(tok))
+            case _ =>
+              val a = orExpr(c); c.expect(")")
           val re = """BBOX\s*\(\s*([-+0-9.eE]+),\s*([-+0-9.eE]+),\s*([-+0-9.eE]+),\s*([-+0-9.eE]+)\s*\)"""
           def g(i: Int) = regexp_extract(a, re, i).cast("double")
           val noPts = array().cast("array<bigint>")
           val t = trim(a)
-          val body = regexp_extract(t, """^POLYGON\s*\(\s*\((.*)\)\s*\)$""", 1)
-          val pairs = transform(split(body, ","), s0 => split(trim(s0), "\\s+"))
+          // Multi-ring parse: "POLYGON((outer), (hole), …)" — WKT holes
+          // are first-class (r13): the rings concatenate into ONE
+          // quantized vertex list with a NULL SENTINEL between rings,
+          // and the even-odd ray cast then handles holes with ZERO
+          // predicate changes — a junction edge touching the sentinel
+          // nullifies its crossing test, which counts as 0 (see
+          // pointInShape), while a real hole edge crossed by the ray
+          // flips parity exactly as even-odd semantics require
+          // (point-in-hole = even = outside).
+          val inner = regexp_extract(t, """^POLYGON\s*\((.*)\)$""", 1)
+          val rings = transform(split(inner, """\)\s*,\s*\("""),
+            r0 => regexp_replace(regexp_replace(r0, """^\s*\(""", ""),
+              """\)\s*$""", ""))
+          def ringPairs(r0: Column) =
+            transform(split(r0, ","), s0 => split(trim(s0), "\\s+"))
           // `get` (0-based, NULL out of bounds) never throws under ANSI
           // — element_at here would abort on a malformed 1-token pair
-          val pxs = transform(pairs, p0 => get(p0, lit(0)).try_cast("double"))
-          val pys = transform(pairs, p0 => get(p0, lit(1)).try_cast("double"))
-          val polyOk = length(body) > lit(0) &&
-            forall(pairs, p0 => size(p0) === 2) &&
-            !exists(pxs, v => v.isNull || abs(v) > lit(180.0)) &&
-            !exists(pys, v => v.isNull || abs(v) > lit(90.0)) &&
-            size(pairs) >= 4 &&
-            element_at(pxs, 1) === element_at(pxs, -1) &&
-            element_at(pys, 1) === element_at(pys, -1)
+          def ringXs(r0: Column) =
+            transform(ringPairs(r0), p0 => get(p0, lit(0)).try_cast("double"))
+          def ringYs(r0: Column) =
+            transform(ringPairs(r0), p0 => get(p0, lit(1)).try_cast("double"))
+          def ringOk(r0: Column): Column = {
+            val pr = ringPairs(r0); val xs0 = ringXs(r0); val ys0 = ringYs(r0)
+            forall(pr, p0 => size(p0) === 2) &&
+              !exists(xs0, v => v.isNull || abs(v) > lit(180.0)) &&
+              !exists(ys0, v => v.isNull || abs(v) > lit(90.0)) &&
+              size(pr) >= 4 &&
+              element_at(xs0, 1) === element_at(xs0, -1) &&
+              element_at(ys0, 1) === element_at(ys0, -1)
+          }
+          val polyOk = t.rlike("""^POLYGON\s*\(\s*\(""") &&
+            t.endsWith(")") && length(inner) > lit(0) &&
+            forall(rings, ringOk _)
           def q6(v: Column) = round(v * lit(1000000.0), 0).cast("bigint")
-          val xsQ = transform(pxs, q6 _)
-          val ysQ = transform(pys, q6 _)
+          val sentinel = array(lit(null).cast("bigint"))
+          val xsQ = flatten(transform(rings,
+            r0 => concat(transform(ringXs(r0), q6 _), sentinel)))
+          val ysQ = flatten(transform(rings,
+            r0 => concat(transform(ringYs(r0), q6 _), sentinel)))
+          def mn(arr: Column) = array_min(filter(arr, v => v.isNotNull))
+          def mx(arr: Column) = array_max(filter(arr, v => v.isNotNull))
           when(a.rlike("^" + re + "$"),
             struct(g(1).as("xmin"), g(2).as("xmax"),
               g(3).as("ymax"), g(4).as("ymin"),
               noPts.as("xs"), noPts.as("ys")))
           .when(t.startsWith("POLYGON") && polyOk,
             struct(
-              (array_min(xsQ).cast("double") / lit(1000000.0)).as("xmin"),
-              (array_max(xsQ).cast("double") / lit(1000000.0)).as("xmax"),
-              (array_max(ysQ).cast("double") / lit(1000000.0)).as("ymax"),
-              (array_min(ysQ).cast("double") / lit(1000000.0)).as("ymin"),
+              (mn(xsQ).cast("double") / lit(1000000.0)).as("xmin"),
+              (mx(xsQ).cast("double") / lit(1000000.0)).as("xmax"),
+              (mx(ysQ).cast("double") / lit(1000000.0)).as("ymax"),
+              (mn(ysQ).cast("double") / lit(1000000.0)).as("ymin"),
               xsQ.as("xs"), ysQ.as("ys")))
+          }
         case "ST_ENVELOPE" =>
           // the minimum bounding box of a shape, AS a shape (the BBOX
           // kind): re-pack the envelope fields, drop the ring — ES|QL
@@ -3218,6 +3262,72 @@ object Esql {
   def j260(s: SparkSession, d: String): DataFrame =
     compile(s, d, j260Query)
 
+  private val geoShapeDdl =
+    "struct<xmin:double,xmax:double,ymax:double,ymin:double," +
+      "xs:array<bigint>,ys:array<bigint>>"
+
+  /** COMPILE-TIME twin of the TO_GEOSHAPE expression path for literal
+    * WKT: same regexes, same space-only trim, same split semantics
+    * (limit −1: Spark's split keeps trailing empties), same validity
+    * rules (NaN/∞ rejected like Spark's NaN-is-largest ordering does),
+    * same HALF_UP quantization (BigDecimal.valueOf — Spark Round's own
+    * composition). GeoOpsSpec pins the two paths equal input-by-input;
+    * any divergence is a bug HERE, not a contract change. */
+  private[graft] def geoShapeLiteral(s0: String): Column = {
+    val nullShape = lit(null).cast(geoShapeDdl)
+    if (s0 == null) return nullShape
+    def q6(v: Double): Long = java.math.BigDecimal.valueOf(v * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    def shape(xmin: Double, xmax: Double, ymax: Double, ymin: Double,
+        xs: Seq[Option[Long]], ys: Seq[Option[Long]]): Column =
+      struct(lit(xmin).as("xmin"), lit(xmax).as("xmax"),
+        lit(ymax).as("ymax"), lit(ymin).as("ymin"),
+        typedLit(xs).cast("array<bigint>").as("xs"),
+        typedLit(ys).cast("array<bigint>").as("ys"))
+    val bboxRe = ("""^BBOX\s*\(\s*([-+0-9.eE]+),\s*([-+0-9.eE]+),""" +
+      """\s*([-+0-9.eE]+),\s*([-+0-9.eE]+)\s*\)$""").r
+    s0 match {
+      case bboxRe(x0, x1, y1, y0) =>
+        return shape(x0.toDouble, x1.toDouble, y1.toDouble, y0.toDouble,
+          Seq.empty, Seq.empty)
+      case _ => ()
+    }
+    // POLYGON: space-only trim (Spark's trim), then the same multi-ring
+    // decomposition as the expression path
+    val t = s0.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    val headOk = java.util.regex.Pattern.compile("""^POLYGON\s*\(\s*\(""")
+      .matcher(t).find()
+    val innerM = java.util.regex.Pattern.compile("""^POLYGON\s*\((.*)\)$""")
+      .matcher(t)
+    if (!(headOk && t.endsWith(")") && innerM.matches())) return nullShape
+    val inner = innerM.group(1)
+    if (inner.isEmpty) return nullShape
+    val rings = inner.split("""\)\s*,\s*\(""", -1)
+      .map(_.replaceAll("""^\s*\(""", "").replaceAll("""\)\s*$""", ""))
+    def ringPts(r: String): Option[Seq[(Double, Double)]] = {
+      val pairs = r.split(",", -1).toSeq
+        .map(_.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse)
+        .map(_.split("""\s+""", -1).toSeq)
+      def num(tok: Option[String]): Option[Double] =
+        tok.flatMap(_.toDoubleOption)
+      val xs = pairs.map(p => num(p.lift(0)))
+      val ys = pairs.map(p => num(p.lift(1)))
+      val ok = pairs.forall(_.size == 2) &&
+        !xs.exists(v => v.isEmpty || v.exists(d => d.isNaN || d.abs > 180.0)) &&
+        !ys.exists(v => v.isEmpty || v.exists(d => d.isNaN || d.abs > 90.0)) &&
+        pairs.size >= 4 &&
+        xs.head == xs.last && ys.head == ys.last
+      if (ok) Some(xs.map(_.get).zip(ys.map(_.get))) else None
+    }
+    val pts = rings.toSeq.map(ringPts)
+    if (pts.exists(_.isEmpty)) return nullShape
+    val xsQ = pts.flatMap(r => r.get.map(v => Some(q6(v._1))) :+ None)
+    val ysQ = pts.flatMap(r => r.get.map(v => Some(q6(v._2))) :+ None)
+    val xv = xsQ.flatten; val yv = ysQ.flatten
+    shape(xv.min.toDouble / 1e6, xv.max.toDouble / 1e6,
+      yv.max.toDouble / 1e6, yv.min.toDouble / 1e6, xsQ, ysQ)
+  }
+
   /** Point-vs-shape relation. The envelope test runs FIRST — inclusive
     * on all edges (the BKD convention both ES query paths use for
     * points on a box boundary) and short-circuiting, so it is the same
@@ -3234,7 +3344,11 @@ object Esql {
     * discipline extended to polygons; no epsilon, no orientation
     * dependence — even-odd is winding-agnostic). Boundary semantics:
     * half-open edges (a point exactly on a boundary lands
-    * deterministically, identically in both engines). */
+    * deterministically, identically in both engines). Holes ride the
+    * SAME cast: rings concatenate with a NULL sentinel between them,
+    * and an edge touching the sentinel has a NULL crossing test, which
+    * the when(...).otherwise(0) counts as 0 — so only real ring edges
+    * flip parity, and a point inside a hole counts even (outside). */
   private def pointInShape(p: Column, shp: Column): Column = {
     val inEnv =
       p.getField("x").between(shp.getField("xmin"), shp.getField("xmax")) &&
@@ -3374,8 +3488,40 @@ object Esql {
   def j272(s: SparkSession, d: String): DataFrame =
     compile(s, d, j272Query)
 
+  private def ringWkt(r: Seq[(Double, Double)]): String =
+    "(" + r.map { case (x, y) => s"$x $y" }.mkString(", ") + ")"
+  private val j273Outer: Seq[(Double, Double)] = Seq(
+    (-130.0, 10.0), (-60.0, 10.0), (-60.0, 45.0), (-130.0, 45.0), (-130.0, 10.0))
+  private val j273Hole: Seq[(Double, Double)] = Seq(
+    (-110.0, 20.0), (-80.0, 20.0), (-80.0, 35.0), (-110.0, 35.0), (-110.0, 20.0))
+
+  /** j273_geo_polygon_holes — WKT polygons with HOLES (the geo_shape
+    * case real ES ingest hits immediately after plain polygons): the
+    * donut (outer ring + hole), the solid outer, and the hole itself
+    * each parse through the ONE multi-ring TO_GEOSHAPE and each count
+    * through the SAME even-odd ray cast — holes need zero predicate
+    * changes because rings concatenate with a NULL-sentinel edge break
+    * and a hole crossing flips parity exactly as even-odd requires.
+    * The three counts bind the containment algebra n_donut = n_solid −
+    * n_hole on fixture data (GeoOpsSpec asserts it; the oracle computes
+    * all three independently). Same bbox-leading WHERE as j270. */
+  val j273Query: String =
+    s"""FROM events
+       || EVAL lat = (event_id * 7919 % 17000) / 100.0 - 85.0, lon = (event_id * 104729 % 36000) / 100.0 - 180.0
+       || WHERE lon >= -130.0 AND lon <= -60.0 AND lat >= 10.0 AND lat <= 45.0
+       || EVAL p = TO_GEOPOINT(CONCAT("POINT(", TO_STRING(lon), " ", TO_STRING(lat), ")"))
+       || EVAL donut = TO_GEOSHAPE("POLYGON(${ringWkt(j273Outer)}, ${ringWkt(j273Hole)})")
+       || EVAL solid = TO_GEOSHAPE("POLYGON(${ringWkt(j273Outer)})"), hole = TO_GEOSHAPE("POLYGON(${ringWkt(j273Hole)})")
+       || EVAL ind = ST_WITHIN(p, donut), ins = ST_WITHIN(p, solid), inh = ST_WITHIN(p, hole)
+       || STATS n_box = COUNT(*), n_donut = COUNT(*) WHERE ind, n_solid = COUNT(*) WHERE ins, n_hole = COUNT(*) WHERE inh BY event_type
+       || SORT event_type""".stripMargin
+
+  def j273(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j273Query)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j270_geo_polygon" -> j270,
+    "j273_geo_polygon_holes" -> j273,
     "j272_esql_st_centroid" -> j272,
     "j269_esql_st_extent" -> j269,
     "j266_esql_st_predicates" -> j266,
@@ -3430,7 +3576,54 @@ object Esql {
     "j213_esql_drop_rename" -> j213,
     "j214_esql_like_in" -> j214)
 
+  /** DuckDB within-test generator for a ring set — the SAME ray cast
+    * as [[pointInShape]] (quantized BIGINT cross-products, NULL
+    * sentinel between rings) inlined over literal vertex arrays, with
+    * the inclusive envelope prefilter. Expects a frame with lon/lat
+    * (double) and px/py (quantized BIGINT) columns in scope. */
+  private def withinSql(rings: Seq[Seq[(Double, Double)]]): String = {
+    val xsEl = rings.flatMap(r => r.map(v => (v._1 * 1e6).round.toString) :+ "NULL")
+    val ysEl = rings.flatMap(r => r.map(v => (v._2 * 1e6).round.toString) :+ "NULL")
+    val xs = xsEl.mkString("([", ", ", "])")
+    val ys = ysEl.mkString("([", ", ", "])")
+    val n = xsEl.size
+    val allX = rings.flatten.map(_._1); val allY = rings.flatten.map(_._2)
+    s"""((lon >= CAST(${allX.min} AS DOUBLE) AND lon <= CAST(${allX.max} AS DOUBLE)
+       |  AND lat >= CAST(${allY.min} AS DOUBLE) AND lat <= CAST(${allY.max} AS DOUBLE))
+       | AND ((list_sum(list_transform(generate_series(1, $n - 1), i ->
+       |   CASE WHEN (($ys[i] > py) <> ($ys[i+1] > py)) AND
+       |     (CASE WHEN $ys[i+1] > $ys[i]
+       |        THEN (px - $xs[i]) * ($ys[i+1] - $ys[i]) < ($xs[i+1] - $xs[i]) * (py - $ys[i])
+       |        ELSE (px - $xs[i]) * ($ys[i+1] - $ys[i]) > ($xs[i+1] - $xs[i]) * (py - $ys[i]) END)
+       |   THEN 1 ELSE 0 END))) % 2 = 1))""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "j273_geo_polygon_holes" ->
+      s"""WITH geo AS (
+         |  SELECT event_type,
+         |    (event_id * 7919 % 17000) / 100.0 - 85.0  AS lat,
+         |    (event_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+         |  FROM 'events.parquet'),
+         |boxed AS (
+         |  SELECT * FROM geo
+         |  WHERE lon >= -130.0 AND lon <= -60.0 AND lat >= 10.0 AND lat <= 45.0),
+         |q AS (
+         |  SELECT event_type, lon, lat,
+         |    CAST(round(lon * 1000000) AS BIGINT) AS px,
+         |    CAST(round(lat * 1000000) AS BIGINT) AS py
+         |  FROM boxed),
+         |rel AS (
+         |  SELECT event_type,
+         |    ${withinSql(Seq(j273Outer, j273Hole))} AS ind,
+         |    ${withinSql(Seq(j273Outer))} AS ins,
+         |    ${withinSql(Seq(j273Hole))} AS inh
+         |  FROM q)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_box,
+         |  CAST(count(*) FILTER (ind) AS BIGINT) AS n_donut,
+         |  CAST(count(*) FILTER (ins) AS BIGINT) AS n_solid,
+         |  CAST(count(*) FILTER (inh) AS BIGINT) AS n_hole
+         |FROM rel GROUP BY event_type ORDER BY event_type""".stripMargin,
     "j270_geo_polygon" -> {
       val xsL = j270Ring.map(v => (v._1 * 1e6).round).mkString("[", ", ", "]")
       val ysL = j270Ring.map(v => (v._2 * 1e6).round).mkString("[", ", ", "]")

@@ -37,7 +37,12 @@ object ScaleProbe {
     "j266_esql_st_predicates" -> "events.parquet",
     "j267_geo_distance_rings" -> "events.parquet",
     "j268_geo_centroid" -> "events.parquet",
-    "j269_esql_st_extent" -> "events.parquet")
+    "j269_esql_st_extent" -> "events.parquet",
+    "j270_geo_polygon" -> "events.parquet",
+    "j271_geohash_grid" -> "events.parquet",
+    "j272_esql_st_centroid" -> "events.parquet",
+    "j273_geo_polygon_holes" -> "events.parquet",
+    "j105_embed_outliers" -> "embeddings.parquet")
 
   def main(args0: Array[String]): Unit = {
     // optional trailing `only=q1,q2` arg restricts the probe list —
@@ -134,7 +139,17 @@ object ScaleProbe {
         "j262_rollup_stored", "j264_esql_grid_fns",
         "j265_geo_distance_sort", "j266_esql_st_predicates",
         "j267_geo_distance_rings", "j268_geo_centroid",
-        "j269_esql_st_extent")
+        "j269_esql_st_extent",
+        // round 13: the polygon ray casts (row-local integer arithmetic
+        // behind the bbox WHERE — must stay flat), the geohash grid agg,
+        // the centroid STATS, and the qsum-migrated rows (the partial-
+        // aggregable sums replacing corpus-sized collected folds — the
+        // slope is the migration's evidence)
+        "j270_geo_polygon", "j271_geohash_grid", "j272_esql_st_centroid",
+        "j273_geo_polygon_holes",
+        "j100_zipf_fit", "j105_embed_outliers", "j112_quality_decile_mix",
+        "j113_bigram_entropy", "j116_unique_ngram_ratio",
+        "j152_source_card")
         if only.forall(_.contains(q))) {
       val missing = needs.get(q)
         .filterNot(f => new java.io.File(d, f).exists())

@@ -132,18 +132,78 @@ class GeoOpsSpec extends AnyFunSuite {
     // whitespace-tolerant parse (the TO_GEOPOINT rule applies to shapes)
     assert(rel(s"""ST_WITHIN(TO_GEOPOINT("POINT(0.5 0.5)"), $$W)""",
       """TO_GEOSHAPE("POLYGON ((  0 0 ,  1   0, 1 1, 0 1, 0 0 ))")""") === true)
-    // malformed → NULL: unclosed ring, holes (unsupported), non-numeric
-    // vertex, out-of-range vertex, wrong token counts
+    // polygons with HOLES (r13): the donut's ring band is IN, the hole
+    // is OUT, and the hole of the hole-alone polygon is IN — even-odd
+    // parity over the NULL-sentinel-separated rings
+    val donut = """TO_GEOSHAPE("POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))")"""
+    def dwin(lon: Double, lat: Double): Any =
+      rel(s"""ST_WITHIN(TO_GEOPOINT("POINT($lon $lat)"), $$W)""", donut)
+    assert(dwin(1.0, 5.0) === true,  "ring band")
+    assert(dwin(5.0, 5.0) === false, "inside the hole — parity must flip")
+    assert(dwin(11.0, 5.0) === false, "outside the outer ring")
+    assert(dwin(3.5, 6.5) === false, "hole corner region")
+    // any number of holes
+    val twoHoles = """TO_GEOSHAPE("POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1), (6 6, 8 6, 8 8, 6 8, 6 6))")"""
+    assert(rel(s"""ST_WITHIN(TO_GEOPOINT("POINT(2.0 2.0)"), $$W)""", twoHoles) === false)
+    assert(rel(s"""ST_WITHIN(TO_GEOPOINT("POINT(7.0 7.0)"), $$W)""", twoHoles) === false)
+    assert(rel(s"""ST_WITHIN(TO_GEOPOINT("POINT(5.0 5.0)"), $$W)""", twoHoles) === true)
+    // the j273 containment algebra holds corpus-wide at sf0.001:
+    // n_donut = n_solid − n_hole per group (hole strictly inside outer)
+    val alg = Esql.compile(s, TestSpark.sf0001, Esql.j273Query).collect()
+    assert(alg.nonEmpty)
+    for (r <- alg) {
+      val (nd, ns, nh) = (r.getLong(r.fieldIndex("n_donut")),
+        r.getLong(r.fieldIndex("n_solid")), r.getLong(r.fieldIndex("n_hole")))
+      assert(nd === ns - nh, s"algebra broke: $r")
+    }
+    assert(alg.map(_.getLong(alg(0).fieldIndex("n_hole"))).sum > 0,
+      "fixture must actually have points in the hole")
+    // malformed → NULL: unclosed ring (either ring), non-numeric
+    // vertex, out-of-range vertex, wrong token counts, MULTIPOLYGON
     for (bad <- Seq(
       "POLYGON((0 0, 1 0, 1 1, 0 1))",              // unclosed
-      "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))", // hole
+      "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2))", // unclosed hole
       "POLYGON((0 0, a 0, 1 1, 0 0))",              // non-numeric
       "POLYGON((0 0, 190 0, 1 95, 0 0, 0 0))",      // out of range
       "POLYGON((0, 1 0, 1 1, 0 0))",                // 1-token pair
       "POLYGON(0 0, 1 0, 1 1, 0 0)",                // missing ring parens
+      "MULTIPOLYGON(((0 0, 1 0, 1 1, 0 0)))",
       "LINESTRING(0 0, 1 1)"))
       assert(rel(s"""ST_WITHIN(TO_GEOPOINT("POINT(0.5 0.5)"), $$W)""",
         s"""TO_GEOSHAPE("$bad")""") === null, bad)
+  }
+
+  test("TO_GEOSHAPE literal fast path ≡ expression path, input by input") {
+    import s.implicits._
+    // the compile-time Scala parse (literal WKT → literal struct, the
+    // j272 optimizer-blowup fix) must agree byte-for-byte with the
+    // row-wise expression path on EVERY input class — valid, weird
+    // whitespace, and each malformed family
+    val inputs = Seq(
+      "BBOX (-10.0, 10.0, 5.0, -5.0)",
+      "BBOX(-1,2,3,-4)",
+      " BBOX (-1, 2, 3, -4)",                       // leading space: NULL (both)
+      "POLYGON((-130.0 10.0, -60.0 10.0, -60.0 45.0, -95.0 25.0, -130.0 45.0, -130.0 10.0))",
+      "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))",
+      "POLYGON ((  0 0 ,  1   0, 1 1, 0 1, 0 0 ))",
+      "  POLYGON((0 0, 1 0, 1 1, 0 0))  ",
+      "POLYGON((0.5 0.125, 1.25 0, 1 1, 0.5 0.125))",
+      "POLYGON((0 0, 1 0, 1 1, 0 1))",              // unclosed
+      "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2))",
+      "POLYGON((0 0, a 0, 1 1, 0 0))",
+      "POLYGON((0 0, 190 0, 1 95, 0 0, 0 0))",
+      "POLYGON((0 0, NaN 0, 1 1, 0 0, 0 0))",
+      "POLYGON((0, 1 0, 1 1, 0 0))",
+      "POLYGON(0 0, 1 0, 1 1, 0 0)",
+      "POLYGON(())", "POLYGON", "MULTIPOLYGON(((0 0, 1 0, 1 1, 0 0)))",
+      "LINESTRING(0 0, 1 1)", "garbage", "")
+    for (w <- inputs) {
+      val viaExpr = Seq(w).toDF("w")
+        .select(Esql.parseExpr("TO_GEOSHAPE(w)").as("v")).collect()(0)
+      val viaLit = Seq(1).toDF("z")
+        .select(Esql.geoShapeLiteral(w).as("v")).collect()(0)
+      assert(viaExpr.toString === viaLit.toString, s"paths diverge on: '$w'")
+    }
   }
 
   test("WKT geo_point contract: malformed → NULL, round-trip exact, ST_DISTANCE composes") {
