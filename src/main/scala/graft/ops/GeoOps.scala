@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -204,6 +205,39 @@ object GeoOps {
       .limit(20)
   }
 
+  /** j274_geo_line — ES's `geo_line` aggregation: the per-group TRACK —
+    * points joined into a LINESTRING in sort-field order (here
+    * event_id, the ingest sequence), capped at a size limit (ES
+    * default 10000; 20 here so the graded output stays readable) with
+    * the `complete` flag marking truncation — the vehicle-track /
+    * ship-route aggregation of the ES geo suite.
+    *
+    * Scale shape: the cap is enforced BEFORE any collection — a
+    * rank-filter window per group (WindowGroupLimit prunes per
+    * partition), so group state is ≤ cap points, never the corpus (the
+    * d9/sorted-fold boundedness rule; ES's own geo_line holds exactly
+    * the same capped buffer). The WKT text rides the proven
+    * shortest-roundtrip double formatting (j260's device); the totals
+    * frame is a ≤|types|-row broadcast join. */
+  def j274(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = withGeo(Tables.events(s, d))
+      .select($"event_type", $"event_id", $"lat", $"lon")
+    val w = Window.partitionBy($"event_type").orderBy($"event_id")
+    val top = g.withColumn("rn", row_number().over(w)).filter($"rn" <= 20)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_points"),
+        expr("""concat('LINESTRING (', array_join(transform(array_sort(
+            |  collect_list(named_struct('rn', rn, 'pt',
+            |    concat(cast(lon as string), ' ', cast(lat as string))))),
+            |  x -> x.pt), ', '), ')')""".stripMargin).as("track"))
+    val tot = g.groupBy($"event_type").agg(count(lit(1)).as("n_total"))
+    top.join(broadcast(tot), "event_type")
+      .select($"event_type", $"n_points", ($"n_total" <= 20).as("complete"),
+        $"track")
+      .orderBy($"event_type")
+  }
+
   /** j261_geo_bounding_box — ES `geo_bounding_box` query: pure
     * comparisons on the coordinates (no trig anywhere — this is the
     * exact-arithmetic member of the family), aggregated per event_type.
@@ -300,7 +334,8 @@ object GeoOps {
     "j265_geo_distance_sort" -> j265,
     "j267_geo_distance_rings" -> j267,
     "j268_geo_centroid" -> j268,
-    "j271_geohash_grid" -> j271)
+    "j271_geohash_grid" -> j271,
+    "j274_geo_line" -> j274)
 
   val oracle: Map[String, String] = Map(
     "j258_geo_distance" -> s"""
@@ -328,6 +363,26 @@ object GeoOps {
         FROM geo)
       SELECT tile, count(*) AS n, count(DISTINCT user_id) AS users
       FROM tiles GROUP BY tile ORDER BY n DESC, tile ASC LIMIT 20""",
+    "j274_geo_line" -> s"""
+      WITH geo AS (
+        SELECT event_type, event_id,
+          (event_id * 7919 % 17000) / 100.0 - 85.0  AS lat,
+          (event_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+        FROM 'events.parquet'),
+      rk AS (
+        SELECT event_type, event_id, lat, lon,
+          row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+        FROM geo),
+      top AS (SELECT * FROM rk WHERE rn <= 20),
+      lines AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
+          'LINESTRING (' || string_agg(
+            CAST(lon AS VARCHAR) || ' ' || CAST(lat AS VARCHAR), ', '
+            ORDER BY event_id) || ')' AS track
+        FROM top GROUP BY 1),
+      tot AS (SELECT event_type, count(*) AS n_total FROM geo GROUP BY 1)
+      SELECT l.event_type, l.n_points, t.n_total <= 20 AS complete, l.track
+      FROM lines l JOIN tot t USING (event_type) ORDER BY l.event_type""",
     "j271_geohash_grid" -> s"""
       WITH geo AS ($geoSql),
       cells AS (

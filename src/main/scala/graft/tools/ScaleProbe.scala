@@ -42,6 +42,7 @@ object ScaleProbe {
     "j271_geohash_grid" -> "events.parquet",
     "j272_esql_st_centroid" -> "events.parquet",
     "j273_geo_polygon_holes" -> "events.parquet",
+    "j274_geo_line" -> "events.parquet",
     "j105_embed_outliers" -> "embeddings.parquet")
 
   def main(args0: Array[String]): Unit = {
@@ -146,7 +147,7 @@ object ScaleProbe {
         // aggregable sums replacing corpus-sized collected folds — the
         // slope is the migration's evidence)
         "j270_geo_polygon", "j271_geohash_grid", "j272_esql_st_centroid",
-        "j273_geo_polygon_holes",
+        "j273_geo_polygon_holes", "j274_geo_line",
         "j100_zipf_fit", "j105_embed_outliers", "j112_quality_decile_mix",
         "j113_bigram_entropy", "j116_unique_ngram_ratio",
         "j152_source_card")

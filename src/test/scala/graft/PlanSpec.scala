@@ -1155,6 +1155,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p1.contains("TakeOrderedAndProject(limit=20"), p1)
     assert(!p1.contains("rangepartitioning"), "top-20 must not globally sort: " + p1)
     assert(!p1.contains("Join"), p1)
+    // geo_line: the size cap is a rank filter the optimizer turns into
+    // a per-partition group limit BEFORE the shuffle, and the collect
+    // runs over ≤cap rows per group; totals broadcast
+    val p2 = plan("j274_geo_line")
+    assert(p2.contains("WindowGroupLimit"), p2)
+    assert(p2.contains("BroadcastHashJoin"), p2)
+    assert(!p2.contains("SortMergeJoin"), p2)
   }
 
   test("whole-stage codegen covers the flagship plan") {
