@@ -575,6 +575,10 @@ class EsqlSpec extends AnyFunSuite {
       """FROM events | EVAL t = ST_GEOTILE(TO_GEOPOINT("POINT(0 0)"), 30)""", // zoom > 29
       """FROM events | EVAL t = ST_GEOTILE(TO_GEOPOINT("POINT(0 0)"), value)""", // non-literal zoom
       """FROM events | EVAL d = ST_DISTANCE(TO_GEOPOINT("POINT(0 0)"))""") // one arg
+    // (an aggregate in EVAL — e.g. ST_CENTROID_AGG or COUNT — surfaces
+    // as Catalyst's aggregate-in-projection analysis error, the shared
+    // dispatcher's long-standing behavior for ALL agg functions; the
+    // compile-time sweep covers the compiler's OWN structural checks)
     val outcomes = malformed.map { q =>
       q -> (try { Esql.compile(s, TestSpark.sf0001, q); None }
             catch { case e: Exception => Some(e) })
