@@ -267,12 +267,12 @@ object AggExtOps {
         Parity.qsum($"x" * $"x").as("sxx"),
         Parity.qsum($"y" * $"y").as("syy"))
       .select($"n".cast("long").as("n_tokens"),
-        round(($"n" * $"sxy" - $"sx" * $"sy") /
-          ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("zipf_slope"),
-        round(($"sy" - ($"n" * $"sxy" - $"sx" * $"sy") /
-          ($"n" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n", 6).as("intercept"),
-        round(($"n" * $"sxy" - $"sx" * $"sy") * ($"n" * $"sxy" - $"sx" * $"sy") /
-          (($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")), 6)
+        Parity.round6(($"n" * $"sxy" - $"sx" * $"sy") /
+          ($"n" * $"sxx" - $"sx" * $"sx")).as("zipf_slope"),
+        Parity.round6(($"sy" - ($"n" * $"sxy" - $"sx" * $"sy") /
+          ($"n" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n").as("intercept"),
+        Parity.round6(($"n" * $"sxy" - $"sx" * $"sy") * ($"n" * $"sxy" - $"sx" * $"sy") /
+          (($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")))
           .as("r2"))
   }
 
@@ -440,7 +440,7 @@ object AggExtOps {
     // vectors, corpus-unbounded (r13 audit). qsum is order-independent
     // AND constant-state.
     val cent = comp.groupBy($"label", $"pos")
-      .agg(round(Parity.qsum($"v") / count(lit(1)), 6).as("m"))
+      .agg(Parity.round6(Parity.qsum($"v") / count(lit(1))).as("m"))
     val nc = cent.groupBy($"label")
       .agg(Parity.sortedFoldSum($"m" * $"m").as("nc2"))
     val sims = comp.join(broadcast(cent), Seq("label", "pos"))
@@ -606,7 +606,7 @@ object AggExtOps {
         // (Parity.qsum), not a collected list (r13 audit)
         Parity.qsum($"score").as("ss"))
       .select($"lang", $"decile", $"n_docs", $"sum_tokens",
-        round($"ss" / $"n_docs", 6).as("mean_score"))
+        Parity.round6($"ss" / $"n_docs").as("mean_score"))
       .orderBy($"lang", $"decile")
   }
 
@@ -738,8 +738,8 @@ object AggExtOps {
         |        FROM sc)
         |SELECT lang, decile, count(*) AS n_docs,
         |       CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
-        |       round(CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS DOUBLE)
-        |             / 1000000.0 / count(*), 6) AS mean_score
+        |       floor((CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS DOUBLE)
+        |             / 1000000.0 / count(*)) * 1000000 + 0.5) / 1000000.0 AS mean_score
         |FROM dec GROUP BY 1, 2 ORDER BY lang, decile""".stripMargin,
     "j113_bigram_entropy" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS t
@@ -774,8 +774,8 @@ object AggExtOps {
         |                CAST(embedding[i] AS DOUBLE) AS v
         |              FROM 'embeddings.parquet', generate_series(1, 64) AS t(i)),
         |cent AS (SELECT label, pos,
-        |           round(CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS DOUBLE)
-        |                 / 1000000.0 / count(*), 6) AS m
+        |           floor((CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS DOUBLE)
+        |                 / 1000000.0 / count(*)) * 1000000 + 0.5) / 1000000.0 AS m
         |         FROM comp GROUP BY 1, 2),
         |nc AS (SELECT label, list_sum(list_sort(list(m * m))) AS nc2
         |       FROM cent GROUP BY 1),
@@ -958,11 +958,11 @@ object AggExtOps {
         |        CAST(sum(CAST(round(y * y * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS syy
         |      FROM r)
         |SELECT CAST(n AS BIGINT) AS n_tokens,
-        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
-        |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        |       floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1000000 + 0.5) / 1000000.0 AS zipf_slope,
+        |       floor(((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n) * 1000000 + 0.5) / 1000000.0
         |         AS intercept,
-        |       round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
-        |             ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |       floor(((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        |             ((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1000000 + 0.5) / 1000000.0 AS r2
         |FROM m""".stripMargin,
     "j101_length_buckets" ->
       """WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks

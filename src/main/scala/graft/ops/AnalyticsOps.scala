@@ -117,7 +117,7 @@ object AnalyticsOps {
         Parity.qsum($"score").as("ss"),
         sum($"gpass".cast("long")).as("n_gopher_pass"))
       .select($"source", $"n_docs", $"sum_chars", $"sum_tokens", $"n_langs",
-        round($"ss" / $"n_docs", 6).as("mean_quality"),
+        Parity.round6($"ss" / $"n_docs").as("mean_quality"),
         round($"n_gopher_pass".cast("double") / $"n_docs".cast("double"), 6)
           .as("gopher_pass_rate"))
       .orderBy($"source")
@@ -861,8 +861,8 @@ object AnalyticsOps {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
         |       count(DISTINCT lang) AS n_langs,
-        |       round(CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS DOUBLE)
-        |             / 1000000.0 / count(*), 6) AS mean_quality,
+        |       floor((CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS DOUBLE)
+        |             / 1000000.0 / count(*)) * 1000000 + 0.5) / 1000000.0 AS mean_quality,
         |       round(CAST(sum(gpass::INT) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
         |         AS gopher_pass_rate
         |FROM f GROUP BY 1 ORDER BY source""".stripMargin,

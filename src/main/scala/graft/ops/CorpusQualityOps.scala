@@ -155,7 +155,7 @@ object CorpusQualityOps {
         // sum, not a collected ratio list (r13 audit)
         Parity.qsum($"ratio").as("rsum"))
       .select($"lang", $"band", $"n_docs",
-        round($"rsum" / $"n_docs".cast("double"), 6).as("mean_ratio"))
+        Parity.round6($"rsum" / $"n_docs".cast("double")).as("mean_ratio"))
       .orderBy($"lang", $"band")
   }
 
@@ -359,8 +359,8 @@ object CorpusQualityOps {
         |b AS (SELECT lang, least(CAST(floor(ratio * 50) AS BIGINT), 49) AS band,
         |             ratio FROM r)
         |SELECT lang, band, count(*) AS n_docs,
-        |       round(CAST(sum(CAST(round(ratio * 1000000) AS BIGINT)) AS DOUBLE)
-        |             / 1000000.0 / CAST(count(*) AS DOUBLE), 6)
+        |       floor((CAST(sum(CAST(round(ratio * 1000000) AS BIGINT)) AS DOUBLE)
+        |             / 1000000.0 / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000.0
         |         AS mean_ratio
         |FROM b GROUP BY 1, 2 ORDER BY lang, band""".stripMargin,
     "j118_global_agg" ->

@@ -260,9 +260,13 @@ object Esql {
           val a = orExpr(c); c.expect(")")
           val vx = c.filt(a.getField("x"))
           val vy = c.filt(a.getField("y"))
+          // components ship pre-rounded through Parity.round6: a
+          // quantized mean is a rational that can land EXACTLY on the
+          // round(…,6) half boundary where the engines' rounding
+          // algorithms disagree (the r13 j105 lesson)
           struct(
-            (Parity.qsum(vx) / count(vx)).as("x"),
-            (Parity.qsum(vy) / count(vy)).as("y"))
+            Parity.round6(Parity.qsum(vx) / count(vx)).as("x"),
+            Parity.round6(Parity.qsum(vy) / count(vy)).as("y"))
         case "VALUES" =>
           // VALUES(field) — the group's distinct values as a multivalue.
           // ES documents the order as non-deterministic; a distributed,
@@ -3669,13 +3673,14 @@ object Esql {
          |    (event_id * 104729 % 36000) / 100.0 - 180.0 AS lon
          |  FROM 'events.parquet')
          |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-         |  round(CAST(sum(CAST(round(lon * 1000000) AS BIGINT)) AS DOUBLE)
-         |        / 1000000.0 / count(lon), 6) AS cx,
-         |  round(CAST(sum(CAST(round(lat * 1000000) AS BIGINT)) AS DOUBLE)
-         |        / 1000000.0 / count(lat), 6) AS cy,
-         |  round(CAST(sum(CAST(round(lon * 1000000) AS BIGINT))
+         |  round(floor((CAST(sum(CAST(round(lon * 1000000) AS BIGINT)) AS DOUBLE)
+         |        / 1000000.0 / count(lon)) * 1000000 + 0.5) / 1000000.0, 6) AS cx,
+         |  round(floor((CAST(sum(CAST(round(lat * 1000000) AS BIGINT)) AS DOUBLE)
+         |        / 1000000.0 / count(lat)) * 1000000 + 0.5) / 1000000.0, 6) AS cy,
+         |  round(floor((CAST(sum(CAST(round(lon * 1000000) AS BIGINT))
          |          FILTER (lat >= 0.0) AS DOUBLE)
-         |        / 1000000.0 / (count(lon) FILTER (lat >= 0.0)), 6) AS cnx,
+         |        / 1000000.0 / (count(lon) FILTER (lat >= 0.0))) * 1000000 + 0.5)
+         |        / 1000000.0, 6) AS cnx,
          |  CAST($exmin AS DOUBLE) AS exmin, CAST($exmax AS DOUBLE) AS exmax,
          |  CAST($eymin AS DOUBLE) AS eymin, CAST($eymax AS DOUBLE) AS eymax
          |FROM geo GROUP BY event_type ORDER BY event_type""".stripMargin

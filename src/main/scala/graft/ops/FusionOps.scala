@@ -408,7 +408,7 @@ object FusionOps {
         // quantized exact sum, not a collected list (r13 audit)
         Parity.qsum($"jaccard").as("js"))
       .select($"src1", $"src2", $"n_pairs",
-        round($"js" / $"n_pairs", 6).as("mean_jaccard"))
+        Parity.round6($"js" / $"n_pairs").as("mean_jaccard"))
       .orderBy($"src1", $"src2")
   }
 
@@ -491,7 +491,7 @@ object FusionOps {
       .select($"lang", $"decile", $"n_docs", $"n_gopher_pass",
         round($"n_gopher_pass".cast("double") / $"n_docs".cast("double"), 6)
           .as("gopher_pass_rate"),
-        round($"ss" / $"n_docs", 6).as("mean_score"))
+        Parity.round6($"ss" / $"n_docs").as("mean_score"))
       .orderBy($"lang", $"decile")
   }
 
@@ -703,8 +703,8 @@ object FusionOps {
         |           FROM pr JOIN 'documents.parquet' da ON pr.d1 = da.doc_id
         |                   JOIN 'documents.parquet' db ON pr.d2 = db.doc_id)
         |SELECT src1, src2, count(*) AS n_pairs,
-        |       round(CAST(sum(CAST(round(jaccard * 1000000) AS BIGINT)) AS DOUBLE)
-        |             / 1000000.0 / count(*), 6) AS mean_jaccard
+        |       floor((CAST(sum(CAST(round(jaccard * 1000000) AS BIGINT)) AS DOUBLE)
+        |             / 1000000.0 / count(*)) * 1000000 + 0.5) / 1000000.0 AS mean_jaccard
         |FROM tagged GROUP BY 1, 2 ORDER BY src1, src2""".stripMargin,
     "j149_oov_rate" ->
       """WITH lt AS (SELECT lang, token, count(*) AS cnt FROM (
@@ -746,8 +746,8 @@ object FusionOps {
         |       CAST(sum(gpass::INT) AS BIGINT) AS n_gopher_pass,
         |       round(CAST(sum(gpass::INT) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
         |         AS gopher_pass_rate,
-        |       round(CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS DOUBLE)
-        |             / 1000000.0 / count(*), 6) AS mean_score
+        |       floor((CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS DOUBLE)
+        |             / 1000000.0 / count(*)) * 1000000 + 0.5) / 1000000.0 AS mean_score
         |FROM dec GROUP BY 1, 2 ORDER BY lang, decile""".stripMargin,
     "j146_interarrival_stats" ->
       """WITH g AS (SELECT user_id,

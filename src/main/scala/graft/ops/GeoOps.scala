@@ -316,8 +316,8 @@ object GeoOps {
     withGeo(Tables.events(s, d))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
-        round(Parity.qsum($"lat") / count(lit(1)), 6).as("centroid_lat"),
-        round(Parity.qsum($"lon") / count(lit(1)), 6).as("centroid_lon"))
+        Parity.round6(Parity.qsum($"lat") / count(lit(1))).as("centroid_lat"),
+        Parity.round6(Parity.qsum($"lon") / count(lit(1))).as("centroid_lon"))
       .orderBy($"event_type")
   }
 
@@ -427,9 +427,9 @@ object GeoOps {
     "j268_geo_centroid" -> s"""
       WITH geo AS ($geoSql)
       SELECT event_type, count(*) AS n,
-        round(CAST(sum(CAST(round(lat * 1000000) AS BIGINT)) AS DOUBLE)
-              / 1000000.0 / count(*), 6) AS centroid_lat,
-        round(CAST(sum(CAST(round(lon * 1000000) AS BIGINT)) AS DOUBLE)
-              / 1000000.0 / count(*), 6) AS centroid_lon
+        floor((CAST(sum(CAST(round(lat * 1000000) AS BIGINT)) AS DOUBLE)
+              / 1000000.0 / count(*)) * 1000000 + 0.5) / 1000000.0 AS centroid_lat,
+        floor((CAST(sum(CAST(round(lon * 1000000) AS BIGINT)) AS DOUBLE)
+              / 1000000.0 / count(*)) * 1000000 + 0.5) / 1000000.0 AS centroid_lon
       FROM geo GROUP BY event_type ORDER BY event_type""")
 }

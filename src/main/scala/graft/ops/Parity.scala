@@ -68,4 +68,19 @@ object Parity {
   def qsum(c: Column): Column =
     sum(round(c * lit(1000000.0), 0).cast(DecimalType(28, 0)))
       .cast("double") / lit(1000000.0)
+
+  /** Cross-engine-stable 6dp rounding for a [[qsum]]-derived MEAN.
+    * `round(x, 6)` is two different algorithms: Spark HALF_UPs the
+    * shortest-decimal repr, DuckDB the binary value — and a quantized
+    * mean (k/10⁶)/n lands EXACTLY on the half boundary whenever
+    * 2·k·10⁶/n is an odd integer, where the two algorithms disagree by
+    * 1e-6 (caught by the r13 six-leg sweep: j105's label-9 centroid at
+    * sf0.1). floor(x·10⁶ + 0.5) evaluates the SAME double with the
+    * SAME algorithm in both engines — half-boundary direction becomes
+    * a property of the value, not of the engine. (floor rounds a
+    * negative half toward −∞ where HALF_UP goes away from zero — a
+    * deliberate, documented deviation; identical both sides is the
+    * contract.) DuckDB mirror: floor(x * 1000000 + 0.5) / 1000000.0 */
+  def round6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)).cast("double") / lit(1000000.0)
 }

@@ -327,7 +327,7 @@ object PipelineOps {
       .select($"decile", $"n_docs", $"n_correct",
         round($"n_correct".cast("double") / $"n_docs".cast("double"), 6)
           .as("accuracy"),
-        round($"sm" / $"n_docs", 6).as("mean_margin"))
+        Parity.round6($"sm" / $"n_docs").as("mean_margin"))
       .orderBy($"decile")
   }
 
@@ -1945,8 +1945,8 @@ object PipelineOps {
         |         AS BIGINT) AS n_correct,
         |       round(sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END) /
         |             CAST(count(*) AS DOUBLE), 6) AS accuracy,
-        |       round(CAST(sum(CAST(round(margin * 1000000) AS BIGINT)) AS DOUBLE)
-        |             / 1000000.0 / count(*), 6) AS mean_margin
+        |       floor((CAST(sum(CAST(round(margin * 1000000) AS BIGINT)) AS DOUBLE)
+        |             / 1000000.0 / count(*)) * 1000000 + 0.5) / 1000000.0 AS mean_margin
         |FROM rkd CROSS JOIN n GROUP BY 1, n.n_total
         |ORDER BY decile""".stripMargin,
     "j16_quality_score" ->
