@@ -66,14 +66,53 @@ private[sources] object GraftSyncStore {
     * manifest at or below it (the LSM/iceberg snapshot rule), which is
     * what makes compaction a ONE-FILE atomic operation. */
   def writeManifest(dir: String, ordinal: Long, tag: String,
-      pages: Seq[String], replacesUpTo: Option[Long] = None): Unit = {
+      pages: Seq[String], replacesUpTo: Option[Long] = None,
+      sealedTags: Seq[String] = Nil): Unit = {
     val node = mapper.createObjectNode()
     val arr = node.putArray("pages")
     pages.sorted.foreach(arr.add)
     replacesUpTo.foreach(node.put("replaces_up_to", _))
+    if (sealedTags.nonEmpty) {
+      val st = node.putArray("sealed_tags")
+      sealedTags.sorted.foreach(st.add)
+    }
     atomicWrite(Paths.get(dir, f"$ManifestPrefix$ordinal%012d-$tag.json"),
       mapper.writeValueAsBytes(node))
   }
+
+  /** Manifest filename for one (ordinal, tag). */
+  private def manifestName(ordinal: Long, tag: String): String =
+    f"$ManifestPrefix$ordinal%012d-$tag.json"
+
+  /** The tag component of a manifest filename (`_manifest-<ord>-<tag>
+    * .json`). Exact structural parse — never a substring match. */
+  private def manifestTag(name: String): String =
+    name.stripPrefix(ManifestPrefix).dropWhile(_.isDigit)
+      .stripPrefix("-").stripSuffix(".json")
+
+  /** True iff `name` is the manifest of generation `tag` — ordinal
+    * digits, then EXACTLY this tag. An endsWith("-$tag.json") test would
+    * conflate tag "epoch-1" with "ts-rollup-epoch-1" and let a supersede
+    * destroy another tag's committed generation (r13 advice). */
+  private def manifestHasTag(name: String, tag: String): Boolean =
+    name.startsWith(ManifestPrefix) && name.endsWith(".json") &&
+      manifestTag(name) == tag && {
+        val digits = name.stripPrefix(ManifestPrefix).takeWhile(_.isDigit)
+        digits.nonEmpty && name == manifestName(digits.toLong, tag)
+      }
+
+  /** Tags sealed by compaction snapshots: their rows live inside snapshot
+    * pages and can no longer be individually superseded. Union over every
+    * manifest carrying a `sealed_tags` list (snapshots chain the list
+    * forward, so one read of the live manifest set is complete). */
+  private def sealedTags(dir: String): Set[String] =
+    listFiles(dir).map(_.getFileName.toString)
+      .filter(_.startsWith(ManifestPrefix))
+      .flatMap { m =>
+        val node = mapper.readTree(Files.readAllBytes(Paths.get(dir, m)))
+        Option(node.get("sealed_tags")).toSeq
+          .flatMap(_.elements().asScala.map(_.asText()).toSeq)
+      }.toSet
 
   /** Compact every committed generation into ONE page under ONE
     * snapshot manifest — ES force-merge for the NDJSON store, the
@@ -113,11 +152,42 @@ private[sources] object GraftSyncStore {
     finally out.close()
     Files.move(tmp, Paths.get(dir, page), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // the snapshot SEALS every tag it subsumes (chaining forward tags
+    // already sealed by earlier snapshots): a post-compaction replay of a
+    // tagged generation finds its tag sealed and no-ops instead of
+    // appending rows the snapshot already holds (r13 advice). The list is
+    // bounded by the store's total distinct commit tags — names only,
+    // never data.
+    val toSeal = (sealedTags(dir) ++ priorManifests.map(manifestTag))
+      .filterNot(_ == "compact").toSeq
     writeManifest(dir, ord, "compact", Seq(page),
-      replacesUpTo = Some(ord - 1)) // the atomic cut-over
+      replacesUpTo = Some(ord - 1), // the atomic cut-over
+      sealedTags = toSeal)
     // GC (idempotent; everything below is already invisible to readers)
     priorManifests.foreach(m => Files.deleteIfExists(Paths.get(dir, m)))
     pages.foreach(p => Files.deleteIfExists(Paths.get(dir, p)))
+  }
+
+  /** Publish (or REPUBLISH, on post-crash epoch replay) the manifest for
+    * streaming epoch `epochId`, then GC any pages the superseded
+    * publication of the same epoch referenced but the new list does not —
+    * the streaming twin of [[supersedeTag]]'s crash-safety order: atomic
+    * manifest swap FIRST, deletes after, so a crash between the two
+    * leaves only unreferenced orphans, never a manifest naming deleted
+    * (or torn) data. Page names carry a run-unique token, so the replay's
+    * staged bytes can never collide with the committed generation's. */
+  def republishEpoch(dir: String, epochId: Long, pages: Seq[String]): Unit = {
+    val priorName = manifestName(epochId, "epoch")
+    val priorPages = {
+      val p = Paths.get(dir, priorName)
+      if (!Files.isRegularFile(p)) Seq.empty[String]
+      else mapper.readTree(Files.readAllBytes(p))
+        .get("pages").elements().asScala.map(_.asText()).toSeq
+    }
+    writeManifest(dir, epochId, "epoch", pages)
+    val keep = pages.toSet
+    priorPages.distinct.filterNot(keep)
+      .foreach(p => Files.deleteIfExists(Paths.get(dir, p)))
   }
 
   /** Publish a TAGGED batch commit with SUPERSEDE semantics: a page-tag
@@ -139,8 +209,19 @@ private[sources] object GraftSyncStore {
     * orphan pages (invisible to committedPages), never a manifest
     * pointing at deleted data. */
   def supersedeTag(dir: String, tag: String, pages: Seq[String]): Unit = {
+    // A tag subsumed by a compaction snapshot is SEALED: its generation's
+    // rows live inside the snapshot page, so there is no prior generation
+    // to replace — a post-compaction replay of the tag (stream restart
+    // whose last foreachBatch commit raced the checkpoint) must be a
+    // no-op, not an append that double-counts the snapshot's rows (r13
+    // advice). The staged pages are unreferenced; GC them. A writer that
+    // wants to REPLACE a sealed generation must use a fresh tag.
+    if (sealedTags(dir).contains(tag)) {
+      pages.foreach(p => Files.deleteIfExists(Paths.get(dir, p)))
+      return
+    }
     val prior = listFiles(dir).map(_.getFileName.toString)
-      .filter(n => n.startsWith(ManifestPrefix) && n.endsWith(s"-$tag.json"))
+      .filter(manifestHasTag(_, tag))
       .sorted
     val priorPages = prior.flatMap { m =>
       val node = mapper.readTree(Files.readAllBytes(Paths.get(dir, m)))
@@ -150,7 +231,7 @@ private[sources] object GraftSyncStore {
       .map(_.stripPrefix(ManifestPrefix).takeWhile(_.isDigit).toLong)
       .getOrElse(nextOrdinal(dir))
     writeManifest(dir, ordinal, tag, pages) // atomic replace of the prior
-    val keepName = f"$ManifestPrefix$ordinal%012d-$tag.json"
+    val keepName = manifestName(ordinal, tag)
     prior.filterNot(_ == keepName)
       .foreach(n => Files.deleteIfExists(Paths.get(dir, n)))
     val keep = pages.toSet

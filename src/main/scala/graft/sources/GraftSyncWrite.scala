@@ -16,16 +16,19 @@ import org.apache.spark.sql.types._
   * same store state instead of duplicating documents.
   *
   * Idempotency, the property that makes a sync pipeline safe to retry:
-  *   - batch: pages are named `page-<queryId>-<partition>.jsonl` — a
-  *     retried task overwrites its own page; the driver-side commit then
+  *   - batch: pages stage as `page-[<tag>-]<queryId>-<partition>.jsonl` —
+  *     attempt-unique (queryId is a fresh UUID per write), so a staged
+  *     attempt can never touch a COMMITTED generation's bytes; a retried
+  *     task overwrites its own attempt's page; the driver-side commit then
   *     publishes ONE manifest naming exactly the committed pages
   *     (atomically, tmp+rename), so readers never see a torn job.
-  *   - streaming: pages are `epoch-<epochId>-<partition>.jsonl` and each
-  *     epoch commit publishes `_manifest-epoch-<epochId>.json`. A replayed
-  *     epoch (post-crash re-execution of an un-committed batch) rewrites
-  *     the SAME pages and the SAME manifest — exactly-once output without
-  *     any sink-side dedup state, the same effect ES reaches with
-  *     deterministic `_id` upserts.
+  *   - streaming: pages are `epoch-<epochId>-<runToken>-<partition>.jsonl`
+  *     (runToken unique per query run) and each epoch commit republishes
+  *     `_manifest-<epochId>-epoch.json` atomically, then GCs the
+  *     superseded run's pages. A replayed epoch (post-crash re-execution
+  *     of an un-committed batch) thus converges to exactly the replay's
+  *     output — exactly-once without any sink-side dedup state, the same
+  *     effect ES reaches with deterministic `_id` upserts.
   *
   * Scale: a task writes only its own partition's page; the driver commit
   * handles O(#partitions) names, no data. Abort paths delete only the
@@ -66,9 +69,14 @@ private[sources] class GraftSyncWriteBuilder(dir: String, info: LogicalWriteInfo
     require(pageTag.forall(_.matches("[A-Za-z0-9._-]+")),
       s"graft-sync: page-tag must be a [A-Za-z0-9._-]+ token, got '${pageTag.get}'")
     // "epoch" is the streaming lineage's manifest tag — a batch manifest
-    // named *-epoch.json would corrupt requireLineage's classification
+    // named *-epoch.json would corrupt requireLineage's classification.
+    // "compact" is the snapshot manifest's tag — a user batch sharing it
+    // would supersede the compaction snapshot and delete its page,
+    // silently dropping the whole compacted store (r13 advice).
     require(!pageTag.exists(t => t == "epoch" || t.endsWith("-epoch")),
       "graft-sync: page-tag 'epoch'/'*-epoch' is reserved for the streaming sink")
+    require(!pageTag.contains("compact"),
+      "graft-sync: page-tag 'compact' is reserved for compaction snapshots")
     // publish the schema marker BEFORE any task flushes a page: its
     // presence disables committedPages' hand-made-dir fallback, so a
     // reader concurrent with the store's very first write sees an empty
@@ -76,9 +84,8 @@ private[sources] class GraftSyncWriteBuilder(dir: String, info: LogicalWriteInfo
     GraftSyncStore.writeSchema(dir, info.schema())
     new Write {
       override def toBatch: BatchWrite =
-        new GraftSyncBatchWrite(dir, info.schema(),
-          pageTag.getOrElse(info.queryId()), pageTag.isDefined,
-          doTruncate, bulkRows)
+        new GraftSyncBatchWrite(dir, info.schema(), pageTag,
+          info.queryId(), doTruncate, bulkRows)
       override def toStreaming: StreamingWrite =
         new GraftSyncStreamingWrite(dir, info.schema(), bulkRows)
     }
@@ -86,11 +93,26 @@ private[sources] class GraftSyncWriteBuilder(dir: String, info: LogicalWriteInfo
 }
 
 private[sources] class GraftSyncBatchWrite(dir: String, schema: StructType,
-    queryId: String, tagged: Boolean, truncate: Boolean,
+    pageTag: Option[String], queryId: String, truncate: Boolean,
     bulkRows: Int) extends BatchWrite {
 
+  // Tagged pages stage under ATTEMPT-UNIQUE names (tag + this write's
+  // queryId — a fresh UUID per write attempt), never under names derived
+  // from the tag alone (r13 advice, high): tag-only names let a replay or
+  // tag-reuse attempt overwrite the COMMITTED generation's pages in place
+  // BEFORE supersedeTag publishes — a crash mid-replay under a different
+  // shuffle layout would leave the committed manifest referencing pages
+  // whose bytes now hold a different row subset, and abort() would delete
+  // colliding names the committed manifest still references. With unique
+  // staging names, the committed generation's bytes are immutable until
+  // the atomic manifest publish, and abort deletes only this attempt's
+  // files. supersedeTag already GCs the superseded generation's pages
+  // after the publish, so tag reuse cannot accumulate orphans.
+  private val prefix =
+    pageTag.map(t => s"page-$t-$queryId").getOrElse(s"page-$queryId")
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftSyncWriterFactory(dir, schema, s"page-$queryId", bulkRows)
+    GraftSyncWriterFactory(dir, schema, prefix, bulkRows)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val pages = messages.flatMap(_.asInstanceOf[GraftSyncCommit].pages)
@@ -111,11 +133,11 @@ private[sources] class GraftSyncBatchWrite(dir: String, schema: StructType,
     }
     GraftSyncStore.requireLineage(dir, wantEpochs = false)
     GraftSyncStore.writeSchema(dir, schema)
-    if (tagged)
-      GraftSyncStore.supersedeTag(dir, queryId, pages.toSeq)
-    else
-      GraftSyncStore.writeManifest(dir, GraftSyncStore.nextOrdinal(dir),
-        queryId, pages.toSeq)
+    pageTag match {
+      case Some(tag) => GraftSyncStore.supersedeTag(dir, tag, pages.toSeq)
+      case None => GraftSyncStore.writeManifest(dir,
+        GraftSyncStore.nextOrdinal(dir), queryId, pages.toSeq)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -129,15 +151,26 @@ private[sources] class GraftSyncBatchWrite(dir: String, schema: StructType,
 private[sources] class GraftSyncStreamingWrite(dir: String, schema: StructType,
     bulkRows: Int) extends StreamingWrite {
 
+  // Run-unique staging token (one StreamingWrite is built per query RUN;
+  // a post-crash restart builds a fresh one). Same rationale as the batch
+  // tagged path: a replayed epoch may shuffle into a different partition
+  // layout, and epoch-only page names would overwrite the COMMITTED
+  // generation's bytes before the manifest republish — a crash mid-replay
+  // would leave the epoch's manifest referencing torn pages. Unique names
+  // keep the committed bytes immutable until the atomic manifest swap at
+  // commit(), which then GCs the superseded run's pages.
+  private val runToken = java.util.UUID.randomUUID().toString.take(8)
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    GraftSyncStreamingWriterFactory(dir, schema, bulkRows)
+    GraftSyncStreamingWriterFactory(dir, schema, runToken, bulkRows)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     GraftSyncStore.requireLineage(dir, wantEpochs = true)
     GraftSyncStore.writeSchema(dir, schema)
     // ordinal = epochId: re-publishing a replayed epoch rewrites the SAME
-    // manifest, so the feed order and page set are unchanged — a no-op
-    GraftSyncStore.writeManifest(dir, epochId, "epoch",
+    // manifest name atomically — feed position unchanged — then the
+    // superseded run's pages for this epoch are GC'd
+    GraftSyncStore.republishEpoch(dir, epochId,
       messages.flatMap(_.asInstanceOf[GraftSyncCommit].pages).toSeq)
   }
 
@@ -158,10 +191,11 @@ private[sources] case class GraftSyncWriterFactory(dir: String,
 }
 
 private[sources] case class GraftSyncStreamingWriterFactory(dir: String,
-    schema: StructType, bulkRows: Int) extends StreamingDataWriterFactory {
+    schema: StructType, runToken: String, bulkRows: Int) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new GraftSyncDataWriter(dir, schema, f"epoch-$epochId-$partitionId%05d", bulkRows)
+    new GraftSyncDataWriter(dir, schema,
+      f"epoch-$epochId-$runToken-$partitionId%05d", bulkRows)
 }
 
 /** Serializes this partition's rows to NDJSON pages of at most `bulkRows`

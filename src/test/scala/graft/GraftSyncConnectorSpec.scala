@@ -250,6 +250,108 @@ class GraftSyncConnectorSpec extends AnyFunSuite {
       "supersede must replace only its own tag's generation")
   }
 
+  test("supersedeTag matches its tag EXACTLY — a suffix-colliding tag's generation is untouched") {
+    // r13 advice: endsWith("-$tag.json") would conflate tag "x-7" with
+    // "prefix-x-7", so superseding "x-7" would claim — then DELETE — the
+    // other tag's committed generation.
+    val dir = freshStore("tagexact")
+    def writeTag(tag: String, rows: Seq[(Long, Double)]): Unit =
+      rows.toDF("id", "v").coalesce(1)
+        .write.format("graft-sync").mode("append")
+        .option("page-tag", tag).save(dir)
+    writeTag("x-7", Seq((1L, 1.0)))
+    writeTag("prefix-x-7", Seq((2L, 2.0)))
+    writeTag("x-7", Seq((3L, 3.0))) // supersede ONLY x-7
+    val got = spark.read.format("graft-sync").load(dir)
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === Seq((2L, 2.0), (3L, 3.0)),
+      "suffix-colliding tag must survive; x-7 must be replaced")
+    val names = {
+      val s = Files.list(Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toSeq
+      } finally s.close()
+    }
+    assert(names.count(_.matches("_manifest-\\d+-x-7\\.json")) === 1, names)
+    assert(names.count(_.matches("_manifest-\\d+-prefix-x-7\\.json")) === 1, names)
+  }
+
+  test("tagged staging is attempt-unique: a reused tag's new generation never reuses the committed page names") {
+    // r13 advice (high): tag-only page names let a replay overwrite the
+    // committed generation's bytes BEFORE the atomic manifest publish.
+    val dir = freshStore("taguniq")
+    def writeTag(rows: Seq[(Long, Double)]): Unit =
+      rows.toDF("id", "v").coalesce(1)
+        .write.format("graft-sync").mode("append")
+        .option("page-tag", "gen").save(dir)
+    def pages(): Set[String] = {
+      val s = Files.list(Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".jsonl")).toSet
+      } finally s.close()
+    }
+    writeTag(Seq((1L, 1.0)))
+    val gen1 = pages()
+    writeTag(Seq((2L, 2.0)))
+    val gen2 = pages()
+    assert(gen1.intersect(gen2).isEmpty,
+      s"generations must stage under disjoint names: $gen1 vs $gen2")
+    val got = spark.read.format("graft-sync").load(dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === Seq((2L, 2.0)))
+  }
+
+  test("page-tag 'compact' is refused — reserved for compaction snapshots") {
+    val dir = freshStore("tagcompact")
+    val e = intercept[Exception] {
+      Seq((1L, 1.0)).toDF("id", "v")
+        .write.format("graft-sync").mode("append")
+        .option("page-tag", "compact").save(dir)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgs(e).exists(_.contains("reserved for compaction")), e)
+  }
+
+  test("compaction SEALS tags: a post-compaction tagged replay is a no-op, never a double-count") {
+    // r13 advice: pre-fix, a replayed tagged epoch after compact() found
+    // no prior generation and APPENDED rows the snapshot already holds.
+    val dir = freshStore("sealed")
+    val rows = (0L until 6L).map(i => (i, i * 0.5))
+    def writeTagged(parts: Int): Unit =
+      rows.toDF("id", "v").repartition(parts)
+        .write.format("graft-sync").mode("append")
+        .option("page-tag", "rollup-3").save(dir)
+    writeTagged(3)
+    graft.sources.GraftSyncMaintenance.compact(dir)
+    def readAll() = spark.read.format("graft-sync").load(dir)
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // single-generation store: compact() is a no-op unless >1 page, so
+    // append an untagged generation first to force a real snapshot
+    Seq((100L, 9.9)).toDF("id", "v").coalesce(1)
+      .write.format("graft-sync").mode("append").save(dir)
+    graft.sources.GraftSyncMaintenance.compact(dir)
+    val before = readAll()
+    assert(before === (rows :+ ((100L, 9.9))))
+    writeTagged(2) // the post-compaction replay, different layout
+    assert(readAll() === before,
+      "a sealed tag's replay must be a no-op, not an append")
+    // and the replay's staged pages were GC'd, not left as orphans
+    val names = {
+      val s = Files.list(Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toSeq
+      } finally s.close()
+    }
+    assert(names.count(_.endsWith(".jsonl")) === 1, names)
+    assert(!names.exists(_.matches("_manifest-\\d+-rollup-3\\.json")), names)
+  }
+
   test("compaction: N pages collapse to 1 under one snapshot manifest; answers and feed order unchanged") {
     val dir = freshStore("compact")
     val base = Tables.eventsRaw(spark, TestSpark.sf0001)
