@@ -42,7 +42,7 @@ object AggExtOps {
         min(when($"doc_count" === $"max_bucket", $"day")).as("max_bucket_day"))
       .select($"n_buckets", $"sum_bucket",
         $"min_bucket", $"min_bucket_day", $"max_bucket", $"max_bucket_day",
-        round($"sum_bucket".cast("double") / $"n_buckets", 6).as("avg_bucket"))
+        Parity.round6($"sum_bucket".cast("double") / $"n_buckets").as("avg_bucket"))
   }
 
   /** j93_cumulative_cardinality — ES `cumulative_cardinality` pipeline agg:
@@ -87,9 +87,9 @@ object AggExtOps {
       min($"doc_count").as("mn"), max($"doc_count").as("mx"))
     f.crossJoin(broadcast(st))
       .select($"day", $"doc_count",
-        round($"doc_count" * 100.0 / $"total", 6).as("percent_of_sum"),
+        Parity.round6($"doc_count" * 100.0 / $"total").as("percent_of_sum"),
         when($"mx" > $"mn",
-          round(($"doc_count" - $"mn").cast("double") / ($"mx" - $"mn"), 6))
+          Parity.round6(($"doc_count" - $"mn").cast("double") / ($"mx" - $"mn")))
           .otherwise(lit(0.0)).as("rescaled_0_1"))
       .orderBy($"day")
   }
@@ -150,7 +150,7 @@ object AggExtOps {
       .agg(count(lit(1)).as("doc_count"), min($"doc_id").as("example_doc"),
         sum($"n_toks").as("st"))
       .select($"category", $"doc_count", $"example_doc",
-        round($"st".cast("double") / $"doc_count", 6).as("avg_tokens"))
+        Parity.round6($"st".cast("double") / $"doc_count").as("avg_tokens"))
       .orderBy($"doc_count".desc, $"category".asc)
       .limit(20)
   }
@@ -172,8 +172,8 @@ object AggExtOps {
       .select($"event_id", $"ts",
         abs($"ts_us" - originUs).as("dist"))
       .select($"event_id", $"ts",
-        round(lit(1.5) * (lit(pivotUs).cast("double") /
-          ($"dist" + pivotUs).cast("double")), 6).as("score"))
+        Parity.round6(lit(1.5) * (lit(pivotUs).cast("double") /
+          ($"dist" + pivotUs).cast("double"))).as("score"))
       .orderBy($"score".desc, $"event_id".asc)
       .limit(20)
   }
@@ -198,7 +198,7 @@ object AggExtOps {
         round($"tsc" + lit(0.8) *
           ($"n_chars".cast("double") / ($"n_chars" + 200).cast("double")), 6).as("score"),
         round($"tsc", 6).as("text_score"),
-        round($"n_chars".cast("double") / ($"n_chars" + 200).cast("double"), 6).as("sat"))
+        Parity.round6($"n_chars".cast("double") / ($"n_chars" + 200).cast("double")).as("sat"))
       .orderBy($"score".desc, $"doc_id".asc)
       .limit(15)
   }
@@ -301,7 +301,7 @@ object AggExtOps {
       .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("sum_tokens"),
         sum($"band" - $"n_toks").as("padding_waste"))
       .select($"band", $"n_docs", $"sum_tokens", $"padding_waste",
-        round($"sum_tokens".cast("double") / ($"n_docs" * $"band").cast("double"), 6)
+        Parity.round6($"sum_tokens".cast("double") / ($"n_docs" * $"band").cast("double"))
           .as("efficiency"))
       .orderBy($"band")
   }
@@ -350,11 +350,11 @@ object AggExtOps {
     BucketOps.dailyFrame(s, d)
       .select($"day", $"purchases".as("doc_count"))
       .withColumn("arr", collect_list($"doc_count".cast("double")).over(w))
-      .withColumn("ewma", round(expr(
+      .withColumn("ewma", Parity.round6(expr(
         """aggregate(slice(arr, 2, size(arr) - 1),
           |  CAST(element_at(arr, 1) AS DOUBLE),
           |  (s, x) -> CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * s)"""
-          .stripMargin), 6))
+          .stripMargin)))
       .select($"day", $"doc_count", $"ewma")
       .orderBy($"day")
   }
@@ -388,7 +388,7 @@ object AggExtOps {
         round(max($"cents") / lit(100.0), 2).as("max_value"),
         sum($"cents").as("sc"))
       .select($"bucket", $"doc_count", $"min_value", $"max_value",
-        round($"sc".cast("double") / $"doc_count" / 100.0, 6).as("avg_value"))
+        Parity.round6($"sc".cast("double") / $"doc_count" / 100.0).as("avg_value"))
       .orderBy($"bucket")
   }
 
@@ -533,7 +533,7 @@ object AggExtOps {
       .withColumn("fg_pct", $"fg" / $"fg_tot")
       .withColumn("bg_pct", $"bg" / $"bg_tot")
       .filter($"fg_pct" > $"bg_pct")
-      .withColumn("jlh", round(($"fg_pct" - $"bg_pct") * ($"fg_pct" / $"bg_pct"), 6))
+      .withColumn("jlh", Parity.round6(($"fg_pct" - $"bg_pct") * ($"fg_pct" / $"bg_pct")))
       .select($"token", $"fg", $"bg", $"jlh")
       .orderBy($"jlh".desc, $"token".asc)
       .limit(15)
@@ -693,10 +693,10 @@ object AggExtOps {
         |       FROM toks GROUP BY 1),
         |tot AS (SELECT sum(bg) AS bg_tot, sum(fg) AS fg_tot FROM st)
         |SELECT token, fg, bg,
-        |  round((fg / fg_tot - bg / bg_tot) * ((fg / fg_tot) / (bg / bg_tot)), 6) AS jlh
+        |  floor((fg / fg_tot - bg / bg_tot) * ((fg / fg_tot) / (bg / bg_tot)) * 1000000 + 0.5) / 1000000.0 AS jlh
         |FROM st CROSS JOIN tot
         |WHERE fg > 0 AND fg / fg_tot > bg / bg_tot
-        |ORDER BY round((fg / fg_tot - bg / bg_tot) * ((fg / fg_tot) / (bg / bg_tot)), 6) DESC,
+        |ORDER BY floor((fg / fg_tot - bg / bg_tot) * ((fg / fg_tot) / (bg / bg_tot)) * 1000000 + 0.5) / 1000000.0 DESC,
         |         token ASC
         |LIMIT 15""".stripMargin,
     "j109_scripted_metric" ->
@@ -729,8 +729,9 @@ object AggExtOps {
         |          / CAST(len(toks) AS DOUBLE) AS stop_ratio
         |      FROM t),
         |sc AS (SELECT doc_id, lang, n_toks,
-        |         round(-3.0 + 0.01 * nt + 4.0 * ttr
-        |           + 0.5 * mean_tok_len - 6.0 * stop_ratio, 6) AS score
+        |         floor((-3.0 + 0.01 * nt + 4.0 * ttr
+        |           + 0.5 * mean_tok_len - 6.0 * stop_ratio) * 1000000 + 0.5)
+        |           / 1000000.0 AS score
         |       FROM f),
         |dec AS (SELECT lang, n_toks, score,
         |          CAST(ntile(10) OVER (PARTITION BY lang
@@ -841,7 +842,7 @@ object AggExtOps {
          |       min(CASE WHEN b.doc_count = st.min_bucket THEN b.day END) AS min_bucket_day,
          |       st.max_bucket,
          |       min(CASE WHEN b.doc_count = st.max_bucket THEN b.day END) AS max_bucket_day,
-         |       round(CAST(st.sum_bucket AS DOUBLE) / st.n_buckets, 6) AS avg_bucket
+         |       floor(CAST(st.sum_bucket AS DOUBLE) / st.n_buckets * 1000000 + 0.5) / 1000000.0 AS avg_bucket
          |FROM b CROSS JOIN st
          |GROUP BY st.n_buckets, st.sum_bucket, st.min_bucket, st.max_bucket""".stripMargin,
     "j93_cumulative_cardinality" ->
@@ -865,9 +866,9 @@ object AggExtOps {
          |st AS (SELECT CAST(sum(doc_count) AS BIGINT) AS total,
          |         min(doc_count) AS mn, max(doc_count) AS mx FROM b)
          |SELECT b.day, b.doc_count,
-         |       round(b.doc_count * 100.0 / st.total, 6) AS percent_of_sum,
+         |       floor(b.doc_count * 100.0 / st.total * 1000000 + 0.5) / 1000000.0 AS percent_of_sum,
          |       CASE WHEN st.mx > st.mn
-         |         THEN round(CAST(b.doc_count - st.mn AS DOUBLE) / (st.mx - st.mn), 6)
+         |         THEN floor(CAST(b.doc_count - st.mn AS DOUBLE) / (st.mx - st.mn) * 1000000 + 0.5) / 1000000.0
          |         ELSE 0.0 END AS rescaled_0_1
          |FROM b CROSS JOIN st ORDER BY b.day""".stripMargin,
     "j95_random_sampler" ->
@@ -892,8 +893,8 @@ object AggExtOps {
         |    doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
         |  FROM 'documents.parquet')
         |SELECT category, count(*) AS doc_count, min(doc_id) AS example_doc,
-        |       round(CAST(CAST(sum(n_toks) AS BIGINT) AS DOUBLE) / count(*), 6)
-        |         AS avg_tokens
+        |       floor(CAST(CAST(sum(n_toks) AS BIGINT) AS DOUBLE) / count(*)
+        |             * 1000000 + 0.5) / 1000000.0 AS avg_tokens
         |FROM c GROUP BY 1
         |ORDER BY doc_count DESC, category ASC LIMIT 20""".stripMargin,
     "j97_distance_feature" ->
@@ -901,8 +902,9 @@ object AggExtOps {
         |             abs(epoch_us(CAST(ts AS TIMESTAMP)) - 1705276800000000) AS dist
         |           FROM 'events.parquet')
         |SELECT event_id, ts,
-        |       round(1.5 * (CAST(259200000000 AS DOUBLE) /
-        |             CAST(dist + 259200000000 AS DOUBLE)), 6) AS score
+        |       floor(1.5 * (CAST(259200000000 AS DOUBLE) /
+        |             CAST(dist + 259200000000 AS DOUBLE)) * 1000000 + 0.5)
+        |         / 1000000.0 AS score
         |FROM e ORDER BY score DESC, event_id ASC LIMIT 20""".stripMargin,
     "j98_rank_feature" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
@@ -926,7 +928,7 @@ object AggExtOps {
         |       round(tsc + 0.8 * (CAST(n_chars AS DOUBLE) /
         |             CAST(n_chars + 200 AS DOUBLE)), 6) AS score,
         |       round(tsc, 6) AS text_score,
-        |       round(CAST(n_chars AS DOUBLE) / CAST(n_chars + 200 AS DOUBLE), 6) AS sat
+        |       floor(CAST(n_chars AS DOUBLE) / CAST(n_chars + 200 AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS sat
         |FROM agg ORDER BY score DESC, doc_id ASC LIMIT 15""".stripMargin,
     "j99_span_first" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
@@ -973,8 +975,9 @@ object AggExtOps {
         |SELECT CAST(band AS BIGINT) AS band, count(*) AS n_docs,
         |       CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
         |       CAST(sum(band - n_toks) AS BIGINT) AS padding_waste,
-        |       round(CAST(CAST(sum(n_toks) AS BIGINT) AS DOUBLE) /
-        |             CAST(count(*) * band AS DOUBLE), 6) AS efficiency
+        |       floor(CAST(CAST(sum(n_toks) AS BIGINT) AS DOUBLE) /
+        |             CAST(count(*) * band AS DOUBLE) * 1000000 + 0.5)
+        |         / 1000000.0 AS efficiency
         |FROM bb GROUP BY band ORDER BY band""".stripMargin,
     "j102_moving_percentiles" ->
       s"""WITH $dailySql,
@@ -996,9 +999,9 @@ object AggExtOps {
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS arr
          |      FROM b)
          |SELECT day, CAST(doc_count AS BIGINT) AS doc_count,
-         |       round(list_reduce(arr,
+         |       floor(list_reduce(arr,
          |         (s, x) -> CAST(0.3 AS DOUBLE) * x +
-         |                   CAST(0.7 AS DOUBLE) * s), 6) AS ewma
+         |                   CAST(0.7 AS DOUBLE) * s) * 1000000 + 0.5) / 1000000.0 AS ewma
          |FROM w ORDER BY day""".stripMargin,
     "j103_variable_width_histogram" ->
       """WITH e AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents
@@ -1013,7 +1016,7 @@ object AggExtOps {
         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS doc_count,
         |       round(min(cents) / 100.0, 2) AS min_value,
         |       round(max(cents) / 100.0, 2) AS max_value,
-        |       round(CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / count(*) / 100.0, 6)
-        |         AS avg_value
+        |       floor(CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / count(*) / 100.0
+        |             * 1000000 + 0.5) / 1000000.0 AS avg_value
         |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin)
 }

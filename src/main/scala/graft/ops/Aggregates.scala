@@ -26,8 +26,8 @@ object Aggregates {
         round(sum($"l_quantity"), 2).as("sum_qty"),
         round(sum($"l_extendedprice"), 2).as("sum_base_price"),
         Parity.discRevenue($"l_extendedprice", $"l_discount").as("sum_disc_price"),
-        round(avg($"l_quantity"), 6).as("avg_qty"),
-        round(avg($"l_discount"), 6).as("avg_disc"),
+        Parity.round6(avg($"l_quantity")).as("avg_qty"),
+        Parity.round6(avg($"l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -106,7 +106,7 @@ object Aggregates {
     Tables.lineitem(s, d).agg(
       count(lit(1)).as("n_rows"),
       round(sum($"l_extendedprice"), 2).as("sum_price"),
-      round(avg($"l_quantity"), 6).as("avg_qty"),
+      Parity.round6(avg($"l_quantity")).as("avg_qty"),
       min($"l_shipdate").as("min_ship"),
       max($"l_shipdate").as("max_ship"))
   }
@@ -241,8 +241,8 @@ object Aggregates {
         |round(sum(l_quantity), 2) AS sum_qty,
         |round(sum(l_extendedprice), 2) AS sum_base_price,
         |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
-        |round(avg(l_quantity), 6) AS avg_qty,
-        |round(avg(l_discount), 6) AS avg_disc,
+        |floor(avg(l_quantity) * 1000000 + 0.5) / 1000000.0 AS avg_qty,
+        |floor(avg(l_discount) * 1000000 + 0.5) / 1000000.0 AS avg_disc,
         |count(*) AS count_order
         |FROM 'lineitem.parquet'
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -282,7 +282,7 @@ object Aggregates {
     "d6_agg_global" ->
       """SELECT count(*) AS n_rows,
         |round(sum(l_extendedprice), 2) AS sum_price,
-        |round(avg(l_quantity), 6) AS avg_qty,
+        |floor(avg(l_quantity) * 1000000 + 0.5) / 1000000.0 AS avg_qty,
         |min(l_shipdate) AS min_ship,
         |max(l_shipdate) AS max_ship
         |FROM 'lineitem.parquet'""".stripMargin,

@@ -118,7 +118,7 @@ object AnalyticsOps {
         sum($"gpass".cast("long")).as("n_gopher_pass"))
       .select($"source", $"n_docs", $"sum_chars", $"sum_tokens", $"n_langs",
         Parity.round6($"ss" / $"n_docs").as("mean_quality"),
-        round($"n_gopher_pass".cast("double") / $"n_docs".cast("double"), 6)
+        Parity.round6($"n_gopher_pass".cast("double") / $"n_docs".cast("double"))
           .as("gopher_pass_rate"))
       .orderBy($"source")
   }
@@ -180,8 +180,8 @@ object AnalyticsOps {
       .groupBy($"event_type", $"hour_utc")
       .agg(count(lit(1)).as("n_events"), sum($"cents").as("value_cents"))
       .withColumn("type_share",
-        round($"n_events".cast("double") /
-          sum($"n_events").over(Window.partitionBy($"event_type")), 6))
+        Parity.round6($"n_events".cast("double") /
+          sum($"n_events").over(Window.partitionBy($"event_type"))))
       .orderBy($"event_type", $"hour_utc")
   }
 
@@ -244,8 +244,8 @@ object AnalyticsOps {
       .groupBy($"prev_type", $"event_type")
       .agg(count(lit(1)).as("n"))
       .withColumn("p_next",
-        round($"n".cast("double") /
-          sum($"n").over(Window.partitionBy($"prev_type")), 6))
+        Parity.round6($"n".cast("double") /
+          sum($"n").over(Window.partitionBy($"prev_type"))))
       .orderBy($"prev_type", $"event_type")
   }
 
@@ -277,7 +277,7 @@ object AnalyticsOps {
       .crossJoin(broadcast(stats))
       .filter($"rank".isin(1L, 2L, 4L, 8L, 16L) || $"rank" === $"n_types")
       .select($"rank", $"t".as("token"), $"cnt", $"cum",
-        round($"cum".cast("double") / $"total".cast("double"), 6)
+        Parity.round6($"cum".cast("double") / $"total".cast("double"))
           .as("coverage"))
       .orderBy($"rank")
   }
@@ -328,7 +328,7 @@ object AnalyticsOps {
       .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
       .join(ns.select($"doc_id".as("d1"), $"ns".as("n1")), "d1")
       .join(ns.select($"doc_id".as("d2"), $"ns".as("n2")), "d2")
-      .withColumn("jaccard", round($"inter" / ($"n1" + $"n2" - $"inter"), 6))
+      .withColumn("jaccard", Parity.round6($"inter" / ($"n1" + $"n2" - $"inter")))
       .filter($"jaccard" >= 0.5)
       .select($"d1", $"d2", $"jaccard",
         when($"d1" % 5 === 0 && $"d2" % 5 === 0, "new_new")
@@ -489,7 +489,7 @@ object AnalyticsOps {
     val psiRow = terms.agg(round(Parity.sortedFoldSum($"term"), 6).as("psi"))
     terms.crossJoin(broadcast(psiRow))
       .select($"band", $"n_ref", $"n_cur",
-        round($"p", 6).as("p_ref"), round($"q", 6).as("q_cur"),
+        Parity.round6($"p").as("p_ref"), Parity.round6($"q").as("q_cur"),
         round($"term", 6).as("psi_term"), $"psi")
       .orderBy($"band")
   }
@@ -532,9 +532,9 @@ object AnalyticsOps {
       .limit(1)
       .select($"day".as("change_day"), $"rn".as("n_before"),
         ($"n" - $"rn").as("n_after"),
-        round($"mean_before", 6).as("mean_before"),
-        round($"mean_after", 6).as("mean_after"),
-        round($"delta", 6).as("delta"))
+        Parity.round6($"mean_before").as("mean_before"),
+        Parity.round6($"mean_after").as("mean_after"),
+        Parity.round6($"delta").as("delta"))
   }
 
   // ---------- j170 moving z-score anomaly detection ----------
@@ -571,7 +571,7 @@ object AnalyticsOps {
       // back to "differs from the flat baseline at all"
       .withColumn("z", when($"sd7" > 0.0d,
         ($"cnt".cast("double") - $"mean7") / $"sd7"))
-      .select($"day", $"cnt", round($"mean7", 6).as("mean7"),
+      .select($"day", $"cnt", Parity.round6($"mean7").as("mean7"),
         round($"sd7", 6).as("sd7"), round($"z", 6).as("z"),
         when($"sd7" > 0.0d, abs($"z") > 1.5d)
           .otherwise($"cnt".cast("double") =!= $"mean7").as("anomaly"))
@@ -746,10 +746,10 @@ object AnalyticsOps {
       .agg(count(lit(1)).as("n_days"), sum($"total").as("cnt_total"))
       .crossJoin(broadcast(g))
       .select($"dow".cast("long").as("dow"), $"n_days", $"cnt_total",
-        round($"cnt_total".cast("double") / $"n_days".cast("double"), 6)
+        Parity.round6($"cnt_total".cast("double") / $"n_days".cast("double"))
           .as("mean_cnt"),
-        round($"cnt_total".cast("double") / $"n_days".cast("double") -
-          $"gt".cast("double") / $"gn".cast("double"), 6).as("dev_from_global"))
+        Parity.round6($"cnt_total".cast("double") / $"n_days".cast("double") -
+          $"gt".cast("double") / $"gn".cast("double")).as("dev_from_global"))
       .orderBy($"dow")
   }
 
@@ -789,8 +789,8 @@ object AnalyticsOps {
     folded.select(explode(expr("sequence(1, 3)")).as("h"),
         $"st.l".as("l"), $"st.b".as("b"))
       .select($"h".cast("long").as("h"),
-        round($"l", 6).as("level"), round($"b", 6).as("trend"),
-        round($"l" + $"h" * $"b", 6).as("forecast"))
+        Parity.round6($"l").as("level"), Parity.round6($"b").as("trend"),
+        Parity.round6($"l" + $"h" * $"b").as("forecast"))
       .orderBy($"h")
   }
 
@@ -845,11 +845,12 @@ object AnalyticsOps {
       """WITH t AS (SELECT source, lang, n_chars, string_split(text, ' ') AS toks
         |           FROM 'documents.parquet'),
         |f AS (SELECT source, lang, n_chars, len(toks) AS n_toks,
-        |        round(-3.0 + 0.01 * CAST(len(toks) AS DOUBLE)
+        |        floor((-3.0 + 0.01 * CAST(len(toks) AS DOUBLE)
         |          + 4.0 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
         |          + 0.5 * ((n_chars - len(toks) + 1) / CAST(len(toks) AS DOUBLE))
         |          - 6.0 * (len(list_filter(toks, x -> x IN ('a', 'the')))
-        |                   / CAST(len(toks) AS DOUBLE)), 6) AS score,
+        |                   / CAST(len(toks) AS DOUBLE))) * 1000000 + 0.5)
+        |          / 1000000.0 AS score,
         |        (len(toks) BETWEEN 25 AND 90
         |         AND CAST(n_chars - len(toks) + 1 AS DOUBLE)
         |             / CAST(len(toks) AS DOUBLE) BETWEEN 4.0 AND 5.0
@@ -863,8 +864,8 @@ object AnalyticsOps {
         |       count(DISTINCT lang) AS n_langs,
         |       floor((CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS DOUBLE)
         |             / 1000000.0 / count(*)) * 1000000 + 0.5) / 1000000.0 AS mean_quality,
-        |       round(CAST(sum(gpass::INT) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
-        |         AS gopher_pass_rate
+        |       floor(CAST(sum(gpass::INT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |             * 1000000 + 0.5) / 1000000.0 AS gopher_pass_rate
         |FROM f GROUP BY 1 ORDER BY source""".stripMargin,
     "j153_event_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
@@ -910,9 +911,9 @@ object AnalyticsOps {
         |      FROM c CROSS JOIN tot
         |      WHERE rn >= 2 AND rn <= n - 2)
         |SELECT day AS change_day, rn AS n_before, n_after,
-        |       round(mean_before, 6) AS mean_before,
-        |       round(mean_after, 6) AS mean_after,
-        |       round(abs(mean_before - mean_after), 6) AS delta
+        |       floor(mean_before * 1000000 + 0.5) / 1000000.0 AS mean_before,
+        |       floor(mean_after * 1000000 + 0.5) / 1000000.0 AS mean_after,
+        |       floor(abs(mean_before - mean_after) * 1000000 + 0.5) / 1000000.0 AS delta
         |FROM m
         |QUALIFY row_number() OVER (
         |  ORDER BY abs(mean_before - mean_after) DESC, day ASC) = 1""".stripMargin,
@@ -982,7 +983,7 @@ object AnalyticsOps {
         |       FROM bd CROSS JOIN tt),
         |t2 AS (SELECT *, (p - q) * ln(p / q) AS term FROM tm),
         |ps AS (SELECT round(list_sum(list_sort(list(term))), 6) AS psi FROM t2)
-        |SELECT band, n_ref, n_cur, round(p, 6) AS p_ref, round(q, 6) AS q_cur,
+        |SELECT band, n_ref, n_cur, floor(p * 1000000 + 0.5) / 1000000.0 AS p_ref, floor(q * 1000000 + 0.5) / 1000000.0 AS q_cur,
         |       round(term, 6) AS psi_term, ps.psi
         |FROM t2 CROSS JOIN ps ORDER BY band""".stripMargin,
     "j158_incremental_dedup" ->
@@ -1008,11 +1009,12 @@ object AnalyticsOps {
         |       FROM cand JOIN s sa ON sa.doc_id = d1
         |                 JOIN s sb ON sb.doc_id = d2 AND sa.sh = sb.sh
         |       GROUP BY d1, d2)
-        |SELECT d1, d2, round(inter / (na.ns + nb.ns - inter), 6) AS jaccard,
+        |SELECT d1, d2, floor(inter / (na.ns + nb.ns - inter) * 1000000 + 0.5)
+        |         / 1000000.0 AS jaccard,
         |       CASE WHEN d1 % 5 = 0 AND d2 % 5 = 0 THEN 'new_new'
         |            ELSE 'new_old' END AS pair_class
         |FROM i2 JOIN n na ON d1 = na.doc_id JOIN n nb ON d2 = nb.doc_id
-        |WHERE inter / (na.ns + nb.ns - inter) >= 0.5
+        |WHERE floor(inter / (na.ns + nb.ns - inter) * 1000000 + 0.5) / 1000000.0 >= 0.5
         |ORDER BY d1, d2""".stripMargin,
     "j159_span_within" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -1049,8 +1051,9 @@ object AnalyticsOps {
         |a AS (SELECT prev_type, event_type, count(*) AS n FROM l
         |      WHERE prev_type IS NOT NULL GROUP BY 1, 2)
         |SELECT prev_type, event_type, n,
-        |       round(CAST(n AS DOUBLE) /
-        |             sum(n) OVER (PARTITION BY prev_type), 6) AS p_next
+        |       floor(CAST(n AS DOUBLE) /
+        |             sum(n) OVER (PARTITION BY prev_type)
+        |             * 1000000 + 0.5) / 1000000.0 AS p_next
         |FROM a ORDER BY prev_type, event_type""".stripMargin,
     "j157_vocab_coverage" ->
       """WITH c AS (SELECT t, count(*) AS cnt FROM (
@@ -1063,7 +1066,7 @@ object AnalyticsOps {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
         |      FROM c)
         |SELECT rank, t AS token, cnt, cum,
-        |       round(CAST(cum AS DOUBLE) / CAST(st.total AS DOUBLE), 6) AS coverage
+        |       floor(CAST(cum AS DOUBLE) / CAST(st.total AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS coverage
         |FROM r CROSS JOIN st
         |WHERE rank IN (1, 2, 4, 8, 16) OR rank = st.n_types
         |ORDER BY rank""".stripMargin,
@@ -1076,9 +1079,9 @@ object AnalyticsOps {
         |        CAST(sum(cents) AS BIGINT) AS value_cents
         |      FROM h GROUP BY 1, 2)
         |SELECT event_type, hour_utc, n_events, value_cents,
-        |       round(CAST(n_events AS DOUBLE) /
-        |             sum(n_events) OVER (PARTITION BY event_type), 6)
-        |         AS type_share
+        |       floor(CAST(n_events AS DOUBLE) /
+        |             sum(n_events) OVER (PARTITION BY event_type)
+        |             * 1000000 + 0.5) / 1000000.0 AS type_share
         |FROM a ORDER BY event_type, hour_utc""".stripMargin,
     "j170_moving_zscore" ->
       """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
@@ -1101,7 +1104,7 @@ object AnalyticsOps {
         |              CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE) / 7.0) / 6.0)
         |          AS sd7
         |      FROM w WHERE n7 = 7)
-        |SELECT day, cnt, round(mean7, 6) AS mean7, round(sd7, 6) AS sd7,
+        |SELECT day, cnt, floor(mean7 * 1000000 + 0.5) / 1000000.0 AS mean7, round(sd7, 6) AS sd7,
         |       CASE WHEN sd7 > 0
         |            THEN round((CAST(cnt AS DOUBLE) - mean7) / sd7, 6)
         |       END AS z,
@@ -1209,10 +1212,10 @@ object AnalyticsOps {
         |SELECT CAST(dow AS BIGINT) AS dow,
         |       CAST(count(*) AS BIGINT) AS n_days,
         |       CAST(sum(cnt) AS BIGINT) AS cnt_total,
-        |       round(CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
-        |         AS mean_cnt,
-        |       round(CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) -
-        |             CAST(g.gt AS DOUBLE) / CAST(g.gn AS DOUBLE), 6)
+        |       floor(CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |             * 1000000 + 0.5) / 1000000.0 AS mean_cnt,
+        |       floor((CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) -
+        |             CAST(g.gt AS DOUBLE) / CAST(g.gn AS DOUBLE)) * 1000000 + 0.5) / 1000000.0
         |         AS dev_from_global
         |FROM dw CROSS JOIN g GROUP BY dow, g.gt, g.gn
         |ORDER BY dow""".stripMargin,
@@ -1241,9 +1244,9 @@ object AnalyticsOps {
         |      CAST(0.7 AS DOUBLE) * tr
         |  FROM f, ser WHERE i < len(xs)),
         |st AS (SELECT l, tr FROM f, ser WHERE i = len(xs))
-        |SELECT CAST(t.h AS BIGINT) AS h, round(st.l, 6) AS level,
-        |       round(st.tr, 6) AS trend,
-        |       round(st.l + t.h * st.tr, 6) AS forecast
+        |SELECT CAST(t.h AS BIGINT) AS h, floor(st.l * 1000000 + 0.5) / 1000000.0 AS level,
+        |       floor(st.tr * 1000000 + 0.5) / 1000000.0 AS trend,
+        |       floor((st.l + t.h * st.tr) * 1000000 + 0.5) / 1000000.0 AS forecast
         |FROM st, (SELECT unnest(generate_series(1, 3)) AS h) t
         |ORDER BY h""".stripMargin)
 }

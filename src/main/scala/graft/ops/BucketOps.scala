@@ -113,7 +113,7 @@ object BucketOps {
     dailyFrame(s, d)
       .withColumn("purchase_share",
         when($"total" > 0,
-          round($"purchases".cast("double") / $"total".cast("double"), 6))
+          Parity.round6($"purchases".cast("double") / $"total".cast("double")))
           .otherwise(lit(0.0)))
       .filter($"purchase_share" >= 0.2)
       .orderBy($"day")
@@ -251,7 +251,7 @@ object BucketOps {
     val lenStats = docs.agg(count(lit(1)).as("n_docs"),
       min(length($"text")).cast("long").as("min_length"),
       max(length($"text")).cast("long").as("max_length"),
-      round(avg(length($"text")), 6).as("avg_length"))
+      Parity.round6(avg(length($"text"))).as("avg_length"))
     val freq = docs
       // chars via a zero-width regex split — NOT substring(text, i, 1)
       // per position, which is O(len²) per doc (UTF8String.substring
@@ -303,11 +303,11 @@ object BucketOps {
         "cast(cast(sxy as string) as double) AS dxy",
         "cast(cast(syy as string) as double) AS dyy")
       .select($"n",
-        round($"dx" / $"n", 6).as("mean_q"),
-        round($"dy" / $"n", 6).as("mean_p"),
-        round(($"dxx" - $"dx" * $"dx" / $"n") / ($"n" - 1), 6).as("var_q"),
-        round(($"dyy" - $"dy" * $"dy" / $"n") / ($"n" - 1), 6).as("var_p"),
-        round(($"dxy" - $"dx" * $"dy" / $"n") / ($"n" - 1), 6).as("cov_qp"),
+        Parity.round6($"dx" / $"n").as("mean_q"),
+        Parity.round6($"dy" / $"n").as("mean_p"),
+        Parity.round6(($"dxx" - $"dx" * $"dx" / $"n") / ($"n" - 1)).as("var_q"),
+        Parity.round6(($"dyy" - $"dy" * $"dy" / $"n") / ($"n" - 1)).as("var_p"),
+        Parity.round6(($"dxy" - $"dx" * $"dy" / $"n") / ($"n" - 1)).as("cov_qp"),
         round((($"dxy" - $"dx" * $"dy" / $"n") / ($"n" - 1)) /
           sqrt((($"dxx" - $"dx" * $"dx" / $"n") / ($"n" - 1)) *
             (($"dyy" - $"dy" * $"dy" / $"n") / ($"n" - 1))), 6).as("corr_qp"))
@@ -381,7 +381,7 @@ object BucketOps {
       .groupBy($"week").agg(count(lit(1)).as("doc_count"))
     spine.join(broadcast(hist), Seq("week"), "left")
       .select($"week", coalesce($"doc_count", lit(0L)).as("doc_count"))
-      .withColumn("rate_per_day", round($"doc_count" / lit(7.0), 6))
+      .withColumn("rate_per_day", Parity.round6($"doc_count" / lit(7.0)))
       .orderBy($"week")
   }
 
@@ -460,8 +460,8 @@ object BucketOps {
         "cast(s1 as double) AS ds1", "cast(q1 as double) AS dq1",
         "cast(s2 as double) AS ds2", "cast(q2 as double) AS dq2")
       .select($"n1", $"n2",
-        round($"ds1" / $"n1" / 100.0, 6).as("mean_purchase"),
-        round($"ds2" / $"n2" / 100.0, 6).as("mean_click"),
+        Parity.round6($"ds1" / $"n1" / 100.0).as("mean_purchase"),
+        Parity.round6($"ds2" / $"n2" / 100.0).as("mean_click"),
         // variances in dollars²: cents² / 1e4
         ((($"dq1" - $"ds1" * $"ds1" / $"n1") / ($"n1" - 1)) / 10000.0).as("v1"),
         ((($"dq2" - $"ds2" * $"ds2" / $"n2") / ($"n2" - 1)) / 10000.0).as("v2"))
@@ -672,8 +672,8 @@ object BucketOps {
         |        CAST(CAST(sum(c * c) FILTER (WHERE event_type = 'click') AS BIGINT) AS DOUBLE) AS dq2
         |      FROM e),
         |d AS (SELECT n1, n2,
-        |        round(ds1 / n1 / 100.0, 6) AS mean_purchase,
-        |        round(ds2 / n2 / 100.0, 6) AS mean_click,
+        |        floor(ds1 / n1 / 100.0 * 1000000 + 0.5) / 1000000.0 AS mean_purchase,
+        |        floor(ds2 / n2 / 100.0 * 1000000 + 0.5) / 1000000.0 AS mean_click,
         |        ((dq1 - ds1 * ds1 / n1) / (n1 - 1)) / 10000.0 AS v1,
         |        ((dq2 - ds2 * ds2 / n2) / (n2 - 1)) / 10000.0 AS v2
         |      FROM m)
@@ -725,7 +725,7 @@ object BucketOps {
         |      FROM spine LEFT JOIN h USING (day)),
         |sc AS (SELECT day, total, purchases,
         |         CASE WHEN total > 0
-        |           THEN round(CAST(purchases AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |           THEN floor(CAST(purchases AS DOUBLE) / CAST(total AS DOUBLE) * 1000000 + 0.5) / 1000000.0
         |           ELSE 0.0 END AS purchase_share
         |       FROM b)
         |SELECT day, total, purchases, purchase_share FROM sc
@@ -815,7 +815,7 @@ object BucketOps {
       """WITH ls AS (SELECT count(*) AS n_docs,
         |              min(length(text)) AS min_length,
         |              max(length(text)) AS max_length,
-        |              round(avg(length(text)), 6) AS avg_length
+        |              floor(avg(length(text)) * 1000000 + 0.5) / 1000000.0 AS avg_length
         |            FROM 'documents.parquet'),
         |ch AS (SELECT unnest(list_transform(generate_series(1, length(text)),
         |                i -> substring(text, i, 1))) AS ch
@@ -835,11 +835,11 @@ object BucketOps {
         |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS dyy
         |  FROM 'lineitem.parquet')
         |SELECT n,
-        |  round(dx / n, 6) AS mean_q,
-        |  round(dy / n, 6) AS mean_p,
-        |  round((dxx - dx * dx / n) / (n - 1), 6) AS var_q,
-        |  round((dyy - dy * dy / n) / (n - 1), 6) AS var_p,
-        |  round((dxy - dx * dy / n) / (n - 1), 6) AS cov_qp,
+        |  floor(dx / n * 1000000 + 0.5) / 1000000.0 AS mean_q,
+        |  floor(dy / n * 1000000 + 0.5) / 1000000.0 AS mean_p,
+        |  floor((dxx - dx * dx / n) / (n - 1) * 1000000 + 0.5) / 1000000.0 AS var_q,
+        |  floor((dyy - dy * dy / n) / (n - 1) * 1000000 + 0.5) / 1000000.0 AS var_p,
+        |  floor((dxy - dx * dy / n) / (n - 1) * 1000000 + 0.5) / 1000000.0 AS cov_qp,
         |  round(((dxy - dx * dy / n) / (n - 1)) /
         |    sqrt(((dxx - dx * dx / n) / (n - 1)) *
         |         ((dyy - dy * dy / n) / (n - 1))), 6) AS corr_qp
@@ -873,7 +873,7 @@ object BucketOps {
         |h AS (SELECT week, count(*) AS doc_count FROM e
         |      WHERE event_type = 'purchase' GROUP BY 1)
         |SELECT spine.week, coalesce(h.doc_count, 0) AS doc_count,
-        |       round(coalesce(h.doc_count, 0) / 7.0, 6) AS rate_per_day
+        |       floor(coalesce(h.doc_count, 0) / 7.0 * 1000000 + 0.5) / 1000000.0 AS rate_per_day
         |FROM spine LEFT JOIN h USING (week) ORDER BY spine.week""".stripMargin,
     "j87_missing_agg" ->
       """WITH e AS (SELECT

@@ -69,8 +69,8 @@ object CorpusQualityOps {
       .agg((sum(when($"c" > 1, $"c").otherwise(lit(0L))).cast("double") /
         sum($"c").cast("double")).as("dup3_raw"))
     top.join(dup, "doc_id")
-      .select($"doc_id", round($"top2_raw", 6).as("top2_char_frac"),
-        round($"dup3_raw", 6).as("dup3_frac"))
+      .select($"doc_id", Parity.round6($"top2_raw").as("top2_char_frac"),
+        Parity.round6($"dup3_raw").as("dup3_frac"))
       .orderBy($"doc_id")
   }
 
@@ -121,7 +121,7 @@ object CorpusQualityOps {
           .cast("long")).as("n_pass"))
       .select($"lang", $"n_docs", $"n_wc_ok", $"n_mwl_ok", $"n_stop_ok",
         $"n_short_ok", $"n_pass",
-        round($"n_pass".cast("double") / $"n_docs".cast("double"), 6)
+        Parity.round6($"n_pass".cast("double") / $"n_docs".cast("double"))
           .as("pass_rate"))
       .orderBy($"lang")
   }
@@ -176,10 +176,10 @@ object CorpusQualityOps {
         count(lit(1)).as("n_global"),
         sum($"n_chars".cast("long")).as("sg"))
       .select($"n_query",
-        round($"sq".cast("double") / $"n_query".cast("double"), 6)
+        Parity.round6($"sq".cast("double") / $"n_query".cast("double"))
           .as("avg_chars_query"),
         $"n_global",
-        round($"sg".cast("double") / $"n_global".cast("double"), 6)
+        Parity.round6($"sg".cast("double") / $"n_global".cast("double"))
           .as("avg_chars_global"))
   }
 
@@ -225,7 +225,7 @@ object CorpusQualityOps {
       .withColumn("w", sqrt($"p_raw"))
     val z = wp.agg(Parity.sortedFoldSum($"w").as("z"))
     wp.crossJoin(broadcast(z))
-      .select($"lang", $"n_docs", $"n_tokens", round($"p_raw", 6).as("p_raw"),
+      .select($"lang", $"n_docs", $"n_tokens", Parity.round6($"p_raw").as("p_raw"),
         round($"w" / $"z", 6).as("p_temp"),
         round(($"w" / $"z") / $"p_raw", 6).as("boost"))
       .orderBy($"lang")
@@ -286,9 +286,9 @@ object CorpusQualityOps {
         sum(when($"sampled", $"n_chars".cast("long")).otherwise(0L)).as("sc"),
         sum($"n_chars".cast("long")).as("pc"))
       .select($"lang", $"n_pop", $"n_sampled",
-        round($"sc".cast("double") / $"n_sampled".cast("double"), 6)
+        Parity.round6($"sc".cast("double") / $"n_sampled".cast("double"))
           .as("mean_chars_sample"),
-        round($"pc".cast("double") / $"n_pop".cast("double"), 6)
+        Parity.round6($"pc".cast("double") / $"n_pop".cast("double"))
           .as("mean_chars_pop"))
       .orderBy($"lang")
   }
@@ -323,8 +323,8 @@ object CorpusQualityOps {
         |          CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
         |            / CAST(sum(c) AS DOUBLE) AS dup3_raw
         |        FROM tgc GROUP BY 1)
-        |SELECT doc_id, round(top2_raw, 6) AS top2_char_frac,
-        |       round(dup3_raw, 6) AS dup3_frac
+        |SELECT doc_id, floor(top2_raw * 1000000 + 0.5) / 1000000.0 AS top2_char_frac,
+        |       floor(dup3_raw * 1000000 + 0.5) / 1000000.0 AS dup3_frac
         |FROM top JOIN dup USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "j115_gopher_rules" ->
@@ -345,8 +345,9 @@ object CorpusQualityOps {
         |       CAST(sum(short_ok::INT) AS BIGINT) AS n_short_ok,
         |       CAST(sum((wc_ok AND mwl_ok AND stop_ok AND short_ok)::INT) AS BIGINT)
         |         AS n_pass,
-        |       round(CAST(sum((wc_ok AND mwl_ok AND stop_ok AND short_ok)::INT)
-        |             AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS pass_rate
+        |       floor(CAST(sum((wc_ok AND mwl_ok AND stop_ok AND short_ok)::INT)
+        |             AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5)
+        |         / 1000000.0 AS pass_rate
         |FROM f GROUP BY 1 ORDER BY lang""".stripMargin,
     "j116_unique_ngram_ratio" ->
       """WITH t AS (SELECT lang, string_split(text, ' ') AS toks
@@ -365,12 +366,12 @@ object CorpusQualityOps {
         |FROM b GROUP BY 1, 2 ORDER BY lang, band""".stripMargin,
     "j118_global_agg" ->
       """SELECT count(*) FILTER (WHERE lang = 'en') AS n_query,
-        |       round(CAST(sum(n_chars) FILTER (WHERE lang = 'en') AS DOUBLE)
-        |             / CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE), 6)
-        |         AS avg_chars_query,
+        |       floor(CAST(sum(n_chars) FILTER (WHERE lang = 'en') AS DOUBLE)
+        |             / CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE)
+        |             * 1000000 + 0.5) / 1000000.0 AS avg_chars_query,
         |       count(*) AS n_global,
-        |       round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
-        |         AS avg_chars_global
+        |       floor(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |             * 1000000 + 0.5) / 1000000.0 AS avg_chars_global
         |FROM 'documents.parquet'""".stripMargin,
     "j119_regexp_query" ->
       """SELECT token, count(DISTINCT doc_id) AS df, count(*) AS n_occ
@@ -389,7 +390,7 @@ object CorpusQualityOps {
         |         sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) AS w
         |       FROM per CROSS JOIN tot),
         |z AS (SELECT list_sum(list_sort(list(w))) AS z FROM wp)
-        |SELECT lang, n_docs, n_tokens, round(p_raw, 6) AS p_raw,
+        |SELECT lang, n_docs, n_tokens, floor(p_raw * 1000000 + 0.5) / 1000000.0 AS p_raw,
         |       round(w / z.z, 6) AS p_temp,
         |       round((w / z.z) / p_raw, 6) AS boost
         |FROM wp CROSS JOIN z ORDER BY lang""".stripMargin,
@@ -424,9 +425,10 @@ object CorpusQualityOps {
         |      FROM t)
         |SELECT lang, count(*) AS n_pop,
         |       CAST(sum(sampled::INT) AS BIGINT) AS n_sampled,
-        |       round(CAST(sum(CASE WHEN sampled THEN n_chars ELSE 0 END) AS DOUBLE)
-        |             / CAST(sum(sampled::INT) AS DOUBLE), 6) AS mean_chars_sample,
-        |       round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
-        |         AS mean_chars_pop
+        |       floor(CAST(sum(CASE WHEN sampled THEN n_chars ELSE 0 END) AS DOUBLE)
+        |             / CAST(sum(sampled::INT) AS DOUBLE) * 1000000 + 0.5)
+        |         / 1000000.0 AS mean_chars_sample,
+        |       floor(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |             * 1000000 + 0.5) / 1000000.0 AS mean_chars_pop
         |FROM r GROUP BY 1 ORDER BY lang""".stripMargin)
 }

@@ -69,7 +69,7 @@ object CurationOps {
   def j28(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     domainMix(Tables.documents(s, d))
-      .select($"doc_id", $"lang", $"source", round($"rate", 6).as("rate"))
+      .select($"doc_id", $"lang", $"source", Parity.round6($"rate").as("rate"))
       .orderBy($"doc_id")
   }
 
@@ -123,8 +123,8 @@ object CurationOps {
     repetitionStats(Tables.documents(s, d))
       .filter($"n_toks" >= 3)
       .select($"doc_id", $"n_toks",
-        round($"d2", 6).as("dup2_frac"),
-        round($"d3", 6).as("dup3_frac"),
+        Parity.round6($"d2").as("dup2_frac"),
+        Parity.round6($"d3").as("dup3_frac"),
         $"keep")
       .orderBy($"doc_id")
   }
@@ -356,7 +356,7 @@ object CurationOps {
         sum(when($"nd" >= 2, $"c").otherwise(0L)).as("n_dup_spans"))
       .filter($"n_dup_spans" > 0)
       .select($"doc_id", $"n_spans", $"n_dup_spans",
-        round($"n_dup_spans".cast("double") / $"n_spans", 6).as("dup_frac"))
+        Parity.round6($"n_dup_spans".cast("double") / $"n_spans").as("dup_frac"))
       .orderBy($"doc_id")
   }
 
@@ -463,8 +463,8 @@ object CurationOps {
     val ttr = size(array_distinct(toks)) / nToks
     val meanTokLen = (length(text) - size(toks) + 1) / nToks
     val stopRatio = size(filter(toks, t => t.isin("a", "the"))) / nToks
-    round(lit(-3.0) + lit(0.01) * nToks + lit(4.0) * ttr
-      + lit(0.5) * meanTokLen - lit(6.0) * stopRatio, 6)
+    Parity.round6(lit(-3.0) + lit(0.01) * nToks + lit(4.0) * ttr
+      + lit(0.5) * meanTokLen - lit(6.0) * stopRatio)
   }
 
   /** Decision boundary: 0.8 sits at the fixture's ~5th percentile, so the
@@ -506,8 +506,9 @@ object CurationOps {
         |          / CAST(len(toks) AS DOUBLE) AS stop_ratio
         |      FROM t),
         |sc AS (SELECT doc_id,
-        |         round(-3.0 + 0.01 * n_toks + 4.0 * ttr
-        |           + 0.5 * mean_tok_len - 6.0 * stop_ratio, 6) AS score
+        |         floor((-3.0 + 0.01 * n_toks + 4.0 * ttr
+        |           + 0.5 * mean_tok_len - 6.0 * stop_ratio) * 1000000 + 0.5)
+        |           / 1000000.0 AS score
         |       FROM f)
         |SELECT doc_id, score, CAST(score > 0.8 AS INT) AS keep
         |FROM sc ORDER BY doc_id""".stripMargin,
@@ -518,7 +519,7 @@ object CurationOps {
          |k AS (SELECT d.doc_id, d.lang, d.source, r.rate,
          |      ${NibbleSql.format(h, h, h, h)} / 65536.0 AS frac
          |      FROM 'documents.parquet' d JOIN r USING (lang))
-         |SELECT doc_id, lang, source, round(rate, 6) AS rate
+         |SELECT doc_id, lang, source, floor(rate * 1000000 + 0.5) / 1000000.0 AS rate
          |FROM k WHERE frac < rate ORDER BY doc_id""".stripMargin
     },
     "j29_repetition_filter" ->
@@ -530,8 +531,8 @@ object CurationOps {
         |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
         |      FROM t WHERE len(toks) >= 3)
         |SELECT doc_id, n_toks,
-        |round(1.0 - len(list_distinct(g2)) / len(g2), 6) AS dup2_frac,
-        |round(1.0 - len(list_distinct(g3)) / len(g3), 6) AS dup3_frac,
+        |floor((1.0 - len(list_distinct(g2)) / len(g2)) * 1000000 + 0.5) / 1000000.0 AS dup2_frac,
+        |floor((1.0 - len(list_distinct(g3)) / len(g3)) * 1000000 + 0.5) / 1000000.0 AS dup3_frac,
         |CAST((1.0 - len(list_distinct(g2)) / len(g2)) <= 0.10 AS INT) AS keep
         |FROM g ORDER BY doc_id""".stripMargin,
     "j49_pii_redact" ->
@@ -569,7 +570,7 @@ object CurationOps {
         |        CAST(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_spans
         |      FROM w GROUP BY 1)
         |SELECT doc_id, n_spans, n_dup_spans,
-        |  round(CAST(n_dup_spans AS DOUBLE) / n_spans, 6) AS dup_frac
+        |  floor(CAST(n_dup_spans AS DOUBLE) / n_spans * 1000000 + 0.5) / 1000000.0 AS dup_frac
         |FROM a WHERE n_dup_spans > 0 ORDER BY doc_id""".stripMargin,
     "j30_shuffle_shard" ->
       s"""WITH k AS (SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS skey

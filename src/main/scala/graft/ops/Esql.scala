@@ -113,7 +113,7 @@ object Esql {
       "ROUND_TO", "MV_APPEND", "MV_ZIP",
       "MV_PERCENTILE", "MV_PSERIES_WEIGHTED_SUM", "SPACE",
       "TO_GEOPOINT", "ST_X", "ST_Y", "ST_DISTANCE",
-      "ST_GEOHASH", "ST_GEOTILE",
+      "ST_GEOHASH", "ST_GEOTILE", "ST_GEOHEX",
       "TO_GEOSHAPE", "ST_INTERSECTS", "ST_WITHIN", "ST_CONTAINS",
       "ST_DISJOINT", "ST_XMIN", "ST_XMAX", "ST_YMIN", "ST_YMAX",
       "ST_ENVELOPE")
@@ -576,9 +576,10 @@ object Esql {
         // the SAME fragments as the j259 agg (GeoOps.geotileKey) and
         // the generated-both-engines geohash (GeoOps.geohash — unrolled
         // long shifts, no float past the two libm-free quantizations;
-        // ST_GEOHEX (H3) is deliberately absent: hex cell math has no
-        // tractable oracle mirror, and an unverifiable function is not
-        // claimed, §7.5 discipline).
+        // ST_GEOHEX keys by the j275 axial hex tessellation, NOT H3
+        // ids (H3's icosahedral trig has no bit-stable oracle mirror —
+        // the j275 documented deviation; before r14 the function was
+        // absent entirely).
         case "ST_GEOHASH" =>
           val a = orExpr(c); c.expect(",")
           val pTok = c.eat()
@@ -593,6 +594,13 @@ object Esql {
             s"ST_GEOTILE needs a literal zoom 0..29, got '$zTok'")
           c.expect(")")
           GeoOps.geotileKey(a.getField("x"), a.getField("y"), zTok.toInt)
+        case "ST_GEOHEX" =>
+          val a = orExpr(c); c.expect(",")
+          val pTok = c.eat()
+          require(pTok.matches("""\d+""") && pTok.toInt <= 4,
+            s"ST_GEOHEX needs a literal resolution 0..4, got '$pTok'")
+          c.expect(")")
+          GeoOps.geohexKey(a.getField("x"), a.getField("y"), pTok.toInt)
         // ES|QL spatial relations over a geo_shape: TO_GEOSHAPE parses
         // WKT "BBOX (minLon, maxLon, maxLat, minLat)" OR
         // "POLYGON((x y, x y, …))" into ONE typed shape struct
@@ -1872,11 +1880,21 @@ object Esql {
 
   /** Merge TS cell partials (any number of slices per cell, including
     * already-composed rows) into finished cells — see [[tsCellPartials]]
-    * for the contract and the boundary-delta argument. */
+    * for the contract and the boundary-delta argument.
+    *
+    * Slice order is TOTAL: fts alone ties when boundary samples share a
+    * timestamp across epochs (or two single-sample slices duplicate a
+    * ts), making lag(lv) — and hence RATE's boundary delta — vary with
+    * partition layout, which would break the bit-stable streamed≡batch
+    * contract i19 pins. Every slice column joins the sort key (rows
+    * identical on ALL of them are interchangeable for every output),
+    * and fv/lv pick their slice by the SAME total order. */
   private[graft] def tsComposeCells(partials: DataFrame): DataFrame = {
     val cell = Seq(col("user_id"), col("event_type"), col("day"))
+    val ordCols = Seq("fts", "lts", "n", "sc", "mn", "mx", "fv", "lv")
+    val ord = struct(ordCols.map(col): _*)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(cell: _*).orderBy(col("fts"))
+      .partitionBy(cell: _*).orderBy(ordCols.map(col): _*)
     partials
       .withColumn("__plv", lag(col("lv"), 1).over(w))
       .withColumn("__pb",
@@ -1887,8 +1905,8 @@ object Esql {
       .groupBy(cell: _*)
       .agg(sum(col("n")).as("n"), sum(col("sc")).as("sc"),
         min(col("mn")).as("mn"), max(col("mx")).as("mx"),
-        min(col("fts")).as("fts"), min_by(col("fv"), col("fts")).as("fv"),
-        max(col("lts")).as("lts"), max_by(col("lv"), col("lts")).as("lv"),
+        min(col("fts")).as("fts"), min_by(col("fv"), ord).as("fv"),
+        max(col("lts")).as("lts"), max_by(col("lv"), ord).as("lv"),
         (sum(coalesce(col("pos"), lit(0L))) + sum(col("__pb"))).as("__posAll"),
         max(col("__hp")).as("__hp"))
       .withColumn("pos", when(col("__hp") === 1L, col("__posAll")))
@@ -2203,7 +2221,7 @@ object Esql {
           df = df.withColumn("__rank", row_number().over(fw).cast("long"))
             .withColumn("__rrf", lit(1.0) / (lit(60.0) + col("__rank")))
             .groupBy(col(key))
-            .agg(round(Parity.sortedFoldSum(col("__rrf")), 6).as("fuse_score"),
+            .agg(Parity.round6(Parity.sortedFoldSum(col("__rrf"))).as("fuse_score"),
               count(lit(1)).as("fuse_branches"))
         case "COMPLETION" =>
           // COMPLETION <col> = <prompt_expr> [WITH <model_id>] — ES|QL
@@ -2328,7 +2346,7 @@ object Esql {
               min(when(col("__sc") === col("__mx"), col(k))).over(wAll))
             .withColumn(tName, when(col(k) === col("__cpk"), lit("step_change")))
             .withColumn(sName, when(col(k) === col("__cpk"),
-              round(col("__sc").cast("double") / col("__cnt").cast("double"), 6)))
+              Parity.round6(col("__sc").cast("double") / col("__cnt").cast("double"))))
             .drop("__pre", "__tot", "__cnt", "__rn", "__sc", "__mx", "__cpk")
         case other => throw new IllegalArgumentException(s"unknown stage: $other")
       }
@@ -3433,6 +3451,22 @@ object Esql {
   def j264(s: SparkSession, d: String): DataFrame =
     compile(s, d, j264Query)
 
+  /** j276_esql_geohex — ST_GEOHEX as a STATS BY key (the ES|QL
+    * spelling of the j275 geohex_grid agg; same shared fragment, same
+    * documented axial-ids-not-H3 deviation): top-20 resolution-2 hex
+    * cells by doc count with per-cell user diversity. */
+  val j276Query: String =
+    """FROM events
+      || EVAL lat = (event_id * 7919 % 17000) / 100.0 - 85.0, lon = (event_id * 104729 % 36000) / 100.0 - 180.0
+      || EVAL p = TO_GEOPOINT(CONCAT("POINT(", TO_STRING(lon), " ", TO_STRING(lat), ")"))
+      || EVAL hx = ST_GEOHEX(p, 2)
+      || STATS n = COUNT(*), users = COUNT_DISTINCT(user_id) BY hx
+      || SORT n DESC, hx
+      || LIMIT 20""".stripMargin
+
+  def j276(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j276Query)
+
   /** j270's polygon — ONE Scala constant generates the WKT literal in
     * the ES|QL query AND the quantized vertex arrays in the DuckDB
     * oracle, so the two spellings cannot drift (the geohashSql
@@ -3530,6 +3564,7 @@ object Esql {
     "j269_esql_st_extent" -> j269,
     "j266_esql_st_predicates" -> j266,
     "j264_esql_grid_fns" -> j264,
+    "j276_esql_geohex" -> j276,
     "j260_esql_st_distance" -> j260,
     "j257_esql_sample_agg" -> j257,
     "j256_esql_mv_math" -> j256,
@@ -3712,6 +3747,16 @@ object Esql {
         |  CAST(count(*) FILTER (inside) AS BIGINT) AS n_cont,
         |  CAST(count(*) FILTER (NOT inside) AS BIGINT) AS n_disj
         |FROM rel GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "j276_esql_geohex" -> {
+      val lat = "((event_id * 7919 % 17000) / 100.0 - 85.0)"
+      val lon = "((event_id * 104729 % 36000) / 100.0 - 180.0)"
+      s"""WITH geo AS (
+         |  SELECT ${GeoOps.geohexSql(lon, lat, 2)} AS hx, user_id
+         |  FROM 'events.parquet')
+         |SELECT hx, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS users
+         |FROM geo GROUP BY hx ORDER BY n DESC, hx LIMIT 20""".stripMargin
+    },
     "j264_esql_grid_fns" -> {
       val lat = "(event_id * 7919 % 17000) / 100.0 - 85.0"
       val lon = "(event_id * 104729 % 36000) / 100.0 - 180.0"
@@ -3981,8 +4026,8 @@ object Esql {
         |r AS (SELECT _fork, doc_id, row_number() OVER (PARTITION BY _fork
         |        ORDER BY score DESC, doc_id) AS rnk FROM u)
         |SELECT doc_id,
-        |       round(list_sum(list_sort(list(1.0 / (60 + rnk)))), 6)
-        |         AS fuse_score,
+        |       floor(list_sum(list_sort(list(1.0 / (60 + rnk)))) * 1000000 + 0.5)
+        |         / 1000000.0 AS fuse_score,
         |       CAST(count(*) AS BIGINT) AS fuse_branches
         |FROM r GROUP BY 1 ORDER BY fuse_score DESC, doc_id LIMIT 15""".stripMargin,
     // pi()-arithmetic conversions (x/180·π, x·180/π) mirror Java's
@@ -4190,7 +4235,7 @@ object Esql {
         |SELECT day, n,
         |       CASE WHEN day = cp_day THEN 'step_change' END AS cp_type,
         |       CASE WHEN day = cp_day
-        |            THEN round(CAST(sc AS DOUBLE) / cnt, 6) END AS cp_stat
+        |            THEN floor(CAST(sc AS DOUBLE) / cnt * 1000000 + 0.5) / 1000000.0 END AS cp_stat
         |FROM s, m ORDER BY day""".stripMargin,
     "j188_esql" ->
       """SELECT user_id % 10 AS band, CAST(count(*) AS BIGINT) AS cnt,

@@ -71,8 +71,8 @@ object FusionOps {
       .select($"doc_id", $"sem_rank")
     lex.join(sem, Seq("doc_id"), "full_outer")
       .select($"doc_id", $"lex_rank", $"sem_rank",
-        round(coalesce(lit(1.0) / (lit(60) + $"lex_rank"), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60) + $"sem_rank"), lit(0.0)), 6)
+        Parity.round6(coalesce(lit(1.0) / (lit(60) + $"lex_rank"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + $"sem_rank"), lit(0.0)))
           .as("rrf_score"))
       .orderBy($"rrf_score".desc, $"doc_id".asc)
       .limit(10)
@@ -174,7 +174,7 @@ object FusionOps {
       .withColumn("cohort_size",
         max(when($"week_offset" === 0, $"n_active")).over(base))
       .select($"cohort_week", $"week_offset", $"n_active",
-        round($"n_active".cast("double") / $"cohort_size" * 100, 6)
+        Parity.round6($"n_active".cast("double") / $"cohort_size" * 100)
           .as("retention_pct"))
       .orderBy($"cohort_week", $"week_offset")
   }
@@ -397,7 +397,7 @@ object FusionOps {
     // is needed. A localCheckpoint here would pin RDD blocks clearCache
     // cannot see (the j21 doc's caveat — the j66 leak lesson).
     val pairs = TextOps.nearDupPairs(s, d)
-      .select($"d1", $"d2", round($"jac", 6).as("jaccard"))
+      .select($"d1", $"d2", Parity.round6($"jac").as("jaccard"))
     val src = Tables.documents(s, d).select($"doc_id", $"source")
     pairs
       .join(src.select($"doc_id".as("d1"), $"source".as("s1")), "d1")
@@ -449,7 +449,7 @@ object FusionOps {
         count(lit(1)).as("n_types"),
         sum(when($"oov", 1L).otherwise(0L)).as("n_oov_types"))
       .select($"lang", $"n_tokens", $"n_oov_tokens",
-        round($"n_oov_tokens".cast("double") / $"n_tokens".cast("double"), 6)
+        Parity.round6($"n_oov_tokens".cast("double") / $"n_tokens".cast("double"))
           .as("oov_rate"),
         $"n_types", $"n_oov_types")
       .orderBy($"lang")
@@ -489,7 +489,7 @@ object FusionOps {
         // sum (r13 audit, the j112 shape)
         Parity.qsum($"score").as("ss"))
       .select($"lang", $"decile", $"n_docs", $"n_gopher_pass",
-        round($"n_gopher_pass".cast("double") / $"n_docs".cast("double"), 6)
+        Parity.round6($"n_gopher_pass".cast("double") / $"n_docs".cast("double"))
           .as("gopher_pass_rate"),
         Parity.round6($"ss" / $"n_docs").as("mean_score"))
       .orderBy($"lang", $"decile")
@@ -554,8 +554,9 @@ object FusionOps {
         |           CAST(row_number() OVER (ORDER BY cos_q DESC, doc_id ASC) AS BIGINT) AS sem_rank
         |         FROM cos QUALIFY sem_rank <= 20)
         |SELECT doc_id, l.lex_rank, r.sem_rank,
-        |       round(coalesce(1.0 / (60 + l.lex_rank), 0.0) +
-        |             coalesce(1.0 / (60 + r.sem_rank), 0.0), 6) AS rrf_score
+        |       floor((coalesce(1.0 / (60 + l.lex_rank), 0.0) +
+        |             coalesce(1.0 / (60 + r.sem_rank), 0.0)) * 1000000 + 0.5)
+        |         / 1000000.0 AS rrf_score
         |FROM lexr l FULL JOIN semr r USING (doc_id)
         |ORDER BY rrf_score DESC, doc_id ASC LIMIT 10""".stripMargin,
     "j140_cluster_split" ->
@@ -593,7 +594,7 @@ object FusionOps {
         |         OVER (PARTITION BY cohort_week) AS cohort_size
         |       FROM cells)
         |SELECT cohort_week, week_offset, n_active,
-        |       round(CAST(n_active AS DOUBLE) / cohort_size * 100, 6) AS retention_pct
+        |       floor(CAST(n_active AS DOUBLE) / cohort_size * 100 * 1000000 + 0.5) / 1000000.0 AS retention_pct
         |FROM wb ORDER BY cohort_week, week_offset""".stripMargin,
     "j143_children_agg" ->
       """SELECT o.o_orderpriority, count(DISTINCT o.o_orderkey) AS n_parents,
@@ -695,7 +696,7 @@ object FusionOps {
         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
         |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |      GROUP BY 1, 2),
-        |pr AS (SELECT d1, d2, round(inter / (na.ns + nb.ns - inter), 6) AS jaccard
+        |pr AS (SELECT d1, d2, floor(inter / (na.ns + nb.ns - inter) * 1000000 + 0.5) / 1000000.0 AS jaccard
         |       FROM p JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
         |       WHERE inter / (na.ns + nb.ns - inter) >= 0.5),
         |tagged AS (SELECT least(da.source, db.source) AS src1,
@@ -717,8 +718,8 @@ object FusionOps {
         |      FROM lt LEFT JOIN v ON lt.token = v.token)
         |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
         |       CAST(sum(CASE WHEN oov THEN cnt ELSE 0 END) AS BIGINT) AS n_oov_tokens,
-        |       round(CAST(sum(CASE WHEN oov THEN cnt ELSE 0 END) AS DOUBLE)
-        |             / CAST(sum(cnt) AS DOUBLE), 6) AS oov_rate,
+        |       floor(CAST(sum(CASE WHEN oov THEN cnt ELSE 0 END) AS DOUBLE)
+        |             / CAST(sum(cnt) AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS oov_rate,
         |       count(*) AS n_types,
         |       CAST(sum(oov::INT) AS BIGINT) AS n_oov_types
         |FROM f GROUP BY 1 ORDER BY lang""".stripMargin,
@@ -726,11 +727,12 @@ object FusionOps {
       """WITH t AS (SELECT lang, doc_id, n_chars, string_split(text, ' ') AS toks
         |           FROM 'documents.parquet'),
         |f AS (SELECT lang, doc_id,
-        |        round(-3.0 + 0.01 * CAST(len(toks) AS DOUBLE)
+        |        floor((-3.0 + 0.01 * CAST(len(toks) AS DOUBLE)
         |          + 4.0 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
         |          + 0.5 * ((n_chars - len(toks) + 1) / CAST(len(toks) AS DOUBLE))
         |          - 6.0 * (len(list_filter(toks, x -> x IN ('a', 'the')))
-        |                   / CAST(len(toks) AS DOUBLE)), 6) AS score,
+        |                   / CAST(len(toks) AS DOUBLE))) * 1000000 + 0.5)
+        |          / 1000000.0 AS score,
         |        (len(toks) BETWEEN 25 AND 90
         |         AND CAST(n_chars - len(toks) + 1 AS DOUBLE)
         |             / CAST(len(toks) AS DOUBLE) BETWEEN 4.0 AND 5.0
@@ -744,8 +746,8 @@ object FusionOps {
         |        FROM f)
         |SELECT lang, decile, count(*) AS n_docs,
         |       CAST(sum(gpass::INT) AS BIGINT) AS n_gopher_pass,
-        |       round(CAST(sum(gpass::INT) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
-        |         AS gopher_pass_rate,
+        |       floor(CAST(sum(gpass::INT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |             * 1000000 + 0.5) / 1000000.0 AS gopher_pass_rate,
         |       floor((CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS DOUBLE)
         |             / 1000000.0 / count(*)) * 1000000 + 0.5) / 1000000.0 AS mean_score
         |FROM dec GROUP BY 1, 2 ORDER BY lang, decile""".stripMargin,

@@ -321,6 +321,88 @@ object GeoOps {
       .orderBy($"event_type")
   }
 
+  /** j275_geohex_grid — ES `geohex_grid`: the hexagonal bucketing agg
+    * (the third ES grid, after geotile j259 and geohash j271). ES keys
+    * cells by H3 indices; H3's icosahedral gnomonic projection is a
+    * libm-trig composition with face-boundary branch cuts that CANNOT be
+    * made bit-stable across two engines in mirrorable ANSI SQL (and the
+    * zero-egress container has no H3 library to defer to) — so the cells
+    * here are a true pointy-top HEXAGONAL TESSELLATION of the quantized
+    * lon/lat plane with AXIAL (q,r) cell ids at a fixed ~2.5° resolution:
+    * the aggregation semantics ES users consume (hex buckets, doc/user
+    * counts, top-N by count, cell centers) are intact; only the cell-id
+    * namespace deviates, and that deviation is permanent + documented
+    * (SURVEY §2 row; r13 verdict item 5 closes here).
+    *
+    * Cross-engine determinism: axial coords via the standard cube-round,
+    * every step (√3, *, /, floor(x+0.5), abs, the two CASE fixes) an
+    * IEEE-exact primitive spelled identically in both engines — no
+    * rounding device needed before the GROUP BY because both engines
+    * bucket the SAME doubles; only the display centers round (round6).
+    * Edge-of-cell inputs are fixture-probed: min |frac−.5| across the
+    * three rounded coords ≥ 1e-4 at all SFs — 12 orders above a ULP.
+    *
+    * Scale shape: row-local arithmetic → ONE map-combined agg over the
+    * O(10³) occupied cells → TakeOrdered top-20 (j259/j271's plan). */
+  def j275(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val size = 10.0 / (1 << 2)
+    withGeo(Tables.events(s, d))
+      .withColumn("cell", geohexKey($"lon", $"lat", 2))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("users"))
+      .withColumn("q", split($"cell", ",").getItem(0).cast("long"))
+      .withColumn("r", split($"cell", ",").getItem(1).cast("long"))
+      .select($"cell", $"n", $"users",
+        Parity.round6(lit(size) * (sqrt(lit(3.0)) * $"q" + sqrt(lit(3.0)) / 2.0 * $"r"))
+          .as("center_lon"),
+        Parity.round6(lit(size) * 1.5 * $"r").as("center_lat"))
+      .orderBy($"n".desc, $"cell".asc)
+      .limit(20)
+  }
+
+  /** Axial hex cell key "q,r" at resolution p (cell size 10/2^p degrees,
+    * pointy-top) — the shared fragment behind j275 and ES|QL's
+    * ST_GEOHEX, cube-round spelled in IEEE-exact primitives identical
+    * to the [[geohexSql]] mirror. The re-used subterms duplicate in the
+    * Column tree (no lets in an expression); duplication of identical
+    * IEEE expressions cannot diverge, and the tree stays O(10²) nodes —
+    * well inside codegen limits (the j272 optimizer lesson does not
+    * apply: no per-row arrays). */
+  def geohexKey(lon: Column, lat: Column, p: Int): Column = {
+    require(p >= 0 && p <= 4, s"geohex resolution 0..4, got $p")
+    val size = 10.0 / (1 << p)
+    val qf = (sqrt(lit(3.0)) / 3.0 * lon - lat / 3.0) / size
+    val rf = (lat * 2.0 / 3.0) / size
+    val yf = -qf - rf
+    val rx = floor(qf + 0.5); val ry = floor(yf + 0.5); val rz = floor(rf + 0.5)
+    val dx = abs(rx - qf); val dy = abs(ry - yf); val dz = abs(rz - rf)
+    val q = when(dx > dy && dx > dz, -ry - rz).otherwise(rx).cast("long")
+    val r = when(!(dx > dy && dx > dz) && !(dy > dz), -rx - ry)
+      .otherwise(rz).cast("long")
+    concat(q.cast("string"), lit(","), r.cast("string"))
+  }
+
+  /** The DuckDB spelling of [[geohexKey]] — same constants, same
+    * primitive sequence, generated adjacent so the two cannot drift. */
+  def geohexSql(lon: String, lat: String, p: Int): String = {
+    require(p >= 0 && p <= 4, s"geohex resolution 0..4, got $p")
+    val size = 10.0 / (1 << p)
+    val qf = s"((sqrt(3.0) / 3.0 * $lon - $lat / 3.0) / $size)"
+    val rf = s"(($lat * 2.0 / 3.0) / $size)"
+    val yf = s"(-$qf - $rf)"
+    val rx = s"floor($qf + 0.5)"
+    val ry = s"floor($yf + 0.5)"
+    val rz = s"floor($rf + 0.5)"
+    val dx = s"abs($rx - $qf)"
+    val dy = s"abs($ry - $yf)"
+    val dz = s"abs($rz - $rf)"
+    val q = s"CASE WHEN $dx > $dy AND $dx > $dz THEN -$ry - $rz ELSE $rx END"
+    val r = s"CASE WHEN NOT ($dx > $dy AND $dx > $dz) AND NOT ($dy > $dz) " +
+      s"THEN -$rx - $ry ELSE $rz END"
+    s"(CAST(CAST($q AS BIGINT) AS VARCHAR) || ',' || CAST(CAST($r AS BIGINT) AS VARCHAR))"
+  }
+
   private val geoSql = """
     SELECT event_type, user_id,
       (event_id * 7919 % 17000) / 100.0 - 85.0  AS lat,
@@ -335,7 +417,8 @@ object GeoOps {
     "j267_geo_distance_rings" -> j267,
     "j268_geo_centroid" -> j268,
     "j271_geohash_grid" -> j271,
-    "j274_geo_line" -> j274)
+    "j274_geo_line" -> j274,
+    "j275_geohex_grid" -> j275)
 
   val oracle: Map[String, String] = Map(
     "j258_geo_distance" -> s"""
@@ -390,6 +473,24 @@ object GeoOps {
         FROM geo)
       SELECT cell, count(*) AS n, count(DISTINCT user_id) AS users
       FROM cells GROUP BY cell ORDER BY n DESC, cell ASC LIMIT 20""",
+    "j275_geohex_grid" -> s"""
+      WITH geo AS ($geoSql),
+      cells AS (
+        SELECT ${geohexSql("lon", "lat", 2)} AS cell, user_id
+        FROM geo),
+      agg AS (
+        SELECT cell, count(*) AS n, count(DISTINCT user_id) AS users
+        FROM cells GROUP BY cell),
+      qr AS (
+        SELECT cell, n, users,
+          CAST(string_split(cell, ',')[1] AS BIGINT) AS q,
+          CAST(string_split(cell, ',')[2] AS BIGINT) AS r
+        FROM agg)
+      SELECT cell, n, users,
+        floor(2.5 * (sqrt(3.0) * q + sqrt(3.0) / 2.0 * r) * 1000000 + 0.5)
+          / 1000000.0 AS center_lon,
+        floor(2.5 * 1.5 * r * 1000000 + 0.5) / 1000000.0 AS center_lat
+      FROM qr ORDER BY n DESC, cell ASC LIMIT 20""",
     "j261_geo_bounding_box" -> s"""
       WITH geo AS ($geoSql)
       SELECT event_type, count(*) AS n,

@@ -688,7 +688,7 @@ object NestedOps {
           .when($"pi".isNotNull && $"ni".isNotNull, "interpolated")
           .when($"pi".isNotNull || $"ni".isNotNull, "held")
           .otherwise("zero"))
-      .select($"day", $"purchases", round($"filled", 6).as("filled"),
+      .select($"day", $"purchases", Parity.round6($"filled").as("filled"),
         $"fill_kind")
       .orderBy($"day")
   }
@@ -777,9 +777,9 @@ object NestedOps {
         count(lit(1)).as("n_reps"))
       .crossJoin(broadcast(full))
       .select($"n_docs",
-        round($"sc".cast("double") / $"n_docs".cast("double"), 6)
+        Parity.round6($"sc".cast("double") / $"n_docs".cast("double"))
           .as("full_mean"),
-        round($"lo", 6).as("boot_lo"), round($"hi", 6).as("boot_hi"),
+        Parity.round6($"lo").as("boot_lo"), Parity.round6($"hi").as("boot_hi"),
         $"n_reps")
   }
 
@@ -1201,14 +1201,14 @@ object NestedOps {
         |        FROM prev p LEFT JOIN nz ON nz.adi > p.di
         |        GROUP BY 1, 2, 3, 4, 5)
         |SELECT day, purchases,
-        |       round(CASE
+        |       floor((CASE
         |         WHEN purchases > 0 THEN CAST(purchases AS DOUBLE)
         |         WHEN pi IS NOT NULL AND ni IS NOT NULL THEN
         |           CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) *
         |             CAST(di - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE)
         |         WHEN pi IS NOT NULL THEN CAST(pv AS DOUBLE)
         |         WHEN ni IS NOT NULL THEN CAST(nv AS DOUBLE)
-        |         ELSE 0.0 END, 6) AS filled,
+        |         ELSE 0.0 END) * 1000000 + 0.5) / 1000000.0 AS filled,
         |       CASE WHEN purchases > 0 THEN 'exact'
         |            WHEN pi IS NOT NULL AND ni IS NOT NULL THEN 'interpolated'
         |            WHEN pi IS NOT NULL OR ni IS NOT NULL THEN 'held'
@@ -1269,9 +1269,10 @@ object NestedOps {
         |f AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |        sum(n_chars) AS sc FROM 'documents.parquet')
         |SELECT f.n_docs,
-        |       round(CAST(f.sc AS DOUBLE) / CAST(f.n_docs AS DOUBLE), 6)
-        |         AS full_mean,
-        |       round(env.lo, 6) AS boot_lo, round(env.hi, 6) AS boot_hi,
+        |       floor(CAST(f.sc AS DOUBLE) / CAST(f.n_docs AS DOUBLE)
+        |             * 1000000 + 0.5) / 1000000.0 AS full_mean,
+        |       floor(env.lo * 1000000 + 0.5) / 1000000.0 AS boot_lo,
+        |       floor(env.hi * 1000000 + 0.5) / 1000000.0 AS boot_hi,
         |       env.n_reps
         |FROM env CROSS JOIN f""".stripMargin,
     "j193_jaccard_sweep" ->

@@ -128,7 +128,7 @@ object PipelineOps {
     import s.implicits._
     minhashFrames(s, d).exact
       .filter($"jac" >= 0.5)
-      .select($"d1", $"d2", round($"jac", 6).as("jaccard"))
+      .select($"d1", $"d2", Parity.round6($"jac").as("jaccard"))
       .orderBy($"d1", $"d2")
   }
 
@@ -155,9 +155,9 @@ object PipelineOps {
       .join(broadcast(m1), "d1").join(broadcast(m2), "d2")
       .withColumn("est", matches.cast("double") / 8.0)
       .select($"d1", $"d2",
-        round($"est", 6).as("est_jaccard"),
-        round($"jac", 6).as("jaccard"),
-        round(abs($"est" - $"jac"), 6).as("abs_err"))
+        Parity.round6($"est").as("est_jaccard"),
+        Parity.round6($"jac").as("jaccard"),
+        Parity.round6(abs($"est" - $"jac")).as("abs_err"))
       .orderBy($"d1", $"d2")
   }
 
@@ -325,7 +325,7 @@ object PipelineOps {
         sum(when($"predicted" === $"actual", 1L).otherwise(0L)).as("n_correct"),
         Parity.qsum($"margin").as("sm"))
       .select($"decile", $"n_docs", $"n_correct",
-        round($"n_correct".cast("double") / $"n_docs".cast("double"), 6)
+        Parity.round6($"n_correct".cast("double") / $"n_docs".cast("double"))
           .as("accuracy"),
         Parity.round6($"sm" / $"n_docs").as("mean_margin"))
       .orderBy($"decile")
@@ -342,15 +342,15 @@ object PipelineOps {
       .select(
         $"doc_id",
         size($"toks").as("n_tokens"),
-        round(expr("size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE)"), 6).as("ttr"),
-        round(($"n_chars" - size($"toks") + 1) / size($"toks").cast("double"), 6).as("mean_tok_len"),
-        round(size(expr("filter(toks, t -> t IN ('a', 'the'))")) / size($"toks").cast("double"), 6)
+        Parity.round6(expr("size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE)")).as("ttr"),
+        Parity.round6(($"n_chars" - size($"toks") + 1) / size($"toks").cast("double")).as("mean_tok_len"),
+        Parity.round6(size(expr("filter(toks, t -> t IN ('a', 'the'))")) / size($"toks").cast("double"))
           .as("stop_ratio"),
         when(size($"toks") < 20, "short")
           .when(size($"toks") <= 80, "good")
           .otherwise("long").as("len_band"))
       .withColumn("quality",
-        round(when($"len_band" === "good", 1.0).otherwise(0.5) * $"ttr", 6))
+        Parity.round6(when($"len_band" === "good", 1.0).otherwise(0.5) * $"ttr"))
       .orderBy($"doc_id")
   }
 
@@ -365,7 +365,7 @@ object PipelineOps {
         $"doc_id",
         size(split($"text", " ")).as("n_ws_tokens"),
         size(expr("regexp_extract_all(text, '[aeiou]+|[b-df-hj-np-tv-z]+', 0)")).as("n_subwords"),
-        round($"n_chars" / size(split($"text", " ")).cast("double"), 6).as("chars_per_token"))
+        Parity.round6($"n_chars" / size(split($"text", " ")).cast("double")).as("chars_per_token"))
       .orderBy($"doc_id")
   }
 
@@ -541,9 +541,9 @@ object PipelineOps {
       .unionAll(one.select(lit("8x1"), $"c81", $"g81"))
       .crossJoin(broadcast(nTrue))
       .select($"config", $"n_candidates", $"n_caught", $"n_true",
-        round($"n_caught".cast("double") / $"n_candidates".cast("double"), 6)
+        Parity.round6($"n_caught".cast("double") / $"n_candidates".cast("double"))
           .as("prec"),
-        round($"n_caught".cast("double") / $"n_true".cast("double"), 6)
+        Parity.round6($"n_caught".cast("double") / $"n_true".cast("double"))
           .as("recall"))
       .orderBy($"config")
   }
@@ -569,7 +569,7 @@ object PipelineOps {
     import s.implicits._
     contamination(s, d)
       .select($"doc_id", $"n_shared_shingles", $"n_eval_docs",
-        round($"raw_contamination", 6).as("contamination"))
+        Parity.round6($"raw_contamination").as("contamination"))
       .orderBy($"doc_id")
   }
 
@@ -615,7 +615,7 @@ object PipelineOps {
       .groupBy($"split")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_chars").as("sum_chars"),
-        round(avg(size(split($"text", " "))), 6).as("avg_tokens"),
+        Parity.round6(avg(size(split($"text", " ")))).as("avg_tokens"),
         min($"doc_id").as("first_doc"))
       .orderBy($"split")
   }
@@ -651,7 +651,7 @@ object PipelineOps {
     cb.join(broadcast(cp), "w1")
       .filter($"c_bigram" >= 5)
       .select($"w1", $"w2", $"c_bigram",
-        round($"c_bigram" / $"c_prefix".cast("double"), 6).as("p_cond"))
+        Parity.round6($"c_bigram" / $"c_prefix".cast("double")).as("p_cond"))
       .orderBy($"w1", $"w2")
   }
 
@@ -1292,7 +1292,7 @@ object PipelineOps {
       .groupBy($"lang")
       .agg(sum($"wc").as("n_words"), sum($"wc" * $"n_pieces").as("n_tokens"))
       .select($"lang", $"n_words", $"n_tokens",
-        round($"n_tokens".cast("double") / $"n_words".cast("double"), 6)
+        Parity.round6($"n_tokens".cast("double") / $"n_words".cast("double"))
           .as("fertility"))
       .orderBy($"lang")
       .localCheckpoint() // j66's release discipline: 5 rows, lineage-free
@@ -1345,7 +1345,7 @@ object PipelineOps {
           .stripMargin))
       .select($"doc_id", size($"toks").cast("long").as("n_tokens"),
         $"n_masked",
-        round($"n_masked".cast("double") / size($"toks").cast("double"), 6)
+        Parity.round6($"n_masked".cast("double") / size($"toks").cast("double"))
           .as("mask_ratio"),
         $"input_text", $"target_text")
       .orderBy($"doc_id")
@@ -1441,9 +1441,9 @@ object PipelineOps {
         |       CAST(coalesce(list_sum(list_transform(mblocks,
         |         b -> len(toks[3 * b + 1 : 3 * b + 3]))), 0) AS BIGINT)
         |         AS n_masked,
-        |       round(CAST(coalesce(list_sum(list_transform(mblocks,
+        |       floor(CAST(coalesce(list_sum(list_transform(mblocks,
         |           b -> len(toks[3 * b + 1 : 3 * b + 3]))), 0) AS DOUBLE) /
-        |         CAST(len(toks) AS DOUBLE), 6) AS mask_ratio,
+        |         CAST(len(toks) AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS mask_ratio,
         |       array_to_string(list_transform(generate_series(0, nb - 1), b ->
         |         CASE WHEN list_position(mblocks, b) > 0
         |           THEN '<extra_id_' ||
@@ -1552,8 +1552,8 @@ object PipelineOps {
         |       WHERE length(word) > 0 GROUP BY 1, 2)
         |SELECT lang, CAST(sum(wc) AS BIGINT) AS n_words,
         |       CAST(sum(wc * n_pieces) AS BIGINT) AS n_tokens,
-        |       round(CAST(sum(wc * n_pieces) AS DOUBLE)
-        |             / CAST(sum(wc) AS DOUBLE), 6) AS fertility
+        |       floor(CAST(sum(wc * n_pieces) AS DOUBLE)
+        |             / CAST(sum(wc) AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS fertility
         |FROM lw JOIN pieces USING (word)
         |GROUP BY 1 ORDER BY lang""".stripMargin,
     "j66_bpe_vocab" ->
@@ -1617,7 +1617,8 @@ object PipelineOps {
          |       FROM cand JOIN s sa ON sa.doc_id = d1
          |                 JOIN s sb ON sb.doc_id = d2 AND sa.sh = sb.sh
          |       GROUP BY d1, d2)
-         |SELECT d1, d2, round(inter / (na.ns + nb.ns - inter), 6) AS jaccard
+         |SELECT d1, d2, floor(inter / (na.ns + nb.ns - inter) * 1000000 + 0.5)
+         |         / 1000000.0 AS jaccard
          |FROM i2 JOIN n na ON d1 = na.doc_id JOIN n nb ON d2 = nb.doc_id
          |WHERE inter / (na.ns + nb.ns - inter) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
@@ -1691,10 +1692,10 @@ object PipelineOps {
          |SELECT config, CAST(n_candidates AS BIGINT) AS n_candidates,
          |       CAST(n_caught AS BIGINT) AS n_caught,
          |       CAST(tr.n_true AS BIGINT) AS n_true,
-         |       round(CAST(n_caught AS DOUBLE) / CAST(n_candidates AS DOUBLE), 6)
-         |         AS prec,
-         |       round(CAST(n_caught AS DOUBLE) / CAST(tr.n_true AS DOUBLE), 6)
-         |         AS recall
+         |       floor(CAST(n_caught AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+         |             * 1000000 + 0.5) / 1000000.0 AS prec,
+         |       floor(CAST(n_caught AS DOUBLE) / CAST(tr.n_true AS DOUBLE)
+         |             * 1000000 + 0.5) / 1000000.0 AS recall
          |FROM u CROSS JOIN tr ORDER BY config""".stripMargin,
     "j111_minhash_accuracy" ->
       s"""WITH s AS ($shingleSql),
@@ -1722,9 +1723,9 @@ object PipelineOps {
          |                    JOIN m mb ON mb.doc_id = c.d2 AND mb.i = ma.i
          |        GROUP BY 1, 2)
          |SELECT ex.d1, ex.d2,
-         |       round(est.est, 6) AS est_jaccard,
-         |       round(ex.jac, 6) AS jaccard,
-         |       round(abs(est.est - ex.jac), 6) AS abs_err
+         |       floor(est.est * 1000000 + 0.5) / 1000000.0 AS est_jaccard,
+         |       floor(ex.jac * 1000000 + 0.5) / 1000000.0 AS jaccard,
+         |       floor(abs(est.est - ex.jac) * 1000000 + 0.5) / 1000000.0 AS abs_err
          |FROM ex JOIN est USING (d1, d2)
          |ORDER BY ex.d1, ex.d2""".stripMargin,
     "j13_simhash" -> s"$simhashFpSql ORDER BY doc_id",
@@ -1943,8 +1944,8 @@ object PipelineOps {
         |       CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END)
         |         AS BIGINT) AS n_correct,
-        |       round(sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END) /
-        |             CAST(count(*) AS DOUBLE), 6) AS accuracy,
+        |       floor(sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END) /
+        |             CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS accuracy,
         |       floor((CAST(sum(CAST(round(margin * 1000000) AS BIGINT)) AS DOUBLE)
         |             / 1000000.0 / count(*)) * 1000000 + 0.5) / 1000000.0 AS mean_margin
         |FROM rkd CROSS JOIN n GROUP BY 1, n.n_total
@@ -1954,19 +1955,20 @@ object PipelineOps {
         |           FROM 'documents.parquet')
         |SELECT doc_id,
         |CAST(len(toks) AS INTEGER) AS n_tokens,
-        |round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS ttr,
-        |round((n_chars - len(toks) + 1) / CAST(len(toks) AS DOUBLE), 6) AS mean_tok_len,
-        |round(len(list_filter(toks, t -> t IN ('a', 'the'))) / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
+        |floor(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS ttr,
+        |floor((n_chars - len(toks) + 1) / CAST(len(toks) AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS mean_tok_len,
+        |floor(len(list_filter(toks, t -> t IN ('a', 'the'))) / CAST(len(toks) AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS stop_ratio,
         |CASE WHEN len(toks) < 20 THEN 'short'
         |     WHEN len(toks) <= 80 THEN 'good' ELSE 'long' END AS len_band,
-        |round(CASE WHEN len(toks) >= 20 AND len(toks) <= 80 THEN 1.0 ELSE 0.5 END *
-        |      round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6), 6) AS quality
+        |floor(CASE WHEN len(toks) >= 20 AND len(toks) <= 80 THEN 1.0 ELSE 0.5 END *
+        |      (floor(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) * 1000000 + 0.5)
+        |       / 1000000.0) * 1000000 + 0.5) / 1000000.0 AS quality
         |FROM x ORDER BY doc_id""".stripMargin,
     "j17_token_stats" ->
       """SELECT doc_id,
         |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
         |CAST(len(regexp_extract_all(text, '[aeiou]+|[b-df-hj-np-tv-z]+', 0)) AS INTEGER) AS n_subwords,
-        |round(n_chars / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS chars_per_token
+        |floor(n_chars / CAST(len(string_split(text, ' ')) AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS chars_per_token
         |FROM 'documents.parquet' ORDER BY doc_id""".stripMargin,
     "j18_rolling_fingerprint" ->
       """WITH t0 AS (
@@ -2005,7 +2007,7 @@ object PipelineOps {
          |        FROM s t JOIN e ON t.sh = e.sh
          |        WHERE t.doc_id % 10 <> 0 GROUP BY t.doc_id)
          |SELECT hit.doc_id, n_shared_shingles, n_eval_docs,
-         |       round(n_shared_shingles / CAST(n.ns AS DOUBLE), 6) AS contamination
+         |       floor(n_shared_shingles / CAST(n.ns AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS contamination
          |FROM hit JOIN n ON hit.doc_id = n.doc_id
          |ORDER BY 1""".stripMargin,
     "j23_hash_split" ->
@@ -2020,7 +2022,7 @@ object PipelineOps {
         |            WHEN bucket < 90 THEN 'validation' ELSE 'test' END AS split,
         |       count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |       round(avg(n_toks), 6) AS avg_tokens,
+        |       floor(avg(n_toks) * 1000000 + 0.5) / 1000000.0 AS avg_tokens,
         |       min(doc_id) AS first_doc
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "j27_simhash_neardup" ->
@@ -2080,7 +2082,7 @@ object PipelineOps {
         |cb AS (SELECT w1, w2, count(*) AS c_bigram FROM bg GROUP BY 1, 2),
         |cp AS (SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c_prefix FROM cb GROUP BY 1)
         |SELECT cb.w1, cb.w2, cb.c_bigram,
-        |       round(cb.c_bigram / CAST(cp.c_prefix AS DOUBLE), 6) AS p_cond
+        |       floor(cb.c_bigram / CAST(cp.c_prefix AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS p_cond
         |FROM cb JOIN cp ON cb.w1 = cp.w1
         |WHERE cb.c_bigram >= 5
         |ORDER BY cb.w1, cb.w2""".stripMargin,

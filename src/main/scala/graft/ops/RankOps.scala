@@ -115,8 +115,8 @@ object RankOps {
           |  CAST(0 AS DOUBLE),
           |  (a, i) -> a + 1.0D / (ln(CAST(i AS DOUBLE) + 1.0D) / ln(2.0D)))""".stripMargin)))
       .select($"token".as("query_term"), $"n_rel_total",
-        round($"prec_raw", 6).as("prec_at_10"),
-        round($"mrr_raw", 6).as("mrr"),
+        Parity.round6($"prec_raw").as("prec_at_10"),
+        Parity.round6($"mrr_raw").as("mrr"),
         round(when($"idcg" > 0.0d, $"dcg" / $"idcg").otherwise(lit(0.0d)), 6)
           .as("ndcg_at_10"))
       .orderBy($"query_term")
@@ -358,8 +358,8 @@ object RankOps {
          |           n_rel_total
          |         FROM nrel)
          |SELECT m.token AS query_term, idcg.n_rel_total,
-         |       round(m.prec_raw, 6) AS prec_at_10,
-         |       round(m.mrr_raw, 6) AS mrr,
+         |       floor(m.prec_raw * 1000000 + 0.5) / 1000000.0 AS prec_at_10,
+         |       floor(m.mrr_raw * 1000000 + 0.5) / 1000000.0 AS mrr,
          |       round(CASE WHEN idcg.idcg > 0.0 THEN m.dcg / idcg.idcg
          |             ELSE 0.0 END, 6) AS ndcg_at_10
          |FROM m JOIN idcg USING (token)

@@ -399,8 +399,8 @@ object SearchOps {
       .withColumn("deriv", $"doc_count" - lag($"doc_count", 1).over(w))
       .withColumn("cum", sum($"doc_count")
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("mavg", round(avg($"doc_count")
-        .over(w.rowsBetween(-2, Window.currentRow)), 6))
+      .withColumn("mavg", Parity.round6(avg($"doc_count")
+        .over(w.rowsBetween(-2, Window.currentRow))))
       .orderBy($"day")
   }
 
@@ -619,7 +619,7 @@ object SearchOps {
           |         CAST(400.0 AS DOUBLE), le400)
           |  AS (probe, n_le)""".stripMargin, "n")
       .select($"probe",
-        round(lit(100.0) * $"n_le" / $"n".cast("double"), 6).as("pct_rank"))
+        Parity.round6(lit(100.0) * $"n_le" / $"n".cast("double")).as("pct_rank"))
       .orderBy($"probe")
   }
 
@@ -721,12 +721,12 @@ object SearchOps {
         min($"l_quantity").as("min_q"), max($"l_quantity").as("max_q"),
         sum($"l_quantity").as("s1"),
         sum($"l_quantity" * $"l_quantity").as("s2"),
-        round(avg($"l_quantity"), 6).as("avg_q"))
+        Parity.round6(avg($"l_quantity")).as("avg_q"))
       .withColumn("var_u", ($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1))
       .select($"l_returnflag", $"n", $"min_q", $"max_q",
         round($"s1", 2).as("sum_q"), round($"s2", 2).as("sum_sq"),
         $"avg_q",
-        round($"var_u", 6).as("var_q"),
+        Parity.round6($"var_u").as("var_q"),
         round(sqrt($"var_u"), 6).as("sd_q"))
       .withColumn("upper_2sd", round($"avg_q" + lit(2.0) * $"sd_q", 6))
       .withColumn("lower_2sd", round($"avg_q" - lit(2.0) * $"sd_q", 6))
@@ -751,8 +751,8 @@ object SearchOps {
       // decimal→double conversions can round a different way; string →
       // double parsing is correctly rounded in both engines
       .select($"l_returnflag",
-        round(expr("cast(cast(wsum as string) as double)") /
-          expr("cast(cast(qsum as string) as double)"), 6).as("weighted_avg"),
+        Parity.round6(expr("cast(cast(wsum as string) as double)") /
+          expr("cast(cast(qsum as string) as double)")).as("weighted_avg"),
         expr("cast(cast(qsum as string) as double)").as("total_weight"))
       .orderBy($"l_returnflag")
   }
@@ -1147,21 +1147,21 @@ object SearchOps {
         |             min(l_quantity) AS min_q, max(l_quantity) AS max_q,
         |             sum(l_quantity) AS s1,
         |             sum(l_quantity * l_quantity) AS s2,
-        |             round(avg(l_quantity), 6) AS avg_q
+        |             floor(avg(l_quantity) * 1000000 + 0.5) / 1000000.0 AS avg_q
         |           FROM 'lineitem.parquet' GROUP BY 1),
         |v AS (SELECT *, (s2 - s1 * s1 / n) / (n - 1) AS var_u FROM a)
         |SELECT l_returnflag, n, min_q, max_q,
         |       round(s1, 2) AS sum_q, round(s2, 2) AS sum_sq, avg_q,
-        |       round(var_u, 6) AS var_q, round(sqrt(var_u), 6) AS sd_q,
+        |       floor(var_u * 1000000 + 0.5) / 1000000.0 AS var_q, round(sqrt(var_u), 6) AS sd_q,
         |       round(avg_q + 2.0 * round(sqrt(var_u), 6), 6) AS upper_2sd,
         |       round(avg_q - 2.0 * round(sqrt(var_u), 6), 6) AS lower_2sd
         |FROM v ORDER BY l_returnflag""".stripMargin,
     "j72_weighted_avg" ->
       """SELECT l_returnflag,
-        |  round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  floor(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |                      CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
-        |        / CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE), 6)
-        |    AS weighted_avg,
+        |        / CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+        |        * 1000000 + 0.5) / 1000000.0 AS weighted_avg,
         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_weight
         |FROM 'lineitem.parquet' GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "j73_range_agg" ->
@@ -1229,7 +1229,7 @@ object SearchOps {
         |u AS (SELECT CAST(100.0 AS DOUBLE) AS probe, le100 AS n_le, n FROM m
         |      UNION ALL SELECT CAST(250.0 AS DOUBLE), le250, n FROM m
         |      UNION ALL SELECT CAST(400.0 AS DOUBLE), le400, n FROM m)
-        |SELECT probe, round(100.0 * n_le / CAST(n AS DOUBLE), 6) AS pct_rank
+        |SELECT probe, floor(100.0 * n_le / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS pct_rank
         |FROM u ORDER BY probe""".stripMargin,
     "j58_pipeline_agg" ->
       """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type
@@ -1246,8 +1246,9 @@ object SearchOps {
         |       doc_count - lag(doc_count) OVER (ORDER BY day) AS deriv,
         |       CAST(sum(doc_count) OVER (ORDER BY day
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
-        |       round(avg(doc_count) OVER (ORDER BY day
-        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg
+        |       floor(avg(doc_count) OVER (ORDER BY day
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 1000000 + 0.5)
+        |         / 1000000.0 AS mavg
         |FROM b ORDER BY day""".stripMargin,
     "j59_rare_terms" ->
       """WITH sh AS (

@@ -211,6 +211,78 @@ object SyncOps {
       .orderBy($"event_type")
   }
 
+  /** The cell write stamp as ONE exact integer: ts_us·10⁸ + event_id.
+    * (ts_us, event_id) is unique, so the stamp is a total order; both
+    * engines compare the same integer — Spark DECIMAL(38,0) (1.7e23 ≪
+    * 10³⁸), DuckDB HUGEINT. Shared by i20 and its streaming twin
+    * (graft.streaming.Sync.cellLwwSink) so the conflict rule cannot
+    * drift between surfaces. */
+  private[graft] def cellStamp(tsUs: org.apache.spark.sql.Column,
+      eventId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    tsUs.cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+      lit(100000000L) + eventId
+
+  /** The i20 change feed: each change writes a SUBSET of the row's cells
+    * (event_id mod 3 → {status}, {val}, or both — the partial-UPDATE
+    * shape of real CQL writes), derived deterministically from events in
+    * both engines. Shared by the batch query and the streaming twin. */
+  private[graft] def cellChanges(s: SparkSession, d: String): DataFrame =
+    cellChangesFrom(Tables.eventsUs(s, d))
+
+  /** [[cellChanges]] over any events-shaped frame carrying ts_us — the
+    * streaming twin feeds micro-batches through the SAME derivation. */
+  private[graft] def cellChangesFrom(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    ev.select($"user_id", $"event_type", $"ts_us", $"event_id",
+      expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"),
+      ($"event_id" % 3 =!= 1).as("ws"),  // writes the status cell
+      ($"event_id" % 3 =!= 0).as("wv"))  // writes the val cell
+  }
+
+  /** Per-key per-CELL LWW state for one slice of the change feed — the
+    * composable inner aggregate of i20 (compose ∘ compose = compose: the
+    * streaming twin merges these across micro-batches). One map-combined
+    * keyed aggregation; max_by skips rows whose ordering is null, which
+    * is how "this change did not write that cell" threads through. */
+  private[graft] def cellMergeSlice(changes: DataFrame): DataFrame = {
+    import changes.sparkSession.implicits._
+    changes.groupBy($"user_id").agg(
+      max_by($"event_type", when($"ws", cellStamp($"ts_us", $"event_id"))).as("status"),
+      max(when($"ws", $"ts_us")).as("status_ts_us"),
+      max(when($"ws", cellStamp($"ts_us", $"event_id"))).as("s_ord"),
+      max_by($"cents", when($"wv", cellStamp($"ts_us", $"event_id"))).as("val_cents"),
+      max(when($"wv", $"ts_us")).as("val_ts_us"),
+      max(when($"wv", cellStamp($"ts_us", $"event_id"))).as("v_ord"),
+      count(lit(1)).as("n_changes"),
+      max($"ts_us").as("row_ts_us"))
+  }
+
+  /** i20_cell_lww_merge — Cassandra's TRUE conflict semantics: per-CELL
+    * (per-column) last-write-wins. C*'s WRITETIME is per column, and a
+    * correct bidirectional merge resolves EACH column to its newest
+    * writer — NOT the whole row to the newest change (i6's row-granular
+    * rule), which silently discards newer cells carried by the losing
+    * row whenever two writers updated DIFFERENT columns. Each cell
+    * resolves by argmax over its own write stamps; `split_writers`
+    * marks the keys whose two cells come from DIFFERENT changes — the
+    * rows a row-granular LWW gets wrong (the fixture exercises both
+    * classes). Cells nobody wrote stay NULL (C*: column absent).
+    *
+    * Scale shape: ONE map-combined keyed aggregation — constant state
+    * per (group × cell), no window, no self-join; at 100 TB this is a
+    * single shuffle on the key, and the same aggregate composes across
+    * epochs (streaming twin Sync.cellLwwSink merges slice states by the
+    * same per-cell argmax). */
+  def i20(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    cellMergeSlice(cellChanges(s, d))
+      .select($"user_id", $"status", $"status_ts_us", $"val_cents",
+        $"val_ts_us", $"n_changes", $"row_ts_us",
+        when($"s_ord".isNull || $"v_ord".isNull, 0)
+          .when($"s_ord" =!= $"v_ord", 1).otherwise(0).as("split_writers"))
+      .orderBy($"user_id")
+  }
+
   /** Input/buffer row for the LWW aggregator: a (timestamp, value) pair. */
   case class TsVal(ts_us: Long, v: String)
 
@@ -244,7 +316,8 @@ object SyncOps {
     "c10_join_asof" -> c10, "c12_join_asof_native" -> c12,
     "i6_incremental_lww_merge" -> i6, "i11_sync_stats" -> i11,
     "i12_lww_delete_merge" -> i12, "i13_sync_diff" -> i13,
-    "i14_ttl_expiry" -> i14, "k2_typed_aggregator" -> k2)
+    "i14_ttl_expiry" -> i14, "k2_typed_aggregator" -> k2,
+    "i20_cell_lww_merge" -> i20)
 
   /** c10 and c12 implement the SAME semantics (composed vs native) and are
     * graded against one oracle text — edit here, both keys follow. */
@@ -259,6 +332,26 @@ object SyncOps {
       |ORDER BY purchase_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "i20_cell_lww_merge" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT) * 100000000
+        |               + event_id AS ord,
+        |             event_id % 3 <> 1 AS ws, event_id % 3 <> 0 AS wv
+        |           FROM 'events.parquet')
+        |SELECT user_id,
+        |       arg_max(event_type, ord) FILTER (WHERE ws) AS status,
+        |       max(ts_us) FILTER (WHERE ws) AS status_ts_us,
+        |       arg_max(cents, ord) FILTER (WHERE wv) AS val_cents,
+        |       max(ts_us) FILTER (WHERE wv) AS val_ts_us,
+        |       count(*) AS n_changes,
+        |       max(ts_us) AS row_ts_us,
+        |       CASE WHEN max(ord) FILTER (WHERE ws) IS NULL
+        |              OR max(ord) FILTER (WHERE wv) IS NULL THEN 0
+        |            WHEN max(ord) FILTER (WHERE ws) <> max(ord) FILTER (WHERE wv) THEN 1
+        |            ELSE 0 END AS split_writers
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
     "i14_ttl_expiry" ->
       """WITH e AS (SELECT event_type,
         |             epoch_us(CAST(ts AS TIMESTAMP)) AS us,

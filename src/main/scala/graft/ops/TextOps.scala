@@ -136,7 +136,7 @@ object TextOps {
   def j2(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     nearDupPairs(s, d)
-      .select($"d1", $"d2", round($"jac", 6).as("jaccard"))
+      .select($"d1", $"d2", Parity.round6($"jac").as("jaccard"))
       .orderBy($"d1", $"d2")
   }
 
@@ -159,8 +159,8 @@ object TextOps {
       .withColumn("containment",
         $"inter".cast("double") / least($"n1", $"n2").cast("double"))
       .filter($"containment" >= 0.8d)
-      .select($"d1", $"d2", round($"containment", 6).as("containment"),
-        round($"jac", 6).as("jaccard"), ($"jac" >= 0.5d).as("jaccard_visible"))
+      .select($"d1", $"d2", Parity.round6($"containment").as("containment"),
+        Parity.round6($"jac").as("jaccard"), ($"jac" >= 0.5d).as("jaccard_visible"))
       .orderBy($"d1", $"d2")
   }
 
@@ -188,8 +188,8 @@ object TextOps {
       .groupBy($"doc_id").agg(count(lit(1)).as("n_novel"))
     ns.join(novel, Seq("doc_id"), "left_outer")
       .select($"doc_id", $"ns", coalesce($"n_novel", lit(0L)).as("n_novel"),
-        round(coalesce($"n_novel", lit(0L)).cast("double") /
-          $"ns".cast("double"), 6).as("novelty"))
+        Parity.round6(coalesce($"n_novel", lit(0L)).cast("double") /
+          $"ns".cast("double")).as("novelty"))
       .orderBy($"doc_id")
   }
 
@@ -248,7 +248,7 @@ object TextOps {
         (inter.cast("double") /
           (size($"toks") + size($"c.tk") - inter)).as("jac"))
       .filter($"jac" >= 0.5)
-      .select($"d1", $"d2", round($"jac", 6).as("jaccard"))
+      .select($"d1", $"d2", Parity.round6($"jac").as("jaccard"))
       .orderBy($"d1", $"d2")
   }
 
@@ -701,7 +701,7 @@ object TextOps {
       .withColumn("fg_pct", $"fg" / $"fg_tot")
       .withColumn("bg_pct", $"bg" / $"bg_tot")
       .filter($"fg_pct" > $"bg_pct")
-      .withColumn("jlh", round(($"fg_pct" - $"bg_pct") * ($"fg_pct" / $"bg_pct"), 6))
+      .withColumn("jlh", Parity.round6(($"fg_pct" - $"bg_pct") * ($"fg_pct" / $"bg_pct")))
       .select($"token", $"fg", $"bg", $"jlh")
       .orderBy($"jlh".desc, $"token".asc)
       .limit(15)
@@ -747,7 +747,7 @@ object TextOps {
         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
         |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |      GROUP BY 1, 2)
-        |SELECT d1, d2, round(inter / (na.ns + nb.ns - inter), 6) AS jaccard
+        |SELECT d1, d2, floor(inter / (na.ns + nb.ns - inter) * 1000000 + 0.5) / 1000000.0 AS jaccard
         |FROM p JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
         |WHERE inter / (na.ns + nb.ns - inter) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
@@ -763,9 +763,9 @@ object TextOps {
         |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |      GROUP BY 1, 2)
         |SELECT d1, d2,
-        |       round(CAST(inter AS DOUBLE) / CAST(least(na.ns, nb.ns) AS DOUBLE), 6)
-        |         AS containment,
-        |       round(inter / (na.ns + nb.ns - inter), 6) AS jaccard,
+        |       floor(CAST(inter AS DOUBLE) / CAST(least(na.ns, nb.ns) AS DOUBLE)
+        |             * 1000000 + 0.5) / 1000000.0 AS containment,
+        |       floor(inter / (na.ns + nb.ns - inter) * 1000000 + 0.5) / 1000000.0 AS jaccard,
         |       inter / (na.ns + nb.ns - inter) >= 0.5 AS jaccard_visible
         |FROM p JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
         |WHERE CAST(inter AS DOUBLE) / CAST(least(na.ns, nb.ns) AS DOUBLE) >= 0.8
@@ -781,8 +781,8 @@ object TextOps {
         |nv AS (SELECT doc_id, count(*) AS n_novel FROM fs GROUP BY 1)
         |SELECT n.doc_id, n.ns,
         |       CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
-        |       round(CAST(coalesce(nv.n_novel, 0) AS DOUBLE)
-        |             / CAST(n.ns AS DOUBLE), 6) AS novelty
+        |       floor(CAST(coalesce(nv.n_novel, 0) AS DOUBLE)
+        |             / CAST(n.ns AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS novelty
         |FROM n LEFT JOIN nv USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "j55_sorted_neighbor_dedup" ->
@@ -805,7 +805,7 @@ object TextOps {
         |    len(list_intersect(toks, p2_toks))::DOUBLE /
         |    (len(toks) + len(p2_toks) - len(list_intersect(toks, p2_toks)))
         |  FROM w WHERE p2_id IS NOT NULL)
-        |SELECT d1, d2, round(jac, 6) AS jaccard FROM pairs
+        |SELECT d1, d2, floor(jac * 1000000 + 0.5) / 1000000.0 AS jaccard FROM pairs
         |WHERE jac >= 0.5 ORDER BY d1, d2""".stripMargin,
     "j21_dedup_clusters" ->
       """WITH RECURSIVE s0 AS (
@@ -852,11 +852,12 @@ object TextOps {
         |t AS (SELECT doc_id, string_split(text, ' ') AS toks, n_chars
         |      FROM 'documents.parquet'),
         |ql AS (SELECT doc_id,
-        |         round(-3.0 + 0.01 * len(toks)
+        |         floor((-3.0 + 0.01 * len(toks)
         |           + 4.0 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
         |           + 0.5 * ((n_chars - len(toks) + 1) / CAST(len(toks) AS DOUBLE))
         |           - 6.0 * (len(list_filter(toks, x -> x IN ('a', 'the')))
-        |                    / CAST(len(toks) AS DOUBLE)), 6) AS q
+        |                    / CAST(len(toks) AS DOUBLE))) * 1000000 + 0.5)
+        |           / 1000000.0 AS q
         |       FROM t),
         |rk AS (SELECT cl.cluster_id, cl.doc_id, ql.q,
         |         row_number() OVER (PARTITION BY cl.cluster_id
@@ -891,11 +892,12 @@ object TextOps {
         |t AS (SELECT doc_id, string_split(text, ' ') AS toks, n_chars
         |      FROM 'documents.parquet'),
         |ql AS (SELECT doc_id,
-        |         round(-3.0 + 0.01 * len(toks)
+        |         floor((-3.0 + 0.01 * len(toks)
         |           + 4.0 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
         |           + 0.5 * ((n_chars - len(toks) + 1) / CAST(len(toks) AS DOUBLE))
         |           - 6.0 * (len(list_filter(toks, x -> x IN ('a', 'the')))
-        |                    / CAST(len(toks) AS DOUBLE)), 6) AS q
+        |                    / CAST(len(toks) AS DOUBLE))) * 1000000 + 0.5)
+        |           / 1000000.0 AS q
         |       FROM t),
         |rk AS (SELECT cl.cluster_id, cl.doc_id, ql.q,
         |         row_number() OVER (PARTITION BY cl.cluster_id
@@ -982,10 +984,10 @@ object TextOps {
         |       FROM toks GROUP BY 1),
         |tot AS (SELECT sum(bg) AS bg_tot, sum(fg) AS fg_tot FROM st)
         |SELECT token, fg, bg,
-        |  round((fg / fg_tot - bg / bg_tot) * ((fg / fg_tot) / (bg / bg_tot)), 6) AS jlh
+        |  floor((fg / fg_tot - bg / bg_tot) * ((fg / fg_tot) / (bg / bg_tot)) * 1000000 + 0.5) / 1000000.0 AS jlh
         |FROM st CROSS JOIN tot
         |WHERE fg > 0 AND fg / fg_tot > bg / bg_tot
-        |ORDER BY round((fg / fg_tot - bg / bg_tot) * ((fg / fg_tot) / (bg / bg_tot)), 6) DESC,
+        |ORDER BY floor((fg / fg_tot - bg / bg_tot) * ((fg / fg_tot) / (bg / bg_tot)) * 1000000 + 0.5) / 1000000.0 DESC,
         |         token ASC
         |LIMIT 15""".stripMargin,
     "k1_scala_udf" ->

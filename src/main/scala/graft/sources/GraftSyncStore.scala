@@ -31,6 +31,14 @@ object GraftSyncMaintenance {
     * snapshot manifest, answers unchanged. Quiescent batch-lineage
     * stores only. */
   def compact(dir: String): Unit = GraftSyncStore.compact(dir)
+
+  /** See [[GraftSyncStore.compactLww]]: the Cassandra tombstone
+    * lifecycle — per-key LWW resolution at compaction, shadowed versions
+    * purged, winning tombstones retained until `gcGraceUs` has passed
+    * (then purged). Quiescent batch-lineage stores only. */
+  def compactLww(dir: String, keyCols: Seq[String], tsCol: String,
+      deletedCol: String, gcGraceUs: Long, nowUs: Long): Unit =
+    GraftSyncStore.compactLww(dir, keyCols, tsCol, deletedCol, gcGraceUs, nowUs)
 }
 
 private[sources] object GraftSyncStore {
@@ -164,6 +172,85 @@ private[sources] object GraftSyncStore {
       replacesUpTo = Some(ord - 1), // the atomic cut-over
       sealedTags = toSeal)
     // GC (idempotent; everything below is already invisible to readers)
+    priorManifests.foreach(m => Files.deleteIfExists(Paths.get(dir, m)))
+    pages.foreach(p => Files.deleteIfExists(Paths.get(dir, p)))
+  }
+
+  /** LWW-compact a store that holds a CHANGE LOG with tombstones — the
+    * Cassandra compaction + gc_grace lifecycle (SURVEY §1.1) on the
+    * stand-in store. Deletes written through the connector are ordinary
+    * rows whose `deletedCol` is true; until compaction the store serves
+    * every version and the READER merges (the i12 liveView rule). This
+    * maintenance pass resolves the merge physically:
+    *
+    *   - per key (`keyCols`), the newest row by (`tsCol`, feed order)
+    *     wins — every shadowed older version is PURGED;
+    *   - a winning LIVE row is kept;
+    *   - a winning TOMBSTONE younger than `nowUs − gcGraceUs` is KEPT —
+    *     it must keep shadowing replayed older updates (purging it early
+    *     is exactly C*'s zombie-resurrection bug, and i12's rule:
+    *     the merge retains winning tombstones);
+    *   - a winning tombstone at or past gc-grace is PURGED — by then no
+    *     replayable write predates it (C*'s gc_grace_seconds contract).
+    *
+    * Crash safety = [[compact]]'s snapshot rule verbatim: compacted page
+    * first (unreferenced = invisible), ONE atomic manifest publish with
+    * `replaces_up_to` + sealed tags, then pure-GC deletes. Sealing makes
+    * a post-compaction tagged replay a no-op, so compaction can never
+    * re-admit purged versions through a lagging writer's retry.
+    *
+    * Output rows keep their committed BYTES verbatim (no re-serialize
+    * drift), ordered by key then stamp — deterministic, and the order a
+    * key-range scan of the real store (a CQL partition walk) would give.
+    *
+    * Quiescent batch-lineage stores only (compact's rule). Store-local
+    * driver I/O like every maintenance op here; at real scale this exact
+    * resolution is SyncOps i12's one-shuffle plan writing a fresh store —
+    * the stand-in keeps it store-local so the lifecycle is testable
+    * without a cluster. */
+  def compactLww(dir: String, keyCols: Seq[String], tsCol: String,
+      deletedCol: String, gcGraceUs: Long, nowUs: Long): Unit = {
+    requireLineage(dir, wantEpochs = false)
+    require(keyCols.nonEmpty, "compactLww needs at least one key column")
+    val priorManifests = listFiles(dir).map(_.getFileName.toString)
+      .filter(_.startsWith(ManifestPrefix)).sorted
+    val pages = committedPages(dir)
+    if (pages.isEmpty) return
+    // newest per key: (ts, feed position) is a total order
+    case class Win(line: String, ts: Long, pos: Long, deleted: Boolean)
+    val winners = scala.collection.mutable.LinkedHashMap.empty[String, Win]
+    var pos = 0L
+    for (p <- pages; line <- Files.readAllLines(Paths.get(dir, p)).asScala) {
+      val node = mapper.readTree(line)
+      val key = keyCols.map { k =>
+        val v = node.get(k)
+        require(v != null && !v.isNull, s"compactLww: row missing key '$k': $line")
+        v.asText()
+      }.mkString(" ")
+      val tsNode = node.get(tsCol)
+      require(tsNode != null && tsNode.isNumber,
+        s"compactLww: row missing numeric ts '$tsCol': $line")
+      val ts = tsNode.asLong()
+      val del = Option(node.get(deletedCol)).exists(n => n.isBoolean && n.asBoolean())
+      val w = Win(line, ts, pos, del)
+      winners.get(key) match {
+        case Some(prev) if prev.ts > ts || (prev.ts == ts && prev.pos > pos) => ()
+        case _ => winners.update(key, w)
+      }
+      pos += 1
+    }
+    val kept = winners.toSeq
+      .filter { case (_, w) => !w.deleted || w.ts > nowUs - gcGraceUs }
+      .sortBy { case (k, w) => (k, w.ts, w.pos) }
+      .map(_._2.line)
+    val ord = nextOrdinal(dir)
+    val page = f"compact-$ord%012d.jsonl"
+    atomicWrite(Paths.get(dir, page),
+      kept.map(_ + "\n").mkString.getBytes(UTF_8))
+    val toSeal = (sealedTags(dir) ++ priorManifests.map(manifestTag))
+      .filterNot(_ == "compact").toSeq
+    writeManifest(dir, ord, "compact", Seq(page),
+      replacesUpTo = Some(ord - 1), sealedTags = toSeal)
     priorManifests.foreach(m => Files.deleteIfExists(Paths.get(dir, m)))
     pages.foreach(p => Files.deleteIfExists(Paths.get(dir, p)))
   }

@@ -446,7 +446,7 @@ object Sync {
         (size(col("dsh")) + size(col("csh")) - col("inter")))
       .filter(col("jac") >= 0.5)
       .select(col("doc_id"), col("ts"), col("cand_id"),
-        round(col("jac"), 6).as("jaccard"))
+        graft.ops.Parity.round6(col("jac")).as("jaccard"))
       // emission contract: one verdict per pair within the watermark (two
       // versions of a re-sent doc can both clear the gate above)
       .dropDuplicatesWithinWatermark("doc_id", "cand_id")
@@ -601,8 +601,8 @@ object Sync {
       .filter(col("contamination") < 0.30)
     val out = gated
       .select(col("content_hash"), col("doc_id"), col("ts"), col("text"),
-        round(col("d2"), 6).as("dup2_frac"), col("quality"),
-        round(col("contamination"), 6).as("contamination"))
+        graft.ops.Parity.round6(col("d2")).as("dup2_frac"), col("quality"),
+        graft.ops.Parity.round6(col("contamination")).as("contamination"))
       // keyed on the CONTENT hash, not doc_id: in-feed exact duplicates
       // (same text under a new id) must collapse to one survivor, exactly
       // as batch exactDedup would — and a re-sent doc collapses with them
@@ -944,6 +944,58 @@ object Sync {
       .drop("cs")
     (out, () => { replicaCs.unpersist(); () })
   }
+
+  /** Compose per-key per-CELL LWW states (the i20 slice schema —
+    * graft.ops.SyncOps.cellMergeSlice): each cell re-resolves by argmax
+    * over the slices' own write stamps, counts add, the row stamp maxes.
+    * compose ∘ compose = compose (same schema in and out), which is what
+    * lets [[cellLwwSink]] fold any number of micro-batches — and any
+    * future compaction rewrite — without changing the served answer. */
+  def cellCompose(states: DataFrame): DataFrame =
+    states.groupBy(col("user_id")).agg(
+      max_by(col("status"), col("s_ord")).as("status"),
+      max(col("status_ts_us")).as("status_ts_us"),
+      max(col("s_ord")).as("s_ord"),
+      max_by(col("val_cents"), col("v_ord")).as("val_cents"),
+      max(col("val_ts_us")).as("val_ts_us"),
+      max(col("v_ord")).as("v_ord"),
+      sum(col("n_changes")).as("n_changes"),
+      max(col("row_ts_us")).as("row_ts_us"))
+
+  /** i20 streaming form — Cassandra's per-CELL LWW as the sync loop's
+    * upsert: each microbatch of events (the eventsStream shape) folds to
+    * per-key cell states (SyncOps.cellMergeSlice — the SAME aggregate as
+    * batch i20, so the conflict rule cannot drift), then composes into
+    * the parquet snapshot at `targetDir` by per-cell argmax. Contrast
+    * [[lwwSink]]: the row-granular merge keeps ONE winning change per
+    * key; this merge keeps one winning change PER CELL — a losing row's
+    * newer cells survive, which is C*'s actual WRITETIME semantics. */
+  def cellLwwSink(events: DataFrame, targetDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val slice = graft.ops.SyncOps.cellMergeSlice(
+          graft.ops.SyncOps.cellChangesFrom(
+            batch.withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))))
+        val base =
+          try Some(spark.read.parquet(targetDir)).filter(_.columns.contains("s_ord"))
+          catch { case _: Exception => None }
+        val merged = base.fold(slice)(b => cellCompose(b.unionByName(slice))).cache()
+        merged.count() // materialize before overwriting the input path
+        merged.write.mode("overwrite").parquet(targetDir + ".tmp")
+        merged.unpersist()
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(targetDir)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(targetDir + ".tmp"), dst)
+        ()
+      }
+      .start()
 
   /** i6 streaming form — the sync loop: each microbatch is LWW-merged into
     * the parquet snapshot at `targetDir` (read-modify-write per batch, the

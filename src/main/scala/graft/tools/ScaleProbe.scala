@@ -43,7 +43,10 @@ object ScaleProbe {
     "j272_esql_st_centroid" -> "events.parquet",
     "j273_geo_polygon_holes" -> "events.parquet",
     "j274_geo_line" -> "events.parquet",
-    "j105_embed_outliers" -> "embeddings.parquet")
+    "j105_embed_outliers" -> "embeddings.parquet",
+    "i20_cell_lww_merge" -> "events.parquet",
+    "j275_geohex_grid" -> "events.parquet",
+    "j276_esql_geohex" -> "events.parquet")
 
   def main(args0: Array[String]): Unit = {
     // optional trailing `only=q1,q2` arg restricts the probe list —
@@ -150,7 +153,10 @@ object ScaleProbe {
         "j273_geo_polygon_holes", "j274_geo_line",
         "j100_zipf_fit", "j105_embed_outliers", "j112_quality_decile_mix",
         "j113_bigram_entropy", "j116_unique_ngram_ratio",
-        "j152_source_card")
+        "j152_source_card",
+        // round 14: per-cell LWW (one map-combined keyed agg — must stay
+        // flat) and the hex grid pair (row-local key + cell-bounded agg)
+        "i20_cell_lww_merge", "j275_geohex_grid", "j276_esql_geohex")
         if only.forall(_.contains(q))) {
       val missing = needs.get(q)
         .filterNot(f => new java.io.File(d, f).exists())

@@ -39,6 +39,18 @@ class BenchContractSpec extends AnyFunSuite {
     assert(node.get("queries").size() === SparkEntry.queries.size)
   }
 
+  test("medians ride the detail line beside the graded mins, and never touch the summary") {
+    val meds = results.map { case (k, _) => k -> 222.333 }
+    val (detail, summary) = Bench.metricLines(results, "/sf", meds)
+    val node = mapper.readTree(detail)
+    assert(node.get("medians").size() === SparkEntry.queries.size)
+    assert(node.get("queries").size() === SparkEntry.queries.size,
+      "graded mins map unchanged by the medians addition")
+    val snode = mapper.readTree(summary)
+    assert(snode.get("medians") == null, "summary stays min-only (size budget)")
+    assert(summary.length < 450)
+  }
+
   test("empty result set still emits parseable lines (no div-by-zero, no NaN)") {
     val (detail, summary) = Bench.metricLines(Map.empty, "/sf")
     assert(mapper.readTree(summary).get("value").asDouble() === 0.0)

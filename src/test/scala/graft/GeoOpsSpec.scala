@@ -81,6 +81,63 @@ class GeoOpsSpec extends AnyFunSuite {
     assert(r.getString(1) === "6/32/31") // just NE of the origin corner
   }
 
+  test("geohex anchors: origin cell, tessellation identity, edge sweep (poles/antimeridian), ES|QL agreement") {
+    import s.implicits._
+    // reference implementation of the SAME cube-round in scalar doubles —
+    // the Column/SQL forms must agree with it point by point
+    def refHex(lon: Double, lat: Double, p: Int): String = {
+      val size = 10.0 / (1 << p)
+      val qf = (math.sqrt(3.0) / 3.0 * lon - lat / 3.0) / size
+      val rf = (lat * 2.0 / 3.0) / size
+      val yf = -qf - rf
+      val rx = math.floor(qf + 0.5); val ry = math.floor(yf + 0.5)
+      val rz = math.floor(rf + 0.5)
+      val (dx, dy, dz) = (math.abs(rx - qf), math.abs(ry - yf), math.abs(rz - rf))
+      val q = if (dx > dy && dx > dz) -ry - rz else rx
+      val r = if (!(dx > dy && dx > dz) && !(dy > dz)) -rx - ry else rz
+      s"${q.toLong},${r.toLong}"
+    }
+    // edge sweep: origin, poles band (±85), antimeridian (±180), the
+    // fixture's exact 2dp lattice corners, and off-axis interior points
+    val pts = Seq((0.0, 0.0), (-180.0, -85.0), (179.99, 84.99),
+      (-180.0, 84.99), (179.99, -85.0), (-74.0, 40.7), (0.01, -0.01),
+      (12.34, -56.78), (-0.005, 0.005), (100.0, 0.0), (0.0, 50.0))
+    val got = pts.toDF("lon", "lat")
+      .select(GeoOps.geohexKey($"lon", $"lat", 2).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === pts.map { case (lo, la) => refHex(lo, la, 2) },
+      "Column form must equal the scalar reference on the edge sweep")
+    assert(got.head === "0,0", "origin sits in the origin cell")
+    // tessellation identity: every point's cell center is within one
+    // cell circumradius (size / cos(30°) = size·2/√3) of the point in
+    // the axial plane — no point falls between cells
+    val size = 2.5
+    for (((lo, la), cell) <- pts.zip(got)) {
+      val Array(q, r) = cell.split(",").map(_.toLong)
+      val cx = size * (math.sqrt(3.0) * q + math.sqrt(3.0) / 2.0 * r)
+      val cy = size * 1.5 * r
+      val d = math.hypot(lo - cx, la - cy)
+      assert(d <= size * 2.0 / math.sqrt(3.0) + 1e-9,
+        s"($lo,$la) → $cell center ($cx,$cy) is $d away — outside the hex")
+    }
+    // ES|QL ST_GEOHEX agrees with the direct Column form on the fixture
+    val viaEsql = Esql.compile(s, TestSpark.sf0001,
+      """FROM events
+        || EVAL lat = (event_id * 7919 % 17000) / 100.0 - 85.0, lon = (event_id * 104729 % 36000) / 100.0 - 180.0
+        || EVAL p = TO_GEOPOINT(CONCAT("POINT(", TO_STRING(lon), " ", TO_STRING(lat), ")"))
+        || EVAL hx = ST_GEOHEX(p, 2)
+        || KEEP event_id, hx
+        || SORT event_id
+        || LIMIT 50""".stripMargin).collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = Tables.events(s, TestSpark.sf0001)
+      .withColumn("lat", GeoOps.synthLat($"event_id"))
+      .withColumn("lon", GeoOps.synthLon($"event_id"))
+      .select($"event_id", GeoOps.geohexKey($"lon", $"lat", 2))
+      .orderBy($"event_id").limit(50)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(viaEsql.toSeq === want.toSeq)
+  }
+
   test("BBOX geo_shape contract: boundary-inclusive relations, CONTAINS arg order, malformed → NULL") {
     import s.implicits._
     def rel(f: String, wkt: String): Any = {

@@ -505,6 +505,67 @@ class GraftSyncConnectorSpec extends AnyFunSuite {
     assert(live === Set((1L, "a2"), (3L, "c1"))) // key 2 deleted, stays deleted
   }
 
+  test("tombstone lifecycle IN the store: delete → read-absent → LWW-compact keeps it in grace, purges past grace; replay does not resurrect") {
+    val dir = freshStore("tomb")
+    val cols = Seq("key", "ts", "deleted", "payload")
+    def liveKeys(): Set[(Long, String)] = {
+      // reader-side merge (i12's rule): newest per key, tombstones drop
+      val df = spark.read.format("graft-sync").load(dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("ts").desc)
+      df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && !coalesce(col("deleted"), lit(false)))
+        .select(col("key"), col("payload"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    }
+    def storedLines(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(dir)).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".jsonl"))
+        .flatMap(p => Files.readAllLines(p).asScala).toSeq
+    }
+    // gen1: two live keys; gen2: key 1 deleted at ts=200
+    Seq((1L, 100L, false, "a1"), (2L, 100L, false, "b1")).toDF(cols: _*)
+      .write.format("graft-sync").mode("overwrite").save(dir)
+    Seq((1L, 200L, true, null.asInstanceOf[String])).toDF(cols: _*)
+      .write.format("graft-sync").mode("append")
+      .option("page-tag", "del-1").save(dir)
+    assert(liveKeys() === Set((2L, "b1")), "write-delete must read as absent")
+
+    // compact WITHIN gc-grace (now=500, grace=1000): shadowed a1 purged,
+    // the winning tombstone RETAINED (purging it now is the C* zombie bug)
+    graft.sources.GraftSyncMaintenance.compactLww(
+      dir, Seq("key"), "ts", "deleted", gcGraceUs = 1000L, nowUs = 500L)
+    val afterGrace = storedLines()
+    assert(afterGrace.size === 2, s"expect tombstone + b1, got: $afterGrace")
+    assert(afterGrace.exists(_.contains("\"deleted\":true")), "tombstone retained in grace")
+    assert(!afterGrace.exists(_.contains("a1")), "shadowed version physically purged")
+    assert(liveKeys() === Set((2L, "b1")))
+
+    // a lagging writer replays key 1's ORIGINAL update (older ts, fresh
+    // tag): the retained tombstone must keep shadowing it
+    Seq((1L, 100L, false, "a1")).toDF(cols: _*)
+      .write.format("graft-sync").mode("append")
+      .option("page-tag", "replay-1").save(dir)
+    assert(liveKeys() === Set((2L, "b1")), "replay must not resurrect the key")
+
+    // compact PAST gc-grace (now advanced): tombstone physically purged,
+    // and the shadowed replayed row goes with it
+    graft.sources.GraftSyncMaintenance.compactLww(
+      dir, Seq("key"), "ts", "deleted", gcGraceUs = 1000L, nowUs = 2000L)
+    val afterPurge = storedLines()
+    assert(afterPurge.size === 1 && afterPurge.head.contains("b1"),
+      s"only the live row survives past grace, got: $afterPurge")
+    assert(liveKeys() === Set((2L, "b1")))
+
+    // and a post-compaction replay of a SEALED tag stays a no-op
+    Seq((1L, 200L, true, null.asInstanceOf[String])).toDF(cols: _*)
+      .write.format("graft-sync").mode("append")
+      .option("page-tag", "del-1").save(dir)
+    assert(liveKeys() === Set((2L, "b1")))
+    assert(storedLines().size === 1, "sealed-tag replay must not re-append")
+  }
+
   test("starting-offset=latest skips the existing backlog, then sees new pages") {
     val dir = freshStore("solatest")
     val ck = Files.createTempDirectory("gsync-so-ck").toString

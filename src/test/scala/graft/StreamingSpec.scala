@@ -599,6 +599,67 @@ class StreamingSpec extends AnyFunSuite {
       "a compacted store must serve identical answers")
   }
 
+  test("i20 streaming: per-cell LWW sink composed over epochs equals batch i20") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val target = tmp("cell-lww") + "/snap"
+    // the fixture events replayed in 3 slices — slicing CROSSES keys, so
+    // many users have cells written in different epochs (the case the
+    // compose must get right)
+    val feed = Tables.events(spark, TestSpark.sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .orderBy($"ts", $"event_id")
+      .collect()
+      .map(r => Ev(r.getLong(0),
+        java.sql.Timestamp.valueOf(r.getAs[java.time.LocalDateTime](1)),
+        r.getLong(2), r.getString(3), r.getDouble(4), ""))
+    val mem = MemoryStream[Ev]
+    val q = Sync.cellLwwSink(mem.toDF(), target, tmp("cell-lww-ckpt"),
+      Trigger.ProcessingTime(0))
+    try {
+      feed.grouped((feed.length + 2) / 3)
+        .foreach { sl => mem.addData(sl.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // serve the snapshot through the same presentation as batch i20
+    val snap = spark.read.parquet(target)
+    val streamed = snap.select($"user_id", $"status", $"status_ts_us",
+        $"val_cents", $"val_ts_us", $"n_changes", $"row_ts_us",
+        when($"s_ord".isNull || $"v_ord".isNull, 0)
+          .when($"s_ord" =!= $"v_ord", 1).otherwise(0).as("split_writers"))
+      .orderBy($"user_id").collect().map(_.toSeq).toSeq
+    val batch = graft.ops.SyncOps.i20(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch,
+      "epoch-composed cell states must equal the batch per-cell merge")
+    // the semantic witness: the fixture must exercise split-writer keys —
+    // the rows a row-granular LWW (i6) would get wrong
+    assert(batch.exists(_.last == 1), "fixture must exercise split writers")
+  }
+
+  test("i19: tsComposeCells is deterministic when slices tie on first-timestamp") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Two single-sample slices of ONE cell sharing fts=lts=100 — fts
+    // alone cannot order them, so lag(lv) (RATE's boundary delta) would
+    // be partition-layout-dependent without the total tiebreak. The
+    // total order (fts, lts, n, sc, …) puts sc=5 before sc=9: boundary
+    // delta 9−5=4, fv=5, lv=9 — under EVERY layout.
+    val slices = Seq(
+      (1L, "click", 0L, 1L, 5L, 5L, 5L, 100L, 5L, 100L, 5L, Option.empty[Long]),
+      (1L, "click", 0L, 1L, 9L, 9L, 9L, 100L, 9L, 100L, 9L, Option.empty[Long]))
+      .toDF("user_id", "event_type", "day", "n", "sc", "mn", "mx",
+        "fts", "fv", "lts", "lv", "pos")
+    val expect = (1L, "click", 0L, 2L, 14L, 5L, 9L, 100L, 5L, 100L, 9L, Some(4L))
+    for (layout <- Seq(slices.repartition(1), slices.repartition(7),
+                       slices.repartition(3, $"lv"), slices.orderBy($"lv".desc))) {
+      val got = graft.ops.Esql.tsComposeCells(layout)
+        .as[(Long, String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Option[Long])]
+        .collect().toSeq
+      assert(got === Seq(expect), s"compose must not depend on slice layout")
+    }
+  }
+
   test("i6 streaming: checkpoint resume — a restarted query continues from stored offsets") {
     val spark = TestSpark.spark
     import spark.implicits._
