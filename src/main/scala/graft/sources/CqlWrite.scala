@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+/** The `graft-cql` sink: bounded UNLOGGED BATCHes of positional-value
+  * INSERTs over the native protocol. C* INSERT is an UPSERT by primary
+  * key, so the write is at-least-once with exactly-once EFFECT — a
+  * retried task or replayed job re-applies the same primary-keyed rows
+  * (the ES sink's `_id` contract, C*-side). `batch-rows` bounds each
+  * request (writer memory constant in partition size; C* itself rejects
+  * oversized batches — the reference's bulk loop uses the same knob).
+  * UNLOGGED because the rows of one Spark partition do not need C*'s
+  * atomic-batch log (they are independent upserts — the log would add a
+  * coordinator round-trip per batch for a guarantee replays already
+  * provide). Abort deletes nothing: applied upserts converge on retry. */
+private[sources] class CqlWriteBuilder(host: String, port: Int, ks: String,
+    table: String, info: LogicalWriteInfo) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      GraftSyncStore.checkSchema(info.schema())
+      new CqlBatchWrite(host, port, ks, table, info.schema(),
+        Option(info.options().get("batch-rows")).map(_.toInt).getOrElse(64))
+    }
+  }
+}
+
+private[sources] class CqlBatchWrite(host: String, port: Int, ks: String,
+    table: String, schema: StructType, batchRows: Int) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    CqlWriterFactory(host, port, ks, table, schema, batchRows)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] case class CqlWriterFactory(host: String, port: Int,
+    ks: String, table: String, schema: StructType, batchRows: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new CqlBatchWriter(host, port, ks, table, schema, batchRows)
+}
+
+private[sources] case class CqlCommit(rows: Long) extends WriterCommitMessage
+
+private[sources] class CqlBatchWriter(host: String, port: Int, ks: String,
+    table: String, schema: StructType, batchRows: Int)
+    extends DataWriter[InternalRow] {
+
+  private val client = new CqlProtocol.Client(host, port)
+  private val fields = schema.fields
+  private val insert = {
+    val cols = fields.map(_.name).mkString(", ")
+    val marks = fields.map(_ => "?").mkString(", ")
+    s"INSERT INTO $ks.$table ($cols) VALUES ($marks)"
+  }
+  private val buf = Seq.newBuilder[(String, Seq[Array[Byte]])]
+  private var inBatch = 0
+  private var total = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val values = fields.zipWithIndex.map { case (f, i) =>
+      CqlProtocol.encode(raw(row, i, f.dataType), f.dataType)
+    }.toSeq
+    buf += ((insert, values))
+    inBatch += 1
+    total += 1
+    if (inBatch >= batchRows) flush()
+  }
+
+  private def flush(): Unit = {
+    if (inBatch == 0) return
+    client.batch(buf.result())
+    buf.clear()
+    inBatch = 0
+  }
+
+  override def commit(): WriterCommitMessage = { flush(); CqlCommit(total) }
+  override def abort(): Unit = () // applied upserts converge on retry
+  override def close(): Unit = client.close()
+
+  /** Catalyst value → the codec's raw JVM domain. */
+  private def raw(row: InternalRow, i: Int, dt: DataType): Any =
+    if (row.isNullAt(i)) null
+    else dt match {
+      case IntegerType => row.getInt(i)
+      case LongType | TimestampNTZType => row.getLong(i)
+      case FloatType => row.getFloat(i)
+      case DoubleType => row.getDouble(i)
+      case BooleanType => row.getBoolean(i)
+      case StringType => row.getUTF8String(i).toString
+      case ArrayType(et, _) =>
+        val a = row.getArray(i)
+        Array.tabulate[Any](a.numElements()) { j =>
+          et match {
+            case IntegerType => a.getInt(j)
+            case LongType => a.getLong(j)
+            case FloatType => a.getFloat(j)
+            case DoubleType => a.getDouble(j)
+            case StringType => a.getUTF8String(j).toString
+            case other => throw new IllegalStateException(s"unreachable: $other")
+          }
+        }
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+}

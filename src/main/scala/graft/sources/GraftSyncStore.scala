@@ -447,13 +447,58 @@ private[sources] object GraftSyncStore {
     }
   }
 
+  /** One InternalRow as a JSON object in the store's value domain —
+    * the NDJSON row shape shared by the graft-sync pages and the ES
+    * connector's `_bulk` document lines (one encoder, no drift). */
+  def rowToNode(mapper: ObjectMapper,
+      row: org.apache.spark.sql.catalyst.InternalRow,
+      fields: Array[StructField]): com.fasterxml.jackson.databind.node.ObjectNode = {
+    val node = mapper.createObjectNode()
+    var i = 0
+    while (i < fields.length) {
+      val f = fields(i)
+      if (row.isNullAt(i)) node.putNull(f.name)
+      else f.dataType match {
+        case IntegerType => node.put(f.name, row.getInt(i))
+        case LongType => node.put(f.name, row.getLong(i))
+        case TimestampNTZType => node.put(f.name, row.getLong(i)) // epoch µs
+        case FloatType => node.put(f.name, row.getFloat(i))
+        case DoubleType => node.put(f.name, row.getDouble(i))
+        case BooleanType => node.put(f.name, row.getBoolean(i))
+        case StringType => node.put(f.name, row.getUTF8String(i).toString)
+        case ArrayType(et, _) =>
+          val arr = node.putArray(f.name)
+          val a = row.getArray(i)
+          var j = 0
+          while (j < a.numElements()) {
+            et match {
+              case IntegerType => arr.add(a.getInt(j))
+              case LongType => arr.add(a.getLong(j))
+              case FloatType => arr.add(a.getFloat(j))
+              case DoubleType => arr.add(a.getDouble(j))
+              case StringType => arr.add(a.getUTF8String(j).toString)
+              case other => throw new IllegalStateException(s"unreachable: $other")
+            }
+            j += 1
+          }
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+      i += 1
+    }
+    node
+  }
+
   /** Parse one JSONL line into column values for `fields` (null-safe;
     * a field absent from the JSON object reads as SQL NULL — the dynamic-
     * document semantics of the ES side). Returns raw JVM values; the
     * caller converts to Catalyst form. */
   def parseLine(mapper: ObjectMapper, line: String,
-      fields: Array[StructField]): Array[Any] = {
-    val node = mapper.readTree(line)
+      fields: Array[StructField]): Array[Any] =
+    parseNode(mapper.readTree(line), fields)
+
+  /** [[parseLine]] over an already-parsed JSON object — the ES connector
+    * reads document objects out of a _search response envelope. */
+  def parseNode(node: JsonNode, fields: Array[StructField]): Array[Any] = {
     val out = new Array[Any](fields.length)
     var i = 0
     while (i < fields.length) {

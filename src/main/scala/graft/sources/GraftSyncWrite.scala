@@ -217,38 +217,7 @@ private[sources] class GraftSyncDataWriter(dir: String, schema: StructType,
   private val flushed = Seq.newBuilder[String]
 
   override def write(row: InternalRow): Unit = {
-    val node = mapper.createObjectNode()
-    var i = 0
-    while (i < fields.length) {
-      val f = fields(i)
-      if (row.isNullAt(i)) node.putNull(f.name)
-      else f.dataType match {
-        case IntegerType => node.put(f.name, row.getInt(i))
-        case LongType => node.put(f.name, row.getLong(i))
-        case TimestampNTZType => node.put(f.name, row.getLong(i)) // epoch µs
-        case FloatType => node.put(f.name, row.getFloat(i))
-        case DoubleType => node.put(f.name, row.getDouble(i))
-        case BooleanType => node.put(f.name, row.getBoolean(i))
-        case StringType => node.put(f.name, row.getUTF8String(i).toString)
-        case ArrayType(et, _) =>
-          val arr = node.putArray(f.name)
-          val a = row.getArray(i)
-          var j = 0
-          while (j < a.numElements()) {
-            et match {
-              case IntegerType => arr.add(a.getInt(j))
-              case LongType => arr.add(a.getLong(j))
-              case FloatType => arr.add(a.getFloat(j))
-              case DoubleType => arr.add(a.getDouble(j))
-              case StringType => arr.add(a.getUTF8String(j).toString)
-              case other => throw new IllegalStateException(s"unreachable: $other")
-            }
-            j += 1
-          }
-        case other => throw new IllegalStateException(s"unreachable: $other")
-      }
-      i += 1
-    }
+    val node = GraftSyncStore.rowToNode(mapper, row, fields)
     buf.append(mapper.writeValueAsString(node)).append('\n')
     rowsInChunk += 1
     if (rowsInChunk >= bulkRows) flushChunk()

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `graft-cql` wire connector (graft.sources.Cql*) against the CQL
+  * native-protocol stub: token-range parallel round-trip with protocol
+  * paging, schema inference from system_schema.columns, primary-key
+  * upsert convergence (C* INSERT semantics = retry idempotency), SELECT
+  * list pruning, and bounded batch writes. */
+class CqlConnectorSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withStub(test: CqlStubServer => Unit): Unit = {
+    val stub = new CqlStubServer().start()
+    try {
+      stub.createTable("ks", "events", Seq(
+        ("id", "bigint"), ("name", "text"), ("v", "double"),
+        ("flag", "boolean"), ("xs", "list<double>")), pk = "id")
+      test(stub)
+    } finally stub.stop()
+  }
+
+  private def sample(n: Int) =
+    (1 to n).map(i =>
+        (i.toLong, s"name$i", i * 0.5, i % 3 == 0, Array(i * 1.0, i * 2.0)))
+      .toDF("id", "name", "v", "flag", "xs")
+
+  private def write(stub: CqlStubServer, df: org.apache.spark.sql.DataFrame,
+      batchRows: Int = 64): Unit =
+    df.write.format("graft-cql")
+      .option("host", stub.host).option("keyspace", "ks")
+      .option("table", "events").option("batch-rows", batchRows.toString)
+      .mode("append").save()
+
+  private def read(stub: CqlStubServer, splits: Int = 4, pageSize: Int = 1000) =
+    spark.read.format("graft-cql")
+      .option("host", stub.host).option("keyspace", "ks")
+      .option("table", "events").option("partition-key", "id")
+      .option("token-splits", splits.toString)
+      .option("page-size", pageSize.toString)
+      .load()
+
+  test("token-range round-trip: every row comes back exactly once across splits") {
+    withStub { stub =>
+      val src = sample(500)
+      write(stub, src, batchRows = 50)
+      assert(stub.rowCount("ks", "events") === 500)
+      assert(stub.batchRequests.get() >= 10,
+        s"bounded batches expected, saw ${stub.batchRequests.get()}")
+      val back = read(stub, splits = 5)
+      assert(back.rdd.getNumPartitions === 5)
+      // compare through CSV'd arrays (driver-compare discipline)
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select($"id", $"name", $"v", $"flag",
+          array_join($"xs".cast("array<string>"), ",").as("xs"))
+        .orderBy($"id").collect().toSeq
+      assert(canon(back) === canon(src))
+    }
+  }
+
+  test("schema inference reads system_schema.columns over the wire") {
+    withStub { stub =>
+      import org.apache.spark.sql.types._
+      val inferred = spark.read.format("graft-cql")
+        .option("host", stub.host).option("keyspace", "ks")
+        .option("table", "events").option("partition-key", "id")
+        .load().schema
+      assert(inferred.map(f => (f.name, f.dataType)).toSet === Set(
+        ("id", LongType), ("name", StringType), ("v", DoubleType),
+        ("flag", BooleanType), ("xs", ArrayType(DoubleType))))
+    }
+  }
+
+  test("replayed write converges by primary-key upsert (C* INSERT semantics)") {
+    withStub { stub =>
+      write(stub, sample(200))
+      write(stub, sample(200)) // the replay
+      assert(stub.rowCount("ks", "events") === 200, "upsert, not duplicate")
+      write(stub, sample(200).withColumn("name", lit("rewritten")))
+      assert(stub.rowCount("ks", "events") === 200)
+      assert(read(stub).filter($"name" === "rewritten").count() === 200)
+    }
+  }
+
+  test("column pruning reaches the CQL SELECT list") {
+    withStub { stub =>
+      write(stub, sample(100))
+      val got = read(stub).select($"id", $"v").orderBy($"id").collect()
+      assert(got.length === 100 && got.last.getDouble(1) === 50.0)
+      assert(stub.lastSelectCols.toSet === Set("id", "v"))
+    }
+  }
+
+  test("protocol paging: a small page-size drains ranges over multiple exchanges") {
+    withStub { stub =>
+      write(stub, sample(300))
+      stub.selectRequests.set(0)
+      assert(read(stub, splits = 2, pageSize = 32).count() === 300)
+      // 300 rows over 2 ranges at 32/page needs well over 2 exchanges
+      assert(stub.selectRequests.get() > 6,
+        s"paging expected, saw ${stub.selectRequests.get()} exchanges")
+    }
+  }
+
+  test("nulls survive the wire (length −1 framing)") {
+    withStub { stub =>
+      val df = Seq((1L, null.asInstanceOf[String], 0.5),
+        (2L, "b", 1.5)).toDF("id", "name", "v")
+      df.write.format("graft-cql")
+        .option("host", stub.host).option("keyspace", "ks")
+        .option("table", "events").mode("append").save()
+      val back = read(stub).select($"id", $"name", $"v").orderBy($"id").collect()
+      assert(back(0).isNullAt(1) && back(1).getString(1) === "b")
+    }
+  }
+}
