@@ -71,9 +71,11 @@ object SyncConfig {
       snapshotB = req("elasticsearch.snapshot"),
       checkpointDir = req("checkpoint_dir"),
       interval = interval,
-      // optional per-side feed format: the parquet harness default, or
-      // `format: graft-sync` to read the side through the DataSource V2
-      // connector (a real paged endpoint instead of a file drop)
+      // optional per-side feed format: the parquet harness default,
+      // `graft-sync` (the paged-endpoint stand-in), or the REAL wires —
+      // `graft-cql` (feed: cql://host:port/ks/table?pk=<col>) and
+      // `graft-es` (feed: es://host:port/index) — the reference's actual
+      // contact-points/keyspace/table and ES-URL/index config lines
       formatA = flat.getOrElse("cassandra.format", "parquet"),
       formatB = flat.getOrElse("elasticsearch.format", "parquet"))
   }
@@ -153,9 +155,48 @@ object SyncJob {
         .withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts)"))
         .select("key", "ts", "uid", "payload")
+    case "graft-cql" =>
+      // the REAL wire: feed = cql://host:port/keyspace/table?pk=<col>;
+      // the change feed polls by the ts column (epoch-µs bigint) —
+      // exactly the reference's poll-by-update-timestamp rounds
+      val u = new java.net.URI(dir)
+      require(u.getScheme == "cql",
+        s"graft-cql feed must be cql://host:port/ks/table?pk=..., got $dir")
+      val Array(ks, tbl) = u.getPath.stripPrefix("/").split("/")
+      val pk = uriParam(u, "pk").getOrElse(throw new IllegalArgumentException(
+        s"graft-cql feed needs ?pk=<partition key column>: $dir"))
+      spark.readStream.format("graft-cql")
+        .option("host", s"${u.getHost}:${u.getPort}")
+        .option("keyspace", ks).option("table", tbl)
+        .option("partition-key", pk)
+        .option("incremental-column", "ts")
+        .load()
+        .withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts)"))
+        .select("key", "ts", "uid", "payload")
+    case "graft-es" =>
+      // the REAL wire: feed = es://host:port/index (http assumed — the
+      // harness stub; a TLS deployment would extend the scheme)
+      val u = new java.net.URI(dir)
+      require(u.getScheme == "es",
+        s"graft-es feed must be es://host:port/index, got $dir")
+      spark.readStream.format("graft-es")
+        .option("nodes", s"http://${u.getHost}:${u.getPort}")
+        .option("index", u.getPath.stripPrefix("/"))
+        .option("incremental-column", "ts")
+        .load()
+        .withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts)"))
+        .select("key", "ts", "uid", "payload")
     case other => throw new IllegalArgumentException(
-      s"sync config: unknown feed format '$other' (parquet | graft-sync)")
+      s"sync config: unknown feed format '$other' " +
+        "(parquet | graft-sync | graft-cql | graft-es)")
   }
+
+  private def uriParam(u: java.net.URI, key: String): Option[String] =
+    Option(u.getQuery).flatMap(_.split("&").collectFirst {
+      case kv if kv.startsWith(s"$key=") => kv.stripPrefix(s"$key=")
+    })
 
   /** One batch round (the reference's non-streaming mode): read whatever
     * is in both feeds now, merge both directions once, return row counts. */

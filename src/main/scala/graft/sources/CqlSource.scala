@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -108,13 +109,15 @@ private[sources] class CqlTable(host: String, port: Int, ks: String,
   override def name(): String = s"graft-cql:$host:$port/$ks.$table"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CqlScanBuilder(host, port, ks, table, schema,
       Cql.of(options, "partition-key"),
       Option(options.get("token-splits")).map(_.toInt).getOrElse(4),
-      Option(options.get("page-size")).map(_.toInt).getOrElse(1000))
+      Option(options.get("page-size")).map(_.toInt).getOrElse(1000),
+      Option(options.get("incremental-column")))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new CqlWriteBuilder(host, port, ks, table, info)
@@ -122,7 +125,8 @@ private[sources] class CqlTable(host: String, port: Int, ks: String,
 
 private[sources] class CqlScanBuilder(host: String, port: Int, ks: String,
     table: String, fullSchema: StructType, pk: String, splits: Int,
-    pageSize: Int) extends ScanBuilder with SupportsPushDownRequiredColumns {
+    pageSize: Int, incrementalCol: Option[String] = None)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = fullSchema
 
@@ -134,12 +138,14 @@ private[sources] class CqlScanBuilder(host: String, port: Int, ks: String,
     else requiredSchema
 
   override def build(): Scan =
-    new CqlScan(host, port, ks, table, required, pk, splits, pageSize)
+    new CqlScan(host, port, ks, table, required, pk, splits, pageSize,
+      incrementalCol)
 }
 
 private[sources] class CqlScan(host: String, port: Int, ks: String,
     table: String, required: StructType, pk: String, splits: Int,
-    pageSize: Int) extends Scan with Batch {
+    pageSize: Int, incrementalCol: Option[String] = None)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -162,12 +168,77 @@ private[sources] class CqlScan(host: String, port: Int, ks: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CqlReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    val col = incrementalCol.getOrElse(throw new IllegalArgumentException(
+      "graft-cql: streaming reads need .option(\"incremental-column\", <bigint col>)"))
+    require(required.fieldNames.contains(col),
+      s"graft-cql: incremental-column '$col' is not in the read schema")
+    new CqlMicroBatchStream(host, port, ks, table, required, pk, splits,
+      pageSize, col)
+  }
+}
+
+/** The reference's CHANGE-POLLING loop over the native protocol: each
+  * micro-batch is the half-open update-timestamp window (prev, mark],
+  * mark = `SELECT max(ts)` (a scan-aggregate server-side — the honest
+  * cost of poll-by-timestamp on C*; real deployments index the ts or use
+  * CDC, the reference scans exactly like this). The window conjunct
+  * rides WITH the token-range predicate, which requires ALLOW FILTERING
+  * — C*'s own spelling for a non-key predicate, again the reference's
+  * actual query shape. Deterministic replay under the CDC contract
+  * (append-monotone ts): a committed (from, to] window re-reads the same
+  * rows; late rows with ts ≤ a committed mark are missed — the
+  * documented limitation of every poll-by-timestamp sync. */
+private[sources] class CqlMicroBatchStream(host: String, port: Int,
+    ks: String, table: String, required: StructType, pk: String,
+    splits: Int, pageSize: Int, tsCol: String) extends MicroBatchStream {
+
+  private case class TsOffset(ts: Long) extends Offset {
+    override def json(): String = ts.toString
+  }
+
+  override def initialOffset(): Offset = TsOffset(Long.MinValue)
+
+  override def latestOffset(): Offset = {
+    val client = new CqlProtocol.Client(host, port)
+    try {
+      val res = client.query(s"SELECT max($tsCol) FROM $ks.$table")
+        .getOrElse(throw new java.io.IOException("graft-cql: Void for max()"))
+      val v = res.rows.headOption.flatMap(r => Option(r(0)))
+        .map(b => java.nio.ByteBuffer.wrap(b).getLong)
+      TsOffset(v.getOrElse(Long.MinValue))
+    } finally client.close()
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    TsOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[TsOffset].ts, end.asInstanceOf[TsOffset].ts)
+    if (e <= s) Array.empty
+    else {
+      val step = java.lang.Long.divideUnsigned(-1L, splits.toLong) max 1L
+      val bounds = (0 until splits).map(i => Long.MinValue + step * i) :+ Long.MaxValue
+      (0 until splits).map { i =>
+        CqlTokenRange(host, port, ks, table, pk, bounds(i), bounds(i + 1),
+          i == 0, pageSize, Some((tsCol, s, e))): InputPartition
+      }.toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CqlReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** One token range = one split (the C* drivers' scan parallelism). */
 private[sources] case class CqlTokenRange(host: String, port: Int, ks: String,
     table: String, pk: String, lo: Long, hi: Long, includeLo: Boolean,
-    pageSize: Int) extends InputPartition
+    pageSize: Int, window: Option[(String, Long, Long)] = None)
+  extends InputPartition
 
 private[sources] class CqlReaderFactory(required: StructType)
     extends PartitionReaderFactory {
@@ -186,8 +257,12 @@ private[sources] class CqlRangeReader(range: CqlTokenRange,
   private val cql = {
     val cols = fields.map(_.name).mkString(", ")
     val loOp = if (range.includeLo) ">=" else ">"
+    val win = range.window.map { case (c, from, to) =>
+      s" AND $c > $from AND $c <= $to ALLOW FILTERING"
+    }.getOrElse("")
     s"SELECT $cols FROM ${range.ks}.${range.table} WHERE " +
-      s"token(${range.pk}) $loOp ${range.lo} AND token(${range.pk}) <= ${range.hi}"
+      s"token(${range.pk}) $loOp ${range.lo} AND token(${range.pk}) <= ${range.hi}" +
+      win
   }
   private var pagingState: Array[Byte] = _
   private var page: Iterator[Array[Array[Byte]]] = Iterator.empty

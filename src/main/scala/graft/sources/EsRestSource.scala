@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -217,20 +218,23 @@ private[sources] class EsRestTable(node: String, index: String,
   override def name(): String = s"graft-es:$node/$index"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EsRestScanBuilder(node, index, schema,
       Option(options.get("read-slices")).map(_.toInt).getOrElse(4),
       Option(options.get("scroll-size")).map(_.toInt).getOrElse(1000),
-      Option(options.get("scroll-keepalive")).getOrElse("1m"))
+      Option(options.get("scroll-keepalive")).getOrElse("1m"),
+      Option(options.get("incremental-column")))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new EsRestWriteBuilder(node, index, info)
 }
 
 private[sources] class EsRestScanBuilder(node: String, index: String,
-    fullSchema: StructType, slices: Int, scrollSize: Int, keepalive: String)
+    fullSchema: StructType, slices: Int, scrollSize: Int, keepalive: String,
+    incrementalCol: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -250,12 +254,13 @@ private[sources] class EsRestScanBuilder(node: String, index: String,
     required = requiredSchema
 
   override def build(): Scan =
-    new EsRestScan(node, index, required, pushed, slices, scrollSize, keepalive)
+    new EsRestScan(node, index, required, pushed, slices, scrollSize,
+      keepalive, incrementalCol)
 }
 
 private[sources] class EsRestScan(node: String, index: String,
     required: StructType, pushed: Array[Filter], slices: Int,
-    scrollSize: Int, keepalive: String)
+    scrollSize: Int, keepalive: String, incrementalCol: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -291,11 +296,74 @@ private[sources] class EsRestScan(node: String, index: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EsRestReaderFactory(required, pushed)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    val col = incrementalCol.getOrElse(throw new IllegalArgumentException(
+      "graft-es: streaming reads need .option(\"incremental-column\", <epoch-µs long col>)"))
+    require(required.fieldNames.contains(col),
+      s"graft-es: incremental-column '$col' is not in the read schema")
+    new EsMicroBatchStream(node, index, required, pushed, slices,
+      scrollSize, keepalive, col)
+  }
 }
 
-/** One scroll slice = one split (ES partitions the scan server-side). */
+/** The reference's CHANGE-POLLING loop over the real wire: each
+  * micro-batch is the half-open update-timestamp window (prev, mark] —
+  * exactly how the reference detects changed rows (the update-ts column
+  * it reads from `_timestamp`-style fields). The mark comes from a
+  * size-0 `max` aggregation, so an offset pins its batch exactly and a
+  * checkpointed replay re-issues the same window (deterministic under
+  * the CDC contract: the ts column is append-monotone — late rows with
+  * ts ≤ a committed mark would be missed, the documented limitation of
+  * EVERY poll-by-timestamp sync including the reference's). Each window
+  * still reads as sliced scrolls — the batch scan's parallelism. */
+private[sources] class EsMicroBatchStream(node: String, index: String,
+    required: StructType, pushed: Array[Filter], slices: Int,
+    scrollSize: Int, keepalive: String, tsCol: String)
+    extends MicroBatchStream {
+
+  private case class TsOffset(ts: Long) extends Offset {
+    override def json(): String = ts.toString
+  }
+
+  override def initialOffset(): Offset = TsOffset(Long.MinValue)
+
+  override def latestOffset(): Offset = {
+    val m = new ObjectMapper()
+    val body = m.createObjectNode()
+    body.put("size", 0)
+    body.putObject("aggs").putObject("m").putObject("max").put("field", tsCol)
+    val (code, resp) = EsHttp.request("POST", s"$node/$index/_search",
+      Some(m.writeValueAsString(body)))
+    if (code != 200) throw new java.io.IOException(
+      s"graft-es: max-$tsCol poll failed ($code): $resp")
+    val v = m.readTree(resp).path("aggregations").path("m").path("value")
+    TsOffset(if (v.isNumber) v.asLong() else Long.MinValue)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    TsOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[TsOffset].ts, end.asInstanceOf[TsOffset].ts)
+    if (e <= s) Array.empty
+    else (0 until slices).map(i =>
+      EsSlice(node, index, i, slices, scrollSize, keepalive,
+        Some((tsCol, s, e))): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EsRestReaderFactory(required, pushed)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** One scroll slice = one split (ES partitions the scan server-side).
+  * `window` (tsCol, from, to] narrows a micro-batch to its offset range. */
 private[sources] case class EsSlice(node: String, index: String,
-    sliceId: Int, maxSlices: Int, scrollSize: Int, keepalive: String)
+    sliceId: Int, maxSlices: Int, scrollSize: Int, keepalive: String,
+    window: Option[(String, Long, Long)] = None)
   extends InputPartition
 
 private[sources] class EsRestReaderFactory(required: StructType,
@@ -326,7 +394,20 @@ private[sources] class EsScrollReader(slice: EsSlice, required: StructType,
       s.put("id", slice.sliceId)
       s.put("max", slice.maxSlices)
     }
-    body.set[JsonNode]("query", EsRest.queryJson(mapper, pushed))
+    val base = EsRest.queryJson(mapper, pushed)
+    val query = slice.window match {
+      case None => base
+      case Some((col, from, to)) =>
+        // the offset window rides WITH the prefilters in one bool.filter
+        val q = mapper.createObjectNode()
+        val fs = q.putObject("bool").putArray("filter")
+        fs.add(base)
+        val r = fs.addObject().putObject("range").putObject(col)
+        r.put("gt", from)
+        r.put("lte", to)
+        q
+    }
+    body.set[JsonNode]("query", query)
     val src = body.putObject("_source")
     val inc = src.putArray("includes")
     fields.foreach(f => inc.add(f.name))

@@ -110,9 +110,26 @@ class CqlStubServer {
       return
     }
 
-    // token-range SELECT: SELECT c1, c2 FROM ks.t WHERE token(pk) >[=] a AND token(pk) <= b
+    val mx = """SELECT max\((\S+)\) FROM (\S+)\.(\S+)""".r
+    mx.findFirstMatchIn(cql).foreach { m =>
+      val t = tables(s"${m.group(2)}.${m.group(3)}")
+      val ci = t.schema.indexWhere(_._1 == m.group(1))
+      val vals = synchronized { t.rows.values.toVector }
+        .flatMap(r => Option(r(ci)))
+        .map(b => java.nio.ByteBuffer.wrap(b).getLong)
+      val bytes = if (vals.isEmpty) null
+        else java.nio.ByteBuffer.allocate(8).putLong(vals.max).array()
+      rows(out, stream, Seq((s"system.max(${m.group(1)})", TBigint)),
+        Vector(Array(bytes)), null)
+      return
+    }
+
+    // token-range SELECT, optionally with the incremental window conjunct:
+    // SELECT c1, c2 FROM ks.t WHERE token(pk) >[=] a AND token(pk) <= b
+    //   [AND ts > f AND ts <= t ALLOW FILTERING]
     val sel = ("""SELECT (.+) FROM (\S+)\.(\S+) WHERE """ +
-      """token\((\S+)\) (>=?) (-?\d+) AND token\(\S+\) <= (-?\d+)""").r
+      """token\((\S+)\) (>=?) (-?\d+) AND token\(\S+\) <= (-?\d+)""" +
+      """(?: AND (\S+) > (-?\d+) AND \S+ <= (-?\d+) ALLOW FILTERING)?""").r
     sel.findFirstMatchIn(cql) match {
       case None =>
         writeFrame(out, OpError, stream,
@@ -129,10 +146,19 @@ class CqlStubServer {
         val hi = m.group(7).toLong
         val colIdx = cols.map(c => t.schema.indexWhere(_._1 == c))
         require(colIdx.forall(_ >= 0), s"unknown column in $cols")
+        val window = Option(m.group(8)).map { wc =>
+          (t.schema.indexWhere(_._1 == wc), m.group(9).toLong, m.group(10).toLong)
+        }
         val matching = synchronized {
           t.rows.values.toVector.filter { r =>
             val tok = token(r(pkIdx))
-            (if (incl) tok >= lo else tok > lo) && tok <= hi
+            val inRange = (if (incl) tok >= lo else tok > lo) && tok <= hi
+            inRange && window.forall { case (ci, from, to) =>
+              Option(r(ci)).exists { b =>
+                val v = java.nio.ByteBuffer.wrap(b).getLong
+                v > from && v <= to
+              }
+            }
           }
         }.map(r => colIdx.map(r(_)).toArray)
         val offset = if (pagingState == null) 0

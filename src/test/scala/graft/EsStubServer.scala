@@ -141,6 +141,15 @@ class EsStubServer {
   private def search(idx: String, body: String): (Int, String) = synchronized {
     val req = mapper.readTree(body)
     val size = req.path("size").asInt(10)
+    if (req.has("aggs")) { // size-0 max agg: the incremental-poll mark
+      val field = req.path("aggs").path("m").path("max").path("field").asText()
+      val vals = indices(idx)._2.values
+        .map(_.path(field)).filter(_.isNumber).map(_.asLong())
+      val root = mapper.createObjectNode()
+      val m = root.putObject("aggregations").putObject("m")
+      if (vals.isEmpty) m.putNull("value") else m.put("value", vals.max)
+      return (200, mapper.writeValueAsString(root))
+    }
     val includes = req.path("_source").path("includes").elements().asScala
       .map(_.asText()).toSeq
     lastSourceIncludes = includes

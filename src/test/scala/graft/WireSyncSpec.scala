@@ -16,6 +16,62 @@ class WireSyncSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  test("SyncJob over BOTH wires: the reference's YAML topology, initial full sync + incremental rounds") {
+    val cql = new CqlStubServer().start()
+    val es = new EsStubServer().start()
+    val base = java.nio.file.Files.createTempDirectory("wiresync").toString
+    try {
+      // side A: the C* change table (pk = uid, the unique change id)
+      cql.createTable("ks", "changes", Seq(
+        ("key", "bigint"), ("ts", "bigint"), ("uid", "bigint"),
+        ("payload", "text")), pk = "uid")
+      Seq((1L, 100L, 10L, "a1"), (1L, 200L, 11L, "a2"), (2L, 100L, 12L, "b1"))
+        .toDF("key", "ts", "uid", "payload")
+        .write.format("graft-cql").option("host", cql.host)
+        .option("keyspace", "ks").option("table", "changes")
+        .mode("append").save()
+      // side B: the ES change index
+      val (c, _) = graft.sources.EsHttp.request("PUT", s"${es.url}/changes", Some(
+        """{"mappings":{"properties":{"key":{"type":"long"},"ts":{"type":"long"},
+          |"uid":{"type":"long"},"payload":{"type":"keyword"}}}}""".stripMargin))
+      assert(c === 200)
+      Seq((3L, 150L, 20L, "c1")).toDF("key", "ts", "uid", "payload")
+        .write.format("graft-es").option("nodes", es.url)
+        .option("index", "changes").option("id-column", "uid")
+        .mode("append").save()
+
+      // the reference's YAML, wire edition
+      val cfg = SyncConfig.fromYaml(
+        s"""cassandra:
+           |  feed: cql://${cql.host}/ks/changes?pk=uid
+           |  snapshot: $base/snapA
+           |  format: graft-cql
+           |elasticsearch:
+           |  feed: es://127.0.0.1:${es.url.split(":").last}/changes
+           |  snapshot: $base/snapB
+           |  format: graft-es
+           |checkpoint_dir: $base/ckpt
+           |""".stripMargin)
+      val (na, nb) = SyncJob.runOnce(spark, cfg)
+      assert((na, nb) === (1L, 2L),
+        "A's merged view of B has key 3; B's merged view of A has keys 1 (LWW a2) + 2")
+      def snapB() = spark.read.schema(graft.streaming.Sync.changeSchema)
+        .parquet(s"$base/snapB").select($"key", $"payload")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(snapB() === Map(1L -> "a2", 2L -> "b1"))
+
+      // a later change lands in C*; the next round is INCREMENTAL — the
+      // checkpointed ts offset picks up only the new row
+      Seq((2L, 400L, 13L, "b2")).toDF("key", "ts", "uid", "payload")
+        .write.format("graft-cql").option("host", cql.host)
+        .option("keyspace", "ks").option("table", "changes")
+        .mode("append").save()
+      cql.selectRequests.set(0)
+      SyncJob.runOnce(spark, cfg)
+      assert(snapB() === Map(1L -> "a2", 2L -> "b2"), "the new change must win LWW")
+    } finally { cql.stop(); es.stop() }
+  }
+
   test("C* wire → LWW merge with tombstones → ES wire; the round replays convergently") {
     val cql = new CqlStubServer().start()
     val es = new EsStubServer().start()
