@@ -56,9 +56,20 @@ class CqlProvider extends TableProvider
   override def shortName(): String = "graft-cql"
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    Cql.systemSchema(Cql.hostOf(options), Cql.portOf(options),
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = Cql.systemSchema(Cql.hostOf(options), Cql.portOf(options),
       Cql.of(options, "keyspace"), Cql.of(options, "table"))
+    // writetime-of=<dataCol>: expose C*'s per-cell WRITETIME as a
+    // synthetic `writetime` bigint column — the reference's actual
+    // update-timestamp source (it reads WRITETIME() for LWW ordering)
+    Option(options.get("writetime-of")) match {
+      case None => base
+      case Some(of) =>
+        require(base.fieldNames.contains(of),
+          s"graft-cql: writetime-of column '$of' is not in $base")
+        StructType(base.fields :+ StructField("writetime", LongType))
+    }
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -117,7 +128,8 @@ private[sources] class CqlTable(host: String, port: Int, ks: String,
       Cql.of(options, "partition-key"),
       Option(options.get("token-splits")).map(_.toInt).getOrElse(4),
       Option(options.get("page-size")).map(_.toInt).getOrElse(1000),
-      Option(options.get("incremental-column")))
+      Option(options.get("incremental-column")),
+      Option(options.get("writetime-of")))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new CqlWriteBuilder(host, port, ks, table, info)
@@ -125,7 +137,8 @@ private[sources] class CqlTable(host: String, port: Int, ks: String,
 
 private[sources] class CqlScanBuilder(host: String, port: Int, ks: String,
     table: String, fullSchema: StructType, pk: String, splits: Int,
-    pageSize: Int, incrementalCol: Option[String] = None)
+    pageSize: Int, incrementalCol: Option[String] = None,
+    writetimeOf: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = fullSchema
@@ -139,12 +152,13 @@ private[sources] class CqlScanBuilder(host: String, port: Int, ks: String,
 
   override def build(): Scan =
     new CqlScan(host, port, ks, table, required, pk, splits, pageSize,
-      incrementalCol)
+      incrementalCol, writetimeOf)
 }
 
 private[sources] class CqlScan(host: String, port: Int, ks: String,
     table: String, required: StructType, pk: String, splits: Int,
-    pageSize: Int, incrementalCol: Option[String] = None)
+    pageSize: Int, incrementalCol: Option[String] = None,
+    writetimeOf: Option[String] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -162,7 +176,7 @@ private[sources] class CqlScan(host: String, port: Int, ks: String,
     val bounds = (0 until splits).map(i => Long.MinValue + step * i) :+ Long.MaxValue
     (0 until splits).map { i =>
       CqlTokenRange(host, port, ks, table, pk, bounds(i), bounds(i + 1),
-        i == 0, pageSize): InputPartition
+        i == 0, pageSize, None, writetimeOf): InputPartition
     }.toArray
   }
 
@@ -237,7 +251,8 @@ private[sources] class CqlMicroBatchStream(host: String, port: Int,
 /** One token range = one split (the C* drivers' scan parallelism). */
 private[sources] case class CqlTokenRange(host: String, port: Int, ks: String,
     table: String, pk: String, lo: Long, hi: Long, includeLo: Boolean,
-    pageSize: Int, window: Option[(String, Long, Long)] = None)
+    pageSize: Int, window: Option[(String, Long, Long)] = None,
+    writetimeOf: Option[String] = None)
   extends InputPartition
 
 private[sources] class CqlReaderFactory(required: StructType)
@@ -255,7 +270,13 @@ private[sources] class CqlRangeReader(range: CqlTokenRange,
   private val client = new CqlProtocol.Client(range.host, range.port)
   private val fields = required.fields
   private val cql = {
-    val cols = fields.map(_.name).mkString(", ")
+    // the synthetic `writetime` column reads as WRITETIME(<data col>) —
+    // positional decode, so no alias is needed
+    val cols = fields.map { f =>
+      if (f.name == "writetime" && range.writetimeOf.isDefined)
+        s"WRITETIME(${range.writetimeOf.get})"
+      else f.name
+    }.mkString(", ")
     val loOp = if (range.includeLo) ">=" else ">"
     val win = range.window.map { case (c, from, to) =>
       s" AND $c > $from AND $c <= $to ALLOW FILTERING"

@@ -20,39 +20,55 @@ private[sources] class CqlWriteBuilder(host: String, port: Int, ks: String,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
       GraftSyncStore.checkSchema(info.schema())
-      new CqlBatchWrite(host, port, ks, table, info.schema(),
+      // USING TIMESTAMP <col>: each INSERT carries the row's own epoch-µs
+      // write stamp — the reference's actual C* write path (it stamps
+      // writes with the SOURCE timestamp so C*'s per-cell LWW resolves
+      // conflicts correctly instead of by arrival order)
+      val tsCol = Option(info.options().get("using-timestamp-column"))
+      tsCol.foreach { c =>
+        require(info.schema().fieldNames.contains(c),
+          s"graft-cql: using-timestamp-column '$c' is not in the written schema")
+        val dt = info.schema()(c).dataType
+        require(dt == org.apache.spark.sql.types.LongType ||
+          dt == org.apache.spark.sql.types.TimestampNTZType,
+          s"graft-cql: using-timestamp-column must be bigint/timestamp_ntz µs, got ${dt.simpleString}")
+      }
+      new CqlBatchWrite(host, port, ks, table, info.schema(), tsCol,
         Option(info.options().get("batch-rows")).map(_.toInt).getOrElse(64))
     }
   }
 }
 
 private[sources] class CqlBatchWrite(host: String, port: Int, ks: String,
-    table: String, schema: StructType, batchRows: Int) extends BatchWrite {
+    table: String, schema: StructType, tsCol: Option[String], batchRows: Int)
+    extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    CqlWriterFactory(host, port, ks, table, schema, batchRows)
+    CqlWriterFactory(host, port, ks, table, schema, tsCol, batchRows)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 private[sources] case class CqlWriterFactory(host: String, port: Int,
-    ks: String, table: String, schema: StructType, batchRows: Int)
-    extends DataWriterFactory {
+    ks: String, table: String, schema: StructType, tsCol: Option[String],
+    batchRows: Int) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new CqlBatchWriter(host, port, ks, table, schema, batchRows)
+    new CqlBatchWriter(host, port, ks, table, schema, tsCol, batchRows)
 }
 
 private[sources] case class CqlCommit(rows: Long) extends WriterCommitMessage
 
 private[sources] class CqlBatchWriter(host: String, port: Int, ks: String,
-    table: String, schema: StructType, batchRows: Int)
+    table: String, schema: StructType, tsCol: Option[String], batchRows: Int)
     extends DataWriter[InternalRow] {
 
   private val client = new CqlProtocol.Client(host, port)
   private val fields = schema.fields
+  private val tsIdx = tsCol.map(schema.fieldIndex)
   private val insert = {
     val cols = fields.map(_.name).mkString(", ")
     val marks = fields.map(_ => "?").mkString(", ")
-    s"INSERT INTO $ks.$table ($cols) VALUES ($marks)"
+    s"INSERT INTO $ks.$table ($cols) VALUES ($marks)" +
+      (if (tsIdx.isDefined) " USING TIMESTAMP ?" else "")
   }
   private val buf = Seq.newBuilder[(String, Seq[Array[Byte]])]
   private var inBatch = 0
@@ -61,7 +77,12 @@ private[sources] class CqlBatchWriter(host: String, port: Int, ks: String,
   override def write(row: InternalRow): Unit = {
     val values = fields.zipWithIndex.map { case (f, i) =>
       CqlProtocol.encode(raw(row, i, f.dataType), f.dataType)
-    }.toSeq
+    }.toSeq ++ tsIdx.map { i =>
+      require(!row.isNullAt(i),
+        s"graft-cql: null write timestamp in '${tsCol.get}'")
+      CqlProtocol.encode(row.getLong(i),
+        org.apache.spark.sql.types.LongType)
+    }
     buf += ((insert, values))
     inBatch += 1
     total += 1

@@ -17,7 +17,8 @@ class CqlConnectorSpec extends AnyFunSuite {
     try {
       stub.createTable("ks", "events", Seq(
         ("id", "bigint"), ("name", "text"), ("v", "double"),
-        ("flag", "boolean"), ("xs", "list<double>")), pk = "id")
+        ("flag", "boolean"), ("xs", "list<double>"), ("ts", "bigint")),
+        pk = "id")
       test(stub)
     } finally stub.stop()
   }
@@ -69,7 +70,8 @@ class CqlConnectorSpec extends AnyFunSuite {
         .load().schema
       assert(inferred.map(f => (f.name, f.dataType)).toSet === Set(
         ("id", LongType), ("name", StringType), ("v", DoubleType),
-        ("flag", BooleanType), ("xs", ArrayType(DoubleType))))
+        ("flag", BooleanType), ("xs", ArrayType(DoubleType)),
+        ("ts", LongType)))
     }
   }
 
@@ -101,6 +103,56 @@ class CqlConnectorSpec extends AnyFunSuite {
       // 300 rows over 2 ranges at 32/page needs well over 2 exchanges
       assert(stub.selectRequests.get() > 6,
         s"paging expected, saw ${stub.selectRequests.get()} exchanges")
+    }
+  }
+
+  test("USING TIMESTAMP round-trips as WRITETIME: the source stamp IS the stored stamp") {
+    withStub { stub =>
+      // the reference's C* write path: stamp every write with the SOURCE
+      // timestamp so LWW resolves by origin time, not arrival order
+      Seq((1L, "x", 111111L), (2L, "y", 222222L)).toDF("id", "name", "v")
+        .withColumn("v", $"v".cast("double"))
+        .withColumn("ts", ($"id" * 1000000L + 500L))
+        .write.format("graft-cql")
+        .option("host", stub.host).option("keyspace", "ks")
+        .option("table", "events")
+        .option("using-timestamp-column", "ts")
+        .mode("append").save()
+      val got = spark.read.format("graft-cql")
+        .option("host", stub.host).option("keyspace", "ks")
+        .option("table", "events").option("partition-key", "id")
+        .option("writetime-of", "name")
+        .load()
+        .select($"id", $"name", $"writetime")
+        .orderBy($"id").collect()
+      assert(got.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ===
+        Seq((1L, "x", 1000500L), (2L, "y", 2000500L)))
+    }
+  }
+
+  test("per-cell LWW on the wire: older stamps cannot clobber; disjoint columns merge per cell (i20 server-side)") {
+    withStub { stub =>
+      def put(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("graft-cql")
+          .option("host", stub.host).option("keyspace", "ks")
+          .option("table", "events")
+          .option("using-timestamp-column", "ts")
+          .mode("append").save()
+      // write name at stamp 200
+      put(Seq((1L, "new-name", 200L)).toDF("id", "name", "ts"))
+      // an OLDER replayed write arrives LATER — it must lose, cell by cell
+      put(Seq((1L, "stale-name", 1.5, 100L)).toDF("id", "name", "v", "ts"))
+      // a NEWER write touching only v — the name cell must survive
+      put(Seq((1L, 9.9, 300L)).toDF("id", "v", "ts"))
+      val r = spark.read.format("graft-cql")
+        .option("host", stub.host).option("keyspace", "ks")
+        .option("table", "events").option("partition-key", "id")
+        .load().select($"id", $"name", $"v").collect()
+      assert(r.length === 1)
+      assert(r(0).getString(1) === "new-name",
+        "the stale replay must not clobber the newer name cell")
+      assert(r(0).getDouble(2) === 9.9,
+        "the v cell comes from ITS newest writer — per-cell, not per-row")
     }
   }
 

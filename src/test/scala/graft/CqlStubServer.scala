@@ -18,10 +18,17 @@ import graft.sources.CqlProtocol._
   * real table. One thread per connection (the connector runs one
   * in-flight request per connection). */
 class CqlStubServer {
-  // table -> (schema: Seq[(name, cqlType)], pkName, rows: pkBytesKey -> values in schema order)
+  // C*'s REAL storage model: a row is a set of CELLS, each carrying its
+  // own writetime; an INSERT's cells only land where their writetime is
+  // >= the stored cell's (per-cell LWW — arrival order is irrelevant).
+  private case class Cell(bytes: Array[Byte], wt: Long)
+  // table -> (schema: Seq[(name, cqlType)], pkName, rows: pkBytesKey -> cells in schema order)
   private case class Tbl(schema: Seq[(String, String)], pk: String,
-      rows: mutable.LinkedHashMap[String, Array[Array[Byte]]])
+      rows: mutable.LinkedHashMap[String, Array[Cell]])
   private val tables = mutable.LinkedHashMap.empty[String, Tbl]
+  // server-assigned writetimes for INSERTs without USING TIMESTAMP —
+  // monotone like a coordinator clock
+  private val wtSeq = new java.util.concurrent.atomic.AtomicLong(1L)
 
   val batchRequests = new AtomicInteger()
   val selectRequests = new AtomicInteger()
@@ -115,7 +122,7 @@ class CqlStubServer {
       val t = tables(s"${m.group(2)}.${m.group(3)}")
       val ci = t.schema.indexWhere(_._1 == m.group(1))
       val vals = synchronized { t.rows.values.toVector }
-        .flatMap(r => Option(r(ci)))
+        .flatMap(r => Option(r(ci)).flatMap(c => Option(c.bytes)))
         .map(b => java.nio.ByteBuffer.wrap(b).getLong)
       val bytes = if (vals.isEmpty) null
         else java.nio.ByteBuffer.allocate(8).putLong(vals.max).array()
@@ -144,31 +151,44 @@ class CqlStubServer {
         val incl = m.group(5) == ">="
         val lo = m.group(6).toLong
         val hi = m.group(7).toLong
-        val colIdx = cols.map(c => t.schema.indexWhere(_._1 == c))
-        require(colIdx.forall(_ >= 0), s"unknown column in $cols")
+        val wtRx = """WRITETIME\((\w+)\)""".r
+        // a select entry is a plain column or WRITETIME(col) — the
+        // latter serves the CELL's writetime as bigint
+        val getters: Seq[(Array[Cell] => Array[Byte], Int)] = cols.map {
+          case wtRx(of) =>
+            val i = t.schema.indexWhere(_._1 == of)
+            require(i >= 0, s"unknown WRITETIME column $of")
+            ((r: Array[Cell]) => Option(r(i))
+              .map(c => java.nio.ByteBuffer.allocate(8).putLong(c.wt).array())
+              .orNull, -1)
+          case c =>
+            val i = t.schema.indexWhere(_._1 == c)
+            require(i >= 0, s"unknown column $c")
+            ((r: Array[Cell]) => Option(r(i)).map(_.bytes).orNull, i)
+        }
         val window = Option(m.group(8)).map { wc =>
           (t.schema.indexWhere(_._1 == wc), m.group(9).toLong, m.group(10).toLong)
         }
         val matching = synchronized {
           t.rows.values.toVector.filter { r =>
-            val tok = token(r(pkIdx))
+            val tok = token(r(pkIdx).bytes)
             val inRange = (if (incl) tok >= lo else tok > lo) && tok <= hi
             inRange && window.forall { case (ci, from, to) =>
-              Option(r(ci)).exists { b =>
+              Option(r(ci)).flatMap(c => Option(c.bytes)).exists { b =>
                 val v = java.nio.ByteBuffer.wrap(b).getLong
                 v > from && v <= to
               }
             }
           }
-        }.map(r => colIdx.map(r(_)).toArray)
+        }.map(r => getters.map(_._1(r)).toArray)
         val offset = if (pagingState == null) 0
           else java.nio.ByteBuffer.wrap(pagingState).getInt
         val page = matching.slice(offset, offset + pageSize)
         val next =
           if (offset + pageSize >= matching.size) null
           else java.nio.ByteBuffer.allocate(4).putInt(offset + pageSize).array()
-        val meta = cols.zip(colIdx).map { case (c, i) =>
-          (c, typeIdOfCql(t.schema(i)._2))
+        val meta = cols.zip(getters.map(_._2)).map { case (c, i) =>
+          (c, if (i < 0) TBigint else typeIdOfCql(t.schema(i)._2))
         }
         rows(out, stream, meta, page, next)
     }
@@ -187,16 +207,25 @@ class CqlStubServer {
         throw new IllegalArgumentException(s"unparseable batch stmt: $cql"))
       val t = tables(s"${m.group(1)}.${m.group(2)}")
       val cols = m.group(3).split(",").map(_.trim)
-      val row = new Array[Array[Byte]](t.schema.size)
-      cols.zip(values).foreach { case (c, v) =>
-        val i = t.schema.indexWhere(_._1 == c)
-        require(i >= 0, s"unknown column $c")
-        row(i) = v
-      }
-      val pkIdx = t.schema.indexWhere(_._1 == t.pk)
-      require(row(pkIdx) != null, "null primary key")
+      // USING TIMESTAMP ? binds one extra trailing value (epoch µs);
+      // otherwise the coordinator assigns a monotone writetime
+      val usingTs = cql.contains("USING TIMESTAMP")
+      require(values.size == cols.length + (if (usingTs) 1 else 0),
+        s"value count ${values.size} vs columns ${cols.length} (usingTs=$usingTs)")
+      val wt = if (usingTs) java.nio.ByteBuffer.wrap(values.last).getLong
+        else wtSeq.incrementAndGet()
+      val pkPos = cols.indexOf(t.pk)
+      require(pkPos >= 0 && values(pkPos) != null, "null primary key")
+      val pkKey = java.util.Base64.getEncoder.encodeToString(values(pkPos))
       synchronized {
-        t.rows(java.util.Base64.getEncoder.encodeToString(row(pkIdx))) = row
+        val row = t.rows.getOrElseUpdate(pkKey, new Array[Cell](t.schema.size))
+        cols.zip(values).foreach { case (c, v) =>
+          val i = t.schema.indexWhere(_._1 == c)
+          require(i >= 0, s"unknown column $c")
+          // per-cell LWW: only a >= writetime lands (C*'s resolution —
+          // an older write can NEVER clobber a newer cell)
+          if (row(i) == null || wt >= row(i).wt) row(i) = Cell(v, wt)
+        }
       }
     }
     f.short() // consistency
