@@ -206,6 +206,37 @@ object FusionOps {
       .orderBy($"o_orderpriority")
   }
 
+  // ---------- j277 ES parent aggregation ----------
+
+  /** j277_parent_agg — the ES `parent` aggregation (j143's inverse: that
+    * one buckets by a PARENT field and aggregates children; this one
+    * buckets by a CHILD field — l_returnflag terms — and rolls UP to the
+    * parents): per child bucket, the DISTINCT parent count and the
+    * parent-level value where each parent counts ONCE per bucket no
+    * matter how many of its children matched (ES's join-field upward
+    * semantics — double-counting a parent per child is exactly the bug
+    * the agg exists to avoid), beside the raw child count.
+    *
+    * Scale shape: the (bucket, parent) dedup is a map-combinable
+    * distinct BEFORE the parent join (candidate pairs ≤ |parents|·
+    * |buckets|, never child-multiplied), the join is co-keyed on
+    * orderkey, and the final agg is |buckets| rows. */
+  def j277(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_returnflag")
+    val children = li.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_children"))
+    val parents = li.distinct()
+      .join(Tables.orders(s, d).select($"o_orderkey", $"o_totalprice"),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_parents"),
+        Parity.money(sum(Parity.dec2($"o_totalprice"))).as("parent_value"))
+    parents.join(children, Seq("l_returnflag"))
+      .select($"l_returnflag", $"n_children", $"n_parents", $"parent_value")
+      .orderBy($"l_returnflag")
+  }
+
   // ---------- j144 ES date_range aggregation ----------
 
   /** j144_date_range_agg — the ES `date_range` aggregation with keyed
@@ -498,7 +529,7 @@ object FusionOps {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j139_rrf_fusion" -> j139, "j140_cluster_split" -> j140,
     "j141_weighted_sample" -> j141, "j142_cohort_retention" -> j142,
-    "j143_children_agg" -> j143, "j144_date_range_agg" -> j144,
+    "j143_children_agg" -> j143, "j277_parent_agg" -> j277, "j144_date_range_agg" -> j144,
     "j145_span_not" -> j145, "j146_interarrival_stats" -> j146,
     "j147_linear_retriever" -> j147, "j148_source_overlap" -> j148,
     "j149_oov_rate" -> j149, "j150_quality_agreement" -> j150)
@@ -596,6 +627,19 @@ object FusionOps {
         |SELECT cohort_week, week_offset, n_active,
         |       floor(CAST(n_active AS DOUBLE) / cohort_size * 100 * 1000000 + 0.5) / 1000000.0 AS retention_pct
         |FROM wb ORDER BY cohort_week, week_offset""".stripMargin,
+    "j277_parent_agg" ->
+      """WITH ch AS (SELECT l_returnflag, count(*) AS n_children
+        |           FROM 'lineitem.parquet' GROUP BY 1),
+        |pr AS (SELECT d.l_returnflag, count(*) AS n_parents,
+        |         CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2)
+        |           AS DOUBLE) AS parent_value
+        |       FROM (SELECT DISTINCT l_orderkey, l_returnflag
+        |             FROM 'lineitem.parquet') d
+        |       JOIN 'orders.parquet' o ON o.o_orderkey = d.l_orderkey
+        |       GROUP BY 1)
+        |SELECT pr.l_returnflag, ch.n_children, pr.n_parents, pr.parent_value
+        |FROM pr JOIN ch USING (l_returnflag)
+        |ORDER BY pr.l_returnflag""".stripMargin,
     "j143_children_agg" ->
       """SELECT o.o_orderpriority, count(DISTINCT o.o_orderkey) AS n_parents,
         |       count(*) AS n_children,
