@@ -58,12 +58,18 @@ object Bench {
     // If a prior run's detail file exists, re-measure any query whose min
     // drifted >1.5× AND >0.2 s above it and keep the better min: a real
     // regression reproduces, a stall does not. Prior-less runs skip this.
+    // Both measurements are recorded in the detail artifact (first_min +
+    // retry_min under "remeasured") so the healing path is auditable: the
+    // graded number stays min-of-both, but a reader can always see when —
+    // and by how much — a retry changed a query's grade.
     val prior = priorDetail("bench_detail.json", sfDir)
+    val remeasured = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val results = firstPass.map { case (name, times) =>
       val best = times.min
       val retried = prior.get(name) match {
         case Some(p) if best > p * 1.5 && best - p > 0.2 =>
           val again = time(SparkEntry.queries(name), reps).min
+          remeasured(name) = (best, again)
           if (again < best)
             System.err.println(f"[bench] $name re-measured: $best%.3f -> $again%.3f s (prior $p%.3f)")
           math.min(best, again)
@@ -79,7 +85,7 @@ object Bench {
     // then a short total-only summary line is printed LAST so it always
     // lands inside the tail intact.
     val (detail, summary) = metricLines(results.map { case (k, v) => k -> v._1 },
-      sfDir, results.map { case (k, v) => k -> v._2 })
+      sfDir, results.map { case (k, v) => k -> v._2 }, remeasured.toMap)
     println(detail)
     // best-effort file dump — an unwritable cwd must never take down the
     // metric lines (that would recreate the parsed=null failure)
@@ -98,7 +104,8 @@ object Bench {
     * one JSON object; BenchContractSpec pins both properties. */
   private[graft] def metricLines(
       results: Map[String, Double], sfDir: String,
-      medians: Map[String, Double] = Map.empty): (String, String) = {
+      medians: Map[String, Double] = Map.empty,
+      remeasured: Map[String, (Double, Double)] = Map.empty): (String, String) = {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def jmap(m: Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
@@ -109,8 +116,14 @@ object Bench {
     // inflates the median first — BOTH noise signatures are documented
     // in BASELINE.md)
     val medPart = if (medians.isEmpty) "" else s""","medians":${jmap(medians)}"""
+    // every stall-heal retry is recorded with BOTH measurements, so the
+    // artifact shows exactly where the healing path changed a graded number
+    val remPart = if (remeasured.isEmpty) "" else
+      remeasured.map { case (k, (first, retry)) =>
+        "\"" + k + "\":{\"first_min\":" + f3(first) + ",\"retry_min\":" + f3(retry) + "}"
+      }.mkString(""","remeasured":{""", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$medPart,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$medPart$remPart,"sf":"$sfDir"}"""
     val top3 = results.toSeq.sortBy(-_._2).take(3)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val summary =

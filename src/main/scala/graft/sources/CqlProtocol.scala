@@ -30,11 +30,17 @@ private[graft] object CqlProtocol {
   val OpReady = 0x02
   val OpQuery = 0x07
   val OpResult = 0x08
+  val OpPrepare = 0x09
+  val OpExecute = 0x0A
   val OpBatch = 0x0D
 
   // result kinds (§4.2.5)
   val KindVoid = 1
   val KindRows = 2
+  val KindPrepared = 4
+
+  // error codes (§9)
+  val ErrUnprepared = 0x2500
 
   // type option ids (§6)
   val TBigint = 0x0002
@@ -155,6 +161,9 @@ private[graft] object CqlProtocol {
       else { out.writeInt(b.length); out.write(b) }
       this
     }
+    def shortBytes(b: Array[Byte]): this.type = { // [short bytes] = short len
+      out.writeShort(b.length); out.write(b); this
+    }
     def stringMap(m: Map[String, String]): this.type = {
       out.writeShort(m.size)
       m.foreach { case (k, v) => string(k); string(v) }
@@ -178,6 +187,9 @@ private[graft] object CqlProtocol {
     def bytes(): Array[Byte] = {
       val n = int()
       if (n < 0) null else { val b = new Array[Byte](n); in.readFully(b); b }
+    }
+    def shortBytes(): Array[Byte] = {
+      val b = new Array[Byte](short()); in.readFully(b); b
     }
     def stringMap(): Map[String, String] =
       (1 to short()).map(_ => (string(), string())).toMap
@@ -211,6 +223,30 @@ private[graft] object CqlProtocol {
   /** One Rows result's decoded payload. */
   case class RowsResult(columns: Seq[(String, Int)],
       rows: Seq[Array[Array[Byte]]], pagingState: Array[Byte])
+
+  /** A prepared statement: server-assigned id + bind-marker count (−1 if
+    * the server's metadata did not enumerate markers). */
+  case class Prepared(id: Array[Byte], markers: Int)
+
+  /** The server no longer knows a prepared id (error 0x2500) — the
+    * normal signal after a coordinator restart or cache eviction; the
+    * client re-prepares and retries. */
+  final class UnpreparedException(msg: String) extends java.io.IOException(msg)
+
+  /** Parse a RESULT Prepared body (v4 §4.2.5.4): <id><metadata>
+    * <result_metadata>. Only the id and the bind-marker count are
+    * consumed — the col specs describe types the client already knows. */
+  def parsePrepared(body: Array[Byte]): Prepared = {
+    val f = new FrameIn(body)
+    val kind = f.int()
+    if (kind != KindPrepared) throw new java.io.IOException(
+      s"graft-cql: expected Prepared result, got kind $kind")
+    val id = f.shortBytes()
+    val markers =
+      if (f.remaining >= 8) { f.int() /* flags */; f.int() }
+      else -1
+    Prepared(id, markers)
+  }
 
   /** Parse a RESULT frame body: Void → None, Rows → decoded payload. */
   def parseResult(body: Array[Byte]): Option[RowsResult] = {
@@ -293,11 +329,83 @@ private[graft] object CqlProtocol {
       ()
     }
 
+    // ---- prepared statements (the hot-path wire shape every real C*
+    // deployment expects: statement text crosses the wire ONCE per
+    // connection; every further page/batch carries only the 16-byte id) --
+
+    private val preparedCache =
+      scala.collection.mutable.LinkedHashMap.empty[String, Prepared]
+
+    /** PREPARE (cached per connection): id + bind-marker count. */
+    def prepare(cql: String): Prepared =
+      preparedCache.getOrElseUpdate(cql, {
+        writeFrame(out, OpPrepare, 0, new FrameOut().longString(cql).toBytes)
+        val (op, _, resp) = readFrame(in)
+        if (op != OpResult) throw new java.io.IOException(
+          s"graft-cql: PREPARE failed: ${errorText(op, resp)}")
+        parsePrepared(resp)
+      })
+
+    /** EXECUTE a prepared statement (same parameter shape as QUERY).
+      * On UNPREPARED (0x2500 — coordinator restarted / evicted the id)
+      * the statement is re-prepared once and the EXECUTE retried: the
+      * drivers' standard recovery, invisible to the caller. */
+    def execute(cql: String, values: Seq[Array[Byte]] = Nil,
+        pageSize: Int = 0, pagingState: Array[Byte] = null): Option[RowsResult] = {
+      def attempt(): Option[RowsResult] = {
+        val p = prepare(cql)
+        require(p.markers < 0 || p.markers == values.size,
+          s"graft-cql: prepared '$cql' has ${p.markers} bind markers, got ${values.size} values")
+        val f = new FrameOut().shortBytes(p.id).short(0x0001) // consistency ONE
+        var flags = 0
+        if (values.nonEmpty) flags |= 0x01
+        if (pageSize > 0) flags |= 0x04
+        if (pagingState != null) flags |= 0x08
+        f.byte(flags)
+        if (values.nonEmpty) { f.short(values.size); values.foreach(f.bytes) }
+        if (pageSize > 0) f.int(pageSize)
+        if (pagingState != null) f.bytes(pagingState)
+        exchange(OpExecute, f.toBytes)
+      }
+      try attempt() catch {
+        case _: UnpreparedException => preparedCache.remove(cql); attempt()
+      }
+    }
+
+    /** UNLOGGED BATCH of PREPARED statements (kind-1 entries carry only
+      * ids — the reference driver's write shape; statement text is sent
+      * once in PREPARE, then each batch is ids + values). Re-prepares and
+      * retries once on UNPREPARED. */
+    def batchPrepared(statements: Seq[(String, Seq[Array[Byte]])]): Unit = {
+      def attempt(): Unit = {
+        val ids = statements.map { case (cql, values) => (prepare(cql), values) }
+        val f = new FrameOut().byte(1) // type 1 = UNLOGGED
+        f.short(ids.size)
+        ids.foreach { case (p, values) =>
+          f.byte(1) // kind 1: prepared id
+          f.shortBytes(p.id)
+          f.short(values.size)
+          values.foreach(f.bytes)
+        }
+        f.short(0x0001) // consistency ONE
+        f.byte(0) // batch flags
+        exchange(OpBatch, f.toBytes)
+        ()
+      }
+      try attempt() catch {
+        case _: UnpreparedException => preparedCache.clear(); attempt()
+      }
+    }
+
     private def exchange(opcode: Int, body: Array[Byte]): Option[RowsResult] = {
       writeFrame(out, opcode, 0, body)
       val (op, _, resp) = readFrame(in)
-      if (op != OpResult) throw new java.io.IOException(
-        s"graft-cql: request failed: ${errorText(op, resp)}")
+      if (op != OpResult) {
+        if (op == OpError && new FrameIn(resp).int() == ErrUnprepared)
+          throw new UnpreparedException(errorText(op, resp))
+        throw new java.io.IOException(
+          s"graft-cql: request failed: ${errorText(op, resp)}")
+      }
       parseResult(resp)
     }
 

@@ -59,15 +59,19 @@ class CqlProvider extends TableProvider
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val base = Cql.systemSchema(Cql.hostOf(options), Cql.portOf(options),
       Cql.of(options, "keyspace"), Cql.of(options, "table"))
-    // writetime-of=<dataCol>: expose C*'s per-cell WRITETIME as a
-    // synthetic `writetime` bigint column — the reference's actual
-    // update-timestamp source (it reads WRITETIME() for LWW ordering)
+    // writetime-of=<dataCol>[,<dataCol>...]: expose C*'s per-cell
+    // WRITETIME as synthetic bigint columns — the reference's actual
+    // update-timestamp source (it reads WRITETIME() for LWW ordering).
+    // One column keeps the legacy name `writetime`; a list yields one
+    // `writetime_<col>` per entry (the per-cell sync loop reads EVERY
+    // data cell's stamp in one scan).
     Option(options.get("writetime-of")) match {
       case None => base
       case Some(of) =>
-        require(base.fieldNames.contains(of),
-          s"graft-cql: writetime-of column '$of' is not in $base")
-        StructType(base.fields :+ StructField("writetime", LongType))
+        val cs = Cql.writetimeCols(Some(of))
+        cs.values.foreach(c => require(base.fieldNames.contains(c),
+          s"graft-cql: writetime-of column '$c' is not in $base"))
+        StructType(base.fields ++ cs.keys.map(StructField(_, LongType)))
     }
   }
 
@@ -86,6 +90,20 @@ private[sources] object Cql {
     require(v != null && v.nonEmpty, s"graft-cql: .option(\"$key\", ...) is required")
     v
   }
+  /** The synthetic-column map a `writetime-of` option value induces:
+    * synthetic field name → data column whose WRITETIME it reads.
+    * Insertion-ordered (schema order = option order). */
+  def writetimeCols(writetimeOf: Option[String]): scala.collection.immutable.ListMap[String, String] =
+    writetimeOf match {
+      case None => scala.collection.immutable.ListMap.empty
+      case Some(of) =>
+        val cs = of.split(",").map(_.trim).filter(_.nonEmpty)
+        require(cs.nonEmpty, "graft-cql: writetime-of must name at least one column")
+        if (cs.length == 1) scala.collection.immutable.ListMap("writetime" -> cs.head)
+        else scala.collection.immutable.ListMap(
+          cs.map(c => s"writetime_$c" -> c).toIndexedSeq: _*)
+    }
+
   def hostOf(options: CaseInsensitiveStringMap): String =
     of(options, "host").split(":").head
   def portOf(options: CaseInsensitiveStringMap): Int = {
@@ -189,7 +207,7 @@ private[sources] class CqlScan(host: String, port: Int, ks: String,
     require(required.fieldNames.contains(col),
       s"graft-cql: incremental-column '$col' is not in the read schema")
     new CqlMicroBatchStream(host, port, ks, table, required, pk, splits,
-      pageSize, col)
+      pageSize, col, writetimeOf)
   }
 }
 
@@ -206,7 +224,8 @@ private[sources] class CqlScan(host: String, port: Int, ks: String,
   * documented limitation of every poll-by-timestamp sync. */
 private[sources] class CqlMicroBatchStream(host: String, port: Int,
     ks: String, table: String, required: StructType, pk: String,
-    splits: Int, pageSize: Int, tsCol: String) extends MicroBatchStream {
+    splits: Int, pageSize: Int, tsCol: String,
+    writetimeOf: Option[String] = None) extends MicroBatchStream {
 
   private case class TsOffset(ts: Long) extends Offset {
     override def json(): String = ts.toString
@@ -236,7 +255,7 @@ private[sources] class CqlMicroBatchStream(host: String, port: Int,
       val bounds = (0 until splits).map(i => Long.MinValue + step * i) :+ Long.MaxValue
       (0 until splits).map { i =>
         CqlTokenRange(host, port, ks, table, pk, bounds(i), bounds(i + 1),
-          i == 0, pageSize, Some((tsCol, s, e))): InputPartition
+          i == 0, pageSize, Some((tsCol, s, e)), writetimeOf): InputPartition
       }.toArray
     }
   }
@@ -270,12 +289,11 @@ private[sources] class CqlRangeReader(range: CqlTokenRange,
   private val client = new CqlProtocol.Client(range.host, range.port)
   private val fields = required.fields
   private val cql = {
-    // the synthetic `writetime` column reads as WRITETIME(<data col>) —
+    // synthetic writetime columns read as WRITETIME(<data col>) —
     // positional decode, so no alias is needed
+    val wt = Cql.writetimeCols(range.writetimeOf)
     val cols = fields.map { f =>
-      if (f.name == "writetime" && range.writetimeOf.isDefined)
-        s"WRITETIME(${range.writetimeOf.get})"
-      else f.name
+      wt.get(f.name).map(c => s"WRITETIME($c)").getOrElse(f.name)
     }.mkString(", ")
     val loOp = if (range.includeLo) ">=" else ">"
     val win = range.window.map { case (c, from, to) =>
@@ -291,15 +309,20 @@ private[sources] class CqlRangeReader(range: CqlTokenRange,
   private var row: InternalRow = _
 
   private def fetch(): Unit = {
-    val res = client.query(cql, pageSize = range.pageSize,
+    // EXECUTE against the prepared id: the SELECT text crosses the wire
+    // once per reader; every page exchange after that carries only the
+    // id + paging state
+    val res = client.execute(cql, pageSize = range.pageSize,
         pagingState = pagingState)
       .getOrElse(throw new java.io.IOException(
         s"graft-cql: Void result for a SELECT: $cql"))
     pagingState = res.pagingState
+    // Terminate ONLY on a null paging state. Cassandra may legally return
+    // an empty page that still carries a continuation cursor (common under
+    // the ALLOW FILTERING window conjunct, where a page's worth of scanned
+    // rows can all fail the filter); next()'s fetch loop keeps paging.
     if (pagingState == null) exhausted = true
-    page =
-      if (res.rows.isEmpty) { exhausted = true; Iterator.empty }
-      else res.rows.iterator
+    page = if (res.rows.isEmpty) Iterator.empty else res.rows.iterator
   }
 
   override def next(): Boolean = {

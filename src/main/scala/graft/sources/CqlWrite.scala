@@ -33,36 +33,50 @@ private[sources] class CqlWriteBuilder(host: String, port: Int, ks: String,
           dt == org.apache.spark.sql.types.TimestampNTZType,
           s"graft-cql: using-timestamp-column must be bigint/timestamp_ntz µs, got ${dt.simpleString}")
       }
-      new CqlBatchWrite(host, port, ks, table, info.schema(), tsCol,
+      // using-timestamp-virtual=true: the stamp column rides ONLY as the
+      // USING TIMESTAMP bind and is NOT inserted as table data — the
+      // per-cell sync relay's shape (the target table has no column for
+      // another store's stamp; C* itself keeps it as the cell writetime)
+      val tsVirtual = Option(info.options().get("using-timestamp-virtual"))
+        .exists(_.toBoolean)
+      require(!tsVirtual || tsCol.isDefined,
+        "graft-cql: using-timestamp-virtual requires using-timestamp-column")
+      new CqlBatchWrite(host, port, ks, table, info.schema(), tsCol, tsVirtual,
         Option(info.options().get("batch-rows")).map(_.toInt).getOrElse(64))
     }
   }
 }
 
 private[sources] class CqlBatchWrite(host: String, port: Int, ks: String,
-    table: String, schema: StructType, tsCol: Option[String], batchRows: Int)
+    table: String, schema: StructType, tsCol: Option[String],
+    tsVirtual: Boolean, batchRows: Int)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    CqlWriterFactory(host, port, ks, table, schema, tsCol, batchRows)
+    CqlWriterFactory(host, port, ks, table, schema, tsCol, tsVirtual, batchRows)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 private[sources] case class CqlWriterFactory(host: String, port: Int,
     ks: String, table: String, schema: StructType, tsCol: Option[String],
-    batchRows: Int) extends DataWriterFactory {
+    tsVirtual: Boolean, batchRows: Int) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new CqlBatchWriter(host, port, ks, table, schema, tsCol, batchRows)
+    new CqlBatchWriter(host, port, ks, table, schema, tsCol, tsVirtual, batchRows)
 }
 
 private[sources] case class CqlCommit(rows: Long) extends WriterCommitMessage
 
 private[sources] class CqlBatchWriter(host: String, port: Int, ks: String,
-    table: String, schema: StructType, tsCol: Option[String], batchRows: Int)
+    table: String, schema: StructType, tsCol: Option[String],
+    tsVirtual: Boolean, batchRows: Int)
     extends DataWriter[InternalRow] {
 
   private val client = new CqlProtocol.Client(host, port)
-  private val fields = schema.fields
+  // a virtual stamp column is bound to USING TIMESTAMP only — it is not
+  // one of the inserted data columns
+  private val fields = schema.fields.filter(f =>
+    !(tsVirtual && tsCol.contains(f.name)))
+  private val fieldIdx = fields.map(f => schema.fieldIndex(f.name))
   private val tsIdx = tsCol.map(schema.fieldIndex)
   private val insert = {
     val cols = fields.map(_.name).mkString(", ")
@@ -75,7 +89,7 @@ private[sources] class CqlBatchWriter(host: String, port: Int, ks: String,
   private var total = 0L
 
   override def write(row: InternalRow): Unit = {
-    val values = fields.zipWithIndex.map { case (f, i) =>
+    val values = fields.zip(fieldIdx).map { case (f, i) =>
       CqlProtocol.encode(raw(row, i, f.dataType), f.dataType)
     }.toSeq ++ tsIdx.map { i =>
       require(!row.isNullAt(i),
@@ -91,7 +105,10 @@ private[sources] class CqlBatchWriter(host: String, port: Int, ks: String,
 
   private def flush(): Unit = {
     if (inBatch == 0) return
-    client.batch(buf.result())
+    // prepared-id batches: the INSERT text crossed the wire once in
+    // PREPARE; each batch entry is the 16-byte id + values (the driver's
+    // hot-path write shape — re-prepared transparently on UNPREPARED)
+    client.batchPrepared(buf.result())
     buf.clear()
     inBatch = 0
   }
@@ -112,8 +129,11 @@ private[sources] class CqlBatchWriter(host: String, port: Int, ks: String,
       case StringType => row.getUTF8String(i).toString
       case ArrayType(et, _) =>
         val a = row.getArray(i)
+        // Null slots must surface as null (codec frames them as length -1):
+        // a.getInt on a null slot silently yields 0 and a.getUTF8String NPEs.
         Array.tabulate[Any](a.numElements()) { j =>
-          et match {
+          if (a.isNullAt(j)) null
+          else et match {
             case IntegerType => a.getInt(j)
             case LongType => a.getLong(j)
             case FloatType => a.getFloat(j)

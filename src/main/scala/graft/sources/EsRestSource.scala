@@ -226,7 +226,15 @@ private[sources] class EsRestTable(node: String, index: String,
       Option(options.get("read-slices")).map(_.toInt).getOrElse(4),
       Option(options.get("scroll-size")).map(_.toInt).getOrElse(1000),
       Option(options.get("scroll-keepalive")).getOrElse("1m"),
-      Option(options.get("incremental-column")))
+      Option(options.get("incremental-column")),
+      // scan-api: pit (default — scroll is discouraged since ES 7.10 and
+      // PIT+search_after holds no server-side per-scan context to leak)
+      // or scroll (the legacy API, kept selectable)
+      Option(options.get("scan-api")).getOrElse("pit") match {
+        case api @ ("pit" | "scroll") => api
+        case other => throw new IllegalArgumentException(
+          s"graft-es: scan-api must be pit or scroll, got '$other'")
+      })
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new EsRestWriteBuilder(node, index, info)
@@ -234,7 +242,7 @@ private[sources] class EsRestTable(node: String, index: String,
 
 private[sources] class EsRestScanBuilder(node: String, index: String,
     fullSchema: StructType, slices: Int, scrollSize: Int, keepalive: String,
-    incrementalCol: Option[String] = None)
+    incrementalCol: Option[String] = None, scanApi: String = "pit")
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -255,12 +263,13 @@ private[sources] class EsRestScanBuilder(node: String, index: String,
 
   override def build(): Scan =
     new EsRestScan(node, index, required, pushed, slices, scrollSize,
-      keepalive, incrementalCol)
+      keepalive, incrementalCol, scanApi)
 }
 
 private[sources] class EsRestScan(node: String, index: String,
     required: StructType, pushed: Array[Filter], slices: Int,
-    scrollSize: Int, keepalive: String, incrementalCol: Option[String] = None)
+    scrollSize: Int, keepalive: String, incrementalCol: Option[String] = None,
+    scanApi: String = "pit")
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -291,7 +300,8 @@ private[sources] class EsRestScan(node: String, index: String,
 
   override def planInputPartitions(): Array[InputPartition] =
     (0 until slices)
-      .map(i => EsSlice(node, index, i, slices, scrollSize, keepalive): InputPartition)
+      .map(i => EsSlice(node, index, i, slices, scrollSize, keepalive,
+        scanApi = scanApi): InputPartition)
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -303,7 +313,7 @@ private[sources] class EsRestScan(node: String, index: String,
     require(required.fieldNames.contains(col),
       s"graft-es: incremental-column '$col' is not in the read schema")
     new EsMicroBatchStream(node, index, required, pushed, slices,
-      scrollSize, keepalive, col)
+      scrollSize, keepalive, col, scanApi)
   }
 }
 
@@ -319,7 +329,8 @@ private[sources] class EsRestScan(node: String, index: String,
   * still reads as sliced scrolls — the batch scan's parallelism. */
 private[sources] class EsMicroBatchStream(node: String, index: String,
     required: StructType, pushed: Array[Filter], slices: Int,
-    scrollSize: Int, keepalive: String, tsCol: String)
+    scrollSize: Int, keepalive: String, tsCol: String,
+    scanApi: String = "pit")
     extends MicroBatchStream {
 
   private case class TsOffset(ts: Long) extends Offset {
@@ -349,7 +360,7 @@ private[sources] class EsMicroBatchStream(node: String, index: String,
     if (e <= s) Array.empty
     else (0 until slices).map(i =>
       EsSlice(node, index, i, slices, scrollSize, keepalive,
-        Some((tsCol, s, e))): InputPartition).toArray
+        Some((tsCol, s, e)), scanApi): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -359,17 +370,21 @@ private[sources] class EsMicroBatchStream(node: String, index: String,
   override def stop(): Unit = ()
 }
 
-/** One scroll slice = one split (ES partitions the scan server-side).
-  * `window` (tsCol, from, to] narrows a micro-batch to its offset range. */
+/** One scan slice = one split (ES partitions the scan server-side).
+  * `window` (tsCol, from, to] narrows a micro-batch to its offset range;
+  * `scanApi` picks PIT+search_after (default) or legacy scroll. */
 private[sources] case class EsSlice(node: String, index: String,
     sliceId: Int, maxSlices: Int, scrollSize: Int, keepalive: String,
-    window: Option[(String, Long, Long)] = None)
+    window: Option[(String, Long, Long)] = None, scanApi: String = "pit")
   extends InputPartition
 
 private[sources] class EsRestReaderFactory(required: StructType,
     pushed: Array[Filter]) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new EsScrollReader(partition.asInstanceOf[EsSlice], required, pushed)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val slice = partition.asInstanceOf[EsSlice]
+    if (slice.scanApi == "pit") new EsPitReader(slice, required, pushed)
+    else new EsScrollReader(slice, required, pushed)
+  }
 }
 
 /** Drains one scroll slice: initial `_search?scroll` with the slice
@@ -462,6 +477,125 @@ private[sources] class EsScrollReader(slice: EsSlice, required: StructType,
     try EsHttp.request("DELETE", s"${slice.node}/_search/scroll",
       Some(mapper.writeValueAsString(b)))
     catch { case _: Exception => () } // best-effort: keepalive expires it
+  }
+
+  private def convert(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (s: String, StringType) => UTF8String.fromString(s)
+    case (a: Array[Any], ArrayType(et, _)) =>
+      new GenericArrayData(a.map(convert(_, et)))
+    case (x, _) => x
+  }
+}
+
+/** Drains one slice over PIT + search_after — the documented replacement
+  * for scroll (discouraged since ES 7.10): open a point-in-time on the
+  * index, page `POST /_search` bodies carrying `pit: {id}`, the slice
+  * clause INSIDE the PIT body, a `[_shard_doc]` sort (the cheapest
+  * total-order tiebreak — doc position, no field data), and
+  * `search_after: <last hit's sort key>`; the PIT is closed on
+  * completion. Unlike a scroll context (server-held per-scan state that
+  * leaks segment memory if a reader dies before DELETE), a PIT holds
+  * only an index VIEW shared by all its pages — crash cleanup is the
+  * keep-alive expiry, not a leak class. Each reader opens its own PIT:
+  * lifecycle stays partition-local (a dead task cleans itself), at the
+  * cost of one `_pit` round-trip per slice — a fleet-scale deployment
+  * could share one PIT opened at planning time, at the cost of driver-
+  * side cleanup responsibility. */
+private[sources] class EsPitReader(slice: EsSlice, required: StructType,
+    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val fields = required.fields
+  private var pitId: String = _
+  private var searchAfter: JsonNode = _ // the previous page's last sort key
+  private var page: Iterator[JsonNode] = Iterator.empty
+  private var exhausted = false
+  private var row: InternalRow = _
+
+  private def openPit(): Unit = {
+    val (code, body) = EsHttp.request("POST",
+      s"${slice.node}/${slice.index}/_pit?keep_alive=${slice.keepalive}",
+      Some(""))
+    if (code != 200) throw new java.io.IOException(
+      s"graft-es: open PIT failed ($code): $body")
+    pitId = mapper.readTree(body).path("id").asText("")
+    if (pitId.isEmpty) throw new java.io.IOException(
+      s"graft-es: PIT response carried no id: $body")
+  }
+
+  private def searchBody(): String = {
+    val body = mapper.createObjectNode()
+    body.put("size", slice.scrollSize)
+    if (slice.maxSlices > 1) {
+      val s = body.putObject("slice")
+      s.put("id", slice.sliceId)
+      s.put("max", slice.maxSlices)
+    }
+    val base = EsRest.queryJson(mapper, pushed)
+    val query = slice.window match {
+      case None => base
+      case Some((col, from, to)) =>
+        val q = mapper.createObjectNode()
+        val fs = q.putObject("bool").putArray("filter")
+        fs.add(base)
+        val r = fs.addObject().putObject("range").putObject(col)
+        r.put("gt", from)
+        r.put("lte", to)
+        q
+    }
+    body.set[JsonNode]("query", query)
+    val src = body.putObject("_source")
+    val inc = src.putArray("includes")
+    fields.foreach(f => inc.add(f.name))
+    val pit = body.putObject("pit")
+    pit.put("id", pitId)
+    pit.put("keep_alive", slice.keepalive)
+    // _shard_doc: the PIT-only implicit doc-position field — a total
+    // order with zero fielddata cost, exactly what search_after needs
+    body.putArray("sort").addObject().put("_shard_doc", "asc")
+    if (searchAfter != null) body.set[JsonNode]("search_after", searchAfter)
+    mapper.writeValueAsString(body)
+  }
+
+  private def fetch(): Unit = {
+    if (pitId == null) openPit()
+    val (code, respBody) = EsHttp.request("POST",
+      s"${slice.node}/_search", Some(searchBody()))
+    if (code != 200) throw new java.io.IOException(
+      s"graft-es: PIT search failed ($code): $respBody")
+    val resp = mapper.readTree(respBody)
+    pitId = resp.path("pit_id").asText(pitId) // the server may refresh it
+    val hits = resp.path("hits").path("hits")
+    if (!hits.isArray || hits.size() == 0) { exhausted = true; page = Iterator.empty }
+    else {
+      searchAfter = hits.get(hits.size() - 1).path("sort")
+      page = hits.elements().asScala.map(_.path("_source")).toSeq.iterator
+    }
+  }
+
+  override def next(): Boolean = {
+    while (!page.hasNext && !exhausted) fetch()
+    if (!page.hasNext) return false
+    val vals = GraftSyncStore.parseNode(page.next(), fields)
+    val out = new Array[Any](fields.length)
+    var i = 0
+    while (i < fields.length) {
+      out(i) = convert(vals(i), fields(i).dataType)
+      i += 1
+    }
+    row = new GenericInternalRow(out)
+    true
+  }
+
+  override def get(): InternalRow = row
+
+  override def close(): Unit = if (pitId != null) {
+    val b = mapper.createObjectNode()
+    b.put("id", pitId)
+    try EsHttp.request("DELETE", s"${slice.node}/_pit",
+      Some(mapper.writeValueAsString(b)))
+    catch { case _: Exception => () } // best-effort: keep-alive expires it
   }
 
   private def convert(v: Any, dt: DataType): Any = (v, dt) match {

@@ -222,11 +222,16 @@ private[sources] object GraftSyncStore {
     var pos = 0L
     for (p <- pages; line <- Files.readAllLines(Paths.get(dir, p)).asScala) {
       val node = mapper.readTree(line)
+      // Length-prefixing each part makes the composite key unambiguous for
+      // ANY key text (no separator char can be: JSON strings may contain
+      // every code point, including NUL): ("a b","c") -> "3:a b|1:c" can
+      // never equal ("a","b c") -> "1:a|3:b c".
       val key = keyCols.map { k =>
         val v = node.get(k)
         require(v != null && !v.isNull, s"compactLww: row missing key '$k': $line")
-        v.asText()
-      }.mkString(" ")
+        val t = v.asText()
+        s"${t.length}:$t"
+      }.mkString("|")
       val tsNode = node.get(tsCol)
       require(tsNode != null && tsNode.isNumber,
         s"compactLww: row missing numeric ts '$tsCol': $line")
@@ -471,7 +476,10 @@ private[sources] object GraftSyncStore {
           val a = row.getArray(i)
           var j = 0
           while (j < a.numElements()) {
-            et match {
+            // Null slots must emit JSON null: a.getInt on a null slot
+            // silently yields 0 and a.getUTF8String NPEs.
+            if (a.isNullAt(j)) arr.addNull()
+            else et match {
               case IntegerType => arr.add(a.getInt(j))
               case LongType => arr.add(a.getLong(j))
               case FloatType => arr.add(a.getFloat(j))
@@ -521,7 +529,8 @@ private[sources] object GraftSyncStore {
     case BooleanType if v.isBoolean => v.asBoolean()
     case StringType if v.isTextual => v.asText()
     case ArrayType(et, _) if v.isArray =>
-      v.elements().asScala.map(e => fromJson(e, et)).toArray[Any]
+      v.elements().asScala
+        .map(e => if (e.isNull) null else fromJson(e, et)).toArray[Any]
     case other => throw new IllegalArgumentException(
       s"expected ${other.simpleString}, found JSON ${v.getNodeType} ($v)")
   }

@@ -997,6 +997,78 @@ object Sync {
       }
       .start()
 
+  /** Generic per-CELL LWW merge over WIDE rows — the wire loop's form of
+    * i20's conflict rule. Input rows carry `keyCol`, a `ts` bigint (the
+    * poll cursor), and for every data column `c` a stamp column `c_wt`
+    * (epoch-µs bigint; NULL = this row does not carry that cell). Each
+    * cell resolves independently to the value under the greatest stamp;
+    * stamp ties break by the VALUE (greater wins, NULL/tombstone loses) —
+    * C*'s own tie-break, so the Spark-side merge and a real Cassandra
+    * server resolve identically. Output has the same shape as the input
+    * (compose ∘ compose = compose), which is what lets [[cellSyncSink]]
+    * fold any number of micro-batches and re-merge snapshots.
+    *
+    * Scale shape: ONE map-combined keyed aggregation — constant state per
+    * (key × cell), no window, no join; at 100 TB this is a single shuffle
+    * on the key (and none at all once the snapshot is bucketed on it). */
+  def mergeCellLww(rows: DataFrame, keyCol: String,
+      dataCols: Seq[String]): DataFrame = {
+    require(dataCols.nonEmpty, "mergeCellLww needs at least one data column")
+    val aggs = dataCols.flatMap { c =>
+      val ord = when(col(s"${c}_wt").isNotNull, struct(col(s"${c}_wt"), col(c)))
+      Seq(max_by(col(c), ord).as(c), max(col(s"${c}_wt")).as(s"${c}_wt"))
+    } :+ max(col("ts")).as("ts")
+    rows.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(keyCol) +: col("ts") +:
+        dataCols.flatMap(c => Seq(col(c), col(s"${c}_wt"))): _*)
+  }
+
+  /** The wire loop's per-cell sink (SyncJob `merge: cell`): each
+    * micro-batch of wide change rows folds by [[mergeCellLww]] into the
+    * parquet snapshot(s), then `writeback` receives the merged rows of
+    * the keys this batch touched — SyncJob relays them to the opposite
+    * store(s). Identical batches re-merge to identical snapshots and
+    * identical writeback rows, so a replayed round converges on every
+    * surface (the same guarantee lwwSink gives row-granular). */
+  def cellSyncSink(changes: DataFrame, keyCol: String, dataCols: Seq[String],
+      snapshotDirs: Seq[String], checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow())(
+      writeback: DataFrame => Unit): StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val slice = mergeCellLww(batch, keyCol, dataCols)
+        if (!slice.isEmpty) {
+          val base =
+            try Some(spark.read.schema(slice.schema).parquet(snapshotDirs.head))
+              .filter(_.columns.sameElements(slice.columns))
+            catch { case _: Exception => None }
+          val merged =
+            base.fold(slice)(b => mergeCellLww(b.unionByName(slice), keyCol, dataCols))
+              .cache()
+          merged.count() // materialize before overwriting the input path
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          snapshotDirs.foreach { dir =>
+            merged.write.mode("overwrite").parquet(dir + ".tmp")
+            val dst = new org.apache.hadoop.fs.Path(dir)
+            fs.delete(dst, true)
+            fs.rename(new org.apache.hadoop.fs.Path(dir + ".tmp"), dst)
+          }
+          // relay ONLY the keys this batch touched — the merged row (not
+          // the raw change) so a relay can never regress the other store
+          val affected = merged.join(
+            slice.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+          writeback(affected)
+          merged.unpersist()
+        }
+        ()
+      }
+      .start()
+
   /** i6 streaming form — the sync loop: each microbatch is LWW-merged into
     * the parquet snapshot at `targetDir` (read-modify-write per batch, the
     * foreachBatch upsert idiom; at scale this would be a MERGE INTO a

@@ -156,6 +156,65 @@ class CqlConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("prepared statements: one PREPARE serves every batch; ids are reused across batches") {
+    withStub { stub =>
+      write(stub, sample(200), batchRows = 20) // 10 batches, one INSERT shape
+      assert(stub.rowCount("ks", "events") === 200)
+      assert(stub.batchRequests.get() >= 10)
+      // the INSERT text crossed the wire ONCE per writer connection;
+      // local[*] may run several write tasks, but never one per batch
+      assert(stub.prepareRequests.get() > 0 &&
+        stub.prepareRequests.get() < stub.batchRequests.get(),
+        s"prepares=${stub.prepareRequests.get()} batches=${stub.batchRequests.get()}")
+      assert(stub.preparedCount === 1, "one statement shape = one server-side id")
+    }
+  }
+
+  test("UNPREPARED (0x2500) recovery: id eviction mid-connection re-prepares and retries, no loss, no double-apply") {
+    withStub { stub =>
+      import graft.sources.CqlProtocol
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val ins = "INSERT INTO ks.events (id, name) VALUES (?, ?)"
+      def row(id: Long, name: String) = Seq(
+        CqlProtocol.encode(id, LongType), CqlProtocol.encode(name, StringType))
+      val client = new CqlProtocol.Client("127.0.0.1", stub.port)
+      try {
+        client.batchPrepared(Seq((ins, row(1L, "a"))))
+        assert(stub.rowCount("ks", "events") === 1)
+        // the coordinator restarts: every server-side id is gone, but the
+        // CLIENT still holds the stale one — the next batch must hit
+        // UNPREPARED, transparently re-prepare, and land exactly once
+        stub.forgetPrepared()
+        val before = stub.prepareRequests.get()
+        client.batchPrepared(Seq((ins, row(2L, "b"))))
+        assert(stub.prepareRequests.get() === before + 1, "recovery re-PREPAREs once")
+        assert(stub.rowCount("ks", "events") === 2, "retried batch applies exactly once")
+        // same recovery on the EXECUTE read path
+        val sel = "SELECT id, name FROM ks.events WHERE " +
+          s"token(id) >= ${Long.MinValue} AND token(id) <= ${Long.MaxValue}"
+        assert(client.execute(sel).get.rows.size === 2)
+        stub.forgetPrepared()
+        assert(client.execute(sel).get.rows.size === 2,
+          "EXECUTE after eviction recovers via re-prepare")
+      } finally client.close()
+    }
+  }
+
+  test("reads EXECUTE a prepared SELECT: pages after the first carry only the id") {
+    withStub { stub =>
+      write(stub, sample(120))
+      stub.executeRequests.set(0)
+      stub.prepareRequests.set(0)
+      val n = read(stub, splits = 2, pageSize = 25).count()
+      assert(n === 120)
+      // 2 range readers -> 2 PREPAREs; ~120/25 pages all ride EXECUTE
+      assert(stub.prepareRequests.get() === 2,
+        s"one PREPARE per token-range reader, saw ${stub.prepareRequests.get()}")
+      assert(stub.executeRequests.get() >= 5,
+        s"every page exchange should be an EXECUTE, saw ${stub.executeRequests.get()}")
+    }
+  }
+
   test("nulls survive the wire (length −1 framing)") {
     withStub { stub =>
       val df = Seq((1L, null.asInstanceOf[String], 0.5),

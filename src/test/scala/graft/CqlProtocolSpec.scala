@@ -78,6 +78,67 @@ class CqlProtocolSpec extends AnyFunSuite {
     assert(in.remaining === 0)
   }
 
+  test("[short bytes] round-trips and a Prepared RESULT body parses to id + marker count") {
+    // [short bytes] codec (the prepared-id framing)
+    val sb = new CqlProtocol.FrameIn(
+      new CqlProtocol.FrameOut().shortBytes(Array[Byte](9, 8, 7)).toBytes)
+    assert(sb.shortBytes().toSeq === Seq[Byte](9, 8, 7))
+    // RESULT Prepared (v4 §4.2.5.4): <kind><id><metadata><result_metadata>
+    val id = Array.tabulate[Byte](16)(_.toByte)
+    val body = new CqlProtocol.FrameOut()
+      .int(CqlProtocol.KindPrepared)
+      .shortBytes(id)
+      .int(0x0001).int(2).int(0)          // metadata: global spec, 2 markers
+      .string("ks").string("t")
+      .string("id").short(CqlProtocol.TBigint)
+      .string("name").short(CqlProtocol.TVarchar)
+      .int(0).int(0)                      // result metadata: none
+      .toBytes
+    val p = CqlProtocol.parsePrepared(body)
+    assert(p.id.toSeq === id.toSeq)
+    assert(p.markers === 2)
+    // a Rows body must be rejected as a Prepared parse
+    intercept[java.io.IOException] {
+      CqlProtocol.parsePrepared(
+        new CqlProtocol.FrameOut().int(CqlProtocol.KindVoid).toBytes)
+    }
+  }
+
+  test("prepare/execute round-trip over the wire: text once, pages by id, UNPREPARED recovery") {
+    val stub = new CqlStubServer().start()
+    try {
+      stub.createTable("ks", "t", Seq(("id", "bigint"), ("v", "text")), pk = "id")
+      val client = new CqlProtocol.Client("127.0.0.1", stub.port)
+      try {
+        val ins = "INSERT INTO ks.t (id, v) VALUES (?, ?)"
+        val p = client.prepare(ins)
+        assert(p.id.length === 16, "C*-shaped md5 statement id")
+        assert(p.markers === 2, "bind-marker specs enumerate the INSERT columns")
+        assert(client.prepare(ins) eq p, "client caches per statement text")
+        assert(stub.prepareRequests.get() === 1)
+        (1L to 60L).grouped(20).foreach { g =>
+          client.batchPrepared(g.map(i => (ins, Seq(
+            CqlProtocol.encode(i, LongType),
+            CqlProtocol.encode(s"v$i", StringType)))).toSeq)
+        }
+        assert(stub.prepareRequests.get() === 1, "three batches, one PREPARE")
+        assert(stub.rowCount("ks", "t") === 60)
+        // paged EXECUTE: the SELECT text crosses once, pages carry the id
+        val sel = "SELECT id, v FROM ks.t WHERE " +
+          s"token(id) >= ${Long.MinValue} AND token(id) <= ${Long.MaxValue}"
+        var res = client.execute(sel, pageSize = 25).get
+        var n = res.rows.size
+        while (res.pagingState != null) {
+          res = client.execute(sel, pageSize = 25, pagingState = res.pagingState).get
+          n += res.rows.size
+        }
+        assert(n === 60)
+        assert(stub.executeRequests.get() >= 3, "every page was an EXECUTE")
+        assert(stub.prepareRequests.get() === 2, "one more PREPARE for the SELECT")
+      } finally client.close()
+    } finally stub.stop()
+  }
+
   test("type mapping is total over the connector value domain and rejects outside it") {
     assert(CqlProtocol.sparkTypeOf("list<double>") === ArrayType(DoubleType))
     assert(CqlProtocol.cqlTypeOf(TimestampNTZType) === "bigint")

@@ -22,6 +22,25 @@ class CqlStubServer {
   // own writetime; an INSERT's cells only land where their writetime is
   // >= the stored cell's (per-cell LWW — arrival order is irrelevant).
   private case class Cell(bytes: Array[Byte], wt: Long)
+
+  /** C*'s writetime tie-break: the lexicographically greater cell VALUE
+    * wins (unsigned byte compare, longer-prefix greater); a null value
+    * (tombstone) loses to any live value. Strictly-greater: on a full tie
+    * the stored cell is kept. */
+  private def cellBytesGt(cand: Array[Byte], stored: Array[Byte]): Boolean = {
+    if (cand == null) false
+    else if (stored == null) true
+    else {
+      val n = math.min(cand.length, stored.length)
+      var i = 0
+      while (i < n) {
+        val a = cand(i) & 0xff; val b = stored(i) & 0xff
+        if (a != b) return a > b
+        i += 1
+      }
+      cand.length > stored.length
+    }
+  }
   // table -> (schema: Seq[(name, cqlType)], pkName, rows: pkBytesKey -> cells in schema order)
   private case class Tbl(schema: Seq[(String, String)], pk: String,
       rows: mutable.LinkedHashMap[String, Array[Cell]])
@@ -32,7 +51,19 @@ class CqlStubServer {
 
   val batchRequests = new AtomicInteger()
   val selectRequests = new AtomicInteger()
+  val prepareRequests = new AtomicInteger()
+  val executeRequests = new AtomicInteger()
   @volatile var lastSelectCols: Seq[String] = Nil
+
+  // prepared-statement registry: md5(text) — C*'s own id derivation —
+  // keyed by the id's hex form. forgetPrepared() models a coordinator
+  // restart (ids evicted server-side → EXECUTE answers UNPREPARED).
+  private val prepared = mutable.LinkedHashMap.empty[String, String]
+  def preparedCount: Int = synchronized { prepared.size }
+  def forgetPrepared(): Unit = synchronized { prepared.clear() }
+  private def stmtId(cql: String): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5").digest(cql.getBytes("UTF-8"))
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
 
   private var server: ServerSocket = _
   @volatile private var running = true
@@ -84,6 +115,8 @@ class CqlStubServer {
         case OpStartup =>
           writeFrame(out, OpReady, stream, Array.empty, response = true)
         case OpQuery => handleQuery(out, stream, new FrameIn(body))
+        case OpPrepare => handlePrepare(out, stream, new FrameIn(body))
+        case OpExecute => handleExecute(out, stream, new FrameIn(body))
         case OpBatch => handleBatch(out, stream, new FrameIn(body))
         case other =>
           writeFrame(out, OpError, stream,
@@ -95,12 +128,81 @@ class CqlStubServer {
 
   private def handleQuery(out: DataOutputStream, stream: Int, f: FrameIn): Unit = {
     val cql = f.longString()
+    val (pageSize, pagingState) = queryParams(f)
+    runQuery(out, stream, cql, pageSize, pagingState)
+  }
+
+  /** <query_parameters> shared by QUERY and EXECUTE (v4 §4.1.4/§4.1.6):
+    * consistency, flags, optional values/page size/paging state. */
+  private def queryParams(f: FrameIn): (Int, Array[Byte]) = {
     f.short() // consistency
     val flags = f.byte()
     if ((flags & 0x01) != 0) (1 to f.short()).foreach(_ => f.bytes())
     val pageSize = if ((flags & 0x04) != 0) f.int() else Int.MaxValue
     val pagingState = if ((flags & 0x08) != 0) f.bytes() else null
+    (pageSize, pagingState)
+  }
 
+  /** PREPARE: register md5(text) as the statement id and answer a
+    * Prepared RESULT carrying the id + the bind-marker specs (derived
+    * from the INSERT's named columns, + a trailing bigint for
+    * `USING TIMESTAMP ?`). */
+  private def handlePrepare(out: DataOutputStream, stream: Int, f: FrameIn): Unit = {
+    prepareRequests.incrementAndGet()
+    val cql = f.longString()
+    val id = stmtId(cql)
+    synchronized { prepared(hex(id)) = cql }
+    val markers: Seq[(String, Int)] = {
+      val ins = """INSERT INTO (\S+)\.(\S+) \(([^)]+)\) VALUES""".r
+      ins.findFirstMatchIn(cql) match {
+        case None => Nil // the connector's SELECTs carry no bind markers
+        case Some(m) =>
+          val t = tables(s"${m.group(1)}.${m.group(2)}")
+          val cols = m.group(3).split(",").map(_.trim).toSeq.map { c =>
+            val ct = t.schema.find(_._1 == c).getOrElse(
+              throw new IllegalArgumentException(s"unknown column $c"))._2
+            (c, typeIdOfCql(ct))
+          }
+          if (cql.contains("USING TIMESTAMP")) cols :+ ("[timestamp]", TBigint)
+          else cols
+      }
+    }
+    val r = new FrameOut().int(KindPrepared)
+    r.shortBytes(id)
+    // metadata: global_tables_spec when specs are present; v4 pk_count=0
+    r.int(if (markers.nonEmpty) 0x0001 else 0)
+    r.int(markers.size)
+    r.int(0) // pk_count
+    if (markers.nonEmpty) {
+      r.string("ks").string("t")
+      markers.foreach { case (n, tid) =>
+        r.string(n); r.short(tid)
+        if (tid == TList) r.short(TVarchar)
+      }
+    }
+    r.int(0).int(0) // result metadata: no columns enumerated
+    writeFrame(out, OpResult, stream, r.toBytes, response = true)
+  }
+
+  /** EXECUTE: resolve the id (UNPREPARED 0x2500 if evicted — the
+    * post-restart signal a driver must recover from), then run exactly
+    * as QUERY. */
+  private def handleExecute(out: DataOutputStream, stream: Int, f: FrameIn): Unit = {
+    val id = f.shortBytes()
+    synchronized { prepared.get(hex(id)) } match {
+      case None =>
+        writeFrame(out, OpError, stream,
+          new FrameOut().int(0x2500).string("unprepared statement")
+            .shortBytes(id).toBytes, response = true)
+      case Some(cql) =>
+        executeRequests.incrementAndGet()
+        val (pageSize, pagingState) = queryParams(f)
+        runQuery(out, stream, cql, pageSize, pagingState)
+    }
+  }
+
+  private def runQuery(out: DataOutputStream, stream: Int, cql: String,
+      pageSize: Int, pagingState: Array[Byte]): Unit = {
     if (cql.startsWith("SELECT column_name, type FROM system_schema.columns")) {
       val m = """keyspace_name = '([^']+)' AND table_name = '([^']+)'""".r
         .findFirstMatchIn(cql).get
@@ -199,10 +301,31 @@ class CqlStubServer {
     f.byte() // batch type
     val n = f.short()
     val ins = """INSERT INTO (\S+)\.(\S+) \(([^)]+)\) VALUES""".r
-    (1 to n).foreach { _ =>
-      f.byte() // kind 0 = query string
-      val cql = f.longString()
+    // validate-then-apply: every statement resolves BEFORE any applies —
+    // an UNPREPARED id (kind-1 entry after a coordinator restart) fails
+    // the whole batch upfront, so the client's re-prepare retry can never
+    // double-apply a prefix
+    val stmts = (1 to n).map { _ =>
+      val kind = f.byte()
+      val cqlOrId = if (kind == 0) Right(f.longString()) else Left(f.shortBytes())
       val values = (1 to f.short()).map(_ => f.bytes())
+      (cqlOrId, values)
+    }
+    stmts.collectFirst {
+      case (Left(id), _) if synchronized { !prepared.contains(hex(id)) } => id
+    } match {
+      case Some(id) =>
+        writeFrame(out, OpError, stream,
+          new FrameOut().int(0x2500).string("unprepared statement in batch")
+            .shortBytes(id).toBytes, response = true)
+        return
+      case None => ()
+    }
+    stmts.foreach { case (cqlOrId, values) =>
+      val cql = cqlOrId match {
+        case Right(text) => text
+        case Left(id) => synchronized { prepared(hex(id)) }
+      }
       val m = ins.findFirstMatchIn(cql).getOrElse(
         throw new IllegalArgumentException(s"unparseable batch stmt: $cql"))
       val t = tables(s"${m.group(1)}.${m.group(2)}")
@@ -222,9 +345,13 @@ class CqlStubServer {
         cols.zip(values).foreach { case (c, v) =>
           val i = t.schema.indexWhere(_._1 == c)
           require(i >= 0, s"unknown column $c")
-          // per-cell LWW: only a >= writetime lands (C*'s resolution —
-          // an older write can NEVER clobber a newer cell)
-          if (row(i) == null || wt >= row(i).wt) row(i) = Cell(v, wt)
+          // per-cell LWW: a strictly newer writetime always lands; at an
+          // EQUAL writetime Cassandra breaks the tie by comparing the cell
+          // VALUES (lexicographically greater bytes win, null/tombstone
+          // losing to any value) — NOT by arrival order.
+          if (row(i) == null || wt > row(i).wt ||
+              (wt == row(i).wt && cellBytesGt(v, row(i).bytes)))
+            row(i) = Cell(v, wt)
         }
       }
     }

@@ -40,11 +40,12 @@ class EsRestConnectorSpec extends AnyFunSuite {
       .mode("append").save()
   }
 
-  private def read(stub: EsStubServer, slices: Int = 3) =
+  private def read(stub: EsStubServer, slices: Int = 3, api: String = "pit") =
     spark.read.format("graft-es")
       .option("nodes", stub.url).option("index", "docs")
       .option("read-slices", slices.toString)
       .option("scroll-size", "64")
+      .option("scan-api", api)
       .load()
 
   test("bulk round-trip through sliced scroll: rows, schema and types survive") {
@@ -114,12 +115,62 @@ class EsRestConnectorSpec extends AnyFunSuite {
     }
   }
 
-  test("scroll contexts are DELETEd when the scan finishes") {
+  test("scroll contexts are DELETEd when the scan finishes (legacy scan-api: scroll)") {
     withStub { stub =>
       write(stub, sample(100))
-      read(stub, slices = 3).count()
+      read(stub, slices = 3, api = "scroll").count()
       assert(stub.scrollDeletes.get() >= 3,
         s"each slice must clean its scroll context, saw ${stub.scrollDeletes.get()}")
+      assert(stub.pitOpens.get() === 0, "scroll mode must not open PITs")
+    }
+  }
+
+  test("PIT + search_after (the default scan): open, paginate by [_shard_doc], close — and never touch scroll") {
+    withStub { stub =>
+      write(stub, sample(300)) // 300 docs / scroll-size 64 → ≥2 pages per slice
+      val n = read(stub, slices = 3).count()
+      assert(n === 300)
+      assert(stub.pitOpens.get() === 3, "one PIT per slice reader")
+      assert(stub.pitDeletes.get() === 3, "every PIT closed on completion")
+      assert(stub.scrollDeletes.get() === 0 && stub.bulkRequests.get() > 0)
+    }
+  }
+
+  test("PIT and scroll scans return identical results (equivalence over the same stub state)") {
+    withStub { stub =>
+      write(stub, sample(257))
+      def canon(api: String) = read(stub, slices = 4, api = api)
+        .orderBy($"id").collect().map(_.toString).toSeq
+      assert(canon("pit") === canon("scroll"))
+      // prefiltered + pruned reads agree too
+      def filtered(api: String) = read(stub, slices = 2, api = api)
+        .filter($"id" > 200L).select($"id", $"name")
+        .orderBy($"id").collect().map(_.toString).toSeq
+      assert(filtered("pit") === filtered("scroll"))
+      assert(filtered("pit").size === 57)
+    }
+  }
+
+  test("a PIT is a point in time: docs indexed after the open are invisible inside it") {
+    withStub { stub =>
+      write(stub, sample(5))
+      val (code, body) = graft.sources.EsHttp.request("POST",
+        s"${stub.url}/docs/_pit?keep_alive=1m", Some(""))
+      assert(code === 200)
+      val pitId = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(body).path("id").asText()
+      write(stub, sample(9)) // 4 more docs land AFTER the open
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val req = m.createObjectNode()
+      req.put("size", 100)
+      req.putObject("pit").put("id", pitId)
+      req.putArray("sort").addObject().put("_shard_doc", "asc")
+      val (c2, resp) = graft.sources.EsHttp.request("POST",
+        s"${stub.url}/_search", Some(m.writeValueAsString(req)))
+      assert(c2 === 200)
+      assert(m.readTree(resp).path("hits").path("hits").size() === 5,
+        "the PIT must serve its open-time snapshot")
+      assert(stub.docCount("docs") === 9)
     }
   }
 
@@ -131,6 +182,56 @@ class EsRestConnectorSpec extends AnyFunSuite {
         if (t == null) Nil else t.getMessage +: causes(t.getCause)
       assert(causes(e).exists(m => m != null && m.contains("bulk item failed")),
         s"got: ${causes(e).mkString(" | ")}")
+    }
+  }
+
+  test("429 backpressure: ONLY rejected items re-send, with backoff, until the storm drains — full convergence") {
+    withStub { stub =>
+      stub.inject429Items.set(17) // a storm: 17 item rejections spread over requests
+      write(stub, sample(60), Map(
+        "bulk-size" -> "10", "bulk-retries" -> "5", "bulk-retry-wait-ms" -> "1"))
+      assert(stub.inject429Items.get() === 0, "the storm was absorbed")
+      assert(stub.docCount("docs") === 60,
+        "every rejected item must eventually land exactly once")
+      val back = read(stub).orderBy($"id").collect()
+      assert(back.length === 60 && back(16).getString(back(16).fieldIndex("name")) === "name17")
+    }
+  }
+
+  test("429 past the bounded retry cap fails LOUDLY (an overloaded cluster must surface, not spin)") {
+    withStub { stub =>
+      stub.inject429Items.set(1000000) // the cluster never recovers
+      val e = intercept[Exception] {
+        write(stub, sample(20), Map(
+          "bulk-size" -> "10", "bulk-retries" -> "2", "bulk-retry-wait-ms" -> "1"))
+      }
+      def causes(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: causes(t.getCause)
+      assert(causes(e).exists(m => m != null && m.contains("429")),
+        s"got: ${causes(e).mkString(" | ")}")
+      stub.inject429Items.set(0)
+    }
+  }
+
+  test("a version conflict (409) under external_gte is the regress guard, not an error; newer versions land") {
+    withStub { stub =>
+      def vwrite(df: org.apache.spark.sql.DataFrame): Unit =
+        write(stub, df, Map("version-column" -> "id2" ))
+      // version rides a bigint column; use id as both _id and version seed
+      val v1 = sample(1).withColumn("id2", $"id" * 100L)
+      vwrite(v1) // doc 1 at version 100
+      // an OLDER relay (version 50) must be a silent no-op
+      vwrite(sample(1).withColumn("name", org.apache.spark.sql.functions.lit("stale"))
+        .withColumn("id2", $"id" * 50L))
+      val name1 = read(stub).filter($"id" === 1L).collect().head.getAs[String]("name")
+      assert(name1 === "name1", "the older version must not clobber")
+      // an equal version re-lands (external_gte — replay convergence)
+      vwrite(v1)
+      // a NEWER version overwrites
+      vwrite(sample(1).withColumn("name", org.apache.spark.sql.functions.lit("fresh"))
+        .withColumn("id2", $"id" * 200L))
+      val n2 = read(stub).filter($"id" === 1L).collect().head.getAs[String]("name")
+      assert(n2 === "fresh")
     }
   }
 

@@ -24,16 +24,29 @@ class EsStubServer {
   // index -> (mappings properties node, id -> doc)
   private val indices =
     mutable.LinkedHashMap.empty[String, (JsonNode, mutable.LinkedHashMap[String, JsonNode])]
+  // (index, id) -> external version (docs indexed without one are unversioned)
+  private val versions = mutable.LinkedHashMap.empty[(String, String), Long]
   // scrollId -> (remaining doc snapshot, page size)
   private val scrolls = mutable.LinkedHashMap.empty[String, (Vector[JsonNode], Int)]
   private val scrollSeq = new AtomicInteger()
+  // pitId -> (index, (id, doc) snapshot at open — a POINT IN TIME: writes
+  // after the open are invisible to searches inside the PIT)
+  private val pits = mutable.LinkedHashMap.empty[String, (String, Vector[(String, JsonNode)])]
+  private val pitSeq = new AtomicInteger()
 
   // observability for the spec
   val bulkRequests = new AtomicInteger()
   val scrollDeletes = new AtomicInteger()
+  val pitOpens = new AtomicInteger()
+  val pitDeletes = new AtomicInteger()
   @volatile var lastSourceIncludes: Seq[String] = Nil
   @volatile var lastQuery: String = ""
   @volatile var failNextBulkItem: Boolean = false
+  // 429-injection: while > 0, each bulk ITEM consumes one token and is
+  // rejected with status 429 (es_rejected_execution_exception — ES's
+  // bulk-queue backpressure signal) WITHOUT being applied; the doc line
+  // is still consumed. Models a busy cluster shedding load item by item.
+  val inject429Items = new AtomicInteger(0)
 
   private var server: HttpServer = _
 
@@ -73,6 +86,17 @@ class EsStubServer {
       case ("POST", "_bulk" :: Nil) => bulk(body)
       case ("POST", idx :: "_search" :: Nil) if indices.contains(idx) =>
         search(idx, body)
+      case ("POST", idx :: "_pit" :: Nil) if indices.contains(idx) =>
+        pitOpens.incrementAndGet()
+        val id = s"pit-${pitSeq.incrementAndGet()}"
+        synchronized { pits(id) = (idx, indices(idx)._2.toVector) }
+        (200, s"""{"id":"$id"}""")
+      case ("POST", "_search" :: Nil) => pitSearch(body)
+      case ("DELETE", "_pit" :: Nil) =>
+        pitDeletes.incrementAndGet()
+        val id = mapper.readTree(body).path("id").asText()
+        val existed = synchronized { pits.remove(id).isDefined }
+        (200, s"""{"succeeded":$existed,"num_freed":${if (existed) 1 else 0}}""")
       case ("POST", "_search" :: "scroll" :: Nil) => scrollNext(body)
       case ("DELETE", "_search" :: "scroll" :: Nil) =>
         scrollDeletes.incrementAndGet()
@@ -119,11 +143,38 @@ class EsStubServer {
           .put("reason", "injected failure")
         item.put("status", 400)
         if (!isDelete) i += 1 // still consume the doc line
+      } else if (inject429Items.get() > 0 &&
+          inject429Items.getAndDecrement() > 0) {
+        anyError = true
+        item.putObject("error").put("type", "es_rejected_execution_exception")
+          .put("reason", "injected bulk-queue rejection")
+        item.put("status", 429)
+        if (!isDelete) i += 1 // the doc line is consumed but NOT applied
       } else if (isDelete) {
         // ES: deleting a missing doc is not_found (404) but NOT an error
         val existed = indices(idx)._2.remove(id).isDefined
+        versions.remove((idx, id))
         item.put("status", if (existed) 200 else 404)
         if (!existed) item.put("result", "not_found")
+      } else if (action.path("version_type").asText("") == "external_gte" &&
+          action.path("version").isNumber) {
+        // ES external versioning: the write lands iff its version is >=
+        // the stored one; a smaller version is a 409 version_conflict
+        // (per-item error, the request itself still returns 200)
+        val v = action.path("version").asLong()
+        versions.get((idx, id)) match {
+          case Some(cur) if cur > v =>
+            anyError = true
+            item.putObject("error")
+              .put("type", "version_conflict_engine_exception")
+              .put("reason", s"current version [$cur] is higher than the one provided [$v]")
+            item.put("status", 409)
+          case _ =>
+            versions((idx, id)) = v
+            indices(idx)._2(id) = mapper.readTree(lines(i + 1))
+            item.put("status", 200)
+        }
+        i += 1 // the doc line
       } else {
         indices(idx)._2(id) = mapper.readTree(lines(i + 1))
         item.put("status", 200)
@@ -166,6 +217,46 @@ class EsStubServer {
     val sid = s"scroll-${scrollSeq.incrementAndGet()}"
     scrolls(sid) = (docs.drop(size), size)
     (200, pageResponse(sid, docs.take(size)))
+  }
+
+  /** PIT search: `POST /_search` with `pit.id`, slice/query/_source as in
+    * a scroll body, `sort: [_shard_doc]` and `search_after` pagination.
+    * The stub's `_shard_doc` is the doc's position in the PIT snapshot —
+    * a stable total order, exactly the field's contract. */
+  private def pitSearch(body: String): (Int, String) = synchronized {
+    val req = mapper.readTree(body)
+    val pitId = req.path("pit").path("id").asText()
+    pits.get(pitId) match {
+      case None => (404, s"""{"error":"unknown or closed pit id $pitId"}""")
+      case Some((_, snapshot)) =>
+        val size = req.path("size").asInt(10)
+        val includes = req.path("_source").path("includes").elements().asScala
+          .map(_.asText()).toSeq
+        lastSourceIncludes = includes
+        lastQuery = req.path("query").toString
+        val (sliceId, maxSlices) =
+          if (req.has("slice"))
+            (req.path("slice").path("id").asInt(), req.path("slice").path("max").asInt())
+          else (0, 1)
+        val after =
+          if (req.has("search_after")) req.path("search_after").path(0).asLong(-1L)
+          else -1L
+        val matching = snapshot.zipWithIndex
+          .filter { case (_, pos) => pos > after }
+          .filter { case ((id, _), _) =>
+            maxSlices == 1 || ((id.hashCode % maxSlices) + maxSlices) % maxSlices == sliceId }
+          .filter { case ((_, d), _) => evalQuery(req.path("query"), d) }
+          .take(size)
+        val root = mapper.createObjectNode()
+        root.put("pit_id", pitId)
+        val hits = root.putObject("hits").putArray("hits")
+        matching.foreach { case ((_, d), pos) =>
+          val h = hits.addObject()
+          h.set[JsonNode]("_source", project(d, includes))
+          h.putArray("sort").add(pos.toLong)
+        }
+        (200, mapper.writeValueAsString(root))
+    }
   }
 
   private def scrollNext(body: String): (Int, String) = synchronized {

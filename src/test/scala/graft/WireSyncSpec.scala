@@ -72,6 +72,182 @@ class WireSyncSpec extends AnyFunSuite {
     } finally { cql.stop(); es.stop() }
   }
 
+  test("merge: cell — disjoint-column updates converge per CELL on both stores and the snapshot; replays are no-ops") {
+    val cql = new CqlStubServer().start()
+    val es = new EsStubServer().start()
+    val base = java.nio.file.Files.createTempDirectory("cellsync").toString
+    try {
+      // side A: the C* DATA table itself (pk + update-ts + two data cells)
+      cql.createTable("ks", "profile", Seq(
+        ("key", "bigint"), ("ts", "bigint"), ("status", "text"),
+        ("val", "bigint")), pk = "key")
+      // side B: the ES index; docs carry a stamp field beside each cell
+      val (c, _) = graft.sources.EsHttp.request("PUT", s"${es.url}/profile", Some(
+        """{"mappings":{"properties":{
+          |  "key":{"type":"long"},"ts":{"type":"long"},
+          |  "status":{"type":"keyword"},"status_wt":{"type":"long"},
+          |  "val":{"type":"long"},"val_wt":{"type":"long"}}}}""".stripMargin))
+      assert(c === 200)
+
+      // local C* writer seeds key 1 — the reference's write path: the row
+      // stamped with its own source timestamp (USING TIMESTAMP = ts)
+      def cqlWrite(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("graft-cql").option("host", cql.host)
+          .option("keyspace", "ks").option("table", "profile")
+          .option("using-timestamp-column", "ts")
+          .mode("append").save()
+      cqlWrite(Seq((1L, 100L, "new", 10L)).toDF("key", "ts", "status", "val"))
+
+      val cfg = SyncConfig.fromYaml(
+        s"""cassandra:
+           |  feed: cql://${cql.host}/ks/profile?pk=key
+           |  snapshot: $base/snapA
+           |  format: graft-cql
+           |elasticsearch:
+           |  feed: es://127.0.0.1:${es.url.split(":").last}/profile
+           |  snapshot: $base/snapB
+           |  format: graft-es
+           |checkpoint_dir: $base/ckpt
+           |merge: cell
+           |cells: status,val
+           |""".stripMargin)
+      assert(cfg.merge === "cell" && cfg.cells === Seq("status", "val"))
+      SyncJob.runOnce(spark, cfg)
+
+      def esDoc(k: Long): Map[String, Any] = {
+        val rows = spark.read.format("graft-es")
+          .option("nodes", es.url).option("index", "profile").load()
+          .where($"key" === k).collect()
+        assert(rows.length === 1)
+        val r = rows.head
+        r.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap
+      }
+      def cqlRow(k: Long): Map[String, Any] = {
+        val rows = spark.read.format("graft-cql")
+          .option("host", cql.host).option("keyspace", "ks")
+          .option("table", "profile").option("partition-key", "key")
+          .option("writetime-of", "status,val").load()
+          .where($"key" === k).collect()
+        assert(rows.length === 1)
+        val r = rows.head
+        r.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap
+      }
+      def snap(dir: String, k: Long): Map[String, Any] = {
+        val rows = spark.read.parquet(dir).where($"key" === k).collect()
+        assert(rows.length === 1)
+        val r = rows.head
+        r.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap
+      }
+      assert(esDoc(1L) === Map("key" -> 1L, "ts" -> 100L, "status" -> "new",
+        "status_wt" -> 100L, "val" -> 10L, "val_wt" -> 100L),
+        "initial full sync relays the seeded row with its cell stamps")
+
+      // THE cell-granularity scenario: in the SAME round, C* gets a newer
+      // STATUS and ES gets a newer VAL for the same key — two writers on
+      // disjoint columns. Row-granular LWW would let the newest ROW win
+      // and silently discard the other writer's newer cell.
+      // a true PARTIAL write: only the columns being set are named (an
+      // INSERT naming val with a null would be a cell tombstone, not a
+      // disjoint update)
+      cqlWrite(Seq((1L, 300L, "gold")).toDF("key", "ts", "status"))
+      Seq((1L, 400L, 99L, 400L)).toDF("key", "ts", "val", "val_wt")
+        .write.format("graft-es")                // ES: val@400 only
+        .option("nodes", es.url).option("index", "profile")
+        .option("id-column", "key").option("version-column", "ts")
+        .mode("append").save()
+      SyncJob.runOnce(spark, cfg)
+
+      val want = Map("key" -> 1L, "ts" -> 400L, "status" -> "gold",
+        "status_wt" -> 300L, "val" -> 99L, "val_wt" -> 400L)
+      assert(esDoc(1L) === want, "ES holds the per-cell merge")
+      assert(cqlRow(1L).filterKeys(k => k != "ts").toMap ===
+        Map("key" -> 1L, "status" -> "gold", "val" -> 99L,
+          "writetime_status" -> 300L, "writetime_val" -> 400L),
+        "C* holds the per-cell merge under the ORIGINAL source stamps")
+      assert(snap(s"$base/snapA", 1L) === want
+        && snap(s"$base/snapB", 1L) === want,
+        "both snapshots hold the same per-cell merge")
+
+      // replay 1: one more round over the live checkpoint — a no-op
+      SyncJob.runOnce(spark, cfg)
+      assert(esDoc(1L) === want && snap(s"$base/snapA", 1L) === want)
+
+      // replay 2: the FULL loop from a fresh checkpoint (the post-crash
+      // worst case) — every window re-reads, every relay re-lands, and
+      // both stores, both snapshots still hold the same merge
+      val cfg2 = cfg.copy(checkpointDir = s"$base/ckpt2")
+      SyncJob.runOnce(spark, cfg2)
+      assert(esDoc(1L) === want && cqlRow(1L)("writetime_val") === 400L
+        && snap(s"$base/snapA", 1L) === want)
+    } finally { cql.stop(); es.stop() }
+  }
+
+  test("tables: — one YAML syncs a keyspace's TABLES: two stream pairs, one checkpoint root; single-table YAML unchanged") {
+    val cql = new CqlStubServer().start()
+    val es = new EsStubServer().start()
+    val base = java.nio.file.Files.createTempDirectory("multisync").toString
+    try {
+      // the keyspace's two change tables, and their two ES indices
+      Seq("orders", "users").foreach { t =>
+        cql.createTable("ks", t, Seq(
+          ("key", "bigint"), ("ts", "bigint"), ("uid", "bigint"),
+          ("payload", "text")), pk = "uid")
+        val (c, _) = graft.sources.EsHttp.request("PUT", s"${es.url}/$t", Some(
+          """{"mappings":{"properties":{"key":{"type":"long"},"ts":{"type":"long"},
+            |"uid":{"type":"long"},"payload":{"type":"keyword"}}}}""".stripMargin))
+        assert(c === 200)
+      }
+      def cqlWrite(t: String, rows: Seq[(Long, Long, Long, String)]): Unit =
+        rows.toDF("key", "ts", "uid", "payload")
+          .write.format("graft-cql").option("host", cql.host)
+          .option("keyspace", "ks").option("table", t)
+          .mode("append").save()
+      cqlWrite("orders", Seq((1L, 100L, 10L, "o1"), (1L, 200L, 11L, "o2")))
+      cqlWrite("users", Seq((7L, 100L, 20L, "u1")))
+      Seq((8L, 150L, 30L, "u-es")).toDF("key", "ts", "uid", "payload")
+        .write.format("graft-es").option("nodes", es.url)
+        .option("index", "users").option("id-column", "uid")
+        .mode("append").save()
+
+      val cfg = SyncConfig.fromYaml(
+        s"""tables: orders, users
+           |cassandra:
+           |  feed: cql://${cql.host}/ks/{table}?pk=uid
+           |  snapshot: $base/snapA/{table}
+           |  format: graft-cql
+           |elasticsearch:
+           |  feed: es://127.0.0.1:${es.url.split(":").last}/{table}
+           |  snapshot: $base/snapB/{table}
+           |  format: graft-es
+           |checkpoint_dir: $base/ckpt
+           |""".stripMargin)
+      assert(cfg.tables === Seq("orders", "users"))
+      val counts = SyncJob.runOnceAll(spark, cfg)
+      assert(counts === Seq((0L, 1L), (1L, 1L)),
+        "orders: B sees LWW'd key 1; users: A sees key 8, B sees key 7")
+      def snapB(t: String) = spark.read
+        .schema(graft.streaming.Sync.changeSchema)
+        .parquet(s"$base/snapB/$t").select($"key", $"payload")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(snapB("orders") === Map(1L -> "o2"))
+      assert(snapB("users") === Map(7L -> "u1"))
+
+      // incremental round touches only the table that changed; the other
+      // table's checkpointed cursor stays put
+      cqlWrite("orders", Seq((2L, 400L, 12L, "o3")))
+      SyncJob.runOnceAll(spark, cfg)
+      assert(snapB("orders") === Map(1L -> "o2", 2L -> "o3"))
+      assert(snapB("users") === Map(7L -> "u1"))
+
+      // a multi-table config must not silently run single-table
+      intercept[IllegalArgumentException] { SyncJob.start(spark, cfg) }
+      // and the placeholder is REQUIRED once tables: is present
+      intercept[IllegalArgumentException] {
+        SyncJob.expand(cfg.copy(snapshotB = s"$base/snapB/shared"))
+      }
+    } finally { cql.stop(); es.stop() }
+  }
+
   test("C* wire → LWW merge with tombstones → ES wire; the round replays convergently") {
     val cql = new CqlStubServer().start()
     val es = new EsStubServer().start()
