@@ -182,6 +182,66 @@ class WireSyncSpec extends AnyFunSuite {
     } finally { cql.stop(); es.stop() }
   }
 
+  test("merge: cell — a cell TOMBSTONE (null under a winning stamp) propagates to both stores; a newer write revives the cell") {
+    val cql = new CqlStubServer().start()
+    val es = new EsStubServer().start()
+    val base = java.nio.file.Files.createTempDirectory("celltomb").toString
+    try {
+      cql.createTable("ks", "profile", Seq(
+        ("key", "bigint"), ("ts", "bigint"), ("status", "text"),
+        ("val", "bigint")), pk = "key")
+      val (c, _) = graft.sources.EsHttp.request("PUT", s"${es.url}/profile", Some(
+        """{"mappings":{"properties":{
+          |  "key":{"type":"long"},"ts":{"type":"long"},
+          |  "status":{"type":"keyword"},"status_wt":{"type":"long"},
+          |  "val":{"type":"long"},"val_wt":{"type":"long"}}}}""".stripMargin))
+      assert(c === 200)
+      def cqlWrite(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("graft-cql").option("host", cql.host)
+          .option("keyspace", "ks").option("table", "profile")
+          .option("using-timestamp-column", "ts")
+          .mode("append").save()
+      val cfg = SyncConfig.fromYaml(
+        s"""cassandra:
+           |  feed: cql://${cql.host}/ks/profile?pk=key
+           |  snapshot: $base/snapA
+           |  format: graft-cql
+           |elasticsearch:
+           |  feed: es://127.0.0.1:${es.url.split(":").last}/profile
+           |  snapshot: $base/snapB
+           |  format: graft-es
+           |checkpoint_dir: $base/ckpt
+           |merge: cell
+           |cells: status,val
+           |""".stripMargin)
+      def esVal(): (Any, Any) = {
+        val r = spark.read.format("graft-es")
+          .option("nodes", es.url).option("index", "profile").load()
+          .where($"key" === 1L).select($"status", $"val").collect().head
+        (r.get(0), r.get(1))
+      }
+      cqlWrite(Seq((1L, 100L, "new", 10L)).toDF("key", "ts", "status", "val"))
+      SyncJob.runOnce(spark, cfg)
+      assert(esVal() === (("new", 10L)))
+
+      // DELETE the val CELL: C*'s cell tombstone is a null written under
+      // a newer stamp — it must win the merge and null the cell on ES
+      // and in the snapshot, while status (its own cell) survives
+      cqlWrite(Seq((1L, 500L, null: java.lang.Long)).toDF("key", "ts", "val"))
+      SyncJob.runOnce(spark, cfg)
+      assert(esVal() === (("new", null)), "the cell tombstone must propagate")
+      val snap = spark.read.parquet(s"$base/snapA")
+        .where($"key" === 1L).select($"val", $"val_wt").collect().head
+      assert(snap.isNullAt(0) && snap.getLong(1) === 500L,
+        "snapshot holds the tombstone UNDER ITS STAMP (a later older write stays dead)")
+
+      // a NEWER write revives the cell — each write carries its own stamp
+      cqlWrite(Seq((1L, 800L, 99L)).toDF("key", "ts", "val"))
+      SyncJob.runOnce(spark, cfg)
+      assert(esVal() === (("new", 99L)))
+    } finally { cql.stop(); es.stop() }
+  }
+
   test("tables: — one YAML syncs a keyspace's TABLES: two stream pairs, one checkpoint root; single-table YAML unchanged") {
     val cql = new CqlStubServer().start()
     val es = new EsStubServer().start()
