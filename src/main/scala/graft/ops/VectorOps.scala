@@ -420,6 +420,70 @@ object VectorOps {
         $"in_exact_top10")
   }
 
+  /** j278_bbq_rescore — ES BBQ's actual SERVE pipeline (better-binary-
+    * quantization search, the shape that makes 1-bit vectors usable):
+    * two stages per query — (1) RETRIEVE an OVERSAMPLED candidate set by
+    * Hamming distance over the sign-bit packs (k·oversample = 40
+    * candidates for k = 10, integer XOR+popcount only), then (2) RESCORE
+    * just those candidates with the exact float cosine and keep the true
+    * top-k. j177 ranks BY hamming and only annotates the damage; this is
+    * the production path where the bits BOUND the float work instead of
+    * replacing it — ES quotes ~95% recall at 3-5× oversampling where raw
+    * 1-bit ranking loses whole neighborhoods. Five queries (not one) so
+    * the per-query recall audit (`in_exact_top10` against the full-scan
+    * exact top-10) measures the oversampling trade, j135's discipline.
+    *
+    * Scale shape: sign-bit packing is a per-row exact integer fold; the
+    * 5-query frame broadcasts onto ONE corpus scan; stage 1 is a
+    * qid-partitioned window over row-local integer ops
+    * (WindowGroupLimit prunes the top-40 per partition — never a global
+    * sort); stage 2's float cosines run on 40 rows per query, CONSTANT
+    * in corpus size — that bound is the whole point of BBQ. The exact
+    * full-scan leg exists only as the recall audit. Rank keys on
+    * round(cos, 6) before the vec_id tie-break (j38's rule). */
+  def j278(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def half(lo: Int): String =
+      s"""aggregate(sequence($lo, ${lo + 31}), CAST(0 AS BIGINT), (a, i) ->
+         |  a + IF(CAST(element_at(embedding, i) AS DOUBLE) > 0,
+         |         shiftleft(CAST(1 AS BIGINT), ${lo + 31} - i), CAST(0 AS BIGINT)))"""
+        .stripMargin
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding",
+        expr(half(1)).as("h1"), expr(half(33)).as("h2"))
+    val q = e.orderBy($"vec_id").limit(5)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"),
+        $"h1".as("q1"), $"h2".as("q2"))
+    def dot(a: String, b: String) = expr(
+      s"""aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, i) ->
+         |  acc + CAST(element_at($a, i) AS DOUBLE) *
+         |        CAST(element_at($b, i) AS DOUBLE))""".stripMargin)
+    val scored = e.crossJoin(broadcast(q))
+      .withColumn("hamming",
+        expr("bit_count(h1 ^ q1) + bit_count(h2 ^ q2)").cast("long"))
+    // stage 1: oversampled Hamming retrieval — integer ops only
+    val wH = Window.partitionBy($"qid")
+      .orderBy($"hamming".asc, $"vec_id".asc)
+    val cand = scored.withColumn("hr", row_number().over(wH)).filter($"hr" <= 40)
+    // stage 2: exact-cosine rescore of the 40 candidates per query
+    val cos = dot("embedding", "qe") /
+      (sqrt(dot("embedding", "embedding")) * sqrt(dot("qe", "qe")))
+    val wC = Window.partitionBy($"qid")
+      .orderBy(round($"cos", 6).desc, $"vec_id".asc)
+    val top = cand.withColumn("cos", cos)
+      .withColumn("rank", row_number().over(wC)).filter($"rank" <= 10)
+    // recall audit: the full-scan exact top-10 per query
+    val exact = scored.withColumn("cos", cos)
+      .withColumn("xr", row_number().over(wC)).filter($"xr" <= 10)
+      .select($"qid".as("xq"), $"vec_id".as("xv"))
+    top.join(broadcast(exact),
+        $"qid" === $"xq" && $"vec_id" === $"xv", "left_outer")
+      .withColumn("in_exact_top10", $"xv".isNotNull)
+      .select($"qid", $"rank".cast("int").as("rank"), $"vec_id", $"hamming",
+        round($"cos", 6).as("cos"), $"in_exact_top10")
+      .orderBy($"qid", $"rank")
+  }
+
   /** j196_graph_ann — HNSW-style graph ANN beside the IVF (j20) / PQ
     * (j166) / LSH (j31) / bit (j177) ladder: a navigable-small-world
     * search demo with every stage distributed and deterministic.
@@ -807,12 +871,58 @@ object VectorOps {
     "j122_knn_prefilter" -> j122, "j123_maxsim" -> j123,
     "j134_hard_negatives" -> j134, "j166_pq_adc" -> j166,
     "j177_bit_hamming" -> j177, "j196_graph_ann" -> j196,
-    "j263_graph_beam_tuning" -> j263)
+    "j263_graph_beam_tuning" -> j263, "j278_bbq_rescore" -> j278)
 
   private val dotSelfSql =
     "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
   val oracle: Map[String, String] = Map(
+    "j278_bbq_rescore" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |  list_sum(list_transform(generate_series(1, 32), i ->
+        |    CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+        |         THEN CAST(1 AS BIGINT) << (32 - i) ELSE 0 END)) AS h1,
+        |  list_sum(list_transform(generate_series(33, 64), i ->
+        |    CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+        |         THEN CAST(1 AS BIGINT) << (64 - i) ELSE 0 END)) AS h2
+        |  FROM 'embeddings.parquet'),
+        |q AS (SELECT vec_id AS qid, embedding AS qe, h1 AS q1, h2 AS q2
+        |      FROM e ORDER BY vec_id LIMIT 5),
+        |sc AS (SELECT q.qid, e.vec_id, e.embedding, q.qe,
+        |         CAST(bit_count(xor(e.h1, q.q1)) +
+        |              bit_count(xor(e.h2, q.q2)) AS BIGINT) AS hamming
+        |       FROM e CROSS JOIN q),
+        |cand AS (SELECT * FROM sc
+        |         QUALIFY row_number() OVER (PARTITION BY qid
+        |           ORDER BY hamming ASC, vec_id ASC) <= 40),
+        |resc AS (SELECT qid, vec_id, hamming,
+        |           list_sum(list_transform(generate_series(1, 64), i ->
+        |             CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) /
+        |           (sqrt(list_sum(list_transform(generate_series(1, 64), i ->
+        |              CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) *
+        |            sqrt(list_sum(list_transform(generate_series(1, 64), i ->
+        |              CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))) AS cos
+        |         FROM cand),
+        |top AS (SELECT qid, vec_id, hamming, cos,
+        |          row_number() OVER (PARTITION BY qid
+        |            ORDER BY round(cos, 6) DESC, vec_id ASC) AS rank
+        |        FROM resc QUALIFY rank <= 10),
+        |ex AS (SELECT qid AS xq, vec_id AS xv FROM (
+        |         SELECT qid, vec_id,
+        |           list_sum(list_transform(generate_series(1, 64), i ->
+        |             CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) /
+        |           (sqrt(list_sum(list_transform(generate_series(1, 64), i ->
+        |              CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) *
+        |            sqrt(list_sum(list_transform(generate_series(1, 64), i ->
+        |              CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))) AS cos
+        |         FROM sc)
+        |       QUALIFY row_number() OVER (PARTITION BY qid
+        |         ORDER BY round(cos, 6) DESC, vec_id ASC) <= 10)
+        |SELECT t.qid, CAST(t.rank AS INT) AS rank, t.vec_id, t.hamming,
+        |       round(t.cos, 6) AS cos,
+        |       (ex.xv IS NOT NULL) AS in_exact_top10
+        |FROM top t LEFT JOIN ex ON t.qid = ex.xq AND t.vec_id = ex.xv
+        |ORDER BY t.qid, t.rank""".stripMargin,
     "j207_matryoshka_eval" ->
       """WITH e AS (SELECT vec_id, embedding FROM 'embeddings.parquet'),
         |q AS (SELECT embedding AS qe FROM e ORDER BY vec_id LIMIT 1),

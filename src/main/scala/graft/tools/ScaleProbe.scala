@@ -46,7 +46,8 @@ object ScaleProbe {
     "j105_embed_outliers" -> "embeddings.parquet",
     "i20_cell_lww_merge" -> "events.parquet",
     "j275_geohex_grid" -> "events.parquet",
-    "j276_esql_geohex" -> "events.parquet")
+    "j276_esql_geohex" -> "events.parquet",
+    "j278_bbq_rescore" -> "embeddings.parquet")
 
   def main(args0: Array[String]): Unit = {
     // optional trailing `only=q1,q2` arg restricts the probe list —
@@ -156,7 +157,10 @@ object ScaleProbe {
         "j152_source_card",
         // round 14: per-cell LWW (one map-combined keyed agg — must stay
         // flat) and the hex grid pair (row-local key + cell-bounded agg)
-        "i20_cell_lww_merge", "j275_geohex_grid", "j276_esql_geohex")
+        "i20_cell_lww_merge", "j275_geohex_grid", "j276_esql_geohex",
+        // round 15: BBQ two-stage serve — the hamming window must stay
+        // ~linear and the rescore leg constant (40 rows/query) at any N
+        "j278_bbq_rescore")
         if only.forall(_.contains(q))) {
       val missing = needs.get(q)
         .filterNot(f => new java.io.File(d, f).exists())
