@@ -482,11 +482,67 @@ object CurationOps {
     qualityScore(Tables.documents(s, d)).orderBy($"doc_id")
   }
 
+  /** j280_url_canonical_dedup — URL canonicalization + dedup, the FIRST
+    * step of every web-corpus pipeline (CommonCrawl processors dedup on
+    * the canonical URL before any content pass): scheme and `www.`
+    * stripped, trailing slash dropped, tracking params (`utm_*`) removed,
+    * remaining query params SORTED — so `http://www.h1.example.com/p/9/
+    * ?utm_source=x&ref=2&id=9` and `https://h1.example.com/p/9?id=9&ref=2`
+    * collapse to one identity. Each canonical group keeps its best
+    * variant (longest doc, doc_id tiebreak — j138's keep-best rule). The
+    * messy inputs are doc_id-derived (scheme/www/slash/param-order/utm
+    * junk all vary deterministically), so both engines canonicalize the
+    * SAME mess.
+    *
+    * Scale shape: canonicalization is row-local string algebra on a
+    * map-only projection; the dedup is ONE keyed window (keep-one +
+    * counts per canonical key — WindowGroupLimit prunes map-side). At
+    * 100 TB this is the cheapest possible dedup: no pair join, no
+    * shingles, key cardinality ≈ distinct pages. */
+  def j280(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = ($"doc_id" % 150).cast("long")
+    val url = concat(
+      when($"doc_id" % 3 === 0, "http").otherwise("https"), lit("://"),
+      when($"doc_id" % 2 === 0, "www.").otherwise(""),
+      lit("h"), (g % 37).cast("string"), lit(".example.com"),
+      lit("/p/"), g.cast("string"),
+      when($"doc_id" % 5 === 0, "/").otherwise(""),
+      lit("?"),
+      when($"doc_id" % 4 < 2, "utm_source=x&").otherwise(""),
+      // surviving params derive from the GROUP (the page identity) —
+      // only order, scheme, www, slash and utm junk vary per variant
+      when($"doc_id" % 2 === 0,
+        concat(lit("ref="), (g % 7).cast("string"), lit("&id="), g.cast("string")))
+        .otherwise(
+          concat(lit("id="), g.cast("string"), lit("&ref="), (g % 7).cast("string"))))
+    val withUrl = Tables.documents(s, d).select($"doc_id", $"n_chars", url.as("url"))
+      .withColumn("base",
+        regexp_replace(regexp_replace(regexp_replace(
+          expr("split(url, '\\\\?')[0]"),
+          "^https?://", ""), "^www\\.", ""), "/$", ""))
+      .withColumn("canon_q", expr(
+        "array_join(array_sort(filter(split(split(url, '\\\\?')[1], '&'), " +
+          "p -> NOT startswith(p, 'utm_'))), '&')"))
+      .withColumn("canon_url",
+        concat($"base", when($"canon_q" =!= "", concat(lit("?"), $"canon_q")).otherwise(lit(""))))
+    val w = Window.partitionBy($"canon_url")
+      .orderBy($"n_chars".desc, $"doc_id".asc)
+    withUrl
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_variants", count(lit(1)).over(Window.partitionBy($"canon_url")))
+      .filter($"rn" === 1)
+      .select($"canon_url", $"n_variants", $"doc_id".as("kept_doc"),
+        $"n_chars".as("kept_chars"))
+      .orderBy($"canon_url")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j28_domain_mix" -> j28, "j29_repetition_filter" -> j29,
     "j30_shuffle_shard" -> j30, "j49_pii_redact" -> j49,
     "j50_span_dedup" -> j50, "j54_stratified_sample" -> j54,
-    "j57_temperature_mix" -> j57, "j65_quality_classifier" -> j65)
+    "j57_temperature_mix" -> j57, "j65_quality_classifier" -> j65,
+    "j280_url_canonical_dedup" -> j280)
 
   private val NibbleSql =
     """((strpos('0123456789abcdef', substr(%s, 1, 1)) - 1) * 4096 +
@@ -495,6 +551,38 @@ object CurationOps {
       | (strpos('0123456789abcdef', substr(%s, 4, 1)) - 1))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "j280_url_canonical_dedup" ->
+      """WITH u AS (SELECT doc_id, n_chars,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) ||
+        |  'h' || CAST((doc_id % 150) % 37 AS VARCHAR) || '.example.com' ||
+        |  '/p/' || CAST(doc_id % 150 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) || '?' ||
+        |  (CASE WHEN doc_id % 4 < 2 THEN 'utm_source=x&' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 2 = 0
+        |        THEN 'ref=' || CAST((doc_id % 150) % 7 AS VARCHAR) ||
+        |             '&id=' || CAST(doc_id % 150 AS VARCHAR)
+        |        ELSE 'id=' || CAST(doc_id % 150 AS VARCHAR) ||
+        |             '&ref=' || CAST((doc_id % 150) % 7 AS VARCHAR) END) AS url
+        |  FROM 'documents.parquet'),
+        |c AS (SELECT doc_id, n_chars,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    string_split(url, '?')[1], '^https?://', ''), '^www\.', ''),
+        |    '/$', '') AS base,
+        |  array_to_string(list_sort(list_filter(
+        |    string_split(string_split(url, '?')[2], '&'),
+        |    p -> NOT starts_with(p, 'utm_'))), '&') AS cq
+        |  FROM u),
+        |k AS (SELECT doc_id, n_chars,
+        |        base || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS canon_url
+        |      FROM c),
+        |r AS (SELECT canon_url, doc_id, n_chars,
+        |        row_number() OVER (PARTITION BY canon_url
+        |          ORDER BY n_chars DESC, doc_id ASC) AS rn,
+        |        count(*) OVER (PARTITION BY canon_url) AS n_variants
+        |      FROM k)
+        |SELECT canon_url, n_variants, doc_id AS kept_doc, n_chars AS kept_chars
+        |FROM r WHERE rn = 1 ORDER BY canon_url""".stripMargin,
     "j65_quality_classifier" ->
       """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
         |           FROM 'documents.parquet'),

@@ -369,6 +369,48 @@ object PipelineOps {
       .orderBy($"doc_id")
   }
 
+  // ---------- j279 readability scores ----------
+
+  /** j279_readability — Flesch reading ease + Flesch–Kincaid grade, the
+    * classic quality-filter signals (educational-value and difficulty
+    * filters band corpora on exactly these): sentences = [.!?]+ runs
+    * (min 1), words = the house space-split, syllables = [aeiouy]+ vowel
+    * groups (the standard heuristic; groups never span a space, so the
+    * whole-text count equals the per-word sum). Both formulas are pure
+    * double arithmetic over the three integer counts, written in the
+    * SAME expression shape in both engines (bit-identical IEEE ops),
+    * then round6'd; the difficulty band cuts on the ROUNDED ease value
+    * so the band boundary can never straddle an engine difference.
+    *
+    * Scale shape: one projection — three regexp counts + row-local
+    * arithmetic per document, no shuffle at all before the output sort;
+    * at 100 TB this is a map-only pass that pushes nothing but the text
+    * column through the scanner. */
+  def j279(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        greatest(lit(1), size(expr(
+          "regexp_extract_all(text, '[.!?]+', 0)"))).cast("long").as("n_sent"),
+        size(split($"text", " ")).cast("long").as("n_words"),
+        size(expr(
+          "regexp_extract_all(lower(text), '[aeiouy]+', 0)")).cast("long").as("n_syll"))
+      .withColumn("wps", $"n_words" / $"n_sent".cast("double"))
+      .withColumn("spw", $"n_syll" / $"n_words".cast("double"))
+      .select($"doc_id", $"n_sent", $"n_words", $"n_syll",
+        Parity.round6($"wps").as("words_per_sentence"),
+        Parity.round6($"spw").as("syllables_per_word"),
+        Parity.round6(lit(206.835) - lit(1.015) * $"wps" - lit(84.6) * $"spw")
+          .as("flesch_ease"),
+        Parity.round6(lit(0.39) * $"wps" + lit(11.8) * $"spw" - lit(15.59))
+          .as("fk_grade"))
+      .withColumn("band",
+        when($"flesch_ease" >= 60.0, "easy")
+          .when($"flesch_ease" >= 30.0, "standard")
+          .otherwise("hard"))
+      .orderBy($"doc_id")
+  }
+
   // ---------- j18 rolling-hash fingerprint ----------
 
   /** j18_rolling_fingerprint — positional polynomial fingerprint:
@@ -1399,6 +1441,7 @@ object PipelineOps {
     "j14_embed_neardup" -> j14, "j15_langid" -> j15,
     "j192_langid_calibration" -> j192,
     "j16_quality_score" -> j16, "j17_token_stats" -> j17,
+    "j279_readability" -> j279,
     "j18_rolling_fingerprint" -> j18, "j19_multimodal_binary" -> j19,
     "j20_ivf_topk" -> j20, "j135_ivf_recall" -> j135,
     "j136_lsh_band_tuning" -> j136, "j22_decontaminate" -> j22,
@@ -1964,6 +2007,31 @@ object PipelineOps {
         |      (floor(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) * 1000000 + 0.5)
         |       / 1000000.0) * 1000000 + 0.5) / 1000000.0 AS quality
         |FROM x ORDER BY doc_id""".stripMargin,
+    "j279_readability" ->
+      """WITH x AS (SELECT doc_id,
+        |  greatest(1, len(regexp_extract_all(text, '[.!?]+', 0))) AS n_sent,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  len(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS n_syll
+        |  FROM 'documents.parquet'),
+        |y AS (SELECT doc_id, n_sent, n_words, n_syll,
+        |        n_words / CAST(n_sent AS DOUBLE) AS wps,
+        |        n_syll / CAST(n_words AS DOUBLE) AS spw
+        |      FROM x),
+        |z AS (SELECT doc_id,
+        |        CAST(n_sent AS BIGINT) AS n_sent,
+        |        CAST(n_words AS BIGINT) AS n_words,
+        |        CAST(n_syll AS BIGINT) AS n_syll,
+        |        floor(wps * 1000000 + 0.5) / 1000000.0 AS words_per_sentence,
+        |        floor(spw * 1000000 + 0.5) / 1000000.0 AS syllables_per_word,
+        |        floor((206.835 - 1.015 * wps - 84.6 * spw) * 1000000 + 0.5)
+        |          / 1000000.0 AS flesch_ease,
+        |        floor((0.39 * wps + 11.8 * spw - 15.59) * 1000000 + 0.5)
+        |          / 1000000.0 AS fk_grade
+        |      FROM y)
+        |SELECT *, CASE WHEN flesch_ease >= 60.0 THEN 'easy'
+        |               WHEN flesch_ease >= 30.0 THEN 'standard'
+        |               ELSE 'hard' END AS band
+        |FROM z ORDER BY doc_id""".stripMargin,
     "j17_token_stats" ->
       """SELECT doc_id,
         |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,

@@ -159,8 +159,10 @@ object ScaleProbe {
         // flat) and the hex grid pair (row-local key + cell-bounded agg)
         "i20_cell_lww_merge", "j275_geohex_grid", "j276_esql_geohex",
         // round 15: BBQ two-stage serve — the hamming window must stay
-        // ~linear and the rescore leg constant (40 rows/query) at any N
-        "j278_bbq_rescore")
+        // ~linear and the rescore leg constant (40 rows/query) at any N;
+        // readability + URL dedup are map-only / one-window passes whose
+        // slopes should be pure scan
+        "j278_bbq_rescore", "j279_readability", "j280_url_canonical_dedup")
         if only.forall(_.contains(q))) {
       val missing = needs.get(q)
         .filterNot(f => new java.io.File(d, f).exists())
