@@ -1992,6 +1992,39 @@ object Esql {
         if (sp < 0) (st.toUpperCase, "")
         else (st.take(sp).toUpperCase, st.drop(sp + 1).trim)
       kw match {
+        case "WHERE" if body.trim.toUpperCase.startsWith("KNN(") =>
+          // WHERE KNN(<vector_col>, [v1, v2, ...], k) BY <tiebreak> —
+          // ES|QL 9.x's knn function. NOT a row-local predicate: knn is
+          // RETRIEVAL (keep the k nearest rows by the field's
+          // similarity), so it compiles as a stage — cosine against the
+          // literal query vector, `_score` = (1 + cos) / 2 (ES's cosine
+          // score normalization, materialized directly — the METADATA
+          // _score convention), then a TakeOrdered top-k under
+          // (round(_score, 6) DESC, tiebreak ASC) — j38's rank rule; the
+          // BY tiebreak is the engine's determinism addition (RERANK's
+          // deviation, same reason). ES approximates per-shard HNSW and
+          // merges; the exact top-k here is a TakeOrderedAndProject —
+          // a k-row heap per partition, never a global sort.
+          val knnRe =
+            """(?is)^KNN\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*\[([^\]]*)\]\s*,\s*(\d+)\s*\)\s+BY\s+([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+          val m = knnRe.findFirstMatchIn(body.trim).getOrElse(
+            throw new IllegalArgumentException(
+              s"KNN needs KNN(<col>, [v1, ...], k) BY <tiebreak>, got: $body"))
+          val (vcol, qv, k, tie) = (m.group(1),
+            m.group(2).split(",").map(_.trim.toDouble).toSeq,
+            m.group(3).toInt, m.group(4))
+          require(qv.nonEmpty && k > 0, "KNN needs a non-empty vector and k > 0")
+          val dot = qv.zipWithIndex.map { case (v, i) =>
+            expr(s"CAST(element_at($vcol, ${i + 1}) AS DOUBLE)") * lit(v)
+          }.reduce(_ + _)
+          val norm = sqrt(expr(
+            s"""aggregate(sequence(1, ${qv.length}), CAST(0 AS DOUBLE), (a, i) ->
+               |  a + CAST(element_at($vcol, i) AS DOUBLE) *
+               |      CAST(element_at($vcol, i) AS DOUBLE))""".stripMargin))
+          val qnorm = lit(math.sqrt(qv.map(v => v * v).sum))
+          df = df.withColumn("_score", (lit(1.0) + dot / (norm * qnorm)) / lit(2.0))
+            .orderBy(round(col("_score"), 6).desc, col(tie).asc)
+            .limit(k)
         case "WHERE" => df = df.filter(parseExpr(body))
         case "EVAL" =>
           for ((n, e) <- aliasedList(new Cursor(lex(body))))
@@ -2934,6 +2967,32 @@ object Esql {
   def j238(s: SparkSession, d: String): DataFrame =
     compile(s, d, j238Query)
 
+  /** The KNN fixture's query vector — dyadic-exact literals
+    * ({-0.5, -0.25, 0, 0.25, 0.5} only), so the text form parses to
+    * bit-identical doubles in both engines and the norm's radicand
+    * (7.875) is exact. */
+  private val KnnQv: Seq[Double] = (1 to 64).map(i => ((i % 5) - 2) * 0.25)
+
+  /** j281_esql_knn — ES|QL 9.x's KNN function: `WHERE KNN(vector_col,
+    * [query_vector], k)` is RETRIEVAL, not a row predicate — keep the k
+    * nearest rows by the field's similarity, with `_score` = (1+cos)/2
+    * (ES's cosine score normalization) materialized for the pipeline
+    * tail to sort/keep — the `METADATA _score` convention. The BY
+    * tiebreak is the engine's determinism addition (RERANK's documented
+    * deviation). Compiles to a TakeOrdered top-k (k-row heap per
+    * partition), never a global sort; ES itself serves this per-shard
+    * HNSW + merge — same candidate-bounding idea, approximate where
+    * this is exact. */
+  val j281Query: String =
+    s"""FROM embeddings
+       || WHERE KNN(embedding, [${KnnQv.mkString(", ")}], 10) BY vec_id
+       || EVAL s = ROUND(_score, 6)
+       || KEEP vec_id, label, s
+       || SORT s DESC, vec_id""".stripMargin
+
+  def j281(s: SparkSession, d: String): DataFrame =
+    compile(s, d, j281Query)
+
   /** j239_esql_row — the ROW source command: a one-row inline-literal
     * source through the SAME stage compiler (EVAL/KEEP fold onto it
     * like onto any scan), exercising pure functions on known inputs —
@@ -3586,6 +3645,7 @@ object Esql {
     "j237_esql_scalars_ext" -> j237,
     "j238_esql_mv_arith" -> j238,
     "j239_esql_row" -> j239,
+    "j281_esql_knn" -> j281,
     "j235_esql_categorize" -> j235,
     "j234_esql_math" -> j234,
     "j229_esql_mv_position" -> j229,
@@ -4088,6 +4148,21 @@ object Esql {
         |       CAST(count(DISTINCT h8) AS BIGINT) AS hashes,
         |       min(h8) AS mn_h
         |FROM d GROUP BY 1, 2 ORDER BY trimmed, tag LIMIT 30""".stripMargin,
+    // same literal vector (dyadic-exact) and fold order as the Spark
+    // stage; qnorm's radicand is the exact 7.875, so sqrt agrees bitwise
+    "j281_esql_knn" ->
+      s"""WITH sc AS (SELECT vec_id, label,
+         |  (1.0 + (list_sum(list_transform(generate_series(1, 64), i ->
+         |     CAST(embedding[i] AS DOUBLE) *
+         |     ([${KnnQv.mkString(", ")}])[i])) /
+         |   (sqrt(list_sum(list_transform(generate_series(1, 64), i ->
+         |      CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) *
+         |    sqrt(${KnnQv.map(v => v * v).sum})))) / 2.0 AS score
+         |  FROM 'embeddings.parquet'),
+         |top AS (SELECT vec_id, label, score FROM sc
+         |        ORDER BY round(score, 6) DESC, vec_id ASC LIMIT 10)
+         |SELECT vec_id, label, round(score, 6) AS s
+         |FROM top ORDER BY s DESC, vec_id""".stripMargin,
     // the double fold (list_transform → list_sum) is the VectorOps
     // parity device; the median picks the two 1-based middles ⌈n/2⌉ and
     // ⌊n/2⌋+1 of the sorted list — same elements both engines

@@ -47,7 +47,8 @@ object ScaleProbe {
     "i20_cell_lww_merge" -> "events.parquet",
     "j275_geohex_grid" -> "events.parquet",
     "j276_esql_geohex" -> "events.parquet",
-    "j278_bbq_rescore" -> "embeddings.parquet")
+    "j278_bbq_rescore" -> "embeddings.parquet",
+    "j281_esql_knn" -> "embeddings.parquet")
 
   def main(args0: Array[String]): Unit = {
     // optional trailing `only=q1,q2` arg restricts the probe list —
@@ -162,7 +163,8 @@ object ScaleProbe {
         // ~linear and the rescore leg constant (40 rows/query) at any N;
         // readability + URL dedup are map-only / one-window passes whose
         // slopes should be pure scan
-        "j278_bbq_rescore", "j279_readability", "j280_url_canonical_dedup")
+        "j278_bbq_rescore", "j279_readability", "j280_url_canonical_dedup",
+        "j281_esql_knn")
         if only.forall(_.contains(q))) {
       val missing = needs.get(q)
         .filterNot(f => new java.io.File(d, f).exists())
