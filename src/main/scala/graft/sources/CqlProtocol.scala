@@ -28,6 +28,8 @@ private[graft] object CqlProtocol {
   val OpError = 0x00
   val OpStartup = 0x01
   val OpReady = 0x02
+  val OpOptions = 0x05
+  val OpSupported = 0x06
   val OpQuery = 0x07
   val OpResult = 0x08
   val OpPrepare = 0x09
@@ -169,6 +171,13 @@ private[graft] object CqlProtocol {
       m.foreach { case (k, v) => string(k); string(v) }
       this
     }
+    def stringMultimap(m: Map[String, Seq[String]]): this.type = {
+      out.writeShort(m.size)
+      m.foreach { case (k, vs) =>
+        string(k); out.writeShort(vs.size); vs.foreach(string)
+      }
+      this
+    }
     def toBytes: Array[Byte] = { out.flush(); bos.toByteArray }
   }
 
@@ -193,6 +202,9 @@ private[graft] object CqlProtocol {
     }
     def stringMap(): Map[String, String] =
       (1 to short()).map(_ => (string(), string())).toMap
+    def stringMultimap(): Map[String, Seq[String]] = // [string multimap]
+      (1 to short()).map(_ =>
+        (string(), (1 to short()).map(_ => string()))).toMap
     def remaining: Int = in.available()
   }
 
@@ -287,7 +299,18 @@ private[graft] object CqlProtocol {
     private val out = new DataOutputStream(socket.getOutputStream)
     private val in = new DataInputStream(socket.getInputStream)
 
-    { // STARTUP → READY
+    { // OPTIONS → SUPPORTED, then STARTUP → READY — the drivers' own
+      // connection preamble: learn the server's supported CQL versions
+      // BEFORE committing to one (and negotiate no compression).
+      writeFrame(out, OpOptions, 0, Array.empty)
+      val (sop, _, sbody) = readFrame(in)
+      if (sop != OpSupported) throw new java.io.IOException(
+        s"graft-cql: OPTIONS rejected: ${errorText(sop, sbody)}")
+      val supported = new FrameIn(sbody).stringMultimap()
+      val versions = supported.getOrElse("CQL_VERSION", Nil)
+      if (versions.nonEmpty && !versions.exists(_.startsWith("3.")))
+        throw new java.io.IOException(
+          s"graft-cql: server supports no CQL 3.x (got ${versions.mkString(", ")})")
       writeFrame(out, OpStartup, 0,
         new FrameOut().stringMap(Map("CQL_VERSION" -> "3.0.0")).toBytes)
       val (op, _, body) = readFrame(in)

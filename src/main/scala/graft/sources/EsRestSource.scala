@@ -116,6 +116,12 @@ private[sources] object EsRest {
         case (name, "boolean") => StructField(name, BooleanType)
         case (name, "keyword" | "text") => StructField(name, StringType)
         case (name, "date") => StructField(name, TimestampNTZType)
+        // dense_vector is ES's embedding field — float elements (the
+        // index-time element_type float default; a bit/byte-quantized
+        // field would need .schema(...)). ES has no dedicated array
+        // mapping (any field is multi-valued), so vectors are the one
+        // mapping that DECLARES an array shape.
+        case (name, "dense_vector") => StructField(name, ArrayType(FloatType))
         case (name, other) => throw new IllegalArgumentException(
           s"graft-es: unsupported mapping type '$other' for field '$name' " +
             "— pass .schema(...) to override")

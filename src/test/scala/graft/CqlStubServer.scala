@@ -112,6 +112,13 @@ class CqlStubServer {
     while (true) {
       val (op, stream, body) = readFrame(in)
       op match {
+        case OpOptions =>
+          // the drivers' preamble: advertise supported CQL versions and
+          // (no) compression before the client commits in STARTUP
+          writeFrame(out, OpSupported, stream,
+            new FrameOut().stringMultimap(Map(
+              "CQL_VERSION" -> Seq("3.0.0", "3.4.5"),
+              "COMPRESSION" -> Nil)).toBytes, response = true)
         case OpStartup =>
           writeFrame(out, OpReady, stream, Array.empty, response = true)
         case OpQuery => handleQuery(out, stream, new FrameIn(body))

@@ -235,6 +235,28 @@ class EsRestConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("dense_vector mapping: embedding fields round-trip as float arrays") {
+    val stub = new EsStubServer().start()
+    try {
+      val (code, _) = graft.sources.EsHttp.request("PUT", s"${stub.url}/vecs", Some(
+        """{"mappings":{"properties":{"id":{"type":"long"},
+          |"emb":{"type":"dense_vector","dims":4}}}}""".stripMargin))
+      assert(code === 200)
+      val src = Seq((1L, Array(0.5f, -1.25f, 0f, 3f)), (2L, Array(1f, 2f, 3f, 4f)))
+        .toDF("id", "emb")
+      src.write.format("graft-es").option("nodes", stub.url)
+        .option("index", "vecs").option("id-column", "id")
+        .mode("append").save()
+      val back = spark.read.format("graft-es")
+        .option("nodes", stub.url).option("index", "vecs").load()
+      assert(back.schema("emb").dataType ===
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+      val rows = back.orderBy($"id").collect()
+        .map(r => (r.getLong(r.fieldIndex("id")), r.getSeq[Float](r.fieldIndex("emb"))))
+      assert(rows === Array((1L, Seq(0.5f, -1.25f, 0f, 3f)), (2L, Seq(1f, 2f, 3f, 4f))))
+    } finally stub.stop()
+  }
+
   test("auto-assigned ids require an explicit opt-in (retry duplication)") {
     withStub { stub =>
       val e = intercept[Exception] {
