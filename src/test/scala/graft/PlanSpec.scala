@@ -74,6 +74,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("j281: ES|QL KNN retrieval plans as TakeOrderedAndProject and j278's rescore window stays qid-partitioned") {
+    val p = plan("j281_esql_knn")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // j278: both window passes carry a partition key (qid) — no
+    // move-everything-to-one-partition window anywhere in the plan
+    val p278 = plan("j278_bbq_rescore")
+    assert(!p278.contains("Window [") ||
+      !p278.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+      s"unpartitioned window in j278:\n$p278")
+  }
+
   test("c9: range join stays keyed on user_id — never a cartesian product") {
     val p = plan("c9_join_range")
     assert(!p.contains("CartesianProduct"), p)
@@ -146,6 +157,7 @@ class PlanSpec extends AnyFunSuite {
       "j197_combined_fields", // 1-row corpus stats onto the term-filtered combined tf (j34's shape)
       "j202_sparse_vector", // 1-row corpus count onto the tf·idf weight frame (j38's shape)
       "j207_matryoshka_eval", // 1-row query + 3-row dim frame onto one corpus scan (j123's probe shape)
+      "j278_bbq_rescore", // 5-row query frame onto one corpus scan (j123's probe shape); targeted test above pins the windows stay qid-partitioned
 
       "j162_drift_psi", // 1-row span/range/totals/psi broadcasts onto bounded frames
       "j163_change_point") // 1-row series totals onto the calendar-bounded day frame
