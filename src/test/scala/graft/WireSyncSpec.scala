@@ -308,6 +308,68 @@ class WireSyncSpec extends AnyFunSuite {
     } finally { cql.stop(); es.stop() }
   }
 
+  test("merge: cell composes with tables: — per-cell semantics across a multi-table keyspace from one YAML") {
+    val cql = new CqlStubServer().start()
+    val es = new EsStubServer().start()
+    val base = java.nio.file.Files.createTempDirectory("multicell").toString
+    try {
+      Seq("a", "b").foreach { t =>
+        cql.createTable("ks", t, Seq(
+          ("key", "bigint"), ("ts", "bigint"), ("status", "text"),
+          ("val", "bigint")), pk = "key")
+        val (c, _) = graft.sources.EsHttp.request("PUT", s"${es.url}/$t", Some(
+          """{"mappings":{"properties":{
+            |  "key":{"type":"long"},"ts":{"type":"long"},
+            |  "status":{"type":"keyword"},"status_wt":{"type":"long"},
+            |  "val":{"type":"long"},"val_wt":{"type":"long"}}}}""".stripMargin))
+        assert(c === 200)
+      }
+      def cqlWrite(t: String, df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("graft-cql").option("host", cql.host)
+          .option("keyspace", "ks").option("table", t)
+          .option("using-timestamp-column", "ts")
+          .mode("append").save()
+      cqlWrite("a", Seq((1L, 100L, "new", 10L)).toDF("key", "ts", "status", "val"))
+      cqlWrite("b", Seq((9L, 100L, "init", 7L)).toDF("key", "ts", "status", "val"))
+      val cfg = SyncConfig.fromYaml(
+        s"""tables: a, b
+           |cassandra:
+           |  feed: cql://${cql.host}/ks/{table}?pk=key
+           |  snapshot: $base/snapA/{table}
+           |  format: graft-cql
+           |elasticsearch:
+           |  feed: es://127.0.0.1:${es.url.split(":").last}/{table}
+           |  snapshot: $base/snapB/{table}
+           |  format: graft-es
+           |checkpoint_dir: $base/ckpt
+           |merge: cell
+           |cells: status,val
+           |""".stripMargin)
+      SyncJob.runOnceAll(spark, cfg)
+      // disjoint-column updates on table a ONLY; table b stays put
+      cqlWrite("a", Seq((1L, 300L, "gold")).toDF("key", "ts", "status"))
+      Seq((1L, 400L, 99L, 400L)).toDF("key", "ts", "val", "val_wt")
+        .write.format("graft-es").option("nodes", es.url)
+        .option("index", "a").option("id-column", "key")
+        .option("version-column", "ts").mode("append").save()
+      SyncJob.runOnceAll(spark, cfg)
+      def doc(idx: String, k: Long): Map[String, Any] = {
+        val r = spark.read.format("graft-es")
+          .option("nodes", es.url).option("index", idx).load()
+          .where($"key" === k).collect().head
+        r.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap
+      }
+      assert(doc("a", 1L) === Map("key" -> 1L, "ts" -> 400L, "status" -> "gold",
+        "status_wt" -> 300L, "val" -> 99L, "val_wt" -> 400L),
+        "table a converged per cell")
+      assert(doc("b", 9L) === Map("key" -> 9L, "ts" -> 100L, "status" -> "init",
+        "status_wt" -> 100L, "val" -> 7L, "val_wt" -> 100L),
+        "table b untouched by a's round")
+      assert(spark.read.parquet(s"$base/snapA/a").count() === 1
+        && spark.read.parquet(s"$base/snapA/b").count() === 1)
+    } finally { cql.stop(); es.stop() }
+  }
+
   test("C* wire → LWW merge with tombstones → ES wire; the round replays convergently") {
     val cql = new CqlStubServer().start()
     val es = new EsStubServer().start()
