@@ -1042,10 +1042,22 @@ object Sync {
         val spark = batch.sparkSession
         val slice = mergeCellLww(batch, keyCol, dataCols)
         if (!slice.isEmpty) {
+          // a MISSING snapshot is the first round; a snapshot with the
+          // WRONG columns is a reconfigured `cells:` list pointed at an
+          // old state dir — silently dropping it would discard every
+          // previously merged cell, so that case fails loudly instead
           val base =
-            try Some(spark.read.schema(slice.schema).parquet(snapshotDirs.head))
-              .filter(_.columns.sameElements(slice.columns))
-            catch { case _: Exception => None }
+            try {
+              val b = spark.read.parquet(snapshotDirs.head)
+              require(b.columns.sameElements(slice.columns),
+                s"cell snapshot ${snapshotDirs.head} has columns " +
+                  s"[${b.columns.mkString(", ")}] but the configured cells need " +
+                  s"[${slice.columns.mkString(", ")}] — refusing to overwrite " +
+                  "existing state; point the snapshot at a fresh directory")
+              Some(spark.read.schema(slice.schema).parquet(snapshotDirs.head))
+            } catch {
+              case _: org.apache.spark.sql.AnalysisException => None // first round
+            }
           val merged =
             base.fold(slice)(b => mergeCellLww(b.unionByName(slice), keyCol, dataCols))
               .cache()

@@ -367,6 +367,18 @@ class WireSyncSpec extends AnyFunSuite {
         "table b untouched by a's round")
       assert(spark.read.parquet(s"$base/snapA/a").count() === 1
         && spark.read.parquet(s"$base/snapA/b").count() === 1)
+
+      // a snapshot dir whose columns do not match the configured cells
+      // (a reconfigured `cells:` list pointed at OLD state) must refuse
+      // loudly rather than silently discard the previous merges
+      Seq((1L, "zzz")).toDF("some_key", "other")
+        .write.mode("overwrite").parquet(s"$base/snapA/a")
+      cqlWrite("a", Seq((1L, 900L, "late")).toDF("key", "ts", "status"))
+      val e = intercept[Exception] { SyncJob.runOnceAll(spark, cfg) }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+      assert(msgs(e).exists(m => m != null && m.contains("refusing to overwrite")),
+        s"got: ${msgs(e).mkString(" | ").take(400)}")
     } finally { cql.stop(); es.stop() }
   }
 
