@@ -234,6 +234,64 @@ object AnalyticsOps {
     * Scale shape: one user-partitioned lag window, then a map-combined
     * aggregate over ≤|types|² keys; the probability window runs over
     * that bounded frame. */
+  /** j282_transition_pagerank — PageRank centrality over the event-type
+    * transition graph (j156's edges; the "which state matters most"
+    * companion to j176's graph explore): 8 power iterations, damping
+    * 0.85, dangling mass redistributed uniformly. Every quantity is an
+    * exact BIGINT in 1e-12 rank units — contributions are integral
+    * divisions `(r·w) DIV w_out`, sums are integer sums — so the
+    * fixpoint is bit-identical in both engines regardless of aggregation
+    * order (the float-PageRank nondeterminism a naive port would hit).
+    *
+    * Scale shape: the edge extraction is j156's one keyed window over
+    * the corpus (linear, the dominant cost at 100 TB); the iterations
+    * run on the TYPE-VOCABULARY-bounded edge frame (|V|² at most —
+    * persisted once), so 8 rounds move KBs however large the corpus.
+    * `n` (the node count) is a vocabulary scalar like j66's merge
+    * rounds, not data. The 1-row dangling-mass frame broadcasts per
+    * round (the scalar-broadcast idiom). At fleet scale the per-edge
+    * weight would be pre-normalized to bound r·w; documented here, not
+    * needed at the fixture's magnitudes. */
+  def j282(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val U = 1000000000000L
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+    val edges = Tables.eventsUs(s, d)
+      .select($"user_id", $"event_id", $"event_type", $"ts_us")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type".as("src"), $"event_type".as("dst"))
+      .agg(count(lit(1)).as("wt"))
+      .persist() // vocab²-bounded; every iteration reuses it
+    val outW = edges.groupBy($"src").agg(sum($"wt").as("w_out"))
+    val nodes = edges.select($"src".as("node"))
+      .union(edges.select($"dst")).distinct().persist()
+    val n = nodes.count() // type-vocabulary cardinality (bounded scalar)
+    val base = 15L * U / (100L * n)
+    var ranks = nodes.withColumn("r", lit(U / n))
+    for (_ <- 1 to 8) {
+      val contrib = edges.join(outW, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy($"dst".as("node"))
+        .agg(sum(expr("(r * wt) DIV w_out")).as("in_c"))
+      val dangling = ranks
+        .join(outW.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+        .agg(coalesce(sum($"r"), lit(0L)).as("dang"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select($"node",
+          (lit(base) +
+            expr(s"(85 * (COALESCE(in_c, 0) + dang DIV $n)) DIV 100")).as("r"))
+    }
+    val out = ranks
+      .select($"node".as("event_type"), $"r".as("rank_units"),
+        Parity.round6($"r".cast("double") / lit(1.0e12)).as("rank"))
+      .orderBy($"event_type")
+      .localCheckpoint() // cut the 8-round lineage before the dump
+    edges.unpersist(); nodes.unpersist()
+    out
+  }
+
   def j156(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
@@ -798,6 +856,7 @@ object AnalyticsOps {
     "j151_stupid_backoff" -> j151, "j152_source_card" -> j152,
     "j153_event_funnel" -> j153, "j154_hourly_profile" -> j154,
     "j155_pmi_collocations" -> j155, "j156_event_transitions" -> j156,
+    "j282_transition_pagerank" -> j282,
     "j157_vocab_coverage" -> j157, "j158_incremental_dedup" -> j158,
     "j159_span_within" -> j159, "j160_bucket_correlation" -> j160,
     "j161_ks_test" -> j161, "j162_drift_psi" -> j162,
@@ -806,7 +865,50 @@ object AnalyticsOps {
     "j174_sessionize" -> j174, "j176_graph_explore" -> j176,
     "j178_dow_seasonality" -> j178, "j180_holt_forecast" -> j180)
 
+  /** j282's oracle: the SAME 8 integer-unit power iterations, unrolled
+    * as CTEs by the same loop bounds — exact BIGINT arithmetic, so
+    * aggregation order cannot perturb the fixpoint in either engine.
+    * Every CTE is MATERIALIZED: DuckDB inlines CTEs by default and each
+    * round references the previous one twice (contrib + dangling), so
+    * un-materialized unrolling re-expands the corpus-scan chain 2^8
+    * times — the query hangs instead of finishing in milliseconds. */
+  private val j282Oracle: String = {
+    val U = "1000000000000"
+    val iters = (1 to 8).map { i =>
+      val p = s"r${i - 1}"
+      s"""c$i AS MATERIALIZED (SELECT e.dst AS node,
+         |          CAST(SUM((p.r * e.wt) // ow.w_out) AS BIGINT) AS in_c
+         |        FROM e JOIN ow ON e.src = ow.src
+         |        JOIN $p p ON p.node = e.src GROUP BY 1),
+         |d$i AS MATERIALIZED (SELECT CAST(COALESCE(SUM(p.r), 0) AS BIGINT) AS dang FROM $p p
+         |        LEFT JOIN ow ON p.node = ow.src WHERE ow.src IS NULL),
+         |r$i AS MATERIALIZED (SELECT nodes.node,
+         |          CAST((15 * $U // (100 * st.n)) +
+         |            (85 * (COALESCE(c$i.in_c, 0) + d$i.dang // st.n)) // 100
+         |            AS BIGINT) AS r
+         |        FROM nodes CROSS JOIN st CROSS JOIN d$i
+         |        LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH l AS (SELECT event_type,
+       |             lag(event_type) OVER (PARTITION BY user_id
+       |               ORDER BY epoch_us(ts), event_id) AS prev_type
+       |           FROM 'events.parquet'),
+       |e AS MATERIALIZED (SELECT prev_type AS src, event_type AS dst, count(*) AS wt
+       |      FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |ow AS MATERIALIZED (SELECT src, sum(wt) AS w_out FROM e GROUP BY 1),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+       |          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |st AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |r0 AS MATERIALIZED (SELECT node, CAST($U // st.n AS BIGINT) AS r
+       |       FROM nodes CROSS JOIN st),
+       |$iters
+       |SELECT node AS event_type, r AS rank_units,
+       |       floor(CAST(r AS DOUBLE) / 1e12 * 1000000 + 0.5) / 1000000.0 AS rank
+       |FROM r8 ORDER BY event_type""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "j282_transition_pagerank" -> j282Oracle,
     "j151_stupid_backoff" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM 'documents.parquet'

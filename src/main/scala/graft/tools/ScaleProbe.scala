@@ -48,7 +48,8 @@ object ScaleProbe {
     "j275_geohex_grid" -> "events.parquet",
     "j276_esql_geohex" -> "events.parquet",
     "j278_bbq_rescore" -> "embeddings.parquet",
-    "j281_esql_knn" -> "embeddings.parquet")
+    "j281_esql_knn" -> "embeddings.parquet",
+    "j282_transition_pagerank" -> "events.parquet")
 
   def main(args0: Array[String]): Unit = {
     // optional trailing `only=q1,q2` arg restricts the probe list —
@@ -164,7 +165,7 @@ object ScaleProbe {
         // readability + URL dedup are map-only / one-window passes whose
         // slopes should be pure scan
         "j278_bbq_rescore", "j279_readability", "j280_url_canonical_dedup",
-        "j281_esql_knn")
+        "j281_esql_knn", "j282_transition_pagerank")
         if only.forall(_.contains(q))) {
       val missing = needs.get(q)
         .filterNot(f => new java.io.File(d, f).exists())
