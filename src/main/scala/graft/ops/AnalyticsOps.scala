@@ -262,33 +262,51 @@ object AnalyticsOps {
       .filter($"prev_type".isNotNull)
       .groupBy($"prev_type".as("src"), $"event_type".as("dst"))
       .agg(count(lit(1)).as("wt"))
-      .persist() // vocab²-bounded; every iteration reuses it
-    val outW = edges.groupBy($"src").agg(sum($"wt").as("w_out"))
+      // vocab²-bounded (KBs at any corpus size): single-partition keeps
+      // every downstream stage of the 8 rounds at one task instead of 32
+      .coalesce(1)
+      .persist() // every iteration reuses it
+    // vocab-bounded and read twice per round (contrib join + dangling
+    // anti-join) — persist beside edges rather than re-aggregating 16×
+    val outW = edges.groupBy($"src").agg(sum($"wt").as("w_out")).coalesce(1).persist()
     val nodes = edges.select($"src".as("node"))
-      .union(edges.select($"dst")).distinct().persist()
+      .union(edges.select($"dst")).distinct().coalesce(1).persist()
     val n = nodes.count() // type-vocabulary cardinality (bounded scalar)
     val base = 15L * U / (100L * n)
-    var ranks = nodes.withColumn("r", lit(U / n))
+    // Each round references the previous ranks TWICE (contrib + dangling),
+    // so a lazy chain doubles the plan per round — 2^8 subplan copies by
+    // round 8 (the exact blow-up the oracle's MATERIALIZED CTEs avoid, and
+    // j21's per-round checkpoint discipline). Eager-localCheckpoint every
+    // round (the frame is vocab-sized — KBs) and free the superseded one.
+    var ranks = nodes.withColumn("r", lit(U / n)).coalesce(1).localCheckpoint()
     for (_ <- 1 to 8) {
+      // every side here is vocab-bounded, but a localCheckpointed frame
+      // carries no size statistics, so without hints the planner falls
+      // back to exchange-backed joins — broadcast explicitly
       val contrib = edges.join(outW, "src")
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
         .groupBy($"dst".as("node"))
         .agg(sum(expr("(r * wt) DIV w_out")).as("in_c"))
       val dangling = ranks
-        .join(outW.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+        .join(broadcast(outW.withColumnRenamed("src", "node")), Seq("node"), "left_anti")
         .agg(coalesce(sum($"r"), lit(0L)).as("dang"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      val next = nodes.join(broadcast(contrib), Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select($"node",
           (lit(base) +
             expr(s"(85 * (COALESCE(in_c, 0) + dang DIV $n)) DIV 100")).as("r"))
+        .coalesce(1)
+        .localCheckpoint()
+      TextOps.releaseCheckpoint(ranks)
+      ranks = next
     }
     val out = ranks
       .select($"node".as("event_type"), $"r".as("rank_units"),
         Parity.round6($"r".cast("double") / lit(1.0e12)).as("rank"))
       .orderBy($"event_type")
-      .localCheckpoint() // cut the 8-round lineage before the dump
-    edges.unpersist(); nodes.unpersist()
+      .localCheckpoint() // cut lineage + drop the storage pins before return
+    TextOps.releaseCheckpoint(ranks)
+    edges.unpersist(); outW.unpersist(); nodes.unpersist()
     out
   }
 
