@@ -308,6 +308,12 @@ object PipelineOps {
     val docs = Tables.documents(s, d)
     val scored = langScored(s, d)
     val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"cand_lang".asc)
+    // top2 embeds the full scorer (tf explode + profile joins + window) and
+    // is read THREE times below — twice inside bandedPrefix (in-band window
+    // + band aggregate) and once for the n_total broadcast. Unpersisted,
+    // the scorer ran 3× (measured: j192 8.7 s vs j15's 1.9 s for one run
+    // of the same scorer). persist() so it is computed once; released by
+    // the harness-level clearCache (the j130 discipline).
     val top2 = scored.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
       .groupBy($"doc_id")
       .agg(max(when($"rn" === 1, $"cand_lang")).as("predicted"),
@@ -315,6 +321,7 @@ object PipelineOps {
         max(when($"rn" === 2, $"score")).as("s2"))
       .withColumn("margin", $"s1" - $"s2")
       .join(docs.select($"doc_id", $"lang".as("actual")), "doc_id")
+      .persist()
     val n = top2.agg(count(lit(1)).as("n_total"))
     Dist.bandedPrefix(top2, Seq((-floor($"margin")).cast("long")),
         Seq($"margin".desc, $"doc_id".asc), Nil)
@@ -578,9 +585,16 @@ object PipelineOps {
       sum(($"a42" && $"is_true").cast("long")).as("g42"),
       sum($"a24".cast("long")).as("c24"),
       sum(($"a24" && $"is_true").cast("long")).as("g24"))
-    one.select(lit("2x4").as("config"), $"c24".as("n_candidates"), $"g24".as("n_caught"))
-      .unionAll(one.select(lit("4x2"), $"c42", $"g42"))
-      .unionAll(one.select(lit("8x1"), $"c81", $"g81"))
+    // one row per layout via a row-local explode, NOT a 3-way unionAll of
+    // selects over `one` — each union branch re-evaluates the whole flags
+    // aggregation subtree (the candidate join pipeline ran 3×; measured
+    // ~1.5 s per extra evaluation at sf0.1)
+    one.select(explode(array(
+        struct(lit("2x4").as("config"), $"c24".as("n_candidates"), $"g24".as("n_caught")),
+        struct(lit("4x2").as("config"), $"c42".as("n_candidates"), $"g42".as("n_caught")),
+        struct(lit("8x1").as("config"), $"c81".as("n_candidates"), $"g81".as("n_caught")))).as("r"))
+      .select($"r.config".as("config"), $"r.n_candidates".as("n_candidates"),
+        $"r.n_caught".as("n_caught"))
       .crossJoin(broadcast(nTrue))
       .select($"config", $"n_candidates", $"n_caught", $"n_true",
         Parity.round6($"n_caught".cast("double") / $"n_candidates".cast("double"))
@@ -1415,8 +1429,11 @@ object PipelineOps {
     * for the oracle. */
   def j206(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // read twice inside bandedPrefix (in-band window + band aggregate) —
+    // persist so the scan+tokenize runs once; released by clearCache
     val d0 = Tables.documents(s, d)
       .select($"doc_id", size(split($"text", " ")).cast("long").as("nt"))
+      .persist()
     val o = Dist.bandedPrefix(d0, Seq(expr("doc_id div 64")),
         Seq($"doc_id".asc), Seq("run" -> $"nt"))
       .withColumn("off", $"run" - $"nt")

@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.collection.parallel.CollectionConverters._
 
 /** §2-J embedding/similarity operators — the ANN/near-dup side of the
   * LLM-data-pipeline charter.
@@ -542,11 +543,18 @@ object VectorOps {
     for (_ <- 1 to R) {
       val beam = cand.orderBy($"cos_q".desc, $"vec_id".asc).limit(B)
         .select($"vec_id".as("src"))
-      val nbrs = g.adj.join(broadcast(beam), "src")
+      // frontier-side BROADCAST both ways: nbrIds is beam-bounded (≤ B·M
+      // rows), so probing the corpus-sized q with a broadcast hash join
+      // keeps q unshuffled — stat-less checkpointed frames otherwise fall
+      // back to an exchange of q every round
+      val nbrIds = g.adj.join(broadcast(beam), "src")
         .select($"dst".as("vec_id")).distinct()
-        .join(g.q, "vec_id").select($"vec_id", $"cos_q")
+      val nbrs = g.q.join(broadcast(nbrIds), "vec_id").select($"vec_id", $"cos_q")
       val next = cand.unionByName(nbrs)
         .groupBy($"vec_id").agg(max($"cos_q").as("cos_q"))
+        // frontier is beam-bounded (≤ B + B·M·R rows at any corpus size):
+        // one partition keeps every per-round stage at one task
+        .coalesce(1)
         .localCheckpoint()
       TextOps.releaseCheckpoint(cand)
       cand = next
@@ -643,7 +651,13 @@ object VectorOps {
     val g = graphAnnBuild(s, d)
     val truth = g.q.orderBy($"cos_q".desc, $"vec_id".asc).limit(10)
       .select($"vec_id")
-    val rows = Seq(4, 12, 24).map { b =>
+    // The three sweeps are independent given the shared build — run them
+    // from driver threads so each sweep's tail back-fills the executors
+    // the others leave idle (guide-standard overlap of independent jobs;
+    // Spark's FIFO scheduler interleaves them). Each sweep's work is its
+    // own localCheckpoint chain, so there is no shared mutable state
+    // beyond the persisted build frames (read-only here).
+    val rows = Seq(4, 12, 24).par.map { b =>
       val cand = beamSearch(s, g, B = b, R = 4)
       val nExp = cand.count()
       val rec = cand.orderBy($"cos_q".desc, $"vec_id".asc).limit(10)
@@ -654,7 +668,7 @@ object VectorOps {
       // clearCache cannot see)
       TextOps.releaseCheckpoint(cand)
       (b.toLong, nExp, rec)
-    }
+    }.toList
     // the returned rows are materialized locals — drop the shared build's
     // cached RDDs before handing back the 3-row frame
     g.e.unpersist()
