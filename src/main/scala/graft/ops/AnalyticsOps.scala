@@ -393,16 +393,17 @@ object AnalyticsOps {
     val bands = fr.minh.select($"doc_id", explode(expr(bandExpr)).as("b"))
       .select($"doc_id", $"b.band".as("band"), $"b.sig".as("sig"))
     val newBands = bands.filter($"doc_id" % 5 === 0)
-    val cand = newBands.as("x")
-      .join(bands.as("y"),
+    val cand = newBands.as("x").hint("SHUFFLE_HASH")
+      .join(bands.as("y").hint("SHUFFLE_HASH"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
       .distinct()
     val ns = fr.sh.groupBy($"doc_id").agg(count(lit(1)).as("ns"))
-    cand
+    cand.hint("SHUFFLE_HASH")
       .join(fr.sh.select($"doc_id".as("d1"), $"shh".as("sh1")), "d1")
+      .hint("SHUFFLE_HASH")
       .join(fr.sh.select($"doc_id".as("d2"), $"shh".as("sh2")), "d2")
       .filter($"sh1" === $"sh2")
       .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))

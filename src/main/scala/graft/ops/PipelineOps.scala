@@ -95,8 +95,11 @@ object PipelineOps {
         |  named_struct('band', 2, 'sig', concat(m4, '|', m5)),
         |  named_struct('band', 3, 'sig', concat(m6, '|', m7)))""".stripMargin)).as("b"))
       .select($"doc_id", $"b.band".as("band"), $"b.sig".as("sig"))
-    val cand = bands.as("x")
-      .join(bands.as("y"),
+    // SHUFFLE_HASH: per-partition hash tables beat sort-merge's two full
+    // sorts of the band relation (the TextOps pair-join lesson; build side
+    // bounded by post-shuffle partition sizing, not the corpus)
+    val cand = bands.as("x").hint("SHUFFLE_HASH")
+      .join(bands.as("y").hint("SHUFFLE_HASH"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
@@ -111,8 +114,11 @@ object PipelineOps {
     // df = 25 over 27k distinct shingles at sf0.1; the raw-shingle
     // self-join path (TextOps.nearDupPairs) carries the df-cap for the
     // 100 TB case.
-    val exact = cand
+    // candidate side is the (tiny) verified-pair frame — hash-build it and
+    // stream the shingle relation instead of sorting both (SHUFFLE_HASH)
+    val exact = cand.hint("SHUFFLE_HASH")
       .join(sh.select($"doc_id".as("d1"), $"shh".as("sh1")), "d1")
+      .hint("SHUFFLE_HASH")
       .join(sh.select($"doc_id".as("d2"), $"shh".as("sh2")), "d2")
       .filter($"sh1" === $"sh2")
       .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
@@ -559,8 +565,8 @@ object PipelineOps {
     // generates all candidates; each stricter layout's admission is then
     // a row-local predicate over the two signatures (j111's broadcast
     // shape), not another self-join. 3 joins → 1.
-    val cand = bandsFor(minh, 1).as("x")
-      .join(bandsFor(minh, 1).as("y"),
+    val cand = bandsFor(minh, 1).as("x").hint("SHUFFLE_HASH")
+      .join(bandsFor(minh, 1).as("y").hint("SHUFFLE_HASH"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
@@ -799,8 +805,8 @@ object PipelineOps {
         |      named_struct('band', 1, 'key', CAST(simhash div 256 AS BIGINT)))""".stripMargin))
       .as("b"))
       .select($"doc_id", $"simhash", $"b.band".as("band"), $"b.key".as("key"))
-    bands.as("x")
-      .join(bands.as("y"),
+    bands.as("x").hint("SHUFFLE_HASH")
+      .join(bands.as("y").hint("SHUFFLE_HASH"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
@@ -901,7 +907,8 @@ object PipelineOps {
       .select($"vec_id", $"bucket", $"embedding", $"nrm")
     val a = e.select($"bucket", $"vec_id".as("v1"), $"embedding".as("va"), $"nrm".as("na"))
     val b = e.select($"bucket", $"vec_id".as("v2"), $"embedding".as("vb"), $"nrm".as("nb"))
-    a.join(b, Seq("bucket")).filter($"v1" < $"v2")
+    a.hint("SHUFFLE_HASH").join(b.hint("SHUFFLE_HASH"), Seq("bucket"))
+      .filter($"v1" < $"v2")
       .withColumn("cos", expr("vec_dot(va, vb)") / ($"na" * $"nb"))
       .filter($"cos" >= 0.35)
       .select($"v1", $"v2", round($"cos", 6).as("cos_sim"))
