@@ -489,7 +489,9 @@ object BucketOps {
     import s.implicits._
     val li = Tables.lineitem(s, d)
       .select($"l_orderkey", $"l_partkey").distinct()
-    li.as("a").join(li.as("b"),
+    // SHUFFLE_HASH: basket-key self-join of a freshly distinct'd frame —
+    // hash build beats sort-merge's two sorts (the pair-join lesson)
+    li.as("a").hint("SHUFFLE_HASH").join(li.as("b").hint("SHUFFLE_HASH"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))

@@ -1265,11 +1265,14 @@ object PipelineOps {
     val words = bpeWords(s, d)
       .select($"cnt", $"sym")
       .persist() // the chain below reads it 2× per round (pairs + rewrite)
-    val t1 = bpeTopPair(words)
+    // each winner is read TWICE (the merge broadcast + the result union) —
+    // eager-checkpoint the 1-row frames so each round's pair aggregation
+    // runs once, not twice (the j282/j192 repeated-subtree lesson)
+    val t1 = bpeTopPair(words).localCheckpoint()
     val v1 = bpeMerge(words, t1)
-    val t2 = bpeTopPair(v1)
+    val t2 = bpeTopPair(v1).localCheckpoint()
     val v2 = bpeMerge(v1, t2)
-    val t3 = bpeTopPair(v2)
+    val t3 = bpeTopPair(v2).localCheckpoint()
     val out = t1.withColumn("merge_rank", lit(1L))
       .unionAll(t2.withColumn("merge_rank", lit(2L)))
       .unionAll(t3.withColumn("merge_rank", lit(3L)))
@@ -1281,6 +1284,7 @@ object PipelineOps {
       // frame per invocation for the session lifetime — the caller gets a
       // lineage-free 3-row frame, not a plan that still needs the cache
       .localCheckpoint()
+    Seq(t1, t2, t3).foreach(TextOps.releaseCheckpoint) // out no longer reads them
     words.unpersist()
     out
   }
