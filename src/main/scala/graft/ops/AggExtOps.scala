@@ -444,6 +444,7 @@ object AggExtOps {
     // AND constant-state.
     val cent = comp.groupBy($"label", $"pos")
       .agg(Parity.round6(Parity.qsum($"v") / count(lit(1))).as("m"))
+      .persist() // feeds two broadcast builds (cent itself + nc) — one agg pass
     val nc = cent.groupBy($"label")
       .agg(Parity.sortedFoldSum($"m" * $"m").as("nc2"))
     val sims = comp.join(broadcast(cent), Seq("label", "pos"))

@@ -998,8 +998,11 @@ object SearchOps {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
+    // read twice (dfreq + the topk join) — persist so the corpus explode
+    // + per-doc aggregation runs once; released by the harness clearCache
     val tf = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
       .groupBy($"doc_id", $"token").agg(count(lit(1)).cast("double").as("tf"))
+      .persist()
     val dfreq = tf.groupBy($"token").agg(count(lit(1)).cast("double").as("df"))
     val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val wk = Window.partitionBy($"doc_id")
