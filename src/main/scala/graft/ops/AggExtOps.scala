@@ -252,12 +252,9 @@ object AggExtOps {
     * quantization. */
   def j100(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // read twice inside bandedPrefix — persist so the corpus explode+agg
-    // runs once; released by the harness-level clearCache
     val vocab = Tables.documents(s, d)
       .select(explode(split($"text", " ")).as("token"))
       .groupBy($"token").agg(count(lit(1)).as("freq"))
-      .persist()
     // rank via the banded two-pass prefix (Dist) — no single-partition
     // window over the vocab frame, which at web-corpus scale is 10⁸⁺ rows
     val xy = Dist.bandedPrefix(vocab, Dist.freqBands($"freq", $"token"),

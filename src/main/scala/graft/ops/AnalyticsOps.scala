@@ -345,13 +345,9 @@ object AnalyticsOps {
     * the total and type count ride a 1-row broadcast. */
   def j157(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // read 3x below (bandedPrefix's in-band window + band aggregate, and
-    // the stats broadcast) — persist so the corpus explode+agg runs once;
-    // released by the harness-level clearCache (j130 discipline)
     val counts = Tables.documents(s, d)
       .select(explode(split($"text", " ")).as("t"))
       .groupBy($"t").agg(count(lit(1)).as("cnt"))
-      .persist()
     val stats = counts.agg(sum($"cnt").as("total"),
       count(lit(1)).as("n_types"))
     // rank + running coverage via the banded two-pass prefix (Dist) —
@@ -405,9 +401,8 @@ object AnalyticsOps {
         greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
       .distinct()
     val ns = fr.sh.groupBy($"doc_id").agg(count(lit(1)).as("ns"))
-    cand.hint("SHUFFLE_HASH")
+    cand
       .join(fr.sh.select($"doc_id".as("d1"), $"shh".as("sh1")), "d1")
-      .hint("SHUFFLE_HASH")
       .join(fr.sh.select($"doc_id".as("d2"), $"shh".as("sh2")), "d2")
       .filter($"sh1" === $"sh2")
       .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
@@ -506,12 +501,9 @@ object AnalyticsOps {
       .filter($"event_type".isin("click", "purchase") && $"value".isNotNull)
       .select($"event_type",
         expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
-    // read 3x below (bandedPrefix 2x + the n broadcast) — persist so the
-    // event scan+agg runs once; released by the harness-level clearCache
     val byV = e.groupBy($"cents")
       .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("c1"),
         sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c2"))
-      .persist()
     val n = byV.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
     // ECDF running counts via the banded two-pass prefix (Dist) — no
     // single-partition window; bands are integer ten-dollar ranges of

@@ -114,11 +114,8 @@ object PipelineOps {
     // df = 25 over 27k distinct shingles at sf0.1; the raw-shingle
     // self-join path (TextOps.nearDupPairs) carries the df-cap for the
     // 100 TB case.
-    // candidate side is the (tiny) verified-pair frame — hash-build it and
-    // stream the shingle relation instead of sorting both (SHUFFLE_HASH)
-    val exact = cand.hint("SHUFFLE_HASH")
+    val exact = cand
       .join(sh.select($"doc_id".as("d1"), $"shh".as("sh1")), "d1")
-      .hint("SHUFFLE_HASH")
       .join(sh.select($"doc_id".as("d2"), $"shh".as("sh2")), "d2")
       .filter($"sh1" === $"sh2")
       .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
