@@ -260,29 +260,37 @@ object AnalyticsOps {
     import s.implicits._
     val U = 1000000000000L
     val w = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
-    val edges = Tables.eventsUs(s, d)
+    val eAgg = Tables.eventsUs(s, d)
       .select($"user_id", $"event_id", $"event_type", $"ts_us")
       .withColumn("prev_type", lag($"event_type", 1).over(w))
       .filter($"prev_type".isNotNull)
       .groupBy($"prev_type".as("src"), $"event_type".as("dst"))
       .agg(count(lit(1)).as("wt"))
-      // vocab²-bounded (KBs at any corpus size): single-partition keeps
-      // every downstream stage of the 8 rounds at one task instead of 32
-      .coalesce(1)
       .persist() // every iteration reuses it
+    val nodesAgg = eAgg.select($"src".as("node"))
+      .union(eAgg.select($"dst")).distinct().persist()
+    val n = nodesAgg.count() // type-vocabulary cardinality (bounded scalar)
+    // vocab²-bounded (KBs under the bounded-vocab contract): a single
+    // partition keeps every downstream stage of the 8 rounds at one task
+    // instead of 32 — but GATED on the measured node count (r15 ADVICE),
+    // so a vocabulary that outgrows the contract keeps the parallel
+    // layout instead of silently serializing the loop. Integer-exact
+    // arithmetic is partitioning-independent, so both layouts are
+    // result-identical.
+    val c1: DataFrame => DataFrame =
+      if (n <= 4096) df => df.coalesce(1) else identity
+    val edges = c1(eAgg)
     // vocab-bounded and read twice per round (contrib join + dangling
     // anti-join) — persist beside edges rather than re-aggregating 16×
-    val outW = edges.groupBy($"src").agg(sum($"wt").as("w_out")).coalesce(1).persist()
-    val nodes = edges.select($"src".as("node"))
-      .union(edges.select($"dst")).distinct().coalesce(1).persist()
-    val n = nodes.count() // type-vocabulary cardinality (bounded scalar)
+    val outW = c1(eAgg.groupBy($"src").agg(sum($"wt").as("w_out"))).persist()
+    val nodes = c1(nodesAgg)
     val base = 15L * U / (100L * n)
     // Each round references the previous ranks TWICE (contrib + dangling),
     // so a lazy chain doubles the plan per round — 2^8 subplan copies by
     // round 8 (the exact blow-up the oracle's MATERIALIZED CTEs avoid, and
     // j21's per-round checkpoint discipline). Eager-localCheckpoint every
     // round (the frame is vocab-sized — KBs) and free the superseded one.
-    var ranks = nodes.withColumn("r", lit(U / n)).coalesce(1).localCheckpoint()
+    var ranks = c1(nodes.withColumn("r", lit(U / n))).localCheckpoint()
     for (_ <- 1 to 8) {
       // every side here is vocab-bounded, but a localCheckpointed frame
       // carries no size statistics, so without hints the planner falls
@@ -299,10 +307,9 @@ object AnalyticsOps {
         .select($"node",
           (lit(base) +
             expr(s"(85 * (COALESCE(in_c, 0) + dang DIV $n)) DIV 100")).as("r"))
-        .coalesce(1)
-        .localCheckpoint()
+      val nextCk = c1(next).localCheckpoint()
       TextOps.releaseCheckpoint(ranks)
-      ranks = next
+      ranks = nextCk
     }
     val out = ranks
       .select($"node".as("event_type"), $"r".as("rank_units"),
@@ -310,7 +317,7 @@ object AnalyticsOps {
       .orderBy($"event_type")
       .localCheckpoint() // cut lineage + drop the storage pins before return
     TextOps.releaseCheckpoint(ranks)
-    edges.unpersist(); outW.unpersist(); nodes.unpersist()
+    eAgg.unpersist(); outW.unpersist(); nodesAgg.unpersist()
     out
   }
 

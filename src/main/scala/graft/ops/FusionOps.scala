@@ -98,8 +98,12 @@ object FusionOps {
   def j140(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val clusters = TextOps.j21(s, d) // (doc_id, cluster_id) — paired docs only
+    // SHUFFLE_HASH: the cluster table is a checkpointed (stat-less) frame,
+    // so the planner sort-merges this join — two sorts of the corpus id
+    // column for a hash-key lookup (r15's keep-rule: SHJ where the
+    // alternative is SMJ; the build side is bounded by near-dup docs)
     val all = Tables.documents(s, d).select($"doc_id")
-      .join(clusters, Seq("doc_id"), "left_outer")
+      .join(clusters.hint("SHUFFLE_HASH"), Seq("doc_id"), "left_outer")
       .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
       .withColumn("h", md5(concat(lit("cs:"), $"cluster_id".cast("string"))))
       .withColumn("bucket", expr(s"${Hashing.nibbleInt("h")} % 100"))

@@ -74,9 +74,16 @@ object PipelineOps {
       cand: DataFrame, exact: DataFrame)
 
   private[graft] def minhashFrames(s: SparkSession, d: String): MinhashFrames = {
-    import s.implicits._
     // reused by hashing, sizes, and the verify join — explode once
-    val sh = shingleDf(s, d).persist()
+    minhashFramesFrom(shingleDf(s, d).persist())
+  }
+
+  /** [[minhashFrames]] over a CALLER-provided (and persisted) shingle
+    * relation — lets j136 share ONE corpus explode between the signature
+    * pipeline and the exact-Jaccard truth leg (TextOps.pairStatsFrom). */
+  private[graft] def minhashFramesFrom(sh: DataFrame): MinhashFrames = {
+    val s = sh.sparkSession
+    import s.implicits._
     // all 8 minhashes in ONE map-side-combined aggregation (no 8× row
     // explosion), and only TWO md5 evaluations per shingle: each salted
     // md5's 32 hex chars yield four independent-enough 32-bit (8-hex-char)
@@ -236,9 +243,11 @@ object PipelineOps {
     * released by the harness clearCache between queries (the j2 shingle
     * discipline).
     *
-    * Broadcast discipline: langs/lcnt/vocab are O(#languages) or scalar —
-    * always broadcast; ltf is vocab-sized (huge at corpus scale) so it
-    * stays a shuffle join keyed on (cand_lang, token). */
+    * Broadcast discipline: lcnt/vocab are O(#languages) or scalar —
+    * always broadcast; the per-token profile map is vocab-sized (huge at
+    * corpus scale) so its join stays UN-hinted, keyed on token (AQE
+    * broadcasts it at fixture SFs, a cluster shuffles |tf| + |vocab| —
+    * never |langs|×|tf|). */
   private def langScored(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
@@ -256,17 +265,51 @@ object PipelineOps {
     // inner join with lcnt drops any dictionary language absent from the
     // corpus profiles, so a superset dictionary is result-identical to the
     // corpus-derived set (the oracle's DISTINCT lang form).
-    val langs = langDictionary.toDF("cand_lang")
-    tf.crossJoin(broadcast(langs))
-      .join(ltf.withColumnRenamed("lang", "cand_lang"),
-        Seq("cand_lang", "token"), "left")
-      .join(broadcast(lcnt.withColumnRenamed("lang", "cand_lang")),
-        Seq("cand_lang"))
+    //
+    // r16 reshape (guide §2.3/§2.4 — the r15 verdict's top queued item):
+    // the language profile joins the tf relation BEFORE any language
+    // fan-out. The (lang, token) profile pivots to one token-keyed row of
+    // per-language count columns (the dictionary is a compile-time
+    // constant, so the pivot is plain conditional max aggregates —
+    // bounded state, no collected lists); tf joins it 1:1 on token, the
+    // per-language log-likelihood terms are |langs| row-local column sums
+    // in ONE doc-keyed aggregation (map-side combined over |tf| rows —
+    // the previous shape exploded ×|langs| first and pushed 10·|tf| rows
+    // through the aggregate), and the (cand_lang, score) rows then
+    // explode from the 1-row-per-doc aggregate. Per-element arithmetic is
+    // UNCHANGED — tf * log((cnt_lt + 1) / (cnt_l + v)) on the same
+    // long/double types — only the accumulation grouping moved; the
+    // mandatory 3-SF oracle sweep (round(sum(double), 6) risk) is
+    // recorded in OPTIMIZATION_r16.md.
+    val profCols = langDictionary.map(lg =>
+      max(when($"lang" === lg, $"cnt_lt")).as(s"c_$lg"))
+    val prof = ltf.groupBy($"token").agg(profCols.head, profCols.tail: _*)
+    val lCols = langDictionary.map(lg =>
+      max(when($"lang" === lg, $"cnt_l")).as(s"cl_$lg"))
+    val lrow = lcnt.agg(lCols.head, lCols.tail: _*)
+    val sums = langDictionary.map { lg =>
+      round(sum($"tf" * log(
+        (coalesce(col(s"c_$lg"), lit(0L)) + 1) /
+          (col(s"cl_$lg") + $"v"))), 6).as(s"s_$lg")
+    }
+    val perDoc = tf
+      .join(prof, Seq("token"))
+      .crossJoin(broadcast(lrow))
       .crossJoin(broadcast(vocab))
-      .withColumn("ll",
-        $"tf" * log((coalesce($"cnt_lt", lit(0L)) + 1) / ($"cnt_l" + $"v")))
-      .groupBy($"doc_id", $"cand_lang")
-      .agg(round(sum($"ll"), 6).as("score"))
+      .groupBy($"doc_id")
+      .agg(sums.head, sums.tail: _*)
+    // row-local fan-out AFTER the aggregate; the inner join with the
+    // corpus-language list drops dictionary languages absent from the
+    // profiles (their score column is null — sum over null lm), exactly
+    // the previous inner-lcnt semantics
+    val entries = langDictionary.map(lg =>
+      s"named_struct('cand_lang', '$lg', 'score', s_$lg)")
+      .mkString("array(", ", ", ")")
+    perDoc
+      .select($"doc_id", explode(expr(entries)).as("e"))
+      .select($"doc_id", $"e.cand_lang".as("cand_lang"), $"e.score".as("score"))
+      .join(broadcast(lcnt.select($"lang".as("cand_lang"))), Seq("cand_lang"))
+      .select($"doc_id", $"cand_lang", $"score")
   }
 
   /** j15_langid — naive-Bayes n-gram language ID, self-supervised: per-lang
@@ -551,11 +594,17 @@ object PipelineOps {
     * index of j2 — never doc×doc. Counts are exact ints. */
   def j136(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val minh = minhashFrames(s, d).minh.persist()
+    // ONE corpus shingle explode shared by BOTH legs (r16): the minhash
+    // signature pipeline reads the raw shingle strings, the exact-Jaccard
+    // truth leg reads the xxhash64 column — previously each leg ran its
+    // own explode+persist of the same corpus (two fills per rep)
+    val sh = shingleDf(s, d).persist()
+    val minh = minhashFramesFrom(sh).minh.persist()
     // persisted: feeds the membership join AND the n_true scalar — the
     // inverted-index pipeline must run once, not twice (harness
     // clearCache releases it, j2's pattern)
-    val truth = TextOps.nearDupPairs(s, d)
+    val truth = TextOps.pairStatsFrom(sh.select($"doc_id", $"shh".as("sh")))
+      .filter($"jac" >= 0.5)
       .select($"d1", $"d2", lit(true).as("is_true")).persist()
     // ONE collision join — the 8×1 layout (any single slot agrees) is a
     // SUPERSET of every wider-band layout, so one permissive self-join
@@ -894,12 +943,9 @@ object PipelineOps {
       .as("hps"))
     val e = Tables.embeddings(s, d)
       .crossJoin(broadcast(hp))
-      .withColumn("bucket", expr(
-        """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, k) ->
-          |  acc + CASE WHEN aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
-          |      (sm, i) -> sm + CAST(element_at(embedding, i) AS DOUBLE) *
-          |                 element_at(element_at(hps, k + 1), i)) >= 0
-          |    THEN CAST(power(2, k) AS BIGINT) ELSE 0 END)""".stripMargin))
+      // native codegen signature fold (bit-identical to the nested
+      // aggregate HOF it replaces — VectorExprSpec pins both offsets)
+      .withColumn("bucket", expr("hp_sig(embedding, hps, 0, 8)"))
       .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
       .select($"vec_id", $"bucket", $"embedding", $"nrm")
     val a = e.select($"bucket", $"vec_id".as("v1"), $"embedding".as("va"), $"nrm".as("na"))

@@ -104,6 +104,18 @@ object TextOps {
     // the shingle relation feeds the self-join twice plus the size agg —
     // persist so the corpus is exploded once, not four times
     val sh = shingles(s, d).persist()
+    (pairStatsFrom(sh, dfCap), () => { sh.unpersist(); () })
+  }
+
+  /** [[pairStatsReleasable]]'s body over a CALLER-provided (doc_id, sh)
+    * hashed-shingle relation (already persisted by the caller). Lets a
+    * query that needs BOTH the minhash signatures and the exact-Jaccard
+    * ground truth (j136) explode the corpus once instead of once per
+    * pipeline — the caller owns the persist lifecycle. */
+  private[graft] def pairStatsFrom(
+      sh: DataFrame, dfCap: Long = ShingleDfCap): DataFrame = {
+    val s = sh.sparkSession
+    import s.implicits._
     // hot-shingle removal as a broadcast ANTI-join against the (tiny) list
     // of over-cap shingles: the df agg is map-side combined (no skewed
     // shuffle — a 10⁹-row shingle contributes one partial per partition),
@@ -123,11 +135,10 @@ object TextOps {
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
-    val out = pairs
+    pairs
       .join(ns.select($"doc_id".as("d1"), $"ns".as("n1")), "d1")
       .join(ns.select($"doc_id".as("d2"), $"ns".as("n2")), "d2")
       .withColumn("jac", $"inter" / ($"n1" + $"n2" - $"inter"))
-    (out, () => { sh.unpersist(); () })
   }
 
   private[graft] def nearDupPairsReleasable(

@@ -154,21 +154,21 @@ object VectorOps {
   /** Pairwise dot/norm expressions for a broadcast probe column `pvec`
     * beside the corpus `embedding` — shared by j123 (MaxSim) and j134
     * (hard negatives). Left-to-right fold order matches DuckDB list_sum. */
-  private val dotPq =
-    """aggregate(zip_with(embedding, pvec,
-      |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-      |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin
-  private val dotPp =
-    "aggregate(pvec, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+  // native vec_dot: same left-to-right double fold as the zip_with/
+  // aggregate HOFs these replaced (r16 — the probe dots ran interpreted
+  // over corpus×|probes| rows), bit-identical per VectorExprSpec
+  private val dotPq = "vec_dot(embedding, pvec)"
+  private val dotPp = "vec_dot(pvec, pvec)"
 
   def j123(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    graft.functions.VectorExpressions.register(s)
     val probes = Tables.embeddings(s, d).filter($"vec_id" <= 3)
       .select($"vec_id".as("probe_id"), $"embedding".as("pvec"))
     Tables.embeddings(s, d)
       .crossJoin(broadcast(probes))
       .select($"label", $"probe_id",
-        (expr(dotPq) / (sqrt(expr(dotSelf)) * sqrt(expr(dotPp)))).as("cos_pq"))
+        (expr(dotPq) / (sqrt(expr("vec_dot(embedding, embedding)")) * sqrt(expr(dotPp)))).as("cos_pq"))
       .groupBy($"label", $"probe_id")
       .agg(max($"cos_pq").as("mc"))
       .groupBy($"label")
@@ -191,6 +191,7 @@ object VectorOps {
     * same expression drops behind j20's IVF cells first. */
   def j134(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    graft.functions.VectorExpressions.register(s)
     val probes = Tables.embeddings(s, d).filter($"vec_id" < 8)
       .select($"vec_id".as("probe_id"), $"label".as("probe_label"),
         $"embedding".as("pvec"))
@@ -198,7 +199,7 @@ object VectorOps {
       .crossJoin(broadcast(probes))
       .filter($"label" =!= $"probe_label")
       .select($"probe_id", $"vec_id", $"label",
-        round(expr(dotPq) / (sqrt(expr(dotSelf)) * sqrt(expr(dotPp))), 6)
+        round(expr(dotPq) / (sqrt(expr("vec_dot(embedding, embedding)")) * sqrt(expr(dotPp))), 6)
           .as("cos_pn"))
       .withColumn("rank", row_number().over(Window.partitionBy($"probe_id")
         .orderBy($"cos_pn".desc, $"vec_id".asc)).cast("long"))
@@ -392,6 +393,7 @@ object VectorOps {
     * serves from the bits. */
   def j177(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    graft.functions.VectorExpressions.register(s)
     def half(lo: Int): String =
       s"""aggregate(sequence($lo, ${lo + 31}), CAST(0 AS BIGINT), (a, i) ->
          |  a + IF(CAST(element_at(embedding, i) AS DOUBLE) > 0,
@@ -402,10 +404,9 @@ object VectorOps {
         expr(half(1)).as("h1"), expr(half(33)).as("h2"))
     val q = e.orderBy($"vec_id").limit(1)
       .select($"embedding".as("qe"), $"h1".as("q1"), $"h2".as("q2"))
-    val dot = (a: String, b: String) => expr(
-      s"""aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (a, i) ->
-         |  a + CAST(element_at($a, i) AS DOUBLE) *
-         |      CAST(element_at($b, i) AS DOUBLE))""".stripMargin)
+    // native vec_dot — same left-to-right fold as the sequence-aggregate
+    // HOF it replaces (bit-identical; the audit cosines ran interpreted)
+    val dot = (a: String, b: String) => expr(s"vec_dot($a, $b)")
     val scored = e.crossJoin(broadcast(q))
       .withColumn("hamming",
         expr("bit_count(h1 ^ q1) + bit_count(h2 ^ q2)").cast("long"))
@@ -444,6 +445,7 @@ object VectorOps {
     * round(cos, 6) before the vec_id tie-break (j38's rule). */
   def j278(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    graft.functions.VectorExpressions.register(s)
     def half(lo: Int): String =
       s"""aggregate(sequence($lo, ${lo + 31}), CAST(0 AS BIGINT), (a, i) ->
          |  a + IF(CAST(element_at(embedding, i) AS DOUBLE) > 0,
@@ -455,10 +457,8 @@ object VectorOps {
     val q = e.orderBy($"vec_id").limit(5)
       .select($"vec_id".as("qid"), $"embedding".as("qe"),
         $"h1".as("q1"), $"h2".as("q2"))
-    def dot(a: String, b: String) = expr(
-      s"""aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, i) ->
-         |  acc + CAST(element_at($a, i) AS DOUBLE) *
-         |        CAST(element_at($b, i) AS DOUBLE))""".stripMargin)
+    // native vec_dot — j177's swap, same bit-identity argument
+    def dot(a: String, b: String) = expr(s"vec_dot($a, $b)")
     val scored = e.crossJoin(broadcast(q))
       .withColumn("hamming",
         expr("bit_count(h1 ^ q1) + bit_count(h2 ^ q2)").cast("long"))
@@ -583,12 +583,10 @@ object VectorOps {
       s"""transform(sequence(0, ${2 * P - 1}), k -> transform(sequence(1, 64),
          |  i -> (CAST(${Hashing.nibbleInt("md5(concat('hg:', k, ':', i))")} AS DOUBLE) / 65536.0) - 0.5))""".stripMargin)
       .as("hps"))
-    def bucket(off: Int): Column = expr(
-      s"""aggregate(sequence(0, ${P - 1}), CAST(0 AS BIGINT), (acc, k) ->
-         |  acc + CASE WHEN aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
-         |      (sm, i) -> sm + CAST(element_at(embedding, i) AS DOUBLE) *
-         |                 element_at(element_at(hps, $off + k + 1), i)) >= 0
-         |    THEN CAST(power(2, k) AS BIGINT) ELSE 0 END)""".stripMargin)
+    // hp_sig = the native codegen form of the nested-aggregate signature
+    // fold (r15 verdict #2: the interpreted HOF ran 2·P·64 lambda calls
+    // per corpus row); bit-identical per VectorExprSpec, same plane table
+    def bucket(off: Int): Column = expr(s"hp_sig(embedding, hps, $off, $P)")
     // one pass computes both table signatures, the norm, and the query
     // cosine; persisted — it feeds the adjacency self-join (twice), the
     // entry pick, and the truth leg (clearCache releases it, j2 rule)
@@ -597,7 +595,7 @@ object VectorOps {
       .withColumn("b0", bucket(0))
       .withColumn("b1", bucket(P))
       .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
-      .withColumn("cos_q", expr(sumAll) / ($"nrm" * lit(8.0d)))
+      .withColumn("cos_q", expr("vec_sum(embedding)") / ($"nrm" * lit(8.0d)))
       .select($"vec_id", $"b0", $"b1", $"embedding", $"nrm", $"cos_q")
       .persist()
     val tb = e.select($"vec_id", $"embedding", $"nrm",
@@ -657,22 +655,26 @@ object VectorOps {
     // Spark's FIFO scheduler interleaves them). Each sweep's work is its
     // own localCheckpoint chain, so there is no shared mutable state
     // beyond the persisted build frames (read-only here).
-    val rows = Seq(4, 12, 24).par.map { b =>
-      val cand = beamSearch(s, g, B = b, R = 4)
-      val nExp = cand.count()
-      val rec = cand.orderBy($"cos_q".desc, $"vec_id".asc).limit(10)
-        .join(broadcast(truth), "vec_id").count()
-      // the counts above materialized everything this sweep needs —
-      // release the final frontier's checkpoint blocks NOW (r12 advice:
-      // three sweeps per invocation × bench reps accumulated blocks
-      // clearCache cannot see)
-      TextOps.releaseCheckpoint(cand)
-      (b.toLong, nExp, rec)
-    }.toList
-    // the returned rows are materialized locals — drop the shared build's
-    // cached RDDs before handing back the 3-row frame
-    g.e.unpersist()
-    g.adj.unpersist()
+    // failure isolation (r15 ADVICE): each sweep releases its frontier
+    // checkpoint in a finally, and the shared build's cached RDDs drop in
+    // a finally around the whole sweep — a throwing thread can no longer
+    // leak localCheckpoint blocks that clearCache cannot see
+    val rows =
+      try Seq(4, 12, 24).par.map { b =>
+        val cand = beamSearch(s, g, B = b, R = 4)
+        try {
+          val nExp = cand.count()
+          val rec = cand.orderBy($"cos_q".desc, $"vec_id".asc).limit(10)
+            .join(broadcast(truth), "vec_id").count()
+          (b.toLong, nExp, rec)
+        } finally TextOps.releaseCheckpoint(cand)
+      }.toList
+      finally {
+        // the returned rows are materialized locals — drop the shared
+        // build's cached RDDs before handing back the 3-row frame
+        g.e.unpersist()
+        g.adj.unpersist()
+      }
     rows.toDF("beam", "n_explored", "recall10").orderBy($"beam")
   }
 
