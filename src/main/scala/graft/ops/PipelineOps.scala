@@ -104,7 +104,13 @@ object PipelineOps {
       .select($"doc_id", $"b.band".as("band"), $"b.sig".as("sig"))
     // SHUFFLE_HASH: per-partition hash tables beat sort-merge's two full
     // sorts of the band relation (the TextOps pair-join lesson; build side
-    // bounded by post-shuffle partition sizing, not the corpus)
+    // bounded by post-shuffle partition sizing, not the corpus).
+    // Skew envelope (r15 ADVICE): a band signature is two concatenated
+    // minhashes, and a (band, sig) bucket is bounded by the df of the
+    // shingle whose hash won the min — the same df-cap bound as the raw
+    // shingle join (measured max df 25 at sf0.1); AQE skew-split covers
+    // the residual. A corpus whose minhash buckets outgrow that bound is
+    // already failing the banding's collision contract, not just the hint.
     val cand = bands.as("x").hint("SHUFFLE_HASH")
       .join(bands.as("y").hint("SHUFFLE_HASH"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
@@ -950,6 +956,13 @@ object PipelineOps {
       .select($"vec_id", $"bucket", $"embedding", $"nrm")
     val a = e.select($"bucket", $"vec_id".as("v1"), $"embedding".as("va"), $"nrm".as("na"))
     val b = e.select($"bucket", $"vec_id".as("v2"), $"embedding".as("vb"), $"nrm".as("nb"))
+    // SHUFFLE_HASH envelope (r15 verdict watch item, measured r16 via
+    // Probe16 occupancy at sf0.1): 251 occupied buckets / 2000 vectors,
+    // max bucket 26 (1.3% share), median 7 — no hot bucket, so the hash
+    // build is partition-bounded. If embeddings ever correlate into one
+    // bucket past AQE's skew-split envelope, drop the hint here first
+    // (sort-merge spills gracefully); the plane count already grows with
+    // the corpus, which keeps expected occupancy ~125/bucket.
     a.hint("SHUFFLE_HASH").join(b.hint("SHUFFLE_HASH"), Seq("bucket"))
       .filter($"v1" < $"v2")
       .withColumn("cos", expr("vec_dot(va, vb)") / ($"na" * $"nb"))
