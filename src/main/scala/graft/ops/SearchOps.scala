@@ -73,10 +73,19 @@ object SearchOps {
       .select($"doc_id", split($"text", " ").as("toks"))
       // same guard as j36: sequence(1, 0) would infer step -1
       .filter(size($"toks") >= 2)
-      .withColumn("hits", expr(
-        """filter(sequence(1, size(toks) - 1),
+      // hits through a GENERATE (1-element array explode), not a
+      // withColumn: the previous `.filter(size(hits) >= 1)` was pushed
+      // below the projection and re-evaluated the whole position scan —
+      // and the collapsed projection inlined it AGAIN into each of its
+      // two uses (the j145 pushed-Filter hazard; the before-plan shows
+      // the filter(sequence…) HOF twice and the split eight times).
+      // A Generate output is a bound attribute, so the scan runs ONCE
+      // per row and filter/size/transform all read the materialized hits.
+      .select($"doc_id", $"toks", explode(expr(
+        """array(filter(sequence(1, size(toks) - 1),
           |  i -> element_at(toks, i) = 'merge'
-          |       AND startswith(element_at(toks, i + 1), 's'))""".stripMargin))
+          |       AND startswith(element_at(toks, i + 1), 's')))""".stripMargin))
+        .as("hits"))
       .filter(size($"hits") >= 1)
       .select(
         $"doc_id",
