@@ -299,11 +299,32 @@ object AnalyticsOps {
         .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
         .groupBy($"dst".as("node"))
         .agg(sum(expr("(r * wt) DIV w_out")).as("in_c"))
-      val dangling = ranks
-        .join(broadcast(outW.withColumnRenamed("src", "node")), Seq("node"), "left_anti")
-        .agg(coalesce(sum($"r"), lit(0L)).as("dang"))
-      val next = nodes.join(broadcast(contrib), Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
+      // The rank frame is its own node spine (one row per node), so the
+      // round reads ranks instead of nodes and carries r through.
+      val spine = ranks
+        .join(broadcast(outW.withColumnRenamed("src", "node")
+          .withColumn("has_out", lit(true))), Seq("node"), "left")
+        .join(broadcast(contrib), Seq("node"), "left")
+      val scored =
+        if (n <= 4096)
+          // dangling mass FOLDED into the per-round plan (r15 verdict
+          // item 7): an AllTuples window over the vocab-bounded 1-partition
+          // frame replaces the separate anti-join aggregate — one fewer
+          // materialized job per round, exact integer sum either way
+          spine.withColumn("dang", coalesce(
+            sum(when($"has_out".isNull, $"r")).over(Window.partitionBy()),
+            lit(0L)))
+        else {
+          // parallel layout (vocabulary outgrew the contract): keep the
+          // separate aggregate — an unpartitioned window would funnel a
+          // corpus-scale vocabulary through one task
+          val dangling = ranks
+            .join(broadcast(outW.withColumnRenamed("src", "node")),
+              Seq("node"), "left_anti")
+            .agg(coalesce(sum($"r"), lit(0L)).as("dang"))
+          spine.crossJoin(broadcast(dangling))
+        }
+      val next = scored
         .select($"node",
           (lit(base) +
             expr(s"(85 * (COALESCE(in_c, 0) + dang DIV $n)) DIV 100")).as("r"))

@@ -41,6 +41,27 @@ object Probe16 {
         println(s"[occ] buckets=${occ.getLong(0)} max=${occ.getLong(1)} " +
           s"total=${occ.getLong(2)} median=${occ.get(3)} " +
           f"max_share=${occ.getLong(1).toDouble / occ.getLong(2)}%.4f")
+      case "jobs" =>
+        // Spark-job count for one query run — the r15 verdict item 7
+        // "job count per round drops by 1" evidence for j282
+        val q = if (args.length > 2) args(2) else "j282_transition_pagerank"
+        val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+              counter.incrementAndGet(); ()
+            }
+          })
+        for (r <- 1 to 3) {
+          counter.set(0)
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(q)(spark, d).count()
+          spark.catalog.clearCache()
+          Thread.sleep(500) // listener bus is async
+          println(f"[jobs] rep=$r $q jobs=${counter.get} " +
+            f"time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
       case "floor" =>
         for (r <- 1 to 6) {
           val t0 = System.nanoTime()
